@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (T1 upscale + Q4 broadcast
+dim join + V1 invariant, per SURVEY.md §7.0) against sf0.001.
+``queries()`` / ``oracle_sql()`` expose the full oracle-checked suite
+from ``atlas_upscaling_dask_spark.suite``.
 """
 
 from __future__ import annotations
@@ -12,27 +11,55 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlas_upscaling_dask_spark import suite
+from atlas_upscaling_dask_spark.operators.relational import synthetic_regions, decode_labels
+from atlas_upscaling_dask_spark.operators.upscale import upscale_coo
+from atlas_upscaling_dask_spark.operators.verify import upscale_mismatches
+from atlas_upscaling_dask_spark.volume import synthetic_voxels
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: scan → narrow T1 upscale → broadcast Q4 join → V1 check.
+
+    Exercises the reference's essential loop (upscale.py + lookup_test2.py
+    + verify_labels.py) on the sf0.001 testdata: lineitem is voxel-encoded
+    (coordinates from its keys, the part key as the label), upscaled ×2
+    via the narrow explode path, label-decoded against the broadcast
+    ``part`` dim, and the V1 invariant is asserted on the synthetic cube.
+    """
+    # V1 invariant on the fixture volume: must be empty (verify_labels.py:18-24).
+    vox = synthetic_voxels(spark)
+    mism = upscale_mismatches(vox, upscale_coo(vox, 2), 2)
+    assert mism.isEmpty(), "T1 upscale violated the V1 label invariant"
+
+    lineitem = spark.read.parquet(f"{SF0001}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF0001}/part.parquet")
+
+    voxel_encoded = lineitem.select(
+        F.col("l_orderkey").alias("z"),
+        F.col("l_linenumber").cast("long").alias("y"),
+        F.col("l_suppkey").alias("x"),
+        F.col("l_partkey").alias("label"),
+    )
+    up = upscale_coo(voxel_encoded, 2)
+    dim = part.select(
+        F.col("p_partkey").alias("region"),
+        F.col("p_brand").alias("region_abbr"),
+        F.col("p_name").alias("region_name"),
+        F.col("p_size").alias("level"),
+    )
+    return decode_labels(up, dim)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One oracle-checked entry per implemented SURVEY.md §2 operator."""
+    return dict(suite.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each query (omitted ⇒ rows-only)."""
+    return dict(suite.ORACLES)

@@ -1,0 +1,147 @@
+"""T1/T2/T3 — nearest-neighbor upscale, floor-resize, axis permutation.
+
+T1 is the reference's flagship: integer nearest-neighbor upscale with
+label preservation, ``out[i,j,k] = in[i//s, j//s, k//s]``
+(``upscale.py:15-20`` — three ``da.repeat`` calls; also
+``upscale_streaming.py:94-99``).  Interpolation is forbidden: labels
+are categorical region IDs (reference README.md:32).
+
+Spark-first design:
+
+* **COO path** (`upscale_coo`): three ``explode(sequence(...))`` —
+  a *narrow* transform (rows grow in place, zero shuffle), matching the
+  reference's embarrassingly-parallel chunk tasks.  Catalyst fuses the
+  explodes into one whole-stage-codegen'd generate chain.
+* **Chunk path** (`upscale_chunks`): per-chunk vectorized
+  ``np.repeat`` ×3 inside ``mapInPandas`` — 4 B/voxel stays packed,
+  which is the only way the ×15 job (1 TB logical output,
+  BASELINE.md) stays feasible; also narrow (each input chunk maps to
+  exactly one s³-larger output chunk).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..volume import CHUNK_SCHEMA, PAYLOAD_DTYPE
+
+
+def upscale_coo(voxels: DataFrame, scale: int) -> DataFrame:
+    """Nearest-neighbor upscale of a COO volume by integer ``scale``.
+
+    Semantics of ``upscale.py:15-20``: every voxel becomes an s×s×s
+    block; labels preserved exactly.  Narrow (no shuffle): each row
+    yields s³ rows in place.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    s = F.lit(scale)
+    offs = F.sequence(F.lit(0), F.lit(scale - 1))
+    return (
+        voxels.select("z", "y", "x", "label", F.explode(offs).alias("oz"))
+        .select("z", "y", "x", "label", "oz", F.explode(offs).alias("oy"))
+        .select("z", "y", "x", "label", "oz", "oy", F.explode(offs).alias("ox"))
+        .select(
+            (F.col("z") * s + F.col("oz")).alias("z"),
+            (F.col("y") * s + F.col("oy")).alias("y"),
+            (F.col("x") * s + F.col("ox")).alias("x"),
+            F.col("label"),
+        )
+    )
+
+
+def upscale_chunks(chunks: DataFrame, scale: int) -> DataFrame:
+    """Nearest-neighbor upscale on the chunk-packed path.
+
+    Each chunk row maps to one output chunk row with an s³-larger
+    payload via vectorized ``np.repeat`` on all three axes — the exact
+    kernel shape of ``upscale_streaming.py:94-99``, but per Spark
+    partition instead of per Dask task.  Narrow: no shuffle; output
+    chunk grid coordinates stay identical, origins/extents scale by s.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+
+    def kernel(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            payloads = []
+            for row in pdf.itertuples(index=False):
+                block = np.frombuffer(row.payload, dtype=PAYLOAD_DTYPE).reshape(
+                    row.dz, row.dy, row.dx
+                )
+                up = block.repeat(scale, axis=0).repeat(scale, axis=1).repeat(scale, axis=2)
+                payloads.append(up.tobytes())
+            out["z0"] = out["z0"] * scale
+            out["y0"] = out["y0"] * scale
+            out["x0"] = out["x0"] * scale
+            out["dz"] = out["dz"] * scale
+            out["dy"] = out["dy"] * scale
+            out["dx"] = out["dx"] * scale
+            out["payload"] = payloads
+            yield out
+
+    return chunks.mapInPandas(kernel, schema=CHUNK_SCHEMA)
+
+
+def resize_floor(
+    voxels: DataFrame,
+    src_shape: tuple[int, int, int],
+    target_shape: tuple[int, int, int],
+) -> DataFrame:
+    """T2 — non-integer nearest resize to an arbitrary target shape.
+
+    Semantics of ``anno_upsampling.py:60-67,90-98`` (PIL ``Image.NEAREST``
+    per slice): target voxel ``t`` reads source voxel
+    ``floor(t * src_dim / target_dim)`` on each axis independently.
+
+    Spark-first: generate the target coordinate grid with ``spark.range``
+    cross-products, compute the floor-mapped source coordinates, and
+    equi-join back to the source volume on ``(z, y, x)``.  The join is
+    the unavoidable data movement (a gather); it shuffles both sides on
+    the coordinate key and AQE handles balance.
+    """
+    sz, sy, sx = src_shape
+    tz, ty, tx = target_shape
+    spark = voxels.sparkSession
+    grid = (
+        spark.range(tz)
+        .select(F.col("id").alias("tz"))
+        .crossJoin(spark.range(ty).select(F.col("id").alias("ty")))
+        .crossJoin(spark.range(tx).select(F.col("id").alias("tx")))
+        .select(
+            "tz",
+            "ty",
+            "tx",
+            F.floor(F.col("tz") * sz / tz).alias("sz_"),
+            F.floor(F.col("ty") * sy / ty).alias("sy_"),
+            F.floor(F.col("tx") * sx / tx).alias("sx_"),
+        )
+    )
+    return grid.join(
+        voxels,
+        (grid.sz_ == voxels.z) & (grid.sy_ == voxels.y) & (grid.sx_ == voxels.x),
+        "inner",
+    ).select(
+        F.col("tz").alias("z"),
+        F.col("ty").alias("y"),
+        F.col("tx").alias("x"),
+        "label",
+    )
+
+
+def rotate90(voxels: DataFrame, axes: tuple[str, str] = ("z", "y")) -> DataFrame:
+    """T3 — virtual rotation (``np.rot90``, anno_upsampling.py:84,100).
+
+    In the relational encoding a rotation is a pure column permutation —
+    a zero-cost projection.  The reference needed real rotations only
+    because its resize kernel was 2D; kept here as the coordinate-
+    permutation op for parity.
+    """
+    a, b = axes
+    mapping = {a: b, b: a}
+    cols = [F.col(c).alias(mapping.get(c, c)) for c in ("z", "y", "x")]
+    return voxels.select(*cols, F.col("label")).select("z", "y", "x", "label")

@@ -1,0 +1,223 @@
+"""Spark-native data model for dense 3D label volumes.
+
+The reference's central object is a dense ``(Z, Y, X)`` C-order integer
+label array, chunked for out-of-core execution (``upscale.py:9-13``,
+``upscale_streaming.py:42-57``).  Here a volume has two interchangeable
+relational representations (SURVEY.md §1.4):
+
+1. **Chunk-packed** — ``chunks(volume_id, cz, cy, cx, z0, y0, x0,
+   dz, dy, dx, payload binary)``; one row per chunk, payload is the
+   C-order little-endian encoding of the block.  This is the bulk path:
+   4 B/voxel instead of ~28 B/voxel exploded, which is what keeps the
+   100 TB target feasible.  Bulk kernels run per-chunk with vectorized
+   NumPy inside ``mapInPandas`` (Arrow across the JVM boundary).
+
+2. **COO / coordinate view** — ``voxels(z, y, x, label)``; the
+   relational encoding every SQL-checkable operator is defined against.
+   Conversions both ways are narrow per-row operations (no shuffle).
+
+Labels are unsigned in the reference (``uint32``, ``upscale.py:13``);
+Spark has no unsigned integers, so labels widen to ``LongType``
+(SURVEY.md §1.2) — the silent-overflow trap called out in §7.3.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+VOXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("z", T.LongType(), False),
+        T.StructField("y", T.LongType(), False),
+        T.StructField("x", T.LongType(), False),
+        T.StructField("label", T.LongType(), False),
+    ]
+)
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("volume_id", T.StringType(), False),
+        T.StructField("cz", T.IntegerType(), False),
+        T.StructField("cy", T.IntegerType(), False),
+        T.StructField("cx", T.IntegerType(), False),
+        T.StructField("z0", T.LongType(), False),
+        T.StructField("y0", T.LongType(), False),
+        T.StructField("x0", T.LongType(), False),
+        T.StructField("dz", T.IntegerType(), False),
+        T.StructField("dy", T.IntegerType(), False),
+        T.StructField("dx", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+# dtype used inside chunk payloads; labels are uint32 in the reference
+# (upscale.py:13) — we keep the payload compact and widen only in COO.
+PAYLOAD_DTYPE = np.dtype("<u4")
+
+
+@dataclass(frozen=True)
+class VolumeMeta:
+    """Shape + spacing metadata (MHD header analog, upscale_streaming.py:23-40)."""
+
+    dim_z: int
+    dim_y: int
+    dim_x: int
+    spacing_z: float = 25.0
+    spacing_y: float = 25.0
+    spacing_x: float = 25.0
+    element_type: str = "MET_UINT"
+    source: str = "synthetic://fixture"
+
+    @property
+    def shape(self) -> tuple[int, int, int]:
+        return (self.dim_z, self.dim_y, self.dim_x)
+
+    @property
+    def n_voxels(self) -> int:
+        return self.dim_z * self.dim_y * self.dim_x
+
+    def physical_size_mm(self) -> tuple[float, float, float]:
+        """Physical extent in mm (print_metadata.py:13: size*spacing/1000)."""
+        return (
+            self.dim_z * self.spacing_z / 1000.0,
+            self.dim_y * self.spacing_y / 1000.0,
+            self.dim_x * self.spacing_x / 1000.0,
+        )
+
+
+FIXTURE_META = VolumeMeta(16, 16, 16)
+
+
+def synthetic_voxels(spark: SparkSession, meta: VolumeMeta = FIXTURE_META) -> DataFrame:
+    """Deterministic dense label cube (FIXTURES.md §1).
+
+    ``label = 15564 + (z div 4)*16 + (y div 4)*4 + (x div 4)`` — blocky
+    4³ constant regions so outline/decimation are non-trivial, mirroring
+    the ADMBA-P56 annotation volume's piecewise-constant structure
+    (load_test.py:7-9).  Built with ``spark.range`` cross-products —
+    fully distributed, no driver materialization.
+    """
+    z = spark.range(meta.dim_z).select(F.col("id").alias("z"))
+    y = spark.range(meta.dim_y).select(F.col("id").alias("y"))
+    x = spark.range(meta.dim_x).select(F.col("id").alias("x"))
+    label = (
+        F.lit(15564)
+        + (F.col("z") / 4).cast("long") * 16
+        + (F.col("y") / 4).cast("long") * 4
+        + (F.col("x") / 4).cast("long")
+    )
+    return z.crossJoin(y).crossJoin(x).select("z", "y", "x", label.alias("label"))
+
+
+def choose_chunks(
+    shape: tuple[int, int, int],
+    itemsize: int = 4,
+    target_mb: int = 8,
+) -> tuple[int, int, int]:
+    """Chunk-geometry heuristic (P1, upscale_streaming.py:59-74 semantics).
+
+    Scale a seed chunk ``(16, 512, 512)`` by the cube root of
+    ``target_bytes / seed_bytes`` and clamp to the volume shape.  In
+    Spark the analog for *partition* sizing is ``files.maxPartitionBytes``
+    + AQE; this heuristic governs chunk-packed payload geometry only.
+    """
+    seed = np.array([16, 512, 512], dtype=np.float64)
+    seed_bytes = float(seed.prod()) * itemsize
+    factor = (target_mb * 1024.0 * 1024.0 / seed_bytes) ** (1.0 / 3.0)
+    dims = np.maximum(1, np.floor(seed * factor)).astype(np.int64)
+    return tuple(int(min(d, s)) for d, s in zip(dims, shape))
+
+
+def voxels_to_chunks(
+    voxels: DataFrame,
+    meta: VolumeMeta,
+    chunk: tuple[int, int, int] | None = None,
+    volume_id: str = "vol",
+) -> DataFrame:
+    """COO → chunk-packed.
+
+    Groups voxels by chunk key and packs each group into a C-order
+    binary payload with vectorized NumPy (``applyInPandas``).  One
+    shuffle on the chunk key — the minimum possible, and the same
+    data movement a Zarr writer performs (upscale_streaming.py:124-127).
+    """
+    dz, dy, dx = chunk or choose_chunks(meta.shape)
+    zdim, ydim, xdim = meta.shape
+
+    keyed = voxels.withColumn("cz", (F.col("z") / dz).cast("int")).withColumn(
+        "cy", (F.col("y") / dy).cast("int")
+    ).withColumn("cx", (F.col("x") / dx).cast("int"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        cz, cy, cx = int(pdf["cz"].iloc[0]), int(pdf["cy"].iloc[0]), int(pdf["cx"].iloc[0])
+        z0, y0, x0 = cz * dz, cy * dy, cx * dx
+        bz = min(dz, zdim - z0)
+        by = min(dy, ydim - y0)
+        bx = min(dx, xdim - x0)
+        block = np.zeros((bz, by, bx), dtype=PAYLOAD_DTYPE)
+        block[
+            pdf["z"].to_numpy() - z0,
+            pdf["y"].to_numpy() - y0,
+            pdf["x"].to_numpy() - x0,
+        ] = pdf["label"].to_numpy().astype(PAYLOAD_DTYPE)
+        return pd.DataFrame(
+            {
+                "volume_id": [volume_id],
+                "cz": [cz],
+                "cy": [cy],
+                "cx": [cx],
+                "z0": [z0],
+                "y0": [y0],
+                "x0": [x0],
+                "dz": [bz],
+                "dy": [by],
+                "dx": [bx],
+                "payload": [block.tobytes()],
+            }
+        )
+
+    return keyed.groupBy("cz", "cy", "cx").applyInPandas(pack, schema=CHUNK_SCHEMA)
+
+
+def chunks_to_voxels(chunks: DataFrame) -> DataFrame:
+    """Chunk-packed → COO.
+
+    Narrow per-row explode of each payload into coordinate rows using
+    vectorized NumPy — no shuffle; Catalyst sees a plain ``mapInPandas``
+    over the chunk scan, so chunk-level predicate pushdown (on
+    cz/cy/cx min-max stats) still prunes I/O before the explode.
+    """
+
+    def unpack(batches):
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                block = np.frombuffer(row.payload, dtype=PAYLOAD_DTYPE).reshape(
+                    row.dz, row.dy, row.dx
+                )
+                zz, yy, xx = np.meshgrid(
+                    np.arange(row.z0, row.z0 + row.dz, dtype=np.int64),
+                    np.arange(row.y0, row.y0 + row.dy, dtype=np.int64),
+                    np.arange(row.x0, row.x0 + row.dx, dtype=np.int64),
+                    indexing="ij",
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "z": zz.ravel(),
+                            "y": yy.ravel(),
+                            "x": xx.ravel(),
+                            "label": block.ravel().astype(np.int64),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return chunks.mapInPandas(unpack, schema=VOXEL_SCHEMA)
