@@ -364,3 +364,582 @@ WITH {VOX_CTE}
 SELECT y AS z, z AS y, x, label FROM voxels
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface on the TPC-H-ish testdata (FIXTURES.md §6 mapping).
+#
+# Double-valued aggregates go through DECIMAL(18,2) casts (exact, order-
+# independent) and back to DOUBLE; timestamps project as epoch
+# microseconds (unix_micros ↔ epoch_us) — see module docstring.
+# ---------------------------------------------------------------------------
+
+
+def _dim_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q2+Q5 on testdata: equality filter on a dim + projection
+    # (lookup_by_id.py:31,35-38).
+    return (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") == 7)
+        .select("n_name", "n_regionkey")
+    )
+
+
+_register(
+    "dim_filter_project",
+    _dim_filter_project,
+    "SELECT n_name, n_regionkey FROM nation WHERE n_nationkey = 7",
+)
+
+
+def _dim_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q4 on testdata: fact LEFT JOIN broadcast dim, unknown-key handling
+    # (lookup_test2.py:21-29; lookup_by_id.py:32-33).
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.coalesce(F.col("p_name"), F.lit("Unknown")).alias("part_name"),
+        F.coalesce(F.col("p_brand"), F.lit("?")).alias("part_brand"),
+    )
+
+
+_register(
+    "dim_join_left",
+    _dim_join_left,
+    """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       coalesce(p_name, 'Unknown') AS part_name,
+       coalesce(p_brand, '?') AS part_brand
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+""",
+)
+
+
+def _hierarchy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q6 on testdata: dimension hierarchy via self-FK-style join.
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner"
+    ).select("n_nationkey", "n_name", F.col("r_name").alias("region_name"))
+
+
+_register(
+    "hierarchy_join",
+    _hierarchy_join,
+    """
+SELECT n_nationkey, n_name, r_name AS region_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
+)
+
+
+def _tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q1-style pricing summary (SURVEY §2.8 aggregation surface).
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice") * (1 - dec("l_discount")) * (1 + dec("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_register(
+    "tpch_q1_pricing",
+    _tpch_q1_pricing,
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+
+def _topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-k = orderBy.limit with a deterministic tiebreak (SURVEY §2.8).
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_register(
+    "topk_orders",
+    _topk_orders,
+    """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+)
+
+
+def _distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_register(
+    "distinct_agg",
+    _distinct_agg,
+    """
+SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
+       count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
+FROM lineitem
+""",
+)
+
+
+def _rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_register(
+    "rollup_counts",
+    _rollup_counts,
+    "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+)
+
+
+def _cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_register(
+    "cube_counts",
+    _cube_counts,
+    "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+)
+
+
+def _pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pivot → conditional aggregation (oracle side spells it out).
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F"])
+    )
+
+
+_register(
+    "pivot_returnflag",
+    _pivot_returnflag,
+    """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE l_linestatus = 'O') AS "O",
+       count(*) FILTER (WHERE l_linestatus = 'F') AS "F"
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Window / event-time surface on `events` and `orders` (SURVEY §2.8 gaps
+# built out: windows, set ops, as-of join, sessionization, scalar fns).
+# ---------------------------------------------------------------------------
+
+
+def _window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Running aggregate per key with a fully deterministic frame order —
+    # both engines add in the same order, so doubles match bitwise
+    # (l_quantity is integral anyway).
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(w).alias("running_qty"),
+    )
+
+
+_register(
+    "window_running_sum",
+    _window_running_sum,
+    """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       sum(l_quantity) OVER (PARTITION BY l_suppkey
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+FROM lineitem
+""",
+)
+
+
+def _window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-3 parts per brand by retail price — ranking window + filter.
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+_register(
+    "window_rank_topk",
+    _window_rank_topk,
+    """
+SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM part
+) WHERE rk <= 3
+""",
+)
+
+
+def _event_neighbor_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T4's neighbor-difference semantics on an event stream: flag events
+    # whose event_type differs from either temporal neighbor within the
+    # user's timeline (the lag/lead form of outline_window).
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lab = F.col("event_type")
+    prev = F.coalesce(F.lag("event_type").over(w), lab)
+    nxt = F.coalesce(F.lead("event_type").over(w), lab)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when((lab != prev) | (lab != nxt), lab).otherwise(F.lit("")).alias("boundary_type"),
+    )
+
+
+_register(
+    "event_neighbor_diff",
+    _event_neighbor_diff,
+    """
+SELECT event_id, user_id,
+       CASE WHEN event_type != coalesce(lag(event_type) OVER w, event_type)
+              OR event_type != coalesce(lead(event_type) OVER w, event_type)
+            THEN event_type ELSE '' END AS boundary_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sessionization: a new session starts after a >30 min gap per user
+    # (lag + cumulative sum of boundary flags — the batch form; the
+    # streaming module uses session_window for the same semantics).
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_idx",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("event_id", "user_id", "session_idx")
+    )
+
+
+_register(
+    "sessionize",
+    _sessionize,
+    """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+FROM g
+""",
+)
+
+
+def _asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # As-of join: each event matched to the user's most recent order at
+    # or before the event time (operators/asof.py union+window strategy;
+    # oracle uses DuckDB's native ASOF JOIN).
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "o_orderkey"
+    )
+
+
+_register(
+    "asof_events_orders",
+    _asof_events_orders,
+    """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.o_orderkey
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+)
+
+
+def _time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tumbling event-time window aggregation (the batch twin of the
+    # Structured Streaming windowed agg in streaming/ingest.py).
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_register(
+    "time_bucket_agg",
+    _time_bucket_agg,
+    """
+SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS bucket_us, event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+
+
+def _semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semi/anti join surface: customers partitioned into with/without
+    # orders via left_semi / left_anti (EXISTS / NOT EXISTS).
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    okeys = orders.select(F.col("o_custkey"))
+    with_o = cust.join(okeys, cust.c_custkey == okeys.o_custkey, "left_semi").select(
+        "c_custkey", F.lit(True).alias("has_orders")
+    )
+    without_o = cust.join(okeys, cust.c_custkey == okeys.o_custkey, "left_anti").select(
+        "c_custkey", F.lit(False).alias("has_orders")
+    )
+    return with_o.unionByName(without_o)
+
+
+_register(
+    "semi_anti_customers",
+    _semi_anti_customers,
+    """
+SELECT c_custkey, TRUE AS has_orders FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, FALSE AS has_orders FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+
+
+def _set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Set-op surface: EXCEPT and INTERSECT between key sets.
+    part = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    never_ordered = part.exceptAll(li.distinct()).distinct().select(
+        "k", F.lit("never_ordered").alias("class")
+    )
+    ordered = part.intersect(li).select("k", F.lit("ordered").alias("class"))
+    return never_ordered.unionByName(ordered)
+
+
+_register(
+    "set_except_intersect",
+    _set_except_intersect,
+    """
+SELECT k, 'never_ordered' AS class FROM (
+  SELECT p_partkey AS k FROM part EXCEPT SELECT l_partkey FROM lineitem
+)
+UNION ALL
+SELECT k, 'ordered' AS class FROM (
+  SELECT p_partkey AS k FROM part INTERSECT SELECT l_partkey FROM lineitem
+)
+""",
+)
+
+
+def _upscale_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T1's explode-upscale semantics applied to a testdata fact table
+    # (FIXTURES.md §6): every row becomes 2×2×2 rows with rescaled keys.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("z"),
+        F.col("l_linenumber").cast("long").alias("y"),
+        F.col("l_suppkey").alias("x"),
+        F.col("l_partkey").alias("label"),
+    )
+    return U.upscale_coo(li, 2)
+
+
+_register(
+    "upscale_lineitem",
+    _upscale_lineitem,
+    """
+SELECT l_orderkey * 2 + a.range AS z,
+       CAST(l_linenumber AS BIGINT) * 2 + b.range AS y,
+       l_suppkey * 2 + c.range AS x,
+       l_partkey AS label
+FROM lineitem, range(2) a, range(2) b, range(2) c
+""",
+)
+
+
+def _decimate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T5's stride-2 decimation on testdata keys (FIXTURES.md §6).
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_orderkey") % 2 == 0) & (F.col("l_linenumber") % 2 == 0)
+    ).select(
+        (F.col("l_orderkey") / 2).cast("long").alias("z"),
+        (F.col("l_linenumber") / 2).cast("long").alias("y"),
+        F.col("l_partkey").alias("label"),
+    )
+
+
+_register(
+    "decimate_lineitem",
+    _decimate_lineitem,
+    """
+SELECT l_orderkey // 2 AS z, CAST(l_linenumber // 2 AS BIGINT) AS y, l_partkey AS label
+FROM lineitem WHERE l_orderkey % 2 = 0 AND l_linenumber % 2 = 0
+""",
+)
+
+
+def _scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # String/date/math scalar surface (SURVEY §2.8): concat, substring,
+    # upper, length, date parts, arithmetic rounding.
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.concat(F.lit("ORD-"), F.col("o_orderkey")).alias("tag"),
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        # floor-truncate instead of round(): Spark rounds the shortest
+        # decimal repr of a double, DuckDB the raw binary — they disagree
+        # near .5 boundaries; floor on identical doubles is deterministic.
+        (F.floor(F.col("o_totalprice") / 1000.0 * 100) / 100).alias("kprice"),
+    )
+
+
+_register(
+    "scalar_functions",
+    _scalar_functions,
+    """
+SELECT o_orderkey,
+       'ORD-' || o_orderkey AS tag,
+       upper(substring(o_orderpriority, 1, 3)) AS prio3,
+       length(o_orderstatus) AS status_len,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       floor(o_totalprice / 1000.0 * 100) / 100 AS kprice
+FROM orders
+""",
+)
+
+
+def _json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semi-structured props column: extract the numeric field from the
+    # JSON payload (portable via regexp on both engines; Spark also has
+    # get_json_object — regexp keeps the oracle dialect-neutral).
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r"(\d+)", 1).cast("int").alias("k"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_json"),
+    )
+
+
+_register(
+    "json_extract_events",
+    _json_extract_events,
+    """
+SELECT event_id,
+       CAST(regexp_extract(props, '(\\d+)', 1) AS INTEGER) AS k,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_json
+FROM events
+""",
+)

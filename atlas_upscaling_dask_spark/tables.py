@@ -32,7 +32,26 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which the
+    Spark parquet reader rejects outright.  Read nanos as raw longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a
+    microsecond-precision timestamp via *integer* division — going
+    through doubles would lose precision at 1e18 nanoseconds.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(
