@@ -1,0 +1,292 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB of documents):
+
+* **Exact** — hash-groupBy on the normalized text: one shuffle keyed by
+  a 128-bit content hash (never the text itself — group keys stay
+  16 bytes), map-side partial aggregation for the counts.
+* **MinHash+LSH** — per-doc signature (narrow), band→bucket grouping
+  (one shuffle on the band key), pair generation *within* buckets only:
+  the candidate set is linear-ish in corpus size instead of the O(n²)
+  all-pairs join.  Banding math: P(bucket-collision) = 1-(1-J^r)^b.
+* **SimHash** — a single 64/16-bit fingerprint per doc (narrow);
+  near-dup candidates = equal fingerprint (or equal band of bits).
+* **n-gram Jaccard** — exact verification: explode shingles, self-join
+  on shingle, count intersections; used to *verify* LSH candidates, not
+  to generate pairs at scale.
+
+Two hashing backends:
+
+* ``tid``-based (**portable**): token ids come from a dictionary built
+  with ``dense_rank`` over distinct tokens, and hash_i(t) = (a_i·tid +
+  b_i) mod p.  Every step is plain SQL, so the DuckDB oracle replays it
+  exactly — this is the correctness-gate variant (small/medium corpora:
+  the dictionary is itself a distributed frame, but the final rank is a
+  global window, so use it below ~1e9 distinct tokens).
+* ``xxhash64``-based (**scale**): token/shingle ids come straight from
+  Spark's built-in ``xxhash64`` — no dictionary, no global window, fully
+  narrow.  Same algorithm, different hash family; property-tested in
+  tests/ (not oracle-replayable since DuckDB lacks xxhash64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1; the (a·x+b) mod p family is the classic
+# universal-hash construction used by MinHash implementations.
+MINHASH_P = 2_147_483_647
+
+
+def _hash_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for hash function i — identical constants are
+    hardcoded in the SQL oracle (suite.py)."""
+    return 41 * i + 31, 13 * i + 7
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: keep the minimum id per distinct text.
+
+    At scale, group on a content hash (xxhash64 of the text) rather than
+    the full text so shuffle keys stay fixed-width; the text column
+    rides along via ``first`` (all rows in a group share it).
+    """
+    return (
+        docs.groupBy(F.xxhash64(F.col(text_col)).alias("__h"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.first(text_col).alias(text_col),
+        )
+        .select("keep_id", "n_copies", text_col)
+    )
+
+
+def word_shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, gram).
+
+    Narrow explode (posexplode of the token array + self-zip); the
+    DISTINCT is a partial-aggregated shuffle on (id, gram).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, size(w) - {n}), "
+            f"i -> concat_ws('_', slice(w, i + 1, {n})))"
+        ).alias("grams"),
+    )
+    return grams.select("doc_id", F.explode("grams").alias("gram")).distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (d1 < d2, jacc ≥ τ).
+
+    All-pairs via the shingle self-join — exact but O(candidate²) within
+    a shingle; at 100 TB this runs only on LSH candidate pairs (see
+    ``minhash_lsh_pairs``), never the full corpus.  Jaccard is computed
+    in integer space (|I|, |A|, |B|) and divided once at the end, so the
+    oracle matches bitwise.
+    """
+    g = word_shingles(docs, n, text_col, id_col)
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = g.select(F.col("doc_id").alias("d1"), "gram")
+    b = g.select(F.col("doc_id").alias("d2"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("n2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "inter", "n1", "n2", "jaccard")
+    )
+
+
+def token_dictionary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Portable token→id map: dense_rank over distinct tokens.
+
+    The global (unpartitioned) window is the price of oracle
+    portability; the xxhash64 backend below avoids it entirely at scale.
+    """
+    toks = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("tok")).distinct()
+    return toks.withColumn(
+        "tid", F.dense_rank().over(Window.orderBy("tok")).cast("long")
+    )
+
+
+def _shingle_dictionary(grams: DataFrame) -> DataFrame:
+    """Portable shingle→id map over a (doc_id, gram) frame."""
+    return (
+        grams.select("gram")
+        .distinct()
+        .withColumn("tid", F.dense_rank().over(Window.orderBy("gram")).cast("long"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_dictionary: bool = True,
+) -> DataFrame:
+    """Per-document MinHash signature over word n-gram shingles:
+    (doc_id, i, sig).
+
+    sig_i = min over the doc's distinct shingles of (a_i·sid + b_i)
+    mod p — shingles, not raw tokens: with a small vocabulary the token
+    *set* degenerates (every doc contains most of it), while the shingle
+    space grows as vocab^n, so the signature tracks n-gram Jaccard as
+    MinHash theory intends.  ``use_dictionary=False`` replaces sid with
+    ``pmod(xxhash64(gram), p)`` — the narrow, dictionary-free scale path.
+    """
+    grams = word_shingles(docs, shingle_n, text_col, id_col)
+    if use_dictionary:
+        dict_df = _shingle_dictionary(grams)
+        toks = grams.join(F.broadcast(dict_df), "gram").select("doc_id", "tid")
+    else:
+        toks = grams.select(
+            "doc_id", F.pmod(F.xxhash64("gram"), F.lit(MINHASH_P)).alias("tid")
+        )
+    hashes = [
+        F.min(F.pmod(F.lit(a) * F.col("tid") + F.lit(b), F.lit(MINHASH_P))).alias(
+            f"sig_{i}"
+        )
+        for i, (a, b) in ((i, _hash_params(i)) for i in range(num_hashes))
+    ]
+    wide = toks.groupBy("doc_id").agg(*hashes)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.col(f"sig_{i}").alias("sig"))
+            for i in range(num_hashes)
+        ]
+    )
+    return wide.select("doc_id", F.explode(pairs).alias("s")).select(
+        "doc_id", F.col("s.i").alias("i"), F.col("s.sig").alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    min_est_sim: float = 0.5,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_dictionary: bool = True,
+) -> DataFrame:
+    """LSH-banded MinHash near-dup pairs with estimated similarity.
+
+    Signatures → ``bands`` bands of r = num_hashes/bands rows; docs
+    sharing any band's full sub-signature become candidates (one shuffle
+    on the band key; pairs generated within buckets only).  Candidates
+    are then scored by est_sim = fraction of matching signature
+    components, filtered at ``min_est_sim``.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(
+        docs, num_hashes, shingle_n, text_col, id_col, use_dictionary
+    )
+    banded = sigs.withColumn("band", (F.col("i") / r).cast("int"))
+    # The band key must concatenate sig components in deterministic i-order:
+    # build it from a sorted array of (i, sig) structs, not collect_list order.
+    band_key = banded.groupBy("doc_id", "band").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "sig"))),
+                lambda s: s["sig"].cast("string"),
+            ),
+        ).alias("bkey")
+    )
+    l = band_key.select(F.col("doc_id").alias("d1"), "band", "bkey")
+    rr = band_key.select(F.col("doc_id").alias("d2"), "band", "bkey")
+    cands = (
+        l.join(rr, ["band", "bkey"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    s1 = sigs.select(F.col("doc_id").alias("d1"), "i", F.col("sig").alias("sig1"))
+    s2 = sigs.select(F.col("doc_id").alias("d2"), "i", F.col("sig").alias("sig2"))
+    scored = (
+        cands.join(s1, "d1")
+        .join(s2, ["d2", "i"])
+        .groupBy("d1", "d2")
+        .agg(
+            (F.sum((F.col("sig1") == F.col("sig2")).cast("int")) / num_hashes).alias(
+                "est_sim"
+            )
+        )
+    )
+    return scored.filter(F.col("est_sim") >= min_est_sim).select("d1", "d2", "est_sim")
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_dictionary: bool = True,
+) -> DataFrame:
+    """Per-document SimHash fingerprint (doc_id, simhash).
+
+    bit_j(token) = ((a_j·tid + b_j) mod p) mod 2; fingerprint bit j is 1
+    iff the sum over tokens of (2·bit_j − 1) is positive.  Hamming-close
+    fingerprints ⇒ similar token multisets.  All-integer → portable.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    if use_dictionary:
+        dict_df = token_dictionary(docs, text_col)
+        toks = toks.join(F.broadcast(dict_df), "tok").select("doc_id", "tid")
+    else:
+        toks = toks.select(
+            "doc_id", F.pmod(F.xxhash64("tok"), F.lit(MINHASH_P)).alias("tid")
+        )
+    contribs = [
+        F.sum(
+            (
+                F.pmod(
+                    F.pmod(F.lit(a) * F.col("tid") + F.lit(b), F.lit(MINHASH_P)),
+                    F.lit(2),
+                )
+                * 2
+                - 1
+            )
+        ).alias(f"c_{j}")
+        for j, (a, b) in ((j, _hash_params(j)) for j in range(bits))
+    ]
+    agg = toks.groupBy("doc_id").agg(*contribs)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"c_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))

@@ -1,0 +1,148 @@
+"""Multimodal columns: opaque binary payloads with typed metadata.
+
+Images/audio/video ride as ``binary`` columns plus a metadata struct —
+exactly the chunk-packed volume model (volume.py) generalized: the
+engine moves/filters/joins fixed-width references and hashes, and only
+decodes inside Arrow-batched Python when a kernel truly needs pixels.
+
+The decode/feature kernels are STUBBED (no imaging libs in this
+container; ``decode_image`` raises unless ``fake=True`` supplies a
+deterministic synthetic decode) — but all Spark-side plumbing (schema,
+batch shape, ``mapInPandas`` signature, partition behavior) is real and
+tested, so a real codec drops in by replacing one function body.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a synthetic media table from the documents fixture: the text
+    bytes stand in for an encoded payload (deterministic, testable)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit("fake/raw").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def payload_digest(media: DataFrame) -> DataFrame:
+    """Binary-column plumbing that needs no decode: byte length + sha256.
+
+    Pure built-ins — the pattern for content-addressing 100 TB of media
+    (dedup by digest groupBy, never by payload compare).
+    """
+    return media.select(
+        "media_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("sha256"),
+    )
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an encoded image payload to an HxWx3 uint8 array.
+
+    STUB: real decoding needs an imaging library not present in this
+    container.  ``fake=True`` returns a deterministic pseudo-image
+    derived from the payload bytes so the distributed plumbing is
+    testable end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an imaging library (e.g. Pillow); "
+            "not available in this environment — use fake=True for plumbing tests"
+        )
+    h = w = 8
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    reps = int(np.ceil(h * w * 3 / max(len(buf), 1)))
+    return np.tile(buf, reps)[: h * w * 3].reshape(h, w, 3)
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` — each batch decodes locally and emits a compact
+    feature row; the payload never leaves the executor.  Feature here is
+    the per-channel mean of the (fake-)decoded image — replace
+    ``decode_image`` with a real codec for production.
+    """
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, digests, sizes = [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                digests.append(hashlib.sha256(raw).hexdigest())
+                sizes.append(len(raw))
+                img = decode_image(raw, fake=fake)
+                feats.append(img.reshape(-1, 3).mean(axis=0).astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "sha256": digests,
+                    "features": [f.tolist() for f in feats],
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize kernel placeholder: plumbing-real, decode-stubbed.
+
+    Returns the frame with updated metadata; the payload transform
+    raises until a codec is available (clearly-marked stub per the
+    container constraints).
+    """
+    return media.withColumn(
+        "meta",
+        F.col("meta").withField("width", F.lit(width)).withField(
+            "height", F.lit(height)
+        ),
+    )

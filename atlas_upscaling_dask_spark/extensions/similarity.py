@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies, same output contract (query_id, neighbor_id, cosine):
+
+* **Brute-force top-k** — the exactness baseline: broadcast the query
+  set against the corpus, compute cosine with built-in array functions
+  (``aggregate``/``zip_with`` — JVM-side, no Python), rank per query.
+  Cost: |Q|·|corpus| dot products, one shuffle for the per-query top-k
+  window.  Right answer at any scale where |Q| is modest (the corpus
+  side stays partition-parallel and never shuffles).
+* **LSH-bucketed ANN** (`ann_lsh_topk`) — sign-bit bucketing: the
+  bucket id packs the sign bits of ``n_planes`` leading dimensions
+  (axis-aligned hyperplanes — deterministic and oracle-portable;
+  random-projection planes drop in by replacing ``_bucket_expr``).
+  Candidates are corpus vectors in the query's bucket: one equi-join on
+  the bucket key replaces the cross product — the standard recall/cost
+  trade of ANN.  An IVF variant would assign buckets by nearest
+  centroid instead; the plumbing (bucket → equi-join → rank) is
+  identical.
+
+Dot products fold left-to-right over the array on both engines
+(``F.aggregate`` here, ``list_dot_product`` in the DuckDB oracle) after
+casting elements to double, so results match bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two double arrays (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """dot/sqrt(|a|²·|b|²) — the exact expression the oracle mirrors."""
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    The query side is broadcast (small by contract); corpus partitions
+    stream through the JVM-side cosine without shuffling.  The only
+    shuffle is the per-query ranking window.  Ties break on neighbor id
+    for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def _bucket_expr(vec: Column, n_planes: int) -> Column:
+    """Pack the sign bits of the first ``n_planes`` dimensions into an int."""
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        bucket = bucket + F.when(vec[j] > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's sign-bit bucket.
+
+    One equi-join on the bucket key instead of a cross product — at
+    100 TB the corpus is written bucketed/partitioned by this key so the
+    probe side prunes partitions and the join co-locates without a
+    shuffle.  Recall is tuned by ``n_planes`` (fewer planes → bigger
+    buckets → higher recall, more compute).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", _bucket_expr(F.col("qv"), n_planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", _bucket_expr(F.col("cv"), n_planes))
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (d1 < d2, cosine ≥ τ).
+
+    Bucketed self-join (same sign-bit LSH as ``ann_lsh_topk``) — the
+    scale path for near-dup detection over embeddings; exact within a
+    bucket.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", _bucket_expr(F.col("v"), n_planes))
+    a = c.select(F.col("id").alias("d1"), F.col("v").alias("v1"), "bucket")
+    b = c.select(F.col("id").alias("d2"), F.col("v").alias("v2"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", cosine(F.col("v1"), F.col("v2")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -943,3 +943,410 @@ SELECT event_id,
 FROM events
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions (driver-mandated; SURVEY §2.8 / §7.8):
+# dedup, similarity search, text analysis, multimodal plumbing.
+# The oracle replays the tid-dictionary hashing backend; the xxhash64
+# scale backend is property-tested in tests/ instead.
+# ---------------------------------------------------------------------------
+
+# Shared oracle fragments for the token dictionary pipeline.
+_TOKS_CTE = """
+toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  )
+),
+dict AS (
+  SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT tok FROM toks)
+),
+t AS (SELECT doc_id, tid FROM toks JOIN dict USING (tok))
+"""
+
+_TOKS_MULTISET_CTE = """
+tm AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  )
+),
+dict AS (
+  SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT tok FROM tm)
+),
+t AS (SELECT doc_id, tid FROM tm JOIN dict USING (tok))
+"""
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_register(
+    "dedup_exact",
+    _dedup_exact,
+    """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text
+FROM documents GROUP BY text
+""",
+)
+
+
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+_register(
+    "dedup_ngram_jaccard",
+    _dedup_ngram_jaccard,
+    """
+WITH sh AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         unnest(range(len(string_split(text, ' ')) - 2)) AS i
+  FROM documents
+),
+g AS (SELECT DISTINCT doc_id, w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS gram FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
+       inter / (s1.n + s2.n - inter) AS jaccard
+FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+WHERE inter / (s1.n + s2.n - inter) >= 0.5
+""",
+)
+
+
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=16, bands=8, min_est_sim=0.5
+    )
+
+
+# MinHash over word-3-gram shingles (not raw tokens — the 31-word test
+# vocabulary makes token *sets* degenerate); dict ids via dense_rank.
+_SHINGLES_CTE = """
+sh AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         unnest(range(len(string_split(text, ' ')) - 2)) AS i
+  FROM documents
+),
+g AS (SELECT DISTINCT doc_id, w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS gram FROM sh),
+dict AS (
+  SELECT gram, CAST(dense_rank() OVER (ORDER BY gram) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT gram FROM g)
+),
+t AS (SELECT doc_id, tid FROM g JOIN dict USING (gram))
+"""
+
+_register(
+    "dedup_minhash_lsh",
+    _dedup_minhash_lsh,
+    f"""
+WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, i.range AS i,
+         min((CAST(41 * i.range + 31 AS BIGINT) * tid + (13 * i.range + 7)) % 2147483647) AS sig
+  FROM t, range(16) i GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, CAST(i // 2 AS INTEGER) AS band,
+         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS bkey
+  FROM sigs GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT d1, d2, sum(CASE WHEN s1.sig = s2.sig THEN 1 ELSE 0 END) / 16 AS est_sim
+  FROM cands
+  JOIN sigs s1 ON s1.doc_id = d1
+  JOIN sigs s2 ON s2.doc_id = d2 AND s2.i = s1.i
+  GROUP BY 1, 2
+)
+SELECT d1, d2, est_sim FROM scored WHERE est_sim >= 0.5
+""",
+)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"), bits=16)
+
+
+_register(
+    "dedup_simhash",
+    _dedup_simhash,
+    f"""
+WITH {_TOKS_MULTISET_CTE},
+contrib AS (
+  SELECT doc_id, j.range AS j,
+         sum(CASE WHEN ((CAST(41 * j.range + 31 AS BIGINT) * tid + (13 * j.range + 7)) % 2147483647) % 2 = 1
+                  THEN 1 ELSE -1 END) AS c
+  FROM t, range(16) j GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN c > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
+FROM contrib GROUP BY doc_id
+""",
+)
+
+
+_COSINE_SQL = "list_dot_product({a}, {b}) / sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b}))"
+
+
+def _embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+_register(
+    "embed_topk",
+    _embed_topk,
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COSINE_SQL.format(a='qv', b='cv')} AS cosine
+  FROM q, c WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+)
+
+
+def _embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.similarity import ann_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_planes=8)
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {{v}}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(8)
+)
+
+_register(
+    "embed_ann_lsh",
+    _embed_ann_lsh,
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         {_BUCKET_SQL.format(v='(embedding::DOUBLE[])')} AS bucket
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+         {_BUCKET_SQL.format(v='(embedding::DOUBLE[])')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COSINE_SQL.format(a='qv', b='cv')} AS cosine
+  FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+)
+
+
+def _embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.5, n_planes=4
+    )
+
+
+_BUCKET4_SQL = " + ".join(
+    f"(CASE WHEN {{v}}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(4)
+)
+
+_register(
+    "embed_near_dup",
+    _embed_near_dup,
+    f"""
+WITH c AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         {_BUCKET4_SQL.format(v='(embedding::DOUBLE[])')} AS bucket
+  FROM embeddings
+)
+SELECT a.id AS d1, b.id AS d2, {_COSINE_SQL.format(a='a.v', b='b.v')} AS cosine
+FROM c a JOIN c b ON a.bucket = b.bucket AND a.id < b.id
+WHERE {_COSINE_SQL.format(a='a.v', b='b.v')} >= 0.5
+""",
+)
+
+
+def _text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.text import text_stats
+
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+_STOPLIST_SQL = "['a', 'and', 'das', 'de', 'der', 'die', 'el', 'es', 'est', 'et', 'is', 'ist', 'la', 'le', 'of', 'the', 'to', 'und', 'y']"
+
+_register(
+    "text_stats",
+    _text_stats_q,
+    f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INTEGER) AS n_punct,
+       CAST(len(list_filter(string_split(text, ' '), x -> list_contains({_STOPLIST_SQL}, x))) AS INTEGER) AS n_stopwords,
+       len(list_filter(string_split(text, ' '), x -> list_contains({_STOPLIST_SQL}, x))) / len(string_split(text, ' ')) AS stopword_ratio,
+       length(text) / len(string_split(text, ' ')) AS chars_per_token
+FROM documents
+""",
+)
+
+
+def _quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.text import quality_score
+
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+_register(
+    "quality_score",
+    _quality_score_q,
+    f"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         len(list_filter(string_split(text, ' '), x -> list_contains({_STOPLIST_SQL}, x))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       ((CASE WHEN n_chars >= 64 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END)
+        + (CASE WHEN n_stop / n_tokens >= 0.05 THEN 1.0 ELSE 0.0 END)
+        + (CASE WHEN n_punct * 4 <= n_tokens THEN 1.0 ELSE 0.0 END)) / 3 AS quality
+FROM s
+""",
+)
+
+
+def _lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.text import lang_id
+
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+_register(
+    "lang_id",
+    _lang_id_q,
+    """
+WITH h AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['der','die','das','und','ist'], x))) AS INTEGER) AS hits_de,
+         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to'], x))) AS INTEGER) AS hits_en,
+         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['el','la','de','y','es'], x))) AS INTEGER) AS hits_es,
+         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['le','la','et','est','de'], x))) AS INTEGER) AS hits_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+            WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+            WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+            WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       greatest(hits_de, hits_en, hits_es, hits_fr) AS lang_hits
+FROM h
+""",
+)
+
+
+def _doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.text import doc_fingerprint
+
+    return doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+_register(
+    "doc_fingerprint",
+    _doc_fingerprint_q,
+    """
+WITH ex AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         unnest(range(len(string_split(text, ' ')))) AS i
+  FROM documents
+)
+SELECT doc_id,
+       sum((length(w[i+1]) * (i + 1) + i) % 2147483647) % 2147483647 AS fingerprint
+FROM ex GROUP BY doc_id
+""",
+)
+
+
+def _multimodal_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.multimodal import media_from_documents, payload_digest
+
+    return payload_digest(media_from_documents(load_table(spark, sf_dir, "documents")))
+
+
+_register(
+    "multimodal_digest",
+    _multimodal_digest,
+    """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+""",
+)
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-batched mapInPandas feature extraction over binary payloads;
+    # the decode is a deterministic fake (no imaging libs in container) —
+    # rows-only check by design, the digest part is oracle-checked above.
+    from .extensions.multimodal import extract_features, media_from_documents
+
+    return extract_features(
+        media_from_documents(load_table(spark, sf_dir, "documents")), fake=True
+    )
+
+
+_register("multimodal_features", _multimodal_features, None)
+
+
+def _vox_upscale_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The chunk-packed bulk path (COO→chunks→np.repeat kernel→COO),
+    # checked against the same oracle as the COO path: proves the two
+    # volume representations agree end-to-end.
+    from .operators.upscale import upscale_chunks
+    from .volume import FIXTURE_META, chunks_to_voxels, voxels_to_chunks
+
+    chunks = voxels_to_chunks(synthetic_voxels(spark), FIXTURE_META, chunk=(8, 8, 8))
+    return chunks_to_voxels(upscale_chunks(chunks, 2))
+
+
+_register(
+    "vox_upscale_chunkpath",
+    _vox_upscale_chunkpath,
+    ORACLES["vox_upscale2"],
+)
