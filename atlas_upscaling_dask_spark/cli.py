@@ -1,0 +1,139 @@
+"""atlas-spark CLI — the plan-then-execute pipeline entry point.
+
+Mirrors the reference's CLIs: ``upscale.py:26-31`` (basic: input/output/
+scale) and ``upscale_streaming_enhance.py:274-366`` (enhanced: chunking,
+compressor, outline, pyramid, dry-run, guards), driving the Spark-first
+operators instead of a Dask graph.
+
+Also ships the interactive region-lookup REPL (Q8,
+``lookup_by_id.py:17-38``): numeric-ID validation, exit commands,
+"Unknown region ID" handling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="atlas-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    up = sub.add_parser("upscale", help="nearest-neighbor upscale a volume table")
+    up.add_argument("--input", required=True, help="parquet chunk table or 'synthetic'")
+    up.add_argument("--output", required=True)
+    up.add_argument("--scale", type=int, default=2)
+    up.add_argument("--shape", type=int, nargs=3, default=(16, 16, 16), metavar=("Z", "Y", "X"))
+    up.add_argument("--chunk-mb", type=int, default=8)
+    up.add_argument("--compressor", choices=["zstd", "lz4", "none"], default="zstd")
+    up.add_argument("--outline", action="store_true", help="keep only region boundaries")
+    up.add_argument("--pyramid-levels", type=int, default=1)
+    up.add_argument("--max-gb", type=float, default=None)
+    up.add_argument("--dry-run", action="store_true")
+    up.add_argument("--force", action="store_true")
+
+    lk = sub.add_parser("lookup", help="interactive region-ID lookup REPL")
+    lk.add_argument("--regions-csv", default=None)
+
+    return p
+
+
+def cmd_upscale(args) -> int:
+    from .operators.outline import outline_window
+    from .operators.pyramid import build_pyramid
+    from .operators.upscale import upscale_chunks
+    from .plans.estimate import AdmissionError, check_admission, plan_upscale
+    from .session import get_spark
+    from .sinks.writer import write_pyramid, write_volume
+    from .volume import VolumeMeta, chunks_to_voxels, synthetic_chunks
+
+    meta = VolumeMeta(*args.shape)
+    plan = plan_upscale(
+        meta,
+        args.scale,
+        pyramid_levels=args.pyramid_levels,
+        compressor=args.compressor,
+        chunk_mb=args.chunk_mb,
+    )
+    print(plan.describe())
+    try:
+        check_admission(plan, max_gb=args.max_gb, force=args.force)
+    except AdmissionError as exc:
+        print(f"REFUSED: {exc}", file=sys.stderr)
+        return 2
+    if args.dry_run:
+        print("dry run — no job submitted")
+        return 0
+
+    spark = get_spark("atlas-spark-upscale")
+    if args.input == "synthetic":
+        chunks = synthetic_chunks(spark, meta, chunk=plan.chunk)
+    else:
+        chunks = spark.read.parquet(args.input)
+
+    up_meta = VolumeMeta(
+        meta.dim_z * args.scale,
+        meta.dim_y * args.scale,
+        meta.dim_x * args.scale,
+        meta.spacing_z / args.scale,
+        meta.spacing_y / args.scale,
+        meta.spacing_x / args.scale,
+        meta.element_type,
+        source=args.input,
+    )
+    up = upscale_chunks(chunks, args.scale)
+    if args.outline or args.pyramid_levels > 1:
+        vox = chunks_to_voxels(up)
+        if args.outline:
+            vox = outline_window(vox, wrap=False)
+        if args.pyramid_levels > 1:
+            write_pyramid(
+                vox, args.output, up_meta, args.pyramid_levels,
+                scale=args.scale, compressor=args.compressor,
+            )
+        else:
+            vox.write.mode("overwrite").parquet(args.output)
+    else:
+        write_volume(up, args.output, up_meta, scale=args.scale, compressor=args.compressor)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_lookup(args) -> int:
+    from .operators.relational import load_regions_csv, synthetic_regions
+    from .session import get_spark
+
+    spark = get_spark("atlas-spark-lookup")
+    regions = (
+        load_regions_csv(spark, args.regions_csv)
+        if args.regions_csv
+        else synthetic_regions(spark)
+    ).cache()
+    regions.count()  # resident, like the reference's in-memory CSV
+    print("region lookup — enter a numeric region ID, or 'exit'")
+    for line in sys.stdin:
+        text = line.strip()
+        if text.lower() in {"exit", "quit", "q", ""}:
+            break
+        if not text.isdigit():  # numeric guard (lookup_by_id.py:24-26)
+            print("please enter a numeric region ID")
+            continue
+        rows = regions.filter(F.col("region") == int(text)).collect()
+        if not rows:  # missing-key path (lookup_by_id.py:32-33)
+            print(f"Unknown region ID: {text}")
+            continue
+        r = rows[0]
+        print(f"{r['region']}: {r['region_name']} ({r['region_abbr']}), level {r['level']}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return {"upscale": cmd_upscale, "lookup": cmd_lookup}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

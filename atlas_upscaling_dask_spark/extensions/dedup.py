@@ -38,11 +38,18 @@ from pyspark.sql import functions as F
 # universal-hash construction used by MinHash implementations.
 MINHASH_P = 2_147_483_647
 
+# Large multipliers (classic LCG constants) so a·x+b wraps around p even
+# for small dictionary ids.  With small constants the map is monotone in
+# x below p — every "hash" then ranks ids identically, MinHash collapses
+# to min-id similarity and SimHash bits to id parity (caught by tests).
+_LCG_A = 1_103_515_245
+_LCG_C = 1_013_904_223
+
 
 def _hash_params(i: int) -> tuple[int, int]:
     """Deterministic (a, b) for hash function i — identical constants are
     hardcoded in the SQL oracle (suite.py)."""
-    return 41 * i + 31, 13 * i + 7
+    return (_LCG_A * (2 * i + 1)) % MINHASH_P, (12_345 + _LCG_C * i) % MINHASH_P
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -212,39 +219,58 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         docs, num_hashes, shingle_n, text_col, id_col, use_dictionary
     )
-    banded = sigs.withColumn("band", (F.col("i") / r).cast("int"))
-    # The band key must concatenate sig components in deterministic i-order:
-    # build it from a sorted array of (i, sig) structs, not collect_list order.
-    band_key = banded.groupBy("doc_id", "band").agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "sig"))),
-                lambda s: s["sig"].cast("string"),
-            ),
-        ).alias("bkey")
+    # Wide form: ONE row per doc with the ordered signature array.  All
+    # banding and scoring below works on this single row — joining the
+    # narrow (doc_id, i, sig) form instead multiplies every join by
+    # num_hashes (measured 8× slower at sf0.1).
+    wide = sigs.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "sig"))), lambda s: s["sig"]
+        ).alias("sig_arr")
     )
-    l = band_key.select(F.col("doc_id").alias("d1"), "band", "bkey")
-    rr = band_key.select(F.col("doc_id").alias("d2"), "band", "bkey")
+    banded = wide.select(
+        "doc_id",
+        "sig_arr",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig_arr", b * r + 1, r),
+                                lambda v: v.cast("string"),
+                            ),
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig_arr", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    l = banded.select(F.col("doc_id").alias("d1"), F.col("sig_arr").alias("arr1"), "band", "bkey")
+    rr = banded.select(F.col("doc_id").alias("d2"), F.col("sig_arr").alias("arr2"), "band", "bkey")
     cands = (
         l.join(rr, ["band", "bkey"])
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
-    )
-    s1 = sigs.select(F.col("doc_id").alias("d1"), "i", F.col("sig").alias("sig1"))
-    s2 = sigs.select(F.col("doc_id").alias("d2"), "i", F.col("sig").alias("sig2"))
-    scored = (
-        cands.join(s1, "d1")
-        .join(s2, ["d2", "i"])
         .groupBy("d1", "d2")
-        .agg(
-            (F.sum((F.col("sig1") == F.col("sig2")).cast("int")) / num_hashes).alias(
-                "est_sim"
+        .agg(F.first("arr1").alias("arr1"), F.first("arr2").alias("arr2"))
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("arr1"), F.col("arr2"), lambda a, b: a == b),
+                lambda eq: eq,
             )
         )
+        / num_hashes
     )
-    return scored.filter(F.col("est_sim") >= min_est_sim).select("d1", "d2", "est_sim")
+    return (
+        cands.withColumn("est_sim", est)
+        .filter(F.col("est_sim") >= min_est_sim)
+        .select("d1", "d2", "est_sim")
+    )
 
 
 def simhash(

@@ -40,9 +40,8 @@ def upscale_mismatches(orig: DataFrame, up: DataFrame, scale: int) -> DataFrame:
 def label_sets_equal(a: DataFrame, b: DataFrame) -> bool:
     """The no-interpolation contract (reference README.md:21,32):
     distinct label sets identical before/after a label-preserving op."""
-    only_a = a.select("label").exceptAll(b.select("label").distinct()).distinct()
-    only_b = b.select("label").exceptAll(a.select("label").distinct()).distinct()
-    return only_a.isEmpty() and only_b.isEmpty()
+    da, db = a.select("label").distinct(), b.select("label").distinct()
+    return da.exceptAll(db).isEmpty() and db.exceptAll(da).isEmpty()
 
 
 def volume_extents(voxels: DataFrame) -> DataFrame:

@@ -1,0 +1,112 @@
+"""Volume writers: partitioned parquet + JSON sidecar + pyramid store.
+
+The reference writes chunked, compressed Zarr with destructive overwrite
+and a JSON provenance sidecar (K1 ``upscale.py:22-24`` /
+``upscale_streaming.py:119-140``; K2 compressor selection ``:103-108``;
+K4 OME-Zarr pyramid ``upscale_streaming_enhance.py:190-268``).
+
+Spark mapping: chunk-packed parquet partitioned by the chunk key —
+``mode("overwrite")`` replaces rmtree+write (K3) transactionally;
+parquet zstd/lz4 replaces Blosc+bitshuffle (K2); the pyramid becomes one
+``level``-partitioned table whose base is cached before levels derive
+from it (fixing the reference's per-level recompute, SURVEY.md §4.3.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+
+from ..volume import VolumeMeta
+
+COMPRESSORS = {"zstd": "zstd", "lz4": "lz4", "none": "uncompressed"}
+
+
+def write_volume(
+    chunks: DataFrame,
+    path: str,
+    meta: VolumeMeta,
+    scale: int = 1,
+    compressor: str = "zstd",
+) -> None:
+    """K1+K2+K3+K5 — overwrite-write the chunk table + JSON sidecar.
+
+    Partitioned by ``cz`` (the coarse chunk key): a z-slab point query
+    prunes whole directories, and parquet min/max stats on cy/cx prune
+    row groups within them — the Spark analog of Zarr's chunk grid
+    addressing.
+    """
+    if compressor not in COMPRESSORS:
+        raise ValueError(f"compressor must be one of {sorted(COMPRESSORS)}")
+    spark = chunks.sparkSession
+    spark.conf.set("spark.sql.parquet.compression.codec", COMPRESSORS[compressor])
+    chunks.write.mode("overwrite").partitionBy("cz").parquet(path)
+    write_sidecar(path, meta, scale=scale, compressor=compressor)
+
+
+def write_sidecar(path: str, meta: VolumeMeta, **extra) -> None:
+    """K5 — JSON provenance sidecar (upscale_streaming.py:130-140)."""
+    payload = {
+        "source": meta.source,
+        "dims_zyx": list(meta.shape),
+        "spacing_zyx_um": [meta.spacing_z, meta.spacing_y, meta.spacing_x],
+        "element_type": meta.element_type,
+        "written_unix": int(time.time()),
+        **extra,
+    }
+    with open(os.path.join(path, "_volume_meta.json"), "w") as fh:
+        json.dump(payload, fh, indent=2)
+
+
+def write_pyramid(
+    voxels: DataFrame,
+    path: str,
+    meta: VolumeMeta,
+    levels: int,
+    scale: int = 1,
+    compressor: str = "zstd",
+) -> None:
+    """K4 — level-partitioned multiscale pyramid + multiscales metadata.
+
+    ``meta`` describes the OUTPUT (level-0) volume: level i spacing =
+    meta.spacing·2^i, which equals the reference's original/scale·2^i
+    transform (upscale_streaming_enhance.py:229-243) since the level-0
+    spacing is already original/scale.  ``scale`` is provenance only.
+    The base is cached inside ``build_pyramid`` so each level derives
+    from the previous one instead of re-running the whole upstream plan
+    per level.
+    """
+    from ..operators.pyramid import build_pyramid, pyramid_scales
+
+    spark = voxels.sparkSession
+    spark.conf.set("spark.sql.parquet.compression.codec", COMPRESSORS[compressor])
+    pyr = build_pyramid(voxels, levels=levels, cache_base=True)
+    pyr.write.mode("overwrite").partitionBy("level").parquet(path)
+    scales = pyramid_scales(
+        (meta.spacing_z, meta.spacing_y, meta.spacing_x), 1, levels
+    )
+    write_sidecar(
+        path,
+        meta,
+        scale=scale,
+        compressor=compressor,
+        multiscales=[
+            {"level": i, "spacing_zyx_um": list(s)} for i, s in enumerate(scales)
+        ],
+        image_label=True,
+    )
+
+
+def export_ordered(voxels: DataFrame, batch_size: int = 100_000) -> Iterator[Row]:
+    """K6 — deterministic slice-ordered export iterator.
+
+    ``orderBy(z,y,x)`` then ``toLocalIterator`` — the streaming BigTIFF
+    writer analog (anno_upsampling.py:112-118): one ordered pass, driver
+    holds one partition at a time, never the volume.
+    """
+    return voxels.orderBy("z", "y", "x").toLocalIterator(prefetchPartitions=True)

@@ -1,0 +1,127 @@
+"""Structured Streaming ingestion + event-time aggregation.
+
+Two streaming pipelines:
+
+* **Slice ingestion** (`start_slice_ingestion`) — the streaming analog
+  of the reference's slab-wise out-of-core scan (upscale_streaming.py:
+  78-141): a file-source stream watches a directory of parquet "slice"
+  drops (one file per z-slab) and ``foreachBatch``-appends them to the
+  chunk-packed volume table.  Coordinates are space, not time — no
+  watermark needed; exactly-once comes from the idempotent
+  partition-overwrite inside ``foreachBatch``.
+
+* **Windowed event aggregation** (`start_windowed_counts`) — watermarked
+  tumbling-window counts/sums over an event stream; the batch twin
+  (suite.py ``time_bucket_agg``) is what the DuckDB oracle checks, and
+  ``tests/test_streaming.py`` proves stream ≡ batch on the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source event stream (parquet drops in ``path``)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation (late data beyond the
+    watermark is dropped — the standard completeness/latency trade)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def start_windowed_counts_memory(
+    spark: SparkSession, source_path: str, query_name: str = "windowed_counts"
+):
+    """Run the windowed aggregation into a memory sink (complete mode) —
+    the synchronous smoke harness used by tests: ``processAllAvailable``
+    drains the source, then the result table is queryable by name."""
+    stream = read_event_stream(spark, source_path, max_files_per_trigger=8)
+    agg = windowed_counts(stream)
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def start_slice_ingestion(
+    spark: SparkSession,
+    slices_path: str,
+    volume_table_path: str,
+    meta_shape: tuple[int, int, int],
+    chunk: tuple[int, int, int],
+):
+    """Append arriving voxel-slice files to a chunk-packed volume table.
+
+    Each micro-batch packs its voxel rows into chunks and appends them
+    partitioned by chunk key; a slab drop maps to whole chunks, so
+    appends never rewrite existing data (the streaming version of the
+    reference's slab loop, upscale_streaming.py:94-127).
+    """
+    from ..volume import VOXEL_SCHEMA, VolumeMeta, voxels_to_chunks
+
+    meta = VolumeMeta(*meta_shape)
+    stream = spark.readStream.schema(VOXEL_SCHEMA).parquet(slices_path)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        chunks = voxels_to_chunks(batch_df, meta, chunk=chunk)
+        (
+            chunks.write.mode("append")
+            .partitionBy("cz")
+            .parquet(volume_table_path)
+        )
+
+    return stream.writeStream.foreachBatch(sink).start()
+
+
+def sessionized_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session-window aggregation (``session_window`` — the streaming
+    form of the batch lag-gap sessionization in suite.py)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )

@@ -1057,7 +1057,8 @@ _register(
 WITH {_SHINGLES_CTE},
 sigs AS (
   SELECT doc_id, i.range AS i,
-         min((CAST(41 * i.range + 31 AS BIGINT) * tid + (13 * i.range + 7)) % 2147483647) AS sig
+         min((((1103515245 * (2 * i.range + 1)) % 2147483647) * tid
+              + ((12345 + 1013904223 * i.range) % 2147483647)) % 2147483647) AS sig
   FROM t, range(16) i GROUP BY 1, 2
 ),
 bands AS (
@@ -1094,7 +1095,8 @@ _register(
 WITH {_TOKS_MULTISET_CTE},
 contrib AS (
   SELECT doc_id, j.range AS j,
-         sum(CASE WHEN ((CAST(41 * j.range + 31 AS BIGINT) * tid + (13 * j.range + 7)) % 2147483647) % 2 = 1
+         sum(CASE WHEN ((((1103515245 * (2 * j.range + 1)) % 2147483647) * tid
+                         + ((12345 + 1013904223 * j.range) % 2147483647)) % 2147483647) % 2 = 1
                   THEN 1 ELSE -1 END) AS c
   FROM t, range(16) j GROUP BY 1, 2
 )

@@ -94,6 +94,30 @@ class VolumeMeta:
 FIXTURE_META = VolumeMeta(16, 16, 16)
 
 
+def _chunk_batch(rows: list[tuple], payloads: list[bytes]):
+    """Build an Arrow RecordBatch matching CHUNK_SCHEMA with explicit
+    types (int32/int64 mismatches make the JVM-side accessor throw)."""
+    import pyarrow as pa
+
+    cols = list(zip(*rows)) if rows else [[]] * 10
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(cols[0], type=pa.string()),
+            pa.array(cols[1], type=pa.int32()),
+            pa.array(cols[2], type=pa.int32()),
+            pa.array(cols[3], type=pa.int32()),
+            pa.array(cols[4], type=pa.int64()),
+            pa.array(cols[5], type=pa.int64()),
+            pa.array(cols[6], type=pa.int64()),
+            pa.array(cols[7], type=pa.int32()),
+            pa.array(cols[8], type=pa.int32()),
+            pa.array(cols[9], type=pa.int32()),
+            pa.array(payloads, type=pa.binary()),
+        ],
+        [f.name for f in CHUNK_SCHEMA.fields],
+    )
+
+
 def synthetic_voxels(spark: SparkSession, meta: VolumeMeta = FIXTURE_META) -> DataFrame:
     """Deterministic dense label cube (FIXTURES.md §1).
 
@@ -113,6 +137,63 @@ def synthetic_voxels(spark: SparkSession, meta: VolumeMeta = FIXTURE_META) -> Da
         + (F.col("x") / 4).cast("long")
     )
     return z.crossJoin(y).crossJoin(x).select("z", "y", "x", label.alias("label"))
+
+
+def synthetic_chunks(
+    spark: SparkSession,
+    meta: VolumeMeta,
+    chunk: tuple[int, int, int] | None = None,
+    volume_id: str = "vol",
+) -> DataFrame:
+    """Generate a chunk-packed volume directly (no COO explode).
+
+    One row per chunk of the grid; each payload is built with vectorized
+    NumPy inside ``mapInPandas`` using the same deterministic label rule
+    as :func:`synthetic_voxels` (4³ constant blocks).  This is how a
+    bulk-path benchmark volume at the reference's real shape
+    ((456,320,528) uint32 ≈ 308 MB, BASELINE.md) is materialized without
+    ever paying the 28 B/voxel COO representation.
+    """
+    dz, dy, dx = chunk or choose_chunks(meta.shape)
+    zdim, ydim, xdim = meta.shape
+    ncz = -(-zdim // dz)
+    ncy = -(-ydim // dy)
+    ncx = -(-xdim // dx)
+
+    grid = (
+        spark.range(ncz * ncy * ncx)
+        .select(
+            (F.col("id") / (ncy * ncx)).cast("int").alias("cz"),
+            ((F.col("id") / ncx) % ncy).cast("int").alias("cy"),
+            (F.col("id") % ncx).cast("int").alias("cx"),
+        )
+        .repartition(64)
+    )
+
+    def gen(batches):
+        # mapInArrow, not mapInPandas: pandas round-trips every payload
+        # through Python bytes objects (~5× slower for multi-MB binaries).
+        for batch in batches:
+            d = batch.to_pydict()
+            rows, payloads = [], []
+            for cz, cy, cx in zip(d["cz"], d["cy"], d["cx"]):
+                z0, y0, x0 = cz * dz, cy * dy, cx * dx
+                bz, by, bx = (
+                    min(dz, zdim - z0),
+                    min(dy, ydim - y0),
+                    min(dx, xdim - x0),
+                )
+                zz = np.arange(z0, z0 + bz, dtype=np.int64)[:, None, None]
+                yy = np.arange(y0, y0 + by, dtype=np.int64)[None, :, None]
+                xx = np.arange(x0, x0 + bx, dtype=np.int64)[None, None, :]
+                block = (
+                    15564 + (zz // 4) * 16 + (yy // 4) * 4 + (xx // 4)
+                ).astype(PAYLOAD_DTYPE)
+                rows.append((volume_id, cz, cy, cx, z0, y0, x0, bz, by, bx))
+                payloads.append(block.tobytes())
+            yield _chunk_batch(rows, payloads)
+
+    return grid.mapInArrow(gen, schema=CHUNK_SCHEMA)
 
 
 def choose_chunks(
@@ -195,29 +276,30 @@ def chunks_to_voxels(chunks: DataFrame) -> DataFrame:
     """
 
     def unpack(batches):
-        for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                block = np.frombuffer(row.payload, dtype=PAYLOAD_DTYPE).reshape(
-                    row.dz, row.dy, row.dx
+        import pyarrow as pa
+
+        for batch in batches:
+            d = batch.to_pydict()
+            for vi in range(len(d["cz"])):
+                dz, dy, dx = d["dz"][vi], d["dy"][vi], d["dx"][vi]
+                block = np.frombuffer(d["payload"][vi], dtype=PAYLOAD_DTYPE).reshape(
+                    dz, dy, dx
                 )
                 zz, yy, xx = np.meshgrid(
-                    np.arange(row.z0, row.z0 + row.dz, dtype=np.int64),
-                    np.arange(row.y0, row.y0 + row.dy, dtype=np.int64),
-                    np.arange(row.x0, row.x0 + row.dx, dtype=np.int64),
+                    np.arange(d["z0"][vi], d["z0"][vi] + dz, dtype=np.int64),
+                    np.arange(d["y0"][vi], d["y0"][vi] + dy, dtype=np.int64),
+                    np.arange(d["x0"][vi], d["x0"][vi] + dx, dtype=np.int64),
                     indexing="ij",
                 )
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "z": zz.ravel(),
-                            "y": yy.ravel(),
-                            "x": xx.ravel(),
-                            "label": block.ravel().astype(np.int64),
-                        }
-                    )
+                # zero-copy Arrow arrays straight from the numpy buffers
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(zz.ravel(), type=pa.int64()),
+                        pa.array(yy.ravel(), type=pa.int64()),
+                        pa.array(xx.ravel(), type=pa.int64()),
+                        pa.array(block.ravel().astype(np.int64), type=pa.int64()),
+                    ],
+                    ["z", "y", "x", "label"],
                 )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
 
-    return chunks.mapInPandas(unpack, schema=VOXEL_SCHEMA)
+    return chunks.mapInArrow(unpack, schema=VOXEL_SCHEMA)

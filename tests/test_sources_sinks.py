@@ -1,0 +1,175 @@
+"""Source (MHD), sink (writer/pyramid/export), and planner tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from atlas_upscaling_dask_spark.volume import (
+    FIXTURE_META,
+    VolumeMeta,
+    chunks_to_voxels,
+    synthetic_voxels,
+    voxels_to_chunks,
+)
+
+
+def _write_mhd(tmp_path, arr: np.ndarray, spacing=(25.0, 25.0, 25.0), msb=False):
+    raw = tmp_path / "vol.raw"
+    data = arr.astype(">u4" if msb else "<u4")
+    raw.write_bytes(data.tobytes())
+    z, y, x = arr.shape
+    hdr = tmp_path / "vol.mhd"
+    hdr.write_text(
+        "ObjectType = Image\n"
+        "NDims = 3\n"
+        f"DimSize = {x} {y} {z}\n"
+        f"ElementSpacing = {spacing[2]} {spacing[1]} {spacing[0]}\n"
+        "ElementType = MET_UINT\n"
+        f"ByteOrderMSB = {msb}\n"
+        "ElementDataFile = vol.raw\n"
+    )
+    return str(hdr)
+
+
+@pytest.mark.parametrize("msb", [False, True])
+def test_mhd_roundtrip(spark, tmp_path, msb):
+    # S1-S3 + T8: header parse, chunked range-read scan, endianness
+    # normalization (upscale_streaming.py:23-57,82)
+    from atlas_upscaling_dask_spark.sources.mhd import parse_mhd, read_mhd_chunks
+
+    rng = np.random.default_rng(42)
+    arr = rng.integers(0, 2**31, size=(12, 10, 14), dtype=np.uint32)
+    path = _write_mhd(tmp_path, arr, msb=msb)
+
+    hdr = parse_mhd(path)
+    assert hdr.meta.shape == (12, 10, 14)
+    assert hdr.meta.spacing_z == 25.0
+    assert hdr.spark_type == "bigint"  # uint32 widens to long (§1.2)
+
+    chunks, _ = read_mhd_chunks(spark, path, chunk=(5, 6, 7))
+    vox = chunks_to_voxels(chunks).collect()
+    assert len(vox) == 12 * 10 * 14
+    for r in vox[:50]:
+        assert r["label"] == int(arr[r["z"], r["y"], r["x"]])
+
+
+def test_mhd_missing_keys(tmp_path):
+    from atlas_upscaling_dask_spark.sources.mhd import parse_mhd
+
+    bad = tmp_path / "bad.mhd"
+    bad.write_text("ObjectType = Image\nNDims = 3\n")
+    with pytest.raises(ValueError, match="missing required keys"):
+        parse_mhd(str(bad))
+
+
+def test_write_volume_and_sidecar(spark, tmp_path):
+    from atlas_upscaling_dask_spark.sinks.writer import write_volume
+
+    out = str(tmp_path / "vol_out")
+    vox = synthetic_voxels(spark)
+    chunks = voxels_to_chunks(vox, FIXTURE_META, chunk=(8, 8, 8))
+    write_volume(chunks, out, FIXTURE_META, scale=1, compressor="zstd")
+
+    side = json.load(open(os.path.join(out, "_volume_meta.json")))
+    assert side["dims_zyx"] == [16, 16, 16] and side["compressor"] == "zstd"
+    back = chunks_to_voxels(spark.read.parquet(out))
+    assert back.count() == 4096
+    # partitioned by cz → directory-level pruning for z-slab queries
+    assert any(d.startswith("cz=") for d in os.listdir(out))
+
+
+def test_write_volume_rejects_bad_compressor(spark, tmp_path):
+    from atlas_upscaling_dask_spark.sinks.writer import write_volume
+
+    with pytest.raises(ValueError, match="compressor"):
+        write_volume(
+            voxels_to_chunks(synthetic_voxels(spark), FIXTURE_META),
+            str(tmp_path / "x"),
+            FIXTURE_META,
+            compressor="gzip9",
+        )
+
+
+def test_write_pyramid(spark, tmp_path):
+    from atlas_upscaling_dask_spark.sinks.writer import write_pyramid
+
+    out = str(tmp_path / "pyr_out")
+    # meta describes the OUTPUT volume: spacing is already final (e.g. a
+    # x2-upscaled 25 µm atlas has 12.5 µm level-0 spacing)
+    out_meta = VolumeMeta(16, 16, 16, 12.5, 12.5, 12.5)
+    write_pyramid(synthetic_voxels(spark), out, out_meta, levels=3, scale=2)
+    pyr = spark.read.parquet(out)
+    counts = {r["level"]: r["n"] for r in pyr.groupBy("level").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 4096, 1: 512, 2: 64}
+    side = json.load(open(os.path.join(out, "_volume_meta.json")))
+    # level-i spacing = level0·2^i ≡ original/scale·2^i
+    # (upscale_streaming_enhance.py:229-243)
+    assert side["multiscales"][0]["spacing_zyx_um"] == [12.5, 12.5, 12.5]
+    assert side["multiscales"][1]["spacing_zyx_um"] == [25.0, 25.0, 25.0]
+    assert side["image_label"] is True
+
+
+def test_export_ordered(spark):
+    from atlas_upscaling_dask_spark.sinks.writer import export_ordered
+
+    vox = synthetic_voxels(spark, VolumeMeta(4, 4, 4))
+    rows = list(export_ordered(vox))
+    coords = [(r["z"], r["y"], r["x"]) for r in rows]
+    assert coords == sorted(coords)
+    assert len(coords) == 64
+
+
+def test_plan_and_guards():
+    from atlas_upscaling_dask_spark.plans.estimate import (
+        AdmissionError,
+        check_admission,
+        estimate_output_bytes,
+        plan_upscale,
+    )
+
+    meta = VolumeMeta(456, 320, 528)
+    # P2 golden: ×2 on the reference volume ≈ 2.46 GB logical (BASELINE.md)
+    assert estimate_output_bytes(meta, 2, 4) == 456 * 320 * 528 * 8 * 4
+    plan = plan_upscale(meta, 2)
+    assert f"{456 * 320 * 528 * 8 * 4 / 1e9:.2f} GB" in plan.describe()
+
+    with pytest.raises(AdmissionError, match="x21"):
+        check_admission(plan_upscale(meta, 21))
+    with pytest.raises(AdmissionError, match="max-gb"):
+        check_admission(plan, max_gb=1.0)
+    check_admission(plan_upscale(meta, 21), force=True)  # force bypasses
+
+
+def test_cli_dry_run(tmp_path, capsys):
+    from atlas_upscaling_dask_spark.cli import main
+
+    rc = main(
+        [
+            "upscale",
+            "--input", "synthetic",
+            "--output", str(tmp_path / "o"),
+            "--scale", "2",
+            "--dry-run",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "dry run" in out and "output shape" in out
+
+
+def test_cli_guard_refuses(tmp_path, capsys):
+    from atlas_upscaling_dask_spark.cli import main
+
+    rc = main(
+        [
+            "upscale",
+            "--input", "synthetic",
+            "--output", str(tmp_path / "o"),
+            "--scale", "25",
+            "--dry-run",
+        ]
+    )
+    assert rc == 2
+    assert "REFUSED" in capsys.readouterr().err

@@ -1,0 +1,82 @@
+"""Structured Streaming tests: stream result ≡ batch result on same rows."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from atlas_upscaling_dask_spark.tables import load_table
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    return str(tmp_path / "stream_in")
+
+
+def test_windowed_counts_stream_equals_batch(spark, sf_dir, stream_dir, tmp_path):
+    from atlas_upscaling_dask_spark.streaming.ingest import (
+        start_windowed_counts_memory,
+        windowed_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    # drop the events as several parquet files into the watched dir
+    events.repartition(4).write.mode("overwrite").parquet(stream_dir)
+
+    q = start_windowed_counts_memory(spark, stream_dir, query_name="wc_test")
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM wc_test")
+        expect = windowed_counts(events.withWatermark("ts", "2 hours"))
+        # complete-mode aggregation over a drained finite source must equal
+        # the batch aggregation over the same rows
+        batch = (
+            events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            )
+            .select(
+                F.unix_micros(F.col("w.start")).alias("bucket_us"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        )
+        assert got.exceptAll(batch).isEmpty() and batch.exceptAll(got).isEmpty()
+    finally:
+        q.stop()
+
+
+def test_slice_ingestion_builds_volume(spark, tmp_path):
+    from atlas_upscaling_dask_spark.streaming.ingest import start_slice_ingestion
+    from atlas_upscaling_dask_spark.volume import (
+        FIXTURE_META,
+        chunks_to_voxels,
+        synthetic_voxels,
+    )
+
+    slices = str(tmp_path / "slices")
+    vol_out = str(tmp_path / "volume_table")
+    vox = synthetic_voxels(spark).cache()
+
+    # drop the cube as 4 z-slab files, as the reference streams slabs
+    # (upscale_streaming.py:94-127)
+    os.makedirs(slices, exist_ok=True)
+    for i in range(4):
+        vox.filter((F.col("z") >= i * 4) & (F.col("z") < (i + 1) * 4)).coalesce(
+            1
+        ).write.mode("append").parquet(slices)
+
+    q = start_slice_ingestion(
+        spark, slices, vol_out, meta_shape=(16, 16, 16), chunk=(4, 16, 16)
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rebuilt = chunks_to_voxels(spark.read.parquet(vol_out))
+    assert rebuilt.count() == 4096
+    assert rebuilt.exceptAll(vox).isEmpty() and vox.exceptAll(rebuilt).isEmpty()

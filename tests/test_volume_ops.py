@@ -1,0 +1,176 @@
+"""Property/invariant suite for the volume operators (FIXTURES.md §5,
+derived from the reference's implicit invariants — see docstring cites)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from atlas_upscaling_dask_spark.operators.outline import outline_join, outline_window
+from atlas_upscaling_dask_spark.operators.pyramid import build_pyramid, decimate
+from atlas_upscaling_dask_spark.operators.upscale import (
+    resize_floor,
+    rotate90,
+    upscale_chunks,
+    upscale_coo,
+)
+from atlas_upscaling_dask_spark.operators.verify import (
+    label_sets_equal,
+    upscale_mismatches,
+    volume_extents,
+)
+from atlas_upscaling_dask_spark.volume import (
+    FIXTURE_META,
+    VolumeMeta,
+    choose_chunks,
+    chunks_to_voxels,
+    synthetic_chunks,
+    synthetic_voxels,
+    voxels_to_chunks,
+)
+
+
+@pytest.fixture(scope="module")
+def vox(spark):
+    return synthetic_voxels(spark).cache()
+
+
+@pytest.mark.parametrize("scale", [2, 3])
+def test_upscale_cardinality(vox, scale):
+    # count(upscale(V,s)) == s³·count(V)  (T1, upscale.py:15-20)
+    assert upscale_coo(vox, scale).count() == scale**3 * 4096
+
+
+@pytest.mark.parametrize("scale", [2, 3])
+def test_upscale_point_invariant(vox, scale):
+    # ∀v: up[s·z,s·y,s·x] == orig[z,y,x] (V1, verify_labels.py:18-24)
+    assert upscale_mismatches(vox, upscale_coo(vox, scale), scale).isEmpty()
+
+
+def test_upscale_label_set_preserved(vox):
+    # no-interpolation contract (reference README.md:21,32)
+    assert label_sets_equal(vox, upscale_coo(vox, 2))
+
+
+def test_upscale_golden_point(vox, spark):
+    # golden-point style of verify_labels.py: voxels(4,4,4) == up2(8,8,8)
+    orig = vox.filter((F.col("z") == 4) & (F.col("y") == 4) & (F.col("x") == 4))
+    up = upscale_coo(vox, 2).filter(
+        (F.col("z") == 8) & (F.col("y") == 8) & (F.col("x") == 8)
+    )
+    assert orig.first()["label"] == up.first()["label"] == 15585
+
+
+def test_upscale_rejects_bad_scale(vox):
+    with pytest.raises(ValueError):
+        upscale_coo(vox, 0)
+
+
+def test_chunk_roundtrip_identity(vox, spark):
+    # COO → chunk-packed → COO is the identity (volume.py codecs)
+    chunks = voxels_to_chunks(vox, FIXTURE_META, chunk=(8, 8, 8))
+    back = chunks_to_voxels(chunks)
+    assert back.count() == 4096
+    assert back.exceptAll(vox).isEmpty() and vox.exceptAll(back).isEmpty()
+
+
+def test_chunk_path_equals_coo_path(vox):
+    # bulk np.repeat kernel ≡ declarative explode (same oracle either way)
+    chunks = voxels_to_chunks(vox, FIXTURE_META, chunk=(8, 8, 8))
+    via_chunks = chunks_to_voxels(upscale_chunks(chunks, 2))
+    via_coo = upscale_coo(vox, 2)
+    assert via_chunks.exceptAll(via_coo).isEmpty()
+    assert via_coo.exceptAll(via_chunks).isEmpty()
+
+
+def test_synthetic_chunks_match_voxels(spark, vox):
+    # direct chunk-packed generator ≡ COO generator
+    direct = chunks_to_voxels(synthetic_chunks(spark, FIXTURE_META, chunk=(8, 8, 8)))
+    assert direct.exceptAll(vox).isEmpty() and vox.exceptAll(direct).isEmpty()
+
+
+def test_decimate_invariant(vox):
+    # pyramid_l1[z,y,x] == voxels[2z,2y,2x], count = 8³ (T5,
+    # upscale_streaming_enhance.py:125-139)
+    l1 = decimate(vox, 2)
+    assert l1.count() == 512
+    orig = vox.select(
+        (F.col("z") / 2).cast("long").alias("z"),
+        (F.col("y") / 2).cast("long").alias("y"),
+        (F.col("x") / 2).cast("long").alias("x"),
+        "label",
+    ).filter((F.col("z") * 2 == vox.z) & (F.col("y") * 2 == vox.y) & (F.col("x") * 2 == vox.x))
+
+
+def test_pyramid_levels(vox):
+    pyr = build_pyramid(vox, levels=3)
+    counts = {r["level"]: r["n"] for r in pyr.groupBy("level").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 4096, 1: 512, 2: 64}
+
+
+def test_outline_interior_zero(vox):
+    # strict interiors of constant 4³ blocks (away from volume faces) → 0
+    out = outline_window(vox, wrap=False)
+    interior = out.filter(
+        (F.col("z") % 4).isin(1, 2)
+        & (F.col("y") % 4).isin(1, 2)
+        & (F.col("x") % 4).isin(1, 2)
+    )
+    assert interior.filter(F.col("label") != 0).count() == 0
+
+
+def test_outline_support_subset(vox):
+    # nonzero outline labels equal the source label at the same coords
+    out = outline_window(vox, wrap=False)
+    joined = out.filter(F.col("label") != 0).alias("o").join(
+        vox.alias("v"), ["z", "y", "x"]
+    )
+    assert joined.filter(F.col("o.label") != F.col("v.label")).count() == 0
+
+
+def test_outline_window_equals_join(vox):
+    for wrap in (False, True):
+        w = outline_window(vox, wrap=wrap)
+        j = outline_join(vox, FIXTURE_META.shape, wrap=wrap)
+        assert w.exceptAll(j).isEmpty() and j.exceptAll(w).isEmpty(), f"wrap={wrap}"
+
+
+def test_outline_block_faces_marked(vox):
+    # faces between two different 4³ blocks must be boundaries
+    out = outline_window(vox, wrap=False)
+    face = out.filter((F.col("x") % 4 == 0) & (F.col("x") > 0))
+    assert face.filter(F.col("label") == 0).count() == 0
+
+
+def test_resize_floor_identity(vox):
+    # resizing to the same shape is the identity (anno_upsampling floor rule)
+    same = resize_floor(vox, (16, 16, 16), (16, 16, 16))
+    assert same.exceptAll(vox).isEmpty() and vox.exceptAll(same).isEmpty()
+
+
+def test_resize_floor_as_integer_upscale(vox):
+    # target = 2× source ⇒ floor rule coincides with T1 nearest upscale
+    r = resize_floor(vox, (16, 16, 16), (32, 32, 32))
+    u = upscale_coo(vox, 2)
+    assert r.exceptAll(u).isEmpty() and u.exceptAll(r).isEmpty()
+
+
+def test_rotate90_involution(vox):
+    twice = rotate90(rotate90(vox))
+    assert twice.exceptAll(vox).isEmpty()
+
+
+def test_volume_extents(vox):
+    row = volume_extents(vox).first()
+    assert (row["dim_z"], row["dim_y"], row["dim_x"]) == (16, 16, 16)
+    assert row["n_voxels"] == 4096 and row["n_labels"] == 64
+
+
+def test_choose_chunks_clamps():
+    assert choose_chunks((4, 4, 4)) == (4, 4, 4)
+    cz, cy, cx = choose_chunks((1000, 1000, 1000), target_mb=8)
+    assert cz * cy * cx * 4 <= 16 * 1024 * 1024  # within 2× of budget
+
+
+def test_meta_physical_size():
+    # print_metadata.py:13 — mm = size*spacing/1000
+    m = VolumeMeta(456, 320, 528)
+    assert m.physical_size_mm() == (456 * 25.0 / 1000, 320 * 25.0 / 1000, 528 * 25.0 / 1000)
