@@ -1352,3 +1352,91 @@ _register(
     _vox_upscale_chunkpath,
     ORACLES["vox_upscale2"],
 )
+
+
+# ---------------------------------------------------------------------------
+# Remaining coverage: grouping sets, V2 metadata report, approx aggregates.
+# ---------------------------------------------------------------------------
+
+
+def _grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GROUPING SETS via spark.sql (the DataFrame API exposes only
+    # rollup/cube; SQL covers the general form).
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+_register(
+    "grouping_sets",
+    _grouping_sets,
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+
+
+def _vox_meta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # V2 — metadata report: dims, spacing, physical size in mm
+    # (print_metadata.py:4-13: mm = size*spacing/1000).
+    from .volume import FIXTURE_META
+
+    m = FIXTURE_META
+    row = [
+        (
+            m.dim_z,
+            m.dim_y,
+            m.dim_x,
+            m.spacing_z,
+            m.spacing_y,
+            m.spacing_x,
+        )
+    ]
+    df = spark.createDataFrame(
+        row,
+        "dim_z int, dim_y int, dim_x int, spacing_z double, spacing_y double, spacing_x double",
+    )
+    return df.select(
+        "dim_z",
+        "dim_y",
+        "dim_x",
+        "spacing_z",
+        (F.col("dim_z") * F.col("spacing_z") / 1000).alias("size_z_mm"),
+        (F.col("dim_y") * F.col("spacing_y") / 1000).alias("size_y_mm"),
+        (F.col("dim_x") * F.col("spacing_x") / 1000).alias("size_x_mm"),
+    )
+
+
+_register(
+    "vox_meta_report",
+    _vox_meta_report,
+    """
+SELECT CAST(16 AS INTEGER) AS dim_z, CAST(16 AS INTEGER) AS dim_y,
+       CAST(16 AS INTEGER) AS dim_x, 25.0 AS spacing_z,
+       16 * 25.0 / 1000 AS size_z_mm,
+       16 * 25.0 / 1000 AS size_y_mm,
+       16 * 25.0 / 1000 AS size_x_mm
+""",
+)
+
+
+def _approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Approximate aggregates (HLL distinct, approximate quantiles) —
+    # sketch outputs are engine-specific, so this is a rows-only check;
+    # the exact twins are oracle-checked in distinct_agg/tpch_q1_pricing.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99_price"),
+    )
+
+
+_register("approx_agg", _approx_agg, None)
