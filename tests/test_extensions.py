@@ -245,3 +245,22 @@ def test_asof_inclusive_boundary(spark):
         left, right, "k", "k", "t", "rt", payload_cols=["pay"]
     ).first()
     assert row["pay"] == 7  # right time == left time matches (inclusive)
+
+
+def test_blas_topk_matches_fold_topk(emb):
+    # the GEMM partial-top-k scale path must return the same neighbors
+    # as the sequential-fold oracle path (scores equal to ~1e-9)
+    from atlas_upscaling_dask_spark.extensions.similarity import (
+        brute_force_topk,
+        brute_force_topk_blas,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5)
+    fold = brute_force_topk(q, emb, k=5).collect()
+    blas = brute_force_topk_blas(q, emb, k=5).collect()
+    fold_m = {(r["query_id"], r["rk"]): r for r in fold}
+    blas_m = {(r["query_id"], r["rk"]): r for r in blas}
+    assert set(fold_m) == set(blas_m)
+    for key in fold_m:
+        assert fold_m[key]["neighbor_id"] == blas_m[key]["neighbor_id"], key
+        assert abs(fold_m[key]["cosine"] - blas_m[key]["cosine"]) < 1e-9

@@ -1,0 +1,143 @@
+"""Property-based tests (hypothesis): randomized volumes and streams.
+
+Each example spins real Spark jobs, so example counts are kept small;
+the properties themselves are the reference's core invariants applied
+to arbitrary inputs rather than the fixture cube.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _random_volume(spark, seed: int, dims: tuple[int, int, int]):
+    rng = np.random.default_rng(seed)
+    z, y, x = dims
+    arr = rng.integers(0, 5, size=(z, y, x), dtype=np.int64)
+    pdf = pd.DataFrame(
+        {
+            "z": np.repeat(np.arange(z), y * x),
+            "y": np.tile(np.repeat(np.arange(y), x), z),
+            "x": np.tile(np.arange(x), z * y),
+            "label": arr.ravel(),
+        }
+    )
+    return spark.createDataFrame(pdf, "z long, y long, x long, label long"), arr
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    dims=st.tuples(st.integers(1, 6), st.integers(1, 6), st.integers(1, 6)),
+    scale=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_upscale_properties_random(spark, seed, dims, scale):
+    from atlas_upscaling_dask_spark.operators.upscale import upscale_coo
+    from atlas_upscaling_dask_spark.operators.verify import (
+        label_sets_equal,
+        upscale_mismatches,
+    )
+
+    vox, arr = _random_volume(spark, seed, dims)
+    up = upscale_coo(vox, scale)
+    n = int(np.prod(dims))
+    assert up.count() == scale**3 * n
+    assert upscale_mismatches(vox, up, scale).isEmpty()
+    assert label_sets_equal(vox, up)
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    dims=st.tuples(st.integers(2, 5), st.integers(2, 5), st.integers(2, 5)),
+    wrap=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_outline_matches_numpy_roll(spark, seed, dims, wrap):
+    # the reference's own kernel, re-derived in NumPy as ground truth
+    # (upscale_streaming_enhance.py:107-119: d * ((d != roll(d,±1,ax)) | …))
+    from atlas_upscaling_dask_spark.operators.outline import outline_window
+
+    vox, arr = _random_volume(spark, seed, dims)
+    if wrap:
+        diff = np.zeros_like(arr, dtype=bool)
+        for ax in range(3):
+            diff |= arr != np.roll(arr, 1, axis=ax)
+            diff |= arr != np.roll(arr, -1, axis=ax)
+    else:
+        diff = np.zeros_like(arr, dtype=bool)
+        for ax in range(3):
+            for d in (1, -1):
+                shifted = np.roll(arr, d, axis=ax)
+                # non-wrap: out-of-range neighbor counts as equal
+                sl = [slice(None)] * 3
+                sl[ax] = 0 if d == 1 else -1
+                shifted[tuple(sl)] = arr[tuple(sl)]
+                diff |= arr != shifted
+    expect = np.where(diff, arr, 0)
+
+    got = outline_window(vox, wrap=wrap).collect()
+    for r in got:
+        assert r["label"] == int(expect[r["z"], r["y"], r["x"]]), (
+            f"wrap={wrap} at {(r['z'], r['y'], r['x'])}"
+        )
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n_left=st.integers(1, 20),
+    n_right=st.integers(0, 20),
+)
+@settings(**SETTINGS)
+def test_asof_matches_merge_asof_random(spark, seed, n_left, n_right):
+    from atlas_upscaling_dask_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, n_left),
+            "t": rng.choice(np.arange(0, 1000), n_left, replace=False).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, max(n_right, 1))[:n_right],
+            "rt": rng.choice(np.arange(0, 1000), max(n_right, 1), replace=False).astype(
+                np.int64
+            )[:n_right],
+            "pay": np.arange(n_right, dtype=np.int64),
+        }
+    )
+    # right unique per (k, rt) by construction (rt sampled w/o replacement)
+    sdf_l = spark.createDataFrame(left, "k long, t long")
+    sdf_r = (
+        spark.createDataFrame(right, "k long, rt long, pay long")
+        if n_right
+        else spark.createDataFrame([], "k long, rt long, pay long")
+    )
+    got = (
+        asof_join(sdf_l, sdf_r, "k", "k", "t", "rt", payload_cols=["pay"])
+        .toPandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        pd.merge_asof(
+            left.sort_values("t"),
+            right.rename(columns={"rt": "t"}).sort_values("t"),
+            on="t",
+            by="k",
+        )
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    g = got["pay"].where(got["pay"].notna(), -1).astype(int).tolist()
+    e = [int(v) if pd.notna(v) else -1 for v in expect["pay"]]
+    assert g == e
