@@ -25,12 +25,6 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Dimension tables small enough to always broadcast (the analog of the
-# reference's always-resident 2,692-row region ontology CSV,
-# lookup_test.py:11).
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":

@@ -266,6 +266,19 @@ def voxels_to_chunks(
     return keyed.groupBy("cz", "cy", "cx").applyInPandas(pack, schema=CHUNK_SCHEMA)
 
 
+def rechunk(
+    chunks: DataFrame, meta: VolumeMeta, new_chunk: tuple[int, int, int]
+) -> DataFrame:
+    """T6 — change chunk geometry before writing (upscale_streaming.py:126).
+
+    General path: explode to COO (narrow) and repack on the new chunk
+    key (one shuffle — the same data movement Dask's rechunk performs).
+    The aligned case (new chunk = k·old chunk) could merge payloads
+    without exploding; not needed yet.
+    """
+    return voxels_to_chunks(chunks_to_voxels(chunks), meta, chunk=new_chunk)
+
+
 def chunks_to_voxels(chunks: DataFrame) -> DataFrame:
     """Chunk-packed → COO.
 

@@ -173,3 +173,44 @@ def test_cli_guard_refuses(tmp_path, capsys):
     )
     assert rc == 2
     assert "REFUSED" in capsys.readouterr().err
+
+
+def test_regions_csv_loader(spark, tmp_path):
+    # S5 — CSV scan with explicit schema (lookup_test.py:11 analog)
+    from atlas_upscaling_dask_spark.operators.relational import load_regions_csv
+
+    csv = tmp_path / "regions.csv"
+    csv.write_text(
+        "region,region_abbr,region_name,level,parent\n"
+        "15564,MO,somatomotor areas,1,15500\n"
+        "15500,ROOT,mouse,-1,0\n"
+    )
+    df = load_regions_csv(spark, str(csv))
+    rows = {r["region"]: r for r in df.collect()}
+    assert rows[15564]["region_name"] == "somatomotor areas"
+    assert rows[15500]["level"] == -1
+    assert df.schema["region"].dataType.simpleString() == "bigint"
+
+
+def test_rechunk_preserves_volume(spark):
+    # T6 — chunk geometry change is content-preserving
+    from atlas_upscaling_dask_spark.volume import rechunk
+
+    vox = synthetic_voxels(spark)
+    chunks = voxels_to_chunks(vox, FIXTURE_META, chunk=(8, 8, 8))
+    re = rechunk(chunks, FIXTURE_META, new_chunk=(4, 16, 16))
+    geoms = {(r["dz"], r["dy"], r["dx"]) for r in re.select("dz", "dy", "dx").collect()}
+    assert geoms == {(4, 16, 16)}
+    back = chunks_to_voxels(re)
+    assert back.exceptAll(vox).isEmpty() and vox.exceptAll(back).isEmpty()
+
+
+def test_tiff_stub_gated():
+    # S7 — gated import: informative error, no hard dependency
+    from atlas_upscaling_dask_spark.sources import tiff
+
+    if not tiff.HAVE_TIFF:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="tifffile"):
+            tiff.read_tiff_shape("/nonexistent.tif")
