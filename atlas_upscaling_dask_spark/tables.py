@@ -26,6 +26,11 @@ TABLE_NAMES = (
 )
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The oracle (DuckDB) is timezone-naive; timestamp field extraction
+    # (year/month/day) and literals follow Spark's session timezone, so a
+    # non-UTC caller session would shift results.  Pin it here — every
+    # suite query flows through this loader.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _load_events(spark, path)

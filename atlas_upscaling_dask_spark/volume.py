@@ -52,6 +52,12 @@ CHUNK_SCHEMA = T.StructType(
         T.StructField("dz", T.IntegerType(), False),
         T.StructField("dy", T.IntegerType(), False),
         T.StructField("dx", T.IntegerType(), False),
+        # 'raw' or 'zlib': payloads may be compressed INSIDE the worker
+        # that produced them (the reference's Blosc-in-worker pattern,
+        # upscale_streaming.py:103-108) so only compressed bytes cross
+        # the Arrow boundary — at x15 the raw output is 3375x the input
+        # and label volumes compress ~100x.
+        T.StructField("codec", T.StringType(), False),
         T.StructField("payload", T.BinaryType(), False),
     ]
 )
@@ -94,7 +100,7 @@ class VolumeMeta:
 FIXTURE_META = VolumeMeta(16, 16, 16)
 
 
-def _chunk_batch(rows: list[tuple], payloads: list[bytes]):
+def _chunk_batch(rows: list[tuple], payloads: list[bytes], codec: str = "raw"):
     """Build an Arrow RecordBatch matching CHUNK_SCHEMA with explicit
     types (int32/int64 mismatches make the JVM-side accessor throw)."""
     import pyarrow as pa
@@ -112,10 +118,21 @@ def _chunk_batch(rows: list[tuple], payloads: list[bytes]):
             pa.array(cols[7], type=pa.int32()),
             pa.array(cols[8], type=pa.int32()),
             pa.array(cols[9], type=pa.int32()),
+            pa.array([codec] * len(payloads), type=pa.string()),
             pa.array(payloads, type=pa.binary()),
         ],
         [f.name for f in CHUNK_SCHEMA.fields],
     )
+
+
+def _decode_payload(payload: bytes, codec: str) -> bytes:
+    if codec == "raw":
+        return payload
+    if codec == "zlib":
+        import zlib
+
+        return zlib.decompress(payload)
+    raise ValueError(f"unknown chunk codec {codec!r}")
 
 
 def synthetic_voxels(spark: SparkSession, meta: VolumeMeta = FIXTURE_META) -> DataFrame:
@@ -259,6 +276,7 @@ def voxels_to_chunks(
                 "dz": [bz],
                 "dy": [by],
                 "dx": [bx],
+                "codec": ["raw"],
                 "payload": [block.tobytes()],
             }
         )
@@ -295,9 +313,10 @@ def chunks_to_voxels(chunks: DataFrame) -> DataFrame:
             d = batch.to_pydict()
             for vi in range(len(d["cz"])):
                 dz, dy, dx = d["dz"][vi], d["dy"][vi], d["dx"][vi]
-                block = np.frombuffer(d["payload"][vi], dtype=PAYLOAD_DTYPE).reshape(
-                    dz, dy, dx
-                )
+                block = np.frombuffer(
+                    _decode_payload(d["payload"][vi], d["codec"][vi]),
+                    dtype=PAYLOAD_DTYPE,
+                ).reshape(dz, dy, dx)
                 zz, yy, xx = np.meshgrid(
                     np.arange(d["z0"][vi], d["z0"][vi] + dz, dtype=np.int64),
                     np.arange(d["y0"][vi], d["y0"][vi] + dy, dtype=np.int64),

@@ -91,6 +91,23 @@ def main() -> None:
     chunks.unpersist()
     out_gb = meta.n_voxels * 8 * 4 / 1e9  # s³=8 output voxels, 4 B each
 
+    # --- the reference's marquee ×15 workload (BASELINE.md row 3:
+    # 1.04 TB logical at 1.5 GB/s), shrunk to a 43 GB-logical volume.
+    # Payloads are zlib-compressed inside the worker (the reference's
+    # Blosc-in-worker pattern) so the Arrow boundary carries ~0.3 GB,
+    # not 43 GB.
+    meta15 = VolumeMeta(114, 160, 176)
+    chunks15 = synthetic_chunks(spark, meta15, chunk=(8, 32, 44)).cache()
+    force(upscale_chunks(chunks15, 15, codec="zlib"))
+    t_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(upscale_chunks(chunks15, 15, codec="zlib"))
+        t_runs.append(time.perf_counter() - t0)
+    timings["bulk_upscale15"] = round(min(t_runs), 3)
+    chunks15.unpersist()
+    out15_gb = meta15.n_voxels * 15**3 * 4 / 1e9
+
     # --- COO / relational / extension headliners from the suite
     headliners = [
         "upscale_lineitem",
@@ -132,6 +149,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "bulk_gb_per_sec": round(out_gb / timings["bulk_upscale2"], 3),
+                "bulk15_gb_per_sec": round(out15_gb / timings["bulk_upscale15"], 3),
             }
         )
     )
