@@ -631,7 +631,7 @@ _register(
     "window_rank_topk",
     _window_rank_topk,
     """
-SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+SELECT p_brand, p_partkey, p_retailprice, CAST(rk AS INTEGER) AS rk FROM (
   SELECT p_brand, p_partkey, p_retailprice,
          row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
   FROM part
@@ -705,8 +705,8 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_id, user_id,
-       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
 FROM g
 """,
 )
@@ -911,7 +911,7 @@ _register(
 SELECT o_orderkey,
        'ORD-' || o_orderkey AS tag,
        upper(substring(o_orderpriority, 1, 3)) AS prio3,
-       length(o_orderstatus) AS status_len,
+       CAST(length(o_orderstatus) AS INTEGER) AS status_len,
        CAST(year(o_orderdate) AS INTEGER) AS yr,
        CAST(month(o_orderdate) AS INTEGER) AS mo,
        CAST(day(o_orderdate) AS INTEGER) AS dom,
@@ -1213,7 +1213,7 @@ _register(
     _text_stats_q,
     f"""
 SELECT doc_id,
-       length(text) AS n_chars,
+       CAST(length(text) AS INTEGER) AS n_chars,
        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INTEGER) AS n_punct,
@@ -1276,7 +1276,7 @@ SELECT doc_id,
             WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
             WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
             ELSE 'fr' END AS lang_pred,
-       greatest(hits_de, hits_en, hits_es, hits_fr) AS lang_hits
+       CAST(greatest(hits_de, hits_en, hits_es, hits_fr) AS INTEGER) AS lang_hits
 FROM h
 """,
 )
@@ -1298,7 +1298,7 @@ WITH ex AS (
   FROM documents
 )
 SELECT doc_id,
-       sum((length(w[i+1]) * (i + 1) + i) % 2147483647) % 2147483647 AS fingerprint
+       CAST(sum((length(w[i+1]) * (i + 1) + i) % 2147483647) % 2147483647 AS BIGINT) AS fingerprint
 FROM ex GROUP BY doc_id
 """,
 )
