@@ -125,3 +125,61 @@ def sessionized_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "n_events",
         )
     )
+
+
+def stateful_first_seen(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: exactly-once *first-seen*
+    emission per key (streaming dedup by user), via
+    ``applyInPandasWithState``.
+
+    State per user_id is a single "seen" flag; the first event for a key
+    emits a row, later ones update counters silently.  This is the
+    streaming form of exact dedup — at 100 TB/day the state store holds
+    one tiny row per key while the stream never rescans history.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, first_event_id long, n_events long"
+    state_schema = "seen boolean, n long, first_event_id long"
+
+    def fn(key, pdfs, state: GroupState):
+        n_new = 0
+        first_id = None
+        for pdf in pdfs:
+            n_new += len(pdf)
+            if len(pdf) and first_id is None:
+                first_id = int(pdf.sort_values("event_id")["event_id"].iloc[0])
+        if state.exists:
+            seen, n, first = state.get
+            state.update((True, n + n_new, first))
+            return iter(())  # already emitted for this key
+        state.update((True, n_new, first_id))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "first_event_id": [first_id], "n_events": [n_new]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def start_stateful_first_seen_memory(
+    spark: SparkSession, source_path: str, query_name: str = "first_seen"
+):
+    """Drive the stateful operator from a file source into a memory sink."""
+    stream = read_event_stream(spark, source_path, max_files_per_trigger=8)
+    return (
+        stateful_first_seen(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

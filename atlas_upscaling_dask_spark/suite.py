@@ -952,20 +952,8 @@ FROM events
 # scale backend is property-tested in tests/ instead.
 # ---------------------------------------------------------------------------
 
-# Shared oracle fragments for the token dictionary pipeline.
-_TOKS_CTE = """
-toks AS (
-  SELECT DISTINCT doc_id, tok FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-  )
-),
-dict AS (
-  SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tid
-  FROM (SELECT DISTINCT tok FROM toks)
-),
-t AS (SELECT doc_id, tid FROM toks JOIN dict USING (tok))
-"""
-
+# Shared oracle fragment for the token dictionary pipeline (multiset —
+# SimHash weighs repeated tokens; MinHash uses the shingle CTE below).
 _TOKS_MULTISET_CTE = """
 tm AS (
   SELECT doc_id, tok FROM (

@@ -80,3 +80,32 @@ def test_slice_ingestion_builds_volume(spark, tmp_path):
     rebuilt = chunks_to_voxels(spark.read.parquet(vol_out))
     assert rebuilt.count() == 4096
     assert rebuilt.exceptAll(vox).isEmpty() and vox.exceptAll(rebuilt).isEmpty()
+
+
+def test_stateful_first_seen(spark, sf_dir, tmp_path):
+    # custom stateful operator: exactly one emission per user, carrying
+    # that user's first event_id
+    from atlas_upscaling_dask_spark.streaming.ingest import (
+        start_stateful_first_seen_memory,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "stateful_in")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    q = start_stateful_first_seen_memory(spark, src, query_name="fs_test")
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM fs_test").toPandas()
+    finally:
+        q.stop()
+
+    expect = (
+        events.groupBy("user_id")
+        .agg(F.min("event_id").alias("first_event_id"))
+        .toPandas()
+    )
+    assert len(got) == len(expect)
+    g = dict(zip(got["user_id"], got["first_event_id"]))
+    e = dict(zip(expect["user_id"], expect["first_event_id"]))
+    assert g == e
