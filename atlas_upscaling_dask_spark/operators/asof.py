@@ -34,6 +34,7 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload_cols: list[str],
+    tolerance=None,
 ) -> DataFrame:
     """Left as-of join: latest right row with time ≤ left time per key.
 
@@ -43,6 +44,12 @@ def asof_join(
     matched right row (NULL when no prior right row exists).
     Inclusive semantics (right time == left time matches), as in DuckDB
     ASOF JOIN and ``pd.merge_asof``.
+
+    ``tolerance``: optional maximum allowed ``left_time - right_time``
+    (same units as the time columns — a number for numeric times, a
+    ``datetime.timedelta``-compatible interval literal is NOT accepted;
+    convert timestamps to epoch first).  Matches older than the
+    tolerance are nulled out, as in ``pd.merge_asof(tolerance=...)``.
     """
     lcols = list(left.columns)
     overlap = set(lcols) & set(payload_cols)
@@ -71,9 +78,31 @@ def asof_join(
         .orderBy("__t", "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    rt_cols = (
+        [
+            F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True)
+            .over(w)
+            .alias("__rt")
+        ]
+        if tolerance is not None
+        else []
+    )
     carried = unioned.select(
         *lcols,
         "__side",
+        "__t",
+        *rt_cols,
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
     )
-    return carried.filter(F.col("__side") == 1).select(*lcols, *payload_cols)
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        within = F.col("__rt").isNotNull() & (
+            (F.col("__t") - F.col("__rt")) <= F.lit(tolerance)
+        )
+        out = out.select(
+            *lcols,
+            "__t",
+            "__rt",
+            *[F.when(within, F.col(c)).otherwise(F.lit(None)).alias(c) for c in payload_cols],
+        )
+    return out.select(*lcols, *payload_cols)

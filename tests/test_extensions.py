@@ -264,3 +264,18 @@ def test_blas_topk_matches_fold_topk(emb):
     for key in fold_m:
         assert fold_m[key]["neighbor_id"] == blas_m[key]["neighbor_id"], key
         assert abs(fold_m[key]["cosine"] - blas_m[key]["cosine"]) < 1e-9
+
+
+def test_asof_tolerance(spark):
+    from atlas_upscaling_dask_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100), (1, 200)], "k long, t long")
+    right = spark.createDataFrame([(1, 95, 7)], "k long, rt long, pay long")
+    rows = {
+        r["t"]: r["pay"]
+        for r in asof_join(
+            left, right, "k", "k", "t", "rt", payload_cols=["pay"], tolerance=10
+        ).collect()
+    }
+    assert rows[100] == 7      # 5 ticks old, within tolerance
+    assert rows[200] is None   # 105 ticks old, nulled out
