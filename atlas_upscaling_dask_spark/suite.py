@@ -1428,3 +1428,59 @@ def _approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("approx_agg", _approx_agg, None)
+
+
+def _window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Window frame coverage: RANGE frame (peer rows aggregate together),
+    # ntile, percent_rank — deterministic under a total order.
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    wr = Window.partitionBy("o_custkey").orderBy("o_orderdate").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(wr).alias("orders_to_date"),
+        F.ntile(4).over(wo).alias("quartile"),
+        F.percent_rank().over(wo).alias("prank"),
+    )
+
+
+_register(
+    "window_frames",
+    _window_frames,
+    """
+SELECT o_orderkey, o_custkey,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS orders_to_date,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS prank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+
+
+def _salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Skew-handling surface: the salted join must be result-identical to
+    # the plain join — the oracle is the plain SQL join.
+    from .operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return salted_join(li, part, "l_partkey", "p_partkey", salt=4).select(
+        "l_orderkey", "l_partkey", "p_brand", "l_quantity"
+    )
+
+
+_register(
+    "salted_join",
+    _salted_join_q,
+    """
+SELECT l_orderkey, l_partkey, p_brand, l_quantity
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""",
+)

@@ -279,3 +279,33 @@ def test_asof_tolerance(spark):
     }
     assert rows[100] == 7      # 5 ticks old, within tolerance
     assert rows[200] is None   # 105 ticks old, nulled out
+
+
+def test_ivf_topk_recall(emb):
+    # IVF with a generous probe count should recover most exact neighbors
+    from atlas_upscaling_dask_spark.extensions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, emb, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(q, emb, k=5, n_centroids=8, n_probe=8).collect()
+    }
+    # n_probe == n_centroids probes every bucket → recall must be total
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_subset(emb):
+    from atlas_upscaling_dask_spark.extensions.similarity import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 3)
+    out = ivf_topk(q, emb, k=3, n_centroids=8, n_probe=2).collect()
+    assert out, "partial probe should still return neighbors"
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
