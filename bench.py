@@ -124,6 +124,35 @@ def main() -> None:
     for name in headliners:
         timed(name, lambda n=name: force(suite.QUERIES[n](spark, SF_DIR)))
 
+    # Interactive point lookup (BASELINE target: ≤2 s warm at sf0.01):
+    # Q1+Q4 against an on-disk chunk-partitioned volume — partition
+    # pruning on cz plus parquet stats keep the scan to one chunk.
+    import tempfile
+
+    from atlas_upscaling_dask_spark.operators.relational import (
+        decode_labels,
+        synthetic_regions,
+    )
+    from atlas_upscaling_dask_spark.sinks.writer import write_volume
+    from atlas_upscaling_dask_spark.volume import FIXTURE_META, chunks_to_voxels
+
+    vol_dir = tempfile.mkdtemp(prefix="bench_vol_")
+    write_volume(
+        synthetic_chunks(spark, FIXTURE_META, chunk=(4, 16, 16)),
+        vol_dir,
+        FIXTURE_META,
+    )
+    stored = spark.read.parquet(vol_dir)
+    regions = synthetic_regions(spark).cache()
+    regions.count()
+
+    def point_query():
+        vox = chunks_to_voxels(stored.filter(F.col("cz") == 1))
+        hit = vox.filter((F.col("z") == 4) & (F.col("y") == 4) & (F.col("x") == 4))
+        decode_labels(hit, regions).collect()
+
+    timed("point_lookup_q1q4", point_query, runs=3)
+
     # MinHash-LSH with the dictionary-free xxhash backend (the scale path).
     from atlas_upscaling_dask_spark.extensions.dedup import minhash_lsh_pairs
     from atlas_upscaling_dask_spark.tables import load_table
