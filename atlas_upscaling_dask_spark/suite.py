@@ -1484,3 +1484,40 @@ SELECT l_orderkey, l_partkey, p_brand, l_quantity
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """,
 )
+
+
+def _range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval join with NO equi-key: purchases landing inside the
+    # 30-minute window after any error event (operators/range_join.py
+    # bucketization; oracle is the plain BETWEEN join).
+    from .operators.range_join import interval_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.unix_micros("ts").alias("t_us")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + 30 * 60 * 1_000_000).alias("e_us"),
+    )
+    return interval_join_bucketed(
+        purchases, errors, "t_us", "s_us", "e_us", bucket_width=30 * 60 * 1_000_000
+    ).select("p_id", "e_id", "t_us")
+
+
+_register(
+    "range_join_events",
+    _range_join_events,
+    """
+WITH p AS (
+  SELECT event_id AS p_id, epoch_us(ts) AS t_us FROM events WHERE event_type = 'purchase'
+),
+i AS (
+  SELECT event_id AS e_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + 30*60*1000000 AS e_us
+  FROM events WHERE event_type = 'error'
+)
+SELECT p_id, e_id, t_us FROM p JOIN i ON t_us >= s_us AND t_us < e_us
+""",
+)

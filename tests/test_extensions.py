@@ -309,3 +309,26 @@ def test_ivf_partial_probe_subset(emb):
     assert out, "partial probe should still return neighbors"
     for r in out:
         assert r["neighbor_id"] != r["query_id"]
+
+
+def test_interval_join_bucketed_edges(spark):
+    from atlas_upscaling_dask_spark.operators.range_join import interval_join_bucketed
+
+    points = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 29), (4, 30), (5, 45)], "pid long, t long"
+    )
+    ivals = spark.createDataFrame([(100, 10, 30), (200, 25, 46)], "iid long, s long, e long")
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join_bucketed(points, ivals, "t", "s", "e", bucket_width=7).collect()
+    }
+    # start inclusive, end exclusive; intervals span bucket boundaries
+    assert got == {(1, 100), (2, 100), (3, 100), (3, 200), (4, 200), (5, 200)}
+
+
+def test_interval_join_rejects_bad_width(spark):
+    from atlas_upscaling_dask_spark.operators.range_join import interval_join_bucketed
+
+    df = spark.createDataFrame([(1, 1)], "a long, t long")
+    with pytest.raises(ValueError):
+        interval_join_bucketed(df, df, "t", "t", "t", bucket_width=0)
