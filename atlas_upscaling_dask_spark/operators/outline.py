@@ -113,3 +113,41 @@ def outline_join(
         "x",
         F.when(F.col("is_boundary"), F.col("label")).otherwise(F.lit(0)).alias("label"),
     )
+
+
+def morphology(voxels: DataFrame, op: str = "erode", wrap: bool = False) -> DataFrame:
+    """Grayscale morphology over the 6-neighborhood + center.
+
+    ``erode`` = min over the 7-cell cross, ``dilate`` = max — the
+    neighbor-access pattern of the outline kernel
+    (upscale_streaming_enhance.py:107-119) generalized from "differs?"
+    to an aggregate, using the same per-axis scanline windows (three
+    shuffles, each sorting one-scanline partitions; identical cost
+    profile to T4 at any scale).  Out-of-range neighbors are the center
+    value (non-wrap) or the opposite face (wrap — da.roll semantics).
+    """
+    if op not in ("erode", "dilate"):
+        raise ValueError(f"op must be erode|dilate, got {op!r}")
+    combine = F.least if op == "erode" else F.greatest
+    out = voxels
+    neighbor_cols = []
+    for axis, others in (("x", ("z", "y")), ("y", ("z", "x")), ("z", ("y", "x"))):
+        w = Window.partitionBy(*others).orderBy(axis)
+        wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        lab = F.col("label")
+        prev = F.coalesce(
+            F.lag("label", 1).over(w),
+            F.last("label").over(wfull) if wrap else lab,
+        )
+        nxt = F.coalesce(
+            F.lead("label", 1).over(w),
+            F.first("label").over(wfull) if wrap else lab,
+        )
+        out = out.withColumn(f"p_{axis}", prev).withColumn(f"n_{axis}", nxt)
+        neighbor_cols += [f"p_{axis}", f"n_{axis}"]
+    return out.select(
+        "z",
+        "y",
+        "x",
+        combine(F.col("label"), *[F.col(c) for c in neighbor_cols]).alias("label"),
+    )

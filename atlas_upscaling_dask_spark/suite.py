@@ -1521,3 +1521,127 @@ i AS (
 SELECT p_id, e_id, t_us FROM p JOIN i ON t_us >= s_us AND t_us < e_us
 """,
 )
+
+
+def _vox_erode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return O.morphology(synthetic_voxels(spark), op="erode", wrap=False)
+
+
+_MORPH_SQL = """
+WITH {vox},
+nb AS (
+  SELECT z, y, x, label,
+         coalesce(lag(label)  OVER (PARTITION BY z, y ORDER BY x), label) AS xp,
+         coalesce(lead(label) OVER (PARTITION BY z, y ORDER BY x), label) AS xn,
+         coalesce(lag(label)  OVER (PARTITION BY z, x ORDER BY y), label) AS yp,
+         coalesce(lead(label) OVER (PARTITION BY z, x ORDER BY y), label) AS yn,
+         coalesce(lag(label)  OVER (PARTITION BY y, x ORDER BY z), label) AS zp,
+         coalesce(lead(label) OVER (PARTITION BY y, x ORDER BY z), label) AS zn
+  FROM voxels
+)
+SELECT z, y, x, {agg}(label, xp, xn, yp, yn, zp, zn) AS label
+FROM nb
+"""
+
+_register(
+    "vox_erode",
+    _vox_erode,
+    _MORPH_SQL.format(vox=VOX_CTE.strip(), agg="least"),
+)
+
+
+def _vox_dilate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return O.morphology(synthetic_voxels(spark), op="dilate", wrap=False)
+
+
+_register(
+    "vox_dilate",
+    _vox_dilate,
+    _MORPH_SQL.format(vox=VOX_CTE.strip(), agg="greatest"),
+)
+
+
+def _region_volume_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q6 hierarchy × aggregation: per-region voxel counts rolled up to
+    # each region's parent (the ontology-level histogram the reference
+    # shows as README figures).
+    vox = synthetic_voxels(spark)
+    regions = R.synthetic_regions(spark)
+    hist = vox.groupBy("label").agg(F.count("*").alias("n_voxels"))
+    joined = hist.join(
+        F.broadcast(regions), hist.label == regions.region, "inner"
+    )
+    return joined.groupBy("parent").agg(
+        F.sum("n_voxels").alias("n_voxels"),
+        F.count("*").alias("n_regions"),
+    )
+
+
+_register(
+    "region_volume_rollup",
+    _region_volume_rollup,
+    f"""
+WITH {VOX_CTE}, {REGIONS_CTE},
+hist AS (SELECT label, count(*) AS n_voxels FROM voxels GROUP BY label)
+SELECT r.parent, CAST(sum(h.n_voxels) AS BIGINT) AS n_voxels, count(*) AS n_regions
+FROM hist h JOIN regions r ON h.label = r.region
+GROUP BY r.parent
+""",
+)
+
+
+def _scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Correlated/scalar subquery handling (Catalyst rewrites it to a
+    # join — SURVEY §4.1 "free" features made visible).
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_sq
+        WHERE o_totalprice > 2 * (
+          SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          FROM orders_sq
+        )
+        """
+    )
+
+
+_register(
+    "scalar_subquery",
+    _scalar_subquery,
+    """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 2 * (
+  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+  FROM orders
+)
+""",
+)
+
+
+def _unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unpivot/melt: wide measure columns to (metric, value) rows.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+_register(
+    "unpivot_lineitem",
+    _unpivot_lineitem,
+    """
+SELECT l_orderkey, l_linenumber, metric, value
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+)
+""",
+)

@@ -174,3 +174,33 @@ def test_meta_physical_size():
     # print_metadata.py:13 — mm = size*spacing/1000
     m = VolumeMeta(456, 320, 528)
     assert m.physical_size_mm() == (456 * 25.0 / 1000, 320 * 25.0 / 1000, 528 * 25.0 / 1000)
+
+
+def test_morphology_properties(vox):
+    from atlas_upscaling_dask_spark.operators.outline import morphology
+
+    eroded = morphology(vox, op="erode")
+    dilated = morphology(vox, op="dilate")
+    # erode <= original <= dilate, pointwise
+    j = (
+        vox.alias("v")
+        .join(eroded.alias("e").withColumnRenamed("label", "el"), ["z", "y", "x"])
+        .join(dilated.alias("d").withColumnRenamed("label", "dl"), ["z", "y", "x"])
+    )
+    from pyspark.sql import functions as F2
+
+    assert j.filter((F2.col("el") > F2.col("label")) | (F2.col("dl") < F2.col("label"))).count() == 0
+    # constant-block interiors are fixed points of both ops
+    interior = (
+        (F2.col("z") % 4).isin(1, 2)
+        & (F2.col("y") % 4).isin(1, 2)
+        & (F2.col("x") % 4).isin(1, 2)
+    )
+    assert j.filter(interior & ((F2.col("el") != F2.col("label")) | (F2.col("dl") != F2.col("label")))).count() == 0
+
+
+def test_morphology_rejects_bad_op(vox):
+    from atlas_upscaling_dask_spark.operators.outline import morphology
+
+    with pytest.raises(ValueError):
+        morphology(vox, op="open")
