@@ -1645,3 +1645,35 @@ FROM (
 )
 """,
 )
+
+
+def _vox_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Iterative connected-component labeling (min-label propagation to a
+    # fixpoint). The oracle replays the same fixpoint with a recursive
+    # CTE: enumerate every (voxel, reachable-start) pair along
+    # same-label 6-neighbor paths, then take the min start per voxel.
+    from .operators.components import connected_components
+
+    return connected_components(synthetic_voxels(spark), (16, 16, 16))
+
+
+_register(
+    "vox_components",
+    _vox_components,
+    f"""
+WITH RECURSIVE {VOX_CTE},
+prop AS (
+  SELECT z, y, x, label, z * 256 + y * 16 + x AS comp FROM voxels
+  UNION
+  SELECT v.z, v.y, v.x, v.label, p.comp
+  FROM prop p
+  JOIN voxels v ON v.label = p.label AND (
+       (abs(v.z - p.z) = 1 AND v.y = p.y AND v.x = p.x)
+    OR (v.z = p.z AND abs(v.y - p.y) = 1 AND v.x = p.x)
+    OR (v.z = p.z AND v.y = p.y AND abs(v.x - p.x) = 1)
+  )
+)
+SELECT z, y, x, label, min(comp) AS comp
+FROM prop GROUP BY z, y, x, label
+""",
+)

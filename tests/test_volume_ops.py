@@ -204,3 +204,44 @@ def test_morphology_rejects_bad_op(vox):
 
     with pytest.raises(ValueError):
         morphology(vox, op="open")
+
+
+def test_connected_components_blocks(spark, vox):
+    # fixture: 64 disjoint 4³ same-label blocks → exactly 64 components,
+    # each of size 64, with comp = the block corner's linear index
+    from atlas_upscaling_dask_spark.operators.components import (
+        component_sizes,
+        connected_components,
+    )
+
+    comps = connected_components(vox, (16, 16, 16))
+    sizes = component_sizes(comps).collect()
+    assert len(sizes) == 64
+    assert all(r["n_voxels"] == 64 for r in sizes)
+    # canonical id = min linear index = the block's (4i,4j,4k) corner
+    ids = sorted(r["comp"] for r in sizes)
+    expect = sorted(
+        (4 * i) * 256 + (4 * j) * 16 + (4 * k)
+        for i in range(4) for j in range(4) for k in range(4)
+    )
+    assert ids == expect
+
+
+def test_connected_components_split_region(spark):
+    # one label in two disconnected islands → two components
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "z": [0, 0, 0, 0],
+            "y": [0, 0, 0, 0],
+            "x": [0, 1, 3, 4],
+            "label": [7, 7, 7, 7],
+        }
+    )
+    df = spark.createDataFrame(pdf, "z long, y long, x long, label long")
+    from atlas_upscaling_dask_spark.operators.components import connected_components
+
+    comps = {(r["x"]): r["comp"] for r in connected_components(df, (1, 1, 5)).collect()}
+    assert comps[0] == comps[1] == 0
+    assert comps[3] == comps[4] == 3
