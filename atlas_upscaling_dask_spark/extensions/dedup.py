@@ -316,3 +316,29 @@ def simhash(
         term = F.when(F.col(f"c_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse near-duplicate pairs into keep/drop clusters.
+
+    ``pairs`` is any (d1, d2) near-dup pair frame (MinHash-LSH, Jaccard,
+    embedding cosine); transitive families merge via distributed
+    connected components, the cluster id is the minimum member (the
+    canonical "keep" document).  Returns (doc_id, cluster_id, is_keeper)
+    for every document — singletons keep themselves.
+    """
+    from ..operators.components import connected_components_edges
+
+    comp = connected_components_edges(
+        docs.select(F.col(id_col).alias("id")),
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")),
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("id") == F.col("comp")).alias("is_keeper"),
+    )

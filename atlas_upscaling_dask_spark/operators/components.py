@@ -82,3 +82,55 @@ def connected_components(
 def component_sizes(components: DataFrame) -> DataFrame:
     """Per-component voxel counts (for island-size filtering)."""
     return components.groupBy("label", "comp").agg(F.count("*").alias("n_voxels"))
+
+
+def connected_components_edges(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 64,
+) -> DataFrame:
+    """Generic connected components on an undirected edge list.
+
+    Same fixpoint as the voxel variant, but neighbors come from an edge
+    table instead of coordinate shifts — min component id propagates
+    across edges until convergence.  Returns (id, comp).  This is the
+    clustering primitive behind near-duplicate *groups*: feed it the
+    pair output of MinHash/Jaccard dedup and every transitive family of
+    near-dups collapses to one cluster id (its minimum member id).
+    """
+    comp = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            und.join(comp, und["b"] == comp["id"])
+            .select(F.col("a").alias("id"), "comp")
+        )
+        merged = (
+            comp.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            merged.alias("m")
+            .join(comp.alias("c"), "id")
+            .filter(F.col("m.comp") != F.col("c.comp"))
+            .limit(1)
+            .count()
+        )
+        comp = merged
+        if changed == 0:
+            break
+    return comp

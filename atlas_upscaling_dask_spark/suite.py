@@ -1677,3 +1677,48 @@ SELECT z, y, x, label, min(comp) AS comp
 FROM prop GROUP BY z, y, x, label
 """,
 )
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Near-dup families: exact-Jaccard pairs clustered transitively via
+    # distributed connected components; keeper = min doc of the family.
+    # Oracle replays the fixpoint with a recursive CTE over the pair graph.
+    from .extensions.dedup import near_dup_clusters, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return near_dup_clusters(docs, pairs)
+
+
+_register(
+    "dedup_clusters",
+    _dedup_clusters,
+    """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         unnest(range(len(string_split(text, ' ')) - 2)) AS i
+  FROM documents
+),
+g AS (SELECT DISTINCT doc_id, w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS gram FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+  WHERE inter / (s1.n + s2.n - inter) >= 0.5
+),
+und AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+prop AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT u.a AS id, p.comp
+  FROM prop p JOIN und u ON u.b = p.id
+)
+SELECT id AS doc_id, min(comp) AS cluster_id, min(comp) = id AS is_keeper
+FROM prop GROUP BY id
+""",
+)

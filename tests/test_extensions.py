@@ -332,3 +332,15 @@ def test_interval_join_rejects_bad_width(spark):
     df = spark.createDataFrame([(1, 1)], "a long, t long")
     with pytest.raises(ValueError):
         interval_join_bucketed(df, df, "t", "t", "t", bucket_width=0)
+
+
+def test_near_dup_clusters_transitive(spark):
+    # pairs (1,2),(2,3) and (5,6): clusters {1,2,3} and {5,6}, 4 alone
+    from atlas_upscaling_dask_spark.extensions.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(1, 7)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "d1 long, d2 long")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_keeper"]) for r in near_dup_clusters(docs, pairs).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[4] == (4, True)
+    assert out[5] == (5, True) and out[6] == (5, False)
