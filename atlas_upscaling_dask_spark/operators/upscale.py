@@ -193,3 +193,27 @@ def rotate90(voxels: DataFrame, axes: tuple[str, str] = ("z", "y")) -> DataFrame
     mapping = {a: b, b: a}
     cols = [F.col(c).alias(mapping.get(c, c)) for c in ("z", "y", "x")]
     return voxels.select(*cols, F.col("label")).select("z", "y", "x", "label")
+
+
+def point_lookup_upscaled(
+    voxels: DataFrame, scale: int, z: int, y: int, x: int
+) -> DataFrame:
+    """Q1-after-T1 pushdown: ``up[z,y,x] == orig[z//s, y//s, x//s]``.
+
+    The algebraic identity behind verify_labels.py:21, applied as a
+    rewrite (SURVEY.md §7.2): a point query against an upscaled volume
+    never materializes the upscale — it reads ONE source voxel and
+    relabels the coordinates.  At 100 TB this is the difference between
+    a partition-pruned single-chunk read and an s³-times-larger scan.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    hit = voxels.filter(
+        (F.col("z") == z // scale) & (F.col("y") == y // scale) & (F.col("x") == x // scale)
+    )
+    return hit.select(
+        F.lit(z).cast("long").alias("z"),
+        F.lit(y).cast("long").alias("y"),
+        F.lit(x).cast("long").alias("x"),
+        "label",
+    )

@@ -1722,3 +1722,27 @@ SELECT id AS doc_id, min(comp) AS cluster_id, min(comp) = id AS is_keeper
 FROM prop GROUP BY id
 """,
 )
+
+
+def _vox_point_after_upscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The §7.2 rewrite: a point query on the x3-upscaled volume answered
+    # from the source (orig[c div s]) — the oracle materializes the
+    # whole upscale and filters, proving the shortcut is semantics-
+    # preserving, not just fast.
+    from .operators.upscale import point_lookup_upscaled
+
+    return point_lookup_upscaled(synthetic_voxels(spark), 3, 13, 7, 5)
+
+
+_register(
+    "vox_point_after_upscale",
+    _vox_point_after_upscale,
+    f"""
+WITH {VOX_CTE},
+up AS (
+  SELECT v.z * 3 + a.range AS z, v.y * 3 + b.range AS y, v.x * 3 + c.range AS x, v.label
+  FROM voxels v, range(3) a, range(3) b, range(3) c
+)
+SELECT z, y, x, label FROM up WHERE z = 13 AND y = 7 AND x = 5
+""",
+)

@@ -245,3 +245,14 @@ def test_connected_components_split_region(spark):
     comps = {(r["x"]): r["comp"] for r in connected_components(df, (1, 1, 5)).collect()}
     assert comps[0] == comps[1] == 0
     assert comps[3] == comps[4] == 3
+
+
+def test_point_lookup_upscaled_shortcut(vox):
+    # §7.2 rewrite ≡ materialize-then-filter, for every probed point
+    from atlas_upscaling_dask_spark.operators.upscale import point_lookup_upscaled
+
+    up = upscale_coo(vox, 3)
+    for z, y, x in [(0, 0, 0), (13, 7, 5), (47, 47, 47)]:
+        fast = point_lookup_upscaled(vox, 3, z, y, x).collect()
+        slow = up.filter((F.col("z") == z) & (F.col("y") == y) & (F.col("x") == x)).collect()
+        assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
