@@ -313,3 +313,39 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def quantize_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column.
+
+    Per-vector scale = max |v| / 127; stored values are
+    ``floor(v/scale)`` in [-127, 127] — 4× smaller than float32, the
+    standard storage trade for 100 TB embedding stores (search runs on
+    int8, exact rescoring on the float originals).  floor (not round)
+    keeps the op bitwise-portable to the SQL oracle.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / 127.0
+    # the negative-max element can floor to -128 through FP rounding
+    # (v/scale lands an ulp below -127) - clamp to the symmetric range;
+    # an all-zero vector has scale 0 - quantize to zeros instead of
+    # dividing by zero (ANSI mode raises)
+    q = F.transform(
+        v,
+        lambda x: F.when(scale == 0, F.lit(0))
+        .otherwise(F.greatest(F.floor(x / scale), F.lit(-127)))
+        .cast("int"),
+    )
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        scale.alias("scale"),
+        q.alias("q"),
+    ).select(
+        "vec_id",
+        "scale",
+        F.posexplode("q").alias("dim", "qval"),
+    )

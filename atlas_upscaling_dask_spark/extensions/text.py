@@ -122,3 +122,17 @@ def doc_fingerprint(
         lambda acc, v: (acc + v) % FINGERPRINT_P,
     )
     return docs.select(F.col(id_col).alias("doc_id"), contrib.alias("fingerprint"))
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical text normalization: lowercase, strip non-alphanumerics
+    to spaces, collapse whitespace runs, trim — the usual step before
+    exact dedup so near-identical formatting collapses to one key."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), cleaned.alias("norm_text"))

@@ -1746,3 +1746,45 @@ up AS (
 SELECT z, y, x, label FROM up WHERE z = 13 AND y = 7 AND x = 5
 """,
 )
+
+
+def _embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # int8 embedding quantization, exploded to (vec_id, dim, qval) rows
+    # so the result hash covers every element (arrays don't hash well).
+    from .extensions.similarity import quantize_embeddings
+
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+_register(
+    "embed_quantize",
+    _embed_quantize,
+    """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale,
+         unnest(range(len(embedding))) AS i
+  FROM embeddings
+)
+SELECT vec_id, scale, CAST(i AS INTEGER) AS dim,
+       CAST(CASE WHEN scale = 0 THEN 0 ELSE greatest(floor(e[i + 1] / scale), -127) END AS INTEGER) AS qval
+FROM v
+""",
+)
+
+
+def _text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.text import normalize_text
+
+    return normalize_text(load_table(spark, sf_dir, "documents"))
+
+
+_register(
+    "text_normalize",
+    _text_normalize,
+    """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+FROM documents
+""",
+)

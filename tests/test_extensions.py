@@ -344,3 +344,32 @@ def test_near_dup_clusters_transitive(spark):
     assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
     assert out[4] == (4, True)
     assert out[5] == (5, True) and out[6] == (5, False)
+
+
+def test_quantize_roundtrip_error_bounded(emb):
+    # dequantized values must be within one quantization step of the input
+    from atlas_upscaling_dask_spark.extensions.similarity import quantize_embeddings
+
+    q = quantize_embeddings(emb.limit(20))
+    rows = q.collect()
+    orig = {r["vec_id"]: list(r["embedding"]) for r in emb.limit(20).collect()}
+    for r in rows:
+        v = orig[r["vec_id"]][r["dim"]]
+        deq = r["qval"] * r["scale"]
+        assert abs(deq - v) <= r["scale"] + 1e-12
+        assert -127 <= r["qval"] <= 127
+
+
+def test_normalize_text_idempotent(spark):
+    from atlas_upscaling_dask_spark.extensions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! x3 "), (2, "already clean text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["norm_text"] for r in normalize_text(df).collect()}
+    assert out[1] == "hello world x3"
+    assert out[2] == "already clean text"
+    # idempotence: normalizing the normalized text is a no-op
+    df2 = spark.createDataFrame([(1, out[1])], "doc_id long, text string")
+    assert normalize_text(df2).first()["norm_text"] == out[1]
