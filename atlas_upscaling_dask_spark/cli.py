@@ -43,14 +43,23 @@ def build_parser() -> argparse.ArgumentParser:
 
 def cmd_upscale(args) -> int:
     from .operators.outline import outline_window
-    from .operators.pyramid import build_pyramid
-    from .operators.upscale import upscale_chunks
     from .plans.estimate import AdmissionError, check_admission, plan_upscale
     from .session import get_spark
     from .sinks.writer import write_pyramid, write_volume
-    from .volume import VolumeMeta, chunks_to_voxels, synthetic_chunks
+    from .volume import VolumeMeta, chunks_to_voxels, infer_meta, synthetic_chunks
+    from .operators.upscale import upscale_chunks
 
-    meta = VolumeMeta(*args.shape)
+    if args.input == "synthetic":
+        meta = VolumeMeta(*args.shape)
+        chunks = None
+        spark = None
+    else:
+        # --shape describes only synthetic inputs; a stored chunk table is
+        # its own source of truth — planning/admission/sidecar must use
+        # the REAL dimensions, or the size guard never trips
+        spark = get_spark("atlas-spark-upscale")
+        chunks = spark.read.parquet(args.input)
+        meta = infer_meta(chunks)
     plan = plan_upscale(
         meta,
         args.scale,
@@ -68,11 +77,9 @@ def cmd_upscale(args) -> int:
         print("dry run — no job submitted")
         return 0
 
-    spark = get_spark("atlas-spark-upscale")
     if args.input == "synthetic":
+        spark = get_spark("atlas-spark-upscale")
         chunks = synthetic_chunks(spark, meta, chunk=plan.chunk)
-    else:
-        chunks = spark.read.parquet(args.input)
 
     up_meta = VolumeMeta(
         meta.dim_z * args.scale,

@@ -81,11 +81,15 @@ def word_shingles(
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
     )
+    # documents shorter than n tokens have NO shingles — without the
+    # guard, sequence(0, size-n) goes negative and slice(w, 0, n) throws
     grams = toks.select(
         "doc_id",
         F.expr(
+            f"CASE WHEN size(w) >= {n} THEN "
             f"transform(sequence(0, size(w) - {n}), "
-            f"i -> concat_ws('_', slice(w, i + 1, {n})))"
+            f"i -> concat_ws('_', slice(w, i + 1, {n}))) "
+            f"ELSE CAST(array() AS array<string>) END"
         ).alias("grams"),
     )
     return grams.select("doc_id", F.explode("grams").alias("gram")).distinct()

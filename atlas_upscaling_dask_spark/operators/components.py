@@ -43,6 +43,7 @@ def connected_components(
     base = voxels.select("z", "y", "x", "label").localCheckpoint(eager=True)
 
     shifts = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
+    converged = False
     for _ in range(max_iters):
         neigh = None
         for dz, dy, dx in shifts:
@@ -75,7 +76,13 @@ def connected_components(
         )
         comp = merged
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters) - raise max_iters"
+        )
     return comp
 
 
@@ -112,6 +119,7 @@ def connected_components_edges(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         neigh = (
             und.join(comp, und["b"] == comp["id"])
@@ -132,5 +140,11 @@ def connected_components_edges(
         )
         comp = merged
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_edges did not converge in {max_iters} "
+            "rounds (graph diameter exceeds max_iters) - raise max_iters"
+        )
     return comp

@@ -52,8 +52,12 @@ def interval_join_bucketed(
             )
         ),
     )
-    return (
-        p.join(i, "__bucket", how)
-        .filter((F.col(point_time) >= F.col(start)) & (F.col(point_time) < F.col(end)))
-        .drop("__bucket")
+    # the range predicate is part of the JOIN CONDITION, not a post-join
+    # filter — a filter would silently drop the null-padded rows of any
+    # outer join, collapsing how='left' back to inner
+    cond = (
+        (p["__bucket"] == i["__bucket"])
+        & (p[point_time] >= i[start])
+        & (p[point_time] < i[end])
     )
+    return p.join(i, cond, how).drop(p["__bucket"]).drop(i["__bucket"])

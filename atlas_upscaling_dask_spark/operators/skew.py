@@ -32,6 +32,10 @@ def salted_join(
     """
     if salt < 1:
         raise ValueError("salt must be >= 1")
+    if how not in ("inner", "left", "left_outer", "leftouter", "cross"):
+        # right/full outer would emit each unmatched `other` row once per
+        # salt replica — cardinality would NOT be preserved
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     s = skewed.withColumn(
         "__salt", F.pmod(F.xxhash64(*skewed.columns), F.lit(salt)).cast("int")
     )

@@ -43,9 +43,14 @@ def write_volume(
     """
     if compressor not in COMPRESSORS:
         raise ValueError(f"compressor must be one of {sorted(COMPRESSORS)}")
-    spark = chunks.sparkSession
-    spark.conf.set("spark.sql.parquet.compression.codec", COMPRESSORS[compressor])
-    chunks.write.mode("overwrite").partitionBy("cz").parquet(path)
+    # per-write option, NOT the session conf — mutating the session codec
+    # would silently change every later parquet write in the session
+    (
+        chunks.write.mode("overwrite")
+        .option("compression", COMPRESSORS[compressor])
+        .partitionBy("cz")
+        .parquet(path)
+    )
     write_sidecar(path, meta, scale=scale, compressor=compressor)
 
 
@@ -83,10 +88,22 @@ def write_pyramid(
     """
     from ..operators.pyramid import build_pyramid, pyramid_scales
 
-    spark = voxels.sparkSession
-    spark.conf.set("spark.sql.parquet.compression.codec", COMPRESSORS[compressor])
-    pyr = build_pyramid(voxels, levels=levels, cache_base=True)
-    pyr.write.mode("overwrite").partitionBy("level").parquet(path)
+    if compressor not in COMPRESSORS:
+        raise ValueError(f"compressor must be one of {sorted(COMPRESSORS)}")
+    # cache the base here (not inside build_pyramid) so it can be
+    # unpersisted after the single write — otherwise the full level-0
+    # volume stays pinned in executor storage for the session lifetime
+    base = voxels.cache()
+    try:
+        pyr = build_pyramid(base, levels=levels, cache_base=False)
+        (
+            pyr.write.mode("overwrite")
+            .option("compression", COMPRESSORS[compressor])
+            .partitionBy("level")
+            .parquet(path)
+        )
+    finally:
+        base.unpersist()
     scales = pyramid_scales(
         (meta.spacing_z, meta.spacing_y, meta.spacing_x), 1, levels
     )

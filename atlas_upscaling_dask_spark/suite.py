@@ -1194,7 +1194,11 @@ def _text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(load_table(spark, sf_dir, "documents"))
 
 
-_STOPLIST_SQL = "['a', 'and', 'das', 'de', 'der', 'die', 'el', 'es', 'est', 'et', 'is', 'ist', 'la', 'le', 'of', 'the', 'to', 'und', 'y']"
+# Derived from the engine's own list — a hardcoded copy once drifted
+# ('is' crept in) and the oracle silently stopped validating stopwords.
+from .extensions.text import STOPWORDS as _STOPWORDS
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 
 _register(
     "text_stats",

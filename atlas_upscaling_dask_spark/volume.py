@@ -335,3 +335,19 @@ def chunks_to_voxels(chunks: DataFrame) -> DataFrame:
                 )
 
     return chunks.mapInArrow(unpack, schema=VOXEL_SCHEMA)
+
+
+def infer_meta(chunks: DataFrame, spacing: tuple[float, float, float] = (25.0, 25.0, 25.0)) -> VolumeMeta:
+    """Recover volume dimensions from a chunk table (max origin+extent
+    per axis) — the source of truth when planning over stored volumes;
+    spacing is not recorded in the chunk rows and must be supplied (or
+    read from the sidecar)."""
+    row = chunks.agg(
+        F.max(F.col("z0") + F.col("dz")).alias("dz"),
+        F.max(F.col("y0") + F.col("dy")).alias("dy"),
+        F.max(F.col("x0") + F.col("dx")).alias("dx"),
+    ).first()
+    return VolumeMeta(
+        int(row["dz"]), int(row["dy"]), int(row["dx"]),
+        spacing_z=spacing[0], spacing_y=spacing[1], spacing_x=spacing[2],
+    )

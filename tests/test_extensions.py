@@ -373,3 +373,55 @@ def test_normalize_text_idempotent(spark):
     # idempotence: normalizing the normalized text is a no-op
     df2 = spark.createDataFrame([(1, out[1])], "doc_id long, text string")
     assert normalize_text(df2).first()["norm_text"] == out[1]
+
+
+def test_shingles_short_docs_no_crash(spark):
+    # docs shorter than the shingle width must yield zero shingles, not
+    # crash (sequence→slice guard)
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "x"), (3, "one two three four five")],
+        "doc_id long, text string",
+    )
+    g = word_shingles(df, 3).collect()
+    assert {r["doc_id"] for r in g} == {3}
+    assert ngram_jaccard_pairs(df, 3, 0.1).count() == 0
+    assert minhash_lsh_pairs(df, use_dictionary=False).count() == 0
+
+
+def test_interval_join_left_outer(spark):
+    # outer joins must keep unmatched points (predicate in the join
+    # condition, not a post-filter)
+    from atlas_upscaling_dask_spark.operators.range_join import interval_join_bucketed
+
+    points = spark.createDataFrame([(1, 10), (2, 99)], "pid long, t long")
+    ivals = spark.createDataFrame([(100, 5, 15)], "iid long, s long, e long")
+    rows = {r["pid"]: r["iid"] for r in interval_join_bucketed(
+        points, ivals, "t", "s", "e", bucket_width=7, how="left"
+    ).collect()}
+    assert rows == {1: 100, 2: None}
+
+
+def test_salted_join_rejects_outer(spark):
+    from atlas_upscaling_dask_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "k", "k", how="full")
+
+
+def test_cc_nonconvergence_raises(spark):
+    from atlas_upscaling_dask_spark.operators.components import connected_components
+
+    import pandas as pd
+
+    # a 6-voxel line needs ~5 rounds; max_iters=1 must raise, not lie
+    pdf = pd.DataFrame({"z": [0] * 6, "y": [0] * 6, "x": list(range(6)), "label": [1] * 6})
+    df = spark.createDataFrame(pdf, "z long, y long, x long, label long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, (1, 1, 6), max_iters=1)
