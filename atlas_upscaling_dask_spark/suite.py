@@ -1777,6 +1777,247 @@ FROM v
 )
 
 
+# ---------------------------------------------------------------------------
+# multi-way join analytics (TPC-H-adapted) — exercises join ordering,
+# broadcast selection, and partial aggregation across 3-6 tables.  The
+# testdata schema lacks o_shippriority / l_commitdate, so Q3/Q10 use the
+# columns that exist; semantics (join graph, filters, top-k) are intact.
+# ---------------------------------------------------------------------------
+
+
+def _dec(c: str):
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-way join: the two big tables shuffle on their join keys; the
+    # aggregate is partial (map-side) before the top-k, which Spark
+    # executes as TakeOrderedAndProject — no full sort at scale.
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("odate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_register(
+    "tpch_q3_shipping",
+    _tpch_q3_shipping,
+    """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       epoch_us(o_orderdate) AS odate_us,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+)
+
+
+def _tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 6-way join; region/nation are broadcast (tiny dims), the
+    # customer=supplier nation equality is an extra non-FK predicate that
+    # exercises join reordering.
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+_register(
+    "tpch_q5_local_supplier",
+    _tpch_q5_local_supplier,
+    """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+
+
+def _tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Returned-item reporting: 4-way join, per-customer revenue, top-20.
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_register(
+    "tpch_q10_returns",
+    _tpch_q10_returns,
+    """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+     JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)
+
+
+def _percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact interpolated percentiles (sort-based agg).  Both engines use
+    # the same linear-interpolation rule on sorted values, so doubles
+    # match bitwise (verified empirically, unlike SUM(double)).
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("median(l_quantity)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+    )
+
+
+_register(
+    "percentile_quantity",
+    _percentile_quantity,
+    """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       median(l_quantity) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+
+
+def _orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Correlated scalar subqueries — Catalyst decorrelates both into a
+    # single grouped join.  price*count > sum keeps the comparison in
+    # exact DECIMAL arithmetic (an avg-of-doubles threshold would be
+    # order-dependent at the boundary).
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_corr")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM _orders_corr o
+        WHERE CAST(o.o_totalprice AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM _orders_corr o2
+                 WHERE o2.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+                 FROM _orders_corr o3 WHERE o3.o_custkey = o.o_custkey)
+        """
+    )
+
+
+_register(
+    "orders_above_cust_avg",
+    _orders_above_cust_avg,
+    """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE CAST(o.o_totalprice AS DECIMAL(18,2))
+      * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      > (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+         FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+""",
+)
+
+
+def _revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Calendar-field extraction + agg: the shape of a partition-pruned
+    # rollup when orders is date-partitioned at scale.
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
+_register(
+    "revenue_by_month",
+    _revenue_by_month,
+    """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1, 2
+""",
+)
+
+
 def _text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.text import normalize_text
 
