@@ -214,3 +214,41 @@ def test_tiff_stub_gated():
 
         with _pytest.raises(NotImplementedError, match="tifffile"):
             tiff.read_tiff_shape("/nonexistent.tif")
+
+
+def test_bucketed_colocated_join(spark, tmp_path):
+    # Two tables bucketed on the same key/count: the sort-merge join
+    # must read co-located buckets with NO shuffle exchange on either
+    # side — the scale path for repeated fact-fact joins.
+    from atlas_upscaling_dask_spark.sinks.bucketed import (
+        is_shuffle_free,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("o_key"), (F.col("id") % 7).alias("o_val")
+    )
+    items = spark.range(0, 5000).select(
+        (F.col("id") % 1000).alias("l_key"), (F.col("id") % 13).alias("l_val")
+    )
+    bo = write_bucketed(orders, "t_orders_b", str(tmp_path / "ob"), "o_key", 8,
+                        sort_cols="o_key")
+    bi = write_bucketed(items, "t_items_b", str(tmp_path / "ib"), "l_key", 8,
+                        sort_cols="l_key")
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bo.join(bi, bo.o_key == bi.l_key)
+            assert is_shuffle_free(j), "bucketed join must not shuffle"
+            assert j.count() == 5000
+            # sanity: the same join on the un-bucketed frames DOES shuffle
+            assert not is_shuffle_free(orders.join(items, orders.o_key == items.l_key))
+            # and a groupBy on the bucket key is shuffle-free too
+            assert is_shuffle_free(bo.groupBy("o_key").count())
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_items_b")
