@@ -52,6 +52,26 @@ def _hash_params(i: int) -> tuple[int, int]:
     return (_LCG_A * (2 * i + 1)) % MINHASH_P, (12_345 + _LCG_C * i) % MINHASH_P
 
 
+def spread_small_input(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition by ``key_col`` iff the scan has fewer partitions than
+    the session's shuffle parallelism.
+
+    Byte-based input splitting undersizes parallelism for operators
+    whose work explodes per row (shingling multiplies a document ~100×):
+    a small parquet file arrives as ONE partition and the whole hash
+    pipeline runs on one core.  Hash-repartitioning on the downstream
+    GROUP KEY fixes that without adding a net shuffle — the partitioning
+    survives the narrow ops, so the later groupBy(key) skips its
+    exchange.  At real scale the scan already has ≥ target partitions
+    and this is a no-op.
+    """
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key_col))
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: keep the minimum id per distinct text.
 
@@ -71,12 +91,19 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def word_shingles(
-    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, gram).
+    """Word n-gram shingles per document: (id, gram).
 
     Narrow explode (posexplode of the token array + self-zip); the
-    DISTINCT is a partial-aggregated shuffle on (id, gram).
+    DISTINCT is a partial-aggregated shuffle on (id, gram).  Pass
+    ``distinct=False`` when the consumer is duplicate-insensitive
+    (MinHash: min over a multiset == min over its set) — the whole
+    frame then stays narrow, no shuffle at all.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
@@ -92,7 +119,8 @@ def word_shingles(
             f"ELSE CAST(array() AS array<string>) END"
         ).alias("grams"),
     )
-    return grams.select("doc_id", F.explode("grams").alias("gram")).distinct()
+    out = grams.select("doc_id", F.explode("grams").alias("gram"))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -155,6 +183,71 @@ def _shingle_dictionary(grams: DataFrame) -> DataFrame:
     )
 
 
+def minhash_signatures_wide(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_dictionary: bool = True,
+) -> DataFrame:
+    """Per-document MinHash signature, wide form: (doc_id, sig_arr).
+
+    sig_arr[i] = min over the doc's shingles of (a_i·sid + b_i) mod p —
+    shingles, not raw tokens: with a small vocabulary the token *set*
+    degenerates (every doc contains most of it), while the shingle
+    space grows as vocab^n, so the signature tracks n-gram Jaccard as
+    MinHash theory intends.  ``use_dictionary=False`` replaces sid with
+    ``pmod(xxhash64(gram), p)`` — the narrow, dictionary-free scale
+    path.
+
+    MinHash is duplicate-insensitive, so the shingle frame skips its
+    DISTINCT.  The xxhash backend computes the whole signature
+    *array-side* — shingle hashes and the per-function minima live in
+    array expressions within each document row, so the operator is 100%
+    narrow: no explode to 100× rows, no shuffle at all (measured ~5×
+    faster than explode→groupBy(min×16) at sf0.1).  The dictionary
+    backend keeps the explode→join→groupBy shape because the token→id
+    map forces a join on the gram.
+    """
+    docs = spread_small_input(docs, id_col)
+    if not use_dictionary:
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
+        )
+        h = toks.select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN size(w) >= {shingle_n} THEN "
+                f"transform(sequence(0, size(w) - {shingle_n}), "
+                f"i -> pmod(xxhash64(concat_ws('_', slice(w, i + 1, {shingle_n}))), "
+                f"{MINHASH_P}L)) "
+                f"ELSE CAST(array() AS array<bigint>) END"
+            ).alias("h"),
+        ).filter(F.size("h") > 0)
+        sig = F.array(
+            *[
+                F.expr(f"array_min(transform(h, t -> pmod({a}L * t + {b}L, {MINHASH_P}L)))")
+                for a, b in (_hash_params(i) for i in range(num_hashes))
+            ]
+        )
+        return h.select("doc_id", sig.alias("sig_arr"))
+    grams = word_shingles(docs, shingle_n, text_col, id_col, distinct=False)
+    dict_df = _shingle_dictionary(grams)
+    toks = grams.join(F.broadcast(dict_df), "gram").select("doc_id", "tid")
+    hashes = [
+        F.min(F.pmod(F.lit(a) * F.col("tid") + F.lit(b), F.lit(MINHASH_P))).alias(
+            f"sig_{i}"
+        )
+        for i, (a, b) in ((i, _hash_params(i)) for i in range(num_hashes))
+    ]
+    wide = toks.groupBy("doc_id").agg(*hashes)
+    return wide.select(
+        "doc_id",
+        F.array(*[F.col(f"sig_{i}") for i in range(num_hashes)]).alias("sig_arr"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -163,39 +256,12 @@ def minhash_signatures(
     id_col: str = "doc_id",
     use_dictionary: bool = True,
 ) -> DataFrame:
-    """Per-document MinHash signature over word n-gram shingles:
-    (doc_id, i, sig).
-
-    sig_i = min over the doc's distinct shingles of (a_i·sid + b_i)
-    mod p — shingles, not raw tokens: with a small vocabulary the token
-    *set* degenerates (every doc contains most of it), while the shingle
-    space grows as vocab^n, so the signature tracks n-gram Jaccard as
-    MinHash theory intends.  ``use_dictionary=False`` replaces sid with
-    ``pmod(xxhash64(gram), p)`` — the narrow, dictionary-free scale path.
-    """
-    grams = word_shingles(docs, shingle_n, text_col, id_col)
-    if use_dictionary:
-        dict_df = _shingle_dictionary(grams)
-        toks = grams.join(F.broadcast(dict_df), "gram").select("doc_id", "tid")
-    else:
-        toks = grams.select(
-            "doc_id", F.pmod(F.xxhash64("gram"), F.lit(MINHASH_P)).alias("tid")
-        )
-    hashes = [
-        F.min(F.pmod(F.lit(a) * F.col("tid") + F.lit(b), F.lit(MINHASH_P))).alias(
-            f"sig_{i}"
-        )
-        for i, (a, b) in ((i, _hash_params(i)) for i in range(num_hashes))
-    ]
-    wide = toks.groupBy("doc_id").agg(*hashes)
-    pairs = F.array(
-        *[
-            F.struct(F.lit(i).alias("i"), F.col(f"sig_{i}").alias("sig"))
-            for i in range(num_hashes)
-        ]
+    """Narrow (doc_id, i, sig) view of ``minhash_signatures_wide``."""
+    wide = minhash_signatures_wide(
+        docs, num_hashes, shingle_n, text_col, id_col, use_dictionary
     )
-    return wide.select("doc_id", F.explode(pairs).alias("s")).select(
-        "doc_id", F.col("s.i").alias("i"), F.col("s.sig").alias("sig")
+    return wide.select(
+        "doc_id", F.posexplode("sig_arr").alias("i", "sig")
     )
 
 
@@ -220,17 +286,12 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(
-        docs, num_hashes, shingle_n, text_col, id_col, use_dictionary
-    )
     # Wide form: ONE row per doc with the ordered signature array.  All
     # banding and scoring below works on this single row — joining the
     # narrow (doc_id, i, sig) form instead multiplies every join by
     # num_hashes (measured 8× slower at sf0.1).
-    wide = sigs.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "sig"))), lambda s: s["sig"]
-        ).alias("sig_arr")
+    wide = minhash_signatures_wide(
+        docs, num_hashes, shingle_n, text_col, id_col, use_dictionary
     )
     banded = wide.select(
         "doc_id",
