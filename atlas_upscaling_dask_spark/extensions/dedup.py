@@ -138,7 +138,7 @@ def ngram_jaccard_pairs(
     in integer space (|I|, |A|, |B|) and divided once at the end, so the
     oracle matches bitwise.
     """
-    g = word_shingles(docs, n, text_col, id_col)
+    g = word_shingles(spread_small_input(docs, id_col), n, text_col, id_col)
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = g.select(F.col("doc_id").alias("d1"), "gram")
     b = g.select(F.col("doc_id").alias("d2"), "gram")
@@ -351,7 +351,7 @@ def simhash(
     iff the sum over tokens of (2·bit_j − 1) is positive.  Hamming-close
     fingerprints ⇒ similar token multisets.  All-integer → portable.
     """
-    toks = docs.select(
+    toks = spread_small_input(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
