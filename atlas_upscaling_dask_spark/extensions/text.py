@@ -5,6 +5,12 @@ punctuation/stopword ratios), token counting (whitespace + a BPE-ish
 regex), and document fingerprinting — all expressed with built-in
 ``pyspark.sql.functions`` (JVM-side, codegen'd; no Python UDFs in the
 hot path), so they cost one narrow pass over the corpus.
+
+Each operator is split into an *expression builder* (returns Columns)
+and the DataFrame wrapper around it.  The builders are what
+``pipeline.doc_pipeline`` composes into one single-pass select —
+keeping one source of truth per expression (a hand-copied stoplist
+once drifted from this module and silently weakened the oracle).
 """
 
 from __future__ import annotations
@@ -29,90 +35,69 @@ BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 FINGERPRINT_P = 2_147_483_647
 
 
-def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document quality statistics.
+def _hits(toks: Column, words: list[str]) -> Column:
+    # single-arg lambda via closure: a default-arg lambda would be
+    # misread by PySpark as the (element, index) two-arg form.
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
-    All-integer (or exactly-derived double) outputs: token count by
-    whitespace split, BPE-ish token count by regex, character count,
-    punctuation count, stopword count, and ratios computed as one
-    division of exact integers (portable to the oracle bitwise).
-    """
+
+def stats_exprs(text_col: str = "text") -> dict[str, Column]:
+    """The per-document statistic expressions, keyed by output name.
+    All-integer (or exactly-derived double): portable to the oracle
+    bitwise.  Catalyst's subexpression elimination dedups the repeated
+    split/filter when several of these appear in one select."""
     toks = F.split(F.col(text_col), " ")
     bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_stop = _hits(toks, STOPWORDS)
     n_punct = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit("[^A-Za-z0-9\\s]"), 0)
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.length(text_col).alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(bpe).alias("n_bpe_tokens"),
-        n_punct.alias("n_punct"),
-        n_stop.alias("n_stopwords"),
-        (n_stop / F.size(toks)).alias("stopword_ratio"),
-        (F.length(text_col) / F.size(toks)).alias("chars_per_token"),
-    )
+    return {
+        "n_chars": F.length(text_col),
+        "n_tokens": F.size(toks),
+        "n_bpe_tokens": F.size(bpe),
+        "n_punct": n_punct,
+        "n_stopwords": n_stop,
+        "stopword_ratio": n_stop / F.size(toks),
+        "chars_per_token": F.length(text_col) / F.size(toks),
+    }
 
 
-def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Composite quality score in [0,1] from the text_stats signals.
-
-    A doc scores high when it has a sane length, some stopwords (real
-    prose), and low punctuation density — the standard cheap pre-filter
-    before expensive model-based quality scoring.
-    """
-    s = text_stats(docs, text_col, id_col)
-    len_ok = F.when((F.col("n_chars") >= 64) & (F.col("n_chars") <= 100_000), 1.0).otherwise(0.0)
-    stop_ok = F.when(F.col("stopword_ratio") >= 0.05, 1.0).otherwise(0.0)
-    punct_ok = F.when(F.col("n_punct") * 4 <= F.col("n_tokens"), 1.0).otherwise(0.0)
-    return s.select(
-        "doc_id",
-        ((len_ok + stop_ok + punct_ok) / 3).alias("quality"),
-    )
+def quality_expr(text_col: str = "text") -> Column:
+    """Composite quality score in [0,1] from the stats signals: sane
+    length, some stopwords (real prose), low punctuation density — the
+    standard cheap pre-filter before model-based quality scoring."""
+    s = stats_exprs(text_col)
+    len_ok = F.when((s["n_chars"] >= 64) & (s["n_chars"] <= 100_000), 1.0).otherwise(0.0)
+    stop_ok = F.when(s["stopword_ratio"] >= 0.05, 1.0).otherwise(0.0)
+    punct_ok = F.when(s["n_punct"] * 4 <= s["n_tokens"], 1.0).otherwise(0.0)
+    return (len_ok + stop_ok + punct_ok) / 3
 
 
-def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic language ID: argmax of per-language marker-word hits.
-
-    Deterministic tiebreak: higher hit count wins, then lexicographic
-    language code; 'und' (undetermined) when nothing hits.
-    """
+def lang_exprs(text_col: str = "text") -> tuple[Column, Column]:
+    """(lang_pred, lang_hits) expressions: argmax of per-language
+    marker-word hits; tiebreak lexicographic; 'und' when nothing hits."""
     toks = F.split(F.col(text_col), " ")
-
-    def hits(words: list[str]) -> Column:
-        # single-arg lambda via closure: a default-arg lambda would be
-        # misread by PySpark as the (element, index) two-arg form.
-        arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-
-    scored = docs.select(
-        F.col(id_col).alias("doc_id"),
-        *[hits(words).alias(f"hits_{lang}") for lang, words in sorted(LANG_MARKERS.items())],
-    )
     langs = sorted(LANG_MARKERS)
-    m = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    hits = {lang: _hits(toks, LANG_MARKERS[lang]) for lang in langs}
+    m = F.greatest(*[hits[lang] for lang in langs])
     pred: Column = F.lit("und")
     for lang in reversed(langs):
-        pred = F.when(F.col(f"hits_{lang}") == m, F.lit(lang)).otherwise(pred)
+        pred = F.when(hits[lang] == m, F.lit(lang)).otherwise(pred)
     pred = F.when(m == 0, F.lit("und")).otherwise(pred)
-    return scored.select("doc_id", pred.alias("lang_pred"), m.alias("lang_hits"))
+    return pred, m
 
 
-def doc_fingerprint(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Order-sensitive positional fingerprint mod p.
-
+def fingerprint_expr(text_col: str = "text") -> Column:
+    """Order-sensitive positional fingerprint mod p:
     fp = Σ_pos (len(token)·(pos+1) + pos) mod p — cheap, portable (pure
-    integer SQL), and order-sensitive like a rolling hash: permuted
+    integer SQL), order-sensitive like a rolling hash: permuted
     documents fingerprint differently, unlike bag-of-words hashes.  The
     scale variant swaps len(token) for xxhash64(token) (not
-    oracle-replayable; same shape).
-    """
+    oracle-replayable; same shape)."""
     toks = F.split(F.col(text_col), " ")
-    contrib = F.aggregate(
+    return F.aggregate(
         F.zip_with(
             toks,
             F.sequence(F.lit(1), F.size(toks)),
@@ -121,18 +106,62 @@ def doc_fingerprint(
         F.lit(0).cast("long"),
         lambda acc, v: (acc + v) % FINGERPRINT_P,
     )
-    return docs.select(F.col(id_col).alias("doc_id"), contrib.alias("fingerprint"))
 
 
-def normalize_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def normalize_expr(text_col: str = "text") -> Column:
     """Canonical text normalization: lowercase, strip non-alphanumerics
     to spaces, collapse whitespace runs, trim — the usual step before
     exact dedup so near-identical formatting collapses to one key."""
-    cleaned = F.trim(
+    return F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
             " +",
             " ",
         )
     )
-    return docs.select(F.col(id_col).alias("doc_id"), cleaned.alias("norm_text"))
+
+
+# --------------------------------------------------------------------------
+# DataFrame wrappers
+# --------------------------------------------------------------------------
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality statistics (one narrow pass)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(name) for name, c in stats_exprs(text_col).items()],
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1] per document."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), quality_expr(text_col).alias("quality")
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-word hits."""
+    pred, m = lang_exprs(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("lang_pred"),
+        m.alias("lang_hits"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-sensitive positional fingerprint mod p per document."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), fingerprint_expr(text_col).alias("fingerprint")
+    )
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical normalized text per document."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), normalize_expr(text_col).alias("norm_text")
+    )

@@ -1777,6 +1777,63 @@ FROM v
 )
 
 
+def _doc_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.pipeline import doc_pipeline
+
+    return doc_pipeline(load_table(spark, sf_dir, "documents"))
+
+
+from .extensions.text import STOPWORDS as _PIPE_STOPWORDS
+
+_PIPE_STOPLIST = "[" + ", ".join(f"'{w}'" for w in _PIPE_STOPWORDS) + "]"
+
+_register(
+    "doc_pipeline",
+    _doc_pipeline_q,
+    f"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         len(list_filter(string_split(text, ' '), x -> list_contains({_PIPE_STOPLIST}, x))) AS n_stop,
+         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['der','die','das','und','ist'], x))) AS INTEGER) AS hits_de,
+         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to'], x))) AS INTEGER) AS hits_en,
+         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['el','la','de','y','es'], x))) AS INTEGER) AS hits_es,
+         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['le','la','et','est','de'], x))) AS INTEGER) AS hits_fr,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+  FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum((length(w[i+1]) * (i + 1) + i) % 2147483647) % 2147483647 AS BIGINT) AS fingerprint
+  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+               unnest(range(len(string_split(text, ' ')))) AS i
+        FROM documents)
+  GROUP BY doc_id
+),
+e AS (
+  SELECT s.doc_id, s.norm_text, s.n_tokens, s.n_bpe_tokens,
+         CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+              WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+              WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+              WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred,
+         ((CASE WHEN n_chars >= 64 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN n_stop / n_tokens >= 0.05 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN n_punct * 4 <= n_tokens THEN 1.0 ELSE 0.0 END)) / 3 AS quality,
+         fp.fingerprint
+  FROM s JOIN fp USING (doc_id)
+)
+SELECT e.*,
+       min(doc_id) OVER (PARTITION BY norm_text) AS canonical_id,
+       doc_id = min(doc_id) OVER (PARTITION BY norm_text) AS is_canonical
+FROM e
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # multi-way join analytics (TPC-H-adapted) — exercises join ordering,
 # broadcast selection, and partial aggregation across 3-6 tables.  The

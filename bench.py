@@ -100,7 +100,7 @@ def main() -> None:
     chunks15 = synthetic_chunks(spark, meta15, chunk=(8, 32, 44)).cache()
     force(upscale_chunks(chunks15, 15, codec="zlib"))
     t_runs = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         force(upscale_chunks(chunks15, 15, codec="zlib"))
         t_runs.append(time.perf_counter() - t0)
@@ -120,6 +120,8 @@ def main() -> None:
         "sessionize",
         "dedup_exact",
         "text_stats",
+        "doc_pipeline",
+        "tpch_q3_shipping",
     ]
     for name in headliners:
         timed(name, lambda n=name: force(suite.QUERIES[n](spark, SF_DIR)))

@@ -425,3 +425,24 @@ def test_cc_nonconvergence_raises(spark):
     df = spark.createDataFrame(pdf, "z long, y long, x long, label long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, (1, 1, 6), max_iters=1)
+
+
+def test_doc_pipeline_canonical_election(spark):
+    # one narrow pass + one shuffle; exact-dup docs (same normalized
+    # text) share a canonical_id = min member, others keep themselves
+    from atlas_upscaling_dask_spark.extensions.pipeline import doc_pipeline
+
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox!"),
+            (2, "the quick  brown fox"),   # normalizes identically to 1
+            (3, "and now for something completely different"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in doc_pipeline(df).collect()}
+    assert rows[1]["canonical_id"] == 1 and rows[1]["is_canonical"]
+    assert rows[2]["canonical_id"] == 1 and not rows[2]["is_canonical"]
+    assert rows[3]["canonical_id"] == 3 and rows[3]["is_canonical"]
+    assert rows[3]["lang_pred"] == "en"
+    assert rows[1]["n_tokens"] == 4
