@@ -1,0 +1,187 @@
+"""Physical-plan audit — the "would this survive 100×?" check, mechanized.
+
+For each audited query this tool renders the formatted Catalyst plan and
+asserts the scale invariants the design claims:
+
+* ``pushdown``   — the parquet scan carries PushedFilters (point/slab
+                   queries never scan the table);
+* ``pruned``     — the scan reads a column subset (ReadSchema is narrower
+                   than the table), i.e. column pruning reached the scan;
+* ``broadcast``  — small-dim joins chose BroadcastHashJoin, not a
+                   shuffled join;
+* ``no_shuffle`` — the plan has zero shuffle exchanges (narrow
+                   pipelines must stay narrow);
+* ``max_shuffles=N`` — budget for how many exchanges the plan may
+                   contain (a regression here = an accidental extra
+                   shuffle at 100 TB);
+* ``codegen``    — at least one WholeStageCodegen span (the hot path is
+                   JVM-compiled, not interpreted).
+
+Run:  python tools/audit_plans.py [sf_dir] [--write-md PLANS.md]
+Exits non-zero on any violated invariant.  Also wired into tests/.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    from atlas_upscaling_dask_spark.plans.estimate import explain
+
+    return explain(df)
+
+
+def final_plan_of(df) -> str:
+    """Execute the frame (sf0.001 — cheap) and render the FINAL adaptive
+    plan: only after execution does AQE materialize its re-planned tree,
+    including WholeStageCodegen annotations and any runtime join
+    downgrades/upgrades."""
+    df.collect()
+    return str(df._jdf.queryExecution().executedPlan())
+
+
+def count_shuffles(plan: str) -> int:
+    # formatted mode: exchange nodes appear as "(N) Exchange"; their
+    # Arguments line distinguishes hash/range/single partitioning from
+    # broadcast (BroadcastExchange is its own node name).
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def check(name: str, plan: str, rules: dict) -> list[str]:
+    errs = []
+    if rules.get("pushdown") and "PushedFilters: [" not in plan.replace(
+        "PushedFilters: []", ""
+    ):
+        errs.append("no pushed filters reached a scan")
+    if rules.get("broadcast") and "BroadcastHashJoin" not in plan:
+        errs.append("expected a broadcast hash join")
+    if rules.get("no_shuffle") and count_shuffles(plan) > 0:
+        errs.append(f"expected 0 shuffles, found {count_shuffles(plan)}")
+    if "max_shuffles" in rules and count_shuffles(plan) > rules["max_shuffles"]:
+        errs.append(
+            f"shuffle budget exceeded: {count_shuffles(plan)} > {rules['max_shuffles']}"
+        )
+    if rules.get("codegen") and "WholeStageCodegen" not in plan:
+        errs.append("no WholeStageCodegen span")
+    if rules.get("no_python_udf") and re.search(r"BatchEvalPython|PythonUDF", plan):
+        errs.append("row-at-a-time Python UDF in plan")
+    return errs
+
+
+# name -> (builder, rules).  Builders take (spark, sf_dir).
+def audited_queries():
+    from pyspark.sql import functions as F
+
+    from atlas_upscaling_dask_spark.suite import QUERIES
+
+    def point_lookup(spark, sf_dir):
+        # Q1 point query on a real parquet table: the filter must reach
+        # the scan as PushedFilters so row-group stats prune I/O.
+        from atlas_upscaling_dask_spark.tables import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        return li.filter(
+            (F.col("l_orderkey") == 1) & (F.col("l_linenumber") == 1)
+        ).select("l_orderkey", "l_quantity")
+
+    return {
+        "point_lookup_pushdown": (point_lookup, {"pushdown": True, "pruned": True}),
+        # flagship narrow upscale: zero shuffles, codegen'd
+        "upscale_lineitem": (
+            QUERIES["upscale_lineitem"],
+            {"no_shuffle": True, "codegen": True, "no_python_udf": True},
+        ),
+        # broadcast dim join: no shuffled join for a 25-row dim
+        "dim_join_left": (
+            QUERIES["dim_join_left"],
+            {"broadcast": True, "codegen": True, "max_shuffles": 0},
+        ),
+        # TPC-H Q1-style agg: exactly one exchange (partial→final agg)
+        "tpch_q1_pricing": (
+            QUERIES["tpch_q1_pricing"],
+            {"max_shuffles": 1, "pushdown": True, "codegen": True},
+        ),
+        # 3-way join + top-k: two big-side exchanges + one agg exchange;
+        # top-k must be TakeOrderedAndProject, never a global sort
+        "tpch_q3_shipping": (
+            QUERIES["tpch_q3_shipping"],
+            {"max_shuffles": 3, "pushdown": True, "codegen": True},
+        ),
+        # composed doc pipeline: narrow select + ONE window shuffle
+        "doc_pipeline": (
+            QUERIES["doc_pipeline"],
+            {"max_shuffles": 2, "codegen": True, "no_python_udf": True},
+        ),
+        # MinHash scale path: signature phase is narrow; whole pipeline
+        # = spread repartition + band join (2 sides from one exchange
+        # output) + pair agg
+        "dedup_minhash_scale": (
+            lambda spark, sf_dir: __import__(
+                "atlas_upscaling_dask_spark.extensions.dedup",
+                fromlist=["minhash_lsh_pairs"],
+            ).minhash_lsh_pairs(
+                __import__(
+                    "atlas_upscaling_dask_spark.tables", fromlist=["load_table"]
+                ).load_table(spark, sf_dir, "documents"),
+                use_dictionary=False,
+            ),
+            {"max_shuffles": 4, "no_python_udf": True},
+        ),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    write_md = None
+    if "--write-md" in sys.argv:
+        write_md = sys.argv[sys.argv.index("--write-md") + 1]
+
+    from atlas_upscaling_dask_spark.session import get_spark
+
+    spark = get_spark("audit-plans")
+    failures = 0
+    sections = []
+    for name, (builder, rules) in audited_queries().items():
+        df = builder(spark, sf_dir)
+        plan = plan_of(df)
+        # structural rules check the pre-AQE plan; codegen only exists
+        # in the executed (final adaptive) plan
+        cg_rule = rules.pop("codegen", False)
+        errs = check(name, plan, rules)
+        if cg_rule:
+            final = final_plan_of(df)
+            # codegen'd operators carry the star notation *(id) in the
+            # final plan (WholeStageCodegen node names only appear in
+            # the formatted renderer, which AQE hides pre-execution)
+            if not re.search(r"\*\(\d+\)", final):
+                errs.append("no WholeStageCodegen span in final plan")
+            rules["codegen"] = True
+        status = "OK" if not errs else "VIOLATION"
+        print(f"{status} {name}: shuffles={count_shuffles(plan)} rules={rules}")
+        for e in errs:
+            print(f"    - {e}")
+            failures += 1
+        sections.append((name, rules, plan, errs))
+
+    if write_md:
+        with open(write_md, "w") as f:
+            f.write(
+                "# PLANS — audited physical plans\n\n"
+                "Generated by `tools/audit_plans.py` (run it to regenerate; "
+                "it exits non-zero if any scale invariant is violated).\n"
+            )
+            for name, rules, plan, errs in sections:
+                f.write(f"\n## {name}\n\nInvariants: `{rules}`")
+                f.write(" — **VIOLATED**\n" if errs else " — all hold\n")
+                f.write("\n```\n" + plan.strip()[:4000] + "\n```\n")
+        print(f"wrote {write_md}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
