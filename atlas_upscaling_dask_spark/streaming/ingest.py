@@ -183,3 +183,59 @@ def start_stateful_first_seen_memory(
         .queryName(query_name)
         .start()
     )
+
+
+def attribution_join(
+    purchases: DataFrame,
+    views: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (purchase attribution).
+
+    Each ``purchase`` event joins the same user's ``view`` events from
+    the preceding ``max_delay`` window.  Both sides carry watermarks and
+    the join condition is time-bounded on BOTH ends, so Spark can evict
+    per-key state once the watermark passes — without the bound, stream-
+    stream join state grows forever.  Works identically on batch frames
+    (the tests prove stream ≡ batch on the same rows).
+    """
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    cond = (
+        (p["p_user"] == v["v_user"])
+        & (v["v_ts"] <= p["p_ts"])
+        & (v["v_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {max_delay}"))
+    )
+    return p.join(v, cond, "inner").select(
+        "purchase_id", F.col("p_user").alias("user_id"), "p_ts", "p_value", "view_id", "v_ts"
+    )
+
+
+def start_attribution_join_memory(
+    spark: SparkSession,
+    source_path: str,
+    query_name: str = "attribution",
+    max_delay: str = "30 minutes",
+):
+    """Attribution join of one event-stream directory against itself
+    (purchases vs views by event_type) into an append-mode memory sink."""
+    stream = read_event_stream(spark, source_path, max_files_per_trigger=8)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    views = stream.filter(F.col("event_type") == "view")
+    joined = attribution_join(purchases, views, max_delay=max_delay)
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

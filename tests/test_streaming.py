@@ -109,3 +109,28 @@ def test_stateful_first_seen(spark, sf_dir, tmp_path):
     g = dict(zip(got["user_id"], got["first_event_id"]))
     e = dict(zip(expect["user_id"], expect["first_event_id"]))
     assert g == e
+
+
+def test_attribution_join_stream_equals_batch(spark, sf_dir, stream_dir):
+    # watermarked stream-stream interval join over a drained finite
+    # source must equal the same interval join run as a batch
+    from atlas_upscaling_dask_spark.streaming.ingest import (
+        attribution_join,
+        start_attribution_join_memory,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(stream_dir)
+
+    q = start_attribution_join_memory(spark, stream_dir, query_name="attr_test")
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM attr_test")
+        batch = attribution_join(
+            events.filter(F.col("event_type") == "purchase"),
+            events.filter(F.col("event_type") == "view"),
+        )
+        assert got.count() > 0
+        assert got.exceptAll(batch).isEmpty() and batch.exceptAll(got).isEmpty()
+    finally:
+        q.stop()
