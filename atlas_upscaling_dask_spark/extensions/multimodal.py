@@ -146,3 +146,77 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
             "height", F.lit(height)
         ),
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+    ]
+)
+
+
+def sample_frame_indices(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling PLAN: (media_id, frame_idx) for every ``every_n``-th
+    frame, generated purely from metadata (``meta.n_frames``) — no decode,
+    no Python.  At 100 TB this is the step that decides which tiny
+    fraction of video bytes the decode kernel must touch; it runs as a
+    narrow JVM-side sequence-explode and can be joined/filtered/pruned
+    like any other frame before the expensive kernel sees a payload."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    vids = media.filter(
+        (F.col("media_type") == "video") & F.col("meta.n_frames").isNotNull()
+    )
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    ).select("media_id", F.col("frame_idx").cast("int").alias("frame_idx"))
+
+
+def extract_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
+    """Arrow-batched sampled-frame extraction: decode only the planned
+    frames, emit per-frame digests.  The fake decode slices the payload
+    deterministically per frame (real codec drops in at the marked
+    line); payloads never leave the executor."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, digests = [], [], [], []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                n = meta.get("n_frames") if isinstance(meta, dict) else meta["n_frames"]
+                if n is None:
+                    continue
+                raw = bytes(payload)
+                for i in range(0, int(n), every_n):
+                    if not fake:
+                        raise NotImplementedError(
+                            "video frame decode requires a media library; "
+                            "use fake=True for plumbing tests"
+                        )
+                    # STUB decode: deterministic per-frame byte slice
+                    frame = raw[i % max(len(raw), 1):] + raw[: i % max(len(raw), 1)]
+                    ids.append(mid)
+                    idxs.append(i)
+                    sizes.append(len(frame))
+                    digests.append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "sha256": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    vids = media.filter(
+        (F.col("media_type") == "video") & F.col("meta.n_frames").isNotNull()
+    )
+    return vids.mapInPandas(kernel, schema=FRAME_SCHEMA)

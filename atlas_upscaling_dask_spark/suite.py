@@ -1777,6 +1777,39 @@ FROM v
 )
 
 
+def _frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multimodal frame-sampling plan: documents stand in as videos with
+    # n_frames derived deterministically from n_chars; every 7th frame.
+    # Pure metadata arithmetic — fully oracle-checkable (the decode
+    # kernel itself is binary/stubbed and covered rows-only).
+    from .extensions.multimodal import media_from_documents, sample_frame_indices
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents")).withColumn(
+        "media_type", F.lit("video")
+    ).withColumn(
+        "meta",
+        F.col("meta").withField(
+            "n_frames", (F.octet_length("payload") % 100 + 1).cast("int")
+        ),
+    )
+    return sample_frame_indices(media, every_n=7)
+
+
+_register(
+    "frame_sample_plan",
+    _frame_sample_plan,
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) % 100 + 1 AS INTEGER) AS n_frames
+  FROM documents
+)
+SELECT media_id, CAST(unnest(range(0, n_frames, 7)) AS INTEGER) AS frame_idx
+FROM m
+""",
+)
+
+
 def _doc_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.pipeline import doc_pipeline
 

@@ -446,3 +446,43 @@ def test_doc_pipeline_canonical_election(spark):
     assert rows[3]["canonical_id"] == 3 and rows[3]["is_canonical"]
     assert rows[3]["lang_pred"] == "en"
     assert rows[1]["n_tokens"] == 4
+
+
+def _video_media(spark):
+    from atlas_upscaling_dask_spark.extensions.multimodal import media_from_documents
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "abcdef" * 10), (2, "xy"), (3, "zzzz" * 50)],
+        "doc_id long, text string",
+    )
+    return (
+        media_from_documents(docs)
+        .withColumn("media_type", F.lit("video"))
+        .withColumn("meta", F.col("meta").withField("n_frames", F.lit(25)))
+    )
+
+
+def test_sample_frame_indices_plan(spark):
+    from atlas_upscaling_dask_spark.extensions.multimodal import sample_frame_indices
+
+    rows = sample_frame_indices(_video_media(spark), every_n=10).collect()
+    got = {(r["media_id"], r["frame_idx"]) for r in rows}
+    assert got == {(m, i) for m in (1, 2, 3) for i in (0, 10, 20)}
+    with pytest.raises(ValueError):
+        sample_frame_indices(_video_media(spark), every_n=0)
+
+
+def test_extract_frames_plumbing(spark):
+    from atlas_upscaling_dask_spark.extensions.multimodal import extract_frames
+
+    out = extract_frames(_video_media(spark), every_n=10, fake=True).collect()
+    assert len(out) == 9  # 3 media x 3 sampled frames
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in out}
+    # deterministic: same media+frame -> same digest on rerun
+    again = {(r["media_id"], r["frame_idx"]): r["sha256"]
+             for r in extract_frames(_video_media(spark), every_n=10, fake=True).collect()}
+    assert all(by_key[k]["sha256"] == again[k] for k in by_key)
+    # frame 0 of media 1 is the raw payload itself
+    import hashlib
+    assert by_key[(2, 0)]["sha256"] == hashlib.sha256(b"xy").hexdigest()
