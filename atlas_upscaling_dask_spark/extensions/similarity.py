@@ -349,3 +349,43 @@ def quantize_embeddings(
         "scale",
         F.posexplode("q").alias("dim", "qval"),
     )
+
+
+def label_centroids(
+    corpus: DataFrame,
+    precision_bits: int = 20,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid of the embedding vectors, in fixed-point.
+
+    Floating sums are order-dependent, so a distributed mean would never
+    reproduce bitwise across engines or even across runs with different
+    partitioning.  Scaling by 2^precision_bits is EXACT in binary FP
+    (power-of-two multiply), floor+cast yields exact integers, the sums
+    combine associatively (map-side partial agg), and one final double
+    division is deterministic.  The quantization error is bounded by
+    2^-precision_bits per element — choose bits for the precision the
+    downstream consumer needs (IVF coarse centroids need far less than
+    20 bits).
+
+    Returns (label, dim, centroid, n).
+    """
+    scale = float(1 << precision_bits)
+    e = corpus.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v"),
+    )
+    return (
+        e.groupBy("label", "dim")
+        .agg(
+            F.sum(F.floor(F.col("v") * scale).cast("long")).alias("s_fp"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "label",
+            "dim",
+            (F.col("s_fp") / (F.col("n") * F.lit(scale))).alias("centroid"),
+            "n",
+        )
+    )

@@ -1777,6 +1777,28 @@ FROM v
 )
 
 
+def _embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-point per-label centroids: power-of-2 scaling makes the
+    # distributed mean exactly reproducible (see label_centroids doc).
+    from .extensions.similarity import label_centroids
+
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+_register(
+    "embed_centroids",
+    _embed_centroids,
+    """
+WITH e AS (SELECT label, unnest(range(len(embedding))) AS dim, embedding::DOUBLE[] AS emb
+           FROM embeddings)
+SELECT label, CAST(dim AS INTEGER) AS dim,
+       SUM(CAST(floor(emb[dim+1] * 1048576) AS BIGINT)) / (COUNT(*) * 1048576.0) AS centroid,
+       COUNT(*) AS n
+FROM e GROUP BY 1, 2
+""",
+)
+
+
 def _frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Multimodal frame-sampling plan: documents stand in as videos with
     # n_frames derived deterministically from n_chars; every 7th frame.

@@ -486,3 +486,20 @@ def test_extract_frames_plumbing(spark):
     # frame 0 of media 1 is the raw payload itself
     import hashlib
     assert by_key[(2, 0)]["sha256"] == hashlib.sha256(b"xy").hexdigest()
+
+
+def test_label_centroids_fixed_point(spark):
+    from atlas_upscaling_dask_spark.extensions.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0]), (1, [3.0, 0.5]), (2, [0.25, 0.25])],
+        "label int, embedding array<float>",
+    )
+    rows = {(r["label"], r["dim"]): r for r in label_centroids(df).collect()}
+    assert rows[(1, 0)]["centroid"] == 2.0 and rows[(1, 0)]["n"] == 2
+    assert rows[(1, 1)]["centroid"] == -0.25
+    assert rows[(2, 0)]["centroid"] == 0.25
+    # order-independence: a repartitioned input gives bitwise-equal sums
+    rows2 = {(r["label"], r["dim"]): r["centroid"]
+             for r in label_centroids(df.repartition(7)).collect()}
+    assert all(rows2[k] == rows[k]["centroid"] for k in rows)
