@@ -256,3 +256,32 @@ def test_point_lookup_upscaled_shortcut(vox):
         fast = point_lookup_upscaled(vox, 3, z, y, x).collect()
         slow = up.filter((F.col("z") == z) & (F.col("y") == y) & (F.col("x") == x)).collect()
         assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+
+def test_upscale_mismatches_chunked(spark):
+    # bulk V1: chunk-payload compare finds zero mismatches on a true
+    # upscale, and pinpoints corrupted / missing chunks otherwise
+    from atlas_upscaling_dask_spark.operators.upscale import upscale_chunks
+    from atlas_upscaling_dask_spark.operators.verify import upscale_mismatches_chunked
+    from atlas_upscaling_dask_spark.volume import VolumeMeta, synthetic_chunks
+
+    meta = VolumeMeta(8, 8, 8)
+    chunks = synthetic_chunks(spark, meta, chunk=(4, 4, 4))
+    up = upscale_chunks(chunks, 2)
+    assert upscale_mismatches_chunked(chunks, up, 2).count() == 0
+
+    # corrupt one chunk: swap its payload for another chunk's
+    import pyspark.sql.functions as F
+
+    bad = up.withColumn(
+        "payload",
+        F.when((F.col("cz") == 0) & (F.col("cy") == 0) & (F.col("cx") == 0),
+               F.expr("reverse(payload)")).otherwise(F.col("payload")),
+    )
+    bad_rows = upscale_mismatches_chunked(chunks, bad, 2).collect()
+    assert len(bad_rows) == 1 and bad_rows[0]["n_mismatch"] > 0
+
+    # drop a chunk: reported as missing
+    partial = up.filter(~((F.col("cz") == 1) & (F.col("cy") == 1) & (F.col("cx") == 1)))
+    miss = upscale_mismatches_chunked(chunks, partial, 2).collect()
+    assert len(miss) == 1 and miss[0]["missing"]
