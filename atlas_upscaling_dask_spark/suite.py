@@ -1777,6 +1777,117 @@ FROM v
 )
 
 
+def _string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # String-function parity battery: integer-valued or exactly-string
+    # functions only (no locale/collation-dependent ops).
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein(F.col("c_name"), F.col("c_mktsegment")).alias("lev"),
+        F.expr("left(c_name, 5)").alias("l5"),
+        F.expr("right(c_name, 4)").alias("r4"),
+        F.expr("replace(c_name, '#', '-')").alias("repl"),
+        F.reverse(F.col("c_mktsegment")).alias("rev"),
+        F.repeat(F.col("c_mktsegment"), 2).alias("rep2"),
+        F.lpad(F.col("c_mktsegment"), 12, ".").alias("lp"),
+        F.rpad(F.col("c_mktsegment"), 12, ".").alias("rp"),
+        F.instr(F.col("c_name"), "0").alias("pos0"),
+        F.md5(F.col("c_name")).alias("name_md5"),
+        F.ascii(F.col("c_mktsegment")).alias("a0"),
+        F.expr("split_part(c_name, '#', 1)").alias("sp1"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("tr"),
+    )
+
+
+_register(
+    "string_functions",
+    _string_functions,
+    """
+SELECT c_custkey,
+       CAST(levenshtein(c_name, c_mktsegment) AS INTEGER) AS lev,
+       left(c_name, 5) AS l5,
+       right(c_name, 4) AS r4,
+       replace(c_name, '#', '-') AS repl,
+       reverse(c_mktsegment) AS rev,
+       repeat(c_mktsegment, 2) AS rep2,
+       lpad(c_mktsegment, 12, '.') AS lp,
+       rpad(c_mktsegment, 12, '.') AS rp,
+       CAST(strpos(c_name, '0') AS INTEGER) AS pos0,
+       md5(c_name) AS name_md5,
+       CAST(ascii(c_mktsegment) AS INTEGER) AS a0,
+       split_part(c_name, '#', 1) AS sp1,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr
+FROM customer
+""",
+)
+
+
+def _array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array-function parity battery over tokenized documents; arrays are
+    # sorted before any order-sensitive access so both engines agree,
+    # and outputs are scalars (array hashing is representation-fragile).
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_sort(F.split(F.col("text"), " "))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_position(toks, "the").cast("int").alias("pos_the"),
+        F.concat_ws("|", F.slice(toks, 1, 3)).alias("first3"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+
+_register(
+    "array_functions",
+    _array_functions,
+    """
+WITH t AS (SELECT doc_id, list_sort(string_split(text, ' ')) AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n,
+       toks[1] AS first_tok,
+       toks[-1] AS last_tok,
+       list_contains(toks, 'the') AS has_the,
+       CAST(coalesce(list_position(toks, 'the'), 0) AS INTEGER) AS pos_the,
+       array_to_string(toks[1:3], '|') AS first3,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct
+FROM t
+""",
+)
+
+
+def _null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL-handling parity: nullif/coalesce/null-safe equality, and
+    # their interaction with comparison operators.
+    c = load_table(spark, sf_dir, "customer")
+    seg_or_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg_or_null.alias("seg_nullable"),
+        F.coalesce(seg_or_null, F.lit("<none>")).alias("seg_coalesced"),
+        seg_or_null.eqNullSafe(F.lit("MACHINERY")).alias("is_mach_nullsafe"),
+        (seg_or_null == "MACHINERY").alias("is_mach_threeval"),
+        F.isnull(seg_or_null).alias("was_building"),
+    )
+
+
+_register(
+    "null_semantics",
+    _null_semantics,
+    """
+SELECT c_custkey,
+       nullif(c_mktsegment, 'BUILDING') AS seg_nullable,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), '<none>') AS seg_coalesced,
+       nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM 'MACHINERY' AS is_mach_nullsafe,
+       nullif(c_mktsegment, 'BUILDING') = 'MACHINERY' AS is_mach_threeval,
+       nullif(c_mktsegment, 'BUILDING') IS NULL AS was_building
+FROM customer
+""",
+)
+
+
 def _embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-point per-label centroids: power-of-2 scaling makes the
     # distributed mean exactly reproducible (see label_centroids doc).
