@@ -38,6 +38,18 @@ def build_parser() -> argparse.ArgumentParser:
     lk = sub.add_parser("lookup", help="interactive region-ID lookup REPL")
     lk.add_argument("--regions-csv", default=None)
 
+    pl = sub.add_parser(
+        "pipeline", help="document-prep pipeline: enrich, dedup, filter, write"
+    )
+    pl.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    pl.add_argument("--output", required=True)
+    pl.add_argument("--min-quality", type=float, default=0.5)
+    pl.add_argument(
+        "--keep-duplicates",
+        action="store_true",
+        help="keep non-canonical exact duplicates instead of dropping them",
+    )
+
     return p
 
 
@@ -137,9 +149,27 @@ def cmd_lookup(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    from .extensions.pipeline import doc_pipeline
+    from .session import get_spark
+
+    spark = get_spark("atlas-spark-pipeline")
+    docs = spark.read.parquet(args.input)
+    out = doc_pipeline(docs)
+    if not args.keep_duplicates:
+        out = out.filter(F.col("is_canonical"))
+    out = out.filter(F.col("quality") >= args.min_quality)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"wrote {args.output}: {n} documents")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    return {"upscale": cmd_upscale, "lookup": cmd_lookup}[args.cmd](args)
+    return {"upscale": cmd_upscale, "lookup": cmd_lookup, "pipeline": cmd_pipeline}[
+        args.cmd
+    ](args)
 
 
 if __name__ == "__main__":
