@@ -1777,6 +1777,38 @@ FROM v
 )
 
 
+def _lateral_topk_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
+    # "top-N related rows per driving row" shape; Catalyst rewrites it
+    # to a ranked window join rather than re-executing per row.
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_cust_lat")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM _cust_lat c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM _orders_lat o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )
+
+
+_register(
+    "lateral_topk_per_cust",
+    _lateral_topk_per_cust,
+    """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+""",
+)
+
+
 def _string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # String-function parity battery: integer-valued or exactly-string
     # functions only (no locale/collation-dependent ops).
