@@ -151,3 +151,41 @@ def morphology(voxels: DataFrame, op: str = "erode", wrap: bool = False) -> Data
         "x",
         combine(F.col("label"), *[F.col(c) for c in neighbor_cols]).alias("label"),
     )
+
+
+def region_adjacency(voxels: DataFrame) -> DataFrame:
+    """Region adjacency graph: distinct (label_a < label_b) pairs whose
+    voxels touch along any of the 6 face-neighbor axes (non-wrapping).
+
+    The outline operator's neighbor pattern (T4) inverted: instead of
+    asking "does my label differ from a neighbor", collect WHICH labels
+    meet.  Three shifted equi-joins on coordinates (one +1 shift per
+    axis covers both directions after canonicalizing the pair), each a
+    narrow-key sort-merge join at scale; the result is the atlas's
+    region-contact graph — what viewers and QA diff against the
+    ontology hierarchy.
+    """
+    pairs = None
+    for sz, sy, sx in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):
+        a = voxels.select(
+            F.col("z").alias("az"),
+            F.col("y").alias("ay"),
+            F.col("x").alias("ax"),
+            F.col("label").alias("la"),
+        )
+        b = voxels.select(
+            (F.col("z") - sz).alias("az"),
+            (F.col("y") - sy).alias("ay"),
+            (F.col("x") - sx).alias("ax"),
+            F.col("label").alias("lb"),
+        )
+        touch = (
+            a.join(b, ["az", "ay", "ax"])
+            .filter(F.col("la") != F.col("lb"))
+            .select(
+                F.least("la", "lb").alias("label_a"),
+                F.greatest("la", "lb").alias("label_b"),
+            )
+        )
+        pairs = touch if pairs is None else pairs.unionByName(touch)
+    return pairs.distinct()

@@ -65,3 +65,34 @@ def pyramid_scales(
         tuple(sp / scale * (2**i) for sp in spacing)  # type: ignore[misc]
         for i in range(levels)
     ]
+
+
+def downsample_mode(voxels: DataFrame, stride: int = 2) -> DataFrame:
+    """Majority-vote downsampling: each stride³ block votes, the most
+    frequent label wins (ties → smallest label, deterministic).
+
+    The label-safe alternative to stride decimation (``decimate``):
+    decimation samples one corner voxel and can drop thin structures
+    entirely; the mode keeps the dominant region per block.  Two
+    shuffles: block-label counting (partial-aggregated map-side) and
+    the per-block argmax window — both on the block key, so AQE can
+    pipeline them.  Never averages: interpolation is forbidden for
+    categorical labels (reference README.md:32).
+    """
+    from pyspark.sql import Window
+
+    s = F.lit(stride)
+    counts = voxels.groupBy(
+        (F.col("z") / s).cast("long").alias("z"),
+        (F.col("y") / s).cast("long").alias("y"),
+        (F.col("x") / s).cast("long").alias("x"),
+        "label",
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("z", "y", "x").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("z", "y", "x", "label")
+    )

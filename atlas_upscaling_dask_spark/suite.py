@@ -1777,6 +1777,87 @@ FROM v
 )
 
 
+def _vox_downsample_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Majority-vote downsample at stride 3: blocks straddle the fixture's
+    # 4³ regions, so real vote counting (not unanimity) decides labels.
+    from .operators.pyramid import downsample_mode
+
+    return downsample_mode(synthetic_voxels(spark), 3)
+
+
+_register(
+    "vox_downsample_mode",
+    _vox_downsample_mode,
+    f"""
+WITH {VOX_CTE},
+counts AS (
+  SELECT z // 3 AS z, y // 3 AS y, x // 3 AS x, label, count(*) AS n
+  FROM voxels GROUP BY 1, 2, 3, 4
+),
+ranked AS (
+  SELECT z, y, x, label,
+         row_number() OVER (PARTITION BY z, y, x ORDER BY n DESC, label ASC) AS rk
+  FROM counts
+)
+SELECT z, y, x, label FROM ranked WHERE rk = 1
+""",
+)
+
+
+def _vox_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.outline import region_adjacency
+
+    return region_adjacency(synthetic_voxels(spark))
+
+
+_register(
+    "vox_adjacency",
+    _vox_adjacency,
+    f"""
+WITH {VOX_CTE},
+shifted AS (
+  SELECT a.label AS la, b.label AS lb
+  FROM voxels a JOIN voxels b ON b.z = a.z + 1 AND b.y = a.y AND b.x = a.x
+  UNION ALL
+  SELECT a.label, b.label
+  FROM voxels a JOIN voxels b ON b.z = a.z AND b.y = a.y + 1 AND b.x = a.x
+  UNION ALL
+  SELECT a.label, b.label
+  FROM voxels a JOIN voxels b ON b.z = a.z AND b.y = a.y AND b.x = a.x + 1
+)
+SELECT DISTINCT least(la, lb) AS label_a, greatest(la, lb) AS label_b
+FROM shifted WHERE la != lb
+""",
+)
+
+
+def _vox_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-region bounding boxes + fill fraction: the standard atlas QA
+    # report (a region whose bbox volume >> voxel count is fragmented).
+    v = synthetic_voxels(spark)
+    return v.groupBy("label").agg(
+        F.min("z").alias("z_min"), F.max("z").alias("z_max"),
+        F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+        F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+        F.count("*").alias("n_voxels"),
+    )
+
+
+_register(
+    "vox_bbox",
+    _vox_bbox,
+    f"""
+WITH {VOX_CTE}
+SELECT label,
+       min(z) AS z_min, max(z) AS z_max,
+       min(y) AS y_min, max(y) AS y_max,
+       min(x) AS x_min, max(x) AS x_max,
+       count(*) AS n_voxels
+FROM voxels GROUP BY label
+""",
+)
+
+
 def _lateral_topk_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
     # "top-N related rows per driving row" shape; Catalyst rewrites it

@@ -285,3 +285,37 @@ def test_upscale_mismatches_chunked(spark):
     partial = up.filter(~((F.col("cz") == 1) & (F.col("cy") == 1) & (F.col("cx") == 1)))
     miss = upscale_mismatches_chunked(chunks, partial, 2).collect()
     assert len(miss) == 1 and miss[0]["missing"]
+
+
+def test_downsample_mode_majority(spark):
+    from atlas_upscaling_dask_spark.operators.pyramid import downsample_mode
+
+    import pandas as pd
+
+    # one 2x2x2 block: 5 voxels of label 7, 3 of label 3 -> 7 wins
+    pdf = pd.DataFrame({
+        "z": [0, 0, 0, 0, 1, 1, 1, 1],
+        "y": [0, 0, 1, 1, 0, 0, 1, 1],
+        "x": [0, 1, 0, 1, 0, 1, 0, 1],
+        "label": [7, 7, 7, 7, 7, 3, 3, 3],
+    })
+    df = spark.createDataFrame(pdf, "z long, y long, x long, label long")
+    out = downsample_mode(df, 2).collect()
+    assert len(out) == 1 and out[0]["label"] == 7
+
+    # tie (4 vs 4) -> smallest label wins, deterministically
+    pdf["label"] = [7, 7, 7, 7, 3, 3, 3, 3]
+    df = spark.createDataFrame(pdf, "z long, y long, x long, label long")
+    assert downsample_mode(df, 2).collect()[0]["label"] == 3
+
+
+def test_region_adjacency_line(spark):
+    from atlas_upscaling_dask_spark.operators.outline import region_adjacency
+
+    import pandas as pd
+
+    # three regions along x: 1|1|2|3 -> edges (1,2), (2,3); NOT (1,3)
+    pdf = pd.DataFrame({"z": [0]*4, "y": [0]*4, "x": [0, 1, 2, 3], "label": [1, 1, 2, 3]})
+    df = spark.createDataFrame(pdf, "z long, y long, x long, label long")
+    got = {(r["label_a"], r["label_b"]) for r in region_adjacency(df).collect()}
+    assert got == {(1, 2), (2, 3)}
