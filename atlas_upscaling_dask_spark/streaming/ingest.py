@@ -239,3 +239,30 @@ def start_attribution_join_memory(
         .queryName(query_name)
         .start()
     )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes — bounded state for an unbounded stream (a
+    plain ``dropDuplicates`` on a stream grows state forever).  The
+    batch twin is ``dropDuplicates`` itself; the test proves the
+    drained stream emits exactly one row per key.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def start_dedup_stream_memory(
+    spark: SparkSession, source_path: str, query_name: str = "dedup_stream"
+):
+    stream = read_event_stream(spark, source_path, max_files_per_trigger=8)
+    return (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -134,3 +134,21 @@ def test_attribution_join_stream_equals_batch(spark, sf_dir, stream_dir):
         assert got.exceptAll(batch).isEmpty() and batch.exceptAll(got).isEmpty()
     finally:
         q.stop()
+
+
+def test_dedup_stream_drops_duplicates(spark, sf_dir, stream_dir):
+    from atlas_upscaling_dask_spark.streaming.ingest import start_dedup_stream_memory
+
+    events = load_table(spark, sf_dir, "events").limit(200)
+    # write each event TWICE (two files) - the stream must emit each once
+    events.write.mode("overwrite").parquet(stream_dir)
+    events.write.mode("append").parquet(stream_dir)
+
+    q = start_dedup_stream_memory(spark, stream_dir, query_name="dd_test")
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT event_id FROM dd_test")
+        assert got.count() == events.count()
+        assert got.distinct().count() == events.count()
+    finally:
+        q.stop()
