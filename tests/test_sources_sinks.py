@@ -252,3 +252,29 @@ def test_bucketed_colocated_join(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_items_b")
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    from atlas_upscaling_dask_spark.sources.jsonl import (
+        export_jsonl,
+        read_jsonl,
+        split_corrupt,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}", "en", "unit", 12) for i in range(50)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "corpus")
+    shards = export_jsonl(docs, out, target_shard_mb=1)
+    assert shards >= 1
+    back, bad = split_corrupt(read_jsonl(spark, out))
+    assert bad.count() == 0
+    assert back.count() == 50
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == set(range(50))
+
+    # corrupt line lands in quarantine, clean rows survive
+    raw = tmp_path / "mixed.jsonl"
+    raw.write_text('{"doc_id": 1, "text": "ok"}\n{not json at all\n')
+    clean, bad = split_corrupt(read_jsonl(spark, str(raw)))
+    assert clean.count() == 1 and bad.count() == 1
