@@ -86,6 +86,7 @@ def start_slice_ingestion(
     volume_table_path: str,
     meta_shape: tuple[int, int, int],
     chunk: tuple[int, int, int],
+    checkpoint_dir: str | None = None,
 ):
     """Append arriving voxel-slice files to a chunk-packed volume table.
 
@@ -109,7 +110,13 @@ def start_slice_ingestion(
             .parquet(volume_table_path)
         )
 
-    return stream.writeStream.foreachBatch(sink).start()
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        # exactly-once restart: the file-source offsets land in the
+        # checkpoint, so a crashed/restarted query resumes at the first
+        # unprocessed slice instead of re-appending everything
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 def sessionized_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:

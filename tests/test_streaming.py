@@ -152,3 +152,49 @@ def test_dedup_stream_drops_duplicates(spark, sf_dir, stream_dir):
         assert got.distinct().count() == events.count()
     finally:
         q.stop()
+
+
+def test_slice_ingestion_checkpoint_restart(spark, tmp_path):
+    # stop the query mid-stream, restart with the same checkpoint: the
+    # second run must NOT re-append slices the first run committed
+    import numpy as np
+    import pandas as pd
+
+    from atlas_upscaling_dask_spark.streaming.ingest import start_slice_ingestion
+
+    src = str(tmp_path / "slices")
+    vol = str(tmp_path / "vol")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def drop_slice(z):
+        zz, yy, xx = np.meshgrid([z], range(4), range(4), indexing="ij")
+        pdf = pd.DataFrame({
+            "z": zz.ravel(), "y": yy.ravel(), "x": xx.ravel(),
+            "label": (zz * 16 + yy * 4 + xx).ravel(),
+        })
+        spark.createDataFrame(pdf, "z long, y long, x long, label long") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    drop_slice(0)
+    drop_slice(1)
+    q = start_slice_ingestion(spark, src, vol, (4, 4, 4), (1, 4, 4), checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_first = spark.read.parquet(vol).count()
+    assert n_first == 2  # two 1x4x4 chunk rows
+
+    drop_slice(2)
+    q = start_slice_ingestion(spark, src, vol, (4, 4, 4), (1, 4, 4), checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # only slice 2 appended on restart - no duplicates of 0/1
+    from atlas_upscaling_dask_spark.volume import chunks_to_voxels
+
+    vox = chunks_to_voxels(spark.read.parquet(vol))
+    assert vox.count() == 48
+    assert vox.select("z", "y", "x").distinct().count() == 48
