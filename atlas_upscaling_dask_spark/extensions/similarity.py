@@ -240,6 +240,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the centroid-bucket ANN.
 
@@ -255,11 +256,17 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    cent_rows = (
-        corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
-    )
-    cents = np.array([r[1] for r in cent_rows], dtype=np.float64)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    if refine_iters > 0:
+        cents = kmeans_centroids(
+            corpus, n_centroids, iters=refine_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        cent_rows = (
+            corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+        )
+        cents = np.array([r[1] for r in cent_rows], dtype=np.float64)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
     def assign(batches):
         for pdf in batches:
@@ -389,3 +396,74 @@ def label_centroids(
             "n",
         )
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    precision_bits: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic distributed Lloyd iterations — the IVF coarse
+    quantizer's refinement step.
+
+    Init = the ``n_centroids`` lowest-id vectors (reproducible, no RNG).
+    Each iteration: one narrow assignment pass (argmax cosine against
+    the broadcast centroids) and one shuffle keyed (bucket, dim) that
+    recomputes means in fixed point (floor(v·2^k) — power-of-2 scaling
+    keeps the distributed sum exact and order-independent, so the SAME
+    input yields the SAME centroids under ANY partitioning; a float sum
+    would make clustering runs non-reproducible).  Centroids live on
+    the driver between rounds: n_centroids × dim floats, trivially
+    collectable at any corpus size.
+
+    Returns a numpy array (n_centroids, dim), L2-normalized.
+    """
+    import numpy as np
+    import pandas as pd
+
+    scale = float(1 << precision_bits)
+    seed_rows = (
+        corpus.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    )
+    cents = np.array([r[0] for r in seed_rows], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    for _ in range(iters):
+        bc = cents  # closure snapshot for this round
+
+        def assign(batches):
+            for pdf in batches:
+                mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                bucket = ((mat / norms) @ bc.T).argmax(axis=1).astype(np.int32)
+                yield pd.DataFrame({"bucket": bucket, "v": list(pdf[vec_col])})
+
+        assigned = corpus.mapInPandas(assign, schema="bucket int, v array<float>")
+        agg = (
+            assigned.select(
+                "bucket", F.posexplode(_as_double(F.col("v"))).alias("dim", "val")
+            )
+            .groupBy("bucket", "dim")
+            .agg(
+                F.sum(F.floor(F.col("val") * scale).cast("long")).alias("s_fp"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new = cents.copy()
+        dim = cents.shape[1]
+        sums = {}
+        for r in agg:
+            sums.setdefault(r["bucket"], np.zeros(dim + 1))[r["dim"]] = r["s_fp"] / (
+                r["n"] * scale
+            )
+        for b, vec in sums.items():
+            c = vec[:dim]
+            nrm = np.linalg.norm(c)
+            if nrm > 0:
+                new[b] = c / nrm
+        cents = new
+    return cents

@@ -503,3 +503,49 @@ def test_label_centroids_fixed_point(spark):
     rows2 = {(r["label"], r["dim"]): r["centroid"]
              for r in label_centroids(df.repartition(7)).collect()}
     assert all(rows2[k] == rows[k]["centroid"] for k in rows)
+
+
+def test_kmeans_centroids_deterministic_and_separating(spark):
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.similarity import kmeans_centroids
+
+    # two well-separated blobs around orthogonal axes
+    rows = []
+    rng = np.random.default_rng(11)
+    for i in range(40):
+        base = np.array([1.0, 0, 0, 0]) if i % 2 == 0 else np.array([0, 0, 0, 1.0])
+        v = base + rng.normal(0, 0.05, 4)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    c1 = kmeans_centroids(df, n_centroids=2, iters=4)
+    c2 = kmeans_centroids(df.repartition(13), n_centroids=2, iters=4)
+    # fixed-point sums -> identical centroids under any partitioning
+    assert np.array_equal(c1, c2)
+    # each blob axis dominated by exactly one centroid
+    axis_hit = {int(np.argmax(c1[:, d])) for d in (0, 3)}
+    assert len(axis_hit) == 2
+
+
+def test_ivf_refined_matches_bruteforce_on_blobs(spark):
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(60):
+        base = np.zeros(4); base[i % 3] = 1.0
+        rows.append((i, [float(x) for x in base + rng.normal(0, 0.03, 4)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 3")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(q, df, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_topk(q, df, k=3, n_centroids=3, n_probe=1, refine_iters=3).collect()}
+    # same-blob neighbors live in the probed bucket: high recall
+    assert len(exact & approx) / len(exact) >= 0.8
