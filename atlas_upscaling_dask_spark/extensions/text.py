@@ -165,3 +165,61 @@ def normalize_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return docs.select(
         F.col(id_col).alias("doc_id"), normalize_expr(text_col).alias("norm_text")
     )
+
+
+def bigram_coherence(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-grounded fluency signal: mean corpus frequency of the
+    document's word bigrams.
+
+    Two passes: (1) global bigram counts — one partial-aggregated
+    shuffle; (2) per-doc mean of its bigrams' corpus counts — join on
+    the bigram + one groupBy.  Gibberish scores ~1 (its bigrams appear
+    only in itself); templated/boilerplate text scores high.  The
+    score is an exact integer sum divided once — portable bitwise.
+    A language model replaces the count table without changing the
+    plan shape.
+    """
+    bi = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
+    ).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(w) >= 2 THEN "
+            "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1])) "
+            "ELSE CAST(array() AS array<string>) END"
+        ).alias("bs"),
+    ).select("doc_id", F.explode("bs").alias("bigram"))
+    corpus_counts = bi.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    return (
+        bi.join(corpus_counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("cnt").alias("sum_cnt"),
+            (F.sum("cnt") / F.count("*")).alias("coherence"),
+        )
+    )
+
+
+def rare_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` rarest corpus terms per document — the integer-exact
+    stand-in for TF-IDF top terms (document frequency ranks replace the
+    log-idf weighting, so the oracle matches bitwise; ties break
+    lexicographically).  Plan: distinct (doc, token) → token document
+    frequencies (one shuffle) → per-doc rank window."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).distinct()
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("tok").asc())
+    return (
+        toks.join(dfreq, "tok")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "tok", "df", F.col("rk").cast("int").alias("rk"))
+    )

@@ -1777,6 +1777,53 @@ FROM v
 )
 
 
+def _bigram_coherence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.text import bigram_coherence
+
+    return bigram_coherence(load_table(spark, sf_dir, "documents"))
+
+
+_register(
+    "bigram_coherence",
+    _bigram_coherence_q,
+    """
+WITH b AS (
+  SELECT doc_id, w[i+1] || ' ' || w[i+2] AS bigram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+               unnest(range(len(string_split(text, ' ')) - 1)) AS i
+        FROM documents)
+),
+cc AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram)
+SELECT doc_id, count(*) AS n_bigrams, sum(cnt) AS sum_cnt,
+       sum(cnt) / count(*) AS coherence
+FROM b JOIN cc USING (bigram)
+GROUP BY doc_id
+""",
+)
+
+
+def _rare_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.text import rare_terms
+
+    return rare_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+_register(
+    "rare_terms",
+    _rare_terms_q,
+    """
+WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+d AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
+r AS (
+  SELECT t.doc_id, t.tok, d.df,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df ASC, t.tok ASC) AS rk
+  FROM t JOIN d USING (tok)
+)
+SELECT doc_id, tok, df, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
+""",
+)
+
+
 def _vox_downsample_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Majority-vote downsample at stride 3: blocks straddle the fixture's
     # 4³ regions, so real vote counting (not unanimity) decides labels.

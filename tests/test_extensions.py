@@ -549,3 +549,32 @@ def test_ivf_refined_matches_bruteforce_on_blobs(spark):
               for r in ivf_topk(q, df, k=3, n_centroids=3, n_probe=1, refine_iters=3).collect()}
     # same-blob neighbors live in the probed bucket: high recall
     assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_bigram_coherence_gibberish_vs_template(spark):
+    from atlas_upscaling_dask_spark.extensions.text import bigram_coherence
+
+    df = spark.createDataFrame(
+        [(i, "the same boilerplate sentence here") for i in range(5)]
+        + [(99, "zq xv qk jw pf")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["coherence"] for r in bigram_coherence(df).collect()}
+    assert rows[0] == 5.0      # bigrams shared by all 5 copies
+    assert rows[99] == 1.0     # gibberish bigrams appear only once
+    assert all(rows[i] == 5.0 for i in range(5))
+
+
+def test_rare_terms_ranking(spark):
+    from atlas_upscaling_dask_spark.extensions.text import rare_terms
+
+    df = spark.createDataFrame(
+        [(1, "common rare1 common common"), (2, "common rare2"), (3, "common")],
+        "doc_id long, text string",
+    )
+    rows = rare_terms(df, k=2).collect()
+    got = {(r["doc_id"], r["rk"]): r["tok"] for r in rows}
+    # rarest first: doc-unique token at rank 1, 'common' (df=3) after
+    assert got[(1, 1)] == "rare1" and got[(1, 2)] == "common"
+    assert got[(2, 1)] == "rare2" and got[(2, 2)] == "common"
+    assert got[(3, 1)] == "common"
