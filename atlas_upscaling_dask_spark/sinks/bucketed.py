@@ -36,9 +36,11 @@ def write_bucketed(
 
     ``sort_cols`` additionally sorts within each bucket file, which
     lets the sort-merge join skip its per-partition Sort when joining
-    on a prefix of the sort columns.  Returns the re-read table (the
-    bucketed scan, NOT the in-memory frame — only the former carries
-    the bucketing metadata into join planning).
+    on a prefix of the sort columns.  Bucket keys get parquet bloom
+    filters so point probes also skip row groups inside a bucket.
+    Returns the re-read table (the bucketed scan, NOT the in-memory
+    frame — only the former carries the bucketing metadata into join
+    planning).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     if num_buckets < 1:
@@ -51,6 +53,10 @@ def write_bucketed(
         .option("path", path)
         .bucketBy(num_buckets, *keys)
     )
+    # bloom filters on the bucket keys: point probes skip row groups
+    # within a bucket file (buckets co-locate, blooms then prune I/O)
+    for c in keys:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
     if sort_cols:
         sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         writer = writer.sortBy(*sort_cols)

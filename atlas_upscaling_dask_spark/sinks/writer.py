@@ -33,6 +33,7 @@ def write_volume(
     meta: VolumeMeta,
     scale: int = 1,
     compressor: str = "zstd",
+    bloom_filter_cols: tuple[str, ...] = (),
 ) -> None:
     """K1+K2+K3+K5 — overwrite-write the chunk table + JSON sidecar.
 
@@ -45,12 +46,16 @@ def write_volume(
         raise ValueError(f"compressor must be one of {sorted(COMPRESSORS)}")
     # per-write option, NOT the session conf — mutating the session codec
     # would silently change every later parquet write in the session
-    (
-        chunks.write.mode("overwrite")
-        .option("compression", COMPRESSORS[compressor])
-        .partitionBy("cz")
-        .parquet(path)
+    writer = chunks.write.mode("overwrite").option(
+        "compression", COMPRESSORS[compressor]
     )
+    # bloom filters buy row-group skipping on high-cardinality point
+    # predicates that min/max stats can't prune (e.g. "all chunks
+    # containing label L" — labels are scattered, so stats ranges
+    # overlap everywhere while a bloom answers 'definitely not here')
+    for c in bloom_filter_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    writer.partitionBy("cz").parquet(path)
     write_sidecar(path, meta, scale=scale, compressor=compressor)
 
 
