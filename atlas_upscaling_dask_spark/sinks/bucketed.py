@@ -61,6 +61,11 @@ def write_bucketed(
         sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(name)
+    # table + column stats feed the CBO's join-size estimates (broadcast
+    # vs shuffle decisions on subsequent reads); cheap relative to the
+    # write we just did
+    cols = ", ".join(dict.fromkeys(keys + (sort_cols or [])))
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
     return spark.table(name)
 
 

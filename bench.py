@@ -57,7 +57,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn, runs: int = 2) -> None:
+    def timed(name: str, fn, runs: int = 3) -> None:
         # best-of-N: the host shows multi-point load-average swings from
         # external neighbors; min-of-runs reports the operator, not them.
         best = float("inf")

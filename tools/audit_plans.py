@@ -117,6 +117,17 @@ def audited_queries():
             QUERIES["doc_pipeline"],
             {"max_shuffles": 2, "codegen": True, "no_python_udf": True},
         ),
+        # majority-vote downsample: block-count agg + argmax window,
+        # both keyed on the block — two exchanges, no more
+        "vox_downsample_mode": (
+            QUERIES["vox_downsample_mode"],
+            {"max_shuffles": 2, "codegen": True},
+        ),
+        # fixed-point centroids: one explode + one (label,dim) agg
+        "embed_centroids": (
+            QUERIES["embed_centroids"],
+            {"max_shuffles": 2, "codegen": True, "no_python_udf": True},
+        ),
         # MinHash scale path: signature phase is narrow; whole pipeline
         # = spread repartition + band join (2 sides from one exchange
         # output) + pair agg
