@@ -150,6 +150,8 @@ def cmd_lookup(args) -> int:
 
 
 def cmd_pipeline(args) -> int:
+    from pyspark.sql import Observation
+
     from .extensions.pipeline import doc_pipeline
     from .session import get_spark
 
@@ -159,9 +161,21 @@ def cmd_pipeline(args) -> int:
     if not args.keep_duplicates:
         out = out.filter(F.col("is_canonical"))
     out = out.filter(F.col("quality") >= args.min_quality)
+    # Observation: metrics ride the write job itself — no second scan
+    # of the output (at 100 TB a re-read for a row count is a real job)
+    obs = Observation("pipeline_metrics")
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("quality").alias("mean_quality"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
     out.write.mode("overwrite").parquet(args.output)
-    n = spark.read.parquet(args.output).count()
-    print(f"wrote {args.output}: {n} documents")
+    m = obs.get
+    print(
+        f"wrote {args.output}: {m['n_docs']} documents, "
+        f"{m['total_tokens']} tokens, mean quality {m['mean_quality']:.3f}"
+    )
     return 0
 
 

@@ -1777,6 +1777,35 @@ FROM v
 )
 
 
+def _date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval arithmetic: ship latency in days, bucketed — integer
+    # datediff is portable where timestamp subtraction formats are not.
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lag_days")
+    )
+    return j.groupBy(F.floor(F.col("lag_days") / 30.0).cast("int").alias("lag_months")).agg(
+        F.count("*").alias("n"),
+        F.min("lag_days").alias("min_days"),
+        F.max("lag_days").alias("max_days"),
+    )
+
+
+_register(
+    "date_arithmetic",
+    _date_arithmetic,
+    """
+SELECT CAST(floor(datediff('day', o_orderdate, l_shipdate) / 30.0) AS INTEGER) AS lag_months,
+       COUNT(*) AS n,
+       CAST(MIN(datediff('day', o_orderdate, l_shipdate)) AS INTEGER) AS min_days,
+       CAST(MAX(datediff('day', o_orderdate, l_shipdate)) AS INTEGER) AS max_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""",
+)
+
+
 def _bigram_coherence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.text import bigram_coherence
 
