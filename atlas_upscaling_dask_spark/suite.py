@@ -2345,6 +2345,281 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 )
 
 
+def _tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q4 adapted (no l_commitdate/l_receiptdate in testdata): orders in
+    # a quarter having at least one late-shipped line (EXISTS semi-join).
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+    return (
+        orders.join(
+            late.select("l_orderkey").distinct(),
+            orders.o_orderkey == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_register(
+    "tpch_q4_priority",
+    _tpch_q4_priority,
+    """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+)
+
+
+def _tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q6: pure filter + agg — the pushdown showcase (no join at all).
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_register(
+    "tpch_q6_forecast",
+    _tpch_q6_forecast,
+    """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+
+
+def _tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q7: nation-pair trade flows — supplier nation ≠ customer nation,
+    # grouped by the pair and ship year.
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pairs = (("NATION_1", "NATION_2"), ("NATION_2", "NATION_1"))
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == pairs[0][0]) & (F.col("cust_nation") == pairs[0][1]))
+            | ((F.col("supp_nation") == pairs[1][0]) & (F.col("cust_nation") == pairs[1][1]))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+_register(
+    "tpch_q7_volume_shipping",
+    _tpch_q7_volume_shipping,
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     JOIN customer ON o_custkey = c_custkey
+     JOIN supplier ON l_suppkey = s_suppkey
+     JOIN nation n1 ON s_nationkey = n1.n_nationkey
+     JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+""",
+)
+
+
+def _tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q13: distribution of customers by order count (left join keeps
+    # zero-order customers, then a second aggregation over the first).
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_register(
+    "tpch_q13_custdist",
+    _tpch_q13_custdist,
+    """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+""",
+)
+
+
+def _tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q14: conditional aggregation — promo revenue share as the ratio of
+    # two exact DECIMAL sums (one double division at the end).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+            (
+                F.sum(promo).cast("double") * 100 / F.sum(rev).cast("double")
+            ).alias("promo_pct"),
+        )
+    )
+
+
+_register(
+    "tpch_q14_promo",
+    _tpch_q14_promo,
+    """
+SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100
+            / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+""",
+)
+
+
+def _tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q17: per-part average-quantity subquery — lines under 20% of their
+    # part's mean quantity.  The threshold comparison stays in exact
+    # arithmetic: 5·qty·cnt < sum_qty (both sides DECIMAL·BIGINT).
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    stats = li.groupBy(F.col("l_partkey").alias("sp")).agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(stats, li.l_partkey == F.col("sp"))
+        .filter(_dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / 7).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_register(
+    "tpch_q17_small_qty",
+    _tpch_q17_small_qty,
+    """
+WITH stats AS (
+  SELECT l_partkey AS sp, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+     JOIN stats ON l_partkey = sp
+WHERE p_brand = 'Brand#23'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
+""",
+)
+
+
+def _tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q18: large-volume customers — HAVING on a grouped sum, then join
+    # back for customer attributes, top-k.
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("odate_us"),
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+_register(
+    "tpch_q18_large_orders",
+    _tpch_q18_large_orders,
+    """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT c_name, c_custkey, o_orderkey, epoch_us(o_orderdate) AS odate_us,
+       o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+     JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""",
+)
+
+
 def _percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact interpolated percentiles (sort-based agg).  Both engines use
     # the same linear-interpolation rule on sorted values, so doubles
