@@ -784,6 +784,45 @@ FROM events GROUP BY 1, 2
 )
 
 
+def _sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sliding event-time windows (1 h window, 30 min slide): each event
+    # lands in window_len/slide = 2 buckets.  Spark's window() generates
+    # them natively; the oracle replays the same two-buckets-per-event
+    # explode with integer epoch arithmetic.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+_register(
+    "sliding_window_agg",
+    _sliding_window_agg,
+    """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t_us,
+         unnest([0, 1]) AS k
+  FROM events
+),
+w AS (
+  SELECT event_type,
+         (t_us // 1800000000 - k) * 1800000000 AS win_start_us
+  FROM e
+  WHERE t_us >= (t_us // 1800000000 - k) * 1800000000
+    AND t_us <  (t_us // 1800000000 - k) * 1800000000 + 3600000000
+)
+SELECT win_start_us, event_type, count(*) AS n
+FROM w GROUP BY 1, 2
+""",
+)
+
+
 def _semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Semi/anti join surface: customers partitioned into with/without
     # orders via left_semi / left_anti (EXISTS / NOT EXISTS).

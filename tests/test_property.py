@@ -141,3 +141,65 @@ def test_asof_matches_merge_asof_random(spark, seed, n_left, n_right):
     g = got["pay"].where(got["pay"].notna(), -1).astype(int).tolist()
     e = [int(v) if pd.notna(v) else -1 for v in expect["pay"]]
     assert g == e
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 1000), stride=st.sampled_from([2, 3]))
+def test_downsample_mode_label_membership(spark, seed, stride):
+    # every output label must be a member of its source block, and every
+    # non-empty block must produce exactly one output row
+    import numpy as np
+    import pandas as pd
+
+    from atlas_upscaling_dask_spark.operators.pyramid import downsample_mode
+
+    rng = np.random.default_rng(seed)
+    n = 6
+    zz, yy, xx = np.meshgrid(range(n), range(n), range(n), indexing="ij")
+    pdf = pd.DataFrame({
+        "z": zz.ravel(), "y": yy.ravel(), "x": xx.ravel(),
+        "label": rng.integers(0, 5, n**3),
+    })
+    df = spark.createDataFrame(pdf, "z long, y long, x long, label long")
+    out = downsample_mode(df, stride).collect()
+
+    blocks = {}
+    for r in pdf.itertuples():
+        blocks.setdefault((r.z // stride, r.y // stride, r.x // stride), []).append(r.label)
+    assert len(out) == len(blocks)
+    for r in out:
+        members = blocks[(r["z"], r["y"], r["x"])]
+        assert r["label"] in members
+        # winner's count must be maximal
+        from collections import Counter
+
+        c = Counter(members)
+        assert c[r["label"]] == max(c.values())
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 1000))
+def test_region_adjacency_matches_bruteforce(spark, seed):
+    import numpy as np
+    import pandas as pd
+
+    from atlas_upscaling_dask_spark.operators.outline import region_adjacency
+
+    rng = np.random.default_rng(seed)
+    n = 5
+    arr = rng.integers(0, 4, (n, n, n))
+    zz, yy, xx = np.meshgrid(range(n), range(n), range(n), indexing="ij")
+    pdf = pd.DataFrame({
+        "z": zz.ravel(), "y": yy.ravel(), "x": xx.ravel(), "label": arr.ravel()
+    })
+    df = spark.createDataFrame(pdf, "z long, y long, x long, label long")
+    got = {(r["label_a"], r["label_b"]) for r in region_adjacency(df).collect()}
+
+    expect = set()
+    for axis in range(3):
+        a = np.moveaxis(arr, axis, 0)
+        la, lb = a[:-1].ravel(), a[1:].ravel()
+        for p, q in zip(la, lb):
+            if p != q:
+                expect.add((min(int(p), int(q)), max(int(p), int(q))))
+    assert got == expect
