@@ -578,3 +578,33 @@ def test_rare_terms_ranking(spark):
     assert got[(1, 1)] == "rare1" and got[(1, 2)] == "common"
     assert got[(2, 1)] == "rare2" and got[(2, 2)] == "common"
     assert got[(3, 1)] == "common"
+
+
+def test_operators_handle_empty_inputs(spark):
+    # every family must return empty results, not crash, on empty input
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash,
+    )
+    from atlas_upscaling_dask_spark.extensions.pipeline import doc_pipeline
+    from atlas_upscaling_dask_spark.extensions.similarity import label_centroids
+    from atlas_upscaling_dask_spark.extensions.text import bigram_coherence, rare_terms
+    from atlas_upscaling_dask_spark.operators.outline import region_adjacency
+    from atlas_upscaling_dask_spark.operators.pyramid import downsample_mode
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    vox = spark.createDataFrame([], "z long, y long, x long, label long")
+    emb = spark.createDataFrame([], "label int, embedding array<float>")
+
+    assert exact_dedup(docs).count() == 0
+    assert minhash_lsh_pairs(docs, use_dictionary=False).count() == 0
+    assert ngram_jaccard_pairs(docs).count() == 0
+    assert simhash(docs, use_dictionary=False).count() == 0
+    assert doc_pipeline(docs).count() == 0
+    assert bigram_coherence(docs).count() == 0
+    assert rare_terms(docs).count() == 0
+    assert label_centroids(emb).count() == 0
+    assert downsample_mode(vox).count() == 0
+    assert region_adjacency(vox).count() == 0
