@@ -217,3 +217,61 @@ def point_lookup_upscaled(
         F.lit(x).cast("long").alias("x"),
         "label",
     )
+
+
+def relabel_voxels(voxels: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Ontology-collapse relabel on the COO path: map each label through
+    a (label → new_label) table; unmapped labels pass through.
+
+    The mapping is an ontology-sized dim (thousands of rows) →
+    broadcast left join, narrow in practice."""
+    m = mapping.select(
+        F.col("label").alias("__from"), F.col("new_label").alias("__to")
+    )
+    return (
+        voxels.join(F.broadcast(m), voxels.label == F.col("__from"), "left")
+        .select(
+            "z", "y", "x",
+            F.coalesce(F.col("__to"), F.col("label")).alias("label"),
+        )
+    )
+
+
+def relabel_chunks(chunks: DataFrame, mapping: dict[int, int]) -> DataFrame:
+    """Ontology-collapse relabel on the chunk-packed path: a vectorized
+    LUT pass per payload (``np.take`` on a dense table when label ids
+    are compact, dict-vectorize otherwise), zero shuffle — the bulk
+    analog of ``relabel_voxels`` for collapsing fine regions to their
+    ontology parents across a 100 TB volume.
+    """
+    import pyarrow as pa
+
+    from ..volume import _decode_payload
+
+    if not mapping:
+        return chunks
+    items = sorted(mapping.items())
+    keys = np.fromiter((k for k, _ in items), dtype=np.int64)
+    vals = np.fromiter((v for _, v in items), dtype=np.int64)
+
+    def kernel(batches):
+        for batch in batches:
+            d = batch.to_pydict()
+            out_payloads = []
+            for i in range(len(d["cz"])):
+                block = np.frombuffer(
+                    _decode_payload(d["payload"][i], d["codec"][i]),
+                    dtype=PAYLOAD_DTYPE,
+                )
+                idx = np.searchsorted(keys, block)
+                idx_clipped = np.minimum(idx, len(keys) - 1)
+                hit = keys[idx_clipped] == block
+                mapped = np.where(hit, vals[idx_clipped], block).astype(PAYLOAD_DTYPE)
+                out_payloads.append(mapped.tobytes())
+            d["payload"] = out_payloads
+            d["codec"] = ["raw"] * len(out_payloads)
+            yield pa.RecordBatch.from_pydict(
+                d, schema=batch.schema
+            )
+
+    return chunks.mapInArrow(kernel, schema=CHUNK_SCHEMA)

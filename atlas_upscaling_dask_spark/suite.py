@@ -1892,6 +1892,64 @@ SELECT doc_id, tok, df, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
 )
 
 
+def _vox_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ontology collapse: every fixture voxel label mapped to its parent
+    # region (Q6's hierarchy driving a volume-wide rewrite).
+    from .operators.relational import synthetic_regions
+    from .operators.upscale import relabel_voxels
+
+    regions = synthetic_regions(spark)
+    mapping = regions.filter(F.col("level") == 1).select(
+        F.col("region").alias("label"), F.col("parent").alias("new_label")
+    )
+    return relabel_voxels(synthetic_voxels(spark), mapping)
+
+
+_register(
+    "vox_relabel",
+    _vox_relabel,
+    f"""
+WITH {VOX_CTE}, {REGIONS_CTE}
+SELECT v.z, v.y, v.x, coalesce(r.parent, v.label) AS label
+FROM voxels v LEFT JOIN (SELECT region, parent FROM regions WHERE level = 1) r
+  ON v.label = r.region
+""",
+)
+
+
+def _vox_histogram_preserved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's README verification figures: label histograms of
+    # source vs upscale agree exactly (up-count = s³ · source-count).
+    from .operators.upscale import upscale_coo
+
+    vox = synthetic_voxels(spark)
+    h0 = vox.groupBy("label").agg(F.count("*").alias("n_orig"))
+    h1 = upscale_coo(vox, 2).groupBy("label").agg(F.count("*").alias("n_up"))
+    return h0.join(h1, "label", "full_outer").select(
+        "label",
+        "n_orig",
+        "n_up",
+        (F.col("n_up") == F.col("n_orig") * 8).alias("preserved"),
+    )
+
+
+_register(
+    "vox_histogram_preserved",
+    _vox_histogram_preserved,
+    f"""
+WITH {VOX_CTE},
+h0 AS (SELECT label, count(*) AS n_orig FROM voxels GROUP BY label),
+up AS (
+  SELECT v.label
+  FROM voxels v, range(2) a, range(2) b, range(2) c
+),
+h1 AS (SELECT label, count(*) AS n_up FROM up GROUP BY label)
+SELECT label, n_orig, n_up, n_up = n_orig * 8 AS preserved
+FROM h0 FULL OUTER JOIN h1 USING (label)
+""",
+)
+
+
 def _vox_downsample_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Majority-vote downsample at stride 3: blocks straddle the fixture's
     # 4³ regions, so real vote counting (not unanimity) decides labels.

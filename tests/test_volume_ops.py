@@ -319,3 +319,35 @@ def test_region_adjacency_line(spark):
     df = spark.createDataFrame(pdf, "z long, y long, x long, label long")
     got = {(r["label_a"], r["label_b"]) for r in region_adjacency(df).collect()}
     assert got == {(1, 2), (2, 3)}
+
+
+def test_relabel_chunk_path_equals_coo_path(spark):
+    from atlas_upscaling_dask_spark.operators.upscale import (
+        relabel_chunks,
+        relabel_voxels,
+    )
+    from atlas_upscaling_dask_spark.volume import (
+        VolumeMeta,
+        chunks_to_voxels,
+        synthetic_chunks,
+        synthetic_voxels,
+    )
+
+    meta = VolumeMeta(8, 8, 8)
+    vox = synthetic_voxels(spark, meta)
+    labels = [r["label"] for r in vox.select("label").distinct().collect()]
+    mapping = {lab: 1000 + (lab % 3) for lab in labels[::2]}  # map half
+
+    map_df = spark.createDataFrame(
+        [(k, v) for k, v in mapping.items()], "label long, new_label long"
+    )
+    coo = relabel_voxels(vox, map_df)
+
+    chunks = synthetic_chunks(spark, meta, chunk=(4, 8, 8))
+    bulk = chunks_to_voxels(relabel_chunks(chunks, mapping))
+
+    a = {(r["z"], r["y"], r["x"]): r["label"] for r in coo.collect()}
+    b = {(r["z"], r["y"], r["x"]): r["label"] for r in bulk.collect()}
+    assert a == b
+    # both mapped (1000-1002) and passthrough (15564+) labels present
+    assert any(v < 1003 for v in a.values()) and any(v > 10000 for v in a.values())
