@@ -81,6 +81,8 @@ def downsample_mode(voxels: DataFrame, stride: int = 2) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    if stride < 2:
+        raise ValueError(f"stride must be >= 2, got {stride}")
     s = F.lit(stride)
     counts = voxels.groupBy(
         (F.col("z") / s).cast("long").alias("z"),

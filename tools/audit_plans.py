@@ -117,6 +117,17 @@ def audited_queries():
             QUERIES["doc_pipeline"],
             {"max_shuffles": 2, "codegen": True, "no_python_udf": True},
         ),
+        # Q6: filter+agg only — both predicates must reach the scan
+        "tpch_q6_forecast": (
+            QUERIES["tpch_q6_forecast"],
+            {"max_shuffles": 1, "pushdown": True, "codegen": True},
+        ),
+        # Q13: join + per-cust agg + distribution agg; the per-cust agg
+        # must reuse the join's hash partitioning (no extra exchange)
+        "tpch_q13_custdist": (
+            QUERIES["tpch_q13_custdist"],
+            {"max_shuffles": 3, "codegen": True},
+        ),
         # majority-vote downsample: block-count agg + argmax window,
         # both keyed on the block — two exchanges, no more
         "vox_downsample_mode": (
