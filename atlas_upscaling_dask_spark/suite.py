@@ -2817,3 +2817,406 @@ SELECT doc_id,
 FROM documents
 """,
 )
+
+# ---------------------------------------------------------------------------
+# TPC-H-adapted batch 3: Q8/Q9/Q15/Q16/Q19/Q20/Q21/Q22.  The testdata
+# schema has no partsupp / l_commitdate / l_receiptdate / c_phone /
+# p_container, so each query keeps its defining *shape* (market-share
+# ratio, max-subquery, NOT IN exclusion, disjunctive predicates, nested
+# IN, double-EXISTS anti-pattern, anti-join + avg threshold) on the
+# columns that exist.
+# ---------------------------------------------------------------------------
+
+
+def _tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q8: national market share — share of AMERICA-region ECONOMY-part
+    # revenue supplied by NATION_5, per order year.  Numerator and
+    # denominator are exact DECIMAL sums (order-independent), divided
+    # once at the end in double.
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nation_c = load_table(spark, sf_dir, "nation").alias("nc")
+    nation_s = load_table(spark, sf_dir, "nation").alias("ns")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    vol = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_c), cust.c_nationkey == F.col("nc.n_nationkey"))
+        .join(F.broadcast(region), F.col("nc.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(nation_s), supp.s_nationkey == F.col("ns.n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("ns.n_name") == "NATION_5", vol).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_register(
+    "tpch_q8_market_share",
+    _tpch_q8_market_share,
+    """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CASE WHEN ns.n_name = 'NATION_5'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS mkt_share,
+       COUNT(*) AS n_lines
+FROM lineitem
+     JOIN part ON l_partkey = p_partkey
+     JOIN supplier ON l_suppkey = s_suppkey
+     JOIN orders ON l_orderkey = o_orderkey
+     JOIN customer ON o_custkey = c_custkey
+     JOIN nation nc ON c_nationkey = nc.n_nationkey
+     JOIN region ON nc.n_regionkey = r_regionkey
+     JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+""",
+)
+
+
+def _tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q9: product-type profit by nation and year.  Without partsupp,
+    # profit reduces to discounted revenue; the defining shape — LIKE
+    # filter on p_name, 5-way join, (nation, year) grouping — is intact.
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+_register(
+    "tpch_q9_profit",
+    _tpch_q9_profit,
+    """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_profit
+FROM lineitem
+     JOIN part ON l_partkey = p_partkey
+     JOIN supplier ON l_suppkey = s_suppkey
+     JOIN orders ON l_orderkey = o_orderkey
+     JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, 2
+""",
+)
+
+
+def _tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q15: top supplier — revenue view over a quarter, then suppliers
+    # whose revenue equals the global max (uncorrelated scalar subquery
+    # over an aggregate).  Revenue stays DECIMAL end-to-end so the
+    # equality against MAX is exact; only the projection casts to double.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("total_rev")
+    )
+    rev.createOrReplaceTempView("_q15_revenue")
+    supp = load_table(spark, sf_dir, "supplier")
+    supp.createOrReplaceTempView("_q15_supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        FROM _q15_supplier JOIN _q15_revenue ON s_suppkey = supplier_no
+        WHERE total_rev = (SELECT MAX(total_rev) FROM _q15_revenue)
+        """
+    )
+
+
+_register(
+    "tpch_q15_top_supplier",
+    _tpch_q15_top_supplier,
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+""",
+)
+
+
+def _tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q16: supplier count by part attributes.  partsupp is approximated
+    # by the observed (l_partkey, l_suppkey) pairs; the NOT IN exclusion
+    # (complaint suppliers ~ negative account balance) and the
+    # COUNT(DISTINCT) grouping are the query's defining features.
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").isin("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    pairs = (
+        li.select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+        .join(bad, F.col("suppkey") == bad.s_suppkey, "left_anti")
+    )
+    return (
+        pairs.join(part, F.col("partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("suppkey").alias("supplier_cnt"))
+    )
+
+
+_register(
+    "tpch_q16_supplier_cnt",
+    _tpch_q16_supplier_cnt,
+    """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT suppkey) AS supplier_cnt
+FROM (
+  SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+) pairs JOIN part ON partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT IN ('PROMO')
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+
+
+def _tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q19: discounted revenue under three OR'd brand/size/quantity
+    # bundles — the classic disjunctive join predicate Catalyst must
+    # push below the join as (cond1 OR cond2 OR cond3) on each side.
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return j.filter(cond).agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+_register(
+    "tpch_q19_disjunctive",
+    _tpch_q19_disjunctive,
+    """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+
+
+def _tpch_q20_nested_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q20: suppliers with excess stock of blue parts — nested IN
+    # subqueries (suppkey IN (... partkey IN (...))), adapted to the
+    # observed lineitem pairs with a shipped-quantity threshold.
+    for name in ("supplier", "nation", "lineitem", "part"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"_q20_{name}")
+    return spark.sql(
+        """
+        SELECT s_name, s_suppkey
+        FROM _q20_supplier JOIN _q20_nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_7')
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM _q20_lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM _q20_part WHERE p_name LIKE 'blue%')
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50
+          )
+        """
+    )
+
+
+_register(
+    "tpch_q20_nested_in",
+    _tpch_q20_nested_in,
+    """
+SELECT s_name, s_suppkey
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_7')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50
+  )
+""",
+)
+
+
+def _tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q21: suppliers who alone failed within multi-supplier orders.
+    # l_receiptdate/l_commitdate don't exist, so "failed" is adapted to
+    # l_returnflag = 'R'; the double-correlated EXISTS / NOT EXISTS
+    # against the same fact table — the query's whole point — is kept.
+    for name in ("supplier", "lineitem", "orders", "nation"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"_q21_{name}")
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM _q21_supplier
+             JOIN _q21_lineitem l1 ON s_suppkey = l1.l_suppkey
+             JOIN _q21_orders ON o_orderkey = l1.l_orderkey
+             JOIN _q21_nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+          AND EXISTS (
+            SELECT 1 FROM _q21_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM _q21_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+        """
+    )
+
+
+_register(
+    "tpch_q21_waiting",
+    _tpch_q21_waiting,
+    """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+     JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+     JOIN orders ON o_orderkey = l1.l_orderkey
+     JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+""",
+)
+
+
+def _tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q22: promising-but-inactive customers.  c_phone doesn't exist, so
+    # the "country code" is two digits of the customer number
+    # in c_name; the avg-threshold scalar subquery and NOT EXISTS
+    # anti-join are kept ("inactive" = no pending orders; every testdata
+    # customer has at least one order of some status).  The threshold comparison is exact:
+    # acctbal * count > sum (DECIMAL · BIGINT vs DECIMAL).
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_q22_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q22_orders")
+    return spark.sql(
+        """
+        WITH pos AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total
+          FROM _q22_customer
+          WHERE c_acctbal > 0.0
+            AND substring(c_name, 16, 2) IN ('01', '05', '09', '16', '17', '23', '25')
+        )
+        SELECT substring(c_name, 16, 2) AS cntrycode,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM _q22_customer, pos
+        WHERE substring(c_name, 16, 2) IN ('01', '05', '09', '16', '17', '23', '25')
+          AND CAST(c_acctbal AS DECIMAL(18,2)) * pos.n > pos.total
+          AND NOT EXISTS (
+            SELECT 1 FROM _q22_orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+          )
+        GROUP BY 1
+        """
+    )
+
+
+_register(
+    "tpch_q22_global_sales",
+    _tpch_q22_global_sales,
+    """
+WITH pos AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total
+  FROM customer
+  WHERE c_acctbal > 0.0
+    AND substring(c_name, 16, 2) IN ('01', '05', '09', '16', '17', '23', '25')
+)
+SELECT substring(c_name, 16, 2) AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, pos
+WHERE substring(c_name, 16, 2) IN ('01', '05', '09', '16', '17', '23', '25')
+  AND CAST(c_acctbal AS DECIMAL(18,2)) * pos.n > pos.total
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+  )
+GROUP BY 1
+""",
+)
