@@ -1,0 +1,196 @@
+"""Training-set assembly operators: deterministic shuffle, token-budget
+sequence packing, repetition signals, and benchmark-contamination
+checks.
+
+These are the steps between "filtered corpus" and "batches on the
+trainer": give every document a reproducible pseudo-random position,
+pack documents into fixed token budgets, and flag documents that leak
+evaluation data.  Everything is built from integer arithmetic and
+built-in functions so the DuckDB oracle replays it bitwise, and every
+plan is shuffle-budgeted for the 100 TB case (see SCALE.md):
+
+* the shuffle position is a pure per-row expression (no global sort —
+  ordering is the *consumer's* cheap merge of already-ordered shards);
+* packing windows are partitioned by shard, never global;
+* contamination joins explode only the (tiny) benchmark side's shingles
+  against a semi-joined candidate subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# LCG constants (glibc): a ≡ 1 (mod 4), c odd → for modulus 2^31 the map
+# id → (a·id + c) mod 2^31 is a bijection on [0, 2^31), i.e. a true
+# permutation — no collisions, unlike a truncated hash.
+LCG_A = 1_103_515_245
+LCG_C = 12_345
+LCG_M = 2_147_483_648  # 2^31
+
+
+def shuffle_pos_expr(id_col: str = "doc_id", seed: int = 0) -> Column:
+    """Deterministic pseudo-random position for stable training-data
+    shuffles: pos = (a·(id + seed) + c) mod 2^31.  A different ``seed``
+    yields a different epoch order.  Pure BIGINT arithmetic (max
+    operand ~2^61 < 2^63) — replayable in any engine, and a *narrow*
+    projection: reshuffling 100 TB costs zero shuffle; consumers read
+    shards ordered by (shard, shuffle_pos) from the writer's
+    ``sortWithinPartitions``."""
+    return (F.lit(LCG_A) * (F.col(id_col) + F.lit(seed)) + F.lit(LCG_C)) % F.lit(LCG_M)
+
+
+def train_shuffle(
+    docs: DataFrame,
+    n_shards: int = 8,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document a reproducible shuffle position and shard.
+
+    shard = pos mod n_shards balances shards to within the LCG's
+    near-uniformity; within a shard the consumer orders by pos.  The
+    whole operator is one narrow select — the global permutation is
+    never materialized as a sort."""
+    pos = shuffle_pos_expr(id_col, seed)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        pos.alias("shuffle_pos"),
+        (pos % F.lit(n_shards)).cast("int").alias("shard"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous token-budget packing: stream each shard in shuffle
+    order, accumulate whitespace-token counts, and cut a new pack every
+    ``budget`` tokens — pack_id = floor(starting_offset / budget), the
+    deterministic streaming-concat packing used when documents are
+    concatenated and split into fixed-length contexts (boundary
+    documents span two packs; nothing is dropped).
+
+    The running sum's window is partitioned by shard — the 100 TB plan
+    is n_shards independent sorted streams, not one global ORDER BY.
+    """
+    toks = F.size(F.split(F.col(text_col), " "))
+    pos = shuffle_pos_expr(id_col, seed)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("n_tokens"),
+        pos.alias("shuffle_pos"),
+        (pos % F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("shuffle_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id",
+        "shard",
+        "shuffle_pos",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("start_offset"),
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget)).alias("pack_id"),
+    )
+
+
+def repetition_exprs(text_col: str = "text") -> dict[str, Column]:
+    """Gopher-style repetition signals, computed array-side (no
+    explode/shuffle): duplicate-word fraction and the fraction of the
+    document taken by its single most frequent word.  The per-word
+    count is O(distinct·len) inside one codegen'd expression — document
+    lengths bound it, not corpus size."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    return {
+        "n_words": n,
+        "n_distinct_words": n_distinct,
+        "dup_word_frac": (n - n_distinct) / n,
+        "top_word_frac": top / n,
+    }
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition statistics (one narrow pass)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(k) for k, c in repetition_exprs(text_col).items()],
+    )
+
+
+def _shingle_rows(
+    docs: DataFrame, n: int, text_col: str, id_col: str, out_id: str
+) -> DataFrame:
+    """Distinct word n-gram shingles per document, one row each."""
+    words = F.split(F.col(text_col), " ")
+    shingles = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias(out_id), shingles.alias("sh"))
+        .select(out_id, F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination scores: for every corpus document, the
+    number and fraction of its distinct word ``n``-grams that also
+    appear anywhere in the benchmark set — the standard decontamination
+    screen run before training.
+
+    Plan: benchmark shingles are distinct'd and (at benchmark scale —
+    thousands of eval documents vs billions of training docs) hash-join
+    the corpus shingles as the small build side; per-doc totals come
+    from one partial-aggregated groupBy.  Returns only contaminated
+    documents (overlap > 0) — the common case is a tiny fraction, so
+    the output stays small at any corpus size.
+    """
+    cs = _shingle_rows(corpus, n, text_col, id_col, "doc_id")
+    bs = _shingle_rows(benchmark, n, text_col, id_col, "bench_id").select(
+        "shingle"
+    ).distinct()
+    totals = cs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        cs.join(bs, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        hits.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_contaminated",
+            "n_shingles",
+            (F.col("n_contaminated") / F.col("n_shingles")).alias(
+                "contamination_frac"
+            ),
+        )
+    )

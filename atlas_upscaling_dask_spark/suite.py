@@ -3220,3 +3220,168 @@ WHERE substring(c_name, 16, 2) IN ('01', '05', '09', '16', '17', '23', '25')
 GROUP BY 1
 """,
 )
+
+# ---------------------------------------------------------------------------
+# Training-set assembly: deterministic shuffle, token packing, repetition
+# signals, benchmark contamination, time-series resample.  All integer /
+# exactly-derived arithmetic — replayed bitwise by the oracle.
+# ---------------------------------------------------------------------------
+
+
+def _train_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.training import train_shuffle
+
+    return train_shuffle(load_table(spark, sf_dir, "documents"), n_shards=8, seed=7)
+
+
+_register(
+    "train_shuffle",
+    _train_shuffle_q,
+    """
+SELECT doc_id,
+       (1103515245 * (doc_id + 7) + 12345) % 2147483648 AS shuffle_pos,
+       CAST(((1103515245 * (doc_id + 7) + 12345) % 2147483648) % 8 AS INTEGER) AS shard
+FROM documents
+""",
+)
+
+
+def _pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.training import pack_sequences
+
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), budget=256, n_shards=8, seed=7
+    )
+
+
+_register(
+    "pack_sequences",
+    _pack_sequences_q,
+    """
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         (1103515245 * (doc_id + 7) + 12345) % 2147483648 AS shuffle_pos,
+         CAST(((1103515245 * (doc_id + 7) + 12345) % 2147483648) % 8 AS INTEGER) AS shard
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, shuffle_pos, CAST(n_tokens AS INTEGER) AS n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY shuffle_pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM base
+)
+SELECT doc_id, shard, shuffle_pos, n_tokens,
+       CAST(c - n_tokens AS BIGINT) AS start_offset,
+       CAST((c - n_tokens) // 256 AS BIGINT) AS pack_id
+FROM cum
+""",
+)
+
+
+def _repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.training import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+_register(
+    "repetition_stats",
+    _repetition_stats_q,
+    """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+per AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(SUM(c) AS INTEGER) AS n_words,
+       CAST(COUNT(*) AS INTEGER) AS n_distinct_words,
+       CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_word_frac,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_word_frac
+FROM per GROUP BY doc_id
+""",
+)
+
+
+def _contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.training import contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination(docs, bench, n=5)
+
+
+_register(
+    "contamination",
+    _contamination_q,
+    """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+  FROM words WHERE len(w) >= 5
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle FROM idx
+),
+bs AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+),
+totals AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM sh WHERE shingle IN (SELECT shingle FROM bs) GROUP BY doc_id
+)
+SELECT h.doc_id, h.n_contaminated, t.n_shingles,
+       CAST(h.n_contaminated AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS contamination_frac
+FROM hits h JOIN totals t ON h.doc_id = t.doc_id
+""",
+)
+
+
+def _resample_ffill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.resample import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_ffill(ev, step="1 hour")
+    return out.select(
+        "user_id", F.unix_micros("grid_ts").alias("grid_us"), "value"
+    )
+
+
+_register(
+    "resample_ffill",
+    _resample_ffill_q,
+    """
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS lo, MAX(ts) AS hi
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+  FROM bounds
+),
+unioned AS (
+  SELECT user_id, ts, CAST(value AS DOUBLE) AS v,
+         CAST(event_id AS BIGINT) AS tb, 0 AS is_grid
+  FROM events
+  UNION ALL
+  SELECT user_id, ts, NULL, NULL, 1 FROM grid
+),
+filled AS (
+  SELECT user_id, ts, is_grid,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, is_grid, COALESCE(tb, -1)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+  FROM unioned
+)
+SELECT user_id, epoch_us(ts) AS grid_us, f AS value
+FROM filled WHERE is_grid = 1
+""",
+)

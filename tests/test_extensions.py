@@ -608,3 +608,105 @@ def test_operators_handle_empty_inputs(spark):
     assert label_centroids(emb).count() == 0
     assert downsample_mode(vox).count() == 0
     assert region_adjacency(vox).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# training-set assembly (extensions/training.py)
+# ---------------------------------------------------------------------------
+
+
+def test_train_shuffle_is_permutation(spark):
+    from atlas_upscaling_dask_spark.extensions.training import train_shuffle
+
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = train_shuffle(docs, n_shards=4, seed=3).cache()
+    assert out.select("shuffle_pos").distinct().count() == 1000  # bijective
+    shards = {r["shard"]: r["n"] for r in
+              out.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(shards) == {0, 1, 2, 3}
+    assert max(shards.values()) < 2 * min(shards.values())  # near-uniform
+    # different seed → different order
+    out2 = train_shuffle(docs, n_shards=4, seed=4)
+    joined = out.select("doc_id", "shuffle_pos").join(
+        out2.select("doc_id", F.col("shuffle_pos").alias("p2")), "doc_id"
+    )
+    assert joined.filter(F.col("shuffle_pos") != F.col("p2")).count() > 0
+    out.unpersist()
+
+
+def test_pack_sequences_invariants(spark):
+    from atlas_upscaling_dask_spark.extensions.training import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (1 + i % 40))) for i in range(300)],
+        ["doc_id", "text"],
+    )
+    out = pack_sequences(docs, budget=64, n_shards=4, seed=0).collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["shuffle_pos"])):
+        assert r["pack_id"] == r["start_offset"] // 64
+        prev = by_shard.get(r["shard"])
+        if prev is not None:
+            # contiguous: this doc starts where the previous one ended
+            assert r["start_offset"] == prev["start_offset"] + prev["n_tokens"]
+        by_shard[r["shard"]] = r
+    assert sum(r["n_tokens"] for r in out) == sum(1 + i % 40 for i in range(300))
+
+
+def test_repetition_stats_manual(spark):
+    from atlas_upscaling_dask_spark.extensions.training import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "w x y z")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[0]["n_words"] == 4 and rows[0]["n_distinct_words"] == 2
+    assert rows[0]["dup_word_frac"] == 0.5 and rows[0]["top_word_frac"] == 0.75
+    assert rows[1]["dup_word_frac"] == 0.0 and rows[1]["top_word_frac"] == 0.25
+
+
+def test_contamination_detects_verbatim_overlap(spark):
+    from atlas_upscaling_dask_spark.extensions.training import contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "intro text then the quick brown fox jumps over the lazy dog"),
+            (1, "completely unrelated words with no overlap at all here"),
+            (2, "short doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in contamination(corpus, bench, n=5).collect()}
+    assert 0 in rows and rows[0]["n_contaminated"] >= 5
+    assert 1 not in rows and 2 not in rows  # clean / too-short docs absent
+
+
+def test_resample_ffill_grid_and_fill(spark):
+    import datetime as dt
+
+    from atlas_upscaling_dask_spark.operators.resample import resample_ffill
+
+    rows = [
+        (0, 7, dt.datetime(2024, 1, 1, 0, 30), 10.0),  # 00:30 → covers 01:00
+        (1, 7, dt.datetime(2024, 1, 1, 1, 30), 20.0),  # 01:30 dup ts…
+        (2, 7, dt.datetime(2024, 1, 1, 1, 30), 30.0),  # …highest id wins
+        (3, 7, dt.datetime(2024, 1, 1, 3, 0), 40.0),   # exactly on the hour
+        (4, 9, dt.datetime(2024, 1, 1, 5, 0), 1.0),    # single-event user
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    got = {
+        (r["user_id"], r["grid_ts"].hour): r["value"]
+        for r in resample_ffill(ev, step="1 hour").collect()
+    }
+    assert got[(7, 0)] is None          # grid 00:00 precedes first event
+    assert got[(7, 1)] == 10.0
+    # duplicate-timestamp tiebreak: highest event_id wins
+    assert got[(7, 2)] == 30.0
+    # event exactly at a grid instant is visible at that instant
+    assert got[(7, 3)] == 40.0
+    assert got[(9, 5)] == 1.0
+    assert len(got) == 5                # 4 grid hours for user 7 + 1 for user 9

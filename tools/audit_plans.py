@@ -154,6 +154,34 @@ def audited_queries():
             ),
             {"max_shuffles": 4, "no_python_udf": True},
         ),
+        # deterministic LCG shuffle + repetition signals: pure narrow
+        # projections — reshuffling/rescoring 100 TB must cost zero
+        # exchanges
+        "train_shuffle": (
+            QUERIES["train_shuffle"],
+            {"no_shuffle": True, "codegen": True, "no_python_udf": True},
+        ),
+        "repetition_stats": (
+            QUERIES["repetition_stats"],
+            {"no_shuffle": True, "codegen": True, "no_python_udf": True},
+        ),
+        # token packing: the running sum is windowed per shard — exactly
+        # one exchange, never a global sort
+        "pack_sequences": (
+            QUERIES["pack_sequences"],
+            {"max_shuffles": 1, "codegen": True, "no_python_udf": True},
+        ),
+        # per-key grid + forward fill: bounds agg + one per-key window
+        "resample_ffill": (
+            QUERIES["resample_ffill"],
+            {"max_shuffles": 3, "codegen": True, "no_python_udf": True},
+        ),
+        # contamination screen: shingle distinct, totals, semi-join,
+        # per-doc agg — bounded exchange count
+        "contamination": (
+            QUERIES["contamination"],
+            {"max_shuffles": 6, "codegen": True, "no_python_udf": True},
+        ),
     }
 
 
