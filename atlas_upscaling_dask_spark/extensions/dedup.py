@@ -407,3 +407,68 @@ def near_dup_clusters(
         F.col("comp").alias("cluster_id"),
         (F.col("id") == F.col("comp")).alias("is_keeper"),
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    words_per_line: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level line deduplication (the CCNet / RefinedWeb scrub):
+    every *line* that appears more than once across the corpus is kept
+    only at its first occurrence (smallest (doc_id, position)); each
+    document is reassembled from its surviving lines in original order.
+    Boilerplate (nav bars, cookie banners, license headers) repeats
+    across millions of pages and this removes all but one copy.
+
+    The driver's synthetic corpus has no newlines, so a "line" here is
+    each run of ``words_per_line`` consecutive words — the plan is
+    identical to splitting on ``\\n``, only the split expression
+    differs.
+
+    Plan: explode to (line, doc_id, pos) → ONE shuffle partitioned by
+    the line text (`row_number` elects the first occurrence) → per-doc
+    reassembly groupBy.  At 100 TB the line-partitioned exchange keys
+    on a 128-bit line hash, duplicates collapse within partitions, and
+    heavy boilerplate lines are exactly the AQE skew-split case.
+    Returns (doc_id, text, n_lines, n_kept).
+    """
+    words = F.split(F.col(text_col), " ")
+    n_lines = F.ceil(F.size(words) / F.lit(words_per_line)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * words_per_line + 1, words_per_line)
+        ),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), n_lines.alias("n_lines"), lines.alias("ls")
+    )
+    exploded = base.select("doc_id", F.posexplode("ls").alias("pos", "line"))
+    first = Window.partitionBy("line").orderBy("doc_id", "pos")
+    kept = (
+        exploded.withColumn("_rk", F.row_number().over(first))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+        F.count("*").cast("int").alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", "n_lines")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

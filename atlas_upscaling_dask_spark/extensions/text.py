@@ -121,6 +121,42 @@ def normalize_expr(text_col: str = "text") -> Column:
     )
 
 
+#: PII scrub rules applied in order: (pattern, replacement).  Patterns
+#: stay inside the regex subset that Java (Spark) and RE2-ish engines
+#: (the DuckDB oracle) treat identically — no backrefs, no lookaround.
+PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^ ]+", "<URL>"),
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    (r"[0-9]{7,}", "<NUMBER>"),
+]
+
+
+def redact_expr(text_col: str = "text") -> Column:
+    """PII / boilerplate redaction as one chained ``regexp_replace``
+    expression (emails, URLs, SSN-shaped and long digit runs →
+    placeholder tokens) — the standard scrub pass before publishing or
+    training on crawled text.  A narrow, codegen'd projection: zero
+    shuffle at any corpus size, and Catalyst pipelines it with whatever
+    filter/dedup stage follows."""
+    out = F.col(text_col)
+    for pat, rep in PII_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document redacted text plus a flag for audit sampling."""
+    red = redact_expr(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        red.alias("text"),
+        (red != F.col(text_col)).alias("was_redacted"),
+    )
+
+
 # --------------------------------------------------------------------------
 # DataFrame wrappers
 # --------------------------------------------------------------------------

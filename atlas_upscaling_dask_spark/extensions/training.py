@@ -135,6 +135,85 @@ def repetition_stats(
     )
 
 
+def hash_split_expr(
+    key_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+    hex_digits: int = 8,
+) -> Column:
+    """Deterministic train/val/test assignment from a content-stable
+    hash: split = which band of md5-hex space the key falls in.
+
+    Engine-portable by construction — md5 lowercase hex is identical
+    everywhere, and band edges are *hex-string* thresholds compared
+    lexicographically (uniform over keys since hex digits of md5 are
+    uniform), so no base-16 integer conversion is needed on either
+    side.  A narrow per-row expression: splitting 100 TB is zero
+    shuffle, re-runs are stable under insertion/deletion of other rows
+    (unlike row_number-based splits), and the same row always lands in
+    the same split across engines and re-crawls.
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
+        1,
+        hex_digits,
+    )
+    space = 16**hex_digits
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        edge = format(min(int(cum * space), space - 1), f"0{hex_digits}x")
+        cond = h < F.lit(edge)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return (last if expr is None else expr.otherwise(last)).alias("split")
+
+
+def hash_split(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Attach the deterministic ``split`` column (see
+    :func:`hash_split_expr`)."""
+    return docs.select("*", hash_split_expr(key_col, fractions, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sample: the ``n`` rows of each stratum
+    whose salted md5 hash is smallest — a reproducible stand-in for
+    per-group reservoir sampling (every row's rank is a pure function
+    of (seed, key), so the sample is stable across runs and engines).
+
+    Plan: one hash partial-aggregation-friendly window per stratum
+    (rank over hash).  At 100 TB the shuffle ships only (stratum, hash,
+    key) plus payload; for heavy-hitter strata Spark's AQE skew split
+    applies because the window partitions by the stratum key alone.
+    """
+    h = F.md5(
+        F.concat(F.lit(seed).cast("string"), F.lit(":"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
 def _shingle_rows(
     docs: DataFrame, n: int, text_col: str, id_col: str, out_id: str
 ) -> DataFrame:

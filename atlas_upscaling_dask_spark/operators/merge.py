@@ -1,0 +1,78 @@
+"""Changelog application (MERGE / CDC-apply): fold a stream of keyed
+upserts and deletes into a base snapshot, latest-wins.
+
+The reference has no mutation surface at all (its stores are written
+once, `upscale_streaming.py:119-127` rmtree-then-write), but any
+long-lived 100 TB corpus needs one: nightly re-crawls, takedown
+requests, and label fixes arrive as a *changelog*, and rewriting the
+snapshot is `apply_changelog(base, changes)`.
+
+Plan shape (the part that matters at scale):
+
+* ONE wide transform — `base ∪ changes` → per-key max-sequence election
+  via a single hash aggregation — so the cost is one shuffle of
+  (base + changes) on the key, the same lower bound a warehouse MERGE
+  pays.  No driver loop, no per-key lookups.
+* The election is an aggregation (`max_by`-style struct max), not a
+  row_number window: partial aggregation runs map-side, so a changelog
+  that touches 1% of keys ships ~1% + dedup'd base rows through the
+  exchange after AQE.
+* Deletes are rows that win the election and are then filtered out —
+  tombstones never reach the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: sequence number assigned to base-snapshot rows; any real change wins.
+BASE_SEQ = -1
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Fold ``changes`` into ``base``; returns the new snapshot.
+
+    ``base`` holds the payload columns plus ``key_col``.  ``changes``
+    holds the same payload columns plus ``key_col``, a monotonically
+    increasing ``seq_col`` (commit order; ties broken by the larger
+    sequence being authoritative) and ``op_col`` in
+    {'upsert', ``delete_op``}.  For every key the row with the highest
+    sequence wins; a winning delete removes the key.  Base rows carry
+    sequence ``BASE_SEQ`` so any change outranks them.
+    """
+    payload = [c for c in base.columns if c != key_col]
+    missing = [c for c in payload if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing payload columns: {missing}")
+
+    b = base.select(
+        key_col,
+        F.lit(BASE_SEQ).cast("long").alias(seq_col),
+        F.lit("upsert").alias(op_col),
+        *payload,
+    )
+    c = changes.select(
+        key_col, F.col(seq_col).cast("long").alias(seq_col), op_col, *payload
+    )
+    unioned = b.unionByName(c)
+    # max_by(struct(seq, op, payload...), seq) as a plain max over a
+    # struct whose FIRST field is the sequence: struct ordering is
+    # lexicographic, so max == the highest-sequence row.  A plain
+    # aggregate (unlike row_number) gets map-side partial aggregation.
+    packed = F.struct(
+        F.col(seq_col).alias("_seq"),
+        F.col(op_col).alias("_op"),
+        *[F.col(p).alias(p) for p in payload],
+    )
+    won = unioned.groupBy(key_col).agg(F.max(packed).alias("w"))
+    return won.filter(F.col("w._op") != delete_op).select(
+        key_col, *[F.col(f"w.{p}").alias(p) for p in payload]
+    )

@@ -3385,3 +3385,198 @@ SELECT user_id, epoch_us(ts) AS grid_us, f AS value
 FROM filled WHERE is_grid = 1
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus governance: changelog apply (CDC), deterministic splits, stratified
+# sampling, PII redaction, corpus line-dedup, Z-order clustering.  All
+# integer / string / carried-value arithmetic — replayed bitwise by the
+# oracle.
+# ---------------------------------------------------------------------------
+
+
+def _changelog_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.merge import apply_changelog
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    changes = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 19 == 0, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.concat(F.lit("upd-"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+    )
+    return apply_changelog(cust, changes, "c_custkey")
+
+
+_register(
+    "changelog_apply",
+    _changelog_apply_q,
+    """
+WITH unioned AS (
+  SELECT c_custkey, CAST(-1 AS BIGINT) AS seq, 'upsert' AS op, c_name, c_acctbal
+  FROM customer
+  UNION ALL
+  SELECT o_custkey, o_orderkey,
+         CASE WHEN o_orderkey % 19 = 0 THEN 'delete' ELSE 'upsert' END,
+         'upd-' || o_orderkey, o_totalprice
+  FROM orders
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rk
+  FROM unioned
+)
+SELECT c_custkey, c_name, c_acctbal FROM ranked WHERE rk = 1 AND op <> 'delete'
+""",
+)
+
+
+def _hash_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.training import hash_split
+
+    return hash_split(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "split"
+    )
+
+
+_register(
+    "hash_split",
+    _hash_split_q,
+    """
+SELECT doc_id,
+       CASE WHEN substr(md5('split:' || doc_id), 1, 8) < 'cccccccc' THEN 'train'
+            WHEN substr(md5('split:' || doc_id), 1, 8) < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+
+
+def _stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.training import stratified_sample
+
+    return stratified_sample(
+        load_table(spark, sf_dir, "documents"), "lang", 20
+    )
+
+
+_register(
+    "stratified_sample",
+    _stratified_sample_q,
+    """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY lang ORDER BY md5('0:' || doc_id), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 20
+""",
+)
+
+
+def _redact_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via http://ex.com/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ref 1234567890"),
+        ),
+    )
+    return redact_pii(seeded)
+
+
+_register(
+    "redact_pii",
+    _redact_pii_q,
+    r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com via http://ex.com/'
+              || doc_id || ' ref 1234567890' AS t
+  FROM documents
+),
+red AS (
+  SELECT doc_id, t,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+          'https?://[^ ]+', '<URL>', 'g'),
+        '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+      '[0-9]{7,}', '<NUMBER>', 'g') AS text
+  FROM seeded
+)
+SELECT doc_id, text, text <> t AS was_redacted FROM red
+""",
+)
+
+
+def _line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.dedup import line_dedup
+
+    return line_dedup(load_table(spark, sf_dir, "documents"), words_per_line=8)
+
+
+_register(
+    "line_dedup",
+    _line_dedup_q,
+    """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS wds FROM documents
+),
+nl AS (
+  SELECT doc_id, wds, CAST(ceil(len(wds) / 8.0) AS INTEGER) AS n_lines FROM w
+),
+ex AS (
+  SELECT doc_id, unnest(generate_series(0, n_lines - 1)) AS pos, wds FROM nl
+),
+ln AS (
+  SELECT doc_id, pos, array_to_string(wds[pos*8+1 : pos*8+8], ' ') AS line FROM ex
+),
+kept AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+  FROM ln
+),
+re AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text,
+         CAST(COUNT(*) AS INTEGER) AS n_kept
+  FROM kept WHERE rk = 1 GROUP BY doc_id
+)
+SELECT n.doc_id, COALESCE(re.text, '') AS text, n.n_lines,
+       COALESCE(re.n_kept, 0) AS n_kept
+FROM nl n LEFT JOIN re ON n.doc_id = re.doc_id
+""",
+)
+
+
+def _vox_morton_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.zorder import morton_expr
+
+    return synthetic_voxels(spark).select(
+        "z", "y", "x", "label", morton_expr(["z", "y", "x"], 8).alias("morton")
+    )
+
+
+def _morton_oracle() -> str:
+    from .operators.zorder import morton_sql
+
+    return (
+        f"WITH {VOX_CTE} "
+        f"SELECT z, y, x, label, {morton_sql(['z', 'y', 'x'], 8)} AS morton "
+        "FROM voxels"
+    )
+
+
+_register("vox_morton", _vox_morton_q, _morton_oracle())

@@ -710,3 +710,88 @@ def test_resample_ffill_grid_and_fill(spark):
     assert got[(7, 3)] == 40.0
     assert got[(9, 5)] == 1.0
     assert len(got) == 5                # 4 grid hours for user 7 + 1 for user 9
+
+
+# ----------------------------------------------- corpus governance
+
+
+def test_hash_split_fractions_and_determinism(docs):
+    from atlas_upscaling_dask_spark.extensions.training import hash_split
+
+    out = hash_split(docs)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    # 80/10/10 within loose tolerance on 500 docs
+    assert 0.6 < counts["train"] / total < 0.95
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+    # stable across invocations (pure function of the key)
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert a == b
+
+
+def test_hash_split_rejects_bad_fractions(docs):
+    from atlas_upscaling_dask_spark.extensions.training import hash_split
+
+    with pytest.raises(ValueError):
+        hash_split(docs, fractions={"train": 0.5, "test": 0.2})
+
+
+def test_stratified_sample_counts_and_stability(docs):
+    from atlas_upscaling_dask_spark.extensions.training import stratified_sample
+
+    out = stratified_sample(docs, "lang", 5)
+    per = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    avail = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(5, avail[lang])
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_sample(docs, "lang", 5).collect())
+    assert ids1 == ids2
+
+
+def test_redact_pii_rules(spark):
+    from atlas_upscaling_dask_spark.extensions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@foo.co.uk now"),
+            (2, "see https://x.io/p?q=1 soon"),
+            (3, "ssn 123-45-6789 acct 123456789"),
+            (4, "clean text stays put"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["text"] == "mail me at <EMAIL> now"
+    assert rows[2]["text"] == "see <URL> soon"
+    assert rows[3]["text"] == "ssn <SSN> acct <NUMBER>"
+    assert rows[4]["text"] == "clean text stays put"
+    assert not rows[4]["was_redacted"] and rows[1]["was_redacted"]
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    from atlas_upscaling_dask_spark.extensions.dedup import line_dedup
+
+    # 2-word lines: doc 1 = [A B, C D]; doc 2 = [C D, E F]; doc 3 = [C D]
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d e f"), (3, "c d")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in line_dedup(df, words_per_line=2).collect()}
+    assert rows[1]["text"] == "a b c d" and rows[1]["n_kept"] == 2
+    assert rows[2]["text"] == "e f" and rows[2]["n_kept"] == 1
+    assert rows[3]["text"] == "" and rows[3]["n_kept"] == 0
+    assert rows[3]["n_lines"] == 1
+
+
+def test_line_dedup_within_doc(spark):
+    from atlas_upscaling_dask_spark.extensions.dedup import line_dedup
+
+    df = spark.createDataFrame([(7, "x y x y x y")], "doc_id long, text string")
+    row = line_dedup(df, words_per_line=2).collect()[0]
+    assert row["text"] == "x y" and row["n_lines"] == 3 and row["n_kept"] == 1

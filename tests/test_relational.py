@@ -85,3 +85,96 @@ def test_head_and_count(regions):
     # Q7 — head + count (lookup_test.py:13-14; golden count analog)
     head, n = head_and_count(regions)
     assert len(head) == 5 and n == 79
+
+
+# ----------------------------------------------- changelog apply (MERGE)
+
+
+def test_apply_changelog_semantics(spark):
+    from atlas_upscaling_dask_spark.operators.merge import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, 5, "upsert", "b2", 25.0),   # update key 2
+            (2, 9, "upsert", "b3", 29.0),   # later update wins
+            (3, 4, "delete", None, None),   # delete key 3
+            (4, 6, "upsert", "d", 40.0),    # insert new key 4
+            (5, 2, "upsert", "e", 50.0),    # insert then delete → gone
+            (5, 8, "delete", None, None),
+        ],
+        "k long, seq long, op string, name string, bal double",
+    )
+    out = {r["k"]: r for r in apply_changelog(base, changes, "k").collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["name"] == "a" and out[1]["bal"] == 10.0
+    assert out[2]["name"] == "b3" and out[2]["bal"] == 29.0
+    assert out[4]["name"] == "d"
+
+
+def test_apply_changelog_missing_payload_raises(spark):
+    from atlas_upscaling_dask_spark.operators.merge import apply_changelog
+
+    base = spark.createDataFrame([(1, "a")], "k long, name string")
+    changes = spark.createDataFrame([(1, 1, "upsert")], "k long, seq long, op string")
+    with pytest.raises(ValueError):
+        apply_changelog(base, changes, "k")
+
+
+# ----------------------------------------------- z-order clustering
+
+
+def test_morton_bijective_and_monotone(spark):
+    from atlas_upscaling_dask_spark.operators.zorder import morton_expr
+
+    vox = synthetic_voxels(spark)
+    codes = vox.select(morton_expr(["z", "y", "x"], 4).alias("m"))
+    n = vox.count()
+    assert codes.distinct().count() == n  # bijection on the 16^3 cube
+    lo, hi = codes.agg(F.min("m"), F.max("m")).collect()[0]
+    assert lo == 0 and hi == 16**3 - 1  # dense cube → dense code range
+
+
+def test_morton_bits_overflow_guard():
+    from atlas_upscaling_dask_spark.operators.zorder import morton_expr
+
+    with pytest.raises(ValueError):
+        morton_expr(["a", "b", "c"], 21)
+
+
+def test_zorder_by_preserves_rows_and_clusters(spark, tmp_path):
+    from atlas_upscaling_dask_spark.operators.zorder import morton_expr, zorder_by
+
+    vox = synthetic_voxels(spark)
+    zo = zorder_by(vox, ["z", "y", "x"], bits=4, num_partitions=4)
+    assert zo.columns == vox.columns
+    assert zo.count() == vox.count()
+    out = str(tmp_path / "zo")
+    zo.write.parquet(out)
+    back = spark.read.parquet(out)
+    assert back.exceptAll(vox).isEmpty() and vox.exceptAll(back).isEmpty()
+    # each written file covers a narrow, near-disjoint morton range
+    import pyarrow.parquet as pq
+    import glob
+
+    spans = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        t = pq.read_table(f, columns=["z", "y", "x"]).to_pandas()
+        m = (t["z"].astype(int), t["y"].astype(int), t["x"].astype(int))
+        enc = [int(_interleave(z, y, x, 4)) for z, y, x in zip(*m)]
+        spans.append((min(enc), max(enc)))
+    spans.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo  # range partitioning → non-overlapping curve spans
+
+
+def _interleave(z: int, y: int, x: int, bits: int) -> int:
+    code = 0
+    for b in range(bits):
+        code |= ((z >> b) & 1) << (3 * b + 2)
+        code |= ((y >> b) & 1) << (3 * b + 1)
+        code |= ((x >> b) & 1) << (3 * b + 0)
+    return code
