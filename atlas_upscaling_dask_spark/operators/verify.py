@@ -125,12 +125,19 @@ def upscale_mismatches_chunked(
                     rows["missing"].append(True)
                     continue
                 dz, dy, dx = d["o_dz"][i], d["o_dy"][i], d["o_dx"][i]
+                item = PAYLOAD_DTYPE.itemsize
                 block = np.frombuffer(
-                    _decode_payload(d["o_payload"][i], d["o_codec"][i]),
+                    _decode_payload(
+                        d["o_payload"][i], d["o_codec"][i], dz * dy * dx * item
+                    ),
                     dtype=PAYLOAD_DTYPE,
                 ).reshape(dz, dy, dx)
                 up = np.frombuffer(
-                    _decode_payload(d["u_payload"][i], d["u_codec"][i]),
+                    _decode_payload(
+                        d["u_payload"][i],
+                        d["u_codec"][i],
+                        d["u_dz"][i] * d["u_dy"][i] * d["u_dx"][i] * item,
+                    ),
                     dtype=PAYLOAD_DTYPE,
                 ).reshape(d["u_dz"][i], d["u_dy"][i], d["u_dx"][i])
                 if up.shape != (dz * scale, dy * scale, dx * scale):

@@ -88,25 +88,33 @@ def main() -> None:
         force(upscale_chunks(chunks, 2))
         t_runs.append(time.perf_counter() - t0)
     timings["bulk_upscale2"] = round(min(t_runs), 3)
-    chunks.unpersist()
+    chunks.unpersist(blocking=True)
     out_gb = meta.n_voxels * 8 * 4 / 1e9  # s³=8 output voxels, 4 B each
 
     # --- the reference's marquee ×15 workload (BASELINE.md row 3:
     # 1.04 TB logical at 1.5 GB/s), shrunk to a 43 GB-logical volume.
-    # Payloads are zlib-compressed inside the worker (the reference's
-    # Blosc-in-worker pattern) so the Arrow boundary carries ~0.3 GB,
-    # not 43 GB.
+    # Payloads are zstd-compressed inside the worker (the reference ran
+    # Blosc zstd clevel 5; pyarrow's zstd is our analog) so the Arrow
+    # boundary carries ~0.3 GB, not 43 GB.
     meta15 = VolumeMeta(114, 160, 176)
     chunks15 = synthetic_chunks(spark, meta15, chunk=(8, 32, 44)).cache()
-    force(upscale_chunks(chunks15, 15, codec="zlib"))
+    force(upscale_chunks(chunks15, 15, codec="zstd"))
     t_runs = []
     for _ in range(3):
         t0 = time.perf_counter()
-        force(upscale_chunks(chunks15, 15, codec="zlib"))
+        force(upscale_chunks(chunks15, 15, codec="zstd"))
         t_runs.append(time.perf_counter() - t0)
     timings["bulk_upscale15"] = round(min(t_runs), 3)
-    chunks15.unpersist()
+    chunks15.unpersist(blocking=True)
     out15_gb = meta15.n_voxels * 15**3 * 4 / 1e9
+
+    # Post-bulk hygiene: the bulk section pushes multi-GB of binary
+    # payloads through the block manager and JVM old-gen; without an
+    # explicit collection the relational headliners below absorb that
+    # GC debt (measured 2-8x inflation on the first queries after).
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1)
 
     # --- COO / relational / extension headliners from the suite
     headliners = [

@@ -81,6 +81,23 @@ def test_chunk_path_equals_coo_path(vox):
     assert via_coo.exceptAll(via_chunks).isEmpty()
 
 
+@pytest.mark.parametrize("codec", ["zlib", "lz4", "zstd"])
+def test_upscale_chunks_codecs_roundtrip(vox, codec):
+    # worker-side payload compression is invisible to the COO view
+    chunks = voxels_to_chunks(vox, FIXTURE_META, chunk=(8, 8, 8))
+    raw = chunks_to_voxels(upscale_chunks(chunks, 2))
+    compressed = upscale_chunks(chunks, 2, codec=codec)
+    assert compressed.select("codec").distinct().collect()[0][0] == codec
+    back = chunks_to_voxels(compressed)
+    assert back.exceptAll(raw).isEmpty() and raw.exceptAll(back).isEmpty()
+
+
+def test_upscale_chunks_rejects_bad_codec(vox):
+    chunks = voxels_to_chunks(vox, FIXTURE_META, chunk=(8, 8, 8))
+    with pytest.raises(ValueError):
+        upscale_chunks(chunks, 2, codec="brotli")
+
+
 def test_synthetic_chunks_match_voxels(spark, vox):
     # direct chunk-packed generator ≡ COO generator
     direct = chunks_to_voxels(synthetic_chunks(spark, FIXTURE_META, chunk=(8, 8, 8)))
