@@ -38,18 +38,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which the
-    Spark parquet reader rejects outright.  Read nanos as raw longs
-    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a
-    microsecond-precision timestamp via *integer* division — going
-    through doubles would lose precision at 1e18 nanoseconds.
+    """Normalize the events ``ts`` column to a session-timezone TIMESTAMP.
+
+    The driver's events.parquet has shipped ``ts`` in two physical forms
+    across rounds, and the parquet reader surfaces a third:
+
+    * INT64 TIMESTAMP(NANOS) — rejected by the Spark reader unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is set, then arrives as
+      ``bigint`` nanos.  Rebuild micros via *integer* division — going
+      through doubles would lose precision at 1e18 nanoseconds.
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false — Spark 4 infers
+      ``timestamp_ntz`` (``spark.sql.parquet.inferTimestampNTZ.enabled``
+      defaults true), which breaks ``unix_micros()`` / ``window()``
+      downstream.  Cast to ``timestamp``: under the UTC-pinned session
+      timezone this is a pure reinterpretation, matching the DuckDB
+      oracle's timezone-naive epoch exactly.
+    * TIMESTAMP(MICROS) adjusted to UTC — already ``timestamp``; no-op.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+    dt = dict(df.dtypes).get("ts")
+    if dt in ("bigint", "long"):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
