@@ -75,12 +75,19 @@ def spread_small_input(df: DataFrame, key_col: str) -> DataFrame:
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: keep the minimum id per distinct text.
 
-    At scale, group on a content hash (xxhash64 of the text) rather than
-    the full text so shuffle keys stay fixed-width; the text column
-    rides along via ``first`` (all rows in a group share it).
+    At scale, group on a content hash rather than the full text so
+    shuffle keys stay fixed-width; the text column rides along via
+    ``first`` (all rows in a group share it).  The fingerprint is
+    128-bit — two independently-seeded ``xxhash64`` values — because a
+    lone 64-bit key silently merges distinct documents at corpus scale
+    (at 1e12 docs the birthday bound expects ~thousands of collisions;
+    at 128 bits the expectation is ~1e-15).
     """
     return (
-        docs.groupBy(F.xxhash64(F.col(text_col)).alias("__h"))
+        docs.groupBy(
+            F.xxhash64(F.col(text_col)).alias("__h1"),
+            F.xxhash64(F.lit("fp2"), F.col(text_col)).alias("__h2"),
+        )
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count("*").alias("n_copies"),

@@ -1354,17 +1354,55 @@ FROM documents
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Arrow-batched mapInPandas feature extraction over binary payloads;
-    # the decode is a deterministic fake (no imaging libs in container) —
-    # rows-only check by design, the digest part is oracle-checked above.
+    # Arrow-batched mapInPandas feature extraction over binary payloads.
+    # The fake decode tiles payload bytes to an 8x8x3 image, so each
+    # channel feature is (integer byte sum)/64 — round(value*64) recovers
+    # the exact channel sum (float32 error <= 255*2^-24*64 ~ 1e-3 << 0.5),
+    # giving an integer-exact oracle AND a scalar (hashable) result shape.
     from .extensions.multimodal import extract_features, media_from_documents
 
-    return extract_features(
+    feats = extract_features(
         media_from_documents(load_table(spark, sf_dir, "documents")), fake=True
+    )
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "sha256",
+        F.posexplode("features").alias("channel", "value"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        "sha256",
+        F.col("channel").cast("int").alias("channel"),
+        F.round(F.col("value") * 64).cast("bigint").alias("chan_sum"),
     )
 
 
-_register("multimodal_features", _multimodal_features, None)
+_register(
+    "multimodal_features",
+    _multimodal_features,
+    """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n,
+         sha256(text) AS sha256
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, n, sha256, i,
+         strpos('0123456789ABCDEF', substr(hx, 2*(i % n)+1, 1)) * 16
+       + strpos('0123456789ABCDEF', substr(hx, 2*(i % n)+2, 1)) - 17 AS byte
+  FROM b, range(192) t(i)
+)
+SELECT doc_id AS media_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       sha256,
+       CAST(i % 3 AS INTEGER) AS channel,
+       CAST(sum(byte) AS BIGINT) AS chan_sum
+FROM bytes
+GROUP BY doc_id, n, sha256, i % 3
+""",
+)
 
 
 def _vox_upscale_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,6 +31,27 @@ def test_exact_dedup_counts(spark):
     assert rows["cc dd"]["n_copies"] == 1
 
 
+def test_exact_dedup_fingerprint_is_128_bit(spark):
+    # Regression for the round-1 verdict: a lone 64-bit group key silently
+    # merges distinct documents at 1e12-doc scale (birthday bound).  The
+    # group key must be TWO independently-seeded xxhash64 values, and
+    # distinct texts must never merge.
+    from atlas_upscaling_dask_spark.extensions.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "left text"), (2, "right text"), (3, "left text")],
+        "doc_id long, text string",
+    )
+    out = exact_dedup(df)
+    rows = {r["text"]: r for r in out.collect()}
+    assert len(rows) == 2
+    assert rows["left text"]["n_copies"] == 2
+    assert rows["right text"]["n_copies"] == 1
+    # two xxhash64 grouping expressions in the optimized plan = 128 bits
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("xxhash64") >= 2, plan
+
+
 def test_minhash_backends_agree_on_near_dups(docs):
     # the xxhash64 scale backend and the portable dictionary backend must
     # both recover the exact-jaccard near-duplicate pairs
