@@ -1227,6 +1227,68 @@ WHERE {_COSINE_SQL.format(a='a.v', b='b.v')} >= 0.5
 )
 
 
+def _embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF ANN with the deterministic coarse quantizer (refine_iters=0:
+    # centroids = the 16 lowest-id corpus vectors, normalized), so the
+    # whole bucket assignment + probe + score path is SQL-expressible.
+    # Cosines are rounded to 9 digits on BOTH sides: the Spark path
+    # normalizes qv before the scale-invariant cosine, so the last ulp
+    # can differ from the oracle's raw-qv evaluation.
+    from .extensions.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=16, n_probe=4
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 9).alias("cosine"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+_register(
+    "embed_ivf_topk",
+    _embed_ivf_topk,
+    f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
+         embedding::DOUBLE[] AS ctv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+corpus AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+assigned AS (
+  SELECT neighbor_id, cv, cid AS bucket FROM (
+    SELECT c.neighbor_id, c.cv, ct.cid,
+           row_number() OVER (PARTITION BY c.neighbor_id
+                              ORDER BY {_COSINE_SQL.format(a="c.cv", b="ct.ctv")} DESC, ct.cid) AS r
+    FROM corpus c, cents ct
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, qv, cid AS bucket FROM (
+    SELECT q.query_id, q.qv, ct.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COSINE_SQL.format(a="q.qv", b="ct.ctv")} DESC, ct.cid) AS r
+    FROM q, cents ct
+  ) WHERE r <= 4
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COSINE_SQL.format(a="qv", b="cv")} AS cosine
+  FROM probes JOIN assigned USING (bucket)
+  WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, round(cosine, 9) AS cosine, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+)
+
+
 def _text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.text import text_stats
 
