@@ -1560,17 +1560,48 @@ SELECT CAST(16 AS INTEGER) AS dim_z, CAST(16 AS INTEGER) AS dim_y,
 
 def _approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Approximate aggregates (HLL distinct, approximate quantiles) —
-    # sketch outputs are engine-specific, so this is a rows-only check;
-    # the exact twins are oracle-checked in distinct_agg/tpch_q1_pricing.
+    # sketch outputs are engine-specific, so raw values can't hash-match
+    # an oracle.  Property encoding instead: emit the EXACT distinct
+    # count (oracle-checked value) plus deterministic within-tolerance
+    # booleans comparing each sketch to its exact twin computed in the
+    # same query.  Both Spark sketches are deterministic for a fixed
+    # input, so the booleans are stable: HLL++ rsd defaults to 0.05
+    # (checked at 3σ = 15%); percentile_approx rank error at the default
+    # accuracy is ~n/10000 rows (checked at 1% of the exact value).
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
-        F.percentile_approx("l_extendedprice", 0.99).alias("p99_price"),
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50a"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99a"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50e"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99e"),
+    )
+    return agg.select(
+        "exact_parts",
+        (
+            F.abs(F.col("ap") - F.col("exact_parts")) / F.col("exact_parts") <= 0.15
+        ).alias("parts_within_15pct"),
+        (F.abs(F.col("p50a") - F.col("p50e")) / F.col("p50e") <= 0.01).alias(
+            "p50_within_1pct"
+        ),
+        (F.abs(F.col("p99a") - F.col("p99e")) / F.col("p99e") <= 0.01).alias(
+            "p99_within_1pct"
+        ),
     )
 
 
-_register("approx_agg", _approx_agg, None)
+_register(
+    "approx_agg",
+    _approx_agg,
+    """
+SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS parts_within_15pct,
+       TRUE AS p50_within_1pct,
+       TRUE AS p99_within_1pct
+FROM lineitem
+""",
+)
 
 
 def _window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
