@@ -1467,6 +1467,38 @@ GROUP BY doc_id, n, sha256, i % 3
 )
 
 
+def _vox_tiff_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S7 end-to-end: the FIXTURES.md §1 cube written as a multi-page
+    # baseline TIFF (pure-numpy writer), scanned back with the
+    # distributed strip range-read path, landed in COO — checked against
+    # the same SQL cube every other vox_* query uses.  The temp file is
+    # driver-local scratch (the bench's bench_vol_ pattern).
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from .sources.tiff import read_tiff_chunks, write_tiff
+    from .volume import chunks_to_voxels
+
+    z, y, x = np.meshgrid(np.arange(16), np.arange(16), np.arange(16), indexing="ij")
+    vol = (15564 + (z // 4) * 16 + (y // 4) * 4 + (x // 4)).astype("uint32")
+    path = os.path.join(tempfile.mkdtemp(prefix="tiff_fixture_"), "cube.tif")
+    write_tiff(path, vol, rows_per_strip=4)
+    chunks, _info = read_tiff_chunks(spark, path, chunk=(8, 8, 8))
+    return chunks_to_voxels(chunks).select("z", "y", "x", "label")
+
+
+_register(
+    "vox_tiff_scan",
+    _vox_tiff_scan,
+    f"""
+WITH {VOX_CTE}
+SELECT z, y, x, label FROM voxels
+""",
+)
+
+
 def _vox_upscale_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The chunk-packed bulk path (COO→chunks→np.repeat kernel→COO),
     # checked against the same oracle as the COO path: proves the two

@@ -205,15 +205,103 @@ def test_rechunk_preserves_volume(spark):
     assert back.exceptAll(vox).isEmpty() and vox.exceptAll(back).isEmpty()
 
 
-def test_tiff_stub_gated():
-    # S7 — gated import: informative error, no hard dependency
+def test_tiff_roundtrip_dtypes_and_byteorders(tmp_path):
+    # S7 — pure-numpy baseline-TIFF parser: shape/dtype recovery across
+    # sample widths, signedness, and both byte orders
+    import numpy as np
+
     from atlas_upscaling_dask_spark.sources import tiff
 
-    if not tiff.HAVE_TIFF:
-        import pytest as _pytest
+    rng = np.random.default_rng(7)
+    for dt in ("u1", "u2", "u4", "i2"):
+        for bo in ("<", ">"):
+            vol = rng.integers(0, 100, size=(3, 10, 7)).astype(dt)
+            p = str(tmp_path / f"v_{dt}_{'le' if bo == '<' else 'be'}.tif")
+            tiff.write_tiff(p, vol, rows_per_strip=4, byteorder=bo)
+            info = tiff.parse_tiff(p)
+            assert info.shape == (3, 10, 7)
+            assert info.dtype.kind == np.dtype(dt).kind
+            assert info.dtype.itemsize == np.dtype(dt).itemsize
+            assert tiff.read_tiff_shape(p) == (3, 10, 7)
+    # single-page file reports a 2-D shape (reference memmap parity)
+    one = rng.integers(0, 9, size=(1, 5, 6)).astype("u2")
+    p1 = str(tmp_path / "single.tif")
+    tiff.write_tiff(p1, one)
+    assert tiff.read_tiff_shape(p1) == (5, 6)
 
-        with _pytest.raises(NotImplementedError, match="tifffile"):
-            tiff.read_tiff_shape("/nonexistent.tif")
+
+def test_tiff_distributed_scan_strips_and_tiles(spark, tmp_path):
+    # S7 — distributed range-read scan lands the exact volume in the
+    # chunk-packed representation, for strip AND tile layouts (with
+    # edge tiles spec-padded) and chunk grids misaligned to both
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.sources import tiff
+
+    rng = np.random.default_rng(11)
+    vol = rng.integers(0, 70000, size=(5, 13, 11)).astype("u4")
+    for name, kwargs in (
+        ("strips.tif", {"rows_per_strip": 4}),
+        ("tiles.tif", {"tile": (8, 8)}),
+        ("tiles_odd.tif", {"tile": (5, 3)}),
+    ):
+        p = str(tmp_path / name)
+        tiff.write_tiff(p, vol, **kwargs)
+        chunks, info = tiff.read_tiff_chunks(spark, p, chunk=(2, 6, 5))
+        assert info.shape == vol.shape
+        got = np.zeros(vol.shape, dtype="u4")
+        for r in chunks_to_voxels(chunks).collect():
+            got[r["z"], r["y"], r["x"]] = r["label"]
+        assert np.array_equal(got, vol), name
+
+
+def test_tiff_streaming_export_roundtrip(spark, tmp_path):
+    # K6 — slice-streamed TIFF export of the fixture cube reads back
+    # identical through the distributed scan (writer<->parser closure)
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.sinks.writer import export_tiff
+    from atlas_upscaling_dask_spark.sources import tiff
+    from atlas_upscaling_dask_spark.volume import FIXTURE_META, synthetic_voxels
+
+    vox = synthetic_voxels(spark)
+    p = str(tmp_path / "export.tif")
+    export_tiff(vox, p, FIXTURE_META, dtype="uint32", rows_per_strip=5)
+    info = tiff.parse_tiff(p)
+    assert info.shape == FIXTURE_META.shape
+    chunks, _ = tiff.read_tiff_chunks(spark, p, chunk=(8, 8, 8))
+    back = chunks_to_voxels(chunks).select("z", "y", "x", "label")
+    want = vox.select("z", "y", "x", "label")
+    assert back.exceptAll(want).isEmpty() and want.exceptAll(back).isEmpty()
+
+
+def test_tiff_unsupported_shapes_raise(tmp_path):
+    # loud subset contract: compression and multi-sample files must
+    # fail with the reason, not decode garbage
+    import struct
+
+    import pytest as _pytest
+
+    from atlas_upscaling_dask_spark.sources import tiff
+
+    p = str(tmp_path / "lzw.tif")
+    import numpy as np
+
+    tiff.write_tiff(p, np.zeros((2, 4, 4), dtype="u1"))
+    # flip the compression tag of IFD0 to LZW (5) in place
+    raw = bytearray(open(p, "rb").read())
+    (ifd0,) = struct.unpack("<I", raw[4:8])
+    (n,) = struct.unpack("<H", raw[ifd0 : ifd0 + 2])
+    for i in range(n):
+        e = ifd0 + 2 + i * 12
+        (tag,) = struct.unpack("<H", raw[e : e + 2])
+        if tag == 259:
+            raw[e + 8 : e + 12] = struct.pack("<I", 5)
+    open(p, "wb").write(bytes(raw))
+    with _pytest.raises(ValueError, match="compression"):
+        tiff.parse_tiff(p)
+    with _pytest.raises(ValueError, match="byte-order"):
+        tiff.parse_tiff(__file__)
 
 
 def test_bucketed_colocated_join(spark, tmp_path):
