@@ -140,15 +140,17 @@ def export_tiff(
     meta: VolumeMeta,
     dtype: str = "uint32",
     rows_per_strip: int = 64,
+    bigtiff: bool = True,
 ) -> None:
     """K6 — stream a COO volume into one multi-page TIFF.
 
     The literal analog of the reference's slice-wise BigTIFF export
-    (``anno_upsampling.py:112-118``): one ordered distributed pass,
-    the driver assembles ONE (Y, X) plane at a time and appends it via
-    ``TiffStackWriter`` — volume memory never lands on the driver.
-    Missing voxels (sparse COO) stay 0, matching the reference's
-    zero-initialized target.
+    (``anno_upsampling.py:112-118`` passes ``bigtiff=True``, hence the
+    default here — classic TIFF tops out at 4 GB): one ordered
+    distributed pass, the driver assembles ONE (Y, X) plane at a time
+    and appends it via ``TiffStackWriter`` — volume memory never lands
+    on the driver.  Missing voxels (sparse COO) stay 0, matching the
+    reference's zero-initialized target.
     """
     import numpy as np
 
@@ -156,7 +158,7 @@ def export_tiff(
 
     nz, ny, nx = meta.shape
     dt = np.dtype(dtype)
-    with TiffStackWriter(path, rows_per_strip=rows_per_strip) as w:
+    with TiffStackWriter(path, rows_per_strip=rows_per_strip, bigtiff=bigtiff) as w:
         plane = np.zeros((ny, nx), dtype=dt)
         cur_z = 0
         for row in export_ordered(voxels):

@@ -345,16 +345,26 @@ class TiffStackWriter:
         rows_per_strip: int = 64,
         byteorder: str = "<",
         tile: tuple[int, int] | None = None,
+        bigtiff: bool = False,
     ):
         if byteorder not in ("<", ">"):
             raise ValueError(f"byteorder must be '<' or '>', got {byteorder!r}")
         self.bo = byteorder
         self.rows_per_strip = rows_per_strip
         self.tile = tile
+        # classic TIFF offsets are 32-bit → 4 GB ceiling; a volume export
+        # at real scale needs BigTIFF (magic 43, 8-byte offsets), which
+        # is also what the reference's writer emits (anno_upsampling.py:
+        # 112-118 passes bigtiff=True).
+        self.big = bigtiff
         self.fh = open(path, "wb")
         mark = b"II" if byteorder == "<" else b"MM"
-        self.fh.write(struct.pack(byteorder + "2sHI", mark, 42, 0))
-        self._ifd_ptr_pos = 4  # patched by the first append()
+        if bigtiff:
+            self.fh.write(struct.pack(byteorder + "2sHHHQ", mark, 43, 8, 0, 0))
+            self._ifd_ptr_pos = 8  # patched by the first append()
+        else:
+            self.fh.write(struct.pack(byteorder + "2sHI", mark, 42, 0))
+            self._ifd_ptr_pos = 4
 
     def __enter__(self):
         return self
@@ -384,7 +394,7 @@ class TiffStackWriter:
 
     def append(self, plane: np.ndarray) -> None:
         """Write one (Y, X) plane as the next page."""
-        bo, fh = self.bo, self.fh
+        bo, fh, big = self.bo, self.fh, self.big
         if plane.ndim != 2:
             raise ValueError(f"expected a (Y,X) plane, got shape {plane.shape}")
         kind_to_sfmt = {"u": 1, "i": 2, "f": 3}
@@ -392,6 +402,11 @@ class TiffStackWriter:
             raise ValueError(f"unsupported dtype {plane.dtype}")
         dt = plane.dtype.newbyteorder(bo)
         ny, nx = plane.shape
+        # BigTIFF: 8-byte offsets (LONG8, type 16), 20-byte entries,
+        # 8-byte inline fields; classic: 4-byte LONG, 12-byte entries.
+        off_type = 16 if big else 4
+        off_fmt = "Q" if big else "I"
+        inline_size = 8 if big else 4
 
         # segment payloads first, then the IFD referencing them
         seg_offsets, seg_counts = [], []
@@ -406,7 +421,7 @@ class TiffStackWriter:
             if len(values) == 1:
                 return values[0]
             pos = fh.tell()
-            fh.write(struct.pack(f"{bo}{len(values)}I", *values))
+            fh.write(struct.pack(f"{bo}{len(values)}{off_fmt}", *values))
             return pos
 
         n_segs = len(seg_offsets)
@@ -425,30 +440,31 @@ class TiffStackWriter:
             entries += [
                 (_TAG_TILE_WIDTH, 4, 1, self.tile[1]),
                 (_TAG_TILE_LENGTH, 4, 1, self.tile[0]),
-                (_TAG_TILE_OFFSETS, 4, n_segs, off_val),
-                (_TAG_TILE_BYTECOUNTS, 4, n_segs, cnt_val),
+                (_TAG_TILE_OFFSETS, off_type, n_segs, off_val),
+                (_TAG_TILE_BYTECOUNTS, off_type, n_segs, cnt_val),
             ]
         else:
             entries += [
                 (_TAG_ROWS_PER_STRIP, 4, 1, min(self.rows_per_strip, ny)),
-                (_TAG_STRIP_OFFSETS, 4, n_segs, off_val),
-                (_TAG_STRIP_BYTECOUNTS, 4, n_segs, cnt_val),
+                (_TAG_STRIP_OFFSETS, off_type, n_segs, off_val),
+                (_TAG_STRIP_BYTECOUNTS, off_type, n_segs, cnt_val),
             ]
         entries.sort()  # IFD entries must be tag-ordered per spec
         ifd_pos = fh.tell()
         # patch the previous next-IFD pointer (or the header) to here
         fh.seek(self._ifd_ptr_pos)
-        fh.write(struct.pack(bo + "I", ifd_pos))
+        fh.write(struct.pack(bo + off_fmt, ifd_pos))
         fh.seek(ifd_pos)
-        fh.write(struct.pack(bo + "H", len(entries)))
+        fh.write(struct.pack(bo + ("Q" if big else "H"), len(entries)))
+        count_fmt = "Q" if big else "I"
         for tag, ftype, count, value in entries:
             fmt, _ = _FIELD_TYPES[ftype]
-            # inline values occupy the leading bytes of the 4-byte
-            # field in BOTH byte orders (TIFF 6.0 §2)
-            inline = struct.pack(bo + fmt, value).ljust(4, b"\0")
-            fh.write(struct.pack(bo + "HHI", tag, ftype, count) + inline)
+            # inline values occupy the leading bytes of the value field
+            # in BOTH byte orders (TIFF 6.0 §2)
+            inline = struct.pack(bo + fmt, value).ljust(inline_size, b"\0")
+            fh.write(struct.pack(bo + "HH" + count_fmt, tag, ftype, count) + inline)
         self._ifd_ptr_pos = fh.tell()
-        fh.write(struct.pack(bo + "I", 0))  # next-IFD (patched by next page)
+        fh.write(struct.pack(bo + off_fmt, 0))  # next-IFD (patched by next page)
 
 
 def write_tiff(
@@ -457,6 +473,7 @@ def write_tiff(
     rows_per_strip: int = 64,
     byteorder: str = "<",
     tile: tuple[int, int] | None = None,
+    bigtiff: bool = False,
 ) -> None:
     """Write a whole (Z,Y,X) or (Y,X) array as a multi-page TIFF."""
     vol = np.ascontiguousarray(volume)
@@ -465,7 +482,11 @@ def write_tiff(
     if vol.ndim != 3:
         raise ValueError(f"expected (Z,Y,X) or (Y,X) array, got shape {vol.shape}")
     with TiffStackWriter(
-        path, rows_per_strip=rows_per_strip, byteorder=byteorder, tile=tile
+        path,
+        rows_per_strip=rows_per_strip,
+        byteorder=byteorder,
+        tile=tile,
+        bigtiff=bigtiff,
     ) as w:
         for z in range(vol.shape[0]):
             w.append(vol[z])

@@ -228,6 +228,17 @@ def test_tiff_roundtrip_dtypes_and_byteorders(tmp_path):
     p1 = str(tmp_path / "single.tif")
     tiff.write_tiff(p1, one)
     assert tiff.read_tiff_shape(p1) == (5, 6)
+    # BigTIFF (magic 43, 8-byte offsets — the >4 GB export format the
+    # reference writer uses) round-trips through the same parser
+    vol = rng.integers(0, 100, size=(4, 9, 8)).astype("u4")
+    pb = str(tmp_path / "big.tif")
+    tiff.write_tiff(pb, vol, rows_per_strip=3, bigtiff=True)
+    import struct as _struct
+
+    with open(pb, "rb") as fh:
+        assert _struct.unpack("<H", fh.read(4)[2:])[0] == 43
+    info = tiff.parse_tiff(pb)
+    assert info.shape == (4, 9, 8) and info.dtype.itemsize == 4
 
 
 def test_tiff_distributed_scan_strips_and_tiles(spark, tmp_path):

@@ -182,6 +182,31 @@ def audited_queries():
             QUERIES["contamination"],
             {"max_shuffles": 6, "codegen": True, "no_python_udf": True},
         ),
+        # exact dedup: ONE shuffle on the 128-bit fingerprint, nothing
+        # else — the whole-corpus dedup pass at 100 TB is a single
+        # map-side-combined exchange
+        "dedup_exact": (
+            QUERIES["dedup_exact"],
+            {"max_shuffles": 1, "codegen": True, "no_python_udf": True},
+        ),
+        # IVF ANN: broadcast probe join onto bucket-assigned corpus +
+        # per-query top-k window — the corpus is never shuffled by
+        # anything except the final k-row-per-query window
+        "embed_ivf_topk": (
+            QUERIES["embed_ivf_topk"],
+            {"broadcast": True, "max_shuffles": 1},
+        ),
+        # TIFF scan → COO: grid repartition is the ONLY exchange; the
+        # strip reads and the payload explode are narrow
+        "vox_tiff_scan": (
+            QUERIES["vox_tiff_scan"],
+            {"max_shuffles": 1},
+        ),
+        # Arrow-batched feature extraction + posexplode: fully narrow
+        "multimodal_features": (
+            QUERIES["multimodal_features"],
+            {"no_shuffle": True},
+        ),
     }
 
 
