@@ -53,7 +53,13 @@ def doc_pipeline(
         quality_expr(text_col).alias("quality"),
         fingerprint_expr(text_col).alias("fingerprint"),
     )
-    w = Window.partitionBy("norm_text")
+    # Window key: a 128-bit fingerprint of norm_text, NOT the text
+    # itself — the shuffle hash/sort then works on two fixed-width
+    # longs instead of arbitrarily long strings (same dedup semantics;
+    # collision expectation ~1e-15 even at 1e12 docs, like exact_dedup).
+    w = Window.partitionBy(
+        F.xxhash64("norm_text"), F.xxhash64(F.lit("fp2"), "norm_text")
+    )
     return enriched.withColumn(
         "canonical_id", F.min("doc_id").over(w)
     ).withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))

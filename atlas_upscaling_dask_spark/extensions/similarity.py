@@ -253,20 +253,33 @@ def ivf_topk(
     partitioned by bucket, so probes prune partitions.  Recall/cost is
     tuned by ``n_probe``/``n_centroids`` exactly as in FAISS-style IVF.
     """
+    cents = _coarse_centroids(corpus, n_centroids, refine_iters, id_col, vec_col)
+    assigned = _assign_buckets(corpus, cents, id_col, vec_col)
+    q_df = _probe_frame(queries, cents, n_probe, id_col, vec_col)
+    return _score_probed(q_df, assigned, k)
+
+
+def _coarse_centroids(corpus, n_centroids, refine_iters, id_col, vec_col):
+    """Coarse quantizer: lowest-id seeds, optional Lloyd refinement."""
     import numpy as np
-    import pandas as pd
 
     if refine_iters > 0:
-        cents = kmeans_centroids(
+        return kmeans_centroids(
             corpus, n_centroids, iters=refine_iters,
             id_col=id_col, vec_col=vec_col,
         )
-    else:
-        cent_rows = (
-            corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
-        )
-        cents = np.array([r[1] for r in cent_rows], dtype=np.float64)
-        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cent_rows = (
+        corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    )
+    cents = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents
+
+
+def _assign_buckets(corpus: DataFrame, cents, id_col: str, vec_col: str) -> DataFrame:
+    """One narrow GEMM pass: (neighbor_id, bucket, cv)."""
+    import numpy as np
+    import pandas as pd
 
     def assign(batches):
         for pdf in batches:
@@ -281,15 +294,23 @@ def ivf_topk(
                 }
             )
 
-    assigned = corpus.mapInPandas(
-        assign, schema=f"neighbor_id long, bucket int, cv {corpus.schema[vec_col].dataType.simpleString()}"
+    return corpus.mapInPandas(
+        assign,
+        schema=(
+            "neighbor_id long, bucket int, "
+            f"cv {corpus.schema[vec_col].dataType.simpleString()}"
+        ),
     )
+
+
+def _probe_frame(queries: DataFrame, cents, n_probe: int, id_col: str, vec_col: str) -> DataFrame:
+    """Collect the (small-by-contract) query set and expand each query
+    to its n_probe nearest centroid buckets: (query_id, bucket, qv)."""
+    import numpy as np
 
     q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:
         raise ValueError("empty query set")
-    import itertools
-
     q_probe = []
     for r in q_rows:
         qv = np.asarray(r[1], dtype=np.float64)
@@ -297,11 +318,14 @@ def ivf_topk(
         order = np.argsort(-(cents @ qv), kind="stable")[:n_probe]
         q_probe.append((int(r[0]), [int(b) for b in order], [float(v) for v in qv]))
     spark = queries.sparkSession
-    q_df = spark.createDataFrame(
+    return spark.createDataFrame(
         [(qid, b, qv) for qid, bs, qv in q_probe for b in bs],
         "query_id long, bucket int, qv array<double>",
     )
 
+
+def _score_probed(q_df: DataFrame, assigned: DataFrame, k: int) -> DataFrame:
+    """Broadcast probe join on the bucket key + per-query top-k window."""
     scored = (
         F.broadcast(q_df)
         .join(assigned, "bucket")
@@ -320,6 +344,69 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: corpus PARTITIONED BY bucket on disk,
+    centroids in a JSON sidecar.
+
+    This is the 100 TB shape of IVF: assignment runs once at build
+    time, and every later query reads ONLY its probed buckets — the
+    bucket partition column prunes directories before a single byte of
+    vector data is scanned (`ivf_index_topk` plans a scan with
+    PartitionFilters, not a full-corpus pass).
+    """
+    import json
+    import os
+
+    cents = _coarse_centroids(corpus, n_centroids, refine_iters, id_col, vec_col)
+    assigned = _assign_buckets(corpus, cents, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump(
+            {
+                "n_centroids": int(cents.shape[0]),
+                "dim": int(cents.shape[1]),
+                "centroids": cents.tolist(),
+            },
+            f,
+        )
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index with partition-pruned bucket reads.
+
+    The probed-bucket filter is an IN over the partition column, so the
+    parquet scan only lists/reads those directories (visible as
+    PartitionFilters in the plan) — query cost scales with
+    |Q| · n_probe · bucket-size, independent of corpus size.
+    """
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        cents = np.asarray(json.load(f)["centroids"], dtype=np.float64)
+    q_df = _probe_frame(queries, cents, n_probe, id_col, vec_col)
+    probed = sorted({r["bucket"] for r in q_df.select("bucket").distinct().collect()})
+    assigned = spark.read.parquet(path).filter(F.col("bucket").isin(probed))
+    return _score_probed(q_df, assigned, k)
 
 
 def quantize_embeddings(

@@ -332,6 +332,33 @@ def test_ivf_partial_probe_subset(emb):
         assert r["neighbor_id"] != r["query_id"]
 
 
+def test_ivf_persisted_index_matches_inline_and_prunes(emb, spark, tmp_path):
+    # the 100 TB shape: build once (bucket-partitioned parquet +
+    # centroid sidecar), query with partition-pruned bucket reads —
+    # results must equal the inline ivf_topk, and the scan must carry a
+    # PartitionFilters clause on bucket (no full-corpus pass)
+    from atlas_upscaling_dask_spark.extensions.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, idx, n_centroids=8)
+    q = emb.filter(F.col("vec_id") < 5)
+    inline = {
+        (r["query_id"], r["neighbor_id"], r["rk"])
+        for r in ivf_topk(q, emb, k=5, n_centroids=8, n_probe=3).collect()
+    }
+    out_df = ivf_index_topk(spark, idx, q, k=5, n_probe=3)
+    persisted = {
+        (r["query_id"], r["neighbor_id"], r["rk"]) for r in out_df.collect()
+    }
+    assert persisted == inline
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+
+
 def test_interval_join_bucketed_edges(spark):
     from atlas_upscaling_dask_spark.operators.range_join import interval_join_bucketed
 
