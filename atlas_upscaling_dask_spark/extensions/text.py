@@ -177,6 +177,69 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+# Deterministic example weights for the linear quality model — in
+# production these come from a trained classifier (fasttext-style);
+# the *shape* (broadcast constants folded into one codegen'd
+# expression) is the point.
+DEFAULT_QUALITY_WEIGHTS = {
+    "bias": -2.0,
+    "n_chars": 0.0005,
+    "n_tokens": 0.004,
+    "n_punct": -0.06,
+    "n_stopwords": 0.09,
+    "stopword_ratio": 2.5,
+    "chars_per_token": -0.08,
+}
+
+
+def model_quality_margin_expr(
+    text_col: str = "text", weights: dict[str, float] | None = None
+) -> Column:
+    """Linear-model margin w·f + b over the per-document stat features.
+
+    The model is tiny (a handful of floats), so it is not broadcast
+    state at all — the weights fold into the expression as literals and
+    the whole scorer runs inside one whole-stage-codegen span.  The sum
+    is a FIXED left-to-right chain so the oracle can reproduce it
+    bitwise (IEEE ops in identical order).
+    """
+    w = {**DEFAULT_QUALITY_WEIGHTS, **(weights or {})}
+    s = stats_exprs(text_col)
+    return (
+        F.lit(w["bias"])
+        + F.lit(w["n_chars"]) * s["n_chars"]
+        + F.lit(w["n_tokens"]) * s["n_tokens"]
+        + F.lit(w["n_punct"]) * s["n_punct"]
+        + F.lit(w["n_stopwords"]) * s["n_stopwords"]
+        + F.lit(w["stopword_ratio"]) * s["stopword_ratio"]
+        + F.lit(w["chars_per_token"]) * s["chars_per_token"]
+    )
+
+
+def model_quality_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality screening: (doc_id, margin, score, keep).
+
+    ``score`` is the sigmoid of the margin; ``keep`` is decided on the
+    margin against logit(threshold) so the decision is exact (no
+    transcendental in the cut)."""
+    import math
+
+    margin = model_quality_margin_expr(text_col, weights)
+    cut = math.log(threshold / (1.0 - threshold))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        margin.alias("margin"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("score"),
+        (margin >= F.lit(cut)).alias("keep"),
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: argmax of per-language marker-word hits."""
     pred, m = lang_exprs(text_col)

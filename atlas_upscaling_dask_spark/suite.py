@@ -1375,6 +1375,47 @@ FROM h
 )
 
 
+def _model_quality_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fasttext-style linear quality model: weights fold into one
+    # codegen'd expression; margin is a fixed left-to-right IEEE chain
+    # the oracle mirrors bitwise.  score (sigmoid) is exercised by the
+    # operator but projected out here — exp() differs across engines in
+    # the last ulp; keep is decided on the margin, so it stays exact.
+    from .extensions.text import model_quality_score
+
+    return model_quality_score(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "margin", "keep"
+    )
+
+
+_register(
+    "model_quality_screen",
+    _model_quality_screen_q,
+    f"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         len(list_filter(string_split(text, ' '), x -> list_contains({_STOPLIST_SQL}, x))) AS n_stopwords,
+         len(list_filter(string_split(text, ' '), x -> list_contains({_STOPLIST_SQL}, x))) / len(string_split(text, ' ')) AS stopword_ratio,
+         length(text) / len(string_split(text, ' ')) AS chars_per_token
+  FROM documents
+)
+SELECT doc_id,
+       -2.0::DOUBLE + 0.0005::DOUBLE * n_chars + 0.004::DOUBLE * n_tokens
+            + (-0.06::DOUBLE) * n_punct + 0.09::DOUBLE * n_stopwords
+            + 2.5::DOUBLE * stopword_ratio
+            + (-0.08::DOUBLE) * chars_per_token AS margin,
+       (-2.0::DOUBLE + 0.0005::DOUBLE * n_chars + 0.004::DOUBLE * n_tokens
+            + (-0.06::DOUBLE) * n_punct + 0.09::DOUBLE * n_stopwords
+            + 2.5::DOUBLE * stopword_ratio
+            + (-0.08::DOUBLE) * chars_per_token) >= 0.0::DOUBLE AS keep
+FROM s
+""",
+)
+
+
 def _doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.text import doc_fingerprint
 

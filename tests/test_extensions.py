@@ -31,6 +31,23 @@ def test_exact_dedup_counts(spark):
     assert rows["cc dd"]["n_copies"] == 1
 
 
+def test_model_quality_score_consistency(docs):
+    # the sigmoid score and the margin-based keep decision must agree,
+    # and custom weights must shift the decision boundary
+    from atlas_upscaling_dask_spark.extensions.text import model_quality_score
+
+    out = model_quality_score(docs).collect()
+    assert out
+    for r in out:
+        assert r["keep"] == (r["margin"] >= 0.0)
+        assert abs(r["score"] - 1.0 / (1.0 + __import__("math").exp(-r["margin"]))) < 1e-12
+        assert r["keep"] == (r["score"] >= 0.5)
+    all_keep = model_quality_score(
+        docs, weights={"bias": 1e9}
+    ).agg(F.min("keep")).collect()[0][0]
+    assert all_keep is True
+
+
 def test_exact_dedup_fingerprint_is_128_bit(spark):
     # Regression for the round-1 verdict: a lone 64-bit group key silently
     # merges distinct documents at 1e12-doc scale (birthday bound).  The

@@ -207,6 +207,12 @@ def audited_queries():
             QUERIES["multimodal_features"],
             {"no_shuffle": True},
         ),
+        # linear quality model: weights fold into ONE codegen'd narrow
+        # projection — model scoring at 100 TB costs zero exchanges
+        "model_quality_screen": (
+            QUERIES["model_quality_screen"],
+            {"no_shuffle": True, "codegen": True, "no_python_udf": True},
+        ),
     }
 
 
