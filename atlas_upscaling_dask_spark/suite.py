@@ -582,13 +582,24 @@ FROM lineitem GROUP BY l_returnflag
 def _window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Running aggregate per key with a fully deterministic frame order —
     # both engines add in the same order, so doubles match bitwise
-    # (l_quantity is integral anyway).
+    # (l_quantity is integral anyway).  The synthetic lineitem is NOT
+    # keyed by (l_orderkey, l_linenumber) — sf0.1 contains duplicate
+    # pairs — so the order extends through quantity/price/partkey: rows
+    # still tied after that are identical in every projected column and
+    # their two prefix values form the same multiset either way.
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_partkey",
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return li.select(
@@ -605,7 +616,8 @@ _register(
     """
 SELECT l_suppkey, l_orderkey, l_linenumber,
        sum(l_quantity) OVER (PARTITION BY l_suppkey
-                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                      l_quantity, l_extendedprice, l_partkey
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
 FROM lineitem
 """,
