@@ -273,3 +273,69 @@ def start_dedup_stream_memory(
         .queryName(query_name)
         .start()
     )
+
+
+# mirrors the driver's documents.parquet (TESTDATA.md)
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def doc_enrichment_stream(docs: DataFrame) -> DataFrame:
+    """Streaming document enrichment — the per-row half of
+    ``extensions.pipeline.doc_pipeline`` applied to an unbounded corpus
+    drop-folder.
+
+    The enrichment expressions are pure column expressions (stateless,
+    no window), so the SAME code path serves batch and stream — this is
+    the Spark-first shape for continuous corpus intake: enrichment at
+    ingest (narrow, codegen'd), dedup election as a later batch/compact
+    step over the enriched table (the stateful half needs corpus-wide
+    grouping that streaming can only approximate within a watermark).
+    """
+    from ..extensions.text import (
+        fingerprint_expr,
+        lang_exprs,
+        normalize_expr,
+        quality_expr,
+        stats_exprs,
+    )
+
+    s = stats_exprs("text")
+    pred, _ = lang_exprs("text")
+    return docs.select(
+        "doc_id",
+        normalize_expr("text").alias("norm_text"),
+        s["n_tokens"].alias("n_tokens"),
+        s["n_bpe_tokens"].alias("n_bpe_tokens"),
+        pred.alias("lang_pred"),
+        quality_expr("text").alias("quality"),
+        fingerprint_expr("text").alias("fingerprint"),
+        F.xxhash64("text").alias("fp1"),
+        F.xxhash64(F.lit("fp2"), "text").alias("fp2"),
+    )
+
+
+def start_doc_enrichment_memory(
+    spark: SparkSession, source_path: str, query_name: str = "doc_enrichment"
+):
+    """Stream parquet document drops through the enrichment projection
+    into a memory sink (append mode — the projection is stateless)."""
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_path)
+    )
+    return (
+        doc_enrichment_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -198,3 +198,25 @@ def test_slice_ingestion_checkpoint_restart(spark, tmp_path):
     vox = chunks_to_voxels(spark.read.parquet(vol))
     assert vox.count() == 48
     assert vox.select("z", "y", "x").distinct().count() == 48
+
+
+def test_doc_enrichment_stream_equals_batch(spark, sf_dir, stream_dir):
+    # the enrichment projection is stateless, so draining the stream
+    # must yield exactly the batch projection over the same documents
+    from atlas_upscaling_dask_spark.streaming.ingest import (
+        doc_enrichment_stream,
+        start_doc_enrichment_memory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(stream_dir)
+
+    q = start_doc_enrichment_memory(spark, stream_dir, query_name="de_test")
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM de_test")
+        batch = doc_enrichment_stream(docs)  # same builder, batch frame
+        assert got.count() == docs.count()
+        assert got.exceptAll(batch).isEmpty() and batch.exceptAll(got).isEmpty()
+    finally:
+        q.stop()
