@@ -214,6 +214,46 @@ def stratified_sample(
     )
 
 
+def mixture_resample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic domain-mixture resampling: downsample each source
+    to its target share of a ``total``-row training mix.
+
+    The standard corpus-mixing step (web 60% / code 20% / books 20%…):
+    each source's quota is ``floor(total · weight)``; the quota rows are
+    the ones with the smallest salted md5 of the key — a pure function
+    of (seed, key), so the mix is reproducible across runs, engines,
+    and partitionings.  Sources absent from ``weights`` are dropped;
+    a source smaller than its quota contributes everything it has
+    (upweighting by repetition is a separate op — see train_shuffle for
+    epoch-style repetition).
+
+    Plan shape: ONE window shuffle keyed by the source column (AQE skew
+    split applies for heavy-hitter sources); the quota lookup folds into
+    the projection as a CASE literal — no join against a quota table.
+    """
+    quota: Column = F.lit(0)
+    for s, w in weights.items():
+        quota = F.when(F.col(stratum_col) == s, int(total * w)).otherwise(quota)
+    h = F.md5(
+        F.concat(F.lit(seed).cast("string"), F.lit(":"), F.col(key_col).cast("string"))
+    )
+    win = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        docs.withColumn("_q", quota)
+        .filter(F.col("_q") > 0)
+        .withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= F.col("_q"))
+        .drop("_q", "_rk")
+    )
+
+
 def _shingle_rows(
     docs: DataFrame, n: int, text_col: str, id_col: str, out_id: str
 ) -> DataFrame:

@@ -1387,6 +1387,40 @@ FROM h
 )
 
 
+def _mixture_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # domain-mixture resampling to a 50/30/20 three-source mix of 40
+    # rows: quotas fold into a CASE literal, ranks are salted md5 of the
+    # key — reproducible across engines, so the oracle replays the exact
+    # sample membership.
+    from .extensions.training import mixture_resample
+
+    return mixture_resample(
+        load_table(spark, sf_dir, "documents"),
+        weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        total=40,
+    )
+
+
+_register(
+    "mixture_resample",
+    _mixture_resample_q,
+    """
+WITH ranked AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         CASE source WHEN 'src0' THEN 20 WHEN 'src1' THEN 12
+                     WHEN 'src2' THEN 8 ELSE 0 END AS q,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(concat('0', ':', CAST(doc_id AS VARCHAR))), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, text, lang, source, n_chars
+FROM ranked WHERE q > 0 AND rk <= q
+""",
+)
+
+
 def _model_quality_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fasttext-style linear quality model: weights fold into one
     # codegen'd expression; margin is a fixed left-to-right IEEE chain

@@ -31,6 +31,29 @@ def test_exact_dedup_counts(spark):
     assert rows["cc dd"]["n_copies"] == 1
 
 
+def test_mixture_resample_quotas_and_determinism(spark):
+    from atlas_upscaling_dask_spark.extensions.training import mixture_resample
+
+    rows = [(i, f"doc {i}", "en", f"s{i % 4}", 10) for i in range(200)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = mixture_resample(docs, {"s0": 0.5, "s1": 0.25}, total=40)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # s0 quota 20, s1 quota 10; s2/s3 absent from the mix entirely
+    assert counts == {"s0": 20, "s1": 10}
+    # deterministic: same seed → identical membership
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"] for r in mixture_resample(docs, {"s0": 0.5, "s1": 0.25}, total=40).collect()}
+    assert ids1 == ids2
+    # different seed → same quotas, (almost surely) different members
+    ids3 = {r["doc_id"] for r in mixture_resample(docs, {"s0": 0.5, "s1": 0.25}, total=40, seed=7).collect()}
+    assert len(ids3) == 30 and ids3 != ids1
+    # a source smaller than its quota contributes everything it has
+    tiny = mixture_resample(docs.filter(F.col("doc_id") < 8), {"s0": 1.0}, total=1000)
+    assert tiny.count() == 2  # doc_ids 0 and 4 are the only s0 rows
+
+
 def test_model_quality_score_consistency(docs):
     # the sigmoid score and the margin-based keep decision must agree,
     # and custom weights must shift the decision boundary
