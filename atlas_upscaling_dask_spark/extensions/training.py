@@ -254,6 +254,50 @@ def mixture_resample(
     )
 
 
+def mixture_upsample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Epoch-style repetition for under-represented domains: weight 2.3
+    emits every row twice plus a deterministic 30% of rows a third time
+    (an ``epoch`` column numbers the copies).
+
+    The fractional epoch reuses the hash-band trick from
+    :func:`hash_split_expr`: membership is ``md5-prefix < hex(frac)`` —
+    engine-portable, stable under insertion/deletion of other rows, and
+    zero-shuffle (the whole op is a narrow projection + explode; 100 TB
+    of repetition costs no exchange, the copies materialize lazily in
+    the scan's own tasks).  Sources absent from ``weights`` are
+    dropped.  Pair with :func:`mixture_resample` (downsampling) to hit
+    an arbitrary target mix.
+    """
+    hex_digits = 8
+    space = 16**hex_digits
+    h = F.substring(
+        F.md5(
+            F.concat(F.lit(f"up{seed}"), F.lit(":"), F.col(key_col).cast("string"))
+        ),
+        1,
+        hex_digits,
+    )
+    copies: Column = F.lit(0)
+    for s, wt in weights.items():
+        n_full = int(wt)
+        frac = wt - n_full
+        edge = format(min(int(frac * space), space - 1), f"0{hex_digits}x")
+        c = F.lit(n_full) + F.when(h < F.lit(edge), 1).otherwise(0)
+        copies = F.when(F.col(stratum_col) == s, c).otherwise(copies)
+    return (
+        docs.withColumn("_c", copies)
+        .filter(F.col("_c") >= 1)
+        .select("*", F.explode(F.sequence(F.lit(1), F.col("_c"))).alias("epoch"))
+        .drop("_c")
+    )
+
+
 def _shingle_rows(
     docs: DataFrame, n: int, text_col: str, id_col: str, out_id: str
 ) -> DataFrame:

@@ -1421,6 +1421,41 @@ FROM ranked WHERE q > 0 AND rk <= q
 )
 
 
+def _mixture_upsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # epoch-style repetition: src0 ×2.3, src1 ×0.5, src2 ×1 — fractional
+    # epochs are md5-hex-band membership, replayed exactly by the oracle.
+    from .extensions.training import mixture_upsample
+
+    return mixture_upsample(
+        load_table(spark, sf_dir, "documents"),
+        weights={"src0": 2.3, "src1": 0.5, "src2": 1.0},
+    )
+
+
+def _upsample_edge(frac: float) -> str:
+    return format(min(int(frac * 16**8), 16**8 - 1), "08x")
+
+
+_register(
+    "mixture_upsample",
+    _mixture_upsample_q,
+    f"""
+WITH c AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         CASE source
+           WHEN 'src0' THEN 2 + CASE WHEN substr(md5(concat('up0', ':', CAST(doc_id AS VARCHAR))), 1, 8) < '{_upsample_edge(0.3)}' THEN 1 ELSE 0 END
+           WHEN 'src1' THEN 0 + CASE WHEN substr(md5(concat('up0', ':', CAST(doc_id AS VARCHAR))), 1, 8) < '{_upsample_edge(0.5)}' THEN 1 ELSE 0 END
+           WHEN 'src2' THEN 1
+           ELSE 0 END AS n
+  FROM documents
+)
+SELECT doc_id, text, lang, source, n_chars, CAST(epoch AS INTEGER) AS epoch
+FROM c, unnest(generate_series(1, n)) AS t(epoch)
+WHERE n >= 1
+""",
+)
+
+
 def _model_quality_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fasttext-style linear quality model: weights fold into one
     # codegen'd expression; margin is a fixed left-to-right IEEE chain

@@ -54,6 +54,33 @@ def test_mixture_resample_quotas_and_determinism(spark):
     assert tiny.count() == 2  # doc_ids 0 and 4 are the only s0 rows
 
 
+def test_mixture_upsample_epochs(spark):
+    from atlas_upscaling_dask_spark.extensions.training import mixture_upsample
+
+    rows = [(i, f"doc {i}", "en", f"s{i % 2}", 10) for i in range(100)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = mixture_upsample(docs, {"s0": 2.5, "s1": 1.0})
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # s1: exactly 1 epoch each; s0: between 2x and 3x, ~2.5x in expectation
+    assert counts["s1"] == 50
+    assert 100 <= counts["s0"] <= 150
+    # every key appears with contiguous epochs 1..k
+    eps = {}
+    for r in out.filter(F.col("source") == "s0").collect():
+        eps.setdefault(r["doc_id"], []).append(r["epoch"])
+    for k, es in eps.items():
+        assert sorted(es) == list(range(1, len(es) + 1))
+    # deterministic across invocations
+    a = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in mixture_upsample(docs, {"s0": 2.5, "s1": 1.0}).collect()
+    )
+    assert a == b
+
+
 def test_model_quality_score_consistency(docs):
     # the sigmoid score and the margin-based keep decision must agree,
     # and custom weights must shift the decision boundary
