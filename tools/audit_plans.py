@@ -213,6 +213,16 @@ def audited_queries():
             QUERIES["model_quality_screen"],
             {"no_shuffle": True, "codegen": True, "no_python_udf": True},
         ),
+        # domain mixing: downsample = ONE window shuffle keyed by source;
+        # upsample = narrow projection + explode, zero exchanges
+        "mixture_resample": (
+            QUERIES["mixture_resample"],
+            {"max_shuffles": 1, "codegen": True, "no_python_udf": True},
+        ),
+        "mixture_upsample": (
+            QUERIES["mixture_upsample"],
+            {"no_shuffle": True, "codegen": True, "no_python_udf": True},
+        ),
     }
 
 
