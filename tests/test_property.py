@@ -203,3 +203,42 @@ def test_region_adjacency_matches_bruteforce(spark, seed):
             if p != q:
                 expect.add((min(int(p), int(q)), max(int(p), int(q))))
     assert got == expect
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    dims=st.tuples(st.integers(1, 4), st.integers(1, 24), st.integers(1, 24)),
+    dt=st.sampled_from(["u1", "u2", "u4", "i2", "i4"]),
+    bo=st.sampled_from(["<", ">"]),
+    rps=st.integers(1, 17),
+    tiled=st.booleans(),
+    big=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_tiff_write_parse_roundtrip_property(seed, dims, dt, bo, rps, tiled, big):
+    # pure writer<->parser closure across shapes, dtypes, byte orders,
+    # strip/tile layouts, and classic/BigTIFF headers — no Spark needed
+    import os
+    import tempfile
+
+    from atlas_upscaling_dask_spark.sources import tiff
+
+    rng = np.random.default_rng(seed)
+    info_max = np.iinfo(np.dtype(dt))
+    vol = rng.integers(
+        info_max.min, int(info_max.max) + 1, size=dims, dtype=np.dtype(dt)
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="tiff_prop_"), "v.tif")
+    tile = (min(rps, 16), min(rps + 3, 16)) if tiled else None
+    tiff.write_tiff(
+        path, vol, rows_per_strip=rps, byteorder=bo, tile=tile, bigtiff=big
+    )
+    info = tiff.parse_tiff(path)
+    assert info.shape == dims
+    assert info.dtype.kind == np.dtype(dt).kind
+    assert info.dtype.itemsize == np.dtype(dt).itemsize
+    nz, ny, nx = dims
+    with open(path, "rb") as fh:
+        for z in range(nz):
+            got = tiff._read_page_rows(fh, info.pages[z], 0, ny, 0, nx)
+            assert np.array_equal(got, vol[z]), (z, dims, dt, bo, rps, tiled, big)
