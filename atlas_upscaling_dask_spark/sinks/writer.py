@@ -124,6 +124,74 @@ def write_pyramid(
     )
 
 
+def compact_table(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    partition_cols: tuple[str, ...] = (),
+) -> dict:
+    """Small-file compaction — the maintenance companion of streaming
+    ingestion (a drop-folder stream appends one file per trigger; after
+    a day the table is thousands of KB-sized files and every scan pays
+    per-file open/footer costs and schedules tiny tasks).
+
+    Rewrites the table at ``target_mb`` per output file, preserving any
+    partition layout.  The rewrite stages into a sibling directory and
+    swaps via rename — the Spark-on-filesystem analog of a transactional
+    rewrite (reading and overwriting the SAME path in one lazy plan is
+    undefined behavior: sources vanish mid-scan).  File count is sized
+    from the table's actual on-disk bytes, not row counts, so heavily
+    compressed columns don't over-split.
+
+    Returns {"files_before", "files_after", "bytes"}.
+    """
+    import shutil
+
+    def _data_files(d: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(d):
+            out += [
+                os.path.join(root, f)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith("_")
+            ]
+        return out
+
+    before = _data_files(path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+    sidecars = [
+        f
+        for f in os.listdir(path)
+        if f.startswith("_") and os.path.isfile(os.path.join(path, f))
+    ]
+
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".__compact__"
+    if partition_cols:
+        # repartition by the layout key so each output partition dir
+        # gets whole files, then let the writer re-split directories
+        writer = (
+            df.repartition(int(n_files), *[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+        )
+    else:
+        writer = df.repartition(int(n_files)).write.mode("overwrite")
+    writer.parquet(staging)
+    for s in sidecars:  # carry JSON sidecars across the swap
+        shutil.copy2(os.path.join(path, s), os.path.join(staging, s))
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(_data_files(path)),
+        "bytes": total_bytes,
+    }
+
+
 def export_ordered(voxels: DataFrame, batch_size: int = 100_000) -> Iterator[Row]:
     """K6 — deterministic slice-ordered export iterator.
 

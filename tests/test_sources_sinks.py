@@ -205,6 +205,29 @@ def test_rechunk_preserves_volume(spark):
     assert back.exceptAll(vox).isEmpty() and vox.exceptAll(back).isEmpty()
 
 
+def test_compact_table_preserves_content_and_layout(spark, tmp_path):
+    # streaming ingest leaves one file per trigger; compaction must cut
+    # the file count, keep partition dirs, carry sidecars, and change
+    # NOTHING about the rows
+    from atlas_upscaling_dask_spark.sinks.writer import compact_table, write_volume
+    from atlas_upscaling_dask_spark.volume import FIXTURE_META, synthetic_chunks
+
+    path = str(tmp_path / "vol")
+    chunks = synthetic_chunks(spark, FIXTURE_META, chunk=(2, 8, 8))
+    # fragment: 64 tiny files across the cz partition dirs
+    write_volume(chunks.repartition(64), path, FIXTURE_META)
+    before = spark.read.parquet(path).orderBy("cz", "cy", "cx").collect()
+
+    stats = compact_table(spark, path, target_mb=128, partition_cols=("cz",))
+    assert stats["files_after"] < stats["files_before"]
+    after_df = spark.read.parquet(path)
+    after = after_df.orderBy("cz", "cy", "cx").collect()
+    assert after == before
+    # partition layout survived (directory-style cz=N) and sidecar too
+    assert any(d.startswith("cz=") for d in os.listdir(path))
+    assert os.path.exists(os.path.join(path, "_volume_meta.json"))
+
+
 def test_tiff_roundtrip_dtypes_and_byteorders(tmp_path):
     # S7 — pure-numpy baseline-TIFF parser: shape/dtype recovery across
     # sample widths, signedness, and both byte orders
