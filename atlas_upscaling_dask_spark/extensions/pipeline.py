@@ -63,3 +63,100 @@ def doc_pipeline(
     return enriched.withColumn(
         "canonical_id", F.min("doc_id").over(w)
     ).withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
+
+
+def prepare_training_set(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_weights: dict[str, float] | None = None,
+    mixture_weights: dict[str, float] | None = None,
+    mixture_total: int = 0,
+    split_fractions: dict[str, float] | None = None,
+    keep_split: str = "train",
+    n_shards: int = 8,
+    seed: int = 0,
+    budget: int = 256,
+    contamination_n: int = 5,
+) -> DataFrame:
+    """The whole training-set assembly as ONE composed plan:
+
+    quality gate (model margin ≥ 0, narrow) → exact-dedup canonical
+    election (one 128-bit-key window shuffle) → benchmark
+    decontamination (shingle semi-join, anti-joined back) → optional
+    domain-mixture resampling (one window) → deterministic train split
+    (narrow md5 bands) → shuffle/shard/pack offsets (one per-shard
+    window).
+
+    Returns (doc_id, source, shard, shuffle_pos, n_tokens,
+    start_offset, pack_id) — exactly what a shard writer consumes.
+    Shuffle budget of the full pipeline: 2 windows + the bounded
+    decontamination joins (+1 window with mixture) — at 100 TB nothing
+    here is a global sort, and every stage is reproducible (the whole
+    output is a pure function of (corpus, benchmark, seed)).
+    """
+    from .text import model_quality_margin_expr
+    from .training import (
+        contamination,
+        hash_split_expr,
+        mixture_resample,
+        shuffle_pos_expr,
+    )
+
+    # no spread_small_input here: the dedup window immediately
+    # re-exchanges on its own key, so a doc_id repartition would just
+    # stack a dead exchange under it
+    d = docs
+    # 1 — quality gate (margin cut is exact; no sigmoid in the filter)
+    d = d.filter(model_quality_margin_expr(text_col, quality_weights) >= 0)
+    # 2 — exact-dedup canonical election on the 128-bit content key
+    w = Window.partitionBy(
+        F.xxhash64(F.col(text_col)), F.xxhash64(F.lit("fp2"), F.col(text_col))
+    )
+    d = (
+        d.withColumn("_cid", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_cid"))
+        .drop("_cid")
+    )
+    # 3 — decontamination: drop any doc sharing an n-gram with the bench.
+    # The contaminated-id set is small by the same contract that makes
+    # the benchmark broadcastable, so the anti-join broadcasts too — the
+    # corpus never shuffles to subtract it.
+    if benchmark is not None:
+        bad = contamination(
+            d, benchmark, n=contamination_n, text_col=text_col, id_col=id_col
+        ).select(F.col("doc_id").alias(id_col))
+        d = d.join(F.broadcast(bad), id_col, "left_anti")
+    # 4 — optional mixture to target source shares
+    if mixture_weights:
+        d = mixture_resample(
+            d, mixture_weights, mixture_total, key_col=id_col, seed=seed
+        )
+    # 5 — deterministic split, keep the training band
+    d = d.select("*", hash_split_expr(id_col, split_fractions)).filter(
+        F.col("split") == keep_split
+    )
+    # 6 — shuffle order, shards, token-budget pack offsets
+    pos = shuffle_pos_expr(id_col, seed)
+    base = d.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("source"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        pos.alias("shuffle_pos"),
+        (pos % F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    cum = F.sum("n_tokens").over(
+        Window.partitionBy("shard")
+        .orderBy("shuffle_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        "shard",
+        "shuffle_pos",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("start_offset"),
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget)).alias("pack_id"),
+    )

@@ -182,7 +182,7 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 # the *shape* (broadcast constants folded into one codegen'd
 # expression) is the point.
 DEFAULT_QUALITY_WEIGHTS = {
-    "bias": -2.0,
+    "bias": -0.4,
     "n_chars": 0.0005,
     "n_tokens": 0.004,
     "n_punct": -0.06,

@@ -329,25 +329,31 @@ def contamination(
     appear anywhere in the benchmark set — the standard decontamination
     screen run before training.
 
-    Plan: benchmark shingles are distinct'd and (at benchmark scale —
-    thousands of eval documents vs billions of training docs) hash-join
-    the corpus shingles as the small build side; per-doc totals come
-    from one partial-aggregated groupBy.  Returns only contaminated
-    documents (overlap > 0) — the common case is a tiny fraction, so
-    the output stays small at any corpus size.
+    Plan: the benchmark's smallness is the operator's CONTRACT
+    (thousands of eval documents vs billions of training docs), so its
+    distinct shingle set BROADCASTS and the corpus shingles flow
+    through ONE pass — a broadcast left join marking hits, then a
+    single per-doc aggregate computing totals and hit counts together
+    (totals and hits as separate aggregates would scan and shuffle the
+    corpus shingles twice).  Returns only contaminated documents
+    (overlap > 0) — the common case is a tiny fraction, so the output
+    stays small at any corpus size.
     """
     cs = _shingle_rows(corpus, n, text_col, id_col, "doc_id")
-    bs = _shingle_rows(benchmark, n, text_col, id_col, "bench_id").select(
-        "shingle"
-    ).distinct()
-    totals = cs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hits = (
-        cs.join(bs, "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated"))
+    bs = F.broadcast(
+        _shingle_rows(benchmark, n, text_col, id_col, "bench_id")
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     return (
-        hits.join(totals, "doc_id")
+        cs.join(bs, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .filter(F.col("n_contaminated") > 0)
         .select(
             "doc_id",
             "n_contaminated",

@@ -1484,11 +1484,11 @@ WITH s AS (
   FROM documents
 )
 SELECT doc_id,
-       -2.0::DOUBLE + 0.0005::DOUBLE * n_chars + 0.004::DOUBLE * n_tokens
+       -0.4::DOUBLE + 0.0005::DOUBLE * n_chars + 0.004::DOUBLE * n_tokens
             + (-0.06::DOUBLE) * n_punct + 0.09::DOUBLE * n_stopwords
             + 2.5::DOUBLE * stopword_ratio
             + (-0.08::DOUBLE) * chars_per_token AS margin,
-       (-2.0::DOUBLE + 0.0005::DOUBLE * n_chars + 0.004::DOUBLE * n_tokens
+       (-0.4::DOUBLE + 0.0005::DOUBLE * n_chars + 0.004::DOUBLE * n_tokens
             + (-0.06::DOUBLE) * n_punct + 0.09::DOUBLE * n_stopwords
             + 2.5::DOUBLE * stopword_ratio
             + (-0.08::DOUBLE) * chars_per_token) >= 0.0::DOUBLE AS keep
@@ -3625,6 +3625,82 @@ hits AS (
 SELECT h.doc_id, h.n_contaminated, t.n_shingles,
        CAST(h.n_contaminated AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS contamination_frac
 FROM hits h JOIN totals t ON h.doc_id = t.doc_id
+""",
+)
+
+
+def _prepare_training_set_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the flagship composition: quality gate -> exact dedup ->
+    # benchmark decontamination -> train split -> shuffle/shard/pack,
+    # one composed plan, every stage replayed exactly by the oracle.
+    from .extensions.pipeline import prepare_training_set
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return prepare_training_set(docs, benchmark=bench, seed=7)
+
+
+_MARGIN_SQL = """
+  -0.4::DOUBLE + 0.0005::DOUBLE * length(text)
+       + 0.004::DOUBLE * len(string_split(text, ' '))
+       + (-0.06::DOUBLE) * len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+       + 0.09::DOUBLE * len(list_filter(string_split(text, ' '), x -> list_contains({stoplist}, x)))
+       + 2.5::DOUBLE * (len(list_filter(string_split(text, ' '), x -> list_contains({stoplist}, x))) / len(string_split(text, ' ')))
+       + (-0.08::DOUBLE) * (length(text) / len(string_split(text, ' ')))
+"""
+
+
+_register(
+    "prepare_training_set",
+    _prepare_training_set_q,
+    f"""
+WITH kept AS (
+  SELECT doc_id, text, source FROM documents
+  WHERE ({_MARGIN_SQL.format(stoplist=_STOPLIST_SQL)}) >= 0.0::DOUBLE
+),
+canon AS (
+  SELECT doc_id, text, source FROM (
+    SELECT doc_id, text, source, min(doc_id) OVER (PARTITION BY text) AS cid
+    FROM kept
+  ) WHERE doc_id = cid
+),
+cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM canon),
+cidx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+  FROM cw WHERE len(w) >= 5
+),
+csh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle FROM cidx),
+bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 50 = 0),
+bidx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+  FROM bw WHERE len(w) >= 5
+),
+bsh AS (SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS shingle FROM bidx),
+bad AS (SELECT DISTINCT doc_id FROM csh WHERE shingle IN (SELECT shingle FROM bsh)),
+clean AS (
+  SELECT * FROM canon WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+),
+train AS (
+  SELECT * FROM clean
+  WHERE substr(md5(concat('split', ':', CAST(doc_id AS VARCHAR))), 1, 8) < 'cccccccc'
+),
+base AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         (1103515245 * (doc_id + 7) + 12345) % 2147483648 AS shuffle_pos,
+         CAST(((1103515245 * (doc_id + 7) + 12345) % 2147483648) % 8 AS INTEGER) AS shard
+  FROM train
+),
+cum AS (
+  SELECT doc_id, source, shard, shuffle_pos, CAST(n_tokens AS INTEGER) AS n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY shuffle_pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM base
+)
+SELECT doc_id, source, shard, shuffle_pos, n_tokens,
+       CAST(c - n_tokens AS BIGINT) AS start_offset,
+       CAST((c - n_tokens) // 256 AS BIGINT) AS pack_id
+FROM cum
 """,
 )
 

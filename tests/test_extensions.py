@@ -54,6 +54,42 @@ def test_mixture_resample_quotas_and_determinism(spark):
     assert tiny.count() == 2  # doc_ids 0 and 4 are the only s0 rows
 
 
+def test_prepare_training_set_composition(spark, docs):
+    # end-to-end assembly: quality gate, dedup, decontamination, split,
+    # pack — deterministic, benchmark docs never leak through, pack
+    # offsets are contiguous per shard
+    from atlas_upscaling_dask_spark.extensions.pipeline import prepare_training_set
+
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    out = prepare_training_set(docs, benchmark=bench, seed=3).collect()
+    bench_ids = {r["doc_id"] for r in bench.collect()}
+    assert {r["doc_id"] for r in out}.isdisjoint(bench_ids)
+    # per-shard offsets: sorted by shuffle_pos, start_offset is the
+    # running sum of preceding n_tokens
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["shuffle_pos"])
+        acc = 0
+        for r in rows:
+            assert r["start_offset"] == acc
+            assert r["pack_id"] == acc // 256
+            acc += r["n_tokens"]
+    # deterministic
+    again = prepare_training_set(docs, benchmark=bench, seed=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # mixture branch composes too
+    mixed = prepare_training_set(
+        docs,
+        mixture_weights={"src0": 0.6, "src1": 0.4},
+        mixture_total=10,
+        seed=3,
+    )
+    srcs = {r["source"] for r in mixed.collect()}
+    assert srcs <= {"src0", "src1"}
+
+
 def test_mixture_upsample_epochs(spark):
     from atlas_upscaling_dask_spark.extensions.training import mixture_upsample
 
