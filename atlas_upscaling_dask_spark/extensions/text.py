@@ -15,7 +15,7 @@ once drifted from this module and silently weakened the oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language function-word lists for the n-gram/stopword heuristic.
@@ -263,6 +263,61 @@ def normalize_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     """Canonical normalized text per document."""
     return docs.select(
         F.col(id_col).alias("doc_id"), normalize_expr(text_col).alias("norm_text")
+    )
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary induction: the ``k`` most frequent whitespace
+    tokens with counts and ranks — the first step of tokenizer
+    training.
+
+    Plan: explode → one partial-aggregated count shuffle → top-k via
+    ``orderBy().limit(k)``, which Spark plans as TakeOrderedAndProject
+    (per-partition heaps merged once) — NOT a row_number window, which
+    would funnel every distinct token through a single partition.  The
+    rank window runs only on the k surviving rows.  The order is TOTAL
+    (count desc, token asc) so the boundary is deterministic under
+    ties.
+    """
+    counts = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    order = [F.col("n").desc(), F.col("token").asc()]
+    topk = counts.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)  # ≤ k rows by now — single partition is fine
+    return topk.select(
+        "token", "n", F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary token fraction against an induced
+    vocabulary — the standard coverage check before committing to a
+    tokenizer.
+
+    The vocabulary is small by construction (top-k), so it broadcasts
+    as an array into a single codegen'd expression: scoring 100 TB is
+    one narrow pass, no join.  (For vocabularies too large to inline,
+    swap the array for a broadcast join on the exploded tokens.)
+    """
+    vocab_tokens = [r["token"] for r in vocab.select("token").collect()]
+    arr = F.array(*[F.lit(t) for t in vocab_tokens])
+    toks = F.split(F.col(text_col), " ")
+    n_oov = F.size(F.filter(toks, lambda t: ~F.array_contains(arr, t)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        (n_oov / F.size(toks)).alias("oov_frac"),
     )
 
 

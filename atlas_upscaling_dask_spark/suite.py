@@ -1497,6 +1497,65 @@ FROM s
 )
 
 
+def _vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.text import vocab_topk
+
+    return vocab_topk(load_table(spark, sf_dir, "documents"), k=100)
+
+
+_register(
+    "vocab_topk",
+    _vocab_topk_q,
+    """
+WITH counts AS (
+  SELECT token, count(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY token
+)
+SELECT token, n, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+  FROM counts
+) WHERE rank <= 100
+""",
+)
+
+
+def _oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # coverage of the induced top-100 vocabulary over the same corpus —
+    # vocab broadcasts as an inlined array, scoring is one narrow pass
+    from .extensions.text import oov_rate, vocab_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return oov_rate(docs, vocab_topk(docs, k=100))
+
+
+_register(
+    "oov_rate",
+    _oov_rate_q,
+    """
+WITH counts AS (
+  SELECT token, count(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY token
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+    FROM counts
+  ) WHERE rank <= 100
+),
+vl AS (SELECT list(token) AS vt FROM vocab)
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(list_filter(string_split(text, ' '),
+                            x -> NOT list_contains(vt, x))) AS INTEGER) AS n_oov,
+       len(list_filter(string_split(text, ' '), x -> NOT list_contains(vt, x)))
+         / len(string_split(text, ' ')) AS oov_frac
+FROM documents, vl
+""",
+)
+
+
 def _doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.text import doc_fingerprint
 

@@ -160,6 +160,7 @@ def main() -> None:
         "text_stats",
         "doc_pipeline",
         "tpch_q3_shipping",
+        "prepare_training_set",
     ]
     for name in headliners:
         timed(name, lambda n=name: force(suite.QUERIES[n](spark, SF_DIR)))

@@ -54,6 +54,22 @@ def test_mixture_resample_quotas_and_determinism(spark):
     assert tiny.count() == 2  # doc_ids 0 and 4 are the only s0 rows
 
 
+def test_vocab_topk_and_oov(spark):
+    from atlas_upscaling_dask_spark.extensions.text import oov_rate, vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b x"), (3, "y z")],
+        "doc_id long, text string",
+    )
+    vocab = vocab_topk(docs, k=2)
+    rows = {r["token"]: (r["n"], r["rank"]) for r in vocab.collect()}
+    assert rows == {"a": (4, 1), "b": (3, 2)}
+    oov = {r["doc_id"]: r for r in oov_rate(docs, vocab).collect()}
+    assert oov[1]["n_oov"] == 1  # 'c'
+    assert oov[2]["n_oov"] == 1  # 'x'
+    assert oov[3]["n_oov"] == 2 and oov[3]["oov_frac"] == 1.0
+
+
 def test_prepare_training_set_composition(spark, docs):
     # end-to-end assembly: quality gate, dedup, decontamination, split,
     # pack — deterministic, benchmark docs never leak through, pack

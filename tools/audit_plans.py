@@ -229,6 +229,12 @@ def audited_queries():
             QUERIES["prepare_training_set"],
             {"max_shuffles": 6, "codegen": True, "no_python_udf": True},
         ),
+        # vocab induction: ONE count shuffle; the top-k boundary is a
+        # rank filter, never a global sort of the vocabulary
+        "vocab_topk": (
+            QUERIES["vocab_topk"],
+            {"max_shuffles": 2, "codegen": True, "no_python_udf": True},
+        ),
     }
 
 
