@@ -301,7 +301,13 @@ def mixture_upsample(
 def _shingle_rows(
     docs: DataFrame, n: int, text_col: str, id_col: str, out_id: str
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document, one row each."""
+    """Distinct word n-gram shingles per document, one row each.
+
+    Per-document distinctness is computed ARRAY-SIDE (``array_distinct``
+    before the explode) — a row-level ``.distinct()`` after the explode
+    would be a full shuffle of every corpus shingle for a dedup whose
+    scope is one document; this way the explode output is already
+    unique and the whole builder stays narrow."""
     words = F.split(F.col(text_col), " ")
     shingles = F.when(
         F.size(words) >= n,
@@ -310,10 +316,8 @@ def _shingle_rows(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col).alias(out_id), shingles.alias("sh"))
-        .select(out_id, F.explode("sh").alias("shingle"))
-        .distinct()
+    return docs.select(
+        F.col(id_col).alias(out_id), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 

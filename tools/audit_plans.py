@@ -180,7 +180,7 @@ def audited_queries():
         # per-doc agg — bounded exchange count
         "contamination": (
             QUERIES["contamination"],
-            {"max_shuffles": 4, "codegen": True, "no_python_udf": True},
+            {"max_shuffles": 2, "codegen": True, "no_python_udf": True},
         ),
         # exact dedup: ONE shuffle on the 128-bit fingerprint, nothing
         # else — the whole-corpus dedup pass at 100 TB is a single
@@ -227,7 +227,7 @@ def audited_queries():
         # joins + pack window — bounded, and NEVER a global sort
         "prepare_training_set": (
             QUERIES["prepare_training_set"],
-            {"max_shuffles": 6, "codegen": True, "no_python_udf": True},
+            {"max_shuffles": 5, "codegen": True, "no_python_udf": True},
         ),
         # vocab induction: ONE count shuffle; the top-k boundary is a
         # rank filter, never a global sort of the vocabulary
