@@ -102,6 +102,63 @@ def pack_sequences(
     )
 
 
+def assemble_packs(
+    docs: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the packed training rows: concatenate each pack's
+    documents in shuffle order — the actual (shard, pack_id, text)
+    records a trainer reads, downstream of :func:`pack_sequences`'
+    offset plan.
+
+    Ordering inside a pack is deterministic without an ORDER BY:
+    ``sort_array(collect_list(struct(shuffle_pos, text)))`` sorts by
+    the unique shuffle position inside the aggregate, so the result is
+    partitioning-independent.  Two exchanges total (the per-shard
+    offset window, then the per-pack aggregate) — no global sort at
+    any corpus size.
+    """
+    toks = F.size(F.split(F.col(text_col), " "))
+    pos = shuffle_pos_expr(id_col, seed)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        toks.alias("n_tokens"),
+        pos.alias("shuffle_pos"),
+        (pos % F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("shuffle_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    packed = base.select(
+        "shard",
+        "shuffle_pos",
+        "n_tokens",
+        "__text",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget)).alias("pack_id"),
+    )
+    ordered = F.sort_array(
+        F.collect_list(F.struct(F.col("shuffle_pos"), F.col("__text")))
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.concat_ws(
+                " ", F.transform(ordered, lambda s: s["__text"])
+            ).alias("text"),
+        )
+    )
+
+
 def repetition_exprs(text_col: str = "text") -> dict[str, Column]:
     """Gopher-style repetition signals, computed array-side (no
     explode/shuffle): duplicate-word fraction and the fraction of the

@@ -3623,6 +3623,42 @@ FROM cum
 )
 
 
+def _assemble_packs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.training import assemble_packs
+
+    return assemble_packs(
+        load_table(spark, sf_dir, "documents"), budget=256, n_shards=8, seed=7
+    )
+
+
+_register(
+    "assemble_packs",
+    _assemble_packs_q,
+    """
+WITH base AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         (1103515245 * (doc_id + 7) + 12345) % 2147483648 AS shuffle_pos,
+         CAST(((1103515245 * (doc_id + 7) + 12345) % 2147483648) % 8 AS INTEGER) AS shard
+  FROM documents
+),
+packed AS (
+  SELECT shard, shuffle_pos, n_tokens, text,
+         CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY shuffle_pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens) // 256 AS BIGINT) AS pack_id
+  FROM base
+)
+SELECT shard, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       string_agg(text, ' ' ORDER BY shuffle_pos) AS text
+FROM packed
+GROUP BY shard, pack_id
+""",
+)
+
+
 def _repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.training import repetition_stats
 

@@ -54,6 +54,22 @@ def test_mixture_resample_quotas_and_determinism(spark):
     assert tiny.count() == 2  # doc_ids 0 and 4 are the only s0 rows
 
 
+def test_assemble_packs_invariants(docs):
+    from atlas_upscaling_dask_spark.extensions.training import assemble_packs
+
+    out = assemble_packs(docs, budget=64, n_shards=4, seed=1).collect()
+    assert out
+    total_docs = docs.count()
+    assert sum(r["n_docs"] for r in out) == total_docs
+    for r in out:
+        # the assembled text's whitespace token count equals the claimed
+        # pack token total (concat_ws with ' ' preserves token count)
+        assert len(r["text"].split(" ")) == r["pack_tokens"]
+    # deterministic
+    again = assemble_packs(docs, budget=64, n_shards=4, seed=1).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_vocab_topk_and_oov(spark):
     from atlas_upscaling_dask_spark.extensions.text import oov_rate, vocab_topk
 

@@ -235,6 +235,12 @@ def audited_queries():
             QUERIES["vocab_topk"],
             {"max_shuffles": 2, "codegen": True, "no_python_udf": True},
         ),
+        # pack assembly: per-shard offset window + per-pack aggregate —
+        # two exchanges, in-aggregate sort_array instead of a global sort
+        "assemble_packs": (
+            QUERIES["assemble_packs"],
+            {"max_shuffles": 2, "codegen": True, "no_python_udf": True},
+        ),
     }
 
 
