@@ -266,6 +266,51 @@ def normalize_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def corpus_report(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-pass corpus summary with a language rollup — the dashboard
+    row every pipeline run logs: docs, tokens, quality points, distinct
+    texts, per detected language plus the ALL total.
+
+    Exactness discipline: quality enters as integer POINTS (the three
+    0/1 gate signals summed) rather than the composite double —
+    ``(k/3)*3`` in floating point is not ``k``, and a double sum is
+    order-dependent across partitionings.  One rollup aggregate with
+    map-side partials; ``countDistinct`` adds the usual two-level
+    expand, still bounded.
+    """
+    s = stats_exprs(text_col)
+    pred, _ = lang_exprs(text_col)
+    qpts = (
+        F.when((s["n_chars"] >= 64) & (s["n_chars"] <= 100_000), 1).otherwise(0)
+        + F.when(s["stopword_ratio"] >= 0.05, 1).otherwise(0)
+        + F.when(s["n_punct"] * 4 <= s["n_tokens"], 1).otherwise(0)
+    )
+    base = docs.select(
+        pred.alias("lang_pred"),
+        s["n_tokens"].alias("n_tokens"),
+        qpts.alias("qpts"),
+        F.col(text_col).alias("__text"),
+    )
+    return (
+        base.rollup("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("qpts").alias("quality_points"),
+            F.countDistinct("__text").alias("n_distinct_texts"),
+        )
+        .select(
+            F.coalesce("lang_pred", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "total_tokens",
+            "quality_points",
+            "n_distinct_texts",
+        )
+    )
+
+
 def vocab_topk(
     docs: DataFrame, k: int = 1000, text_col: str = "text"
 ) -> DataFrame:

@@ -1497,6 +1497,52 @@ FROM s
 )
 
 
+def _corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.text import corpus_report
+
+    return corpus_report(load_table(spark, sf_dir, "documents"))
+
+
+_register(
+    "corpus_report",
+    _corpus_report_q,
+    f"""
+WITH h AS (
+  SELECT text,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         len(list_filter(string_split(text, ' '), x -> list_contains({_STOPLIST_SQL}, x))) / len(string_split(text, ' ')) AS stopword_ratio,
+         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['der','die','das','und','ist'], x))) AS INTEGER) AS hits_de,
+         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to'], x))) AS INTEGER) AS hits_en,
+         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['el','la','de','y','es'], x))) AS INTEGER) AS hits_es,
+         CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['le','la','et','est','de'], x))) AS INTEGER) AS hits_fr
+  FROM documents
+),
+base AS (
+  SELECT CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+              WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+              WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+              WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred,
+         n_tokens,
+         (CASE WHEN n_chars >= 64 AND n_chars <= 100000 THEN 1 ELSE 0 END
+          + CASE WHEN stopword_ratio >= 0.05 THEN 1 ELSE 0 END
+          + CASE WHEN n_punct * 4 <= n_tokens THEN 1 ELSE 0 END) AS qpts,
+         text
+  FROM h
+)
+SELECT COALESCE(lang_pred, 'ALL') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(qpts) AS BIGINT) AS quality_points,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+FROM base
+GROUP BY ROLLUP(lang_pred)
+""",
+)
+
+
 def _vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.text import vocab_topk
 

@@ -54,6 +54,28 @@ def test_mixture_resample_quotas_and_determinism(spark):
     assert tiny.count() == 2  # doc_ids 0 and 4 are the only s0 rows
 
 
+def test_corpus_report_rollup(spark):
+    from atlas_upscaling_dask_spark.extensions.text import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the a of and to " * 20),      # en, long enough, low punct
+            (2, "der die das und ist"),        # de, short
+            (3, "der die das und ist"),        # exact dup of 2
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["lang"]: r for r in corpus_report(docs).collect()}
+    assert rows["ALL"]["n_docs"] == 3
+    assert rows["ALL"]["n_distinct_texts"] == 2
+    assert rows["en"]["n_docs"] == 1 and rows["de"]["n_docs"] == 2
+    assert rows["ALL"]["total_tokens"] == sum(
+        len(t.split(" ")) for _, t in [(1, "the a of and to " * 20), (2, "der die das und ist"), (3, "der die das und ist")]
+    )
+    # quality points bounded by 3 per doc
+    assert 0 <= rows["ALL"]["quality_points"] <= 9
+
+
 def test_assemble_packs_invariants(docs):
     from atlas_upscaling_dask_spark.extensions.training import assemble_packs
 

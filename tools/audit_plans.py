@@ -241,6 +241,11 @@ def audited_queries():
             QUERIES["assemble_packs"],
             {"max_shuffles": 2, "codegen": True, "no_python_udf": True},
         ),
+        # corpus dashboard: rollup + countDistinct expand — bounded
+        "corpus_report": (
+            QUERIES["corpus_report"],
+            {"max_shuffles": 3, "codegen": True, "no_python_udf": True},
+        ),
     }
 
 
