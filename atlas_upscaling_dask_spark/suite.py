@@ -3846,6 +3846,91 @@ FROM cum
 )
 
 
+def _funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # view -> signup -> purchase per user; timestamps project as epoch
+    # micros (suite timestamp convention)
+    from .operators.funnel import funnel
+
+    out = funnel(
+        load_table(spark, sf_dir, "events"), ["view", "signup", "purchase"]
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("ts_1").alias("us_1"),
+        F.unix_micros("ts_2").alias("us_2"),
+        F.unix_micros("ts_3").alias("us_3"),
+        "depth",
+    )
+
+
+_register(
+    "funnel_steps",
+    _funnel_q,
+    """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS ts_1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS ts_2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'signup' AND e.ts > s1.ts_1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS ts_3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.ts_2
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       CAST(epoch_us(s1.ts_1) AS BIGINT) AS us_1,
+       CAST(epoch_us(s2.ts_2) AS BIGINT) AS us_2,
+       CAST(epoch_us(s3.ts_3) AS BIGINT) AS us_3,
+       CAST(CASE WHEN s3.ts_3 IS NOT NULL THEN 3
+                 WHEN s2.ts_2 IS NOT NULL THEN 2
+                 ELSE 1 END AS INTEGER) AS depth
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+""",
+)
+
+
+def _funnel_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.funnel import funnel_counts
+
+    return funnel_counts(
+        load_table(spark, sf_dir, "events"), ["view", "signup", "purchase"]
+    )
+
+
+_register(
+    "funnel_counts",
+    _funnel_counts_q,
+    """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS ts_1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS ts_2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'signup' AND e.ts > s1.ts_1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS ts_3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.ts_2
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name, CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'signup', CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+""",
+)
+
+
 def _resample_ffill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.resample import resample_ffill
 

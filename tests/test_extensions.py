@@ -54,6 +54,33 @@ def test_mixture_resample_quotas_and_determinism(spark):
     assert tiny.count() == 2  # doc_ids 0 and 4 are the only s0 rows
 
 
+def test_funnel_ordering_semantics(spark):
+    # step i counts only events strictly AFTER step i-1: a purchase
+    # before signup must not complete the funnel
+    import datetime as dt
+
+    from atlas_upscaling_dask_spark.operators.funnel import funnel, funnel_counts
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(0), "view"), (1, t(1), "signup"), (1, t(2), "purchase"),
+        # user 2: purchase BEFORE signup — depth 2 only
+        (2, t(0), "view"), (2, t(2), "signup"), (2, t(1), "purchase"),
+        # user 3: never viewed — not in the funnel at all
+        (3, t(0), "signup"), (3, t(1), "purchase"),
+        # user 4: view only
+        (4, t(5), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {r["user_id"]: r["depth"] for r in funnel(ev, ["view", "signup", "purchase"]).collect()}
+    assert got == {1: 3, 2: 2, 4: 1}
+    counts = {r["step"]: r["n_users"] for r in funnel_counts(ev, ["view", "signup", "purchase"]).collect()}
+    assert counts == {1: 3, 2: 2, 3: 1}
+
+
 def test_corpus_report_rollup(spark):
     from atlas_upscaling_dask_spark.extensions.text import corpus_report
 
