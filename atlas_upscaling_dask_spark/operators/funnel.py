@@ -69,6 +69,50 @@ def funnel(
                       depth.cast("int").alias("depth"))
 
 
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen period,
+    counted per periods-elapsed of later activity.
+
+    (cohort, periods_since, n_users) — the n_users of periods_since=0
+    row is the cohort size.  Plan: one per-user min aggregate, one
+    per-(user, period) distinct, a user-keyed join that reuses the
+    aggregate's partitioning, and the final (cohort, offset) count —
+    every key fixed-width, no window over the whole history.
+    """
+    if period not in ("week", "month", "day"):
+        raise ValueError(f"unsupported period {period!r}")
+    per_day = {"week": 7, "day": 1}
+    first = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort")
+    )
+    active = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.date_trunc(period, F.col(ts_col)).alias("p"),
+        )
+        .distinct()
+    )
+    joined = active.join(first, "user_id")
+    if period == "month":
+        offset = (
+            (F.year("p") - F.year("cohort")) * 12 + F.month("p") - F.month("cohort")
+        )
+    else:
+        offset = (
+            F.datediff(F.to_date("p"), F.to_date("cohort")) / per_day[period]
+        ).cast("int")
+    return (
+        joined.select("user_id", "cohort", offset.alias("periods_since"))
+        .groupBy("cohort", "periods_since")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def funnel_counts(
     events: DataFrame,
     steps: list[str],

@@ -3931,6 +3931,34 @@ SELECT CAST(3 AS INTEGER), 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
 )
 
 
+def _cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.funnel import cohort_retention
+
+    out = cohort_retention(load_table(spark, sf_dir, "events"), period="week")
+    return out.select(
+        F.unix_micros("cohort").alias("cohort_us"), "periods_since", "n_users"
+    )
+
+
+_register(
+    "cohort_retention",
+    _cohort_retention_q,
+    """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+)
+SELECT CAST(epoch_us(f.cohort) AS BIGINT) AS cohort_us,
+       CAST(date_diff('day', CAST(f.cohort AS DATE), CAST(a.p AS DATE)) // 7 AS INTEGER) AS periods_since,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM active a JOIN first f ON a.user_id = f.user_id
+GROUP BY f.cohort, periods_since
+""",
+)
+
+
 def _resample_ffill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.resample import resample_ffill
 

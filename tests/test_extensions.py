@@ -81,6 +81,26 @@ def test_funnel_ordering_semantics(spark):
     assert counts == {1: 3, 2: 2, 3: 1}
 
 
+def test_cohort_retention_triangle(spark):
+    import datetime as dt
+
+    from atlas_upscaling_dask_spark.operators.funnel import cohort_retention
+
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)  # 2024-01-01 is a Monday
+    rows = [
+        (1, d(1)), (1, d(9)), (1, d(16)),   # cohort w0, active w0+w1+w2
+        (2, d(2)), (2, d(10)),              # cohort w0, active w0+w1
+        (3, d(8)),                          # cohort w1, active w1 only
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort"].day, r["periods_since"]): r["n_users"]
+        for r in cohort_retention(ev, period="week").collect()
+    }
+    # cohort of Jan 1 (Monday): 2 users at offset 0, 2 at offset 1, 1 at 2
+    assert got == {(1, 0): 2, (1, 1): 2, (1, 2): 1, (8, 0): 1}
+
+
 def test_corpus_report_rollup(spark):
     from atlas_upscaling_dask_spark.extensions.text import corpus_report
 
