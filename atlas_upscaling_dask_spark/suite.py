@@ -2869,6 +2869,185 @@ GROUP BY o_orderpriority
 )
 
 
+def _tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q12 adapted (no l_shipmode/l_commitdate/l_receiptdate in testdata):
+    # join orders<->lineitem in a ship-year, CASE-bucket order priorities
+    # into high/low counts per line status — the same pivoted-count
+    # shape as the original.
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_register(
+    "tpch_q12_shipmode",
+    _tpch_q12_shipmode,
+    """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+)
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The testdata ships no partsupp table; derive it faithfully from
+    # lineitem's observed (part, supplier) pairs: supplycost = the
+    # minimum DECIMAL-exact extended price, availqty = line count.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("ps_supplycost"),
+        F.count("*").alias("ps_availqty"),
+    )
+
+
+_PARTSUPP_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ps_supplycost,
+         COUNT(*) AS ps_availqty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q2 adapted (partsupp derived): the minimum-cost supplier per part
+    # within one region — the correlated-min archetype, expressed as an
+    # aggregate-then-rejoin (Catalyst's own decorrelation shape).
+    ps = _derived_partsupp(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
+    regional = (
+        ps.join(supplier, ps.ps_suppkey == supplier.s_suppkey)
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+    )
+    min_cost = regional.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("__min_cost")
+    )
+    return (
+        regional.join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .join(
+            min_cost,
+            (regional.ps_partkey == min_cost.ps_partkey)
+            & (F.col("ps_supplycost") == F.col("__min_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "ps_supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(20)
+    )
+
+
+_register(
+    "tpch_q2_min_cost",
+    _tpch_q2_min_cost,
+    f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+regional AS (
+  SELECT ps.*, s.s_acctbal, s.s_name, n.n_name
+  FROM partsupp ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+)
+SELECT rg.s_acctbal, rg.s_name, rg.n_name, p.p_partkey, p.p_brand,
+       rg.ps_supplycost
+FROM regional rg
+JOIN part p ON rg.ps_partkey = p.p_partkey
+WHERE p.p_size >= 30
+  AND rg.ps_supplycost = (SELECT MIN(r2.ps_supplycost) FROM regional r2
+                          WHERE r2.ps_partkey = rg.ps_partkey)
+ORDER BY rg.s_acctbal DESC, rg.n_name, rg.s_name, p.p_partkey
+LIMIT 20
+""",
+)
+
+
+def _tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q11 adapted (partsupp derived): per-part stock value within one
+    # nation, kept when above a fixed fraction of the national total —
+    # the global-fraction HAVING archetype. The 1-row total broadcasts.
+    ps = _derived_partsupp(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    val = F.sum(
+        (F.col("ps_supplycost").cast("decimal(18,2)") * F.col("ps_availqty"))
+    )
+    national = (
+        ps.join(supplier, ps.ps_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    per_part = national.groupBy("ps_partkey").agg(
+        val.alias("__value_dec")
+    )
+    total = per_part.agg(
+        F.sum("__value_dec").alias("__total_dec")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("__value_dec")
+            > F.col("__total_dec") * F.lit(0.001).cast("decimal(10,6)")
+        )
+        .select(
+            "ps_partkey", F.col("__value_dec").cast("double").alias("value")
+        )
+    )
+
+
+_register(
+    "tpch_q11_important_stock",
+    _tpch_q11_important_stock,
+    f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+national AS (
+  SELECT ps.* FROM partsupp ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_3'
+),
+per_part AS (
+  SELECT ps_partkey,
+         SUM(CAST(ps_supplycost AS DECIMAL(18,2)) * ps_availqty) AS value_dec
+  FROM national GROUP BY ps_partkey
+)
+SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS value
+FROM per_part
+WHERE value_dec > (SELECT SUM(value_dec) FROM per_part) * CAST(0.001 AS DECIMAL(10,6))
+""",
+)
+
+
 def _tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q6: pure filter + agg — the pushdown showcase (no join at all).
     li = load_table(spark, sf_dir, "lineitem")
