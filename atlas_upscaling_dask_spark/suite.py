@@ -1726,6 +1726,76 @@ SELECT z, y, x, label FROM voxels
 )
 
 
+def _vox_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Morton (Z-order) code over the fixture cube — the clustering key
+    # behind multi-axis file skipping; pure shift/mask arithmetic the
+    # oracle replays digit-for-digit.
+    from .operators.zorder import morton_expr
+
+    return synthetic_voxels(spark).select(
+        "z", "y", "x", morton_expr(["z", "y", "x"], bits=4).alias("morton")
+    )
+
+
+from .operators.zorder import morton_sql as _morton_sql  # noqa: E402
+
+_register(
+    "vox_zorder_code",
+    _vox_zorder_code,
+    f"""
+WITH {VOX_CTE}
+SELECT z, y, x, {_morton_sql(["z", "y", "x"], bits=4)} AS morton
+FROM voxels
+""",
+)
+
+
+def _cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDC changelog apply: a deterministic synthetic changelog over the
+    # documents snapshot — every 10th doc re-crawled ([v2] text), every
+    # 17th taken down; latest-wins election, tombstones dropped.
+    from .operators.merge import apply_changelog
+
+    docs = load_table(spark, sf_dir, "documents")
+    changes = docs.filter(
+        (F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 17 == 0)
+    ).select(
+        "doc_id",
+        F.col("doc_id").alias("seq"),
+        F.when(F.col("doc_id") % 17 == 0, "delete").otherwise("upsert").alias("op"),
+        F.concat(F.lit("[v2] "), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return apply_changelog(docs, changes, key_col="doc_id")
+
+
+_register(
+    "cdc_apply",
+    _cdc_apply_q,
+    """
+WITH base AS (
+  SELECT doc_id, -1 AS seq, 'upsert' AS op, text, lang, source, n_chars FROM documents
+),
+changes AS (
+  SELECT doc_id, doc_id AS seq,
+         CASE WHEN doc_id % 17 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         concat('[v2] ', text) AS text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0 OR doc_id % 17 = 0
+),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
+won AS (
+  SELECT doc_id, arg_max(op, seq) AS op, arg_max(text, seq) AS text,
+         arg_max(lang, seq) AS lang, arg_max(source, seq) AS source,
+         arg_max(n_chars, seq) AS n_chars
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, text, lang, source, n_chars FROM won WHERE op != 'delete'
+""",
+)
+
+
 def _vox_upscale_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The chunk-packed bulk path (COO→chunks→np.repeat kernel→COO),
     # checked against the same oracle as the COO path: proves the two
