@@ -246,6 +246,18 @@ def audited_queries():
             QUERIES["corpus_report"],
             {"max_shuffles": 3, "codegen": True, "no_python_udf": True},
         ),
+        # CDC apply: union + ONE keyed max-struct aggregate — the same
+        # single-shuffle lower bound a warehouse MERGE pays, with
+        # map-side partials (an election window would forfeit them)
+        "cdc_apply": (
+            QUERIES["cdc_apply"],
+            {"max_shuffles": 1, "codegen": True, "no_python_udf": True},
+        ),
+        # Morton codes: pure shift/mask projection — zero exchanges
+        "vox_zorder_code": (
+            QUERIES["vox_zorder_code"],
+            {"no_shuffle": True, "codegen": True, "no_python_udf": True},
+        ),
     }
 
 
