@@ -97,6 +97,50 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def duplicate_windows(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate token windows — the detection half of
+    substring-level dedup ("Deduplicating Training Data Makes Language
+    Models Better"-style): fixed-size token windows at a fixed stride,
+    hashed and grouped; a window appearing in more than one document
+    marks verbatim shared text that doc-level dedup misses (boilerplate,
+    license blocks, quoted passages).
+
+    The full suffix-array algorithm finds arbitrary-length repeats;
+    the fixed-stride approximation catches every repeat of length
+    ≥ window + stride − 1 while staying embarrassingly parallel: one
+    narrow explode (~n_tokens/stride rows per doc, fixed-width md5
+    keys) and ONE aggregation.  Output is only the duplicated windows —
+    small relative to any corpus.
+    """
+    toks = F.split(F.col(text_col), " ")
+    starts = F.when(
+        F.size(toks) >= window,
+        F.sequence(F.lit(0), F.size(toks) - window, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window)))
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(wins).alias("win_hash")
+    )
+    return (
+        exploded.groupBy("win_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def word_shingles(
     docs: DataFrame,
     n: int = 3,

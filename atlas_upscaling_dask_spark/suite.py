@@ -1019,6 +1019,37 @@ t AS (SELECT doc_id, tid FROM tm JOIN dict USING (tok))
 """
 
 
+def _duplicate_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.dedup import duplicate_windows
+
+    return duplicate_windows(
+        load_table(spark, sf_dir, "documents"), window=8, stride=4
+    )
+
+
+_register(
+    "duplicate_windows",
+    _duplicate_windows_q,
+    """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+ex AS (
+  SELECT doc_id,
+         md5(array_to_string(t[i+1:i+8], ' ')) AS win_hash
+  FROM w, unnest(generate_series(0, len(t) - 8, 4)) AS s(i)
+  WHERE len(t) >= 8
+)
+SELECT win_hash,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM ex GROUP BY win_hash HAVING count(DISTINCT doc_id) > 1
+""",
+)
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.dedup import exact_dedup
 

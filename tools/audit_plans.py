@@ -258,6 +258,12 @@ def audited_queries():
             QUERIES["vox_zorder_code"],
             {"no_shuffle": True, "codegen": True, "no_python_udf": True},
         ),
+        # substring-dup detection: narrow windowed explode + one
+        # aggregate (countDistinct expand) — fixed-width md5 keys
+        "duplicate_windows": (
+            QUERIES["duplicate_windows"],
+            {"max_shuffles": 2, "codegen": True, "no_python_udf": True},
+        ),
     }
 
 
