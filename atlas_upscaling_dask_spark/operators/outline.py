@@ -24,6 +24,7 @@ Spark-first: two strategies, identical results —
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -113,6 +114,213 @@ def outline_join(
         "x",
         F.when(F.col("is_boundary"), F.col("label")).otherwise(F.lit(0)).alias("label"),
     )
+
+
+#: receiver-relative halo plane names.  'core' sorts before all of them
+#: (alphabetical), which the streaming kernel relies on after
+#: sortWithinPartitions.
+_HALO_SIDES = ("zlo", "zhi", "ylo", "yhi", "xlo", "xhi")
+
+
+def outline_chunks(
+    chunks: DataFrame, wrap: bool = False, codec: str | None = None
+) -> DataFrame:
+    """T4 outline on the chunk-packed path: per-chunk NumPy kernel +
+    one-voxel face halo exchange — the bulk twin of
+    :func:`outline_window`, and the shape that survives the reference's
+    actual workload (outline of the FULL ×15 volume,
+    upscale_streaming_enhance.py:355-357): the COO variants would
+    explode 2.6e11 coordinate rows there; this one keeps 4 B/voxel
+    payloads packed end-to-end.
+
+    Exchange structure (the only data movement):
+
+    1. **Face extraction** (narrow ``mapInArrow``): each chunk emits its
+       six 1-voxel boundary faces addressed to the neighbor chunk that
+       needs them — KB-sized slabs, ~``2·(1/dz+1/dy+1/dx)`` of the
+       volume (≈5% at 128³ chunks).
+    2. **One hash exchange** of ``core ∪ faces`` on the chunk key with
+       an in-partition sort — the same ghost-cell movement Dask's
+       ``map_overlap`` performs, expressed as a single Spark shuffle.
+       On a chunk-key-partitioned store (the ``write_volume`` layout)
+       AQE sees the pre-partitioning and only the faces move.
+    3. **Per-chunk kernel**: pad the block edge-replicated (missing
+       neighbors count as "same" — the non-wrap contract), overlay the
+       received halo planes, then one vectorized 6-direction compare.
+
+    ``wrap=True`` reproduces the reference's ``da.roll`` torus
+    semantics (SURVEY.md §4.3.3): faces address neighbors modulo the
+    chunk grid, so volume-border voxels compare against the opposite
+    face.  ``codec`` compresses output payloads in-worker (same
+    contract as ``upscale_chunks``).
+    """
+    import pyarrow as pa
+
+    from ..volume import (
+        CHUNK_SCHEMA,
+        PAYLOAD_CODECS,
+        PAYLOAD_DTYPE,
+        _decode_payload,
+        _encode_payload,
+    )
+
+    if codec is not None and codec not in PAYLOAD_CODECS:
+        raise ValueError(f"unsupported codec {codec!r}")
+    out_codec = codec or "raw"
+
+    halo_schema = "volume_id string, cz int, cy int, cx int, z0 long, y0 long, x0 long, dz int, dy int, dx int, codec string, payload binary, side string"
+
+    if wrap:
+        # Grid extent: a metadata-scale agg (3 ints) over the chunk keys
+        # only — column pruning keeps it off the payloads.
+        row = chunks.agg(
+            F.max("cz").alias("cz"), F.max("cy").alias("cy"), F.max("cx").alias("cx")
+        ).first()
+        ncz, ncy, ncx = row["cz"] + 1, row["cy"] + 1, row["cx"] + 1
+    else:
+        ncz = ncy = ncx = None
+
+    def _face_batch(rows, payloads):
+        cols = list(zip(*rows)) if rows else [[]] * 11
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(cols[0], type=pa.string()),
+                pa.array(cols[1], type=pa.int32()),
+                pa.array(cols[2], type=pa.int32()),
+                pa.array(cols[3], type=pa.int32()),
+                pa.array(cols[4], type=pa.int64()),
+                pa.array(cols[5], type=pa.int64()),
+                pa.array(cols[6], type=pa.int64()),
+                pa.array(cols[7], type=pa.int32()),
+                pa.array(cols[8], type=pa.int32()),
+                pa.array(cols[9], type=pa.int32()),
+                pa.array(["raw"] * len(payloads), type=pa.string()),
+                pa.array(payloads, type=pa.binary()),
+                pa.array(cols[10], type=pa.string()),
+            ],
+            [
+                "volume_id", "cz", "cy", "cx", "z0", "y0", "x0",
+                "dz", "dy", "dx", "codec", "payload", "side",
+            ],
+        )
+
+    def extract_faces(batches):
+        for batch in batches:
+            d = batch.to_pydict()
+            rows, payloads = [], []
+            for i in range(len(d["cz"])):
+                dz, dy, dx = d["dz"][i], d["dy"][i], d["dx"][i]
+                cz, cy, cx = d["cz"][i], d["cy"][i], d["cx"][i]
+                vid = d["volume_id"][i]
+                block = np.frombuffer(
+                    _decode_payload(
+                        d["payload"][i], d["codec"][i],
+                        dz * dy * dx * PAYLOAD_DTYPE.itemsize,
+                    ),
+                    dtype=PAYLOAD_DTYPE,
+                ).reshape(dz, dy, dx)
+                # (my face, receiver delta on the chunk grid, receiver side)
+                emits = (
+                    (block[:1], (-1, 0, 0), "zhi"),
+                    (block[-1:], (1, 0, 0), "zlo"),
+                    (block[:, :1], (0, -1, 0), "yhi"),
+                    (block[:, -1:], (0, 1, 0), "ylo"),
+                    (block[:, :, :1], (0, 0, -1), "xhi"),
+                    (block[:, :, -1:], (0, 0, 1), "xlo"),
+                )
+                for face, (ez, ey, ex), side in emits:
+                    tz, ty, tx = cz + ez, cy + ey, cx + ex
+                    if wrap:
+                        tz, ty, tx = tz % ncz, ty % ncy, tx % ncx
+                    elif tz < 0 or ty < 0 or tx < 0:
+                        continue  # upper-edge misses drop as coreless groups
+                    f = np.ascontiguousarray(face)
+                    rows.append(
+                        (vid, tz, ty, tx,
+                         d["z0"][i], d["y0"][i], d["x0"][i],
+                         f.shape[0], f.shape[1], f.shape[2], side)
+                    )
+                    payloads.append(f.tobytes())
+            if rows:
+                yield _face_batch(rows, payloads)
+
+    faces = chunks.mapInArrow(extract_faces, schema=halo_schema)
+    tagged = chunks.withColumn("side", F.lit("core")).unionByName(faces)
+    exchanged = tagged.repartition("cz", "cy", "cx").sortWithinPartitions(
+        "cz", "cy", "cx", "side"
+    )
+
+    def _emit(group, out):
+        """Outline one chunk from its buffered (core ∪ halo) rows."""
+        core = next((g for g in group if g[-1] == "core"), None)
+        if core is None:
+            return  # a face addressed past the grid edge (non-wrap)
+        vid, cz, cy, cx, z0, y0, x0, dz, dy, dx, cdc, payload, _ = core
+        block = np.frombuffer(
+            _decode_payload(payload, cdc, dz * dy * dx * PAYLOAD_DTYPE.itemsize),
+            dtype=PAYLOAD_DTYPE,
+        ).reshape(dz, dy, dx)
+        padded = np.pad(block, 1, mode="edge")
+        for row in group:
+            side = row[-1]
+            if side == "core":
+                continue
+            fdz, fdy, fdx = row[7], row[8], row[9]
+            face = np.frombuffer(row[11], dtype=PAYLOAD_DTYPE).reshape(fdz, fdy, fdx)
+            if side == "zlo":
+                padded[0, 1:-1, 1:-1] = face[0]
+            elif side == "zhi":
+                padded[-1, 1:-1, 1:-1] = face[0]
+            elif side == "ylo":
+                padded[1:-1, 0, 1:-1] = face[:, 0]
+            elif side == "yhi":
+                padded[1:-1, -1, 1:-1] = face[:, 0]
+            elif side == "xlo":
+                padded[1:-1, 1:-1, 0] = face[:, :, 0]
+            elif side == "xhi":
+                padded[1:-1, 1:-1, -1] = face[:, :, 0]
+        boundary = (
+            (block != padded[:-2, 1:-1, 1:-1])
+            | (block != padded[2:, 1:-1, 1:-1])
+            | (block != padded[1:-1, :-2, 1:-1])
+            | (block != padded[1:-1, 2:, 1:-1])
+            | (block != padded[1:-1, 1:-1, :-2])
+            | (block != padded[1:-1, 1:-1, 2:])
+        )
+        res = np.where(boundary, block, np.uint32(0)).astype(PAYLOAD_DTYPE)
+        out[0].append((vid, cz, cy, cx, z0, y0, x0, dz, dy, dx))
+        out[1].append(_encode_payload(res, out_codec))
+
+    def kernel(batches):
+        from ..volume import _chunk_batch
+
+        FLUSH_ROWS = 64
+        group: list[tuple] = []
+        key = None
+        out: tuple[list, list] = ([], [])
+        for batch in batches:
+            d = batch.to_pydict()
+            names = [
+                "volume_id", "cz", "cy", "cx", "z0", "y0", "x0",
+                "dz", "dy", "dx", "codec", "payload", "side",
+            ]
+            for i in range(len(d["cz"])):
+                row = tuple(d[n][i] for n in names)
+                k = (row[1], row[2], row[3])
+                if k != key and group:
+                    _emit(group, out)
+                    group = []
+                    if len(out[0]) >= FLUSH_ROWS:
+                        yield _chunk_batch(out[0], out[1], out_codec)
+                        out = ([], [])
+                key = k
+                group.append(row)
+        if group:
+            _emit(group, out)
+        if out[0]:
+            yield _chunk_batch(out[0], out[1], out_codec)
+
+    return exchanged.mapInArrow(kernel, schema=CHUNK_SCHEMA)
 
 
 def morphology(voxels: DataFrame, op: str = "erode", wrap: bool = False) -> DataFrame:

@@ -14,6 +14,7 @@ per-level recompute of the whole upscale graph (SURVEY.md §4.3.1).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,6 +31,144 @@ def decimate(voxels: DataFrame, stride: int = 2) -> DataFrame:
         (F.col("x") / s).cast("long").alias("x"),
         "label",
     )
+
+
+def decimate_chunks(chunks: DataFrame, stride: int = 2) -> DataFrame:
+    """One decimation step on the chunk-packed path — ZERO shuffle.
+
+    Each chunk keeps the voxels whose GLOBAL coordinates are ≡0 (mod
+    stride): a pure per-chunk NumPy stride view ``block[o_z::s, o_y::s,
+    o_x::s]`` where ``o = (-origin) mod s`` aligns the local view to the
+    global lattice, plus an origin remap ``ceil(origin / s)``.  Chunk
+    grid keys are unchanged (extents shrink by ~s); chunks that contain
+    no lattice point are dropped.  This is the bulk twin of
+    :func:`decimate` — semantics of ``prev[::2,::2,::2]``
+    (upscale_streaming_enhance.py:125-139) — and the primitive that
+    makes full-volume pyramids feasible at 100 TB: the COO variant
+    would explode every voxel to a 28 B row first; this one never
+    leaves the 4 B/voxel packed representation and needs no exchange
+    at all (each output chunk is a function of exactly one input
+    chunk).
+    """
+    from ..volume import CHUNK_SCHEMA, PAYLOAD_DTYPE, _chunk_batch, _decode_payload
+
+    if stride < 2:
+        raise ValueError(f"stride must be >= 2, got {stride}")
+    s = stride
+
+    def kernel(batches):
+        for batch in batches:
+            d = batch.to_pydict()
+            rows, payloads = [], []
+            for i in range(len(d["cz"])):
+                dz, dy, dx = d["dz"][i], d["dy"][i], d["dx"][i]
+                z0, y0, x0 = d["z0"][i], d["y0"][i], d["x0"][i]
+                oz, oy, ox = (-z0) % s, (-y0) % s, (-x0) % s
+                if oz >= dz or oy >= dy or ox >= dx:
+                    continue  # chunk holds no lattice point
+                block = np.frombuffer(
+                    _decode_payload(
+                        d["payload"][i],
+                        d["codec"][i],
+                        dz * dy * dx * PAYLOAD_DTYPE.itemsize,
+                    ),
+                    dtype=PAYLOAD_DTYPE,
+                ).reshape(dz, dy, dx)
+                sub = np.ascontiguousarray(block[oz::s, oy::s, ox::s])
+                rows.append(
+                    (
+                        d["volume_id"][i],
+                        d["cz"][i],
+                        d["cy"][i],
+                        d["cx"][i],
+                        (z0 + oz) // s,
+                        (y0 + oy) // s,
+                        (x0 + ox) // s,
+                        sub.shape[0],
+                        sub.shape[1],
+                        sub.shape[2],
+                    )
+                )
+                payloads.append(sub.tobytes())
+            if rows:
+                yield _chunk_batch(rows, payloads)
+
+    return chunks.mapInArrow(kernel, schema=CHUNK_SCHEMA)
+
+
+def downsample_mode_chunks(chunks: DataFrame, stride: int = 2) -> DataFrame:
+    """Majority-vote downsampling on the chunk-packed path — ZERO
+    shuffle when stride³ blocks are chunk-aligned (``origin % stride ==
+    0`` and ``stride | extent`` on every axis, which
+    :func:`..volume.choose_chunks` geometries satisfy for stride 2).
+
+    Same semantics as :func:`downsample_mode` (most frequent label per
+    stride³ block, ties → smallest label): each block's votes are
+    counted with one vectorized pass — sort the s³ candidates per
+    block, count equal values by comparison against each sorted column,
+    take the first argmax (sorted order makes "first max" = "smallest
+    label on tie").  The COO variant pays two key shuffles; this one
+    pays none, because a chunk-aligned block never straddles chunks.
+    """
+    from ..volume import CHUNK_SCHEMA, PAYLOAD_DTYPE, _chunk_batch, _decode_payload
+
+    if stride < 2:
+        raise ValueError(f"stride must be >= 2, got {stride}")
+    s = stride
+
+    def kernel(batches):
+        for batch in batches:
+            d = batch.to_pydict()
+            rows, payloads = [], []
+            for i in range(len(d["cz"])):
+                dz, dy, dx = d["dz"][i], d["dy"][i], d["dx"][i]
+                z0, y0, x0 = d["z0"][i], d["y0"][i], d["x0"][i]
+                if (z0 % s or y0 % s or x0 % s or dz % s or dy % s or dx % s):
+                    raise ValueError(
+                        "downsample_mode_chunks needs stride-aligned chunks "
+                        f"(origin ({z0},{y0},{x0}) extent ({dz},{dy},{dx}) "
+                        f"vs stride {s}); rechunk first"
+                    )
+                block = np.frombuffer(
+                    _decode_payload(
+                        d["payload"][i],
+                        d["codec"][i],
+                        dz * dy * dx * PAYLOAD_DTYPE.itemsize,
+                    ),
+                    dtype=PAYLOAD_DTYPE,
+                ).reshape(dz, dy, dx)
+                nz, ny, nx = dz // s, dy // s, dx // s
+                votes = (
+                    block.reshape(nz, s, ny, s, nx, s)
+                    .transpose(0, 2, 4, 1, 3, 5)
+                    .reshape(-1, s**3)
+                )
+                srt = np.sort(votes, axis=1)
+                counts = np.empty_like(srt, dtype=np.int16)
+                for j in range(s**3):
+                    counts[:, j] = (srt == srt[:, j : j + 1]).sum(axis=1)
+                mode = srt[np.arange(srt.shape[0]), np.argmax(counts, axis=1)]
+                rows.append(
+                    (
+                        d["volume_id"][i],
+                        d["cz"][i],
+                        d["cy"][i],
+                        d["cx"][i],
+                        z0 // s,
+                        y0 // s,
+                        x0 // s,
+                        nz,
+                        ny,
+                        nx,
+                    )
+                )
+                payloads.append(
+                    np.ascontiguousarray(mode.reshape(nz, ny, nx)).tobytes()
+                )
+            if rows:
+                yield _chunk_batch(rows, payloads)
+
+    return chunks.mapInArrow(kernel, schema=CHUNK_SCHEMA)
 
 
 def build_pyramid(voxels: DataFrame, levels: int, cache_base: bool = True) -> DataFrame:

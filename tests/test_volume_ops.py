@@ -368,3 +368,101 @@ def test_relabel_chunk_path_equals_coo_path(spark):
     assert a == b
     # both mapped (1000-1002) and passthrough (15564+) labels present
     assert any(v < 1003 for v in a.values()) and any(v > 10000 for v in a.values())
+
+
+# ---------------------------------------------------------------------------
+# Chunk-packed bulk kernels ≡ COO path (round-3: the 100 TB outline/pyramid
+# gap — VERDICT r2 "Next round #1")
+# ---------------------------------------------------------------------------
+
+
+def _coo_dict(df):
+    return {(r["z"], r["y"], r["x"]): r["label"] for r in df.collect()}
+
+
+@pytest.mark.parametrize("wrap", [False, True])
+def test_outline_chunk_path_equals_coo_path(spark, wrap):
+    from atlas_upscaling_dask_spark.operators.outline import outline_chunks
+
+    meta = VolumeMeta(16, 16, 16)
+    coo = outline_window(synthetic_voxels(spark, meta), wrap=wrap)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    bulk = chunks_to_voxels(outline_chunks(chunks, wrap=wrap))
+    assert _coo_dict(coo) == _coo_dict(bulk)
+
+
+def test_outline_chunks_single_chunk_axis_wrap(spark):
+    # ncz == 1 on every axis: each chunk's own opposite face is its halo.
+    from atlas_upscaling_dask_spark.operators.outline import outline_chunks
+
+    meta = VolumeMeta(8, 8, 8)
+    coo = outline_window(synthetic_voxels(spark, meta), wrap=True)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    bulk = chunks_to_voxels(outline_chunks(chunks, wrap=True))
+    assert _coo_dict(coo) == _coo_dict(bulk)
+
+
+def test_outline_chunks_uneven_grid(spark):
+    # Non-divisible chunking (edge chunks smaller): halos still align.
+    from atlas_upscaling_dask_spark.operators.outline import outline_chunks
+
+    meta = VolumeMeta(10, 16, 16)
+    coo = outline_window(synthetic_voxels(spark, meta), wrap=False)
+    chunks = voxels_to_chunks(synthetic_voxels(spark, meta), meta, chunk=(4, 8, 16))
+    bulk = chunks_to_voxels(outline_chunks(chunks, wrap=False))
+    assert _coo_dict(coo) == _coo_dict(bulk)
+
+
+def test_outline_chunks_codec_roundtrip(spark):
+    from atlas_upscaling_dask_spark.operators.outline import outline_chunks
+
+    meta = VolumeMeta(8, 8, 8)
+    chunks = synthetic_chunks(spark, meta, chunk=(4, 8, 8))
+    raw = chunks_to_voxels(outline_chunks(chunks))
+    z = chunks_to_voxels(outline_chunks(chunks, codec="zstd"))
+    assert _coo_dict(raw) == _coo_dict(z)
+
+
+@pytest.mark.parametrize("stride", [2, 4])
+def test_decimate_chunk_path_equals_coo_path(spark, stride):
+    from atlas_upscaling_dask_spark.operators.pyramid import decimate_chunks
+
+    meta = VolumeMeta(16, 16, 16)
+    coo = decimate(synthetic_voxels(spark, meta), stride)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    bulk = chunks_to_voxels(decimate_chunks(chunks, stride))
+    assert _coo_dict(coo) == _coo_dict(bulk)
+
+
+def test_decimate_chunks_unaligned_origins(spark):
+    # chunk=(3,5,7) on a 16-cube: origins not multiples of the stride —
+    # the (-origin) mod s view alignment must still hit the global lattice.
+    from atlas_upscaling_dask_spark.operators.pyramid import decimate_chunks
+
+    meta = VolumeMeta(16, 16, 16)
+    coo = decimate(synthetic_voxels(spark, meta), 2)
+    chunks = voxels_to_chunks(synthetic_voxels(spark, meta), meta, chunk=(3, 5, 7))
+    bulk = chunks_to_voxels(decimate_chunks(chunks, 2))
+    assert _coo_dict(coo) == _coo_dict(bulk)
+
+
+def test_downsample_mode_chunk_path_equals_coo_path(spark):
+    from atlas_upscaling_dask_spark.operators.pyramid import (
+        downsample_mode,
+        downsample_mode_chunks,
+    )
+
+    meta = VolumeMeta(16, 16, 16)
+    coo = downsample_mode(synthetic_voxels(spark, meta), 2)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    bulk = chunks_to_voxels(downsample_mode_chunks(chunks, 2))
+    assert _coo_dict(coo) == _coo_dict(bulk)
+
+
+def test_downsample_mode_chunks_rejects_unaligned(spark):
+    from atlas_upscaling_dask_spark.operators.pyramid import downsample_mode_chunks
+
+    meta = VolumeMeta(16, 16, 16)
+    chunks = voxels_to_chunks(synthetic_voxels(spark, meta), meta, chunk=(3, 5, 7))
+    with pytest.raises(Exception, match="stride-aligned"):
+        chunks_to_voxels(downsample_mode_chunks(chunks, 2)).collect()
