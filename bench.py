@@ -138,6 +138,74 @@ def main() -> None:
         errors["bulk_upscale15"] = f"{type(e).__name__}: {e}"[:300]
     out15_gb = meta15.n_voxels * 15**3 * 4 / 1e9
 
+    # --- durable ×15: same workload, but materialized as a REAL
+    # cz-partitioned parquet table (VERDICT r2 "Next round #2" — the
+    # reference's 1.5 GB/s includes writing 1.04 TB of compressed Zarr,
+    # so the noop figure above is compute-only; this row is the
+    # BASELINE.md row-3 parity INCLUDING I/O).  Payloads are already
+    # zstd-compressed in-worker, so parquet recompression is disabled
+    # (the Zarr analog: Blosc-compressed chunks, uncompressed container).
+    import shutil
+    import tempfile
+
+    from atlas_upscaling_dask_spark.sinks.writer import write_volume
+
+    def bulk15_write():
+        chunks15 = synthetic_chunks(spark, meta15, chunk=(8, 32, 44)).cache()
+        out_dir = tempfile.mkdtemp(prefix="bench_x15_write_")
+        try:
+            force(upscale_chunks(chunks15, 15, codec="zstd"))  # untimed warm
+            t_runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                write_volume(
+                    upscale_chunks(chunks15, 15, codec="zstd"),
+                    out_dir,
+                    VolumeMeta(meta15.dim_z * 15, meta15.dim_y * 15, meta15.dim_x * 15),
+                    scale=15,
+                    compressor="none",
+                )
+                t_runs.append(time.perf_counter() - t0)
+            timings["bulk_upscale15_write"] = round(min(t_runs), 3)
+        finally:
+            chunks15.unpersist(blocking=True)
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    try:
+        bulk15_write()
+    except Exception as e:  # noqa: BLE001 — harness guard by design
+        errors["bulk_upscale15_write"] = f"{type(e).__name__}: {e}"[:300]
+
+    # --- bulk outline + decimation at the ×2-flagship shape: the
+    # round-3 chunk-packed kernels (halo exchange / zero-shuffle stride)
+    # that replace the COO-only scale-killers flagged in VERDICT r2.
+    from atlas_upscaling_dask_spark.operators.outline import outline_chunks
+    from atlas_upscaling_dask_spark.operators.pyramid import decimate_chunks
+
+    def bulk_derived():
+        chunks = synthetic_chunks(spark, meta, chunk=(29, 160, 176)).cache()
+        try:
+            force(outline_chunks(chunks, codec="lz4"))  # untimed warm
+            t_runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                force(outline_chunks(chunks, codec="lz4"))
+                t_runs.append(time.perf_counter() - t0)
+            timings["bulk_outline"] = round(min(t_runs), 3)
+            t_runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                force(decimate_chunks(chunks, 2))
+                t_runs.append(time.perf_counter() - t0)
+            timings["bulk_decimate"] = round(min(t_runs), 3)
+        finally:
+            chunks.unpersist(blocking=True)
+
+    try:
+        bulk_derived()
+    except Exception as e:  # noqa: BLE001 — harness guard by design
+        errors["bulk_outline"] = f"{type(e).__name__}: {e}"[:300]
+
     # Post-bulk hygiene: the bulk section pushes multi-GB of binary
     # payloads through the block manager and JVM old-gen; without an
     # explicit collection the relational headliners below absorb that
@@ -161,6 +229,8 @@ def main() -> None:
         "doc_pipeline",
         "tpch_q3_shipping",
         "prepare_training_set",
+        "line_dedup",
+        "duplicate_windows",
     ]
     for name in headliners:
         timed(name, lambda n=name: force(suite.QUERIES[n](spark, SF_DIR)))
@@ -229,6 +299,10 @@ def main() -> None:
         payload["bulk_gb_per_sec"] = round(out_gb / timings["bulk_upscale2"], 3)
     if "bulk_upscale15" in timings:
         payload["bulk15_gb_per_sec"] = round(out15_gb / timings["bulk_upscale15"], 3)
+    if "bulk_upscale15_write" in timings:
+        payload["bulk15_write_gb_per_sec"] = round(
+            out15_gb / timings["bulk_upscale15_write"], 3
+        )
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
