@@ -86,20 +86,25 @@ def payload_digest(media: DataFrame) -> DataFrame:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an encoded image payload to an HxWx3 uint8 array.
 
-    STUB: real decoding needs an imaging library not present in this
-    container.  ``fake=True`` returns a deterministic pseudo-image
-    derived from the payload bytes so the distributed plumbing is
-    testable end-to-end.
+    PNG payloads decode for real via the pure-NumPy codec in
+    ``sources/png.py`` (stdlib zlib inflate + unfilter — no imaging
+    library needed); TIFF is covered by ``sources/tiff.py`` upstream.
+    ``fake=True`` keeps the deterministic pseudo-image used by plumbing
+    tests that need byte-derived fixtures regardless of format.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires an imaging library (e.g. Pillow); "
-            "not available in this environment — use fake=True for plumbing tests"
-        )
-    h = w = 8
-    buf = np.frombuffer(payload, dtype=np.uint8)
-    reps = int(np.ceil(h * w * 3 / max(len(buf), 1)))
-    return np.tile(buf, reps)[: h * w * 3].reshape(h, w, 3)
+    if fake:
+        h = w = 8
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        reps = int(np.ceil(h * w * 3 / max(len(buf), 1)))
+        return np.tile(buf, reps)[: h * w * 3].reshape(h, w, 3)
+    from ..sources.png import PNG_SIGNATURE, decode_png, to_rgb
+
+    if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+        return to_rgb(decode_png(bytes(payload)))
+    raise ValueError(
+        "unsupported image format (PNG is the built-in codec; "
+        "TIFF volumes go through sources/tiff.py)"
+    )
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:

@@ -424,3 +424,168 @@ def test_write_volume_bloom_filters(spark, tmp_path):
     a = spark.read.parquet(p_plain).orderBy("cz", "cy", "cx").collect()
     b = spark.read.parquet(p_bloom).orderBy("cz", "cy", "cx").collect()
     assert a == b
+
+
+# ------------------------------------------------------------------ PNG
+
+
+class TestPngCodec:
+    def test_roundtrip_channels(self):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.sources.png import decode_png, encode_png
+
+        rng = np.random.default_rng(3)
+        for c in (1, 2, 3, 4):
+            src = rng.integers(0, 256, size=(7, 11, c), dtype=np.uint8)
+            got = decode_png(encode_png(src))
+            assert got.shape == (7, 11, c)
+            assert np.array_equal(got, src)
+
+    def test_roundtrip_gray_2d(self):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.sources.png import decode_png, encode_png
+
+        src = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        got = decode_png(encode_png(src))
+        assert np.array_equal(got[:, :, 0], src)
+
+    def test_all_filter_types_decode(self):
+        # Hand-filter each scanline with a different filter type (the
+        # encoder only emits None/Up) and check reconstruction.
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.sources.png import (
+            PNG_SIGNATURE,
+            _paeth,
+            decode_png,
+        )
+
+        rng = np.random.default_rng(5)
+        h, w, bpp = 5, 6, 3
+        src = rng.integers(0, 256, size=(h, w * bpp), dtype=np.uint8).astype(int)
+        lines = bytearray()
+        for y, ftype in enumerate([0, 1, 2, 3, 4]):
+            prior = src[y - 1] if y else np.zeros(w * bpp, dtype=int)
+            row = src[y]
+            filt = np.zeros(w * bpp, dtype=int)
+            for x in range(w * bpp):
+                left = row[x - bpp] if x >= bpp else 0
+                ul = prior[x - bpp] if x >= bpp else 0
+                if ftype == 0:
+                    filt[x] = row[x]
+                elif ftype == 1:
+                    filt[x] = row[x] - left
+                elif ftype == 2:
+                    filt[x] = row[x] - prior[x]
+                elif ftype == 3:
+                    filt[x] = row[x] - (left + prior[x]) // 2
+                else:
+                    filt[x] = row[x] - _paeth(int(left), int(prior[x]), int(ul))
+            lines += bytes([ftype]) + (filt % 256).astype(np.uint8).tobytes()
+
+        def chunk(ctype, payload):
+            return (
+                struct.pack(">I", len(payload))
+                + ctype
+                + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (
+            PNG_SIGNATURE
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b"")
+        )
+        got = decode_png(data)
+        assert np.array_equal(got.reshape(h, w * bpp), src.astype(np.uint8))
+
+    def test_palette_expansion(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.sources.png import PNG_SIGNATURE, decode_png
+
+        def chunk(ctype, payload):
+            return (
+                struct.pack(">I", len(payload))
+                + ctype
+                + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+            )
+
+        # 2x2 palette image: indices [[0,1],[1,0]]
+        plte = bytes([255, 0, 0, 0, 0, 255])  # red, blue
+        raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([1, 0])
+        data = (
+            PNG_SIGNATURE
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        got = decode_png(data)
+        assert np.array_equal(got[0, 0], [255, 0, 0])
+        assert np.array_equal(got[0, 1], [0, 0, 255])
+        assert np.array_equal(got[1, 0], [0, 0, 255])
+
+    def test_rejections(self):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pytest
+
+        from atlas_upscaling_dask_spark.sources.png import (
+            PNG_SIGNATURE,
+            decode_png,
+            encode_png,
+        )
+
+        with pytest.raises(ValueError, match="bad signature"):
+            decode_png(b"JFIF....")
+
+        def chunk(ctype, payload):
+            return (
+                struct.pack(">I", len(payload))
+                + ctype
+                + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+            )
+
+        # 16-bit depth and Adam7 interlace: explicit rejection
+        for depth, interlace, msg in ((16, 0, "8-bit"), (8, 1, "interlaced")):
+            data = (
+                PNG_SIGNATURE
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace))
+                + chunk(b"IEND", b"")
+            )
+            with pytest.raises(ValueError, match=msg):
+                decode_png(data)
+
+        # corrupted CRC
+        good = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+        bad = bytearray(good)
+        bad[-5] ^= 0xFF  # inside IEND CRC
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(bad))
+
+    def test_to_rgb_normalization(self):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.sources.png import to_rgb
+
+        g = np.full((2, 2, 1), 7, dtype=np.uint8)
+        assert to_rgb(g).shape == (2, 2, 3)
+        ga = np.dstack([g[:, :, 0], np.full((2, 2), 255, np.uint8)])
+        assert to_rgb(ga).shape == (2, 2, 3)
+        rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+        assert to_rgb(rgba).shape == (2, 2, 3)
