@@ -111,12 +111,21 @@ def duplicate_windows(
     marks verbatim shared text that doc-level dedup misses (boilerplate,
     license blocks, quoted passages).
 
-    The full suffix-array algorithm finds arbitrary-length repeats;
-    the fixed-stride approximation catches every repeat of length
-    ≥ window + stride − 1 while staying embarrassingly parallel: one
+    The full suffix-array algorithm finds arbitrary-length repeats; the
+    fixed-stride approximation stays embarrassingly parallel — one
     narrow explode (~n_tokens/stride rows per doc, fixed-width md5
-    keys) and ONE aggregation.  Output is only the duplicated windows —
-    small relative to any corpus.
+    keys) and ONE aggregation — but its guarantee depends on stride:
+    with ``stride == 1`` every shared span of ≥ ``window`` tokens is
+    caught; with ``stride > 1`` windows start at multiples of stride
+    from each document's OWN start, so a shared span is detected only
+    when its start offsets in the two documents are congruent mod
+    stride — an arbitrarily long verbatim duplicate offset by one token
+    can be missed.  Use stride=1 for a real guarantee (stride× more
+    rows), or treat larger strides as a recall/cost dial for
+    boilerplate-scale sweeps.  (Content-defined anchoring — hash-based
+    breakpoints — would make alignment document-independent; not
+    implemented.)  Output is only the duplicated windows — small
+    relative to any corpus.
     """
     toks = F.split(F.col(text_col), " ")
     starts = F.when(

@@ -325,7 +325,15 @@ def _probe_frame(queries: DataFrame, cents, n_probe: int, id_col: str, vec_col: 
 
 
 def _score_probed(q_df: DataFrame, assigned: DataFrame, k: int) -> DataFrame:
-    """Broadcast probe join on the bucket key + per-query top-k window."""
+    """Broadcast probe join on the bucket key + per-query top-k window.
+
+    Ranking orders on the cosine ROUNDED to 9 digits (the same rounding
+    the oracle comparison applies), so when two neighbors differ only in
+    the last ulp — e.g. because this path normalizes qv while an oracle
+    evaluates the scale-invariant cosine on the raw vector — the
+    deterministic neighbor_id tie-break governs identically in both
+    engines instead of flipping rk on float noise.
+    """
     scored = (
         F.broadcast(q_df)
         .join(assigned, "bucket")
@@ -337,7 +345,7 @@ def _score_probed(q_df: DataFrame, assigned: DataFrame, k: int) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
+        F.round(F.col("cosine"), 9).desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rk", F.row_number().over(w))

@@ -137,11 +137,21 @@ def compact_table(
 
     Rewrites the table at ``target_mb`` per output file, preserving any
     partition layout.  The rewrite stages into a sibling directory and
-    swaps via rename — the Spark-on-filesystem analog of a transactional
-    rewrite (reading and overwriting the SAME path in one lazy plan is
-    undefined behavior: sources vanish mid-scan).  File count is sized
-    from the table's actual on-disk bytes, not row counts, so heavily
-    compressed columns don't over-split.
+    swaps via two renames.  **This is NOT transactional** — it assumes a
+    single writer on a local POSIX filesystem (``os.rename`` fails
+    across filesystems and on most object stores, and each rename is
+    only individually atomic):
+
+    * a crash between the two renames leaves the table ABSENT at
+      ``path`` with all data intact in ``path.__old__`` — recovery is
+      ``mv path.__old__ path`` (the old directory is only deleted after
+      the new path is confirmed readable);
+    * concurrent readers can error during the rename window; schedule
+      compaction when the table is quiet (real multi-writer semantics
+      need a table format with a transaction log — Delta/Iceberg).
+
+    File count is sized from the table's actual on-disk bytes, not row
+    counts, so heavily compressed columns don't over-split.
 
     Returns {"files_before", "files_after", "bytes"}.
     """
@@ -184,10 +194,18 @@ def compact_table(
     old = path.rstrip("/") + ".__old__"
     os.rename(path, old)
     os.rename(staging, path)
+    # keep .__old__ until the swapped-in table is confirmed readable —
+    # if this check throws, recovery is `mv path.__old__ path`
+    after = _data_files(path)
+    if not after:
+        raise RuntimeError(
+            f"compaction swap produced no data files at {path}; "
+            f"original preserved at {old}"
+        )
     shutil.rmtree(old)
     return {
         "files_before": len(before),
-        "files_after": len(_data_files(path)),
+        "files_after": len(after),
         "bytes": total_bytes,
     }
 
