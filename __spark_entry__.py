@@ -56,8 +56,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One oracle-checked entry per implemented SURVEY.md §2 operator."""
-    return dict(suite.QUERIES)
+    """One oracle-checked entry per implemented SURVEY.md §2 operator.
+
+    Ordered so never-driver-checked rows lead (the driver's correctness
+    gate samples a prefix; see suite.ordered_queries)."""
+    return suite.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
