@@ -264,7 +264,66 @@ def audited_queries():
             QUERIES["duplicate_windows"],
             {"max_shuffles": 2, "codegen": True, "no_python_udf": True},
         ),
+        # chunk-packed decimation: per-chunk stride view — the bulk
+        # pyramid step must cost ZERO exchanges at any volume size
+        "decimate_chunks_bulk": (
+            lambda spark, sf_dir: _bulk(spark, "decimate"),
+            {"no_shuffle": True, "no_python_udf": True},
+        ),
+        # chunk-packed mode-downsample: chunk-aligned blocks — zero
+        # exchanges, same contract as decimation
+        "mode_chunks_bulk": (
+            lambda spark, sf_dir: _bulk(spark, "mode"),
+            {"no_shuffle": True, "no_python_udf": True},
+        ),
+        # chunk-packed outline: face halo exchange — exactly ONE hash
+        # exchange (core ∪ faces on the chunk key); a second exchange
+        # here would mean the whole volume moves twice at 100 TB
+        "outline_chunks_bulk": (
+            lambda spark, sf_dir: _bulk(spark, "outline"),
+            {"max_shuffles": 1, "no_python_udf": True},
+        ),
+        # chunk-packed upscale from a stored volume: fully narrow
+        "upscale_chunks_bulk": (
+            lambda spark, sf_dir: _bulk(spark, "upscale"),
+            {"no_shuffle": True, "no_python_udf": True},
+        ),
     }
+
+
+_BULK_FIXTURE: dict = {}
+
+
+def _bulk(spark, op: str):
+    """Apply a chunk-packed bulk kernel to a parquet-backed chunk table.
+
+    The fixture is written once per process and read back, so the audited
+    plan isolates the OPERATOR's exchanges (the synthetic generator's
+    grid repartition would otherwise count against the budget)."""
+    import tempfile
+
+    from atlas_upscaling_dask_spark.operators.outline import outline_chunks
+    from atlas_upscaling_dask_spark.operators.pyramid import (
+        decimate_chunks,
+        downsample_mode_chunks,
+    )
+    from atlas_upscaling_dask_spark.operators.upscale import upscale_chunks
+    from atlas_upscaling_dask_spark.volume import VolumeMeta, synthetic_chunks
+
+    if "path" not in _BULK_FIXTURE:
+        d = tempfile.mkdtemp(prefix="audit_chunks_")
+        synthetic_chunks(spark, VolumeMeta(16, 16, 16), chunk=(8, 8, 8)).write.mode(
+            "overwrite"
+        ).parquet(d)
+        _BULK_FIXTURE["path"] = d
+    chunks = spark.read.parquet(_BULK_FIXTURE["path"])
+    if op == "decimate":
+        return decimate_chunks(chunks, 2)
+    if op == "mode":
+        return downsample_mode_chunks(chunks, 2)
+    if op == "outline":
+        return outline_chunks(chunks)
+    return upscale_chunks(chunks, 2)
 
 
 def main() -> int:
