@@ -4610,7 +4610,8 @@ _DRIVER_CHECKED = {
 #: hand-ranked head: flagship compositions, the full TPC-H adaptation
 #: set, and the newest operators — the rows that most need driver rows.
 _PRIORITY = [
-    "prepare_training_set", "doc_pipeline", "vox_outline_chunkpath",
+    "prepare_training_set", "doc_pipeline", "vox_enhance_chunkpath",
+    "vox_outline_chunkpath",
     "vox_outline_wrap_chunkpath", "vox_decimate_chunkpath", "vox_mode_chunkpath",
     "vox_upscale_chunkpath", "line_dedup", "train_shuffle", "pack_sequences",
     "assemble_packs", "hash_split", "contamination", "funnel_steps",
@@ -4637,3 +4638,68 @@ def ordered_queries() -> dict[str, QueryFn]:
     ]
     checked = [n for n in QUERIES if n in _DRIVER_CHECKED and n not in pri_set]
     return {n: QUERIES[n] for n in (*pri, *rest_unchecked, *checked)}
+
+
+def _vox_enhance_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's composed enhance workload END-TO-END on the bulk
+    # path (upscale_streaming_enhance.py:348-364): upscale ×2 → torus
+    # outline → 2-level decimation pyramid, all chunk-packed (narrow
+    # upscale, one halo exchange, zero-shuffle levels).
+    from .operators.enhance import enhance_chunks
+    from .volume import chunks_to_voxels, synthetic_chunks
+
+    chunks = synthetic_chunks(spark, FIXTURE_META, chunk=(8, 8, 8))
+    enh = enhance_chunks(
+        chunks, scale=2, outline=True, levels=2, wrap=True, cache_base=False
+    )
+    out = None
+    for lvl in (0, 1):
+        vox = chunks_to_voxels(enh.filter(F.col("level") == lvl).drop("level"))
+        lv = vox.select(F.lit(lvl).cast("int").alias("level"), "z", "y", "x", "label")
+        out = lv if out is None else out.unionByName(lv)
+    return out
+
+
+_register(
+    "vox_enhance_chunkpath",
+    _vox_enhance_chunkpath,
+    f"""
+WITH {VOX_CTE},
+up AS (
+  SELECT v.z * 2 + a.range AS z, v.y * 2 + b.range AS y, v.x * 2 + c.range AS x, v.label
+  FROM voxels v, range(2) a, range(2) b, range(2) c
+),
+nb AS (
+  SELECT z, y, x, label,
+         coalesce(lag(label)  OVER (PARTITION BY z, y ORDER BY x),
+                  last_value(label) OVER (PARTITION BY z, y ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS xp,
+         coalesce(lead(label) OVER (PARTITION BY z, y ORDER BY x),
+                  first_value(label) OVER (PARTITION BY z, y ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS xn,
+         coalesce(lag(label)  OVER (PARTITION BY z, x ORDER BY y),
+                  last_value(label) OVER (PARTITION BY z, x ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS yp,
+         coalesce(lead(label) OVER (PARTITION BY z, x ORDER BY y),
+                  first_value(label) OVER (PARTITION BY z, x ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS yn,
+         coalesce(lag(label)  OVER (PARTITION BY y, x ORDER BY z),
+                  last_value(label) OVER (PARTITION BY y, x ORDER BY z
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS zp,
+         coalesce(lead(label) OVER (PARTITION BY y, x ORDER BY z),
+                  first_value(label) OVER (PARTITION BY y, x ORDER BY z
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS zn
+  FROM up
+),
+outlined AS (
+  SELECT z, y, x,
+         CASE WHEN label != xp OR label != xn OR label != yp OR label != yn
+                   OR label != zp OR label != zn THEN label ELSE 0 END AS label
+  FROM nb
+)
+SELECT CAST(0 AS INTEGER) AS level, z, y, x, label FROM outlined
+UNION ALL
+SELECT CAST(1 AS INTEGER), z // 2, y // 2, x // 2, label
+FROM outlined WHERE z % 2 = 0 AND y % 2 = 0 AND x % 2 = 0
+""",
+)

@@ -198,6 +198,25 @@ def main() -> None:
                 force(decimate_chunks(chunks, 2))
                 t_runs.append(time.perf_counter() - t0)
             timings["bulk_decimate"] = round(min(t_runs), 3)
+            # the reference's composed enhance workload (×2 upscale →
+            # torus outline → 2-level pyramid) end-to-end on the bulk
+            # path.  Explicit per-run cache handle so every timed run
+            # pays the full base compute ONCE (the K4 fix: level 1
+            # derives from the cached base, never a recompute — but the
+            # cache population itself is inside the timing).
+            t_runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                base = outline_chunks(
+                    upscale_chunks(chunks, 2, codec="lz4"), wrap=True, codec="lz4"
+                ).cache()
+                try:
+                    force(base)  # level 0 (computes + caches)
+                    force(decimate_chunks(base, 2))  # level 1 from cache
+                finally:
+                    base.unpersist(blocking=True)
+                t_runs.append(time.perf_counter() - t0)
+            timings["bulk_enhance"] = round(min(t_runs), 3)
         finally:
             chunks.unpersist(blocking=True)
 

@@ -466,3 +466,62 @@ def test_downsample_mode_chunks_rejects_unaligned(spark):
     chunks = voxels_to_chunks(synthetic_voxels(spark, meta), meta, chunk=(3, 5, 7))
     with pytest.raises(Exception, match="stride-aligned"):
         chunks_to_voxels(downsample_mode_chunks(chunks, 2)).collect()
+
+
+def test_enhance_chunks_equals_coo_composition(spark):
+    # The reference's enhance workload end-to-end on the bulk path:
+    # upscale x2 -> torus outline -> 2-level pyramid, vs the same
+    # composition of COO operators (upscale_streaming_enhance.py:348-364).
+    from atlas_upscaling_dask_spark.operators.enhance import enhance_chunks
+
+    meta = VolumeMeta(8, 8, 8)
+    coo_base = outline_window(upscale_coo(synthetic_voxels(spark, meta), 2), wrap=True)
+    coo = build_pyramid(coo_base, levels=2, cache_base=False)
+
+    chunks = synthetic_chunks(spark, meta, chunk=(4, 8, 8))
+    enh = enhance_chunks(chunks, scale=2, outline=True, levels=2, wrap=True,
+                         cache_base=False)
+    got = {}
+    for lvl in (0, 1):
+        vox = chunks_to_voxels(enh.filter(F.col("level") == lvl).drop("level"))
+        for r in vox.collect():
+            got[(lvl, r["z"], r["y"], r["x"])] = r["label"]
+    exp = {
+        (r["level"], r["z"], r["y"], r["x"]): r["label"] for r in coo.collect()
+    }
+    assert got == exp
+
+
+def test_write_enhance_pyramid_disk_staged(spark, tmp_path):
+    import json
+    import os
+
+    from atlas_upscaling_dask_spark.operators.enhance import (
+        enhance_chunks,
+        write_enhance_pyramid,
+    )
+
+    meta = VolumeMeta(8, 8, 8)
+    chunks = synthetic_chunks(spark, meta, chunk=(4, 8, 8))
+    out = str(tmp_path / "enh")
+    write_enhance_pyramid(
+        chunks, out, meta, scale=2, outline=True, levels=2, wrap=True
+    )
+    # sidecar records output dims + per-level spacing
+    side = json.load(open(os.path.join(out, "_volume_meta.json")))
+    assert side["dims_zyx"] == [16, 16, 16]
+    assert len(side["multiscales"]) == 2
+    assert side["multiscales"][1]["spacing_zyx_um"][0] == pytest.approx(25.0)
+    # stored levels match the in-memory composition
+    enh = enhance_chunks(chunks, scale=2, outline=True, levels=2, wrap=True,
+                         cache_base=False)
+    for lvl in (0, 1):
+        stored = spark.read.parquet(os.path.join(out, f"level={lvl}"))
+        a = {(r["z"], r["y"], r["x"]): r["label"]
+             for r in chunks_to_voxels(stored.select(
+                 "volume_id", "cz", "cy", "cx", "z0", "y0", "x0",
+                 "dz", "dy", "dx", "codec", "payload")).collect()}
+        b = {(r["z"], r["y"], r["x"]): r["label"]
+             for r in chunks_to_voxels(
+                 enh.filter(F.col("level") == lvl).drop("level")).collect()}
+        assert a == b
