@@ -122,16 +122,21 @@ def outline_join(
 _HALO_SIDES = ("zlo", "zhi", "ylo", "yhi", "xlo", "xhi")
 
 
-def outline_chunks(
-    chunks: DataFrame, wrap: bool = False, codec: str | None = None
+def halo_map_chunks(
+    chunks: DataFrame,
+    block_fn,
+    wrap: bool = False,
+    codec: str | None = None,
 ) -> DataFrame:
-    """T4 outline on the chunk-packed path: per-chunk NumPy kernel +
-    one-voxel face halo exchange — the bulk twin of
-    :func:`outline_window`, and the shape that survives the reference's
-    actual workload (outline of the FULL ×15 volume,
-    upscale_streaming_enhance.py:355-357): the COO variants would
-    explode 2.6e11 coordinate rows there; this one keeps 4 B/voxel
-    payloads packed end-to-end.
+    """Generic 1-voxel-halo stencil map on the chunk-packed path: the
+    ghost-cell primitive behind :func:`outline_chunks` and
+    :func:`morphology_chunks` (Dask's ``map_overlap`` with depth=1,
+    re-expressed as one Spark exchange).
+
+    ``block_fn(block, padded) -> np.ndarray`` receives the chunk's
+    ``(dz, dy, dx)`` payload and its ``(dz+2, dy+2, dx+2)`` halo-padded
+    companion, and returns the output payload (same shape/dtype as
+    ``block``).
 
     Exchange structure (the only data movement):
 
@@ -145,14 +150,15 @@ def outline_chunks(
        On a chunk-key-partitioned store (the ``write_volume`` layout)
        AQE sees the pre-partitioning and only the faces move.
     3. **Per-chunk kernel**: pad the block edge-replicated (missing
-       neighbors count as "same" — the non-wrap contract), overlay the
-       received halo planes, then one vectorized 6-direction compare.
+       neighbors behave as the center value — the non-wrap contract for
+       both outline and morphology), overlay the received halo planes,
+       then run ``block_fn`` vectorized.
 
     ``wrap=True`` reproduces the reference's ``da.roll`` torus
     semantics (SURVEY.md §4.3.3): faces address neighbors modulo the
-    chunk grid, so volume-border voxels compare against the opposite
-    face.  ``codec`` compresses output payloads in-worker (same
-    contract as ``upscale_chunks``).
+    chunk grid, so volume-border voxels see the opposite face.
+    ``codec`` compresses output payloads in-worker (same contract as
+    ``upscale_chunks``).
     """
     import pyarrow as pa
 
@@ -251,7 +257,7 @@ def outline_chunks(
     )
 
     def _emit(group, out):
-        """Outline one chunk from its buffered (core ∪ halo) rows."""
+        """Run ``block_fn`` on one chunk's buffered (core ∪ halo) rows."""
         core = next((g for g in group if g[-1] == "core"), None)
         if core is None:
             return  # a face addressed past the grid edge (non-wrap)
@@ -279,15 +285,7 @@ def outline_chunks(
                 padded[1:-1, 1:-1, 0] = face[:, :, 0]
             elif side == "xhi":
                 padded[1:-1, 1:-1, -1] = face[:, :, 0]
-        boundary = (
-            (block != padded[:-2, 1:-1, 1:-1])
-            | (block != padded[2:, 1:-1, 1:-1])
-            | (block != padded[1:-1, :-2, 1:-1])
-            | (block != padded[1:-1, 2:, 1:-1])
-            | (block != padded[1:-1, 1:-1, :-2])
-            | (block != padded[1:-1, 1:-1, 2:])
-        )
-        res = np.where(boundary, block, np.uint32(0)).astype(PAYLOAD_DTYPE)
+        res = block_fn(block, padded).astype(PAYLOAD_DTYPE)
         out[0].append((vid, cz, cy, cx, z0, y0, x0, dz, dy, dx))
         out[1].append(_encode_payload(res, out_codec))
 
@@ -321,6 +319,62 @@ def outline_chunks(
             yield _chunk_batch(out[0], out[1], out_codec)
 
     return exchanged.mapInArrow(kernel, schema=CHUNK_SCHEMA)
+
+
+#: the six 1-voxel-shifted views of a halo-padded block, as slices
+_SHIFT_SLICES = (
+    (slice(None, -2), slice(1, -1), slice(1, -1)),
+    (slice(2, None), slice(1, -1), slice(1, -1)),
+    (slice(1, -1), slice(None, -2), slice(1, -1)),
+    (slice(1, -1), slice(2, None), slice(1, -1)),
+    (slice(1, -1), slice(1, -1), slice(None, -2)),
+    (slice(1, -1), slice(1, -1), slice(2, None)),
+)
+
+
+def outline_chunks(
+    chunks: DataFrame, wrap: bool = False, codec: str | None = None
+) -> DataFrame:
+    """T4 outline on the chunk-packed path — the bulk twin of
+    :func:`outline_window`, and the shape that survives the reference's
+    actual workload (outline of the FULL ×15 volume,
+    upscale_streaming_enhance.py:355-357): the COO variants would
+    explode 2.6e11 coordinate rows there; this one keeps 4 B/voxel
+    payloads packed end-to-end.  See :func:`halo_map_chunks` for the
+    exchange structure (one shuffle, faces + cores).
+    """
+
+    def boundary_fn(block, padded):
+        boundary = np.zeros(block.shape, dtype=bool)
+        for sl in _SHIFT_SLICES:
+            boundary |= block != padded[sl]
+        return np.where(boundary, block, np.uint32(0))
+
+    return halo_map_chunks(chunks, boundary_fn, wrap=wrap, codec=codec)
+
+
+def morphology_chunks(
+    chunks: DataFrame,
+    op: str = "erode",
+    wrap: bool = False,
+    codec: str | None = None,
+) -> DataFrame:
+    """Grayscale 6-neighborhood morphology on the chunk-packed path —
+    the bulk twin of :func:`morphology` (erode = min over the 7-cell
+    cross, dilate = max), sharing the outline kernel's halo exchange.
+    Out-of-range neighbors are the center value (non-wrap: the
+    edge-replicated pad) or the opposite face (wrap)."""
+    if op not in ("erode", "dilate"):
+        raise ValueError(f"op must be erode|dilate, got {op!r}")
+    reduce = np.minimum if op == "erode" else np.maximum
+
+    def morph_fn(block, padded):
+        acc = block.copy()
+        for sl in _SHIFT_SLICES:
+            acc = reduce(acc, padded[sl])
+        return acc
+
+    return halo_map_chunks(chunks, morph_fn, wrap=wrap, codec=codec)
 
 
 def morphology(voxels: DataFrame, op: str = "erode", wrap: bool = False) -> DataFrame:

@@ -4612,7 +4612,8 @@ _DRIVER_CHECKED = {
 _PRIORITY = [
     "prepare_training_set", "doc_pipeline", "vox_enhance_chunkpath",
     "vox_outline_chunkpath",
-    "vox_outline_wrap_chunkpath", "vox_decimate_chunkpath", "vox_mode_chunkpath",
+    "vox_outline_wrap_chunkpath", "vox_decimate_chunkpath", "vox_mode_chunkpath", "vox_erode_chunkpath",
+    "vox_dilate_chunkpath",
     "vox_upscale_chunkpath", "line_dedup", "train_shuffle", "pack_sequences",
     "assemble_packs", "hash_split", "contamination", "funnel_steps",
     "funnel_counts", "cohort_retention", "cdc_apply", "changelog_apply",
@@ -4703,3 +4704,26 @@ SELECT CAST(1 AS INTEGER), z // 2, y // 2, x // 2, label
 FROM outlined WHERE z % 2 = 0 AND y % 2 = 0 AND x % 2 = 0
 """,
 )
+
+
+def _vox_erode_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 6-neighborhood erosion on the bulk path (shared halo exchange).
+    from .operators.outline import morphology_chunks
+    from .volume import chunks_to_voxels, synthetic_chunks
+
+    chunks = synthetic_chunks(spark, FIXTURE_META, chunk=(8, 8, 8))
+    return chunks_to_voxels(morphology_chunks(chunks, op="erode", wrap=False))
+
+
+_register("vox_erode_chunkpath", _vox_erode_chunkpath, ORACLES["vox_erode"])
+
+
+def _vox_dilate_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.outline import morphology_chunks
+    from .volume import chunks_to_voxels, synthetic_chunks
+
+    chunks = synthetic_chunks(spark, FIXTURE_META, chunk=(8, 8, 8))
+    return chunks_to_voxels(morphology_chunks(chunks, op="dilate", wrap=False))
+
+
+_register("vox_dilate_chunkpath", _vox_dilate_chunkpath, ORACLES["vox_dilate"])

@@ -525,3 +525,18 @@ def test_write_enhance_pyramid_disk_staged(spark, tmp_path):
              for r in chunks_to_voxels(
                  enh.filter(F.col("level") == lvl).drop("level")).collect()}
         assert a == b
+
+
+@pytest.mark.parametrize("op", ["erode", "dilate"])
+@pytest.mark.parametrize("wrap", [False, True])
+def test_morphology_chunk_path_equals_coo_path(spark, op, wrap):
+    from atlas_upscaling_dask_spark.operators.outline import (
+        morphology,
+        morphology_chunks,
+    )
+
+    meta = VolumeMeta(16, 16, 16)
+    coo = morphology(synthetic_voxels(spark, meta), op=op, wrap=wrap)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    bulk = chunks_to_voxels(morphology_chunks(chunks, op=op, wrap=wrap))
+    assert _coo_dict(coo) == _coo_dict(bulk)
