@@ -4614,7 +4614,7 @@ _PRIORITY = [
     "vox_outline_chunkpath",
     "vox_outline_wrap_chunkpath", "vox_decimate_chunkpath", "vox_mode_chunkpath", "vox_erode_chunkpath",
     "vox_dilate_chunkpath",
-    "vox_upscale_chunkpath", "line_dedup", "train_shuffle", "pack_sequences",
+    "vox_upscale_chunkpath", "vox_rechunk_fastpaths", "line_dedup", "train_shuffle", "pack_sequences",
     "assemble_packs", "hash_split", "contamination", "funnel_steps",
     "funnel_counts", "cohort_retention", "cdc_apply", "changelog_apply",
     "vox_zorder_code", "vox_morton", "tpch_q2_min_cost", "tpch_q3_shipping",
@@ -4727,3 +4727,23 @@ def _vox_dilate_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("vox_dilate_chunkpath", _vox_dilate_chunkpath, ORACLES["vox_dilate"])
+
+
+def _vox_rechunk_fastpaths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T6 aligned rechunk round-trip: split (narrow, zero shuffle) then
+    # merge (one packed-payload shuffle) back to the original geometry —
+    # the volume must be bit-identical to the fixture cube.
+    from .volume import chunks_to_voxels, merge_chunks, split_chunks, synthetic_chunks
+
+    chunks = synthetic_chunks(spark, FIXTURE_META, chunk=(8, 8, 8))
+    return chunks_to_voxels(merge_chunks(split_chunks(chunks, (2, 2, 2)), (2, 2, 2)))
+
+
+_register(
+    "vox_rechunk_fastpaths",
+    _vox_rechunk_fastpaths,
+    f"""
+WITH {VOX_CTE}
+SELECT z, y, x, label FROM voxels
+""",
+)

@@ -323,12 +323,146 @@ def rechunk(
 ) -> DataFrame:
     """T6 — change chunk geometry before writing (upscale_streaming.py:126).
 
-    General path: explode to COO (narrow) and repack on the new chunk
-    key (one shuffle — the same data movement Dask's rechunk performs).
-    The aligned case (new chunk = k·old chunk) could merge payloads
-    without exploding; not needed yet.
+    Three strategies by alignment, cheapest first:
+
+    * **split** (new = old / k per axis, k | old): NARROW — each chunk
+      slices into k³ sub-chunks in place, zero shuffle;
+    * **merge** (new = k·old per axis, grid-aligned): one shuffle of
+      PACKED payloads on the coarse chunk key (4 B/voxel) — 7× less
+      exchange traffic than the COO fallback;
+    * **general**: explode to COO (narrow) and repack on the new chunk
+      key (one shuffle of 28 B/voxel rows — the same data movement
+      Dask's rechunk performs).
+
+    Alignment is decided from the table's actual geometry (a
+    metadata-scale agg over the key columns).
     """
+    dzn, dyn, dxn = new_chunk
+    geo = chunks.agg(
+        F.count_distinct("dz").alias("ndz"),
+        F.count_distinct("dy").alias("ndy"),
+        F.count_distinct("dx").alias("ndx"),
+        F.max("dz").alias("dz"),
+        F.max("dy").alias("dy"),
+        F.max("dx").alias("dx"),
+    ).first()
+    uniform = geo["ndz"] == geo["ndy"] == geo["ndx"] == 1
+    if uniform:
+        dzo, dyo, dxo = geo["dz"], geo["dy"], geo["dx"]
+        if all(o % n == 0 for o, n in ((dzo, dzn), (dyo, dyn), (dxo, dxn))):
+            return split_chunks(chunks, (dzo // dzn, dyo // dyn, dxo // dxn))
+        if (
+            all(n % o == 0 for o, n in ((dzo, dzn), (dyo, dyn), (dxo, dxn)))
+            and all(s % o == 0 for s, o in zip(meta.shape, (dzo, dyo, dxo)))
+        ):
+            return merge_chunks(chunks, (dzn // dzo, dyn // dyo, dxn // dxo))
     return voxels_to_chunks(chunks_to_voxels(chunks), meta, chunk=new_chunk)
+
+
+def split_chunks(chunks: DataFrame, factor: tuple[int, int, int]) -> DataFrame:
+    """Aligned rechunk, fine direction: each chunk slices into
+    ``kz·ky·kx`` sub-chunks — a pure per-row NumPy view copy, ZERO
+    shuffle.  Requires each factor to divide the chunk's extent."""
+    kz, ky, kx = factor
+
+    def kernel(batches):
+        for batch in batches:
+            d = batch.to_pydict()
+            rows, payloads = [], []
+            for i in range(len(d["cz"])):
+                dz, dy, dx = d["dz"][i], d["dy"][i], d["dx"][i]
+                if dz % kz or dy % ky or dx % kx:
+                    raise ValueError(
+                        f"split factor {factor} does not divide chunk extent "
+                        f"({dz},{dy},{dx})"
+                    )
+                block = np.frombuffer(
+                    _decode_payload(
+                        d["payload"][i], d["codec"][i],
+                        dz * dy * dx * PAYLOAD_DTYPE.itemsize,
+                    ),
+                    dtype=PAYLOAD_DTYPE,
+                ).reshape(dz, dy, dx)
+                sz, sy, sx = dz // kz, dy // ky, dx // kx
+                for iz in range(kz):
+                    for iy in range(ky):
+                        for ix in range(kx):
+                            sub = np.ascontiguousarray(
+                                block[
+                                    iz * sz : (iz + 1) * sz,
+                                    iy * sy : (iy + 1) * sy,
+                                    ix * sx : (ix + 1) * sx,
+                                ]
+                            )
+                            rows.append(
+                                (
+                                    d["volume_id"][i],
+                                    d["cz"][i] * kz + iz,
+                                    d["cy"][i] * ky + iy,
+                                    d["cx"][i] * kx + ix,
+                                    d["z0"][i] + iz * sz,
+                                    d["y0"][i] + iy * sy,
+                                    d["x0"][i] + ix * sx,
+                                    sz, sy, sx,
+                                )
+                            )
+                            payloads.append(sub.tobytes())
+            if rows:
+                yield _chunk_batch(rows, payloads)
+
+    return chunks.mapInArrow(kernel, schema=CHUNK_SCHEMA)
+
+
+def merge_chunks(chunks: DataFrame, factor: tuple[int, int, int]) -> DataFrame:
+    """Aligned rechunk, coarse direction: ``kz·ky·kx`` neighbor chunks
+    assemble into one — ONE shuffle of PACKED payloads on the coarse
+    key (4 B/voxel vs 28 B/voxel for the COO fallback).  Edge chunks may
+    assemble short (clamped to the volume shape)."""
+    kz, ky, kx = factor
+
+    keyed = chunks.withColumn("mcz", (F.col("cz") / kz).cast("int")).withColumn(
+        "mcy", (F.col("cy") / ky).cast("int")
+    ).withColumn("mcx", (F.col("cx") / kx).cast("int"))
+
+    def assemble(keys, pdfs: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdfs
+        z0 = int(pdf["z0"].min())
+        y0 = int(pdf["y0"].min())
+        x0 = int(pdf["x0"].min())
+        bz = int((pdf["z0"] + pdf["dz"]).max()) - z0
+        by = int((pdf["y0"] + pdf["dy"]).max()) - y0
+        bx = int((pdf["x0"] + pdf["dx"]).max()) - x0
+        block = np.zeros((bz, by, bx), dtype=PAYLOAD_DTYPE)
+        for r in pdf.itertuples(index=False):
+            sub = np.frombuffer(
+                _decode_payload(
+                    r.payload, r.codec, r.dz * r.dy * r.dx * PAYLOAD_DTYPE.itemsize
+                ),
+                dtype=PAYLOAD_DTYPE,
+            ).reshape(r.dz, r.dy, r.dx)
+            block[
+                r.z0 - z0 : r.z0 - z0 + r.dz,
+                r.y0 - y0 : r.y0 - y0 + r.dy,
+                r.x0 - x0 : r.x0 - x0 + r.dx,
+            ] = sub
+        return pd.DataFrame(
+            {
+                "volume_id": [pdf["volume_id"].iloc[0]],
+                "cz": [int(keys[0])],
+                "cy": [int(keys[1])],
+                "cx": [int(keys[2])],
+                "z0": [z0],
+                "y0": [y0],
+                "x0": [x0],
+                "dz": [bz],
+                "dy": [by],
+                "dx": [bx],
+                "codec": ["raw"],
+                "payload": [block.tobytes()],
+            }
+        )
+
+    return keyed.groupBy("mcz", "mcy", "mcx").applyInPandas(assemble, schema=CHUNK_SCHEMA)
 
 
 def chunks_to_voxels(chunks: DataFrame) -> DataFrame:

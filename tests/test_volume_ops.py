@@ -540,3 +540,54 @@ def test_morphology_chunk_path_equals_coo_path(spark, op, wrap):
     chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
     bulk = chunks_to_voxels(morphology_chunks(chunks, op=op, wrap=wrap))
     assert _coo_dict(coo) == _coo_dict(bulk)
+
+
+def test_rechunk_aligned_split_and_merge(spark):
+    # T6 fast paths: split (narrow) and merge (packed-payload shuffle)
+    # must produce the same volume as the general COO repack.
+    from atlas_upscaling_dask_spark.volume import (
+        merge_chunks,
+        rechunk,
+        split_chunks,
+    )
+
+    meta = VolumeMeta(16, 16, 16)
+    base = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    expect = _coo_dict(chunks_to_voxels(base))
+
+    fine = rechunk(base, meta, (4, 4, 4))  # divides 8 -> split path
+    assert _coo_dict(chunks_to_voxels(fine)) == expect
+    assert fine.count() == 64  # 4^3 grid
+    # extents actually changed
+    assert fine.select(F.max("dz")).first()[0] == 4
+
+    coarse = rechunk(fine, meta, (8, 16, 16))  # multiples -> merge path
+    assert _coo_dict(chunks_to_voxels(coarse)) == expect
+    assert coarse.count() == 2
+    assert coarse.select(F.max("dy")).first()[0] == 16
+
+    # direct API parity too
+    assert _coo_dict(chunks_to_voxels(split_chunks(base, (2, 2, 2)))) == expect
+    assert _coo_dict(chunks_to_voxels(merge_chunks(base, (2, 2, 2)))) == expect
+
+
+def test_rechunk_general_fallback_unaligned(spark):
+    from atlas_upscaling_dask_spark.volume import rechunk
+
+    meta = VolumeMeta(16, 16, 16)
+    base = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    expect = _coo_dict(chunks_to_voxels(base))
+    odd = rechunk(base, meta, (5, 7, 16))  # neither divides nor multiplies
+    assert _coo_dict(chunks_to_voxels(odd)) == expect
+
+
+def test_merge_chunks_uneven_edges(spark):
+    # 10-deep volume chunked (4,8,16): merging 2x in z assembles short
+    # edge chunks ((4+4) then (2)) without zero-padding artifacts.
+    from atlas_upscaling_dask_spark.volume import merge_chunks
+
+    meta = VolumeMeta(10, 16, 16)
+    base = voxels_to_chunks(synthetic_voxels(spark, meta), meta, chunk=(4, 8, 16))
+    merged = merge_chunks(base, (2, 1, 1))
+    assert _coo_dict(chunks_to_voxels(merged)) == _coo_dict(chunks_to_voxels(base))
+    assert merged.count() == 2 * 2  # cz in {0,1}, cy in {0,1}, cx {0}

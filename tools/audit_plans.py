@@ -288,6 +288,17 @@ def audited_queries():
             lambda spark, sf_dir: _bulk(spark, "upscale"),
             {"no_shuffle": True, "no_python_udf": True},
         ),
+        # aligned rechunk, fine direction: pure per-row split — narrow
+        "split_chunks_bulk": (
+            lambda spark, sf_dir: _bulk(spark, "split"),
+            {"no_shuffle": True, "no_python_udf": True},
+        ),
+        # aligned rechunk, coarse direction: ONE packed-payload shuffle
+        # on the coarse chunk key (4 B/voxel, never the 28 B COO rows)
+        "merge_chunks_bulk": (
+            lambda spark, sf_dir: _bulk(spark, "merge"),
+            {"max_shuffles": 1, "no_python_udf": True},
+        ),
     }
 
 
@@ -317,6 +328,14 @@ def _bulk(spark, op: str):
         ).parquet(d)
         _BULK_FIXTURE["path"] = d
     chunks = spark.read.parquet(_BULK_FIXTURE["path"])
+    if op == "split":
+        from atlas_upscaling_dask_spark.volume import split_chunks
+
+        return split_chunks(chunks, (2, 2, 2))
+    if op == "merge":
+        from atlas_upscaling_dask_spark.volume import merge_chunks
+
+        return merge_chunks(chunks, (2, 2, 2))
     if op == "decimate":
         return decimate_chunks(chunks, 2)
     if op == "mode":
