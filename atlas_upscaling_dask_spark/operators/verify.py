@@ -9,6 +9,7 @@ count that Catalyst executes as a sort-merge join at scale.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,6 +55,67 @@ def volume_extents(voxels: DataFrame) -> DataFrame:
         F.count("*").alias("n_voxels"),
         F.countDistinct("label").alias("n_labels"),
     )
+
+
+def histogram_chunks(chunks: DataFrame) -> DataFrame:
+    """Label histogram on the chunk-packed path: per-chunk
+    ``np.unique(..., return_counts)`` inside ``mapInArrow``, then ONE
+    aggregation over (label, count) partials.
+
+    The COO version explodes every voxel into a 28 B row before the
+    groupBy; here the exchange carries only each chunk's DISTINCT
+    labels (an annotation chunk holds a handful of regions), so a
+    100 TB histogram shuffles megabytes.  Map-side partials compound
+    the win: Spark pre-merges per-partition before the exchange.
+    """
+    import pyarrow as pa
+
+    from ..volume import PAYLOAD_DTYPE, _decode_payload
+
+    def kernel(batches):
+        for batch in batches:
+            d = batch.to_pydict()
+            labels, counts = [], []
+            for i in range(len(d["cz"])):
+                dz, dy, dx = d["dz"][i], d["dy"][i], d["dx"][i]
+                block = np.frombuffer(
+                    _decode_payload(
+                        d["payload"][i], d["codec"][i],
+                        dz * dy * dx * PAYLOAD_DTYPE.itemsize,
+                    ),
+                    dtype=PAYLOAD_DTYPE,
+                )
+                u, c = np.unique(block, return_counts=True)
+                labels.append(u.astype(np.int64))
+                counts.append(c.astype(np.int64))
+            if labels:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(labels), type=pa.int64()),
+                        pa.array(np.concatenate(counts), type=pa.int64()),
+                    ],
+                    ["label", "n"],
+                )
+
+    partials = chunks.mapInArrow(kernel, schema="label long, n long")
+    return partials.groupBy("label").agg(F.sum("n").alias("n_voxels"))
+
+
+def volume_extents_chunks(chunks: DataFrame) -> DataFrame:
+    """V3 smoke on the chunk-packed path: dims and voxel count come from
+    chunk METADATA only (column pruning keeps payload bytes unread);
+    the distinct-label count rides the histogram partials.  At 100 TB
+    the metadata half of this check reads kilobytes."""
+    dims = chunks.agg(
+        F.max(F.col("z0") + F.col("dz")).alias("dim_z"),
+        F.max(F.col("y0") + F.col("dy")).alias("dim_y"),
+        F.max(F.col("x0") + F.col("dx")).alias("dim_x"),
+        F.sum(
+            F.col("dz").cast("long") * F.col("dy") * F.col("dx")
+        ).alias("n_voxels"),
+    )
+    nl = histogram_chunks(chunks).agg(F.count("*").alias("n_labels"))
+    return dims.crossJoin(nl)
 
 
 def upscale_mismatches_chunked(

@@ -4614,7 +4614,8 @@ _PRIORITY = [
     "vox_outline_chunkpath",
     "vox_outline_wrap_chunkpath", "vox_decimate_chunkpath", "vox_mode_chunkpath", "vox_erode_chunkpath",
     "vox_dilate_chunkpath",
-    "vox_upscale_chunkpath", "vox_rechunk_fastpaths", "line_dedup", "train_shuffle", "pack_sequences",
+    "vox_upscale_chunkpath", "vox_rechunk_fastpaths", "vox_histogram_chunkpath",
+    "vox_extents_chunkpath", "line_dedup", "train_shuffle", "pack_sequences",
     "assemble_packs", "hash_split", "contamination", "funnel_steps",
     "funnel_counts", "cohort_retention", "cdc_apply", "changelog_apply",
     "vox_zorder_code", "vox_morton", "tpch_q2_min_cost", "tpch_q3_shipping",
@@ -4747,3 +4748,26 @@ WITH {VOX_CTE}
 SELECT z, y, x, label FROM voxels
 """,
 )
+
+
+def _vox_histogram_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Label histogram on the bulk path: the exchange carries each
+    # chunk's DISTINCT labels, never exploded voxels.
+    from .operators.verify import histogram_chunks
+    from .volume import synthetic_chunks
+
+    return histogram_chunks(synthetic_chunks(spark, FIXTURE_META, chunk=(8, 8, 8)))
+
+
+_register("vox_histogram_chunkpath", _vox_histogram_chunkpath, ORACLES["vox_histogram"])
+
+
+def _vox_extents_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # V3 smoke on the bulk path: dims/counts from chunk metadata only.
+    from .operators.verify import volume_extents_chunks
+    from .volume import synthetic_chunks
+
+    return volume_extents_chunks(synthetic_chunks(spark, FIXTURE_META, chunk=(8, 8, 8)))
+
+
+_register("vox_extents_chunkpath", _vox_extents_chunkpath, ORACLES["vox_extents"])

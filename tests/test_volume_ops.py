@@ -591,3 +591,23 @@ def test_merge_chunks_uneven_edges(spark):
     merged = merge_chunks(base, (2, 1, 1))
     assert _coo_dict(chunks_to_voxels(merged)) == _coo_dict(chunks_to_voxels(base))
     assert merged.count() == 2 * 2  # cz in {0,1}, cy in {0,1}, cx {0}
+
+
+def test_histogram_and_extents_chunk_paths(spark):
+    from atlas_upscaling_dask_spark.operators.verify import (
+        histogram_chunks,
+        volume_extents_chunks,
+    )
+
+    meta = VolumeMeta(16, 16, 16)
+    vox = synthetic_voxels(spark, meta)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+
+    coo_hist = {r["label"]: r["n_voxels"]
+                for r in vox.groupBy("label").agg(F.count("*").alias("n_voxels")).collect()}
+    bulk_hist = {r["label"]: r["n_voxels"] for r in histogram_chunks(chunks).collect()}
+    assert bulk_hist == coo_hist
+
+    ext = volume_extents_chunks(chunks).first()
+    assert (ext["dim_z"], ext["dim_y"], ext["dim_x"]) == (16, 16, 16)
+    assert ext["n_voxels"] == 4096 and ext["n_labels"] == 64
