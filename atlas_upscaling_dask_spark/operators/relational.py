@@ -80,6 +80,47 @@ def point_lookup(voxels: DataFrame, z: int, y: int, x: int) -> DataFrame:
     return voxels.filter((F.col("z") == z) & (F.col("y") == y) & (F.col("x") == x))
 
 
+def point_lookup_chunks(chunks: DataFrame, z: int, y: int, x: int) -> DataFrame:
+    """Q1 directly on the chunk-packed store — ZERO payload decode,
+    zero Python: the containing chunk is found by range predicates on
+    the metadata columns (pushed to the parquet scan, so partition
+    dirs + row groups prune before any payload byte is read), and the
+    single voxel is extracted from the raw C-order payload with SQL
+    byte arithmetic (``substring``+``hex``+``conv`` on the four
+    little-endian bytes at ``((z−z0)·dy·dx + (y−y0)·dx + (x−x0))·4``).
+
+    At 100 TB this reads ONE row group's worth of one payload column —
+    the chunk-path analog of the reference's memmap single-voxel read
+    (load_test.py:9).  Requires ``codec='raw'`` rows (compressed chunks
+    must decode; use the COO path for those).
+    """
+    hit = chunks.filter(
+        (F.col("z0") <= z) & (F.lit(z) < F.col("z0") + F.col("dz"))
+        & (F.col("y0") <= y) & (F.lit(y) < F.col("y0") + F.col("dy"))
+        & (F.col("x0") <= x) & (F.lit(x) < F.col("x0") + F.col("dx"))
+        & (F.col("codec") == "raw")
+    )
+    off = (
+        (F.lit(z) - F.col("z0")) * F.col("dy") * F.col("dx")
+        + (F.lit(y) - F.col("y0")) * F.col("dx")
+        + (F.lit(x) - F.col("x0"))
+    ) * 4 + 1  # substring is 1-based
+    sel = hit.withColumn("__off", off.cast("int"))
+    label = sum(
+        F.conv(
+            F.hex(F.expr(f"substring(payload, __off + {i}, 1)")), 16, 10
+        ).cast("long")
+        * (256**i)
+        for i in range(4)
+    )
+    return sel.select(
+        F.lit(z).cast("long").alias("z"),
+        F.lit(y).cast("long").alias("y"),
+        F.lit(x).cast("long").alias("x"),
+        label.alias("label"),
+    )
+
+
 def region_filter(regions: DataFrame, region_id: int) -> DataFrame:
     """Q2 — equality filter on the dim table (lookup_by_id.py:31)."""
     return regions.filter(F.col("region") == region_id)

@@ -4615,7 +4615,8 @@ _PRIORITY = [
     "vox_outline_wrap_chunkpath", "vox_decimate_chunkpath", "vox_mode_chunkpath", "vox_erode_chunkpath",
     "vox_dilate_chunkpath",
     "vox_upscale_chunkpath", "vox_rechunk_fastpaths", "vox_histogram_chunkpath",
-    "vox_extents_chunkpath", "line_dedup", "train_shuffle", "pack_sequences",
+    "vox_extents_chunkpath", "vox_point_lookup_chunkpath",
+    "region_rollup_chunkpath", "line_dedup", "train_shuffle", "pack_sequences",
     "assemble_packs", "hash_split", "contamination", "funnel_steps",
     "funnel_counts", "cohort_retention", "cdc_apply", "changelog_apply",
     "vox_zorder_code", "vox_morton", "tpch_q2_min_cost", "tpch_q3_shipping",
@@ -4771,3 +4772,39 @@ def _vox_extents_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("vox_extents_chunkpath", _vox_extents_chunkpath, ORACLES["vox_extents"])
+
+
+def _vox_point_lookup_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q1+Q4 directly on the packed store: metadata-range pruning + SQL
+    # byte extraction — no payload decode, no Python anywhere.
+    from .operators.relational import point_lookup_chunks
+    from .volume import synthetic_chunks
+
+    chunks = synthetic_chunks(spark, FIXTURE_META, chunk=(8, 8, 8))
+    hit = point_lookup_chunks(chunks, 4, 4, 4)
+    return R.decode_labels(hit, R.synthetic_regions(spark))
+
+
+_register(
+    "vox_point_lookup_chunkpath", _vox_point_lookup_chunkpath, ORACLES["vox_point_lookup"]
+)
+
+
+def _region_rollup_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ontology rollup over chunk-path histogram partials: the exchange
+    # carries per-chunk distinct labels, the dim is broadcast.
+    from .operators.verify import histogram_chunks
+    from .volume import synthetic_chunks
+
+    hist = histogram_chunks(synthetic_chunks(spark, FIXTURE_META, chunk=(8, 8, 8)))
+    regions = R.synthetic_regions(spark)
+    joined = hist.join(F.broadcast(regions), hist.label == regions.region, "inner")
+    return joined.groupBy("parent").agg(
+        F.sum("n_voxels").alias("n_voxels"),
+        F.count("*").alias("n_regions"),
+    )
+
+
+_register(
+    "region_rollup_chunkpath", _region_rollup_chunkpath, ORACLES["region_volume_rollup"]
+)

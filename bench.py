@@ -285,6 +285,18 @@ def main() -> None:
             decode_labels(hit, regions).collect()
 
         timed("point_lookup_q1q4", point_query, runs=3)
+
+        # the binary fast path: pruned scan + SQL byte extraction,
+        # no payload decode, no Python
+        from atlas_upscaling_dask_spark.operators.relational import (
+            point_lookup_chunks,
+        )
+
+        def point_query_binary():
+            hit = point_lookup_chunks(stored, 4, 4, 4)
+            decode_labels(hit, regions).collect()
+
+        timed("point_lookup_binary", point_query_binary, runs=3)
     except Exception as e:  # noqa: BLE001 — harness guard by design
         errors["point_lookup_q1q4"] = f"{type(e).__name__}: {e}"[:300]
 

@@ -178,3 +178,44 @@ def _interleave(z: int, y: int, x: int, bits: int) -> int:
         code |= ((y >> b) & 1) << (3 * b + 1)
         code |= ((x >> b) & 1) << (3 * b + 0)
     return code
+
+
+def test_point_lookup_chunks_binary_extraction(spark, tmp_path):
+    # JVM-side byte extraction from a STORED volume: pruned scan, no
+    # decode, answer equals the COO path at several probe points.
+    from atlas_upscaling_dask_spark.operators.relational import point_lookup_chunks
+    from atlas_upscaling_dask_spark.sinks.writer import write_volume
+    from atlas_upscaling_dask_spark.volume import (
+        VolumeMeta,
+        synthetic_chunks,
+        synthetic_voxels,
+    )
+
+    meta = VolumeMeta(16, 16, 16)
+    path = str(tmp_path / "vol")
+    write_volume(synthetic_chunks(spark, meta, chunk=(4, 8, 8)), path, meta,
+                 compressor="none")
+    stored = spark.read.parquet(path)
+    vox = synthetic_voxels(spark, meta)
+    for z, y, x in [(0, 0, 0), (4, 4, 4), (15, 15, 15), (7, 9, 3)]:
+        got = point_lookup_chunks(stored, z, y, x).collect()
+        exp = vox.filter((F.col("z") == z) & (F.col("y") == y) & (F.col("x") == x)).collect()
+        assert len(got) == 1
+        assert got[0]["label"] == exp[0]["label"]
+    # the metadata range predicates reach the parquet scan
+    from atlas_upscaling_dask_spark.plans.estimate import explain
+
+    plan = explain(point_lookup_chunks(stored, 4, 4, 4))
+    assert "PushedFilters" in plan and "LessThanOrEqual(z0,4)" in plan
+
+
+def test_point_lookup_chunks_skips_compressed(spark):
+    from atlas_upscaling_dask_spark.operators.outline import outline_chunks
+    from atlas_upscaling_dask_spark.operators.relational import point_lookup_chunks
+    from atlas_upscaling_dask_spark.volume import VolumeMeta, synthetic_chunks
+
+    meta = VolumeMeta(8, 8, 8)
+    compressed = outline_chunks(
+        synthetic_chunks(spark, meta, chunk=(4, 8, 8)), codec="zstd"
+    )
+    assert point_lookup_chunks(compressed, 1, 1, 1).isEmpty()

@@ -288,6 +288,13 @@ def audited_queries():
             lambda spark, sf_dir: _bulk(spark, "upscale"),
             {"no_shuffle": True, "no_python_udf": True},
         ),
+        # binary point lookup on the packed store: range predicates
+        # pushed to the scan, zero Python, zero shuffle — interactive
+        # latency is a pruned single-row-group read at any volume size
+        "point_lookup_chunks_binary": (
+            lambda spark, sf_dir: _bulk(spark, "point"),
+            {"pushdown": True, "no_shuffle": True, "no_python_udf": True, "codegen": True},
+        ),
         # aligned rechunk, fine direction: pure per-row split — narrow
         "split_chunks_bulk": (
             lambda spark, sf_dir: _bulk(spark, "split"),
@@ -328,6 +335,12 @@ def _bulk(spark, op: str):
         ).parquet(d)
         _BULK_FIXTURE["path"] = d
     chunks = spark.read.parquet(_BULK_FIXTURE["path"])
+    if op == "point":
+        from atlas_upscaling_dask_spark.operators.relational import (
+            point_lookup_chunks,
+        )
+
+        return point_lookup_chunks(chunks, 4, 4, 4)
     if op == "split":
         from atlas_upscaling_dask_spark.volume import split_chunks
 
