@@ -30,6 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
     up.add_argument("--chunk-mb", type=int, default=8)
     up.add_argument("--compressor", choices=["zstd", "lz4", "none"], default="zstd")
     up.add_argument("--outline", action="store_true", help="keep only region boundaries")
+    up.add_argument(
+        "--wrap", action="store_true",
+        help="torus outline neighbors (reference da.roll bug-compat)",
+    )
     up.add_argument("--pyramid-levels", type=int, default=1)
     up.add_argument("--max-gb", type=float, default=None)
     up.add_argument("--dry-run", action="store_true")
@@ -54,11 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def cmd_upscale(args) -> int:
-    from .operators.outline import outline_window
     from .plans.estimate import AdmissionError, check_admission, plan_upscale
     from .session import get_spark
-    from .sinks.writer import write_pyramid, write_volume
-    from .volume import VolumeMeta, chunks_to_voxels, infer_meta, synthetic_chunks
+    from .sinks.writer import write_volume
+    from .volume import VolumeMeta, infer_meta, synthetic_chunks
     from .operators.upscale import upscale_chunks
 
     if args.input == "synthetic":
@@ -103,19 +106,26 @@ def cmd_upscale(args) -> int:
         meta.element_type,
         source=args.input,
     )
-    up = upscale_chunks(chunks, args.scale)
     if args.outline or args.pyramid_levels > 1:
-        vox = chunks_to_voxels(up)
-        if args.outline:
-            vox = outline_window(vox, wrap=False)
-        if args.pyramid_levels > 1:
-            write_pyramid(
-                vox, args.output, up_meta, args.pyramid_levels,
-                scale=args.scale, compressor=args.compressor,
-            )
-        else:
-            vox.write.mode("overwrite").parquet(args.output)
+        # the enhance composition stays chunk-packed end-to-end
+        # (upscale narrow → outline halo exchange → zero-shuffle
+        # levels), each pyramid level disk-staged from its predecessor
+        from .operators.enhance import write_enhance_pyramid
+
+        codec = None if args.compressor == "none" else args.compressor
+        write_enhance_pyramid(
+            chunks,
+            args.output,
+            meta,
+            scale=args.scale,
+            outline=args.outline,
+            levels=args.pyramid_levels,
+            wrap=args.wrap,
+            codec=codec,
+            compressor="none",  # payloads already codec-compressed
+        )
     else:
+        up = upscale_chunks(chunks, args.scale)
         write_volume(up, args.output, up_meta, scale=args.scale, compressor=args.compressor)
     print(f"wrote {args.output}")
     return 0

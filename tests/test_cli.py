@@ -18,3 +18,31 @@ def test_cli_pipeline(spark, tmp_path, capsys):
     ids = {r["doc_id"] for r in out.collect()}
     assert ids == {1}  # dup dropped, junk dropped, canonical kept
     assert "1 documents" in capsys.readouterr().out
+
+
+def test_cli_upscale_enhance_chunkpath(spark, tmp_path):
+    # --outline/--pyramid-levels route through the chunk-packed enhance
+    # writer: level-partitioned chunk tables + multiscales sidecar.
+    import json
+    import os
+
+    from atlas_upscaling_dask_spark.cli import main
+    from atlas_upscaling_dask_spark.volume import chunks_to_voxels
+
+    out = str(tmp_path / "enh_out")
+    rc = main([
+        "upscale", "--input", "synthetic", "--output", out,
+        "--scale", "2", "--shape", "8", "8", "8",
+        "--outline", "--wrap", "--pyramid-levels", "2", "--force",
+    ])
+    assert rc == 0
+    side = json.load(open(os.path.join(out, "_volume_meta.json")))
+    assert side["dims_zyx"] == [16, 16, 16] and len(side["multiscales"]) == 2
+    lvl0 = spark.read.parquet(os.path.join(out, "level=0"))
+    vox = chunks_to_voxels(lvl0.select(
+        "volume_id", "cz", "cy", "cx", "z0", "y0", "x0",
+        "dz", "dy", "dx", "codec", "payload"))
+    # outline of the fixture cube: boundary voxels keep labels, interior 0
+    labels = {r["label"] for r in vox.select("label").distinct().collect()}
+    assert 0 in labels and len(labels) > 1
+    assert vox.count() == 16 * 16 * 16
