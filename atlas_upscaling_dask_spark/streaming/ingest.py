@@ -119,6 +119,48 @@ def start_slice_ingestion(
     return writer.start()
 
 
+def start_upscale_ingestion(
+    spark: SparkSession,
+    slices_path: str,
+    volume_table_path: str,
+    meta_shape: tuple[int, int, int],
+    chunk: tuple[int, int, int],
+    scale: int = 2,
+    codec: str | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """The reference's namesake workload as a stream: upscale slabs AS
+    THEY ARRIVE (``upscale_streaming.py:94-127`` — the slab loop that
+    bounds memory by processing one z-slab at a time).
+
+    Each micro-batch packs its voxel slab into chunks, runs the narrow
+    ×s chunk kernel, and appends the UPSCALED chunks partitioned by the
+    chunk key — so the full-resolution output table grows slab by slab
+    and no batch ever holds more than one slab's chunks.  Because
+    upscale is label-preserving and per-chunk, stream output ≡ batch
+    output row-for-row (proven in ``test_streaming.py``); exactly-once
+    restart comes from the file-source offsets in the checkpoint plus
+    idempotent chunk-keyed appends.
+    """
+    from ..operators.upscale import upscale_chunks
+    from ..volume import VOXEL_SCHEMA, VolumeMeta, voxels_to_chunks
+
+    meta = VolumeMeta(*meta_shape)
+    stream = spark.readStream.schema(VOXEL_SCHEMA).parquet(slices_path)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        chunks = voxels_to_chunks(batch_df, meta, chunk=chunk)
+        up = upscale_chunks(chunks, scale, codec=codec)
+        up.write.mode("append").partitionBy("cz").parquet(volume_table_path)
+
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def sessionized_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session-window aggregation (``session_window`` — the streaming
     form of the batch lag-gap sessionization in suite.py)."""

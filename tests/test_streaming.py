@@ -286,3 +286,40 @@ def test_session_windows_stream_equals_batch(spark, sf_dir, stream_dir):
         assert batch.count() == n_lag_sessions
     finally:
         q.stop()
+
+
+def test_upscale_ingestion_stream_equals_batch(spark, tmp_path):
+    # upscale_streaming.py's namesake: slabs upscaled AS THEY ARRIVE
+    # must rebuild exactly the batch x2 upscale of the same cube.
+    from atlas_upscaling_dask_spark.operators.upscale import upscale_coo
+    from atlas_upscaling_dask_spark.streaming.ingest import start_upscale_ingestion
+    from atlas_upscaling_dask_spark.volume import chunks_to_voxels, synthetic_voxels
+
+    slices = str(tmp_path / "up_slices")
+    vol_out = str(tmp_path / "up_volume")
+    vox = synthetic_voxels(spark).cache()
+
+    os.makedirs(slices, exist_ok=True)
+    for i in range(4):
+        vox.filter((F.col("z") >= i * 4) & (F.col("z") < (i + 1) * 4)).coalesce(
+            1
+        ).write.mode("append").parquet(slices)
+
+    q = start_upscale_ingestion(
+        spark, slices, vol_out,
+        meta_shape=(16, 16, 16), chunk=(4, 16, 16), scale=2, codec="zstd",
+        checkpoint_dir=str(tmp_path / "up_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rebuilt = chunks_to_voxels(
+        spark.read.parquet(vol_out).select(
+            "volume_id", "cz", "cy", "cx", "z0", "y0", "x0",
+            "dz", "dy", "dx", "codec", "payload")
+    )
+    batch = upscale_coo(vox, 2)
+    assert rebuilt.count() == 8 * 4096
+    assert rebuilt.exceptAll(batch).isEmpty() and batch.exceptAll(rebuilt).isEmpty()
