@@ -192,7 +192,7 @@ def halo_map_chunks(
         ncz = ncy = ncx = None
 
     def _face_batch(rows, payloads):
-        cols = list(zip(*rows)) if rows else [[]] * 11
+        cols = list(zip(*rows)) if rows else [[]] * 12
         return pa.RecordBatch.from_arrays(
             [
                 pa.array(cols[0], type=pa.string()),
@@ -205,9 +205,9 @@ def halo_map_chunks(
                 pa.array(cols[7], type=pa.int32()),
                 pa.array(cols[8], type=pa.int32()),
                 pa.array(cols[9], type=pa.int32()),
-                pa.array(["raw"] * len(payloads), type=pa.string()),
-                pa.array(payloads, type=pa.binary()),
                 pa.array(cols[10], type=pa.string()),
+                pa.array(payloads, type=pa.binary()),
+                pa.array(cols[11], type=pa.string()),
             ],
             [
                 "volume_id", "cz", "cy", "cx", "z0", "y0", "x0",
@@ -215,7 +215,10 @@ def halo_map_chunks(
             ],
         )
 
-    def extract_faces(batches):
+    def extract_all(batches):
+        # ONE pass emits the core row AND its six faces — the source is
+        # scanned once (a union of faces(chunks) with chunks would read
+        # every payload twice from storage).
         for batch in batches:
             d = batch.to_pydict()
             rows, payloads = [], []
@@ -230,6 +233,12 @@ def halo_map_chunks(
                     ),
                     dtype=PAYLOAD_DTYPE,
                 ).reshape(dz, dy, dx)
+                rows.append(
+                    (vid, cz, cy, cx,
+                     d["z0"][i], d["y0"][i], d["x0"][i],
+                     dz, dy, dx, d["codec"][i], "core")
+                )
+                payloads.append(d["payload"][i])
                 # (my face, receiver delta on the chunk grid, receiver side)
                 emits = (
                     (block[:1], (-1, 0, 0), "zhi"),
@@ -249,14 +258,13 @@ def halo_map_chunks(
                     rows.append(
                         (vid, tz, ty, tx,
                          d["z0"][i], d["y0"][i], d["x0"][i],
-                         f.shape[0], f.shape[1], f.shape[2], side)
+                         f.shape[0], f.shape[1], f.shape[2], "raw", side)
                     )
                     payloads.append(f.tobytes())
             if rows:
                 yield _face_batch(rows, payloads)
 
-    faces = chunks.mapInArrow(extract_faces, schema=halo_schema)
-    tagged = chunks.withColumn("side", F.lit("core")).unionByName(faces)
+    tagged = chunks.mapInArrow(extract_all, schema=halo_schema)
     exchanged = tagged.repartition("cz", "cy", "cx").sortWithinPartitions(
         "cz", "cy", "cx", "side"
     )
