@@ -129,9 +129,11 @@ _HALO_SIDES = ("zlo", "zhi", "ylo", "yhi", "xlo", "xhi")
 
 def halo_map_chunks(
     chunks: DataFrame,
-    block_fn,
+    block_fn=None,
     wrap: bool = False,
     codec: str | None = None,
+    row_fn=None,
+    out_schema: str | None = None,
 ) -> DataFrame:
     """Generic 1-voxel-halo stencil map on the chunk-packed path: the
     ghost-cell primitive behind :func:`outline_chunks` and
@@ -141,7 +143,10 @@ def halo_map_chunks(
     ``block_fn(block, padded) -> np.ndarray`` receives the chunk's
     ``(dz, dy, dx)`` payload and its ``(dz+2, dy+2, dx+2)`` halo-padded
     companion, and returns the output payload (same shape/dtype as
-    ``block``).
+    ``block``).  Alternatively pass ``row_fn(core_row, block, padded)
+    -> pyarrow.RecordBatch | None`` with ``out_schema`` to emit
+    arbitrary per-chunk rows instead of a chunk table (e.g. the region
+    adjacency pairs) — same exchange, different reduction.
 
     Exchange structure (the only data movement):
 
@@ -269,14 +274,15 @@ def halo_map_chunks(
         "cz", "cy", "cx", "side"
     )
 
-    def _emit(group, out):
-        """Run ``block_fn`` on one chunk's buffered (core ∪ halo) rows."""
+    def _padded_of(group):
+        """(core_row, block, halo-padded block) for one key's rows, or
+        None for a coreless group (a face addressed past the grid edge)."""
         core = next((g for g in group if g[-1] == "core"), None)
         if core is None:
-            return  # a face addressed past the grid edge (non-wrap)
-        vid, cz, cy, cx, z0, y0, x0, dz, dy, dx, cdc, payload, _ = core
+            return None
+        dz, dy, dx = core[7], core[8], core[9]
         block = np.frombuffer(
-            _decode_payload(payload, cdc, dz * dy * dx * PAYLOAD_DTYPE.itemsize),
+            _decode_payload(core[11], core[10], dz * dy * dx * PAYLOAD_DTYPE.itemsize),
             dtype=PAYLOAD_DTYPE,
         ).reshape(dz, dy, dx)
         padded = np.pad(block, 1, mode="edge")
@@ -298,36 +304,58 @@ def halo_map_chunks(
                 padded[1:-1, 1:-1, 0] = face[:, :, 0]
             elif side == "xhi":
                 padded[1:-1, 1:-1, -1] = face[:, :, 0]
-        res = block_fn(block, padded).astype(PAYLOAD_DTYPE)
-        out[0].append((vid, cz, cy, cx, z0, y0, x0, dz, dy, dx))
-        out[1].append(_encode_payload(res, out_codec))
+        return core, block, padded
+
+    _NAMES = (
+        "volume_id", "cz", "cy", "cx", "z0", "y0", "x0",
+        "dz", "dy", "dx", "codec", "payload", "side",
+    )
+
+    def _groups(batches):
+        """Stream key-contiguous row groups off the sorted exchange."""
+        group: list[tuple] = []
+        key = None
+        for batch in batches:
+            d = batch.to_pydict()
+            for i in range(len(d["cz"])):
+                row = tuple(d[n][i] for n in _NAMES)
+                k = (row[1], row[2], row[3])
+                if k != key and group:
+                    yield group
+                    group = []
+                key = k
+                group.append(row)
+        if group:
+            yield group
+
+    if row_fn is not None:
+        def kernel_rows(batches):
+            for group in _groups(batches):
+                built = _padded_of(group)
+                if built is None:
+                    continue
+                rb = row_fn(built[0], built[1], built[2])
+                if rb is not None and rb.num_rows:
+                    yield rb
+
+        return exchanged.mapInArrow(kernel_rows, schema=out_schema)
 
     def kernel(batches):
         from ..volume import _chunk_batch
 
         FLUSH_ROWS = 64
-        group: list[tuple] = []
-        key = None
         out: tuple[list, list] = ([], [])
-        for batch in batches:
-            d = batch.to_pydict()
-            names = [
-                "volume_id", "cz", "cy", "cx", "z0", "y0", "x0",
-                "dz", "dy", "dx", "codec", "payload", "side",
-            ]
-            for i in range(len(d["cz"])):
-                row = tuple(d[n][i] for n in names)
-                k = (row[1], row[2], row[3])
-                if k != key and group:
-                    _emit(group, out)
-                    group = []
-                    if len(out[0]) >= FLUSH_ROWS:
-                        yield _chunk_batch(out[0], out[1], out_codec)
-                        out = ([], [])
-                key = k
-                group.append(row)
-        if group:
-            _emit(group, out)
+        for group in _groups(batches):
+            built = _padded_of(group)
+            if built is None:
+                continue
+            core, block, padded = built
+            res = block_fn(block, padded).astype(PAYLOAD_DTYPE)
+            out[0].append(core[:10])
+            out[1].append(_encode_payload(res, out_codec))
+            if len(out[0]) >= FLUSH_ROWS:
+                yield _chunk_batch(out[0], out[1], out_codec)
+                out = ([], [])
         if out[0]:
             yield _chunk_batch(out[0], out[1], out_codec)
 
@@ -426,6 +454,54 @@ def morphology(voxels: DataFrame, op: str = "erode", wrap: bool = False) -> Data
         "x",
         combine(F.col("label"), *[F.col(c) for c in neighbor_cols]).alias("label"),
     )
+
+
+def region_adjacency_chunks(chunks: DataFrame) -> DataFrame:
+    """Region adjacency graph on the chunk-packed path — the bulk twin
+    of :func:`region_adjacency` (distinct touching label pairs over the
+    6-neighborhood, non-wrapping).
+
+    Per chunk: compare the block against its three POSITIVE-shifted
+    views (the +z/+y/+x halo planes come from the neighbor's low faces,
+    so each cross-chunk contact is counted by exactly one chunk, and
+    the edge-replicate pad makes volume borders self-equal → no pair),
+    canonicalize (min, max), dedup locally with ``np.unique``, then one
+    tiny global DISTINCT over (label_a, label_b) rows.  The exchange
+    after the halo shuffle carries per-chunk distinct pairs — a graph,
+    never voxels.
+    """
+    import pyarrow as pa
+
+    # positive-direction neighbor views of the padded block
+    pos = (
+        (slice(2, None), slice(1, -1), slice(1, -1)),
+        (slice(1, -1), slice(2, None), slice(1, -1)),
+        (slice(1, -1), slice(1, -1), slice(2, None)),
+    )
+
+    def pairs_fn(core, block, padded):
+        a_all, b_all = [], []
+        for sl in pos:
+            nb = padded[sl]
+            touch = block != nb
+            if touch.any():
+                a_all.append(block[touch])
+                b_all.append(nb[touch])
+        if not a_all:
+            return None
+        a = np.concatenate(a_all).astype(np.int64)
+        b = np.concatenate(b_all).astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.RecordBatch.from_arrays(
+            [pa.array(uniq[:, 0]), pa.array(uniq[:, 1])],
+            ["label_a", "label_b"],
+        )
+
+    pairs = halo_map_chunks(
+        chunks, row_fn=pairs_fn, out_schema="label_a long, label_b long"
+    )
+    return pairs.distinct()
 
 
 def region_adjacency(voxels: DataFrame) -> DataFrame:

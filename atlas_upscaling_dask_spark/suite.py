@@ -4616,7 +4616,7 @@ _PRIORITY = [
     "vox_dilate_chunkpath",
     "vox_upscale_chunkpath", "vox_rechunk_fastpaths", "vox_histogram_chunkpath",
     "vox_extents_chunkpath", "vox_point_lookup_chunkpath",
-    "region_rollup_chunkpath", "line_dedup", "train_shuffle", "pack_sequences",
+    "region_rollup_chunkpath", "vox_adjacency_chunkpath", "line_dedup", "train_shuffle", "pack_sequences",
     "assemble_packs", "hash_split", "contamination", "funnel_steps",
     "funnel_counts", "cohort_retention", "cdc_apply", "changelog_apply",
     "vox_zorder_code", "vox_morton", "tpch_q2_min_cost", "tpch_q3_shipping",
@@ -4808,3 +4808,16 @@ def _region_rollup_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     "region_rollup_chunkpath", _region_rollup_chunkpath, ORACLES["region_volume_rollup"]
 )
+
+
+def _vox_adjacency_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Region-contact graph on the bulk path: per-chunk positive-shift
+    # pair extraction over the halo exchange; the pair DISTINCT is the
+    # only post-exchange aggregation.
+    from .operators.outline import region_adjacency_chunks
+    from .volume import synthetic_chunks
+
+    return region_adjacency_chunks(synthetic_chunks(spark, FIXTURE_META, chunk=(8, 8, 8)))
+
+
+_register("vox_adjacency_chunkpath", _vox_adjacency_chunkpath, ORACLES["vox_adjacency"])

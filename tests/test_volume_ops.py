@@ -611,3 +611,18 @@ def test_histogram_and_extents_chunk_paths(spark):
     ext = volume_extents_chunks(chunks).first()
     assert (ext["dim_z"], ext["dim_y"], ext["dim_x"]) == (16, 16, 16)
     assert ext["n_voxels"] == 4096 and ext["n_labels"] == 64
+
+
+def test_region_adjacency_chunk_path_equals_coo_path(spark):
+    from atlas_upscaling_dask_spark.operators.outline import (
+        region_adjacency,
+        region_adjacency_chunks,
+    )
+
+    meta = VolumeMeta(16, 16, 16)
+    coo = {(r["label_a"], r["label_b"])
+           for r in region_adjacency(synthetic_voxels(spark, meta)).collect()}
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    bulk = {(r["label_a"], r["label_b"])
+            for r in region_adjacency_chunks(chunks).collect()}
+    assert bulk == coo and len(coo) > 0
