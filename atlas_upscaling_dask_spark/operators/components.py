@@ -148,3 +148,248 @@ def connected_components_edges(
             "rounds (graph diameter exceeds max_iters) - raise max_iters"
         )
     return comp
+
+
+def connected_components_chunks(
+    chunks: DataFrame,
+    shape: tuple[int, int, int],
+    max_iters: int = 64,
+) -> DataFrame:
+    """Connected-component labeling on the chunk-packed path — the
+    scalable two-level form of :func:`connected_components`:
+
+    1. **Local phase** (narrow ``mapInArrow``): each chunk labels its
+       own components by vectorized min-linear-index propagation
+       (bounded by the chunk perimeter, all NumPy), and emits its
+       three POSITIVE-direction boundary strips (label + provisional
+       comp per face voxel) addressed to the adjacent chunk.
+    2. **Equivalence phase** (one hash exchange): every chunk pairs the
+       received strips against its own low faces — equal labels across
+       the face yield (comp_a, comp_b) equivalence edges.  The edge set
+       is per-face component contacts: a GRAPH, orders of magnitude
+       smaller than the voxel volume.
+    3. **Global merge**: :func:`connected_components_edges` (the
+       distributed min-label fixpoint) runs on that small graph, so the
+       iterative part of the algorithm never touches voxels again; the
+       root mapping broadcasts back as a vectorized LUT pass over the
+       comp payloads.
+
+    Semantics identical to the COO operator: ``comp`` = min linear
+    index ``z·Y·X + y·X + x`` over the component, 6-connectivity,
+    components never cross label boundaries.  Returns COO rows
+    ``(z, y, x, label, comp)``.
+
+    Provisional ids are carried in uint32 payloads — volumes of 2^32+
+    voxels need the u8 payload variant (explicit guard below); the
+    ALGORITHM is scale-safe before that bound: phase 1 is narrow,
+    phase 2 exchanges faces only, phase 3 iterates on the contact
+    graph.
+    """
+    import pyarrow as pa
+
+    from ..volume import PAYLOAD_DTYPE, _decode_payload
+
+    zdim, ydim, xdim = shape
+    if zdim * ydim * xdim >= 2**32:
+        raise NotImplementedError(
+            "uint32 provisional component ids overflow at 2^32 voxels; "
+            "use the COO operator or extend payloads to u8"
+        )
+
+    halo_schema = (
+        "kind string, cz int, cy int, cx int, z0 long, y0 long, x0 long, "
+        "dz int, dy int, dx int, side string, labels binary, comps binary"
+    )
+
+    def _local_ccl(block: "np.ndarray", z0: int, y0: int, x0: int):
+        import numpy as np
+
+        dz, dy, dx = block.shape
+        zz, yy, xx = np.meshgrid(
+            np.arange(z0, z0 + dz, dtype=np.int64),
+            np.arange(y0, y0 + dy, dtype=np.int64),
+            np.arange(x0, x0 + dx, dtype=np.int64),
+            indexing="ij",
+        )
+        comp = (zz * ydim * xdim + yy * xdim + xx).astype(np.uint32)
+        for _ in range(dz + dy + dx + 1):
+            prev = comp
+            comp = comp.copy()
+            # six directional min-relaxations where labels match
+            same = block[1:] == block[:-1]
+            np.minimum(comp[1:], np.where(same, comp[:-1], comp[1:]), out=comp[1:])
+            np.minimum(comp[:-1], np.where(same, comp[1:], comp[:-1]), out=comp[:-1])
+            same = block[:, 1:] == block[:, :-1]
+            np.minimum(comp[:, 1:], np.where(same, comp[:, :-1], comp[:, 1:]), out=comp[:, 1:])
+            np.minimum(comp[:, :-1], np.where(same, comp[:, 1:], comp[:, :-1]), out=comp[:, :-1])
+            same = block[:, :, 1:] == block[:, :, :-1]
+            np.minimum(comp[:, :, 1:], np.where(same, comp[:, :, :-1], comp[:, :, 1:]), out=comp[:, :, 1:])
+            np.minimum(comp[:, :, :-1], np.where(same, comp[:, :, 1:], comp[:, :, :-1]), out=comp[:, :, :-1])
+            if np.array_equal(comp, prev):
+                break
+        return comp
+
+    def local_kernel(batches):
+        import numpy as np
+
+        for batch in batches:
+            d = batch.to_pydict()
+            rows = []
+            lab_payloads, comp_payloads = [], []
+            for i in range(len(d["cz"])):
+                dz, dy, dx = d["dz"][i], d["dy"][i], d["dx"][i]
+                cz, cy, cx = d["cz"][i], d["cy"][i], d["cx"][i]
+                z0, y0, x0 = d["z0"][i], d["y0"][i], d["x0"][i]
+                vid = d["volume_id"][i]
+                block = np.frombuffer(
+                    _decode_payload(
+                        d["payload"][i], d["codec"][i],
+                        dz * dy * dx * PAYLOAD_DTYPE.itemsize,
+                    ),
+                    dtype=PAYLOAD_DTYPE,
+                ).reshape(dz, dy, dx)
+                comp = _local_ccl(block, z0, y0, x0)
+                rows.append(("chunk", cz, cy, cx, z0, y0, x0, dz, dy, dx, "core"))
+                lab_payloads.append(block.tobytes())
+                comp_payloads.append(comp.tobytes())
+                # positive-direction high faces -> the adjacent chunk,
+                # named for the receiver side they abut
+                for face_lab, face_comp, (tz, ty, tx), side in (
+                    (block[-1:], comp[-1:], (cz + 1, cy, cx), "zlo"),
+                    (block[:, -1:], comp[:, -1:], (cz, cy + 1, cx), "ylo"),
+                    (block[:, :, -1:], comp[:, :, -1:], (cz, cy, cx + 1), "xlo"),
+                ):
+                    fl = np.ascontiguousarray(face_lab)
+                    rows.append(
+                        ("strip", tz, ty, tx, z0, y0, x0,
+                         fl.shape[0], fl.shape[1], fl.shape[2], side)
+                    )
+                    lab_payloads.append(fl.tobytes())
+                    comp_payloads.append(np.ascontiguousarray(face_comp).tobytes())
+            if rows:
+                cols = list(zip(*rows))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(cols[0], type=pa.string()),
+                        pa.array(cols[1], type=pa.int32()),
+                        pa.array(cols[2], type=pa.int32()),
+                        pa.array(cols[3], type=pa.int32()),
+                        pa.array(cols[4], type=pa.int64()),
+                        pa.array(cols[5], type=pa.int64()),
+                        pa.array(cols[6], type=pa.int64()),
+                        pa.array(cols[7], type=pa.int32()),
+                        pa.array(cols[8], type=pa.int32()),
+                        pa.array(cols[9], type=pa.int32()),
+                        pa.array(cols[10], type=pa.string()),
+                        pa.array(lab_payloads, type=pa.binary()),
+                        pa.array(comp_payloads, type=pa.binary()),
+                    ],
+                    [
+                        "kind", "cz", "cy", "cx", "z0", "y0", "x0",
+                        "dz", "dy", "dx", "side", "labels", "comps",
+                    ],
+                )
+
+    # phase 1 output is consumed twice (comp volume + pair extraction):
+    # checkpoint so the local CCL runs once
+    local = (
+        chunks.mapInArrow(local_kernel, schema=halo_schema)
+        .localCheckpoint(eager=True)
+    )
+    comp_chunks = local.filter(F.col("kind") == "chunk")
+
+    def pairs_kernel(batches):
+        import numpy as np
+
+        for batch in batches:
+            d = batch.to_pydict()
+            # buffer rows of each chunk key (sorted: 'chunk' < 'strip')
+            by_key: dict = {}
+            for i in range(len(d["cz"])):
+                k = (d["cz"][i], d["cy"][i], d["cx"][i])
+                by_key.setdefault(k, []).append(i)
+            a_out, b_out = [], []
+            for k, idxs in by_key.items():
+                core = next((i for i in idxs if d["kind"][i] == "chunk"), None)
+                if core is None:
+                    continue
+                dz, dy, dx = d["dz"][core], d["dy"][core], d["dx"][core]
+                lab = np.frombuffer(d["labels"][core], dtype=PAYLOAD_DTYPE).reshape(dz, dy, dx)
+                cmp_ = np.frombuffer(d["comps"][core], dtype=np.uint32).reshape(dz, dy, dx)
+                faces = {
+                    "zlo": (lab[:1], cmp_[:1]),
+                    "ylo": (lab[:, :1], cmp_[:, :1]),
+                    "xlo": (lab[:, :, :1], cmp_[:, :, :1]),
+                }
+                for i in idxs:
+                    if d["kind"][i] != "strip":
+                        continue
+                    side = d["side"][i]
+                    fdz, fdy, fdx = d["dz"][i], d["dy"][i], d["dx"][i]
+                    slab = np.frombuffer(d["labels"][i], dtype=PAYLOAD_DTYPE).reshape(fdz, fdy, fdx)
+                    scmp = np.frombuffer(d["comps"][i], dtype=np.uint32).reshape(fdz, fdy, fdx)
+                    mine_lab, mine_cmp = faces[side]
+                    if slab.shape != mine_lab.shape:
+                        continue  # ragged volume edge
+                    eq = slab == mine_lab
+                    if eq.any():
+                        a_out.append(scmp[eq].astype(np.int64))
+                        b_out.append(mine_cmp[eq].astype(np.int64))
+            if a_out:
+                a = np.concatenate(a_out)
+                b = np.concatenate(b_out)
+                uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(uniq[:, 0]), pa.array(uniq[:, 1])],
+                    ["src", "dst"],
+                )
+
+    exchanged = local.repartition("cz", "cy", "cx")
+    pairs = exchanged.mapInArrow(pairs_kernel, schema="src long, dst long").distinct()
+
+    verts = (
+        pairs.select(F.col("src").alias("id"))
+        .unionByName(pairs.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    roots = connected_components_edges(verts, pairs, max_iters=max_iters)
+    # only boundary-contacting components appear here — small by contract
+    mapping = {r["id"]: r["comp"] for r in roots.collect()}
+
+    def unpack_kernel(batches):
+        import numpy as np
+
+        keys = np.fromiter(sorted(mapping), dtype=np.int64) if mapping else np.array([], dtype=np.int64)
+        vals = np.fromiter((mapping[k] for k in sorted(mapping)), dtype=np.int64) if mapping else np.array([], dtype=np.int64)
+        for batch in batches:
+            d = batch.to_pydict()
+            for i in range(len(d["cz"])):
+                dz, dy, dx = d["dz"][i], d["dy"][i], d["dx"][i]
+                z0, y0, x0 = d["z0"][i], d["y0"][i], d["x0"][i]
+                lab = np.frombuffer(d["labels"][i], dtype=PAYLOAD_DTYPE).reshape(-1)
+                cmp_ = np.frombuffer(d["comps"][i], dtype=np.uint32).astype(np.int64)
+                if keys.size:
+                    idx = np.searchsorted(keys, cmp_)
+                    idxc = np.minimum(idx, keys.size - 1)
+                    hit = keys[idxc] == cmp_
+                    cmp_ = np.where(hit, vals[idxc], cmp_)
+                zz, yy, xx = np.meshgrid(
+                    np.arange(z0, z0 + dz, dtype=np.int64),
+                    np.arange(y0, y0 + dy, dtype=np.int64),
+                    np.arange(x0, x0 + dx, dtype=np.int64),
+                    indexing="ij",
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(zz.ravel()),
+                        pa.array(yy.ravel()),
+                        pa.array(xx.ravel()),
+                        pa.array(lab.astype(np.int64)),
+                        pa.array(cmp_),
+                    ],
+                    ["z", "y", "x", "label", "comp"],
+                )
+
+    return comp_chunks.mapInArrow(
+        unpack_kernel, schema="z long, y long, x long, label long, comp long"
+    )

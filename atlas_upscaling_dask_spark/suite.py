@@ -4616,7 +4616,7 @@ _PRIORITY = [
     "vox_dilate_chunkpath",
     "vox_upscale_chunkpath", "vox_rechunk_fastpaths", "vox_histogram_chunkpath",
     "vox_extents_chunkpath", "vox_point_lookup_chunkpath",
-    "region_rollup_chunkpath", "vox_adjacency_chunkpath", "line_dedup", "train_shuffle", "pack_sequences",
+    "region_rollup_chunkpath", "vox_adjacency_chunkpath", "vox_components_chunkpath", "line_dedup", "train_shuffle", "pack_sequences",
     "assemble_packs", "hash_split", "contamination", "funnel_steps",
     "funnel_counts", "cohort_retention", "cdc_apply", "changelog_apply",
     "vox_zorder_code", "vox_morton", "tpch_q2_min_cost", "tpch_q3_shipping",
@@ -4821,3 +4821,18 @@ def _vox_adjacency_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("vox_adjacency_chunkpath", _vox_adjacency_chunkpath, ORACLES["vox_adjacency"])
+
+
+def _vox_components_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-level CCL on the bulk path: per-chunk local labeling (narrow),
+    # boundary-strip equivalences (one exchange of faces), global merge
+    # on the tiny contact graph — voxels are never iterated globally.
+    # Chunked (4,4,4) so fixture components DO straddle chunks.
+    from .operators.components import connected_components_chunks
+    from .volume import synthetic_chunks
+
+    chunks = synthetic_chunks(spark, FIXTURE_META, chunk=(4, 4, 4))
+    return connected_components_chunks(chunks, FIXTURE_META.shape)
+
+
+_register("vox_components_chunkpath", _vox_components_chunkpath, ORACLES["vox_components"])

@@ -626,3 +626,49 @@ def test_region_adjacency_chunk_path_equals_coo_path(spark):
     bulk = {(r["label_a"], r["label_b"])
             for r in region_adjacency_chunks(chunks).collect()}
     assert bulk == coo and len(coo) > 0
+
+
+def test_connected_components_chunk_path_equals_coo_path(spark):
+    from atlas_upscaling_dask_spark.operators.components import (
+        connected_components,
+        connected_components_chunks,
+    )
+
+    # a shape whose components cross chunk boundaries: the fixture cube's
+    # 4^3 constant blocks under (8,8,8) chunking never straddle, so use
+    # (4,4,4) chunks AND a striped volume with long-range components.
+    meta = VolumeMeta(8, 8, 8)
+    vox = synthetic_voxels(spark, meta)
+    coo = connected_components(vox, meta.shape)
+    chunks = synthetic_chunks(spark, meta, chunk=(4, 4, 4))
+    bulk = connected_components_chunks(chunks, meta.shape)
+    a = {(r["z"], r["y"], r["x"]): (r["label"], r["comp"]) for r in coo.collect()}
+    b = {(r["z"], r["y"], r["x"]): (r["label"], r["comp"]) for r in bulk.collect()}
+    assert a == b
+
+
+def test_connected_components_chunks_striped(spark):
+    # stripes along x with one label: each y-z plane column is one
+    # component spanning every chunk in x — forces multi-hop merges.
+    import pandas as pd
+
+    from atlas_upscaling_dask_spark.operators.components import (
+        connected_components,
+        connected_components_chunks,
+    )
+    from atlas_upscaling_dask_spark.volume import voxels_to_chunks
+
+    rows = []
+    for z in range(4):
+        for y in range(4):
+            for x in range(12):
+                rows.append((z, y, x, (z + y) % 2))
+    pdf = pd.DataFrame(rows, columns=["z", "y", "x", "label"])
+    vox = spark.createDataFrame(pdf, "z long, y long, x long, label long")
+    meta = VolumeMeta(4, 4, 12)
+    coo = connected_components(vox, meta.shape)
+    chunks = voxels_to_chunks(vox, meta, chunk=(2, 2, 3))
+    bulk = connected_components_chunks(chunks, meta.shape)
+    a = {(r["z"], r["y"], r["x"]): (r["label"], r["comp"]) for r in coo.collect()}
+    b = {(r["z"], r["y"], r["x"]): (r["label"], r["comp"]) for r in bulk.collect()}
+    assert a == b
