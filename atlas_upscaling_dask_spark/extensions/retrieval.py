@@ -1,0 +1,194 @@
+"""Full-text retrieval over the document corpus: BM25 ranking.
+
+The missing piece between the dedup/quality operators and an actual
+*search* surface: given a bag of query terms, rank documents by BM25.
+The whole scorer is expressed with built-in ``pyspark.sql.functions``
+(one corpus-stats aggregate + one narrow scoring pass), so it rides
+whole-stage codegen and scales like any other aggregation.
+
+Plan shape (and why it survives 100 TB):
+
+1. **Corpus statistics in ONE reduce** — ``N`` (doc count), total
+   token count, and per-query-term document frequencies are computed
+   in a single aggregate with map-side partials.  Because the query
+   terms are a small literal list, the document frequencies are
+   conditional counts inside the same aggregate — no explode, no
+   per-term pass, no join against an inverted index.
+2. **Broadcast the 1-row stats** and score every document in a narrow,
+   codegen'd projection (term frequency = ``size(filter(tokens, …))``
+   per literal term).
+3. **Top-k via ``orderBy().limit(k)``** which Spark plans as
+   TakeOrderedAndProject: per-partition heaps, one tiny merge — never
+   a global sort.
+
+So a 100 TB corpus costs two scans (stats + scoring) and ships k rows.
+For a *repeated-query* workload you would materialize an inverted
+index (posting lists bucketed by term); for the ad-hoc analytical
+case — "rank my corpus against this probe" — the two-scan form is the
+right plan, and it is embarrassingly cache-friendly when the stats
+frame is reused across queries.
+
+Exactness: ``idf_mode="rational"`` replaces the classic ``ln`` idf
+with the exact rational ``(N - df + 0.5)/(df + 0.5)`` (scaled to
+integers), and the tf normalization is algebraically rewritten so the
+ONLY floating-point operations are single IEEE divisions of exact
+integers plus a fixed-order sum — bitwise reproducible across engines
+(the DuckDB oracle replays it).  ``idf_mode="ln"`` is the textbook
+``ln(1 + (N - df + 0.5)/(df + 0.5))`` Robertson idf for production
+use (libm ``log`` is engine-specific at the last ulp, so it is not
+the oracle mode).
+
+With k1 = 6/5 and b = 3/4 the per-term score in rational mode is::
+
+    idf_t  = (2N - 2df + 1) / (2df + 1)                  -- exact ints
+    tfn_t  = 10*S*tf / (10*S*tf + 3*S + 9*dl*N)          -- exact ints
+    score  = Σ_t (idf_num*tf_num) / (idf_den*tf_den)     -- one division per term
+
+where S is the corpus token count and dl the document length.  The
+integer products stay far inside int64 for any corpus DuckDB can hold;
+the Spark path at petabyte scale would switch to ``ln`` mode anyway.
+
+Reference parity: the reference repo has no retrieval surface at all —
+this is part of the driver-mandated training-data extension brief
+(corpus probes: "which documents match this contamination query").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+K1_NUM, K1_DEN = 6, 5  # k1 = 1.2
+B_NUM, B_DEN = 3, 4  # b = 0.75
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def _tf(text_col: str, term: str) -> Column:
+    # term frequency: occurrences of the literal term among tokens
+    return F.size(F.filter(_tokens(text_col), lambda t: t == F.lit(term)))
+
+
+def corpus_stats(
+    docs: DataFrame, query_terms: list[str], text_col: str = "text"
+) -> DataFrame:
+    """One-row frame: N docs, S total tokens, df per query term.
+
+    A single aggregate with map-side partials — the per-term document
+    frequencies are conditional counts over the same pass, not joins.
+    """
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_tokens(text_col))).alias("sum_len"),
+    ]
+    for i, term in enumerate(query_terms):
+        aggs.append(
+            F.sum(
+                F.when(F.array_contains(_tokens(text_col), term), 1).otherwise(0)
+            ).alias(f"df_{i}")
+        )
+    return docs.agg(*aggs)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idf_mode: str = "rational",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 against a literal term query.
+
+    Returns ``(doc_id, score, rank)`` for documents matching at least
+    one query term; total order = (score desc, doc_id asc).  See the
+    module docstring for the plan shape and the exactness contract of
+    ``idf_mode="rational"`` vs the textbook ``"ln"``.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if idf_mode not in ("rational", "ln"):
+        raise ValueError(f"unknown idf_mode: {idf_mode!r}")
+
+    stats = corpus_stats(docs, query_terms, text_col)
+    # 1-row frame: broadcast the crossJoin so scoring stays narrow.
+    scored = docs.crossJoin(F.broadcast(stats))
+
+    n, s = F.col("n_docs"), F.col("sum_len")
+    dl = F.size(_tokens(text_col))
+    score: Column | None = None
+    for i, term in enumerate(query_terms):
+        tf, df = _tf(text_col, term), F.col(f"df_{i}")
+        if idf_mode == "rational":
+            # (idf_num/idf_den) * (tf_num/tf_den) as ONE exact-int division
+            idf_num = 2 * n - 2 * df + 1
+            idf_den = 2 * df + 1
+            tf_num = 10 * s * tf
+            tf_den = 10 * s * tf + 3 * s + 9 * dl * n
+            t_score = (idf_num * tf_num).cast("double") / (
+                (idf_den * tf_den).cast("double")
+            )
+        else:
+            idf = F.log(
+                F.lit(1.0)
+                + (n - df + F.lit(0.5)) / (df + F.lit(0.5))
+            )
+            denom = tf.cast("double") + F.lit(K1_NUM / K1_DEN) * (
+                F.lit(1 - B_NUM / B_DEN)
+                + F.lit(B_NUM / B_DEN) * dl.cast("double") * n / s
+            )
+            t_score = idf * tf / denom
+        score = t_score if score is None else score + t_score
+
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    topk = (
+        scored.select(F.col(id_col).alias("doc_id"), score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(*order)
+        .limit(k)
+    )
+    w = Window.orderBy(*order)  # ≤ k rows: single partition is fine
+    return topk.select(
+        "doc_id", "score", F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
+def bm25_oracle_sql(
+    query_terms: list[str], k: int = 10, table: str = "documents"
+) -> str:
+    """The DuckDB twin of :func:`bm25_topk` (rational idf mode) —
+    generated from the same term list so both sides stay in lockstep."""
+    df_cols = ",\n         ".join(
+        "SUM(CASE WHEN list_contains(str_split(text, ' '), '{t}') "
+        "THEN 1 ELSE 0 END) AS df_{i}".format(t=t.replace("'", "''"), i=i)
+        for i, t in enumerate(query_terms)
+    )
+    term_scores = []
+    for i, t in enumerate(query_terms):
+        lit = t.replace("'", "''")
+        tf = f"len(list_filter(str_split(d.text, ' '), x -> x = '{lit}'))"
+        term_scores.append(
+            "(CAST((2*s.n_docs - 2*s.df_{i} + 1) * (10*s.sum_len*{tf}) AS DOUBLE)"
+            " / CAST((2*s.df_{i} + 1) * (10*s.sum_len*{tf} + 3*s.sum_len"
+            " + 9*len(str_split(d.text, ' '))*s.n_docs) AS DOUBLE))".format(
+                i=i, tf=tf
+            )
+        )
+    score = "(" + " + ".join(term_scores) + ")"
+    return f"""
+WITH stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(len(str_split(text, ' '))) AS sum_len,
+         {df_cols}
+  FROM {table}
+),
+scored AS (
+  SELECT d.doc_id AS doc_id, {score} AS score
+  FROM {table} d CROSS JOIN stats s
+)
+SELECT doc_id, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""

@@ -1,0 +1,130 @@
+"""Mergeable distinct-count sketches (KMV / bottom-k).
+
+At 100 TB you cannot re-scan the corpus every time a dashboard needs a
+distinct count at a different rollup level.  The standard answer is a
+*mergeable sketch* materialized once per fine-grained group, then
+merged up any aggregation lattice without touching the raw data.
+
+This module implements the KMV ("k minimum values" / bottom-k) sketch
+(Bar-Yossef et al. 2002; the same estimator family as Theta sketches):
+
+* **sketch** of a value set = the ``k`` smallest md5 hashes of its
+  distinct values (kept as a sorted array column);
+* **merge** = the ``k`` smallest of the union of the input sketches —
+  associative, commutative, idempotent, so it parallelizes like any
+  algebraic aggregate;
+* **estimate** = exact ``|sketch|`` when the sketch is not full, else
+  ``(k-1) / u_k`` where ``u_k`` is the k-th smallest hash mapped to
+  ``(0,1)``.
+
+Why KMV instead of HyperLogLog here: the sketch state is a plain
+``array<string>`` column — buildable, mergeable, and estimable with
+*built-in* DataFrame operations (window rank + collect + one division),
+no UDF or binary blob, and the DuckDB oracle reproduces it BITWISE
+(md5 hex is engine-identical; the estimate is one IEEE division of
+exact integers).  Spark's native ``approx_count_distinct`` (HLL++) is
+the fire-and-forget alternative when no reusable sketch state is
+needed; this module exists for the "materialize once, roll up many
+ways" pattern HLL state columns would need private binary codecs for.
+
+Accuracy: relative standard error ≈ 1/sqrt(k-2) (~12% at k=64, ~9% at
+k=128).  Hash space: the first 13 hex digits (52 bits) are compared as
+*strings* (lexicographic == numeric for fixed-width hex), so no engine
+does integer conversion until the single estimate division.
+
+Plan shape: building sketches over N rows is distinct → one window
+rank per group → one collect aggregate (two exchanges, both partial-
+aggregated); merging sketches never touches raw rows at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HEX_DIGITS = 13  # 52 bits: exact in int64 and in an IEEE double mantissa
+HASH_SPACE = 16**HEX_DIGITS
+
+
+def _hash_expr(value_col: str) -> Column:
+    return F.substring(F.md5(F.col(value_col).cast("string")), 1, HEX_DIGITS)
+
+
+def kmv_sketch(
+    df: DataFrame, value_col: str, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Per-group KMV sketch of ``value_col``'s distinct values.
+
+    Returns ``group_cols + [sketch]`` where ``sketch`` is the sorted
+    array of the ``k`` smallest distinct value hashes.  Two partial-
+    aggregated exchanges; the sketch column is ≤ ``13·k`` bytes per
+    group regardless of input size.
+    """
+    hashes = df.select(*group_cols, _hash_expr(value_col).alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
+    return (
+        hashes.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("h")).alias("sketch"))
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Merge sketches up to a coarser grouping: k smallest of the union.
+
+    ``sketches`` must have a ``sketch`` array column; ``group_cols`` is
+    the COARSER key to merge to (columns dropped from the build key are
+    what gets rolled up).  Never touches the raw data — merging a year
+    of daily sketches is an exchange of kilobytes.
+    """
+    exploded = sketches.select(
+        *group_cols, F.explode("sketch").alias("h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
+    return (
+        exploded.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("h")).alias("sketch"))
+    )
+
+
+def kmv_estimate_expr(sketch_col: str = "sketch", k: int = 64) -> Column:
+    """Distinct-count estimate from a sketch column.
+
+    Exact (= sketch size) below ``k``; else ``(k-1)/u_k`` computed as a
+    single IEEE division of exact integers — bitwise reproducible
+    across engines.
+    """
+    kth = F.conv(F.element_at(F.col(sketch_col), k), 16, 10).cast("long")
+    full_est = F.lit((k - 1) * HASH_SPACE).cast("double") / kth.cast("double")
+    return F.when(
+        F.size(F.col(sketch_col)) < k,
+        F.size(F.col(sketch_col)).cast("double"),
+    ).otherwise(full_est)
+
+
+def ndv_rollup(
+    df: DataFrame,
+    value_col: str,
+    fine_cols: list[str],
+    coarse_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Build fine-grained sketches, merge to the coarse key, estimate.
+
+    The demonstration composition: per-``fine_cols`` sketches (the
+    materialize-once step) merged up to ``coarse_cols`` (the re-use
+    step), with the estimate evaluated on the merged sketch.  Returns
+    ``coarse_cols + [ndv_est, sketch_size]``.
+    """
+    fine = kmv_sketch(df, value_col, fine_cols, k)
+    merged = kmv_merge(fine, coarse_cols, k)
+    return merged.select(
+        *coarse_cols,
+        kmv_estimate_expr("sketch", k).alias("ndv_est"),
+        F.size("sketch").alias("sketch_size"),
+    )

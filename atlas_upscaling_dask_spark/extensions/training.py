@@ -424,3 +424,53 @@ def contamination(
             ),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: the k rows
+    with the highest Efraimidis–Spirakis priority ``u^(1/w)``, where
+    ``u`` is a salted-md5 uniform derived from the row key.
+
+    Inclusion probability is proportional to weight (A-ES, Inf.
+    Process. Lett. 2006), and because ``u`` is a pure function of
+    (seed, key) the sample is stable across runs, engines, and
+    insertions of unrelated rows — the property reservoir sampling
+    (RDD-style, partition-order-dependent) cannot give.  Plan: a
+    narrow priority projection + ``orderBy().limit(k)`` which Spark
+    executes as TakeOrderedAndProject (per-partition heaps, one tiny
+    merge) — sampling 100 TB ships k rows, never a global sort.
+
+    The priority is rounded to 9 digits and tie-broken by the key so
+    libm ``pow`` last-ulp drift can't reorder the cut across engines
+    (same discipline as the IVF cosine ranking).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed).cast("string"),
+                    F.lit(":"),
+                    F.col(key_col).cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(16**13 + 1).cast("double")
+    prio = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
+    return (
+        df.withColumn("priority", prio)
+        .orderBy(F.col("priority").desc(), F.col(key_col).asc())
+        .limit(k)
+    )

@@ -81,3 +81,82 @@ def resample_ffill(
             F.col("filled").alias(value_col),
         )
     )
+
+
+def resample_interpolate(
+    events: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Per-key regular grid with LINEAR interpolation between the
+    nearest observations (constant extrapolation at the edges).
+
+    Same union-and-window shape as :func:`resample_ffill` — one shuffle
+    on the key, a per-key sort, no global operation — but each grid
+    instant carries BOTH neighbors: two frame-bounded windows pick the
+    previous and next real observation (value and epoch-micros), and
+    the interpolation is the closed-form
+    ``pv + (nv - pv) * (t - pt)/(nt - pt)``.
+
+    Determinism contract: the time ratio is one IEEE division of exact
+    integer microsecond deltas and the remaining arithmetic has a fixed
+    operation order, so results are bitwise reproducible across engines
+    and partitionings.  Null-valued events are dropped up front so the
+    value/timestamp window pairs can never desynchronize.
+    """
+    bounds = events.groupBy(key_col).agg(
+        F.date_trunc("hour", F.min(time_col)).alias("lo"),
+        F.max(time_col).alias("hi"),
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(F.sequence("lo", "hi", F.expr(f"interval {step}"))).alias(
+            time_col
+        ),
+        F.lit(None).cast("double").alias(value_col),
+        F.lit(1).alias("_is_grid"),
+    )
+    real = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col),
+        F.col(time_col),
+        F.col(value_col).cast("double"),
+        F.lit(0).alias("_is_grid"),
+    )
+    order = [F.col(time_col).asc(), F.col("_is_grid").asc()]
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    us = F.when(F.col("_is_grid") == 0, F.unix_micros(time_col))
+    t = F.unix_micros(time_col)
+    pv = F.last(value_col, ignorenulls=True).over(w_prev)
+    pt = F.last(us, ignorenulls=True).over(w_prev)
+    nv = F.first(value_col, ignorenulls=True).over(w_next)
+    nt = F.first(us, ignorenulls=True).over(w_next)
+    interp = pv + (nv - pv) * (
+        (t - pt).cast("double") / (nt - pt).cast("double")
+    )
+    filled = (
+        real.unionByName(grid)
+        .select(
+            key_col,
+            time_col,
+            "_is_grid",
+            F.when(pt.isNotNull() & nt.isNotNull(), interp)
+            .when(pt.isNotNull(), pv)
+            .otherwise(nv)
+            .alias("_v"),
+        )
+        .filter(F.col("_is_grid") == 1)
+    )
+    return filled.select(
+        key_col, F.col(time_col).alias("grid_ts"), F.col("_v").alias(value_col)
+    )

@@ -4611,15 +4611,20 @@ _DRIVER_CHECKED = {
 #: set, and the newest operators — the rows that most need driver rows.
 _PRIORITY = [
     "prepare_training_set", "doc_pipeline", "vox_enhance_chunkpath",
-    "vox_outline_chunkpath",
-    "vox_outline_wrap_chunkpath", "vox_decimate_chunkpath", "vox_mode_chunkpath", "vox_erode_chunkpath",
-    "vox_dilate_chunkpath",
-    "vox_upscale_chunkpath", "vox_rechunk_fastpaths", "vox_histogram_chunkpath",
-    "vox_extents_chunkpath", "vox_point_lookup_chunkpath",
-    "region_rollup_chunkpath", "vox_adjacency_chunkpath", "vox_components_chunkpath", "line_dedup", "train_shuffle", "pack_sequences",
-    "assemble_packs", "hash_split", "contamination", "funnel_steps",
-    "funnel_counts", "cohort_retention", "cdc_apply", "changelog_apply",
-    "vox_zorder_code", "vox_morton", "tpch_q2_min_cost", "tpch_q3_shipping",
+    "vox_outline_chunkpath", "vox_decimate_chunkpath", "vox_mode_chunkpath",
+    "vox_erode_chunkpath", "vox_upscale_chunkpath", "vox_histogram_chunkpath",
+    "vox_point_lookup_chunkpath",
+    "region_rollup_chunkpath", "vox_adjacency_chunkpath", "vox_components_chunkpath",
+    # siblings of the rows above exercise the same chunk-path machinery
+    # (wrap outline, dilate, extents, rechunk); they follow in the
+    # unchecked block right after this head.
+    # round-3 session-2 additions — no local OR driver history yet:
+    "bm25_topk", "ndv_sketch", "graph_triangles", "graph_pagerank",
+    "weighted_sample", "resample_interpolate",
+    "line_dedup", "train_shuffle", "pack_sequences",
+    "assemble_packs", "hash_split", "contamination",
+    "funnel_counts", "cohort_retention", "changelog_apply",
+    "vox_morton", "tpch_q2_min_cost", "tpch_q3_shipping",
     "tpch_q4_priority", "tpch_q5_local_supplier", "tpch_q6_forecast",
     "tpch_q7_volume_shipping", "tpch_q8_market_share", "tpch_q9_profit",
     "tpch_q10_returns", "tpch_q11_important_stock", "tpch_q12_shipmode",
@@ -4836,3 +4841,248 @@ def _vox_components_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("vox_components_chunkpath", _vox_components_chunkpath, ORACLES["vox_components"])
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: retrieval, sketches, graph analytics, sampling
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["hash", "join", "spark"]
+
+
+def _bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full-text BM25 ranking (rational-idf oracle mode): one corpus-stats
+    # reduce + broadcast + narrow scoring + TakeOrderedAndProject top-k.
+    from .extensions.retrieval import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), BM25_TERMS, k=25)
+
+
+def _bm25_oracle() -> str:
+    from .extensions.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(BM25_TERMS, k=25)
+
+
+_register("bm25_topk", _bm25_topk_q, _bm25_oracle())
+
+
+def _ndv_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mergeable KMV distinct sketches: build per (returnflag, linestatus),
+    # merge up to returnflag WITHOUT rescanning rows, estimate, and join
+    # the exact NDV so the error is visible in the result itself.
+    from .extensions.sketches import ndv_rollup
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = ndv_rollup(
+        li, "l_partkey", ["l_returnflag", "l_linestatus"], ["l_returnflag"], k=64
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("ndv_exact")
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag", "ndv_est", "sketch_size", "ndv_exact"
+    )
+
+
+_register(
+    "ndv_sketch",
+    _ndv_sketch_q,
+    """
+WITH fine AS (
+  SELECT l_returnflag, l_linestatus, h FROM (
+    SELECT l_returnflag, l_linestatus, h, row_number() OVER (
+             PARTITION BY l_returnflag, l_linestatus ORDER BY h) AS rk
+    FROM (SELECT DISTINCT l_returnflag, l_linestatus,
+                 substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13) AS h
+          FROM lineitem)
+  ) WHERE rk <= 64
+),
+merged AS (
+  SELECT l_returnflag, h, row_number() OVER (
+           PARTITION BY l_returnflag ORDER BY h) AS rk
+  FROM (SELECT DISTINCT l_returnflag, h FROM fine)
+),
+sk AS (
+  SELECT l_returnflag, COUNT(*) AS sketch_size, MAX(h) AS kth
+  FROM merged WHERE rk <= 64 GROUP BY l_returnflag
+),
+exact AS (
+  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS ndv_exact
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT s.l_returnflag AS l_returnflag,
+       CASE WHEN s.sketch_size < 64 THEN CAST(s.sketch_size AS DOUBLE)
+            ELSE CAST(63 * 4503599627370496 AS DOUBLE)
+                 / CAST(('0x' || s.kth)::BIGINT AS DOUBLE) END AS ndv_est,
+       CAST(s.sketch_size AS INTEGER) AS sketch_size,
+       e.ndv_exact AS ndv_exact
+FROM sk s JOIN exact e ON s.l_returnflag = e.l_returnflag
+""",
+)
+
+
+GRAPH_EDGES_CTE = """
+edges AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey
+    AND l1.l_quantity >= 40 AND l2.l_quantity >= 40
+)
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    l1 = li.select("l_orderkey", F.col("l_partkey").alias("a"))
+    l2 = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    return (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def _graph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Degree-orientation triangle counting over the part co-purchase
+    # graph (Suri & Vassilvitskii WWW'11 shape: hub wedges generated at
+    # low-degree endpoints).
+    from .operators.graph import triangle_stats
+
+    return triangle_stats(_copurchase_edges(spark, sf_dir))
+
+
+_register(
+    "graph_triangles",
+    _graph_triangles_q,
+    f"""
+WITH {GRAPH_EDGES_CTE},
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+  ) GROUP BY node
+),
+ranked AS (
+  SELECT node, row_number() OVER (ORDER BY degree ASC, node ASC) AS rk FROM deg
+),
+oriented AS (
+  SELECT LEAST(ra.rk, rb.rk) AS src, GREATEST(ra.rk, rb.rk) AS dst
+  FROM edges e JOIN ranked ra ON e.a = ra.node JOIN ranked rb ON e.b = rb.node
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM oriented e1
+  JOIN oriented e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       n_triangles
+FROM tri
+""",
+)
+
+
+def _graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Integer-scaled PageRank (exactly reproducible across engines and
+    # partitionings), 3 unrolled synchronous iterations, top-10.
+    from .operators.graph import pagerank
+
+    return pagerank(_copurchase_edges(spark, sf_dir), n_iter=3, top_k=10)
+
+
+def _graph_pagerank_oracle() -> str:
+    from .operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(GRAPH_EDGES_CTE.strip(), n_iter=3, top_k=10)
+
+
+_register("graph_pagerank", _graph_pagerank_q, _graph_pagerank_oracle())
+
+
+def _resample_interpolate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Linear interpolation onto the hourly grid — the gap-fill the
+    # ffill variant can't express; bitwise-portable arithmetic (one
+    # IEEE division of integer microsecond deltas).
+    from .operators.resample import resample_interpolate
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_interpolate(ev, step="1 hour")
+    return out.select(
+        "user_id", F.unix_micros("grid_ts").alias("grid_us"), "value"
+    )
+
+
+_register(
+    "resample_interpolate",
+    _resample_interpolate_q,
+    """
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS lo, MAX(ts) AS hi
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts,
+         CAST(NULL AS DOUBLE) AS v, 1 AS is_grid
+  FROM bounds
+),
+unioned AS (
+  SELECT user_id, ts, CAST(value AS DOUBLE) AS v, 0 AS is_grid
+  FROM events WHERE value IS NOT NULL
+  UNION ALL
+  SELECT user_id, ts, v, is_grid FROM grid
+),
+nb AS (
+  SELECT user_id, ts, is_grid,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_grid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN is_grid = 0 THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_grid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_grid
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN is_grid = 0 THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_grid
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM unioned
+)
+SELECT user_id, epoch_us(ts) AS grid_us,
+       CASE WHEN pt IS NOT NULL AND nt IS NOT NULL
+            THEN pv + (nv - pv) * (CAST(epoch_us(ts) - pt AS DOUBLE)
+                                   / CAST(nt - pt AS DOUBLE))
+            WHEN pt IS NOT NULL THEN pv
+            ELSE nv END AS value
+FROM nb WHERE is_grid = 1
+""",
+)
+
+
+def _weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Efraimidis–Spirakis deterministic weighted sample: 50 documents,
+    # inclusion odds proportional to n_chars.
+    from .extensions.training import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", 50).select(
+        "doc_id", "n_chars", "priority"
+    )
+
+
+_register(
+    "weighted_sample",
+    _weighted_sample_q,
+    """
+SELECT doc_id, n_chars, priority FROM (
+  SELECT doc_id, n_chars,
+         round(pow(
+           CAST(('0x' || substr(md5('0:' || doc_id), 1, 13))::BIGINT + 1 AS DOUBLE)
+             / CAST(4503599627370497 AS DOUBLE),
+           1.0 / CAST(n_chars AS DOUBLE)), 9) AS priority
+  FROM documents
+)
+ORDER BY priority DESC, doc_id ASC LIMIT 50
+""",
+)

@@ -1,0 +1,266 @@
+"""Round-3 additions: BM25 retrieval, KMV sketches, graph analytics,
+weighted sampling, linear interpolation."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_term_density(spark):
+    from atlas_upscaling_dask_spark.extensions.retrieval import bm25_topk
+
+    docs = _docs(
+        spark,
+        [
+            (1, "spark spark spark runs fast"),
+            (2, "spark is a system"),
+            (3, "nothing relevant here at all"),
+            (4, "ducks in a row"),
+        ],
+    )
+    out = bm25_topk(docs, ["spark"], k=10).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]  # non-matchers filtered
+    assert out[0]["score"] > out[1]["score"]
+    assert [r["rank"] for r in out] == [1, 2]
+
+
+def test_bm25_ln_and_rational_agree_on_ranking(spark):
+    from atlas_upscaling_dask_spark.extensions.retrieval import bm25_topk
+
+    docs = _docs(
+        spark,
+        [
+            (i, " ".join(["alpha"] * (i % 5) + ["beta"] * (i % 3) + ["pad"] * i))
+            for i in range(1, 30)
+        ],
+    )
+    rat = bm25_topk(docs, ["alpha", "beta"], k=8, idf_mode="rational").collect()
+    ln = bm25_topk(docs, ["alpha", "beta"], k=8, idf_mode="ln").collect()
+    # The rational idf is a monotone-in-df stand-in for the ln idf: the
+    # retrieved set matches and the head of the ranking agrees (deep
+    # ties may swap where the two idfs weight the terms differently).
+    assert {r["doc_id"] for r in rat} == {r["doc_id"] for r in ln}
+    assert [r["doc_id"] for r in rat][:3] == [r["doc_id"] for r in ln][:3]
+
+
+def test_bm25_length_normalization(spark):
+    from atlas_upscaling_dask_spark.extensions.retrieval import bm25_topk
+
+    # Same tf; the shorter document must score higher (b > 0).
+    docs = _docs(
+        spark,
+        [
+            (1, "needle short doc"),
+            (2, "needle " + " ".join(["filler"] * 50)),
+        ],
+    )
+    out = bm25_topk(docs, ["needle"], k=2).collect()
+    assert out[0]["doc_id"] == 1 and out[0]["score"] > out[1]["score"]
+
+
+# ---------------------------------------------------------------------------
+# KMV sketches
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    from atlas_upscaling_dask_spark.extensions.sketches import (
+        kmv_estimate_expr,
+        kmv_sketch,
+    )
+
+    df = spark.range(40).select(
+        F.lit("g").alias("g"), (F.col("id") % 17).alias("v")
+    )
+    sk = kmv_sketch(df, "v", ["g"], k=64)
+    est = sk.select(kmv_estimate_expr("sketch", 64).alias("e")).collect()[0]["e"]
+    assert est == 17.0  # not full: the sketch IS the distinct set
+
+
+def test_kmv_estimate_within_error(spark):
+    from atlas_upscaling_dask_spark.extensions.sketches import (
+        kmv_estimate_expr,
+        kmv_sketch,
+    )
+
+    n = 5000
+    df = spark.range(n).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    k = 128
+    sk = kmv_sketch(df, "v", ["g"], k=k)
+    est = sk.select(kmv_estimate_expr("sketch", k).alias("e")).collect()[0]["e"]
+    # RSE ~ 1/sqrt(k-2) ≈ 9%; allow 4 sigma.
+    assert abs(est - n) / n < 0.36
+
+
+def test_kmv_merge_equals_direct(spark):
+    from atlas_upscaling_dask_spark.extensions.sketches import kmv_merge, kmv_sketch
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).alias("child"), (F.col("id") % 911).alias("v")
+    )
+    k = 32
+    fine = kmv_sketch(df, "v", ["child"], k=k).withColumn("root", F.lit(1))
+    merged = kmv_merge(fine, ["root"], k=k).collect()[0]["sketch"]
+    direct = (
+        kmv_sketch(df.withColumn("root", F.lit(1)), "v", ["root"], k=k)
+        .collect()[0]["sketch"]
+    )
+    assert merged == direct  # the merge identity: k-smallest of the union
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def test_triangle_count_k4_plus_square(spark):
+    from atlas_upscaling_dask_spark.operators.graph import triangle_stats
+
+    # K4 (4 triangles) + a disjoint 4-cycle (0 triangles).
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    square = [(10, 11), (11, 12), (12, 13), (10, 13)]
+    out = triangle_stats(_edges(spark, k4 + square)).collect()[0]
+    assert out["n_nodes"] == 8
+    assert out["n_edges"] == 10
+    assert out["n_triangles"] == 4
+
+
+def test_triangle_count_orientation_handles_duplicates_and_order(spark):
+    from atlas_upscaling_dask_spark.operators.graph import (
+        canonical_edges,
+        triangle_stats,
+    )
+
+    # Raw pairs: duplicates, reversed orientation, self-loop — must
+    # canonicalize to one triangle.
+    raw = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 3), (3, 1), (1, 1)], "x long, y long"
+    )
+    edges = canonical_edges(raw, "x", "y")
+    out = triangle_stats(edges).collect()[0]
+    assert out["n_edges"] == 3 and out["n_triangles"] == 1
+
+
+def test_pagerank_star_center_wins_and_mass_conserved(spark):
+    from atlas_upscaling_dask_spark.operators.graph import PR_SCALE, pagerank
+
+    star = [(0, i) for i in range(1, 9)]
+    out = pagerank(_edges(spark, star), n_iter=4).collect()
+    ranks = {r["node"]: r["rank_scaled"] for r in out}
+    assert max(ranks, key=ranks.get) == 0
+    leaves = {ranks[i] for i in range(1, 9)}
+    assert len(leaves) == 1  # symmetric leaves rank identically
+    # Integer floors only ever LOSE mass, and not much of it.
+    total = sum(ranks.values())
+    assert 0.98 * PR_SCALE < total <= PR_SCALE
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    from atlas_upscaling_dask_spark.operators.graph import pagerank
+
+    edges = [(i, (i * 7 + 1) % 23) for i in range(23) if i != (i * 7 + 1) % 23]
+    e1 = _edges(spark, edges).repartition(1)
+    e2 = _edges(spark, edges).repartition(13)
+    from atlas_upscaling_dask_spark.operators.graph import canonical_edges
+
+    r1 = sorted(
+        (r["node"], r["rank_scaled"])
+        for r in pagerank(canonical_edges(e1, "a", "b"), n_iter=3).collect()
+    )
+    r2 = sorted(
+        (r["node"], r["rank_scaled"])
+        for r in pagerank(canonical_edges(e2, "a", "b"), n_iter=3).collect()
+    )
+    assert r1 == r2  # integer arithmetic: partitioning-independent
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from atlas_upscaling_dask_spark.extensions.training import weighted_sample
+
+    # One row with overwhelming weight vs 200 light rows: u^(1/w) → 1
+    # as w → ∞, so the heavy row is effectively always in a k=20 sample.
+    df = spark.range(201).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, 10_000_000).otherwise(1).alias("w"),
+    )
+    out = weighted_sample(df, "w", 20, key_col="doc_id")
+    assert 0 in {r["doc_id"] for r in out.collect()}
+
+
+def test_weighted_sample_deterministic_and_seed_sensitive(spark):
+    from atlas_upscaling_dask_spark.extensions.training import weighted_sample
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    s1 = {r["doc_id"] for r in weighted_sample(df, "w", 30, seed=1).collect()}
+    s2 = {r["doc_id"] for r in weighted_sample(df, "w", 30, seed=1).collect()}
+    s3 = {r["doc_id"] for r in weighted_sample(df, "w", 30, seed=2).collect()}
+    assert s1 == s2
+    assert s1 != s3
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation
+# ---------------------------------------------------------------------------
+
+
+def test_resample_interpolate_manual(spark):
+    from atlas_upscaling_dask_spark.operators.resample import resample_interpolate
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def at(h, m=0):
+        return t0 + datetime.timedelta(hours=h, minutes=m)
+
+    ev = spark.createDataFrame(
+        [
+            (1, at(0), 0.0),
+            (1, at(2), 2.0),
+            (1, at(3, 30), 5.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["grid_ts"]: r["value"]
+        for r in resample_interpolate(ev).collect()
+    }
+    assert out[at(0)] == 0.0  # exact observation at the instant
+    assert out[at(1)] == 1.0  # midpoint of [0, 2]
+    assert out[at(2)] == 2.0
+    assert out[at(3)] == 2.0 + 3.0 * (1.0 / 1.5)  # 2/3 into [2.0, 5.0]
+
+
+def test_resample_interpolate_edge_extrapolation(spark):
+    from atlas_upscaling_dask_spark.operators.resample import resample_interpolate
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 30, 0)
+    ev = spark.createDataFrame(
+        [(1, t0, 7.0), (1, t0 + datetime.timedelta(hours=1), 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = resample_interpolate(ev).collect()
+    # Grid starts at the hour-truncated min: the first instant PRECEDES
+    # the first observation and must extrapolate it constantly.
+    first = min(rows, key=lambda r: r["grid_ts"])
+    assert first["value"] == 7.0

@@ -306,6 +306,44 @@ def audited_queries():
             lambda spark, sf_dir: _bulk(spark, "merge"),
             {"max_shuffles": 1, "no_python_udf": True},
         ),
+        # BM25: one corpus-stats reduce + broadcast 1-row stats + narrow
+        # scoring; top-k must be TakeOrderedAndProject, never a sort
+        "bm25_topk": (
+            QUERIES["bm25_topk"],
+            {"max_shuffles": 2, "codegen": True, "no_python_udf": True},
+        ),
+        # KMV sketch build+merge+exact-NDV join: every exchange is
+        # partial-aggregated or keyed; sketches themselves are KB-sized
+        "ndv_sketch": (
+            QUERIES["ndv_sketch"],
+            {"max_shuffles": 8, "codegen": True, "no_python_udf": True},
+        ),
+        # degree-orientation triangles: equi-joins only over the
+        # CHECKPOINTED oriented edge list — a cartesian anywhere here
+        # would be quadratic at scale
+        "graph_triangles": (
+            QUERIES["graph_triangles"],
+            {"max_shuffles": 10, "codegen": True, "no_python_udf": True},
+        ),
+        # integer PageRank: each unrolled round localCheckpoints (plan
+        # stays linear in n_iter), so the audited final fragment is just
+        # the top-k — which must add NO exchange of its own
+        "graph_pagerank": (
+            QUERIES["graph_pagerank"],
+            {"max_shuffles": 2, "no_python_udf": True},
+        ),
+        # A-ES weighted sample: narrow priority projection + per-
+        # partition heaps — sampling must never globally sort or shuffle
+        "weighted_sample": (
+            QUERIES["weighted_sample"],
+            {"no_shuffle": True, "codegen": True, "no_python_udf": True},
+        ),
+        # linear gap-fill: bounds agg + one per-key window — the grid
+        # explode and interpolation stay inside those two exchanges
+        "resample_interpolate": (
+            QUERIES["resample_interpolate"],
+            {"max_shuffles": 3, "codegen": True, "no_python_udf": True},
+        ),
     }
 
 
