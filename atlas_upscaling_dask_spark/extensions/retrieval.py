@@ -192,3 +192,133 @@ SELECT doc_id, score,
 FROM scored WHERE score > 0
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index — the repeated-query path
+# ---------------------------------------------------------------------------
+
+INDEX_BUCKETS = 64
+
+
+def _bucket_of_terms(spark, terms: list[str], n_buckets: int) -> dict[str, int]:
+    """Bucket id per term, computed with the SAME Spark expression the
+    build used (xxhash64) — a driver-side scalar resolve, |terms| rows."""
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    rows = df.select(
+        "term", (F.abs(F.xxhash64("term")) % n_buckets).alias("bucket")
+    ).collect()
+    return {r["term"]: int(r["bucket"]) for r in rows}
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = INDEX_BUCKETS,
+) -> None:
+    """Materialize the inverted index: postings PARTITIONED BY term-hash
+    bucket, corpus-global stats in a JSON sidecar.
+
+    The repeated-query counterpart of the two-scan :func:`bm25_topk`
+    (same pattern as the persisted IVF index,
+    `similarity.build_ivf_index`): tokenize/count once at build time;
+    every later query reads ONLY the buckets its terms hash to — the
+    bucket partition column prunes directories before any posting is
+    scanned, so query cost scales with posting-list length, not corpus
+    size.  Document length is denormalized INTO the postings, so
+    scoring needs no join back to the corpus.  Partitioning by a
+    64-way hash bucket (not by raw term) keeps the directory count
+    fixed no matter how large the vocabulary grows.
+    """
+    import json
+    import os
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("dl"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    postings = (
+        toks.groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("bucket", F.abs(F.xxhash64("term")) % n_buckets)
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    stats = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("s"),
+    ).collect()[0]
+    with open(os.path.join(path, "_corpus_stats.json"), "w") as f:
+        json.dump(
+            {"n_docs": int(stats["n"]), "sum_len": int(stats["s"]),
+             "n_buckets": n_buckets},
+            f,
+        )
+
+
+def bm25_index_topk(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k against a persisted inverted index.
+
+    Reads only the partition-pruned buckets the query terms hash to
+    (PartitionFilters on the scan), computes per-term document
+    frequencies from the matching postings themselves (≤ |terms| rows
+    collected — small by contract, like IVF probe ids), and scores
+    with the same rational-idf arithmetic as :func:`bm25_topk` — the
+    per-document term sum is pivoted into a FIXED-order chain, so the
+    result is bitwise identical to the inline two-scan plan (pytest
+    parity + the shared DuckDB oracle).
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_corpus_stats.json")) as f:
+        stats = json.load(f)
+    n, s = stats["n_docs"], stats["sum_len"]
+    buckets = sorted(
+        set(_bucket_of_terms(spark, query_terms, stats["n_buckets"]).values())
+    )
+    postings = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(query_terms))
+    )
+    dfreq = {
+        r["term"]: int(r["n"])
+        for r in postings.groupBy("term").agg(F.count("*").alias("n")).collect()
+    }
+
+    def t_score(term: str) -> Column:
+        df = dfreq.get(term, 0)
+        tf = F.when(F.col("term") == term, F.col("tf")).otherwise(F.lit(0))
+        idf_num = F.lit(2 * n - 2 * df + 1)
+        idf_den = F.lit(2 * df + 1)
+        tf_num = F.lit(10 * s) * tf
+        tf_den = F.lit(10 * s) * tf + F.lit(3 * s) + F.lit(9 * n) * F.col("dl")
+        return F.sum((idf_num * tf_num).cast("double") / (idf_den * tf_den).cast("double"))
+
+    # Pivot each term's contribution into its own aggregate, then add in
+    # a fixed order — bitwise equal to the inline scorer's term chain.
+    agg_cols = [t_score(t).alias(f"s_{i}") for i, t in enumerate(query_terms)]
+    per_doc = postings.groupBy("doc_id").agg(*agg_cols)
+    score: Column | None = None
+    for i in range(len(query_terms)):
+        c = F.col(f"s_{i}")
+        score = c if score is None else score + c
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    topk = (
+        per_doc.select("doc_id", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(*order)
+        .limit(k)
+    )
+    w = Window.orderBy(*order)
+    return topk.select(
+        "doc_id", "score", F.row_number().over(w).cast("int").alias("rank")
+    )

@@ -5086,3 +5086,35 @@ SELECT doc_id, n_chars, priority FROM (
 ORDER BY priority DESC, doc_id ASC LIMIT 50
 """,
 )
+
+
+_TEXT_INDEX_PATHS: dict[str, str] = {}
+
+
+def _text_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build the persisted inverted index once per (process, sf_dir) —
+    queries against it are then pure partition-pruned reads (the
+    build is index maintenance, not query cost)."""
+    if sf_dir not in _TEXT_INDEX_PATHS:
+        import tempfile
+
+        from .extensions.retrieval import build_text_index
+
+        d = tempfile.mkdtemp(prefix="text_index_")
+        build_text_index(load_table(spark, sf_dir, "documents"), d)
+        _TEXT_INDEX_PATHS[sf_dir] = d
+    return _TEXT_INDEX_PATHS[sf_dir]
+
+
+def _bm25_index_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same ranking as bm25_topk but served from the persisted inverted
+    # index: bucket-pruned posting reads, df from the postings, scores
+    # bitwise-equal to the inline scorer (shared oracle proves it).
+    from .extensions.retrieval import bm25_index_topk
+
+    return bm25_index_topk(
+        spark, _text_index_path(spark, sf_dir), BM25_TERMS, k=25
+    )
+
+
+_register("bm25_index_topk", _bm25_index_topk_q, _bm25_oracle())

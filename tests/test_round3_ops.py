@@ -264,3 +264,33 @@ def test_resample_interpolate_edge_extrapolation(spark):
     # the first observation and must extrapolate it constantly.
     first = min(rows, key=lambda r: r["grid_ts"])
     assert first["value"] == 7.0
+
+
+def test_bm25_index_matches_inline_and_prunes(spark, tmp_path):
+    from atlas_upscaling_dask_spark.extensions.retrieval import (
+        bm25_index_topk,
+        bm25_topk,
+        build_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(["alpha"] * (i % 4) + ["beta"] * (i % 2) + ["pad"] * (i % 7)))
+            for i in range(1, 60)
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_text_index(docs, path)
+    inline = bm25_topk(docs, ["alpha", "beta"], k=12).collect()
+    indexed = bm25_index_topk(spark, path, ["alpha", "beta"], k=12).collect()
+    assert [(r["doc_id"], r["score"]) for r in inline] == [
+        (r["doc_id"], r["score"]) for r in indexed
+    ]
+    # The probe scan must carry PartitionFilters on the bucket column —
+    # the reason query cost is independent of vocabulary/corpus size.
+    from pyspark.sql import functions as F2
+
+    probe = spark.read.parquet(path).filter(F2.col("bucket").isin([0, 1]))
+    plan = probe._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan
