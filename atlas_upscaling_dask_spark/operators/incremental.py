@@ -1,0 +1,114 @@
+"""Incremental aggregate maintenance — materialized-view updates that
+never rescan history.
+
+At 100 TB the defining property of a dashboard aggregate is that
+yesterday's 99.99% of the data does not get touched when today's batch
+lands.  The standard mechanism is an ALGEBRAIC STATE table: keep the
+mergeable partials (count, sum, min, max) per group key, fold each
+delta batch into the state with one keyed aggregation over
+``state ∪ partial(delta)``, and derive the presentation row (avg etc.)
+from the state at read time.  This is the batch half of what the
+streaming module's stateful operators do with watermarks — and it
+composes with `operators/merge.apply_changelog` (CDC upserts feed
+deltas; this module folds them into downstream rollups).
+
+Cost model: ``incremental_update`` scans ONLY the delta (one partial-
+aggregated exchange on the group key, sized by the delta's distinct
+keys) plus the state table, which is |group keys| rows — never the
+base data.  The merge is associative and commutative, so daily deltas
+can themselves be folded in parallel (tree reduction) and a lost
+update is repaired by re-folding that delta alone.
+
+Retraction discipline: ``count`` and ``sum`` are group-invertible, so
+deletions fold in as ``sign = -1`` rows.  ``min``/``max`` are NOT
+invertible — with retractions enabled the state tracks them as
+insert-only bounds (a deleted extremum is only reconciled by a
+rebuild), which is the honest contract every incremental-view engine
+documents for extrema.
+
+Exactness: sums ride DECIMAL(18,2) partials (associative, order-
+independent — the suite-wide discipline), so the incrementally
+maintained state is BIT-IDENTICAL to a full recompute; the
+``incremental_agg`` oracle proves exactly that, with the oracle doing
+the full recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SUM_T = "decimal(18,2)"
+
+
+def _partial(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    sign_col: str | None = None,
+) -> DataFrame:
+    """Per-key algebraic partials of one batch: cnt, sum_<c>, min_<c>,
+    max_<c>.  ``sign_col`` (+1 insert / -1 retract) flows into cnt and
+    the sums; extrema ignore it (see module docstring)."""
+    sign: Column = F.col(sign_col) if sign_col else F.lit(1)
+    aggs = [F.sum(sign).cast("long").alias("cnt")]
+    for c in sum_cols:
+        aggs += [
+            F.sum(F.col(c).cast(SUM_T) * sign).cast(SUM_T).alias(f"sum_{c}"),
+            F.min(F.col(c).cast(SUM_T)).alias(f"min_{c}"),
+            F.max(F.col(c).cast(SUM_T)).alias(f"max_{c}"),
+        ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def aggregate_state(
+    df: DataFrame, keys: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Initial state table from a base batch (inserts only)."""
+    return _partial(df, keys, sum_cols)
+
+
+def merge_states(
+    a: DataFrame, b: DataFrame, keys: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Fold two state tables: counts/sums add, extrema combine.
+    One keyed aggregation over the union — state-sized, not data-sized."""
+    aggs = [F.sum("cnt").cast("long").alias("cnt")]
+    for c in sum_cols:
+        aggs += [
+            F.sum(f"sum_{c}").cast(SUM_T).alias(f"sum_{c}"),
+            F.min(f"min_{c}").alias(f"min_{c}"),
+            F.max(f"max_{c}").alias(f"max_{c}"),
+        ]
+    return a.unionByName(b).groupBy(*keys).agg(*aggs)
+
+
+def incremental_update(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    sign_col: str | None = None,
+) -> DataFrame:
+    """Fold a delta batch into the state: scans the DELTA only."""
+    return merge_states(
+        state, _partial(delta, keys, sum_cols, sign_col), keys, sum_cols
+    )
+
+
+def finalize(state: DataFrame, keys: list[str], sum_cols: list[str]) -> DataFrame:
+    """Presentation rows from the state: derived averages, doubles out.
+    Groups whose retractions cancelled every row (cnt = 0) disappear."""
+    cols: list[Column] = [F.col(k) for k in keys] + [F.col("cnt")]
+    for c in sum_cols:
+        cols += [
+            F.col(f"sum_{c}").cast("double").alias(f"sum_{c}"),
+            # one IEEE division of exactly-carried values — engine-portable
+            # (decimal/bigint division scale rules are not)
+            (
+                F.col(f"sum_{c}").cast("double") / F.col("cnt").cast("double")
+            ).alias(f"avg_{c}"),
+            F.col(f"min_{c}").cast("double").alias(f"min_{c}"),
+            F.col(f"max_{c}").cast("double").alias(f"max_{c}"),
+        ]
+    return state.filter(F.col("cnt") > 0).select(*cols)

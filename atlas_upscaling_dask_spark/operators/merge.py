@@ -76,3 +76,55 @@ def apply_changelog(
     return won.filter(F.col("w._op") != delete_op).select(
         key_col, *[F.col(f"w.{p}").alias(p) for p in payload]
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Keyed snapshot diff: which rows were added, removed, or changed
+    between two versions of a table — the audit half of the CDC story
+    (``apply_changelog`` replays a changelog; this derives one from two
+    snapshots, e.g. yesterday's corpus vs today's re-crawl).
+
+    One full outer join on the key (a single co-partitioned exchange of
+    both sides; bucketed snapshots make it exchange-free —
+    `sinks/bucketed.py`).  ``changed`` uses null-safe comparison
+    (``eqNullSafe``) per compared column, so NULL→value and value→NULL
+    edits are detected.  Output: keys + status + per-column old_/new_
+    values; ``include_unchanged=False`` (default) drops the unchanged
+    rows — at 100 TB the diff result is sized by churn, not by the
+    table.
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c in set(old.columns) and c not in key_cols
+        ]
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    ).withColumn("_in_old", F.lit(1))
+    n = new.select(
+        *key_cols, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    ).withColumn("_in_new", F.lit(1))
+    j = o.join(n, key_cols, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(same, "unchanged")
+        .otherwise("changed")
+    )
+    out = j.select(
+        *key_cols,
+        status.alias("status"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out

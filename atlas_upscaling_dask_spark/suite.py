@@ -4631,7 +4631,9 @@ _PRIORITY = [
     "tpch_q13_custdist", "tpch_q14_promo", "tpch_q15_top_supplier",
     "tpch_q16_supplier_cnt", "tpch_q17_small_qty", "tpch_q18_large_orders",
     "tpch_q19_disjunctive", "tpch_q20_nested_in", "tpch_q21_waiting",
-    "tpch_q22_global_sales", "vocab_topk", "oov_rate", "corpus_report",
+    "tpch_q22_global_sales",
+    "incremental_agg", "table_diff", "bm25_index_topk",
+    "vocab_topk", "oov_rate", "corpus_report",
     "model_quality_screen", "dedup_clusters", "vox_components",
     "stratified_sample", "redact_pii", "resample_ffill",
 ]
@@ -5118,3 +5120,106 @@ def _bm25_index_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("bm25_index_topk", _bm25_index_topk_q, _bm25_oracle())
+
+
+def _incremental_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialized-view maintenance: state from the base 3/4 of lineitem,
+    # the last 1/4 folded in as a delta (delta-only scan) — the result
+    # must be BIT-IDENTICAL to the oracle's full recompute.
+    from .operators.incremental import (
+        aggregate_state,
+        finalize,
+        incremental_update,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    sums = ["l_quantity", "l_extendedprice"]
+    base = li.filter(F.col("l_orderkey") % 4 != 0)
+    delta = li.filter(F.col("l_orderkey") % 4 == 0)
+    state = incremental_update(
+        aggregate_state(base, keys, sums), delta, keys, sums
+    )
+    return finalize(state, keys, sums)
+
+
+_register(
+    "incremental_agg",
+    _incremental_agg_q,
+    """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_quantity,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_l_quantity,
+       CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_l_quantity,
+       CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_l_quantity,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_extendedprice,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_l_extendedprice,
+       CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_l_extendedprice,
+       CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_l_extendedprice
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+
+def _table_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Snapshot diff: old = customer; new = a simulated re-crawl (every
+    # 7th balance bumped, every 13th row dropped, synthetic rows added).
+    from .operators.merge import table_diff
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    new = (
+        cust.filter(F.col("c_custkey") % 13 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            spark.range(3).select(
+                (F.col("id") + 9000001).alias("c_custkey"),
+                F.concat(F.lit("new-cust-"), F.col("id").cast("string")).alias(
+                    "c_name"
+                ),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return table_diff(cust, new, ["c_custkey"], ["c_name", "c_acctbal"])
+
+
+_register(
+    "table_diff",
+    _table_diff_q,
+    """
+WITH old_t AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+),
+new_t AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 13 <> 0
+  UNION ALL
+  SELECT 9000001 + i.range, 'new-cust-' || i.range, 0.0 FROM range(3) i
+),
+j AS (
+  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+         CASE WHEN o.c_custkey IS NULL THEN 'added'
+              WHEN n.c_custkey IS NULL THEN 'removed'
+              WHEN o.c_name IS NOT DISTINCT FROM n.c_name
+                   AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+                THEN 'unchanged'
+              ELSE 'changed' END AS status,
+         o.c_name AS old_c_name, o.c_acctbal AS old_c_acctbal,
+         n.c_name AS new_c_name, n.c_acctbal AS new_c_acctbal
+  FROM old_t o FULL OUTER JOIN new_t n ON o.c_custkey = n.c_custkey
+)
+SELECT * FROM j WHERE status <> 'unchanged'
+""",
+)

@@ -294,3 +294,118 @@ def test_bm25_index_matches_inline_and_prunes(spark, tmp_path):
     probe = spark.read.parquet(path).filter(F2.col("bucket").isin([0, 1]))
     plan = probe._jdf.queryExecution().toString()
     assert "PartitionFilters" in plan
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_equals_full_recompute(spark):
+    from atlas_upscaling_dask_spark.operators.incremental import (
+        aggregate_state,
+        finalize,
+        incremental_update,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 5).alias("g"), (F.col("id") % 37).cast("double").alias("v")
+    )
+    base = df.filter(F.col("id") % 3 != 0)
+    delta = df.filter(F.col("id") % 3 == 0)
+    inc = finalize(
+        incremental_update(aggregate_state(base, ["g"], ["v"]), delta, ["g"], ["v"]),
+        ["g"],
+        ["v"],
+    )
+    full = finalize(aggregate_state(df, ["g"], ["v"]), ["g"], ["v"])
+    a = sorted(tuple(r) for r in inc.collect())
+    b = sorted(tuple(r) for r in full.collect())
+    assert a == b  # bit-identical, not just approximately equal
+
+
+def test_incremental_retraction_cancels_rows(spark):
+    from atlas_upscaling_dask_spark.operators.incremental import (
+        aggregate_state,
+        finalize,
+        incremental_update,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "g long, v double"
+    )
+    # retract (1, 20.0); insert (2, 7.0)
+    delta = spark.createDataFrame(
+        [(1, 20.0, -1), (2, 7.0, 1)], "g long, v double, sign int"
+    )
+    state = incremental_update(
+        aggregate_state(base, ["g"], ["v"]), delta, ["g"], ["v"], sign_col="sign"
+    )
+    out = {r["g"]: r for r in finalize(state, ["g"], ["v"]).collect()}
+    assert out[1]["cnt"] == 1 and out[1]["sum_v"] == 10.0
+    assert out[2]["cnt"] == 2 and out[2]["sum_v"] == 12.0
+
+
+def test_incremental_group_fully_retracted_disappears(spark):
+    from atlas_upscaling_dask_spark.operators.incremental import (
+        aggregate_state,
+        finalize,
+        incremental_update,
+    )
+
+    base = spark.createDataFrame([(1, 3.0)], "g long, v double")
+    delta = spark.createDataFrame([(1, 3.0, -1)], "g long, v double, sign int")
+    state = incremental_update(
+        aggregate_state(base, ["g"], ["v"]), delta, ["g"], ["v"], sign_col="sign"
+    )
+    assert finalize(state, ["g"], ["v"]).count() == 0
+
+
+def test_merge_states_associative(spark):
+    from atlas_upscaling_dask_spark.operators.incremental import (
+        aggregate_state,
+        merge_states,
+    )
+
+    df = spark.range(300).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 11).cast("double").alias("v")
+    )
+    p1 = aggregate_state(df.filter("id % 3 = 0"), ["g"], ["v"])
+    p2 = aggregate_state(df.filter("id % 3 = 1"), ["g"], ["v"])
+    p3 = aggregate_state(df.filter("id % 3 = 2"), ["g"], ["v"])
+    left = merge_states(merge_states(p1, p2, ["g"], ["v"]), p3, ["g"], ["v"])
+    right = merge_states(p1, merge_states(p2, p3, ["g"], ["v"]), ["g"], ["v"])
+    assert sorted(map(tuple, left.collect())) == sorted(map(tuple, right.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Table diff
+# ---------------------------------------------------------------------------
+
+
+def test_table_diff_statuses(spark):
+    from atlas_upscaling_dask_spark.operators.merge import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None)],
+        "k long, name string, val double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 9.0), (4, "d", 4.0), (3, "c", 3.0)],
+        "k long, name string, val double",
+    )
+    out = {r["k"]: r["status"] for r in table_diff(old, new, ["k"]).collect()}
+    # k=1 unchanged (dropped), k=2 changed, k=3 NULL→3.0 must count as
+    # changed (null-safe compare), k=4 added.
+    assert out == {2: "changed", 3: "changed", 4: "added"}
+    full = table_diff(old, new, ["k"], include_unchanged=True)
+    assert {r["k"]: r["status"] for r in full.collect()}[1] == "unchanged"
+
+
+def test_table_diff_removed_rows_carry_old_values(spark):
+    from atlas_upscaling_dask_spark.operators.merge import table_diff
+
+    old = spark.createDataFrame([(1, "x")], "k long, name string")
+    new = spark.createDataFrame([], "k long, name string")
+    r = table_diff(old, new, ["k"]).collect()[0]
+    assert r["status"] == "removed" and r["old_name"] == "x" and r["new_name"] is None

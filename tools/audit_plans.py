@@ -344,6 +344,19 @@ def audited_queries():
             QUERIES["resample_interpolate"],
             {"max_shuffles": 3, "codegen": True, "no_python_udf": True},
         ),
+        # materialized-view maintenance: base partial + delta partial +
+        # state merge — three keyed aggregations, map-side partials; at
+        # steady state only the delta partial and the merge run
+        "incremental_agg": (
+            QUERIES["incremental_agg"],
+            {"max_shuffles": 4, "codegen": True, "no_python_udf": True},
+        ),
+        # snapshot diff: ONE co-partitioned full-outer join (both sides
+        # hashed on the key) — diff output is churn-sized
+        "table_diff": (
+            QUERIES["table_diff"],
+            {"max_shuffles": 3, "codegen": True, "no_python_udf": True},
+        ),
     }
 
 
