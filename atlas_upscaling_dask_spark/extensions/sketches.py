@@ -128,3 +128,89 @@ def ndv_rollup(
         kmv_estimate_expr("sketch", k).alias("ndv_est"),
         F.size("sketch").alias("sketch_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (bottom-k uniform row sample)
+# ---------------------------------------------------------------------------
+
+
+def _row_hash_expr(key_col: str, salt: str = "q") -> Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
+        1,
+        HEX_DIGITS,
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Per-group mergeable quantile sketch: the ``k`` rows whose salted
+    row-key hashes are smallest, carried as a sorted ``array<struct<h,
+    v>>`` column.
+
+    Because the hash is uniform over row keys, the kept rows are a
+    uniform random sample of the group — and like KMV, "k smallest of
+    the union" makes the merge associative/commutative/idempotent, so
+    sketches roll up any aggregation lattice without rescanning rows.
+    Quantiles from a k-sample have standard error ~ sqrt(p(1-p)/k) in
+    rank space (~3% at k=256 for the median): the classic
+    bounded-space answer when a full sort is off the table.  Unlike
+    KMV this samples ROWS (duplicated values stay duplicated —
+    quantiles need the multiset, distinct-hashing would bias them).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("h").asc(), F.col("v").asc()
+    )
+    return (
+        df.select(
+            *group_cols,
+            _row_hash_expr(key_col).alias("h"),
+            F.col(value_col).alias("v"),
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(F.struct("h", "v"))).alias("qsketch"))
+    )
+
+
+def quantile_sketch_merge(
+    sketches: DataFrame, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Merge quantile sketches to a coarser key: k smallest of the union."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("h").asc(), F.col("v").asc()
+    )
+    return (
+        sketches.select(*group_cols, F.explode("qsketch").alias("e"))
+        .select(*group_cols, F.col("e.h").alias("h"), F.col("e.v").alias("v"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(F.struct("h", "v"))).alias("qsketch"))
+    )
+
+
+def quantile_estimate(
+    sketches: DataFrame, group_cols: list[str], probs: list[float]
+) -> DataFrame:
+    """Interpolated quantile estimates from sketch samples.
+
+    Explodes only the sketch (≤ k rows per group) and applies the same
+    sort-based ``percentile`` aggregate the exact path uses — which is
+    also why the DuckDB oracle (``quantile_cont`` over the replayed
+    sample) matches bitwise.
+    """
+    vals = sketches.select(*group_cols, F.explode("qsketch").alias("e")).select(
+        *group_cols, F.col("e.v").alias("v")
+    )
+    aggs = [
+        F.expr(f"percentile(v, {p!r})").alias(f"q{int(p * 100)}") for p in probs
+    ] + [F.count("*").alias("sample_size")]
+    return vals.groupBy(*group_cols).agg(*aggs)

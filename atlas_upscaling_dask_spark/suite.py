@@ -4632,7 +4632,7 @@ _PRIORITY = [
     "tpch_q16_supplier_cnt", "tpch_q17_small_qty", "tpch_q18_large_orders",
     "tpch_q19_disjunctive", "tpch_q20_nested_in", "tpch_q21_waiting",
     "tpch_q22_global_sales",
-    "incremental_agg", "table_diff", "bm25_index_topk",
+    "incremental_agg", "table_diff", "bm25_index_topk", "quantile_sketch",
     "vocab_topk", "oov_rate", "corpus_report",
     "model_quality_screen", "dedup_clusters", "vox_components",
     "stratified_sample", "redact_pii", "resample_ffill",
@@ -5221,5 +5221,80 @@ j AS (
   FROM old_t o FULL OUTER JOIN new_t n ON o.c_custkey = n.c_custkey
 )
 SELECT * FROM j WHERE status <> 'unchanged'
+""",
+)
+
+
+def _quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mergeable quantile sketches: per-(returnflag, linestatus) bottom-k
+    # row samples of l_quantity merged up to returnflag, quartiles
+    # estimated from the merged sample (plus the exact quartile for
+    # reference) — rollups answered without rescanning rows.
+    from .extensions.sketches import (
+        quantile_estimate,
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "rowkey",
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ),
+    )
+    fine = quantile_sketch(
+        li, "l_quantity", "rowkey", ["l_returnflag", "l_linestatus"], k=256
+    )
+    merged = quantile_sketch_merge(fine, ["l_returnflag"], k=256)
+    est = quantile_estimate(merged, ["l_returnflag"], [0.25, 0.5, 0.75])
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("median(l_quantity)").alias("q50_exact")
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag", "q25", "q50", "q75", "sample_size", "q50_exact"
+    )
+
+
+_register(
+    "quantile_sketch",
+    _quantile_sketch_q,
+    """
+WITH keyed AS (
+  SELECT l_returnflag, l_linestatus,
+         substr(md5('q:' || l_orderkey || ':' || l_linenumber), 1, 13) AS h,
+         l_quantity AS v
+  FROM lineitem
+),
+fine AS (
+  SELECT l_returnflag, l_linestatus, h, v FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY l_returnflag, l_linestatus ORDER BY h, v) AS rk
+    FROM keyed
+  ) WHERE rk <= 256
+),
+merged AS (
+  SELECT l_returnflag, h, v FROM (
+    SELECT l_returnflag, h, v, row_number() OVER (
+             PARTITION BY l_returnflag ORDER BY h, v) AS rk
+    FROM fine
+  ) WHERE rk <= 256
+),
+est AS (
+  SELECT l_returnflag,
+         quantile_cont(v, 0.25) AS q25,
+         quantile_cont(v, 0.5) AS q50,
+         quantile_cont(v, 0.75) AS q75,
+         CAST(COUNT(*) AS BIGINT) AS sample_size
+  FROM merged GROUP BY l_returnflag
+),
+exact AS (
+  SELECT l_returnflag, median(l_quantity) AS q50_exact
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT e.l_returnflag AS l_returnflag, e.q25, e.q50, e.q75,
+       e.sample_size, x.q50_exact
+FROM est e JOIN exact x ON e.l_returnflag = x.l_returnflag
 """,
 )

@@ -409,3 +409,64 @@ def test_table_diff_removed_rows_carry_old_values(spark):
     new = spark.createDataFrame([], "k long, name string")
     r = table_diff(old, new, ["k"]).collect()[0]
     assert r["status"] == "removed" and r["old_name"] == "x" and r["new_name"] is None
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_sketch_exact_below_k(spark):
+    from atlas_upscaling_dask_spark.extensions.sketches import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    df = spark.range(101).select(
+        F.lit("g").alias("g"),
+        F.col("id").alias("key"),
+        F.col("id").cast("double").alias("v"),
+    )
+    sk = quantile_sketch(df, "v", "key", ["g"], k=1000)  # sample = everything
+    out = quantile_estimate(sk, ["g"], [0.5]).collect()[0]
+    assert out["q50"] == 50.0 and out["sample_size"] == 101
+
+
+def test_quantile_sketch_merge_equals_direct(spark):
+    from atlas_upscaling_dask_spark.extensions.sketches import (
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 4).alias("child"),
+        F.col("id").alias("key"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    fine = quantile_sketch(df, "v", "key", ["child"], k=64).withColumn(
+        "root", F.lit(1)
+    )
+    merged = quantile_sketch_merge(fine, ["root"], k=64).collect()[0]["qsketch"]
+    direct = quantile_sketch(
+        df.withColumn("root", F.lit(1)), "v", "key", ["root"], k=64
+    ).collect()[0]["qsketch"]
+    assert merged == direct
+
+
+def test_quantile_sketch_estimate_accuracy(spark):
+    from atlas_upscaling_dask_spark.extensions.sketches import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    n = 20000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"),
+        F.col("id").alias("key"),
+        F.col("id").cast("double").alias("v"),  # uniform 0..n-1
+    )
+    sk = quantile_sketch(df, "v", "key", ["g"], k=512)
+    out = quantile_estimate(sk, ["g"], [0.25, 0.5, 0.75]).collect()[0]
+    # rank-space SE ~ sqrt(p(1-p)/512) ≈ 2.2%; allow 4 sigma ≈ 9%.
+    for p, got in ((0.25, out["q25"]), (0.5, out["q50"]), (0.75, out["q75"])):
+        assert abs(got / n - p) < 0.09, (p, got)

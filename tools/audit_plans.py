@@ -357,6 +357,13 @@ def audited_queries():
             QUERIES["table_diff"],
             {"max_shuffles": 3, "codegen": True, "no_python_udf": True},
         ),
+        # mergeable quantile sketch: rank windows + collect + the
+        # sample-sized estimate — every exchange keyed, none data-sized
+        # after the first
+        "quantile_sketch": (
+            QUERIES["quantile_sketch"],
+            {"max_shuffles": 8, "codegen": True, "no_python_udf": True},
+        ),
     }
 
 
