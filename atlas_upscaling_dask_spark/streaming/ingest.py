@@ -381,3 +381,69 @@ def start_doc_enrichment_memory(
         .queryName(query_name)
         .start()
     )
+
+
+def read_agg_state(
+    spark: SparkSession, state_path: str, before_epoch: int | None = None
+) -> DataFrame | None:
+    """Latest committed aggregate-state version under ``state_path``
+    (optionally only versions strictly BEFORE ``before_epoch`` — what a
+    retried micro-batch must fold onto).  Returns None when no state
+    exists yet.  Listing is a directory scan of ``epoch=N`` versions
+    (state tables are |group keys| rows — tiny; an object-store
+    deployment would list via its manifest instead)."""
+    import os
+    import re as _re
+
+    if not os.path.isdir(state_path):
+        return None
+    epochs = []
+    for name in os.listdir(state_path):
+        m = _re.fullmatch(r"epoch=(\d+)", name)
+        if m and (before_epoch is None or int(m.group(1)) < before_epoch):
+            epochs.append(int(m.group(1)))
+    if not epochs:
+        return None
+    return spark.read.parquet(f"{state_path}/epoch={max(epochs)}")
+
+
+def start_incremental_agg(
+    spark: SparkSession,
+    events_path: str,
+    state_path: str,
+    keys: list[str],
+    sum_cols: list[str],
+    schema,
+    checkpoint_dir: str | None = None,
+):
+    """Maintain a materialized aggregate from an event stream — the
+    streaming driver for ``operators/incremental``.
+
+    Each micro-batch folds into the previous state with a DELTA-ONLY
+    scan (`incremental_update`) and writes the result as a NEW state
+    version keyed by the epoch id.  A retried epoch folds onto the
+    latest state from an EARLIER epoch and overwrites its own version
+    directory, so replays are idempotent — the effectively-once recipe
+    for non-idempotent folds (versioned state + epoch fencing), same
+    family as the checkpointed slab appends above.  Readers always see
+    a complete version (never a half-folded state).
+    """
+    from ..operators.incremental import aggregate_state, incremental_update
+
+    stream = spark.readStream.schema(schema).parquet(events_path)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        prev = read_agg_state(spark, state_path, before_epoch=int(epoch_id))
+        if prev is None:
+            state = aggregate_state(batch_df, keys, sum_cols)
+        else:
+            state = incremental_update(prev, batch_df, keys, sum_cols)
+        out = f"{state_path}/epoch={int(epoch_id)}"
+        state.write.mode("overwrite").parquet(out)
+
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

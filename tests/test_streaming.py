@@ -323,3 +323,52 @@ def test_upscale_ingestion_stream_equals_batch(spark, tmp_path):
     batch = upscale_coo(vox, 2)
     assert rebuilt.count() == 8 * 4096
     assert rebuilt.exceptAll(batch).isEmpty() and batch.exceptAll(rebuilt).isEmpty()
+
+
+def test_streaming_incremental_agg_equals_batch(spark, tmp_path):
+    # The streaming driver for materialized-view maintenance: fold
+    # arriving event files into a versioned state table, one delta-only
+    # fold per micro-batch; the final state must equal a batch
+    # recompute over everything BIT-IDENTICALLY.
+    from atlas_upscaling_dask_spark.operators.incremental import (
+        aggregate_state,
+        finalize,
+    )
+    from atlas_upscaling_dask_spark.streaming.ingest import (
+        read_agg_state,
+        start_incremental_agg,
+    )
+
+    events_dir = str(tmp_path / "events_in")
+    state_dir = str(tmp_path / "agg_state")
+    os.makedirs(events_dir, exist_ok=True)
+
+    all_rows = spark.range(900).select(
+        (F.col("id") % 6).alias("g"),
+        (F.col("id") % 41).cast("double").alias("v"),
+        F.col("id").alias("id"),
+    ).cache()
+    for i in range(3):
+        all_rows.filter(F.col("id") % 3 == i).drop("id").coalesce(1).write.mode(
+            "append"
+        ).parquet(events_dir)
+
+    q = start_incremental_agg(
+        spark,
+        events_dir,
+        state_dir,
+        keys=["g"],
+        sum_cols=["v"],
+        schema="g bigint, v double",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = finalize(read_agg_state(spark, state_dir), ["g"], ["v"])
+    batch = finalize(aggregate_state(all_rows.drop("id"), ["g"], ["v"]), ["g"], ["v"])
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
