@@ -538,3 +538,103 @@ def line_dedup(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 4,
+    breakpoint_chars: tuple[str, ...] = ("0", "1"),
+    min_tokens: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate spans via **content-defined segmentation**
+    — the alignment-independent completion of ``duplicate_windows``.
+
+    ``duplicate_windows`` samples windows at fixed strides from each
+    document's own start, so with ``stride > 1`` a shared span is only
+    detected when its start offsets happen to be congruent mod stride.
+    Here segment boundaries are decided by the *content itself* (the CDC
+    trick from rsync/LBFS, applied to token streams): position ``p`` ends
+    a segment iff the md5 of the ``k``-gram ending at ``p`` starts with
+    one of ``breakpoint_chars``.  Identical text therefore breaks at
+    identical relative positions in every document that contains it —
+    any shared span long enough to contain two interior breakpoints
+    bounding a ``>= min_tokens`` segment is detected at ANY offset.
+
+    Expected segment length = (k-1) + 16/len(breakpoint_chars) tokens
+    (geometric waiting time on hex-digit classes); defaults give ~11.
+
+    Plan: one narrow pass computes per-position anchor flags array-side
+    (md5 over k-token slices), posexplode, ONE exchange on ``doc_id``
+    for the running-sum segment ids (the groupBy(doc_id, seg) reuses
+    that partitioning — no second exchange), then one aggregation on the
+    segment hash.  Output is only duplicated segments — tiny relative to
+    the corpus; at 100 TB both exchanges carry fixed-width keys and the
+    heavy-boilerplate segment keys are the AQE skew-split case.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    toks = F.split(F.col(text_col), " ")
+    chars = F.array(*[F.lit(c) for c in breakpoint_chars])
+    # anchor(pos): md5 of the k-gram ENDING at 0-based pos (1-based
+    # slice start pos-k+2) selects a breakpoint; positions < k-1 never
+    # anchor.  Struct per position so one posexplode carries both.
+    parts = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda pos: F.struct(
+            F.element_at(toks, pos + 1).alias("tok"),
+            F.when(
+                (pos >= k - 1)
+                & F.array_contains(
+                    chars,
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice(toks, pos - k + 2, k))), 1, 1
+                    ),
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("anchor"),
+        ),
+    )
+    pos_rows = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(parts).alias("pos", "p")
+    ).select("doc_id", "pos", F.col("p.tok").alias("tok"), F.col("p.anchor").alias("anchor"))
+    # A breakpoint at pos closes the segment AT pos: seg id = number of
+    # anchors strictly before this position.
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg_rows = pos_rows.withColumn(
+        "seg_id", F.coalesce(F.sum("anchor").over(w), F.lit(0))
+    )
+    segs = (
+        seg_rows.groupBy("doc_id", "seg_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("span_hash"),
+            F.count("*").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= min_tokens)
+    )
+    return (
+        segs.groupBy("span_hash")
+        .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

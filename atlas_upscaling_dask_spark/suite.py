@@ -1050,6 +1050,56 @@ FROM ex GROUP BY win_hash HAVING count(DISTINCT doc_id) > 1
 )
 
 
+def _duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.dedup import duplicate_spans
+
+    return duplicate_spans(
+        load_table(spark, sf_dir, "documents"), k=4, min_tokens=6
+    )
+
+
+# Content-defined segmentation (offset-independent substring dedup):
+# breakpoints where md5 of the 4-gram ending at pos starts with '0'/'1';
+# segment id = running count of earlier breakpoints; duplicated segments
+# grouped on the segment-text hash.  Mirrors duplicate_spans() exactly.
+_register(
+    "duplicate_spans",
+    _duplicate_spans_q,
+    """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+ex AS (
+  SELECT doc_id, i AS pos, t[i+1] AS tok,
+         CASE WHEN i >= 3 AND substring(
+                md5(array_to_string(t[i-2:i+1], ' ')), 1, 1) IN ('0', '1')
+              THEN 1 ELSE 0 END AS anchor
+  FROM w, unnest(generate_series(0, len(t) - 1, 1)) AS s(i)
+),
+seg AS (
+  SELECT doc_id, pos, tok,
+         COALESCE(SUM(anchor) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg_id
+  FROM ex
+),
+segs AS (
+  SELECT doc_id, seg_id,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS span_hash,
+         count(*) AS n_tokens
+  FROM seg GROUP BY doc_id, seg_id
+  HAVING count(*) >= 6
+)
+SELECT span_hash,
+       CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM segs GROUP BY span_hash HAVING count(DISTINCT doc_id) > 1
+""",
+)
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.dedup import exact_dedup
 
@@ -4610,6 +4660,8 @@ _DRIVER_CHECKED = {
 #: hand-ranked head: flagship compositions, the full TPC-H adaptation
 #: set, and the newest operators — the rows that most need driver rows.
 _PRIORITY = [
+    # round-3 session-3 additions — newest first, no history anywhere:
+    "duplicate_spans", "lm_score", "bpe_pair_counts",
     "prepare_training_set", "doc_pipeline", "vox_enhance_chunkpath",
     "vox_outline_chunkpath", "vox_decimate_chunkpath", "vox_mode_chunkpath",
     "vox_erode_chunkpath", "vox_upscale_chunkpath", "vox_histogram_chunkpath",

@@ -1101,3 +1101,48 @@ def test_line_dedup_within_doc(spark):
     df = spark.createDataFrame([(7, "x y x y x y")], "doc_id long, text string")
     row = line_dedup(df, words_per_line=2).collect()[0]
     assert row["text"] == "x y" and row["n_lines"] == 3 and row["n_kept"] == 1
+
+
+def test_duplicate_spans_offset_independent(spark):
+    """Content-defined segmentation catches a shared span at ANY offset —
+    the alignment guarantee fixed-stride windows cannot give (the
+    advisor's round-2 finding on duplicate_windows)."""
+    import random
+
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        duplicate_spans,
+        duplicate_windows,
+    )
+
+    rng = random.Random(7)
+    span = " ".join(f"s{rng.randrange(10_000)}" for _ in range(60))
+    noise = lambda n, tag: " ".join(  # noqa: E731
+        f"{tag}{rng.randrange(10_000)}" for _ in range(n)
+    )
+    # offsets 5 and 6: congruent mod nothing — stride-16 windows miss it
+    docs = spark.createDataFrame(
+        [
+            (1, f"{noise(5, 'a')} {span} {noise(9, 'b')}"),
+            (2, f"{noise(6, 'c')} {span} {noise(4, 'd')}"),
+            (3, noise(40, "e")),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicate_spans(docs, k=4, min_tokens=6).collect()
+    assert out, "shared 60-token span must be detected despite offset skew"
+    assert {(r["first_doc"], r["last_doc"]) for r in out} == {(1, 2)}
+    assert all(r["n_docs"] == 2 for r in out)
+    # the fixed-stride variant misses this planting: offsets 5 vs 6 are
+    # not congruent mod 16, so no stride-16 window pair can align
+    coarse = duplicate_windows(docs, window=16, stride=16).collect()
+    assert not coarse, "stride-16 windows cannot align offsets 5 and 6"
+
+
+def test_duplicate_spans_no_false_positives(spark):
+    from atlas_upscaling_dask_spark.extensions.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"u{i}w{j}" for j in range(50))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    assert duplicate_spans(docs, k=4, min_tokens=6).count() == 0
