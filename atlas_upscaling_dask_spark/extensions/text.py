@@ -422,3 +422,68 @@ def rare_terms(
         .filter(F.col("rk") <= k)
         .select("doc_id", "tok", "df", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-trained **bigram language-model score** per document — the
+    perplexity-style quality filter of LLM data pipelines (CCNet trains
+    a 5-gram KenLM and keeps the low-perplexity tail; this is the same
+    screen with the corpus itself as the model).
+
+    Model: add-one-smoothed conditional probability
+    ``P(w2|w1) = (B(w1,w2) + 1) / (U(w1) + V)`` with bigram counts B,
+    unigram counts U and vocabulary size V; the document score is the
+    arithmetic mean of its bigram probabilities.  Production LM filters
+    average *log* probs; the linear mean ranks documents identically
+    for the screening cut and keeps every arithmetic step bitwise
+    portable to the SQL oracle (same contract as BM25's rational
+    ``idf_mode``): each term is one IEEE division of exact integers —
+    identical in any engine — rounded to 12 places and summed as
+    DECIMAL, so the aggregate is order-independent.
+
+    Plan shape (100 TB): one narrow bigram explode feeds (a) the count
+    tables — two partial-aggregated exchanges, outputs bounded by
+    vocab², not corpus size — and (b) the scoring joins keyed on the
+    bigram / unigram (stopword-pair skew = the AQE skew-join case);
+    V arrives as a broadcast 1-row frame, never a driver collect.
+    Returns (doc_id, n_bigrams, lm_score); docs with < 2 tokens have no
+    bigram row and are absent, mirroring the oracle.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
+    )
+    pairs = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("w"), i + 1).alias("w1"),
+                F.element_at(F.col("w"), i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = base.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    uni = (
+        base.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("u_cnt"))
+    )
+    vocab = uni.agg(F.count("*").alias("v_cnt"))
+    bcounts = bi.groupBy("w1", "w2").agg(F.count("*").alias("b_cnt"))
+    term = F.round(
+        (F.col("b_cnt") + 1).cast("double")
+        / (F.col("u_cnt") + F.col("v_cnt")).cast("double"),
+        12,
+    ).cast("decimal(24,12)")
+    scored = (
+        bi.join(bcounts, ["w1", "w2"])
+        .join(uni, bi.w1 == uni.tok)
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", term.alias("p"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum("p").cast("double") / F.count("*")).alias("lm_score"),
+    )

@@ -1100,6 +1100,46 @@ FROM segs GROUP BY span_hash HAVING count(DISTINCT doc_id) > 1
 )
 
 
+def _lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.text import lm_score
+
+    return lm_score(load_table(spark, sf_dir, "documents"))
+
+
+# Add-one-smoothed bigram LM: P(w2|w1) = (B+1)/(U(w1)+V); doc score =
+# mean of its bigram probabilities.  Each probability is one IEEE
+# division of exact integers (bitwise-identical cross-engine), rounded
+# to 12 places and summed as DECIMAL so the mean is order-independent.
+_register(
+    "lm_score",
+    _lm_score_q,
+    """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bi AS (
+  SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+  FROM w, unnest(generate_series(0, len(t) - 2, 1)) AS s(i)
+  WHERE len(t) >= 2
+),
+uni AS (
+  SELECT tok, count(*) AS u_cnt
+  FROM (SELECT unnest(t) AS tok FROM w) GROUP BY tok
+),
+v AS (SELECT count(*) AS v_cnt FROM uni),
+b AS (SELECT w1, w2, count(*) AS b_cnt FROM bi GROUP BY w1, w2),
+terms AS (
+  SELECT doc_id,
+         CAST(round(CAST(b_cnt + 1 AS DOUBLE)
+                    / CAST(u_cnt + v_cnt AS DOUBLE), 12)
+              AS DECIMAL(24,12)) AS p
+  FROM bi JOIN b USING (w1, w2) JOIN uni ON bi.w1 = uni.tok, v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(p) AS DOUBLE) / count(*) AS lm_score
+FROM terms GROUP BY doc_id
+""",
+)
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.dedup import exact_dedup
 

@@ -1146,3 +1146,23 @@ def test_duplicate_spans_no_false_positives(spark):
         "doc_id long, text string",
     )
     assert duplicate_spans(docs, k=4, min_tokens=6).count() == 0
+
+
+def test_lm_score_ranks_fluent_above_gibberish(spark):
+    """The corpus-trained bigram LM assigns higher mean probability to
+    text made of corpus-frequent bigrams than to one-off gibberish."""
+    from atlas_upscaling_dask_spark.extensions.text import lm_score
+
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(5)]
+        + [(10, "zq xv jk wp mn bd")]  # bigrams occur once each
+        + [(11, "one")],  # < 2 tokens: no bigram row
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    assert 11 not in rows
+    assert rows[0]["n_bigrams"] == 5
+    assert rows[0]["lm_score"] > rows[10]["lm_score"]
+    # all five copies of the boilerplate doc score identically
+    assert len({rows[i]["lm_score"] for i in range(5)}) == 1
