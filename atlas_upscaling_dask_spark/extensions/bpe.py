@@ -1,0 +1,182 @@
+"""Byte-pair-encoding tokenizer induction, Spark-first.
+
+The classic BPE trainer (Sennrich et al., "Neural Machine Translation
+of Rare Words with Subword Units") never touches the corpus after one
+pass: it operates on the **word-frequency table** — distinct words with
+counts — merging the most frequent adjacent symbol pair per iteration.
+That structure is exactly right for 100 TB: the corpus-size-dependent
+work is ONE aggregation (word counts); every training iteration then
+runs over the distinct-word frame (bounded by vocabulary, millions of
+rows, not the corpus), with pair counting as a weighted narrow explode
++ one partial-aggregated exchange, and the winning pair reduced to the
+driver as a single row (an ``orderBy(...).limit(1)`` action per merge —
+the only driver traffic).
+
+Merge application is a fold-left over each word's symbol array
+(``F.aggregate`` with a struct accumulator) — greedy left-to-right,
+non-overlapping, the reference semantics: ``a a a`` under merge
+``(a,a)`` becomes ``aa a``, and the merged token is not re-eligible
+within the same iteration.  Everything stays in Catalyst expressions;
+no Python UDF anywhere.
+
+Correctness: ``bpe_train`` is verified in tests/ against a pure-Python
+reference trainer (merge list AND final segmentations); the
+first-iteration pair-count table is SQL-expressible and oracle-checked
+as the ``bpe_pair_counts`` suite query (integer-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: end-of-word marker symbol (kept printable and un-splittable: it is
+#: appended as its OWN list element, never concatenated into the word).
+EOW = "</w>"
+
+_SYM_STRUCT = "struct<out:array<string>,prev:string>"
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, freq) over whitespace tokens — the one corpus-wide pass."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def to_symbols(words: DataFrame) -> DataFrame:
+    """Attach the initial symbol sequence: characters + the EOW marker.
+
+    Characters come from a ``substring`` transform (portable to the SQL
+    oracle; ``split(w, '')`` edge behavior differs across engines).
+    """
+    chars = F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    syms = F.concat(chars, F.array(F.lit(EOW)))
+    return words.select("word", "freq", syms.alias("syms"))
+
+
+def pair_counts(symframe: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the symbol column.
+
+    Narrow explode (≤ len(word) rows per distinct word) + one
+    partial-aggregated exchange keyed on the pair.
+    """
+    pairs = F.when(
+        F.size("syms") >= 2,
+        F.expr(
+            "transform(sequence(0, size(syms) - 2),"
+            " i -> struct(syms[i] AS s1, syms[i + 1] AS s2))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<s1:string,s2:string>>)"))
+    ex = symframe.select(F.col("freq"), F.explode(pairs).alias("p"))
+    return (
+        ex.groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def top_pairs(symframe: DataFrame, k: int = 20) -> DataFrame:
+    """Top-``k`` merge candidates: (s1, s2, pair_count, rank) ordered by
+    (count desc, s1 asc, s2 asc) — the deterministic tie-break the
+    trainer uses, so rank 1 IS the next merge."""
+    from pyspark.sql import Window
+
+    ordered = [F.col("pair_count").desc(), F.col("s1").asc(), F.col("s2").asc()]
+    w = Window.orderBy(*ordered)  # ≤ k rows survive: single partition ok
+    return (
+        pair_counts(symframe)
+        .orderBy(*ordered)
+        .limit(k)
+        .select("s1", "s2", "pair_count", F.row_number().over(w).cast("int").alias("rank"))
+    )
+
+
+def apply_merge(symframe: DataFrame, s1: str, s2: str) -> DataFrame:
+    """Replace every adjacent (s1, s2) with the concatenation, greedy
+    left-to-right — one narrow fold-left per word, no shuffle."""
+    merged = F.concat(F.lit(s1), F.lit(s2))
+    init = F.struct(
+        F.expr("CAST(array() AS array<string>)").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def step(acc, s):
+        hit = acc["prev"].isNotNull() & (acc["prev"] == s1) & (s == s2)
+        return F.struct(
+            F.when(hit, F.concat(acc["out"], F.array(merged)))
+            .otherwise(
+                F.when(
+                    acc["prev"].isNotNull(), F.concat(acc["out"], F.array(acc["prev"]))
+                ).otherwise(acc["out"])
+            )
+            .alias("out"),
+            F.when(hit, F.lit(None).cast("string")).otherwise(s).alias("prev"),
+        )
+
+    def finish(acc):
+        return F.when(
+            acc["prev"].isNotNull(), F.concat(acc["out"], F.array(acc["prev"]))
+        ).otherwise(acc["out"])
+
+    return symframe.withColumn("syms", F.aggregate("syms", init, step, finish))
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Train ``n_merges`` BPE merges; returns (merge list, final symbol
+    frame).  One corpus pass for word counts, then per-iteration work is
+    bounded by the distinct-word table (cached); each iteration's driver
+    traffic is ONE (s1, s2) row."""
+    spark = docs.sparkSession
+    syms = to_symbols(word_frequencies(docs, text_col)).cache()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            pair_counts(syms)
+            .orderBy(F.col("pair_count").desc(), F.col("s1").asc(), F.col("s2").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        s1, s2 = best[0]["s1"], best[0]["s2"]
+        merges.append((s1, s2))
+        nxt = apply_merge(syms, s1, s2).cache()
+        nxt.count()  # materialize before dropping the parent cache
+        syms.unpersist()
+        syms = nxt
+    return merges, syms
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a trained merge list: per-word fold-left
+    application of each merge in training order — narrow, corpus-wide,
+    the inference half of the tokenizer.  Returns (doc_id, word, pieces).
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    sym = words.withColumn(
+        "syms",
+        F.concat(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+            F.array(F.lit(EOW)),
+        ),
+    )
+    for s1, s2 in merges:
+        sym = apply_merge(sym, s1, s2)
+    return sym.select("doc_id", "word", F.col("syms").alias("pieces"))

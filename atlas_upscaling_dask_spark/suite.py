@@ -1140,6 +1140,49 @@ FROM terms GROUP BY doc_id
 )
 
 
+def _bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.bpe import to_symbols, top_pairs, word_frequencies
+
+    return top_pairs(
+        to_symbols(word_frequencies(load_table(spark, sf_dir, "documents"))), k=20
+    )
+
+
+# First BPE training iteration: weighted adjacent symbol-pair counts
+# over the word-frequency table (chars + '</w>' marker), top-20 by
+# (count desc, s1, s2) — rank 1 IS the trainer's first merge.  The full
+# driver-loop trainer is verified against a pure-Python reference in
+# tests/test_extensions.py (test_bpe_train_matches_reference).
+_register(
+    "bpe_pair_counts",
+    _bpe_pair_counts_q,
+    """
+WITH words AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word != '' GROUP BY word
+),
+syms AS (
+  SELECT freq,
+         list_append(list_transform(generate_series(1, length(word)),
+                                    i -> substring(word, i, 1)), '</w>') AS s
+  FROM words
+),
+px AS (
+  SELECT s[i+1] AS s1, s[i+2] AS s2, freq
+  FROM syms, unnest(generate_series(0, len(s) - 2, 1)) AS t(i)
+),
+agg AS (
+  SELECT s1, s2, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM px GROUP BY s1, s2
+)
+SELECT s1, s2, pair_count,
+       CAST(row_number() OVER (ORDER BY pair_count DESC, s1, s2) AS INTEGER) AS rank
+FROM agg ORDER BY pair_count DESC, s1, s2 LIMIT 20
+""",
+)
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.dedup import exact_dedup
 

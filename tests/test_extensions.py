@@ -1166,3 +1166,74 @@ def test_lm_score_ranks_fluent_above_gibberish(spark):
     assert rows[0]["lm_score"] > rows[10]["lm_score"]
     # all five copies of the boilerplate doc score identically
     assert len({rows[i]["lm_score"] for i in range(5)}) == 1
+
+
+# ---------------------------------------------------------------- bpe
+
+
+def _py_bpe(corpus_words, n_merges):
+    """Pure-Python reference BPE (Sennrich-style) on a word->freq dict."""
+    from collections import Counter
+
+    vocab = {tuple(w) + ("</w>",): f for w, f in corpus_words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        # max count, ties broken lexicographically ascending
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = {k: v for k, v in new_vocab.items()}
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference(spark):
+    from collections import Counter
+
+    from atlas_upscaling_dask_spark.extensions.bpe import bpe_segment, bpe_train
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider new new",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    words = Counter(w for t in texts for w in t.split())
+    ref_merges, ref_vocab = _py_bpe(dict(words), 8)
+    merges, symframe = bpe_train(docs, n_merges=8)
+    assert merges == ref_merges
+    got = {r["word"]: tuple(r["syms"]) for r in symframe.collect()}
+    ref_by_word = {}
+    for syms, _ in ref_vocab.items():
+        ref_by_word["".join(syms).replace("</w>", "")] = syms
+    assert got == {w: ref_by_word[w] for w in got}
+    # inference path reproduces training segmentation on the same words
+    seg = bpe_segment(docs, merges)
+    for r in seg.collect():
+        assert tuple(r["pieces"]) == got[r["word"]]
+
+
+def test_bpe_greedy_non_overlapping(spark):
+    from atlas_upscaling_dask_spark.extensions.bpe import apply_merge, to_symbols
+
+    df = spark.createDataFrame([("aaa", 1)], "word string, freq long")
+    out = apply_merge(to_symbols(df), "a", "a").collect()[0]["syms"]
+    assert out == ["aa", "a", "</w>"]
