@@ -364,6 +364,26 @@ def audited_queries():
             QUERIES["quantile_sketch"],
             {"max_shuffles": 8, "codegen": True, "no_python_udf": True},
         ),
+        # content-defined span dedup: ONE doc-keyed exchange (the
+        # segment groupBy must reuse the window's partitioning) + the
+        # span-hash aggregation
+        "duplicate_spans": (
+            QUERIES["duplicate_spans"],
+            {"max_shuffles": 2, "codegen": True, "no_python_udf": True},
+        ),
+        # bigram LM: count-table aggs + scoring joins, all keyed on
+        # bounded vocab keys; V must arrive broadcast, never collected
+        "lm_score": (
+            QUERIES["lm_score"],
+            {"max_shuffles": 6, "broadcast": True, "codegen": True,
+             "no_python_udf": True},
+        ),
+        # BPE iteration-1 pair table: word-count exchange + pair-count
+        # exchange + the ≤20-row rank window
+        "bpe_pair_counts": (
+            QUERIES["bpe_pair_counts"],
+            {"max_shuffles": 4, "codegen": True, "no_python_udf": True},
+        ),
     }
 
 
