@@ -474,3 +474,61 @@ def weighted_sample(
         .orderBy(F.col("priority").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into overlapping context-window chunks —
+    the RAG-ingestion / long-doc-pretraining counterpart of
+    ``pack_sequences`` (which packs SHORT docs up to a budget; this
+    cuts LONG docs down to one).
+
+    Chunk ``i`` starts at token ``i*(max_tokens-overlap)`` and carries
+    up to ``max_tokens`` tokens, so consecutive chunks share
+    ``overlap`` tokens and no token is lost; a document shorter than
+    ``max_tokens`` yields exactly one chunk.  Chunk counts use pure
+    integer ceiling arithmetic (engine-portable, no float division).
+
+    Fully narrow — one array build + one explode per document, zero
+    shuffles at any scale.  Returns (doc_id, chunk_id, start_token,
+    n_tokens, chunk_text).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks).cast("long")
+    # integer ceil: (n - max + stride - 1) div stride + 1
+    n_chunks = F.when(n <= max_tokens, F.lit(1).cast("long")).otherwise(
+        F.expr(
+            f"CAST((size(split({text_col}, ' ')) - {max_tokens} + {stride - 1}) "
+            f"div {stride} AS BIGINT) + 1"
+        )
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            (i * stride).alias("start_token"),
+            F.least(F.lit(max_tokens).cast("long"), n - i * stride).alias(
+                "n_tokens"
+            ),
+            F.concat_ws(
+                " ", F.slice(toks, (i * stride + 1).cast("int"), max_tokens)
+            ).alias("chunk_text"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.start_token").alias("start_token"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

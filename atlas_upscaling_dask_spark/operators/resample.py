@@ -160,3 +160,129 @@ def resample_interpolate(
     return filled.select(
         key_col, F.col(time_col).alias("grid_ts"), F.col("_v").alias(value_col)
     )
+
+
+def ewma(
+    events: DataFrame,
+    lookback: int = 16,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average with a bounded
+    lookback — the smoothing half of a streaming-metrics feature stack.
+
+    Weight for the observation ``k`` rows before the current one is
+    ``2^-k`` (half-life = one row), truncated at ``lookback`` rows, and
+    the average renormalizes over the weights actually present, so the
+    first rows of a key are unbiased.  The decay base 2 is deliberate:
+    ``value × 2^-k`` is an exact IEEE scaling (exponent arithmetic, no
+    mantissa rounding), and each term is then rounded to 12 places and
+    summed as DECIMAL — the aggregate is order-independent and the SQL
+    oracle matches bitwise (same contract as lm_score / BM25).
+
+    Plan: one rank window keyed on ``key_col``, then a self-join on the
+    key with a rank-band predicate (≤ ``lookback`` partners per row —
+    bounded fan-out, not a cross join), one aggregation back to event
+    grain.  Both wide ops key on ``key_col``; per-key row explosion is
+    the AQE skew case.  A frame-bounded window would avoid the join but
+    makes the weighted sum order-sensitive; the join form keeps every
+    term explicit and exact.
+    """
+    w = Window.partitionBy(key_col).orderBy(time_col, tiebreak_col)
+    ranked = events.select(
+        F.col(key_col).alias("k"),
+        F.col(time_col).alias("t"),
+        F.col(tiebreak_col).alias("eid"),
+        F.col(value_col).alias("v"),
+        F.row_number().over(w).alias("rn"),
+    )
+    cur = ranked.select(
+        F.col("k"), F.col("t"), F.col("eid"), F.col("v"), F.col("rn")
+    )
+    prev = ranked.select(
+        F.col("k").alias("pk"), F.col("v").alias("pv"), F.col("rn").alias("prn")
+    )
+    joined = cur.join(
+        prev,
+        (F.col("k") == F.col("pk"))
+        & (F.col("prn") <= F.col("rn"))
+        & (F.col("prn") > F.col("rn") - F.lit(lookback)),
+    )
+    # 2^-k as an exact rational: 1 / (1 << k) — no libm pow in the
+    # exactness contract at all
+    wt = F.lit(1.0) / F.expr("shiftleft(1, rn - prn)").cast("double")
+    num = F.round(F.col("pv") * wt, 12).cast("decimal(28,12)")
+    den = F.round(wt, 12).cast("decimal(28,12)")
+    return (
+        joined.groupBy("k", "t", "eid", "v")
+        .agg(
+            (F.sum(num).cast("double") / F.sum(den).cast("double")).alias("ewma"),
+            F.count("*").cast("int").alias("n_terms"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.col("t").alias(time_col),
+            F.col("eid").alias(tiebreak_col),
+            F.col("v").alias(value_col),
+            "ewma",
+            "n_terms",
+        )
+    )
+
+
+def zscore_outliers(
+    events: DataFrame,
+    threshold: float = 3.0,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-group z-score anomaly screen: events whose value sits more
+    than ``threshold`` population standard deviations from their
+    group's mean.
+
+    Exactness: values are cast to DECIMAL(18,2) before summing (sum and
+    sum-of-squares are exact, order-independent integers-in-disguise);
+    mean/variance/sqrt then run in doubles, where every step is an IEEE
+    operation on identical inputs — bitwise portable, no rounding
+    needed.  Plan: one partial-aggregated exchange for the group stats
+    (group cardinality ~ event types, tiny), broadcast back, narrow
+    filter — the scan-heavy half never shuffles.
+    """
+    dec = F.col(value_col).cast("decimal(18,2)")
+    stats = (
+        events.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec).alias("s"),
+            F.sum(dec * dec).alias("ss"),
+        )
+        .select(
+            group_col,
+            "n",
+            (F.col("s").cast("double") / F.col("n")).alias("mean"),
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("ss").cast("double") / F.col("n")
+                    - (F.col("s").cast("double") / F.col("n"))
+                    * (F.col("s").cast("double") / F.col("n")),
+                )
+            ).alias("std"),
+        )
+    )
+    z = (F.col(value_col) - F.col("mean")) / F.col("std")
+    return (
+        events.join(F.broadcast(stats), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(value_col),
+            F.col("mean"),
+            F.col("std"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > threshold)
+    )

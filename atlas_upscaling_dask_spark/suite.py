@@ -1183,6 +1183,115 @@ FROM agg ORDER BY pair_count DESC, s1, s2 LIMIT 20
 )
 
 
+def _ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.resample import ewma
+
+    out = ewma(load_table(spark, sf_dir, "events"), lookback=8)
+    return out.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+        "ewma",
+        "n_terms",
+    )
+
+
+# Bounded-lookback EWMA (half-life = one row): weights are exact
+# rationals 1/2^k, each term rounded to 12 places and summed as DECIMAL —
+# order-independent, bitwise-portable (lm_score contract).
+_register(
+    "ewma_events",
+    _ewma_q,
+    """
+WITH ranked AS (
+  SELECT user_id AS k, ts AS t, event_id AS eid, value AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+j AS (
+  SELECT c.k, c.t, c.eid, c.v,
+         CAST(round(p.v * (1.0 / (1 << (c.rn - p.rn))), 12)
+              AS DECIMAL(28,12)) AS num,
+         CAST(round(1.0 / (1 << (c.rn - p.rn)), 12)
+              AS DECIMAL(28,12)) AS den
+  FROM ranked c JOIN ranked p
+    ON c.k = p.k AND p.rn <= c.rn AND p.rn > c.rn - 8
+)
+SELECT k AS user_id, epoch_us(t) AS ts_us, eid AS event_id, v AS value,
+       CAST(sum(num) AS DOUBLE) / CAST(sum(den) AS DOUBLE) AS ewma,
+       CAST(count(*) AS INTEGER) AS n_terms
+FROM j GROUP BY k, t, eid, v
+""",
+)
+
+
+def _zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.resample import zscore_outliers
+
+    return zscore_outliers(load_table(spark, sf_dir, "events"), threshold=2.5)
+
+
+# Population z-score outliers per event_type: DECIMAL(18,2) sums make
+# the moments exact; mean/var/sqrt are IEEE ops on identical inputs.
+_register(
+    "zscore_outliers",
+    _zscore_q,
+    """
+WITH stats AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,2))) AS s,
+         sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS ss
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE) / n AS mean,
+         sqrt(greatest(0.0, CAST(ss AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))) AS std
+  FROM stats
+)
+SELECT e.event_id, e.event_type, e.value, m.mean, m.std,
+       (e.value - m.mean) / m.std AS z
+FROM events e JOIN m USING (event_type)
+WHERE abs((e.value - m.mean) / m.std) > 2.5
+""",
+)
+
+
+def _chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.training import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), max_tokens=64, overlap=16
+    )
+
+
+# Overlapping context-window chunking (stride 48 = 64 - 16); chunk
+# counts via integer ceiling — fully narrow, engine-portable.
+_register(
+    "chunk_documents",
+    _chunk_documents_q,
+    """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, t, n,
+         CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS n_chunks
+  FROM w
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_id,
+       CAST(i * 48 AS BIGINT) AS start_token,
+       CAST(least(64, n - i * 48) AS BIGINT) AS n_tokens,
+       array_to_string(t[i*48+1:i*48+64], ' ') AS chunk_text
+FROM c, unnest(generate_series(0, n_chunks - 1, 1)) AS s(i)
+""",
+)
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.dedup import exact_dedup
 
@@ -4745,6 +4854,7 @@ _DRIVER_CHECKED = {
 _PRIORITY = [
     # round-3 session-3 additions — newest first, no history anywhere:
     "duplicate_spans", "lm_score", "bpe_pair_counts",
+    "ewma_events", "zscore_outliers", "chunk_documents",
     "prepare_training_set", "doc_pipeline", "vox_enhance_chunkpath",
     "vox_outline_chunkpath", "vox_decimate_chunkpath", "vox_mode_chunkpath",
     "vox_erode_chunkpath", "vox_upscale_chunkpath", "vox_histogram_chunkpath",

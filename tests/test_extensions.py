@@ -1237,3 +1237,80 @@ def test_bpe_greedy_non_overlapping(spark):
     df = spark.createDataFrame([("aaa", 1)], "word string, freq long")
     out = apply_merge(to_symbols(df), "a", "a").collect()[0]["syms"]
     assert out == ["aa", "a", "</w>"]
+
+
+# ------------------------------------------------- time-series analytics
+
+
+def test_ewma_manual_weights(spark):
+    import datetime as dt
+
+    from atlas_upscaling_dask_spark.operators.resample import ewma
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    ev = spark.createDataFrame(
+        [(1, t(0), 1, 10.0), (2, t(1), 1, 20.0), (3, t(2), 1, 40.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    rows = {r["event_id"]: r for r in ewma(ev, lookback=8).collect()}
+    assert rows[1]["ewma"] == 10.0 and rows[1]["n_terms"] == 1
+    # (20*1 + 10*0.5) / 1.5
+    assert abs(rows[2]["ewma"] - 25.0 / 1.5) < 1e-9
+    # (40*1 + 20*0.5 + 10*0.25) / 1.75 = 52.5/1.75 = 30
+    assert abs(rows[3]["ewma"] - 30.0) < 1e-9 and rows[3]["n_terms"] == 3
+
+
+def test_ewma_lookback_truncates(spark):
+    import datetime as dt
+
+    from atlas_upscaling_dask_spark.operators.resample import ewma
+
+    ev = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, 0, i), 7, float(i))
+            for i in range(10)
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    rows = {r["event_id"]: r for r in ewma(ev, lookback=3).collect()}
+    assert rows[9]["n_terms"] == 3  # only rows 7, 8, 9 contribute
+
+
+def test_zscore_outliers_flags_planted_spike(spark):
+    from atlas_upscaling_dask_spark.operators.resample import zscore_outliers
+
+    rows = [(i, "click", 10.0 + (i % 3)) for i in range(50)]
+    rows.append((99, "click", 500.0))
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = zscore_outliers(ev, threshold=3.0).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["z"] > 3.0
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from atlas_upscaling_dask_spark.extensions.training import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "short doc only")], "doc_id long, text string"
+    )
+    out = sorted(
+        chunk_documents(docs, max_tokens=32, overlap=8).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    short = [r for r in out if r["doc_id"] == 2]
+    assert len(short) == 1 and short[0]["chunk_text"] == "short doc only"
+    long_chunks = [r for r in out if r["doc_id"] == 1]
+    # stride 24: chunks at 0,24,48,72,96 — ceil((100-32)/24)+1 = 4? (68+23)//24+1 = 4
+    assert [r["start_token"] for r in long_chunks] == [0, 24, 48, 72]
+    # every token covered: union of [start, start+n) == [0, 100)
+    covered = set()
+    for r in long_chunks:
+        covered.update(range(r["start_token"], r["start_token"] + r["n_tokens"]))
+        assert r["chunk_text"].split(" ") == [
+            f"t{i}" for i in range(r["start_token"], r["start_token"] + r["n_tokens"])
+        ]
+    assert covered == set(range(100))
+    # consecutive chunks overlap by 8 (except possibly the tail)
+    for a, b in zip(long_chunks, long_chunks[1:]):
+        assert a["start_token"] + a["n_tokens"] - b["start_token"] >= 8

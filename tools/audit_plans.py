@@ -384,6 +384,24 @@ def audited_queries():
             QUERIES["bpe_pair_counts"],
             {"max_shuffles": 4, "codegen": True, "no_python_udf": True},
         ),
+        # EWMA: rank window + key-partitioned self-join + final agg —
+        # every wide op keys on user_id, so the exchanges collapse
+        "ewma_events": (
+            QUERIES["ewma_events"],
+            {"max_shuffles": 4, "codegen": True, "no_python_udf": True},
+        ),
+        # z-score screen: ONE stats exchange; the event-side scan joins
+        # broadcast and never shuffles
+        "zscore_outliers": (
+            QUERIES["zscore_outliers"],
+            {"max_shuffles": 1, "broadcast": True, "codegen": True,
+             "no_python_udf": True},
+        ),
+        # context-window chunking: pure narrow explode
+        "chunk_documents": (
+            QUERIES["chunk_documents"],
+            {"no_shuffle": True, "codegen": True, "no_python_udf": True},
+        ),
     }
 
 
