@@ -160,3 +160,113 @@ def prepare_training_set(
         (cum - F.col("n_tokens")).alias("start_offset"),
         F.floor((cum - F.col("n_tokens")) / F.lit(budget)).alias("pack_id"),
     )
+
+
+def prepare_rag_corpus(
+    docs: DataFrame,
+    max_tokens: int = 64,
+    overlap: int = 16,
+    quality_weights: dict[str, float] | None = None,
+    split_fractions: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Retrieval-corpus preparation as ONE composed plan — the RAG twin
+    of ``prepare_training_set`` (which packs short docs for pretraining;
+    this screens and CHUNKS long docs for a retrieval index):
+
+    model quality gate (margin ≥ 0, narrow) → exact-dedup canonical
+    election (one 128-bit-key window shuffle) → **self-calibrating LM
+    screen** (bigram LM trained on the surviving corpus itself; keep
+    documents scoring at or above the corpus mean — no magic threshold,
+    and the cut point is a pure function of the corpus) → overlapping
+    context-window chunking (narrow explode) → deterministic hash
+    split.
+
+    Returns (doc_id, chunk_id, start_token, n_tokens, chunk_text,
+    lm_score, split).  Documents with < 2 tokens have no LM score and
+    drop at the screen, mirroring the oracle's inner join.  Exactness:
+    the mean-score cut compares bitwise-identical doubles (lm_score
+    contract), and the mean itself is a DECIMAL-summed, order-
+    independent aggregate broadcast as a 1-row frame — never a driver
+    collect.
+    """
+    from .text import lm_score as _lm_score
+    from .text import model_quality_margin_expr
+    from .training import hash_split_expr
+
+    # 1 — quality gate (narrow)
+    d = docs.filter(model_quality_margin_expr(text_col, quality_weights) >= 0)
+    # 2 — exact-dedup canonical election on the 128-bit content key
+    w = Window.partitionBy(
+        F.xxhash64(F.col(text_col)), F.xxhash64(F.lit("fp2"), F.col(text_col))
+    )
+    d = (
+        d.withColumn("_cid", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_cid"))
+        .drop("_cid")
+    )
+    # The deduped corpus feeds FOUR consumers (bigram explode, unigram
+    # counts, the scoring join, the kept projection); without a
+    # materialization Catalyst re-executes the gate + dedup window once
+    # per branch (measured: 20 exchanges vs 7).  At 100 TB this stage
+    # is where you write the deduped corpus to parquet; the in-session
+    # analog is a lazy local checkpoint — computed once, lineage
+    # truncated, every branch reads the materialized blocks.
+    d = d.localCheckpoint(eager=False)
+    # 3 — LM screen: train on the deduped corpus, keep >= corpus mean
+    scores = _lm_score(d, text_col=text_col, id_col=id_col).select(
+        F.col("doc_id"), F.col("lm_score")
+    )
+    mean = scores.agg(
+        (
+            F.sum(F.round(F.col("lm_score"), 12).cast("decimal(28,12)")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("mean_score")
+    )
+    kept = (
+        d.join(scores, d[id_col] == scores.doc_id)
+        .drop(scores.doc_id)
+        .crossJoin(F.broadcast(mean))
+        .filter(F.col("lm_score") >= F.col("mean_score"))
+        .select(F.col(id_col), F.col(text_col), F.col("lm_score"))
+    )
+    # 4+5 — chunk for the retrieval index (narrow explode; lm_score and
+    # the split band ride along in the same select — no join back)
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks).cast("long")
+    n_chunks = F.when(n <= max_tokens, F.lit(1).cast("long")).otherwise(
+        F.expr(
+            f"CAST((size(split({text_col}, ' ')) - {max_tokens} + {stride - 1}) "
+            f"div {stride} AS BIGINT) + 1"
+        )
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            (i * stride).alias("start_token"),
+            F.least(F.lit(max_tokens).cast("long"), n - i * stride).alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(toks, (i * stride + 1).cast("int"), max_tokens)
+            ).alias("chunk_text"),
+        ),
+    )
+    return kept.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("lm_score"),
+        F.explode(spans).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.start_token").alias("start_token"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        "lm_score",
+        hash_split_expr("doc_id", split_fractions),
+    )

@@ -1292,6 +1292,93 @@ FROM c, unnest(generate_series(0, n_chunks - 1, 1)) AS s(i)
 )
 
 
+def _prepare_rag_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.pipeline import prepare_rag_corpus
+
+    return prepare_rag_corpus(
+        load_table(spark, sf_dir, "documents"), max_tokens=64, overlap=16
+    )
+
+
+def _rag_oracle() -> str:
+    # composed from the already-verified fragments: model-quality margin
+    # (model_quality_screen), text-partition dedup election, the bigram
+    # LM chain (lm_score), integer-ceil chunking (chunk_documents) and
+    # the md5-band split (hash_split).
+    return f"""
+WITH g AS (
+  SELECT doc_id, text,
+         -0.4::DOUBLE + 0.0005::DOUBLE * length(text)
+           + 0.004::DOUBLE * len(string_split(text, ' '))
+           + (-0.06::DOUBLE) * len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+           + 0.09::DOUBLE * len(list_filter(string_split(text, ' '), x -> list_contains({_STOPLIST_SQL}, x)))
+           + 2.5::DOUBLE * (len(list_filter(string_split(text, ' '), x -> list_contains({_STOPLIST_SQL}, x))) / len(string_split(text, ' ')))
+           + (-0.08::DOUBLE) * (length(text) / len(string_split(text, ' '))) AS margin
+  FROM documents
+),
+gated AS (SELECT doc_id, text FROM g WHERE margin >= 0.0::DOUBLE),
+canon AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS cid FROM gated
+  ) WHERE doc_id = cid
+),
+w2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM canon),
+bi AS (
+  SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+  FROM w2, unnest(generate_series(0, len(t) - 2, 1)) AS s(i)
+  WHERE len(t) >= 2
+),
+uni AS (
+  SELECT tok, count(*) AS u_cnt
+  FROM (SELECT unnest(t) AS tok FROM w2) GROUP BY tok
+),
+v AS (SELECT count(*) AS v_cnt FROM uni),
+b AS (SELECT w1, w2, count(*) AS b_cnt FROM bi GROUP BY w1, w2),
+terms AS (
+  SELECT doc_id,
+         CAST(round(CAST(b_cnt + 1 AS DOUBLE)
+                    / CAST(u_cnt + v_cnt AS DOUBLE), 12)
+              AS DECIMAL(24,12)) AS p
+  FROM bi JOIN b USING (w1, w2) JOIN uni ON bi.w1 = uni.tok, v
+),
+scores AS (
+  SELECT doc_id, CAST(sum(p) AS DOUBLE) / count(*) AS lm_score
+  FROM terms GROUP BY doc_id
+),
+m AS (
+  SELECT CAST(sum(CAST(round(lm_score, 12) AS DECIMAL(28,12))) AS DOUBLE)
+         / count(*) AS mean_score
+  FROM scores
+),
+kept AS (
+  SELECT c.doc_id, c.text, s.lm_score
+  FROM canon c JOIN scores s USING (doc_id), m
+  WHERE s.lm_score >= m.mean_score
+),
+cc AS (
+  SELECT doc_id, lm_score, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n,
+         CASE WHEN len(string_split(text, ' ')) <= 64 THEN 1
+              ELSE (len(string_split(text, ' ')) - 64 + 47) // 48 + 1 END AS n_chunks
+  FROM kept
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_id,
+       CAST(i * 48 AS BIGINT) AS start_token,
+       CAST(least(64, n - i * 48) AS BIGINT) AS n_tokens,
+       array_to_string(t[i*48+1:i*48+64], ' ') AS chunk_text,
+       lm_score,
+       CASE WHEN substr(md5('split:' || doc_id), 1, 8) < 'cccccccc' THEN 'train'
+            WHEN substr(md5('split:' || doc_id), 1, 8) < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split
+FROM cc, unnest(generate_series(0, n_chunks - 1, 1)) AS s(i)
+"""
+
+
+# NOTE: _register("prepare_rag_corpus", ...) happens after the
+# _STOPLIST_SQL constant is defined (the oracle interpolates it).
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.dedup import exact_dedup
 
@@ -1586,6 +1673,8 @@ def _text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .extensions.text import STOPWORDS as _STOPWORDS
 
 _STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+_register("prepare_rag_corpus", _prepare_rag_corpus_q, _rag_oracle())
 
 _register(
     "text_stats",
@@ -4854,7 +4943,7 @@ _DRIVER_CHECKED = {
 _PRIORITY = [
     # round-3 session-3 additions — newest first, no history anywhere:
     "duplicate_spans", "lm_score", "bpe_pair_counts",
-    "ewma_events", "zscore_outliers", "chunk_documents",
+    "ewma_events", "zscore_outliers", "chunk_documents", "prepare_rag_corpus",
     "prepare_training_set", "doc_pipeline", "vox_enhance_chunkpath",
     "vox_outline_chunkpath", "vox_decimate_chunkpath", "vox_mode_chunkpath",
     "vox_erode_chunkpath", "vox_upscale_chunkpath", "vox_histogram_chunkpath",

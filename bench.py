@@ -250,6 +250,9 @@ def main() -> None:
         "prepare_training_set",
         "line_dedup",
         "duplicate_windows",
+        "duplicate_spans",
+        "lm_score",
+        "prepare_rag_corpus",
     ]
     for name in headliners:
         timed(name, lambda n=name: force(suite.QUERIES[n](spark, SF_DIR)))

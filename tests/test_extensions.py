@@ -1314,3 +1314,23 @@ def test_chunk_documents_coverage_and_overlap(spark):
     # consecutive chunks overlap by 8 (except possibly the tail)
     for a, b in zip(long_chunks, long_chunks[1:]):
         assert a["start_token"] + a["n_tokens"] - b["start_token"] >= 8
+
+
+def test_prepare_rag_corpus_invariants(docs):
+    from atlas_upscaling_dask_spark.extensions.pipeline import prepare_rag_corpus
+
+    out = prepare_rag_corpus(docs, max_tokens=32, overlap=8).collect()
+    assert out, "screen must keep a non-trivial corpus"
+    for r in out:
+        assert len(r["chunk_text"].split(" ")) == r["n_tokens"] <= 32
+        assert r["split"] in ("train", "val", "test")
+        assert r["start_token"] == r["chunk_id"] * 24
+    # per-doc chunk ids are contiguous from 0
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_id"])
+    for ids in by_doc.values():
+        assert sorted(ids) == list(range(len(ids)))
+    # deterministic
+    again = prepare_rag_corpus(docs, max_tokens=32, overlap=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -402,6 +402,16 @@ def audited_queries():
             QUERIES["chunk_documents"],
             {"no_shuffle": True, "codegen": True, "no_python_udf": True},
         ),
+        # RAG-prep composition: dedup window (1, materialized once via
+        # the checkpoint — without it the gate+dedup subtree re-executes
+        # per consumer: 20 exchanges) + the LM count/score chain (~8,
+        # all keyed on vocab-bounded keys) + score join + 1-row mean
+        # agg; chunk/split stages add NO exchange
+        "prepare_rag_corpus": (
+            QUERIES["prepare_rag_corpus"],
+            {"max_shuffles": 12, "broadcast": True, "codegen": True,
+             "no_python_udf": True},
+        ),
     }
 
 
