@@ -41,15 +41,22 @@ from pyspark.sql import functions as F
 SUM_T = "decimal(18,2)"
 
 
+#: exact second-moment carrier: DECIMAL(18,2)² sums fit comfortably
+SQ_T = "decimal(38,4)"
+
+
 def _partial(
     df: DataFrame,
     keys: list[str],
     sum_cols: list[str],
     sign_col: str | None = None,
+    square_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-key algebraic partials of one batch: cnt, sum_<c>, min_<c>,
     max_<c>.  ``sign_col`` (+1 insert / -1 retract) flows into cnt and
-    the sums; extrema ignore it (see module docstring)."""
+    the sums; extrema ignore it (see module docstring).  ``square_cols``
+    adds exact second moments ``sq_<c>`` (DECIMAL, order-independent) —
+    the carrier for incrementally-maintained variance/σ."""
     sign: Column = F.col(sign_col) if sign_col else F.lit(1)
     aggs = [F.sum(sign).cast("long").alias("cnt")]
     for c in sum_cols:
@@ -58,18 +65,31 @@ def _partial(
             F.min(F.col(c).cast(SUM_T)).alias(f"min_{c}"),
             F.max(F.col(c).cast(SUM_T)).alias(f"max_{c}"),
         ]
+    for c in square_cols:
+        aggs.append(
+            F.sum(F.col(c).cast(SUM_T) * F.col(c).cast(SUM_T) * sign)
+            .cast(SQ_T)
+            .alias(f"sq_{c}")
+        )
     return df.groupBy(*keys).agg(*aggs)
 
 
 def aggregate_state(
-    df: DataFrame, keys: list[str], sum_cols: list[str]
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    square_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Initial state table from a base batch (inserts only)."""
-    return _partial(df, keys, sum_cols)
+    return _partial(df, keys, sum_cols, square_cols=square_cols)
 
 
 def merge_states(
-    a: DataFrame, b: DataFrame, keys: list[str], sum_cols: list[str]
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    square_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Fold two state tables: counts/sums add, extrema combine.
     One keyed aggregation over the union — state-sized, not data-sized."""
@@ -80,6 +100,8 @@ def merge_states(
             F.min(f"min_{c}").alias(f"min_{c}"),
             F.max(f"max_{c}").alias(f"max_{c}"),
         ]
+    for c in square_cols:
+        aggs.append(F.sum(f"sq_{c}").cast(SQ_T).alias(f"sq_{c}"))
     return a.unionByName(b).groupBy(*keys).agg(*aggs)
 
 
@@ -89,10 +111,15 @@ def incremental_update(
     keys: list[str],
     sum_cols: list[str],
     sign_col: str | None = None,
+    square_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Fold a delta batch into the state: scans the DELTA only."""
     return merge_states(
-        state, _partial(delta, keys, sum_cols, sign_col), keys, sum_cols
+        state,
+        _partial(delta, keys, sum_cols, sign_col, square_cols=square_cols),
+        keys,
+        sum_cols,
+        square_cols=square_cols,
     )
 
 

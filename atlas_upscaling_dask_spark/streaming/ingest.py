@@ -447,3 +447,83 @@ def start_incremental_agg(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def start_anomaly_stream(
+    spark: SparkSession,
+    events_path: str,
+    state_path: str,
+    out_path: str,
+    schema,
+    threshold: float = 3.0,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    checkpoint_dir: str | None = None,
+):
+    """Streaming z-score anomaly detection with incrementally-maintained
+    moments — the streaming twin of ``operators/resample.zscore_outliers``.
+
+    Each micro-batch (a) folds its exact per-group moments
+    (cnt/sum/sum-of-squares, DECIMAL-carried) into the versioned state
+    with a delta-only scan — the same effectively-once recipe as
+    ``start_incremental_agg`` (epoch-fenced state versions, idempotent
+    replays) — then (b) scores ITS OWN rows against the updated
+    (prefix-inclusive) statistics and appends the outliers to
+    ``out_path`` under an epoch directory (overwritten on replay, so
+    retries are idempotent too).
+
+    Prefix semantics: an event is judged against all data seen up to
+    and including its batch; feeding the whole history as one batch
+    reproduces the batch operator exactly (proven in tests).  State is
+    |groups| rows; per-batch cost is one partial-agg exchange over the
+    delta plus a broadcast join back — nothing data-sized accumulates.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.incremental import aggregate_state, incremental_update
+
+    stream = spark.readStream.schema(schema).parquet(events_path)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        prev = read_agg_state(spark, state_path, before_epoch=int(epoch_id))
+        if prev is None:
+            state = aggregate_state(
+                batch_df, [group_col], [value_col], square_cols=[value_col]
+            )
+        else:
+            state = incremental_update(
+                prev, batch_df, [group_col], [value_col],
+                square_cols=[value_col],
+            )
+        state.write.mode("overwrite").parquet(f"{state_path}/epoch={int(epoch_id)}")
+        fresh = spark.read.parquet(f"{state_path}/epoch={int(epoch_id)}")
+        mean = F.col(f"sum_{value_col}").cast("double") / F.col("cnt")
+        var = F.greatest(
+            F.lit(0.0),
+            F.col(f"sq_{value_col}").cast("double") / F.col("cnt") - mean * mean,
+        )
+        stats = fresh.select(
+            group_col, mean.alias("mean"), F.sqrt(var).alias("std")
+        )
+        z = (F.col(value_col) - F.col("mean")) / F.col("std")
+        flagged = (
+            batch_df.join(F.broadcast(stats), group_col)
+            .select(
+                F.col(id_col),
+                F.col(group_col),
+                F.col(value_col),
+                F.col("mean"),
+                F.col("std"),
+                z.alias("z"),
+            )
+            .filter(F.abs(F.col("z")) > threshold)
+        )
+        flagged.write.mode("overwrite").parquet(f"{out_path}/epoch={int(epoch_id)}")
+
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

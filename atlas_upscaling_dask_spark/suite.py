@@ -1379,6 +1379,80 @@ FROM cc, unnest(generate_series(0, n_chunks - 1, 1)) AS s(i)
 # _STOPLIST_SQL constant is defined (the oracle interpolates it).
 
 
+def _vox_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Region centroids: integer coordinate sums (exact) / count — the
+    # per-region geometry statistic next to vox_bbox's extents.
+    return (
+        synthetic_voxels(spark)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_voxels"),
+            (F.sum("z").cast("double") / F.count("*")).alias("cz"),
+            (F.sum("y").cast("double") / F.count("*")).alias("cy"),
+            (F.sum("x").cast("double") / F.count("*")).alias("cx"),
+        )
+    )
+
+
+_register(
+    "vox_centroids",
+    _vox_centroids,
+    f"""
+WITH {VOX_CTE.strip()}
+SELECT label, CAST(count(*) AS BIGINT) AS n_voxels,
+       CAST(sum(z) AS DOUBLE) / count(*) AS cz,
+       CAST(sum(y) AS DOUBLE) / count(*) AS cy,
+       CAST(sum(x) AS DOUBLE) / count(*) AS cx
+FROM voxels GROUP BY label
+""",
+)
+
+
+def _winsorize_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Percentile-clipping (winsorization) per group: exact interpolated
+    # p10/p90 (bitwise-portable, see percentile_quantity) broadcast back
+    # onto the scan — the outlier-robust preprocessing step.
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.1)").alias("p_lo"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p_hi"),
+    )
+    return (
+        li.join(F.broadcast(pct), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_quantity",
+            F.least(
+                F.greatest(F.col("l_quantity"), F.col("p_lo")), F.col("p_hi")
+            ).alias("clipped"),
+            (
+                (F.col("l_quantity") < F.col("p_lo"))
+                | (F.col("l_quantity") > F.col("p_hi"))
+            ).alias("was_clipped"),
+        )
+    )
+
+
+_register(
+    "winsorize_quantity",
+    _winsorize_quantity,
+    """
+WITH pct AS (
+  SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.1) AS p_lo,
+         quantile_cont(l_quantity, 0.9) AS p_hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+       least(greatest(l_quantity, p_lo), p_hi) AS clipped,
+       (l_quantity < p_lo OR l_quantity > p_hi) AS was_clipped
+FROM lineitem JOIN pct USING (l_returnflag)
+""",
+)
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.dedup import exact_dedup
 
@@ -4944,6 +5018,7 @@ _PRIORITY = [
     # round-3 session-3 additions — newest first, no history anywhere:
     "duplicate_spans", "lm_score", "bpe_pair_counts",
     "ewma_events", "zscore_outliers", "chunk_documents", "prepare_rag_corpus",
+    "vox_centroids", "winsorize_quantity",
     "prepare_training_set", "doc_pipeline", "vox_enhance_chunkpath",
     "vox_outline_chunkpath", "vox_decimate_chunkpath", "vox_mode_chunkpath",
     "vox_erode_chunkpath", "vox_upscale_chunkpath", "vox_histogram_chunkpath",

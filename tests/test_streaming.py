@@ -372,3 +372,49 @@ def test_streaming_incremental_agg_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_anomaly_stream_prefix_equals_batch(spark, tmp_path):
+    # Streaming z-score with incrementally-maintained moments: batch 0
+    # rows are judged against batch-0 stats (== the batch operator on
+    # drop 1 alone); batch 1 rows against the folded drop1+drop2 stats
+    # (== the batch operator on the full history, restricted to the new
+    # rows).  Exactness carries through the DECIMAL moment state, so
+    # comparisons are exceptAll-empty, not approximate.
+    from atlas_upscaling_dask_spark.operators.resample import zscore_outliers
+    from atlas_upscaling_dask_spark.streaming.ingest import start_anomaly_stream
+
+    schema = "event_id long, event_type string, value double"
+    drop1 = [(i, "click", 10.0 + (i % 3)) for i in range(60)] + [(99, "click", 500.0)]
+    drop2 = [(100 + i, "click", 11.0 + (i % 3)) for i in range(40)] + [
+        (199, "click", -400.0)
+    ]
+    d1 = spark.createDataFrame(drop1, schema)
+    d2 = spark.createDataFrame(drop2, schema)
+    full = spark.createDataFrame(drop1 + drop2, schema)
+
+    src = str(tmp_path / "anomaly_src")
+    state = str(tmp_path / "anomaly_state")
+    out = str(tmp_path / "anomaly_out")
+    ckpt = str(tmp_path / "anomaly_ckpt")
+    d1.write.mode("append").parquet(src)
+
+    q = start_anomaly_stream(
+        spark, src, state, out, d1.schema, threshold=3.0, checkpoint_dir=ckpt
+    )
+    try:
+        q.processAllAvailable()
+        d2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got1 = spark.read.parquet(f"{out}/epoch=0")
+    want1 = zscore_outliers(d1, threshold=3.0)
+    assert got1.count() == 1 and got1.first()["event_id"] == 99
+    assert got1.exceptAll(want1).isEmpty() and want1.exceptAll(got1).isEmpty()
+
+    got2 = spark.read.parquet(f"{out}/epoch=1")
+    want2 = zscore_outliers(full, threshold=3.0).filter(F.col("event_id") >= 100)
+    assert got2.count() == 1 and got2.first()["event_id"] == 199
+    assert got2.exceptAll(want2).isEmpty() and want2.exceptAll(got2).isEmpty()
