@@ -122,9 +122,9 @@ def duplicate_windows(
     stride — an arbitrarily long verbatim duplicate offset by one token
     can be missed.  Use stride=1 for a real guarantee (stride× more
     rows), or treat larger strides as a recall/cost dial for
-    boilerplate-scale sweeps.  (Content-defined anchoring — hash-based
-    breakpoints — would make alignment document-independent; not
-    implemented.)  Output is only the duplicated windows — small
+    boilerplate-scale sweeps.  For an offset-independent guarantee at
+    any stride-like cost, use ``duplicate_spans`` (content-defined
+    breakpoints).  Output is only the duplicated windows — small
     relative to any corpus.
     """
     toks = F.split(F.col(text_col), " ")
@@ -348,7 +348,6 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
     # Wide form: ONE row per doc with the ordered signature array.  All
     # banding and scoring below works on this single row — joining the
     # narrow (doc_id, i, sig) form instead multiplies every join by
@@ -356,27 +355,7 @@ def minhash_lsh_pairs(
     wide = minhash_signatures_wide(
         docs, num_hashes, shingle_n, text_col, id_col, use_dictionary
     )
-    banded = wide.select(
-        "doc_id",
-        "sig_arr",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("sig_arr", b * r + 1, r),
-                                lambda v: v.cast("string"),
-                            ),
-                        ).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "sig_arr", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    banded = _band_rows(wide, num_hashes, bands)
     l = banded.select(F.col("doc_id").alias("d1"), F.col("sig_arr").alias("arr1"), "band", "bkey")
     rr = banded.select(F.col("doc_id").alias("d2"), F.col("sig_arr").alias("arr2"), "band", "bkey")
     est = (
@@ -637,4 +616,168 @@ def duplicate_spans(
             F.max("doc_id").alias("last_doc"),
         )
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def _band_rows(wide: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode a wide signature frame into (doc_id, sig_arr, band, bkey)
+    rows — one per band, the bucket key = the band's sub-signature."""
+    r = num_hashes // bands
+    return wide.select(
+        "doc_id",
+        "sig_arr",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig_arr", b * r + 1, r),
+                                lambda v: v.cast("string"),
+                            ),
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", "sig_arr", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+
+
+def _banded_signatures(
+    docs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(doc_id, sig_arr, band, bkey) rows — the shared banding step of
+    the inline pair generator and the persisted index (xxhash backend:
+    corpus-independent, so index and probe hash identically)."""
+    wide = minhash_signatures_wide(
+        docs, num_hashes, shingle_n, text_col, id_col, use_dictionary=False
+    )
+    return _band_rows(wide, num_hashes, bands)
+
+
+def build_lsh_index(
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the corpus's banded MinHash signatures as a queryable
+    near-dup index — the dedup member of the persisted-index family
+    (``similarity.build_ivf_index``, ``retrieval.build_text_index``).
+
+    Layout: (doc_id, sig_arr, bkey) PARTITIONED BY band, so a probe's
+    per-band bucket join reads only its band's files; a params sidecar
+    pins (num_hashes, bands, shingle_n) and the probe path refuses a
+    mismatched probe.  The point at 100 TB: signatures are computed
+    ONCE per corpus — each new crawl batch probes (and can append to)
+    the index instead of re-hashing petabytes.
+    """
+    import json
+    import os
+
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    banded = _banded_signatures(docs, num_hashes, bands, shingle_n, text_col, id_col)
+    banded.write.mode("overwrite").partitionBy("band").parquet(path)
+    with open(os.path.join(path, "_lsh_index.json"), "w") as f:
+        json.dump(
+            {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}, f
+        )
+
+
+def _lsh_index_params(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_lsh_index.json")) as f:
+        return json.load(f)
+
+
+def lsh_index_pairs(
+    spark,
+    path: str,
+    min_est_sim: float = 0.5,
+) -> DataFrame:
+    """Corpus-internal near-dup pairs from a persisted index: the same
+    bucket self-join + in-bucket scoring as ``minhash_lsh_pairs``, but
+    the signature computation is a parquet scan (parity-tested)."""
+    p = _lsh_index_params(path)
+    banded = spark.read.parquet(path)
+    lhs = banded.select(
+        F.col("doc_id").alias("d1"), F.col("sig_arr").alias("arr1"), "band", "bkey"
+    )
+    rhs = banded.select(
+        F.col("doc_id").alias("d2"), F.col("sig_arr").alias("arr2"), "band", "bkey"
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("arr1"), F.col("arr2"), lambda a, b: a == b),
+                lambda eq: eq,
+            )
+        )
+        / p["num_hashes"]
+    )
+    return (
+        lhs.join(rhs, ["band", "bkey"])
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn("est_sim", est)
+        .filter(F.col("est_sim") >= min_est_sim)
+        .select("d1", "d2", "est_sim")
+        .dropDuplicates(["d1", "d2"])
+    )
+
+
+def lsh_index_query(
+    spark,
+    path: str,
+    probe_docs: DataFrame,
+    min_est_sim: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe a persisted LSH index with NEW documents (the incremental
+    crawl-dedup case): only the probe batch is hashed; the corpus side
+    is the index scan, joined per (band, bucket).  Returns
+    (probe_id, corpus_id, est_sim) candidates at ``min_est_sim``."""
+    p = _lsh_index_params(path)
+    probe = _banded_signatures(
+        probe_docs, p["num_hashes"], p["bands"], p["shingle_n"], text_col, id_col
+    ).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("sig_arr").alias("arr1"),
+        "band",
+        "bkey",
+    )
+    corpus = spark.read.parquet(path).select(
+        F.col("doc_id").alias("corpus_id"), F.col("sig_arr").alias("arr2"), "band", "bkey"
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("arr1"), F.col("arr2"), lambda a, b: a == b),
+                lambda eq: eq,
+            )
+        )
+        / p["num_hashes"]
+    )
+    return (
+        probe.join(corpus, ["band", "bkey"])
+        .withColumn("est_sim", est)
+        .filter(F.col("est_sim") >= min_est_sim)
+        .select("probe_id", "corpus_id", "est_sim")
+        .dropDuplicates(["probe_id", "corpus_id"])
     )
