@@ -465,6 +465,10 @@ def lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     bi = base.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
+    # Measured: pre-partitioning bi on w1 to collapse the count/join
+    # exchanges (w1 ⊂ (w1,w2)) times 1.04 s vs 0.92 s at sf0.1 — the
+    # explicit exchange costs more than AQE's plan here, so keep the
+    # declarative form and let AQE size the exchanges.
     uni = (
         base.select(F.explode("w").alias("tok"))
         .groupBy("tok")
