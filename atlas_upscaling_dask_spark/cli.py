@@ -54,6 +54,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="keep non-canonical exact duplicates instead of dropping them",
     )
 
+    rg = sub.add_parser(
+        "rag", help="RAG-corpus prep: gate, dedup, LM screen, chunk, split"
+    )
+    rg.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    rg.add_argument("--output", required=True)
+    rg.add_argument("--max-tokens", type=int, default=64)
+    rg.add_argument("--overlap", type=int, default=16)
+
     return p
 
 
@@ -189,11 +197,42 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+def cmd_rag(args) -> int:
+    from pyspark.sql import Observation
+
+    from .extensions.pipeline import prepare_rag_corpus
+    from .session import get_spark
+
+    spark = get_spark("atlas-spark-rag")
+    docs = spark.read.parquet(args.input)
+    out = prepare_rag_corpus(
+        docs, max_tokens=args.max_tokens, overlap=args.overlap
+    )
+    obs = Observation("rag_metrics")
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.avg("lm_score").alias("mean_lm_score"),
+    )
+    # split-partitioned layout: a trainer reads only its split's files
+    out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    m = obs.get
+    print(
+        f"wrote {args.output}: {m['n_chunks']} chunks, "
+        f"{m['total_tokens']} tokens, mean LM score {m['mean_lm_score']:.6f}"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    return {"upscale": cmd_upscale, "lookup": cmd_lookup, "pipeline": cmd_pipeline}[
-        args.cmd
-    ](args)
+    return {
+        "upscale": cmd_upscale,
+        "lookup": cmd_lookup,
+        "pipeline": cmd_pipeline,
+        "rag": cmd_rag,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

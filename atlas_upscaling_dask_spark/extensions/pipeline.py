@@ -226,11 +226,15 @@ def prepare_rag_corpus(
             / F.count("*")
         ).alias("mean_score")
     )
+    # compare the ROUNDED score against the mean-of-rounded-scores: the
+    # mean is built from round(score, 12) terms, so comparing the raw
+    # score would drop a lone/tightly-clustered doc whose 12-digit
+    # rounding lands above it (score == mean must keep)
     kept = (
         d.join(scores, d[id_col] == scores.doc_id)
         .drop(scores.doc_id)
         .crossJoin(F.broadcast(mean))
-        .filter(F.col("lm_score") >= F.col("mean_score"))
+        .filter(F.round(F.col("lm_score"), 12) >= F.col("mean_score"))
         .select(F.col(id_col), F.col(text_col), F.col("lm_score"))
     )
     # 4+5 — chunk for the retrieval index (narrow explode; lm_score and

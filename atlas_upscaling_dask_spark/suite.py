@@ -1353,7 +1353,7 @@ m AS (
 kept AS (
   SELECT c.doc_id, c.text, s.lm_score
   FROM canon c JOIN scores s USING (doc_id), m
-  WHERE s.lm_score >= m.mean_score
+  WHERE round(s.lm_score, 12) >= m.mean_score
 ),
 cc AS (
   SELECT doc_id, lm_score, string_split(text, ' ') AS t,

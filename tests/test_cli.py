@@ -46,3 +46,29 @@ def test_cli_upscale_enhance_chunkpath(spark, tmp_path):
     labels = {r["label"] for r in vox.select("label").distinct().collect()}
     assert 0 in labels and len(labels) > 1
     assert vox.count() == 16 * 16 * 16
+
+
+def test_cli_rag(spark, tmp_path, capsys):
+    from atlas_upscaling_dask_spark.cli import main
+
+    src = str(tmp_path / "rag_in")
+    dst = str(tmp_path / "rag_out")
+    base = "the quick brown fox jumps over the lazy dog and the cat sat on the mat "
+    spark.createDataFrame(
+        [(i, base * 6) for i in range(6)] + [(9, base * 6)],  # 9 dups of 0
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+    assert main(
+        ["rag", "--input", src, "--output", dst, "--max-tokens", "32", "--overlap", "8"]
+    ) == 0
+    out = spark.read.parquet(dst)
+    rows = out.collect()
+    assert rows, "expected chunks"
+    # exact dedup: only the canonical doc 0 survives the election
+    assert {r["doc_id"] for r in rows} == {0}
+    assert all(r["n_tokens"] <= 32 for r in rows)
+    # split-partitioned layout on disk
+    import os
+
+    assert any(d.startswith("split=") for d in os.listdir(dst))
+    assert "chunks" in capsys.readouterr().out
