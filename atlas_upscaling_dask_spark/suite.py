@@ -1453,6 +1453,101 @@ FROM lineitem JOIN pct USING (l_returnflag)
 )
 
 
+def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-width numeric binning anchored at the corpus minimum (the
+    # OLAP histogram primitive).  bin = floor((v - min)/width): both
+    # engines compute the identical double then the identical floor —
+    # no rounding anywhere.  One stats agg broadcast back, narrow bin
+    # pass, one count exchange.
+    ev = load_table(spark, sf_dir, "events")
+    mn = ev.agg(F.min("value").alias("mn"))
+    width = 5.0
+    return (
+        ev.crossJoin(F.broadcast(mn))
+        .select(
+            F.floor((F.col("value") - F.col("mn")) / F.lit(width))
+            .cast("int")
+            .alias("bin"),
+            "value",
+            "mn",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            (F.min("mn") + F.col("bin") * F.lit(width)).alias("bin_lo"),
+        )
+        .select("bin", "bin_lo", "n")
+    )
+
+
+_register(
+    "value_histogram",
+    _value_histogram,
+    """
+WITH m AS (SELECT min(value) AS mn FROM events),
+b AS (
+  SELECT CAST(floor((value - mn) / 5.0) AS INTEGER) AS bin, mn
+  FROM events, m
+)
+SELECT bin, min(mn) + bin * 5.0 AS bin_lo, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bin
+""",
+)
+
+
+def _correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pearson correlation per group from exact DECIMAL moment sums
+    # (x, y, xy, x², y² — order-independent), finished in doubles where
+    # every step is an IEEE op on identical inputs (zscore contract).
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_discount").cast("decimal(18,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov = sxy / n - (sx / n) * (sy / n)
+    vx = sxx / n - (sx / n) * (sx / n)
+    vy = syy / n - (sy / n) * (sy / n)
+    return agg.select(
+        "l_returnflag",
+        F.col("n"),
+        cov.alias("cov"),
+        (cov / F.sqrt(vx * vy)).alias("corr"),
+    )
+
+
+_register(
+    "correlation_stats",
+    _correlation_stats,
+    """
+WITH a AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         sum(CAST(l_discount AS DECIMAL(18,2))) AS sy,
+         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sxy,
+         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+         sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS cov,
+       (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+         / sqrt((CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+              * (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))) AS corr
+FROM a
+""",
+)
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.dedup import exact_dedup
 
@@ -5018,7 +5113,7 @@ _PRIORITY = [
     # round-3 session-3 additions — newest first, no history anywhere:
     "duplicate_spans", "lm_score", "bpe_pair_counts",
     "ewma_events", "zscore_outliers", "chunk_documents", "prepare_rag_corpus",
-    "vox_centroids", "winsorize_quantity",
+    "vox_centroids", "winsorize_quantity", "value_histogram", "correlation_stats",
     "prepare_training_set", "doc_pipeline", "vox_enhance_chunkpath",
     "vox_outline_chunkpath", "vox_decimate_chunkpath", "vox_mode_chunkpath",
     "vox_erode_chunkpath", "vox_upscale_chunkpath", "vox_histogram_chunkpath",
