@@ -544,67 +544,63 @@ def duplicate_spans(
     Expected segment length = (k-1) + 16/len(breakpoint_chars) tokens
     (geometric waiting time on hex-digit classes); defaults give ~11.
 
-    Plan: one narrow pass computes per-position anchor flags array-side
-    (md5 over k-token slices), posexplode, ONE exchange on ``doc_id``
-    for the running-sum segment ids (the groupBy(doc_id, seg) reuses
-    that partitioning — no second exchange), then one aggregation on the
-    segment hash.  Output is only duplicated segments — tiny relative to
-    the corpus; at 100 TB both exchanges carry fixed-width keys and the
-    heavy-boilerplate segment keys are the AQE skew-split case.
+    Plan: the whole segmentation happens ARRAY-SIDE in one narrow pass —
+    anchor positions (md5 over k-token slices) → boundary list →
+    (start, end) spans → per-span hash — so a document never leaves its
+    row until the final explode of its ≥ ``min_tokens`` segment hashes.
+    ONE exchange total (the span-hash aggregation; fixed-width keys,
+    heavy-boilerplate keys are the AQE skew-split case).  An earlier
+    formulation ran a doc-keyed running-sum window + collect_list
+    reassembly first — one more DATA-SIZED exchange (a per-token row
+    shuffle), which this removes; local wall-time is unchanged
+    (measured 3.6 s at sf0.1 either way — the cost is the O(n·k)
+    per-position anchor hashing, which is narrow and embarrassingly
+    parallel, not the exchange).
     """
     if k < 2:
         raise ValueError("k must be >= 2")
     toks = F.split(F.col(text_col), " ")
     chars = F.array(*[F.lit(c) for c in breakpoint_chars])
-    # anchor(pos): md5 of the k-gram ENDING at 0-based pos (1-based
-    # slice start pos-k+2) selects a breakpoint; positions < k-1 never
-    # anchor.  Struct per position so one posexplode carries both.
-    parts = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 1),
-        lambda pos: F.struct(
-            F.element_at(toks, pos + 1).alias("tok"),
-            F.when(
-                (pos >= k - 1)
-                & F.array_contains(
-                    chars,
-                    F.substring(
-                        F.md5(F.concat_ws(" ", F.slice(toks, pos - k + 2, k))), 1, 1
-                    ),
-                ),
-                F.lit(1),
-            )
-            .otherwise(F.lit(0))
-            .alias("anchor"),
+    n = F.size(toks)
+    # breakpoint at pos: md5 of the k-gram ENDING at 0-based pos
+    # (1-based slice start pos-k+2) starts with a breakpoint char;
+    # positions < k-1 never anchor.  A breakpoint CLOSES its segment.
+    bounds = F.filter(
+        F.sequence(F.lit(k - 1), n - 1),
+        lambda pos: F.array_contains(
+            chars,
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, pos - k + 2, k))), 1, 1
+            ),
         ),
     )
-    pos_rows = docs.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(parts).alias("pos", "p")
-    ).select("doc_id", "pos", F.col("p.tok").alias("tok"), F.col("p.anchor").alias("anchor"))
-    # A breakpoint at pos closes the segment AT pos: seg id = number of
-    # anchors strictly before this position.
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # degenerate docs (< k tokens) have no anchor candidates at all
+    bounds = F.when(n >= k, bounds).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(0)), F.transform(bounds, lambda b: b + 1))
+    ends = F.concat(bounds, F.array(n - 1))
+    spans = F.filter(
+        F.zip_with(
+            starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+        ),
+        lambda sp: sp["e"] - sp["s"] + 1 >= min_tokens,
     )
-    seg_rows = pos_rows.withColumn(
-        "seg_id", F.coalesce(F.sum("anchor").over(w), F.lit(0))
-    )
-    segs = (
-        seg_rows.groupBy("doc_id", "seg_id")
-        .agg(
+    seg_structs = F.transform(
+        spans,
+        lambda sp: F.struct(
             F.md5(
                 F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                        lambda s: s["tok"],
-                    ),
+                    " ", F.slice(toks, sp["s"] + 1, sp["e"] - sp["s"] + 1)
                 )
             ).alias("span_hash"),
-            F.count("*").alias("n_tokens"),
-        )
-        .filter(F.col("n_tokens") >= min_tokens)
+            (sp["e"] - sp["s"] + 1).cast("long").alias("n_tokens"),
+        ),
+    )
+    segs = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(seg_structs).alias("g")
+    ).select(
+        "doc_id",
+        F.col("g.span_hash").alias("span_hash"),
+        F.col("g.n_tokens").alias("n_tokens"),
     )
     return (
         segs.groupBy("span_hash")

@@ -1548,6 +1548,37 @@ FROM a
 )
 
 
+def _fuzzy_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Edit-distance fuzzy lookup: nearest customer names to a probe
+    # string (integer Levenshtein — identical in any engine), top-10 by
+    # (distance, key).  TakeOrderedAndProject, never a global sort; a
+    # fuzzy JOIN at scale would go through the LSH/shingle machinery
+    # instead of all-pairs edit distance.
+    cust = load_table(spark, sf_dir, "customer")
+    probe = "Customer#000000042"
+    return (
+        cust.select(
+            "c_custkey",
+            "c_name",
+            F.levenshtein(F.col("c_name"), F.lit(probe)).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+_register(
+    "fuzzy_lookup",
+    _fuzzy_lookup,
+    """
+SELECT c_custkey, c_name,
+       CAST(levenshtein(c_name, 'Customer#000000042') AS INTEGER) AS dist
+FROM customer
+ORDER BY dist ASC, c_custkey ASC LIMIT 10
+""",
+)
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.dedup import exact_dedup
 
@@ -5114,6 +5145,7 @@ _PRIORITY = [
     "duplicate_spans", "lm_score", "bpe_pair_counts",
     "ewma_events", "zscore_outliers", "chunk_documents", "prepare_rag_corpus",
     "vox_centroids", "winsorize_quantity", "value_histogram", "correlation_stats",
+    "fuzzy_lookup",
     "prepare_training_set", "doc_pipeline", "vox_enhance_chunkpath",
     "vox_outline_chunkpath", "vox_decimate_chunkpath", "vox_mode_chunkpath",
     "vox_erode_chunkpath", "vox_upscale_chunkpath", "vox_histogram_chunkpath",

@@ -364,9 +364,10 @@ def audited_queries():
             QUERIES["quantile_sketch"],
             {"max_shuffles": 8, "codegen": True, "no_python_udf": True},
         ),
-        # content-defined span dedup: ONE doc-keyed exchange (the
-        # segment groupBy must reuse the window's partitioning) + the
-        # span-hash aggregation
+        # content-defined span dedup: segmentation is fully array-side;
+        # the only exchanges are the span-hash aggregation's two phases
+        # (COUNT DISTINCT doc_id: partial on (hash, doc) then final on
+        # hash — both segment-row-sized, never token-row-sized)
         "duplicate_spans": (
             QUERIES["duplicate_spans"],
             {"max_shuffles": 2, "codegen": True, "no_python_udf": True},
