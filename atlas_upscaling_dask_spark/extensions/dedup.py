@@ -548,56 +548,61 @@ def duplicate_spans(
     anchor positions (md5 over k-token slices) → boundary list →
     (start, end) spans → per-span hash — so a document never leaves its
     row until the final explode of its ≥ ``min_tokens`` segment hashes.
-    ONE exchange total (the span-hash aggregation; fixed-width keys,
-    heavy-boilerplate keys are the AQE skew-split case).  An earlier
-    formulation ran a doc-keyed running-sum window + collect_list
-    reassembly first — one more DATA-SIZED exchange (a per-token row
-    shuffle), which this removes; local wall-time is unchanged
-    (measured 3.6 s at sf0.1 either way — the cost is the O(n·k)
-    per-position anchor hashing, which is narrow and embarrassingly
-    parallel, not the exchange).
+    ONE data-bearing exchange (the span-hash aggregation's two
+    COUNT-DISTINCT phases — segment-row-sized, never token-row-sized;
+    fixed-width keys, heavy-boilerplate keys are the AQE skew-split
+    case).  The stages are deliberately CHAINED PROJECTIONS, not one
+    nested expression: higher-order functions evaluate interpreted with
+    no common-subexpression elimination, so inlining (tokens → bounds →
+    spans → hashes) re-evaluates the token split and the anchor pass
+    per span element — measured 3.7 s vs 1.25 s at sf0.1.  (An even
+    earlier formulation ran a doc-keyed running-sum window +
+    collect_list reassembly — one more data-sized exchange on top.)
     """
     if k < 2:
         raise ValueError("k must be >= 2")
-    toks = F.split(F.col(text_col), " ")
     chars = F.array(*[F.lit(c) for c in breakpoint_chars])
-    n = F.size(toks)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
+    )
+    w, n = F.col("w"), F.size(F.col("w"))
     # breakpoint at pos: md5 of the k-gram ENDING at 0-based pos
     # (1-based slice start pos-k+2) starts with a breakpoint char;
     # positions < k-1 never anchor.  A breakpoint CLOSES its segment.
-    bounds = F.filter(
-        F.sequence(F.lit(k - 1), n - 1),
-        lambda pos: F.array_contains(
-            chars,
-            F.substring(
-                F.md5(F.concat_ws(" ", F.slice(toks, pos - k + 2, k))), 1, 1
+    bounds = F.when(
+        n >= k,
+        F.filter(
+            F.sequence(F.lit(k - 1), n - 1),
+            lambda pos: F.array_contains(
+                chars,
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(w, pos - k + 2, k))), 1, 1
+                ),
             ),
         ),
-    )
-    # degenerate docs (< k tokens) have no anchor candidates at all
-    bounds = F.when(n >= k, bounds).otherwise(F.array().cast("array<int>"))
-    starts = F.concat(F.array(F.lit(0)), F.transform(bounds, lambda b: b + 1))
-    ends = F.concat(bounds, F.array(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    b1 = base.select("doc_id", "w", bounds.alias("bounds"))
     spans = F.filter(
         F.zip_with(
-            starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+            F.concat(
+                F.array(F.lit(0)), F.transform(F.col("bounds"), lambda b: b + 1)
+            ),
+            F.concat(F.col("bounds"), F.array(n - 1)),
+            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
         ),
         lambda sp: sp["e"] - sp["s"] + 1 >= min_tokens,
     )
+    b2 = b1.select("doc_id", "w", spans.alias("spans"))
     seg_structs = F.transform(
-        spans,
+        F.col("spans"),
         lambda sp: F.struct(
             F.md5(
-                F.concat_ws(
-                    " ", F.slice(toks, sp["s"] + 1, sp["e"] - sp["s"] + 1)
-                )
+                F.concat_ws(" ", F.slice(w, sp["s"] + 1, sp["e"] - sp["s"] + 1))
             ).alias("span_hash"),
             (sp["e"] - sp["s"] + 1).cast("long").alias("n_tokens"),
         ),
     )
-    segs = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(seg_structs).alias("g")
-    ).select(
+    segs = b2.select("doc_id", F.explode(seg_structs).alias("g")).select(
         "doc_id",
         F.col("g.span_hash").alias("span_hash"),
         F.col("g.n_tokens").alias("n_tokens"),
