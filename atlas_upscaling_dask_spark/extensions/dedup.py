@@ -127,16 +127,22 @@ def duplicate_windows(
     breakpoints).  Output is only the duplicated windows — small
     relative to any corpus.
     """
-    toks = F.split(F.col(text_col), " ")
+    # chained projections, not one nested expression — interpreted HOFs
+    # have no CSE, so inlining re-splits the text per window element
+    # (see duplicate_spans; measured ~15% here)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
+    )
     starts = F.when(
-        F.size(toks) >= window,
-        F.sequence(F.lit(0), F.size(toks) - window, F.lit(stride)),
+        F.size(F.col("w")) >= window,
+        F.sequence(F.lit(0), F.size(F.col("w")) - window, F.lit(stride)),
     ).otherwise(F.array().cast("array<int>"))
     wins = F.transform(
-        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window)))
+        F.col("starts"),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i + 1, window))),
     )
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(wins).alias("win_hash")
+    exploded = base.select("doc_id", "w", starts.alias("starts")).select(
+        "doc_id", F.explode(wins).alias("win_hash")
     )
     return (
         exploded.groupBy("win_hash")

@@ -143,3 +143,72 @@ def write_enhance_pyramid(
         ],
         image_label=True,
     )
+
+
+def update_pyramid_levels(
+    spark,
+    path: str,
+    delta: DataFrame,
+    levels: int,
+    compressor: str = "none",
+) -> None:
+    """Incremental pyramid maintenance: fold UPDATED level-0 chunks into
+    a disk-staged pyramid (the ``write_enhance_pyramid`` layout) without
+    recomputing untouched data — the CDC story for derived volume
+    products.
+
+    Works because ``decimate_chunks`` is strictly chunk-local and
+    key-preserving: an updated level-0 chunk affects exactly the chunk
+    with the SAME grid key at every level, so the delta's key set IS
+    the invalidation set all the way up.  Per level: the affected
+    ``cz`` slab partitions are read back (partition-pruned scan),
+    unchanged chunks of those slabs are retained via an anti-join on
+    the chunk key, and the slabs are replaced with DYNAMIC partition
+    overwrite (untouched ``cz`` directories are never rewritten); the
+    delta then decimates (zero shuffle) to become the next level's
+    delta.  Cost tracks the DELTA, not the volume: at 100 TB a
+    single-chunk update rewrites one slab per level.
+
+    Caveat (documented contract): ``delta`` must already be the
+    RE-DERIVED level-0 chunks.  For outline-enhanced pyramids a source
+    edit also changes its 6 neighbors' outlines, so the caller passes
+    the re-outlined delta INCLUDING that 1-chunk halo ring (the
+    halo-exchange kernel computes it from delta ∪ 2-ring source
+    chunks); for plain pyramids the delta is just the changed chunks.
+    """
+    import os
+
+    from ..sinks.writer import COMPRESSORS
+    from ..operators.pyramid import decimate_chunks
+
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    if compressor not in COMPRESSORS:
+        raise ValueError(f"compressor must be one of {sorted(COMPRESSORS)}")
+    key = ["cz", "cy", "cx"]
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        cur = delta
+        for i in range(levels):
+            lvl_dir = os.path.join(path, f"level={i}")
+            # the affected slab set is small by contract (it IS the delta)
+            czs = [r["cz"] for r in cur.select("cz").distinct().collect()]
+            if not czs:
+                break
+            old = spark.read.parquet(lvl_dir).filter(F.col("cz").isin(czs))
+            keep = old.join(cur.select(*key), key, "left_anti")
+            new_slabs = keep.unionByName(cur.select(*old.columns))
+            (
+                new_slabs.write.mode("overwrite")
+                .option("compression", COMPRESSORS[compressor])
+                .partitionBy("cz")
+                .parquet(lvl_dir)
+            )
+            if i + 1 < levels:
+                cur = decimate_chunks(
+                    spark.read.parquet(lvl_dir).join(cur.select(*key), key, "left_semi"),
+                    2,
+                )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
