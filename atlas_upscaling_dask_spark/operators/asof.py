@@ -35,8 +35,12 @@ def asof_join(
     right_time: str,
     payload_cols: list[str],
     tolerance=None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: latest right row with time ≤ left time per key.
+    """Left as-of join: latest right row with time ≤ left time per key
+    (``direction="backward"``, the default) or earliest right row with
+    time ≥ left time (``direction="forward"`` — the "next state"
+    lookup); both inclusive, as in ``pd.merge_asof(direction=...)``.
 
     Right side should be unique per (key, time); pre-aggregate if not,
     or the carried row among exact ties is the last in (time, side)
@@ -70,12 +74,21 @@ def asof_join(
         F.lit(0).alias("__side"),
         *[F.col(c) for c in payload_cols],
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     unioned = l.unionByName(r)
     # Right rows sort before left rows at equal times (__side 0 < 1), so a
-    # right row at exactly t is visible to a left row at t.
+    # right row at exactly t is visible to a left row at t.  Forward is
+    # the same scan in reverse time order — the carried "last seen"
+    # right row is then the EARLIEST at-or-after each left row.
+    order = (
+        [F.col("__t").asc(), F.col("__side").asc()]
+        if direction == "backward"
+        else [F.col("__t").desc(), F.col("__side").asc()]
+    )
     w = (
         Window.partitionBy("__key")
-        .orderBy("__t", "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     rt_cols = (
@@ -96,9 +109,12 @@ def asof_join(
     )
     out = carried.filter(F.col("__side") == 1)
     if tolerance is not None:
-        within = F.col("__rt").isNotNull() & (
-            (F.col("__t") - F.col("__rt")) <= F.lit(tolerance)
+        gap = (
+            F.col("__t") - F.col("__rt")
+            if direction == "backward"
+            else F.col("__rt") - F.col("__t")
         )
+        within = F.col("__rt").isNotNull() & (gap <= F.lit(tolerance))
         out = out.select(
             *lcols,
             "__t",

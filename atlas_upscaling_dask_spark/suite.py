@@ -1579,6 +1579,48 @@ ORDER BY dist ASC, c_custkey ASC LIMIT 10
 )
 
 
+def _asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Forward as-of: each event matched to the user's EARLIEST order at
+    # or after the event time (the "next state" lookup; same
+    # union+window plan as backward, reversed scan order).
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "o_orderkey"
+    )
+
+
+_register(
+    "asof_forward",
+    _asof_forward,
+    """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.o_orderkey
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+""",
+)
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.dedup import exact_dedup
 
@@ -5145,7 +5187,7 @@ _PRIORITY = [
     "duplicate_spans", "lm_score", "bpe_pair_counts",
     "ewma_events", "zscore_outliers", "chunk_documents", "prepare_rag_corpus",
     "vox_centroids", "winsorize_quantity", "value_histogram", "correlation_stats",
-    "fuzzy_lookup",
+    "fuzzy_lookup", "asof_forward",
     "prepare_training_set", "doc_pipeline", "vox_enhance_chunkpath",
     "vox_outline_chunkpath", "vox_decimate_chunkpath", "vox_mode_chunkpath",
     "vox_erode_chunkpath", "vox_upscale_chunkpath", "vox_histogram_chunkpath",

@@ -1370,3 +1370,32 @@ def test_lsh_index_parity_and_incremental_probe(spark, docs, tmp_path):
         for r in hits
     )
     assert not any(r["probe_id"] == 10**6 + 1 for r in hits)
+
+
+def test_asof_forward_direction(spark):
+    from atlas_upscaling_dask_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 25), (3, 1, 50)], "eid long, k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 20, "a"), (1, 30, "b"), (1, 25, "tie")], "rk long, rt long, v string"
+    )
+    fwd = {
+        r["eid"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "rk", "t", "rt", ["v"], direction="forward"
+        ).collect()
+    }
+    # earliest right at-or-after: 10→20 ('a'), 25→25 inclusive ('tie'),
+    # 50→nothing after
+    assert fwd == {1: "a", 2: "tie", 3: None}
+    # tolerance bounds rt - t
+    tol = {
+        r["eid"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "rk", "t", "rt", ["v"], tolerance=5,
+            direction="forward",
+        ).collect()
+    }
+    assert tol == {1: None, 2: "tie", 3: None}  # 20-10=10 > 5
