@@ -788,3 +788,23 @@ def lsh_index_query(
         .select("probe_id", "corpus_id", "est_sim")
         .dropDuplicates(["probe_id", "corpus_id"])
     )
+
+
+def append_to_lsh_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold a NEW document batch into a persisted LSH index: the batch
+    is hashed with the index's pinned parameters and its banded rows
+    are APPENDED under the existing band partitions — the corpus is
+    never re-read, so continuous crawl ingestion costs O(batch).
+    Typical loop: ``lsh_index_query`` the batch first (dedup against
+    the corpus), then append the survivors.
+    """
+    p = _lsh_index_params(path)
+    banded = _banded_signatures(
+        docs, p["num_hashes"], p["bands"], p["shingle_n"], text_col, id_col
+    )
+    banded.write.mode("append").partitionBy("band").parquet(path)

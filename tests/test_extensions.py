@@ -1399,3 +1399,22 @@ def test_asof_forward_direction(spark):
         ).collect()
     }
     assert tol == {1: None, 2: "tie", 3: None}  # 20-10=10 > 5
+
+
+def test_lsh_index_append_equals_rebuild(spark, docs, tmp_path):
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        append_to_lsh_index,
+        build_lsh_index,
+        lsh_index_pairs,
+    )
+
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = str(tmp_path / "lsh_inc")
+    full = str(tmp_path / "lsh_full")
+    build_lsh_index(half1, inc, num_hashes=16, bands=8)
+    append_to_lsh_index(half2, inc)
+    build_lsh_index(docs, full, num_hashes=16, bands=8)
+    a = sorted(map(tuple, lsh_index_pairs(spark, inc, 0.5).collect()))
+    b = sorted(map(tuple, lsh_index_pairs(spark, full, 0.5).collect()))
+    assert a == b and a
