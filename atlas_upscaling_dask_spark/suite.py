@@ -1904,6 +1904,75 @@ FROM (
 )
 
 
+def _embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product quantization with asymmetric-distance scoring (Jégou et
+    # al.): deterministic lowest-id codebooks (the ivf_topk seeding
+    # contract) keep the whole encode+ADC path SQL-replayable; per-term
+    # distances round to 9 digits and DECIMAL-sum.
+    from .extensions.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, m=4, k_sub=16)
+
+
+_L2SQ_SQL = (
+    "list_sum(list_transform(generate_series(1, len({a})),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+_register(
+    "embed_pq_topk",
+    _embed_pq_topk,
+    f"""
+WITH seed AS (
+  SELECT vec_id, embedding::DOUBLE[] AS sv
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+books AS (
+  SELECT js.j AS j,
+         CAST(row_number() OVER (PARTITION BY js.j ORDER BY s.vec_id) AS INTEGER) - 1 AS code,
+         s.sv[js.j*16+1 : js.j*16+16] AS cw
+  FROM seed s, js
+),
+csub AS (
+  SELECT vec_id AS neighbor_id, js.j AS j,
+         (embedding::DOUBLE[])[js.j*16+1 : js.j*16+16] AS cs
+  FROM embeddings, js
+),
+assigned AS (
+  SELECT neighbor_id, j, code FROM (
+    SELECT c.neighbor_id, c.j, b.code,
+           row_number() OVER (PARTITION BY c.neighbor_id, c.j
+                              ORDER BY round({_L2SQ_SQL.format(a="c.cs", b="b.cw")}, 9) ASC,
+                                       b.code ASC) AS r
+    FROM csub c JOIN books b USING (j)
+  ) WHERE r = 1
+),
+qsub AS (
+  SELECT vec_id AS query_id, js.j AS j,
+         (embedding::DOUBLE[])[js.j*16+1 : js.j*16+16] AS qs
+  FROM embeddings, js WHERE vec_id < 10
+),
+terms AS (
+  SELECT q.query_id, a.neighbor_id,
+         CAST(round({_L2SQ_SQL.format(a="q.qs", b="b.cw")}, 9) AS DECIMAL(28,9)) AS term
+  FROM assigned a JOIN books b USING (j, code) JOIN qsub q USING (j)
+  WHERE q.query_id != a.neighbor_id
+),
+dist AS (
+  SELECT query_id, neighbor_id, CAST(sum(term) AS DOUBLE) AS adist
+  FROM terms GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, adist, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist ASC, neighbor_id ASC) AS rk
+  FROM dist
+) WHERE rk <= 5
+""",
+)
+
+
 def _text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.text import text_stats
 

@@ -1418,3 +1418,53 @@ def test_lsh_index_append_equals_rebuild(spark, docs, tmp_path):
     a = sorted(map(tuple, lsh_index_pairs(spark, inc, 0.5).collect()))
     b = sorted(map(tuple, lsh_index_pairs(spark, full, 0.5).collect()))
     assert a == b and a
+
+
+# ------------------------------------------------------------------ pq
+
+
+def test_pq_encode_shape_and_determinism(spark, emb):
+    from atlas_upscaling_dask_spark.extensions.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    books = pq_codebooks(emb, m=4, k_sub=16)
+    assert len(books) == 4 and len(books[0]) == 16 and len(books[0][0]) == 16
+    codes = pq_encode(emb, books).collect()
+    assert all(len(r["codes"]) == 4 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["codes"])
+    again = pq_encode(emb, books).collect()
+    assert sorted(map(tuple, ((r["vec_id"], tuple(r["codes"])) for r in codes))) == \
+        sorted(map(tuple, ((r["vec_id"], tuple(r["codes"])) for r in again)))
+
+
+def test_pq_topk_returns_query_cluster(spark):
+    # Coarse codebooks collapse same-cluster vectors to the same codes,
+    # so PQ's guarantee at this granularity is CLUSTER recall: every
+    # returned neighbor must come from the query's own cluster, and the
+    # query's exact-duplicate codes must rank at distance ~0.
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.similarity import pq_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 64)) * 5
+    rows = []
+    for i in range(400):
+        c = i % 8
+        rows.append((i, (centers[c] + rng.normal(size=64) * 0.3).astype(float).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 8)
+    hits = pq_topk(queries, emb, k=10, m=4, k_sub=16).collect()
+    assert len(hits) == 80
+    wrong = [r for r in hits if r["neighbor_id"] % 8 != r["query_id"] % 8]
+    assert not wrong, f"PQ returned out-of-cluster neighbors: {wrong[:3]}"
+    # distances are ascending per query and non-negative
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r["query_id"], []).append((r["rk"], r["adist"]))
+    for pairs in by_q.values():
+        pairs.sort()
+        ds = [d for _, d in pairs]
+        assert ds == sorted(ds) and all(d >= 0 for d in ds)
