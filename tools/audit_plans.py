@@ -403,6 +403,31 @@ def audited_queries():
             QUERIES["chunk_documents"],
             {"no_shuffle": True, "codegen": True, "no_python_udf": True},
         ),
+        # forward as-of: same union+window shape as backward — one
+        # exchange per side, never a quadratic intermediate
+        "asof_forward": (
+            QUERIES["asof_forward"],
+            {"max_shuffles": 3, "codegen": True, "no_python_udf": True},
+        ),
+        # PQ ADC scan: narrow encode; codeword table and query
+        # subvectors broadcast; one (query, neighbor) aggregation + the
+        # per-query top-k window
+        "embed_pq_topk": (
+            QUERIES["embed_pq_topk"],
+            {"max_shuffles": 4, "broadcast": True, "no_python_udf": True},
+        ),
+        # z-scored stats broadcast back; scan side never shuffles — and
+        # the histogram/winsorize/centroid group share the same shape
+        "winsorize_quantity": (
+            QUERIES["winsorize_quantity"],
+            {"max_shuffles": 1, "broadcast": True, "codegen": True,
+             "no_python_udf": True},
+        ),
+        # edit-distance top-k must be TakeOrderedAndProject, not a sort
+        "fuzzy_lookup": (
+            QUERIES["fuzzy_lookup"],
+            {"no_shuffle": True, "codegen": True, "no_python_udf": True},
+        ),
         # RAG-prep composition: dedup window (1, materialized once via
         # the checkpoint — without it the gate+dedup subtree re-executes
         # per consumer: 20 exchanges) + the LM count/score chain (~8,
