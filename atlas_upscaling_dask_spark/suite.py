@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import relational as R
@@ -1617,6 +1617,79 @@ WITH o AS (
 SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.o_orderkey
 FROM events e ASOF LEFT JOIN o
   ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+""",
+)
+
+
+def _sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gaps-and-islands: ranges of missing o_orderkey values per customer
+    # band — the data-quality/audit primitive (did ingestion drop ids?).
+    # One key-partitioned lag window; emits only the gap rows.
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 10).alias("band"), "o_orderkey"
+    )
+    w = Window.partitionBy("band").orderBy("o_orderkey")
+    return (
+        orders.withColumn("prev", F.lag("o_orderkey").over(w))
+        .filter(F.col("o_orderkey") - F.col("prev") > 1)
+        .select(
+            "band",
+            (F.col("prev") + 1).alias("gap_start"),
+            (F.col("o_orderkey") - 1).alias("gap_end"),
+            (F.col("o_orderkey") - F.col("prev") - 1).alias("n_missing"),
+        )
+    )
+
+
+_register(
+    "sequence_gaps",
+    _sequence_gaps,
+    """
+WITH o AS (SELECT o_custkey % 10 AS band, o_orderkey FROM orders),
+l AS (
+  SELECT band, o_orderkey,
+         lag(o_orderkey) OVER (PARTITION BY band ORDER BY o_orderkey) AS prev
+  FROM o
+)
+SELECT band, prev + 1 AS gap_start, o_orderkey - 1 AS gap_end,
+       o_orderkey - prev - 1 AS n_missing
+FROM l WHERE o_orderkey - prev > 1
+""",
+)
+
+
+def _cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cumulative distinct users per day — the growth-curve query.
+    # Window COUNT(DISTINCT) doesn't exist; the scalable form is
+    # first-seen election per user (one exchange) + daily counts + a
+    # running sum over the tiny day frame.
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = first_seen.groupBy("first_day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("total_users"),
+    )
+
+
+_register(
+    "cumulative_users",
+    _cumulative_users,
+    """
+WITH fs AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+d AS (SELECT first_day, count(*) AS new_users FROM fs GROUP BY first_day)
+SELECT strftime(first_day, '%Y-%m-%d') AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY first_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS total_users
+FROM d
 """,
 )
 
