@@ -423,6 +423,18 @@ def audited_queries():
             {"max_shuffles": 1, "broadcast": True, "codegen": True,
              "no_python_udf": True},
         ),
+        # gaps-and-islands: one key-partitioned lag window
+        "sequence_gaps": (
+            QUERIES["sequence_gaps"],
+            {"max_shuffles": 1, "codegen": True, "no_python_udf": True},
+        ),
+        # cumulative users: first-seen exchange + day agg + the running
+        # sum over the tiny day frame (single-partition window is fine
+        # at |days| rows)
+        "cumulative_users": (
+            QUERIES["cumulative_users"],
+            {"max_shuffles": 4, "codegen": True, "no_python_udf": True},
+        ),
         # edit-distance top-k must be TakeOrderedAndProject, not a sort
         "fuzzy_lookup": (
             QUERIES["fuzzy_lookup"],
