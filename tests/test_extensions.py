@@ -1468,3 +1468,21 @@ def test_pq_topk_returns_query_cluster(spark):
         pairs.sort()
         ds = [d for _, d in pairs]
         assert ds == sorted(ds) and all(d >= 0 for d in ds)
+
+
+def test_pq_encode_backends_identical(spark, emb):
+    from atlas_upscaling_dask_spark.extensions.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    books = pq_codebooks(emb, m=4, k_sub=16)
+    a = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(emb, books, backend="expr").collect()
+    )
+    b = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(emb, books, backend="numpy").collect()
+    )
+    assert a == b
