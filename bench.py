@@ -253,6 +253,7 @@ def main() -> None:
         "duplicate_spans",
         "lm_score",
         "prepare_rag_corpus",
+        "embed_pq_topk",
     ]
     for name in headliners:
         timed(name, lambda n=name: force(suite.QUERIES[n](spark, SF_DIR)))
