@@ -218,9 +218,16 @@ def cmd_rag(args) -> int:
     # split-partitioned layout: a trainer reads only its split's files
     out.write.mode("overwrite").partitionBy("split").parquet(args.output)
     m = obs.get
+    # an empty corpus (e.g. the LM screen drops everything) yields None for
+    # sum/avg — still a successful (empty) write, so report it as such
+    n_chunks = m["n_chunks"] or 0
+    total_tokens = m["total_tokens"] or 0
+    mean_lm = (
+        f"{m['mean_lm_score']:.6f}" if m["mean_lm_score"] is not None else "n/a"
+    )
     print(
-        f"wrote {args.output}: {m['n_chunks']} chunks, "
-        f"{m['total_tokens']} tokens, mean LM score {m['mean_lm_score']:.6f}"
+        f"wrote {args.output}: {n_chunks} chunks, "
+        f"{total_tokens} tokens, mean LM score {mean_lm}"
     )
     return 0
 

@@ -693,24 +693,28 @@ def build_lsh_index(
     the index instead of re-hashing petabytes.
     """
     import json
-    import os
+
+    from ..fsutil import write_text
 
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     banded = _banded_signatures(docs, num_hashes, bands, shingle_n, text_col, id_col)
     banded.write.mode("overwrite").partitionBy("band").parquet(path)
-    with open(os.path.join(path, "_lsh_index.json"), "w") as f:
-        json.dump(
-            {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}, f
-        )
+    write_text(
+        docs.sparkSession,
+        path.rstrip("/") + "/_lsh_index.json",
+        json.dumps(
+            {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
+        ),
+    )
 
 
-def _lsh_index_params(path: str) -> dict:
+def _lsh_index_params(spark, path: str) -> dict:
     import json
-    import os
 
-    with open(os.path.join(path, "_lsh_index.json")) as f:
-        return json.load(f)
+    from ..fsutil import read_text
+
+    return json.loads(read_text(spark, path.rstrip("/") + "/_lsh_index.json"))
 
 
 def lsh_index_pairs(
@@ -721,7 +725,7 @@ def lsh_index_pairs(
     """Corpus-internal near-dup pairs from a persisted index: the same
     bucket self-join + in-bucket scoring as ``minhash_lsh_pairs``, but
     the signature computation is a parquet scan (parity-tested)."""
-    p = _lsh_index_params(path)
+    p = _lsh_index_params(spark, path)
     banded = spark.read.parquet(path)
     lhs = banded.select(
         F.col("doc_id").alias("d1"), F.col("sig_arr").alias("arr1"), "band", "bkey"
@@ -760,7 +764,7 @@ def lsh_index_query(
     crawl-dedup case): only the probe batch is hashed; the corpus side
     is the index scan, joined per (band, bucket).  Returns
     (probe_id, corpus_id, est_sim) candidates at ``min_est_sim``."""
-    p = _lsh_index_params(path)
+    p = _lsh_index_params(spark, path)
     probe = _banded_signatures(
         probe_docs, p["num_hashes"], p["bands"], p["shingle_n"], text_col, id_col
     ).select(
@@ -803,7 +807,7 @@ def append_to_lsh_index(
     Typical loop: ``lsh_index_query`` the batch first (dedup against
     the corpus), then append the survivors.
     """
-    p = _lsh_index_params(path)
+    p = _lsh_index_params(docs.sparkSession, path)
     banded = _banded_signatures(
         docs, p["num_hashes"], p["bands"], p["shingle_n"], text_col, id_col
     )

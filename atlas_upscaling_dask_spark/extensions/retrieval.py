@@ -233,7 +233,8 @@ def build_text_index(
     fixed no matter how large the vocabulary grows.
     """
     import json
-    import os
+
+    from ..fsutil import write_text
 
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -250,12 +251,14 @@ def build_text_index(
         F.count("*").alias("n"),
         F.sum(F.size(F.split(F.col(text_col), " "))).alias("s"),
     ).collect()[0]
-    with open(os.path.join(path, "_corpus_stats.json"), "w") as f:
-        json.dump(
+    write_text(
+        docs.sparkSession,
+        path.rstrip("/") + "/_corpus_stats.json",
+        json.dumps(
             {"n_docs": int(stats["n"]), "sum_len": int(stats["s"]),
-             "n_buckets": n_buckets},
-            f,
-        )
+             "n_buckets": n_buckets}
+        ),
+    )
 
 
 def bm25_index_topk(
@@ -276,10 +279,10 @@ def bm25_index_topk(
     parity + the shared DuckDB oracle).
     """
     import json
-    import os
 
-    with open(os.path.join(path, "_corpus_stats.json")) as f:
-        stats = json.load(f)
+    from ..fsutil import read_text
+
+    stats = json.loads(read_text(spark, path.rstrip("/") + "/_corpus_stats.json"))
     n, s = stats["n_docs"], stats["sum_len"]
     buckets = sorted(
         set(_bucket_of_terms(spark, query_terms, stats["n_buckets"]).values())

@@ -372,20 +372,23 @@ def build_ivf_index(
     PartitionFilters, not a full-corpus pass).
     """
     import json
-    import os
+
+    from ..fsutil import write_text
 
     cents = _coarse_centroids(corpus, n_centroids, refine_iters, id_col, vec_col)
     assigned = _assign_buckets(corpus, cents, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
-        json.dump(
+    write_text(
+        corpus.sparkSession,
+        path.rstrip("/") + "/_ivf_centroids.json",
+        json.dumps(
             {
                 "n_centroids": int(cents.shape[0]),
                 "dim": int(cents.shape[1]),
                 "centroids": cents.tolist(),
-            },
-            f,
-        )
+            }
+        ),
+    )
 
 
 def ivf_index_topk(
@@ -405,12 +408,17 @@ def ivf_index_topk(
     |Q| · n_probe · bucket-size, independent of corpus size.
     """
     import json
-    import os
 
     import numpy as np
 
-    with open(os.path.join(path, "_ivf_centroids.json")) as f:
-        cents = np.asarray(json.load(f)["centroids"], dtype=np.float64)
+    from ..fsutil import read_text
+
+    cents = np.asarray(
+        json.loads(read_text(spark, path.rstrip("/") + "/_ivf_centroids.json"))[
+            "centroids"
+        ],
+        dtype=np.float64,
+    )
     q_df = _probe_frame(queries, cents, n_probe, id_col, vec_col)
     probed = sorted({r["bucket"] for r in q_df.select("bucket").distinct().collect()})
     assigned = spark.read.parquet(path).filter(F.col("bucket").isin(probed))
@@ -623,6 +631,9 @@ def _pq_encode_numpy(
 
     m, k_sub, dsub = len(books), len(books[0]), len(books[0][0])
     bk = np.asarray(books, dtype=np.float64)  # (m, k_sub, dsub)
+    # keep the id column's own type (the expr backend already does) —
+    # a string or int id must round-trip unchanged, not be cast to long
+    id_type = corpus.schema[id_col].dataType.simpleString()
 
     def kernel(batches):
         for pdf in batches:
@@ -640,7 +651,9 @@ def _pq_encode_numpy(
                 {"vec_id": pdf[id_col], "codes": list(codes)}
             )
 
-    return corpus.mapInPandas(kernel, schema="vec_id long, codes array<int>")
+    return corpus.mapInPandas(
+        kernel, schema=f"vec_id {id_type}, codes array<int>"
+    )
 
 
 def pq_encode(

@@ -210,8 +210,8 @@ c{i + 1} AS (
 ),
 r{i + 1} AS (
   SELECT d.node,
-         (SELECT base FROM consts)
-           + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS rank_scaled
+         CAST((SELECT base FROM consts)
+           + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS rank_scaled
   FROM deg d
   LEFT JOIN directed e ON e.dst = d.node
   LEFT JOIN c{i + 1} c ON c.src = e.src

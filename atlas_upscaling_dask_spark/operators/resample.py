@@ -212,7 +212,13 @@ def ewma(
     )
     # 2^-k as an exact rational: 1 / (1 << k) — no libm pow in the
     # exactness contract at all
-    wt = F.lit(1.0) / F.expr("shiftleft(1, rn - prn)").cast("double")
+    # shiftleft on an INT wraps the shift amount mod 32 in the JVM; shift a
+    # BIGINT so every lookback up to 63 is exact
+    if lookback > 63:
+        raise ValueError(f"ewma lookback must be <= 63, got {lookback}")
+    wt = F.lit(1.0) / F.expr(
+        "shiftleft(CAST(1 AS BIGINT), rn - prn)"
+    ).cast("double")
     num = F.round(F.col("pv") * wt, 12).cast("decimal(28,12)")
     den = F.round(wt, 12).cast("decimal(28,12)")
     return (

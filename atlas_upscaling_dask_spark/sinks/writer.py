@@ -60,7 +60,14 @@ def write_volume(
 
 
 def write_sidecar(path: str, meta: VolumeMeta, **extra) -> None:
-    """K5 — JSON provenance sidecar (upscale_streaming.py:130-140)."""
+    """K5 — JSON provenance sidecar (upscale_streaming.py:130-140).
+
+    Routed through the Hadoop FileSystem so the sidecar lands on the
+    same store as the chunk parquet (s3a/hdfs/local alike)."""
+    from pyspark.sql import SparkSession
+
+    from ..fsutil import write_text
+
     payload = {
         "source": meta.source,
         "dims_zyx": list(meta.shape),
@@ -69,8 +76,13 @@ def write_sidecar(path: str, meta: VolumeMeta, **extra) -> None:
         "written_unix": int(time.time()),
         **extra,
     }
-    with open(os.path.join(path, "_volume_meta.json"), "w") as fh:
-        json.dump(payload, fh, indent=2)
+    spark = SparkSession.getActiveSession()
+    text = json.dumps(payload, indent=2)
+    if spark is not None:
+        write_text(spark, path.rstrip("/") + "/_volume_meta.json", text)
+    else:  # no active session (plain tooling context): local file
+        with open(os.path.join(path, "_volume_meta.json"), "w") as fh:
+            fh.write(text)
 
 
 def write_pyramid(

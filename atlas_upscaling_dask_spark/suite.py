@@ -3092,7 +3092,8 @@ WITH b AS (
         FROM documents)
 ),
 cc AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram)
-SELECT doc_id, count(*) AS n_bigrams, sum(cnt) AS sum_cnt,
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(cnt) AS BIGINT) AS sum_cnt,
        sum(cnt) / count(*) AS coherence
 FROM b JOIN cc USING (bigram)
 GROUP BY doc_id
