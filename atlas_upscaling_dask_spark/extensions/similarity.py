@@ -361,9 +361,14 @@ def build_ivf_index(
     refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq: bool = False,
+    pq_m: int = 4,
+    pq_k_sub: int = 16,
 ) -> None:
     """Materialize the IVF index: corpus PARTITIONED BY bucket on disk,
-    centroids in a JSON sidecar.
+    centroids in a JSON sidecar.  With ``pq=True`` the deterministic PQ
+    codebooks land in the sidecar too, enabling
+    :func:`ivf_pq_index_topk`'s ADC scan over the same layout.
 
     This is the 100 TB shape of IVF: assignment runs once at build
     time, and every later query reads ONLY its probed buckets — the
@@ -378,16 +383,17 @@ def build_ivf_index(
     cents = _coarse_centroids(corpus, n_centroids, refine_iters, id_col, vec_col)
     assigned = _assign_buckets(corpus, cents, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    side = {
+        "n_centroids": int(cents.shape[0]),
+        "dim": int(cents.shape[1]),
+        "centroids": cents.tolist(),
+    }
+    if pq:
+        side["pq_books"] = pq_codebooks(corpus, pq_m, pq_k_sub, id_col, vec_col)
     write_text(
         corpus.sparkSession,
         path.rstrip("/") + "/_ivf_centroids.json",
-        json.dumps(
-            {
-                "n_centroids": int(cents.shape[0]),
-                "dim": int(cents.shape[1]),
-                "centroids": cents.tolist(),
-            }
-        ),
+        json.dumps(side),
     )
 
 
@@ -794,4 +800,237 @@ def pq_topk(
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "adist", "rk")
+    )
+
+
+# ----------------------------------------------------------------- IVF+PQ
+
+
+def _adc_lut_nanos(books, q_rows, vec_idx: int = 1):
+    """Per-query ADC lookup tables in integer NANOS.
+
+    ``lut[qi][j, code]`` = round-half-up-to-9-digits of the squared L2
+    between query ``qi``'s j-th RAW subvector and codeword ``code``,
+    scaled by 1e9 and held as int64 — so per-neighbor distances sum as
+    exact integers (order-independent, bitwise equal to the oracle's
+    DECIMAL(28,9) term sum).  The fold over ``dsub`` dimensions runs in
+    strict left-to-right order and the rounding is the +0.5-floor
+    half-up recipe — both identical to ``_pq_encode_numpy`` (whose
+    parity with Spark's ``F.round`` / DuckDB's ``round`` is
+    property-tested)."""
+    import numpy as np
+
+    m, k_sub, dsub = len(books), len(books[0]), len(books[0][0])
+    bk = np.asarray(books, dtype=np.float64)  # (m, k_sub, dsub)
+    luts = []
+    for r in q_rows:
+        qv = np.asarray(r[vec_idx], dtype=np.float64)
+        lut = np.zeros((m, k_sub))
+        for j in range(m):
+            qs = qv[j * dsub : (j + 1) * dsub]
+            d = np.zeros(k_sub)
+            for t in range(dsub):  # strict fold order
+                diff = qs[t] - bk[j, :, t]
+                d += diff * diff
+            lut[j] = d
+        luts.append(np.floor(lut * 1e9 + 0.5).astype(np.int64))
+    return luts
+
+
+def _adc_scan_topk(
+    candidates: DataFrame,
+    cents,
+    books,
+    probes: dict,
+    luts,
+    q_ids,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    assigned_bucket: bool,
+) -> DataFrame:
+    """The narrow ADC kernel: one ``mapInPandas`` pass over candidate
+    partitions that (a) assigns each vector to its IVF bucket (skipped
+    when the scan already carries a ``bucket`` column — the persisted
+    index), (b) PQ-encodes it with the ``_pq_encode_numpy`` fold
+    recipe, (c) scores it against every query whose probe set contains
+    its bucket via the int-nanos LUT, and (d) emits only the partition-
+    local top-k per query.  The ONLY exchange after this is the final
+    per-query ranking window over ≤ |Q|·k·n_partitions rows — no
+    query×corpus pair rows ever move (the `pq_topk` aggregation this
+    replaces shipped |Q|·|corpus| rows; PLANS.md pins the invariant)."""
+    import numpy as np
+    import pandas as pd
+
+    m, k_sub, dsub = len(books), len(books[0]), len(books[0][0])
+    bk = np.asarray(books, dtype=np.float64)
+    ct = np.asarray(cents, dtype=np.float64)
+    probe_sets = {int(q): set(map(int, bs)) for q, bs in probes.items()}
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if assigned_bucket:
+                bucket = pdf["bucket"].to_numpy(dtype=np.int64)
+            else:
+                norms = np.linalg.norm(mat, axis=1, keepdims=True)
+                bucket = ((mat / norms) @ ct.T).argmax(axis=1)
+            codes = np.empty((n, m), dtype=np.int64)
+            for j in range(m):
+                xs = mat[:, j * dsub : (j + 1) * dsub]
+                d = np.zeros((n, k_sub))
+                for t in range(dsub):  # strict fold order (encode parity)
+                    diff = xs[:, t : t + 1] - bk[j, :, t][None, :]
+                    d += diff * diff
+                d = np.floor(d * 1e9 + 0.5) / 1e9  # round half-up to 9
+                codes[:, j] = d.argmin(axis=1)
+            outs = []
+            for qi, qid in enumerate(q_ids):
+                mask = np.isin(bucket, list(probe_sets[int(qid)]))
+                mask &= ids != qid
+                cand = np.nonzero(mask)[0]
+                if not len(cand):
+                    continue
+                lut = luts[qi]
+                nanos = np.zeros(len(cand), dtype=np.int64)
+                for j in range(m):
+                    nanos += lut[j, codes[cand, j]]
+                take = min(k, len(cand))
+                order = np.lexsort((ids[cand], nanos))[:take]
+                sel = cand[order]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[sel],
+                            "adist_nanos": nanos[order],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    partial = candidates.mapInPandas(
+        kernel, schema="query_id long, neighbor_id long, adist_nanos long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_nanos").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("adist_nanos") / F.lit(1e9)).alias("adist"),
+            "rk",
+        )
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    k_sub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-pruned PQ search — the scale-safe composition `pq_topk`'s
+    docstring names (FAISS's IVFADC, Jégou et al. §IV).
+
+    IVF prunes: each query probes its ``n_probe`` nearest coarse-
+    centroid buckets (the `ivf_topk` quantizer, deterministic lowest-id
+    seeds), so only ~n_probe/n_centroids of the corpus is scored.  PQ
+    compresses: candidates are scored via per-query ADC lookup tables
+    over their m codes, never their raw floats.  Everything data-sized
+    stays in ONE narrow pass emitting partition-local top-k — the plan
+    has exactly one exchange (the final per-query ranking window over
+    ≤ |Q|·k·n_partitions rows), versus `pq_topk`'s aggregation that
+    carried |Q|·|corpus| pair rows.  At 100 TB, run against the
+    bucket-partitioned `build_ivf_index` layout via
+    :func:`ivf_pq_index_topk` and the probed-bucket filter becomes
+    PartitionFilters — the scan itself is sublinear.
+
+    Distances are bitwise equal to `pq_topk` on shared candidates: the
+    same codebooks, the same encode fold, per-term round-to-9 carried
+    as exact integer nanos.
+    """
+    import numpy as np
+
+    cents = _coarse_centroids(corpus, n_centroids, 0, id_col, vec_col)
+    books = pq_codebooks(corpus, m, k_sub, id_col, vec_col)
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    q_ids = [int(r[0]) for r in q_rows]
+    probes = {}
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        order = np.argsort(-(np.asarray(cents) @ qv), kind="stable")[:n_probe]
+        probes[int(r[0])] = [int(b) for b in order]
+    luts = _adc_lut_nanos(books, q_rows)
+    # bucket assignment happens inside the kernel (one pass, no extra
+    # scan); nothing here pre-filters because the inline path has no
+    # bucket column yet — the index path below prunes partitions instead
+    return _adc_scan_topk(
+        corpus, cents, books, probes, luts, q_ids, k, id_col, vec_col,
+        assigned_bucket=False,
+    )
+
+
+def ivf_pq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC against a persisted `build_ivf_index` layout: the probed
+    buckets become an IN over the partition column (PartitionFilters —
+    unprobed bucket directories are never listed or read), then the
+    same narrow ADC kernel as :func:`ivf_pq_topk` scores the pruned
+    scan.  Query cost tracks |Q| · n_probe · bucket-size, independent
+    of corpus size; the PQ books come from the index sidecar."""
+    import json
+
+    import numpy as np
+
+    from ..fsutil import read_text
+
+    side = json.loads(
+        read_text(spark, path.rstrip("/") + "/_ivf_centroids.json")
+    )
+    cents = np.asarray(side["centroids"], dtype=np.float64)
+    if "pq_books" not in side:
+        raise ValueError(
+            "index has no PQ codebooks — rebuild with build_ivf_index(..., pq=True)"
+        )
+    books = side["pq_books"]
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    q_ids = [int(r[0]) for r in q_rows]
+    probes = {}
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        order = np.argsort(-(cents @ qv), kind="stable")[:n_probe]
+        probes[int(r[0])] = [int(b) for b in order]
+    luts = _adc_lut_nanos(books, q_rows)
+    probed = sorted({b for bs in probes.values() for b in bs})
+    candidates = spark.read.parquet(path).filter(F.col("bucket").isin(probed))
+    return _adc_scan_topk(
+        candidates, cents, books, probes, luts, q_ids, k,
+        "neighbor_id", "cv", assigned_bucket=True,
     )

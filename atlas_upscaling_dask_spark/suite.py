@@ -2046,6 +2046,104 @@ SELECT query_id, neighbor_id, adist, CAST(rk AS INTEGER) AS rk FROM (
 )
 
 
+def _embed_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVFADC (FAISS-style): IVF probes prune the candidate set, PQ ADC
+    # scores it — ONE narrow kernel pass + one |Q|·k-row ranking
+    # exchange (vs pq_topk's |Q|·|corpus| pair aggregation).  Same
+    # deterministic quantizers as embed_ivf_topk / embed_pq_topk, so the
+    # composition is SQL-replayable end-to-end.
+    from .extensions.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb.filter(F.col("vec_id") < 10), emb,
+        k=5, n_centroids=16, n_probe=4, m=4, k_sub=16,
+    )
+
+
+_register(
+    "embed_ivf_pq_topk",
+    _embed_ivf_pq_topk,
+    f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
+         embedding::DOUBLE[] AS ctv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+corpus AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+ivf_assigned AS (
+  SELECT neighbor_id, cid AS bucket FROM (
+    SELECT c.neighbor_id, ct.cid,
+           row_number() OVER (PARTITION BY c.neighbor_id
+                              ORDER BY {_COSINE_SQL.format(a="c.cv", b="ct.ctv")} DESC, ct.cid) AS r
+    FROM corpus c, cents ct
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, cid AS bucket FROM (
+    SELECT q.query_id, ct.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COSINE_SQL.format(a="q.qv", b="ct.ctv")} DESC, ct.cid) AS r
+    FROM q, cents ct
+  ) WHERE r <= 4
+),
+cand AS (
+  SELECT p.query_id, a.neighbor_id
+  FROM probes p JOIN ivf_assigned a USING (bucket)
+  WHERE p.query_id != a.neighbor_id
+),
+seed AS (
+  SELECT vec_id, embedding::DOUBLE[] AS sv
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+books AS (
+  SELECT js.j AS j,
+         CAST(row_number() OVER (PARTITION BY js.j ORDER BY s.vec_id) AS INTEGER) - 1 AS code,
+         s.sv[js.j*16+1 : js.j*16+16] AS cw
+  FROM seed s, js
+),
+csub AS (
+  SELECT vec_id AS neighbor_id, js.j AS j,
+         (embedding::DOUBLE[])[js.j*16+1 : js.j*16+16] AS cs
+  FROM embeddings, js
+),
+codes_a AS (
+  SELECT neighbor_id, j, code FROM (
+    SELECT c.neighbor_id, c.j, b.code,
+           row_number() OVER (PARTITION BY c.neighbor_id, c.j
+                              ORDER BY round({_L2SQ_SQL.format(a="c.cs", b="b.cw")}, 9) ASC,
+                                       b.code ASC) AS r
+    FROM csub c JOIN books b USING (j)
+  ) WHERE r = 1
+),
+qsub AS (
+  SELECT vec_id AS query_id, js.j AS j,
+         (embedding::DOUBLE[])[js.j*16+1 : js.j*16+16] AS qs
+  FROM embeddings, js WHERE vec_id < 10
+),
+terms AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         CAST(round({_L2SQ_SQL.format(a="q.qs", b="b.cw")}, 9) AS DECIMAL(28,9)) AS term
+  FROM cand cd
+  JOIN codes_a a ON a.neighbor_id = cd.neighbor_id
+  JOIN books b USING (j, code)
+  JOIN qsub q ON q.query_id = cd.query_id AND q.j = a.j
+),
+dist AS (
+  SELECT query_id, neighbor_id, CAST(sum(term) AS DOUBLE) AS adist
+  FROM terms GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, adist, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist ASC, neighbor_id ASC) AS rk
+  FROM dist
+) WHERE rk <= 5
+""",
+)
+
+
 def _text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.text import text_stats
 
@@ -5296,67 +5394,84 @@ SELECT z, y, x, label FROM ranked WHERE rk = 1
 
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.  The driver's correctness gate samples a prefix
-# of queries() (r1/r2 artifacts both cover exactly the first 50 keys in
-# registration order), so 82 registered rows — including the whole TPC-H
-# set and prepare_training_set — had no driver-green row after round 2.
-# ordered_queries() leads with the never-driver-checked entries (flagship
-# compositions and the round-3 chunk-path kernels first) so a prefix
-# sample maximizes distinct-operator evidence; local verification always
-# runs the full set regardless of order (tools/check_oracle.py).
+# of queries() — the first 50 keys.  Rounds 1-3 cumulatively drove 103 of
+# the 172 registered rows (union of CORRECTNESS_r0{1,2,3}.json), so
+# ordered_queries() leads with the rows that still lack any driver-green
+# evidence, plus the two whose oracle SQL was fixed this round
+# (graph_pagerank / bigram_coherence HUGEINT casts) so the driver
+# re-confirms them.  Local verification always runs the full set
+# regardless of order (tools/check_oracle.py).
 # ---------------------------------------------------------------------------
 
-#: rows verified by the driver in rounds 1-2 (CORRECTNESS_r0{1,2}.json)
+#: rows verified by the driver in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json)
 _DRIVER_CHECKED = {
-    "vox_upscale2", "vox_decimate", "vox_pyramid", "vox_outline",
-    "vox_outline_wrap", "vox_decode", "vox_point_lookup", "vox_verify_upscale",
-    "vox_extents", "vox_histogram", "vox_hierarchy", "vox_closure",
-    "vox_resize", "vox_rotate", "dim_filter_project", "dim_join_left",
-    "hierarchy_join", "tpch_q1_pricing", "topk_orders", "distinct_agg",
-    "rollup_counts", "cube_counts", "pivot_returnflag", "window_running_sum",
-    "window_rank_topk", "event_neighbor_diff", "sessionize",
-    "asof_events_orders", "time_bucket_agg", "sliding_window_agg",
-    "semi_anti_customers", "set_except_intersect", "upscale_lineitem",
-    "decimate_lineitem", "scalar_functions", "json_extract_events",
-    "duplicate_windows", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "embed_topk", "embed_ann_lsh",
-    "embed_near_dup", "embed_ivf_topk", "text_stats", "quality_score",
-    "lang_id", "mixture_resample", "mixture_upsample",
-}
-
-#: hand-ranked head: flagship compositions, the full TPC-H adaptation
-#: set, and the newest operators — the rows that most need driver rows.
-_PRIORITY = [
-    # round-3 session-3 additions — newest first, no history anywhere:
-    "duplicate_spans", "lm_score", "bpe_pair_counts",
-    "ewma_events", "zscore_outliers", "chunk_documents", "prepare_rag_corpus",
-    "vox_centroids", "winsorize_quantity", "value_histogram", "correlation_stats",
-    "fuzzy_lookup", "asof_forward",
-    "prepare_training_set", "doc_pipeline", "vox_enhance_chunkpath",
-    "vox_outline_chunkpath", "vox_decimate_chunkpath", "vox_mode_chunkpath",
-    "vox_erode_chunkpath", "vox_upscale_chunkpath", "vox_histogram_chunkpath",
-    "vox_point_lookup_chunkpath",
-    "region_rollup_chunkpath", "vox_adjacency_chunkpath", "vox_components_chunkpath",
-    # siblings of the rows above exercise the same chunk-path machinery
-    # (wrap outline, dilate, extents, rechunk); they follow in the
-    # unchecked block right after this head.
-    # round-3 session-2 additions — no local OR driver history yet:
-    "bm25_topk", "ndv_sketch", "graph_triangles", "graph_pagerank",
-    "weighted_sample", "resample_interpolate",
-    "line_dedup", "train_shuffle", "pack_sequences",
-    "assemble_packs", "hash_split", "contamination",
-    "funnel_counts", "cohort_retention", "changelog_apply",
-    "vox_morton", "tpch_q2_min_cost", "tpch_q3_shipping",
+    "asof_events_orders", "asof_forward", "assemble_packs", "bm25_topk",
+    "bpe_pair_counts", "changelog_apply", "chunk_documents",
+    "cohort_retention", "contamination", "correlation_stats",
+    "cube_counts", "decimate_lineitem", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dim_filter_project", "dim_join_left", "distinct_agg",
+    "doc_fingerprint", "doc_pipeline", "duplicate_spans",
+    "duplicate_windows", "embed_ann_lsh", "embed_ivf_topk",
+    "embed_near_dup", "embed_topk", "event_neighbor_diff", "ewma_events",
+    "funnel_counts", "fuzzy_lookup", "graph_pagerank", "graph_triangles",
+    "hash_split", "hierarchy_join", "json_extract_events", "lang_id",
+    "line_dedup", "lm_score", "mixture_resample", "mixture_upsample",
+    "multimodal_digest", "multimodal_features", "ndv_sketch",
+    "pack_sequences", "pivot_returnflag", "prepare_rag_corpus",
+    "prepare_training_set", "quality_score", "region_rollup_chunkpath",
+    "resample_interpolate", "rollup_counts", "scalar_functions",
+    "semi_anti_customers", "sessionize", "set_except_intersect",
+    "sliding_window_agg", "text_stats", "time_bucket_agg", "topk_orders",
+    "tpch_q1_pricing", "tpch_q2_min_cost", "tpch_q3_shipping",
     "tpch_q4_priority", "tpch_q5_local_supplier", "tpch_q6_forecast",
     "tpch_q7_volume_shipping", "tpch_q8_market_share", "tpch_q9_profit",
-    "tpch_q10_returns", "tpch_q11_important_stock", "tpch_q12_shipmode",
-    "tpch_q13_custdist", "tpch_q14_promo", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt", "tpch_q17_small_qty", "tpch_q18_large_orders",
+    "train_shuffle", "upscale_lineitem", "value_histogram",
+    "vox_adjacency_chunkpath", "vox_centroids", "vox_closure",
+    "vox_components_chunkpath", "vox_decimate", "vox_decimate_chunkpath",
+    "vox_decode", "vox_enhance_chunkpath", "vox_erode_chunkpath",
+    "vox_extents", "vox_hierarchy", "vox_histogram",
+    "vox_histogram_chunkpath", "vox_mode_chunkpath", "vox_morton",
+    "vox_outline", "vox_outline_chunkpath", "vox_outline_wrap",
+    "vox_point_lookup", "vox_point_lookup_chunkpath", "vox_pyramid",
+    "vox_resize", "vox_rotate", "vox_upscale2", "vox_upscale_chunkpath",
+    "vox_verify_upscale", "weighted_sample", "window_rank_topk",
+    "window_running_sum", "winsorize_quantity", "zscore_outliers",
+}
+
+#: hand-ranked head: round-4 additions and oracle-fixed rows first, then
+#: every never-driver-checked row — persisted-index / incremental /
+#: sketch operators, the vox siblings, and the TPC-H remainder — with
+#: pure function-coverage rows last (they spill past the 50-sample into
+#: round 5's prefix).
+_PRIORITY = [
+    # round-4 additions — no driver history anywhere:
+    "embed_ivf_pq_topk",
+    # oracle SQL fixed this round (HUGEINT -> BIGINT casts): re-confirm
+    "graph_pagerank", "bigram_coherence",
+    # never driver-checked, highest operator value first:
+    "embed_pq_topk", "bm25_index_topk", "incremental_agg", "table_diff",
+    "quantile_sketch", "cdc_apply", "dedup_clusters", "vox_components",
+    "model_quality_screen", "stratified_sample", "sequence_gaps",
+    "cumulative_users", "corpus_report", "vocab_topk", "oov_rate",
+    "vox_tiff_scan", "vox_zorder_code", "salted_join",
+    "range_join_events", "vox_erode", "vox_dilate",
+    "region_volume_rollup", "vox_point_after_upscale", "embed_quantize",
+    "rare_terms", "vox_relabel", "vox_histogram_preserved",
+    "vox_downsample_mode", "vox_adjacency", "vox_bbox",
+    "lateral_topk_per_cust", "embed_centroids", "tpch_q10_returns",
+    "tpch_q12_shipmode", "tpch_q11_important_stock", "tpch_q13_custdist",
+    "tpch_q14_promo", "tpch_q17_small_qty", "tpch_q18_large_orders",
+    "percentile_quantity", "orders_above_cust_avg", "revenue_by_month",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
     "tpch_q19_disjunctive", "tpch_q20_nested_in", "tpch_q21_waiting",
-    "tpch_q22_global_sales",
-    "incremental_agg", "table_diff", "bm25_index_topk", "quantile_sketch",
-    "vocab_topk", "oov_rate", "corpus_report",
-    "model_quality_screen", "dedup_clusters", "vox_components",
-    "stratified_sample", "redact_pii", "resample_ffill",
+    "tpch_q22_global_sales", "repetition_stats", "funnel_steps",
+    "resample_ffill", "redact_pii", "vox_outline_wrap_chunkpath",
+    "vox_dilate_chunkpath", "vox_rechunk_fastpaths",
+    "vox_extents_chunkpath", "string_functions", "array_functions",
+    "null_semantics", "date_arithmetic", "text_normalize",
+    "frame_sample_plan", "vox_meta_report", "scalar_subquery",
+    "window_frames", "grouping_sets", "unpivot_lineitem", "approx_agg",
 ]
 
 

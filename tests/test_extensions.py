@@ -1486,3 +1486,100 @@ def test_pq_encode_backends_identical(spark, emb):
         for r in pq_encode(emb, books, backend="numpy").collect()
     )
     assert a == b
+
+
+# -------------------------------------------------------------- ivf+pq
+
+
+def test_ivf_pq_distances_match_pq_on_shared_pairs(spark, emb):
+    # IVFADC prunes candidates but must NOT change distances: every
+    # (query, neighbor) it returns carries the exact adist pq_topk's
+    # pair-aggregation plan computes for that pair (same codebooks,
+    # same encode fold, per-term round-9 carried as integer nanos).
+    from atlas_upscaling_dask_spark.extensions.similarity import (
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5)
+    n_corpus = emb.count()
+    pq_all = {
+        (r["query_id"], r["neighbor_id"]): r["adist"]
+        for r in pq_topk(q, emb, k=n_corpus, m=4, k_sub=16).collect()
+    }
+    got = ivf_pq_topk(q, emb, k=5, n_centroids=8, n_probe=3, m=4, k_sub=16).collect()
+    assert got
+    for r in got:
+        assert r["adist"] == pq_all[(r["query_id"], r["neighbor_id"])]
+
+
+def test_ivf_pq_returns_query_cluster(spark):
+    # same cluster-recall contract as pq_topk: clustered corpus, every
+    # returned neighbor comes from the query's own cluster
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 64)) * 5
+    rows = []
+    for i in range(400):
+        c = i % 8
+        rows.append(
+            (i, (centers[c] + rng.normal(size=64) * 0.3).astype(float).tolist())
+        )
+    emb8 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb8.filter(F.col("vec_id") < 8)
+    from atlas_upscaling_dask_spark.extensions.similarity import ivf_pq_topk
+
+    hits = ivf_pq_topk(
+        queries, emb8, k=10, n_centroids=16, n_probe=4, m=4, k_sub=16
+    ).collect()
+    assert hits
+    wrong = [r for r in hits if r["neighbor_id"] % 8 != r["query_id"] % 8]
+    assert not wrong, f"IVFADC returned out-of-cluster neighbors: {wrong[:3]}"
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r["query_id"], []).append((r["rk"], r["adist"]))
+    for pairs in by_q.values():
+        pairs.sort()
+        ds = [d for _, d in pairs]
+        assert ds == sorted(ds) and all(d >= 0 for d in ds)
+
+
+def test_ivf_pq_index_matches_inline_and_prunes(spark, emb, tmp_path):
+    # persisted IVFADC: bucket-partition-pruned scan + sidecar books
+    # must reproduce the inline path exactly, and the scan must carry
+    # PartitionFilters on bucket (the sublinear-read evidence)
+    from atlas_upscaling_dask_spark.extensions.similarity import (
+        build_ivf_index,
+        ivf_pq_index_topk,
+        ivf_pq_topk,
+    )
+
+    idx = str(tmp_path / "ivfpq_index")
+    build_ivf_index(emb, idx, n_centroids=8, pq=True, pq_m=4, pq_k_sub=16)
+    q = emb.filter(F.col("vec_id") < 5)
+    inline = sorted(
+        (r["query_id"], r["neighbor_id"], r["adist"], r["rk"])
+        for r in ivf_pq_topk(
+            q, emb, k=5, n_centroids=8, n_probe=3, m=4, k_sub=16
+        ).collect()
+    )
+    out_df = ivf_pq_index_topk(spark, idx, q, k=5, n_probe=3)
+    persisted = sorted(
+        (r["query_id"], r["neighbor_id"], r["adist"], r["rk"])
+        for r in out_df.collect()
+    )
+    assert persisted == inline and persisted
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+
+
+def test_ivf_pq_index_without_books_raises(spark, emb, tmp_path):
+    from atlas_upscaling_dask_spark.extensions.similarity import (
+        build_ivf_index,
+        ivf_pq_index_topk,
+    )
+
+    idx = str(tmp_path / "ivf_nobooks")
+    build_ivf_index(emb, idx, n_centroids=8)
+    q = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="no PQ codebooks"):
+        ivf_pq_index_topk(spark, idx, q, k=3, n_probe=2)

@@ -399,12 +399,24 @@ def test_anomaly_stream_prefix_equals_batch(spark, tmp_path):
     ckpt = str(tmp_path / "anomaly_ckpt")
     d1.write.mode("append").parquet(src)
 
+    # Stage each drop while NO query is watching, and restart from the
+    # checkpoint between drops: appending parquet into a watched source
+    # commits part-files non-atomically, so a running stream can
+    # self-trigger mid-append and split a drop across two micro-batches
+    # (prefix semantics still hold, but the per-epoch assertions below
+    # would flake).  The stop/restart protocol pins drop N <-> epoch N-1.
     q = start_anomaly_stream(
         spark, src, state, out, d1.schema, threshold=3.0, checkpoint_dir=ckpt
     )
     try:
         q.processAllAvailable()
-        d2.write.mode("append").parquet(src)
+    finally:
+        q.stop()
+    d2.write.mode("append").parquet(src)
+    q = start_anomaly_stream(
+        spark, src, state, out, d1.schema, threshold=3.0, checkpoint_dir=ckpt
+    )
+    try:
         q.processAllAvailable()
     finally:
         q.stop()

@@ -416,6 +416,16 @@ def audited_queries():
             QUERIES["embed_pq_topk"],
             {"max_shuffles": 4, "broadcast": True, "no_python_udf": True},
         ),
+        # IVFADC: assignment+encode+LUT scoring fused into ONE narrow
+        # Arrow kernel emitting partition-local top-k — the single
+        # exchange is the final per-query ranking window over
+        # ≤ |Q|·k·n_partitions rows.  A second exchange here would mean
+        # query×corpus pair rows are moving again (the pq_topk
+        # scale-killer this operator replaces).
+        "embed_ivf_pq_topk": (
+            QUERIES["embed_ivf_pq_topk"],
+            {"max_shuffles": 1, "no_python_udf": True},
+        ),
         # z-scored stats broadcast back; scan side never shuffles — and
         # the histogram/winsorize/centroid group share the same shape
         "winsorize_quantity": (
