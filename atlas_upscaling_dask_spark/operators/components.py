@@ -353,14 +353,10 @@ def connected_components_chunks(
         .distinct()
     )
     roots = connected_components_edges(verts, pairs, max_iters=max_iters)
-    # only boundary-contacting components appear here — small by contract
-    mapping = {r["id"]: r["comp"] for r in roots.collect()}
 
     def unpack_kernel(batches):
         import numpy as np
 
-        keys = np.fromiter(sorted(mapping), dtype=np.int64) if mapping else np.array([], dtype=np.int64)
-        vals = np.fromiter((mapping[k] for k in sorted(mapping)), dtype=np.int64) if mapping else np.array([], dtype=np.int64)
         for batch in batches:
             d = batch.to_pydict()
             for i in range(len(d["cz"])):
@@ -368,11 +364,6 @@ def connected_components_chunks(
                 z0, y0, x0 = d["z0"][i], d["y0"][i], d["x0"][i]
                 lab = np.frombuffer(d["labels"][i], dtype=PAYLOAD_DTYPE).reshape(-1)
                 cmp_ = np.frombuffer(d["comps"][i], dtype=np.uint32).astype(np.int64)
-                if keys.size:
-                    idx = np.searchsorted(keys, cmp_)
-                    idxc = np.minimum(idx, keys.size - 1)
-                    hit = keys[idxc] == cmp_
-                    cmp_ = np.where(hit, vals[idxc], cmp_)
                 zz, yy, xx = np.meshgrid(
                     np.arange(z0, z0 + dz, dtype=np.int64),
                     np.arange(y0, y0 + dy, dtype=np.int64),
@@ -390,6 +381,25 @@ def connected_components_chunks(
                     ["z", "y", "x", "label", "comp"],
                 )
 
-    return comp_chunks.mapInArrow(
+    # Root remap as a JOIN, not a driver-side dict: only boundary-
+    # contacting components appear in ``roots`` (usually tiny → AQE
+    # turns this into a broadcast hash join and the volume side stays
+    # narrow), but an adversarial volume — label stripes aligned to
+    # chunk faces — makes it O(face voxels), and a collected dict in
+    # the kernel closure would then be driver-OOM territory at 100 TB.
+    # The join degrades to a shuffle instead, which merely costs an
+    # exchange.  ``roots`` is localCheckpointed by the fixpoint, so AQE
+    # sees its true size when choosing the strategy.
+    coo = comp_chunks.mapInArrow(
         unpack_kernel, schema="z long, y long, x long, label long, comp long"
+    )
+    remap = roots.select(
+        F.col("id").alias("comp"), F.col("comp").alias("root")
+    )
+    return (
+        coo.join(remap, "comp", "left")
+        .select(
+            "z", "y", "x", "label",
+            F.coalesce("root", "comp").alias("comp"),
+        )
     )

