@@ -5,11 +5,16 @@ exactly the chunk-packed volume model (volume.py) generalized: the
 engine moves/filters/joins fixed-width references and hashes, and only
 decodes inside Arrow-batched Python when a kernel truly needs pixels.
 
-The decode/feature kernels are STUBBED (no imaging libs in this
-container; ``decode_image`` raises unless ``fake=True`` supplies a
-deterministic synthetic decode) — but all Spark-side plumbing (schema,
-batch shape, ``mapInPandas`` signature, partition behavior) is real and
-tested, so a real codec drops in by replacing one function body.
+Decode is REAL for the formats a self-contained engine can cover:
+PNG images via the pure-NumPy codec in ``sources/png.py`` and
+multi-frame containers via multi-page TIFF (``sources/tiff.py`` —
+pages are frames, range-decoded per sampled frame).  Entropy-coded
+formats (JPEG, mp4/mkv) raise a clearly-marked ``NotImplementedError``
+— they need codec libraries this container does not ship; ``fake=True``
+keeps deterministic pseudo-decodes for format-independent plumbing
+tests.  All Spark-side plumbing (schema, batch shape, ``mapInPandas``
+signature, partition behavior) is identical between the real and fake
+paths.
 """
 
 from __future__ import annotations
@@ -185,28 +190,52 @@ def sample_frame_indices(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 def extract_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
     """Arrow-batched sampled-frame extraction: decode only the planned
-    frames, emit per-frame digests.  The fake decode slices the payload
-    deterministically per frame (real codec drops in at the marked
-    line); payloads never leave the executor."""
+    frames, emit per-frame digests.  Payloads never leave the executor.
+
+    The REAL decode path (``fake=False``) treats multi-page TIFF as the
+    multi-frame container — pages are frames, parsed and range-decoded
+    by the from-scratch codec in ``sources/tiff.py`` (the IFD chain is
+    walked once per payload; only the sampled pages are decoded, so a
+    1%-sample of a long clip reads ~1% of the pixel bytes).  The frame
+    count comes from the container itself; ``meta.n_frames`` is advice.
+    Non-TIFF containers (mp4/mkv/...) still raise — entropy-coded video
+    needs a media library this container does not ship.
+
+    ``fake=True`` keeps the deterministic byte-slice pseudo-decode for
+    plumbing tests that need format-independent fixtures (it requires
+    ``meta.n_frames``, since no container is parsed)."""
     import hashlib
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.tiff import decode_tiff_page, parse_tiff_bytes
+
         for pdf in batches:
             ids, idxs, sizes, digests = [], [], [], []
             for mid, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
+                raw = bytes(payload)
+                if not fake:
+                    if raw[:2] not in (b"II", b"MM"):
+                        raise NotImplementedError(
+                            "entropy-coded video containers (mp4/mkv/...) "
+                            "require a media library; multi-page TIFF is "
+                            "the built-in multi-frame container"
+                        )
+                    info = parse_tiff_bytes(raw)
+                    for i in range(0, len(info.pages), every_n):
+                        frame = decode_tiff_page(raw, i, info)
+                        fb = frame.tobytes()
+                        ids.append(mid)
+                        idxs.append(i)
+                        sizes.append(len(fb))
+                        digests.append(hashlib.sha256(fb).hexdigest())
+                    continue
                 n = meta.get("n_frames") if isinstance(meta, dict) else meta["n_frames"]
                 if n is None:
                     continue
-                raw = bytes(payload)
                 for i in range(0, int(n), every_n):
-                    if not fake:
-                        raise NotImplementedError(
-                            "video frame decode requires a media library; "
-                            "use fake=True for plumbing tests"
-                        )
-                    # STUB decode: deterministic per-frame byte slice
+                    # FAKE decode: deterministic per-frame byte slice
                     frame = raw[i % max(len(raw), 1):] + raw[: i % max(len(raw), 1)]
                     ids.append(mid)
                     idxs.append(i)
@@ -221,7 +250,7 @@ def extract_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> Da
                 }
             )
 
-    vids = media.filter(
-        (F.col("media_type") == "video") & F.col("meta.n_frames").isNotNull()
-    )
+    vids = media.filter(F.col("media_type") == "video")
+    if fake:
+        vids = vids.filter(F.col("meta.n_frames").isNotNull())
     return vids.mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -150,76 +150,103 @@ def parse_tiff(path: str, max_pages: int = 1_000_000) -> TiffInfo:
     planar-separated files raise with the reason instead of decoding
     garbage.
     """
-    pages: list[TiffPage] = []
     with open(path, "rb") as fh:
-        hdr = fh.read(4)
-        if hdr[:2] == b"II":
-            bo = "<"
-        elif hdr[:2] == b"MM":
-            bo = ">"
-        else:
-            raise ValueError(f"not a TIFF file (bad byte-order mark): {path}")
-        (magic,) = struct.unpack(bo + "H", hdr[2:4])
-        if magic == 42:
-            big = False
-            (pos,) = struct.unpack(bo + "I", fh.read(4))
-        elif magic == 43:
-            big = True
-            offsize, zero = struct.unpack(bo + "HH", fh.read(4))
-            if offsize != 8 or zero != 0:
-                raise ValueError(f"malformed BigTIFF header: {path}")
-            (pos,) = struct.unpack(bo + "Q", fh.read(8))
-        else:
-            raise ValueError(f"not a TIFF file (bad magic {magic}): {path}")
+        return _parse_tiff_fh(fh, path, max_pages)
 
-        while pos and len(pages) < max_pages:
-            tags, pos = _read_ifd(fh, bo, big, pos)
-            comp = tags.get(_TAG_COMPRESSION, (1,))[0]
-            if comp != 1:
-                raise ValueError(
-                    f"unsupported TIFF compression {comp} (only uncompressed "
-                    f"baseline TIFF is readable without external codecs): {path}"
-                )
-            spp = tags.get(_TAG_SAMPLES_PER_PIXEL, (1,))[0]
-            if spp != 1:
-                raise ValueError(
-                    f"unsupported SamplesPerPixel={spp} (volume scans are "
-                    f"single-channel): {path}"
-                )
-            if tags.get(_TAG_PLANAR, (1,))[0] != 1:
-                raise ValueError(f"unsupported planar configuration: {path}")
-            width = tags[_TAG_WIDTH][0]
-            height = tags[_TAG_LENGTH][0]
-            bits = tags.get(_TAG_BITS, (1,))[0]
-            sfmt = tags.get(_TAG_SAMPLE_FORMAT, (1,))[0]
-            key = (sfmt, bits)
-            if key not in _SAMPLE_DTYPES:
-                raise ValueError(
-                    f"unsupported sample type (format={sfmt}, bits={bits}): {path}"
-                )
-            dtype = np.dtype(bo + _SAMPLE_DTYPES[key])
-            if _TAG_TILE_OFFSETS in tags:
-                page = TiffPage(
-                    width=width,
-                    height=height,
-                    dtype=dtype,
-                    rows_per_strip=0,
-                    offsets=tags[_TAG_TILE_OFFSETS],
-                    bytecounts=tags.get(_TAG_TILE_BYTECOUNTS, ()),
-                    tile_width=tags[_TAG_TILE_WIDTH][0],
-                    tile_length=tags[_TAG_TILE_LENGTH][0],
-                )
-            else:
-                rps = tags.get(_TAG_ROWS_PER_STRIP, (height,))[0]
-                page = TiffPage(
-                    width=width,
-                    height=height,
-                    dtype=dtype,
-                    rows_per_strip=min(rps, height),
-                    offsets=tags[_TAG_STRIP_OFFSETS],
-                    bytecounts=tags.get(_TAG_STRIP_BYTECOUNTS, ()),
-                )
-            pages.append(page)
+
+def parse_tiff_bytes(data: bytes, max_pages: int = 1_000_000) -> TiffInfo:
+    """Parse an IN-MEMORY TIFF payload (a multimodal ``binary`` column
+    value) — the multi-frame container behind ``extract_frames``'s real
+    decode path: pages are frames."""
+    import io
+
+    return _parse_tiff_fh(io.BytesIO(data), "<bytes>", max_pages)
+
+
+def decode_tiff_page(data: bytes, page_idx: int, info: TiffInfo | None = None) -> np.ndarray:
+    """Decode ONE page (frame) of an in-memory TIFF payload to a (Y, X)
+    array — used by the sampled-frame kernel so only planned frames pay
+    decode cost."""
+    import io
+
+    if info is None:
+        info = parse_tiff_bytes(data)
+    page = info.pages[page_idx]
+    return _read_page_rows(
+        io.BytesIO(data), page, 0, page.height, 0, page.width
+    )
+
+
+def _parse_tiff_fh(fh, path: str, max_pages: int = 1_000_000) -> TiffInfo:
+    pages: list[TiffPage] = []
+    hdr = fh.read(4)
+    if hdr[:2] == b"II":
+        bo = "<"
+    elif hdr[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"not a TIFF file (bad byte-order mark): {path}")
+    (magic,) = struct.unpack(bo + "H", hdr[2:4])
+    if magic == 42:
+        big = False
+        (pos,) = struct.unpack(bo + "I", fh.read(4))
+    elif magic == 43:
+        big = True
+        offsize, zero = struct.unpack(bo + "HH", fh.read(4))
+        if offsize != 8 or zero != 0:
+            raise ValueError(f"malformed BigTIFF header: {path}")
+        (pos,) = struct.unpack(bo + "Q", fh.read(8))
+    else:
+        raise ValueError(f"not a TIFF file (bad magic {magic}): {path}")
+
+    while pos and len(pages) < max_pages:
+        tags, pos = _read_ifd(fh, bo, big, pos)
+        comp = tags.get(_TAG_COMPRESSION, (1,))[0]
+        if comp != 1:
+            raise ValueError(
+                f"unsupported TIFF compression {comp} (only uncompressed "
+                f"baseline TIFF is readable without external codecs): {path}"
+            )
+        spp = tags.get(_TAG_SAMPLES_PER_PIXEL, (1,))[0]
+        if spp != 1:
+            raise ValueError(
+                f"unsupported SamplesPerPixel={spp} (volume scans are "
+                f"single-channel): {path}"
+            )
+        if tags.get(_TAG_PLANAR, (1,))[0] != 1:
+            raise ValueError(f"unsupported planar configuration: {path}")
+        width = tags[_TAG_WIDTH][0]
+        height = tags[_TAG_LENGTH][0]
+        bits = tags.get(_TAG_BITS, (1,))[0]
+        sfmt = tags.get(_TAG_SAMPLE_FORMAT, (1,))[0]
+        key = (sfmt, bits)
+        if key not in _SAMPLE_DTYPES:
+            raise ValueError(
+                f"unsupported sample type (format={sfmt}, bits={bits}): {path}"
+            )
+        dtype = np.dtype(bo + _SAMPLE_DTYPES[key])
+        if _TAG_TILE_OFFSETS in tags:
+            page = TiffPage(
+                width=width,
+                height=height,
+                dtype=dtype,
+                rows_per_strip=0,
+                offsets=tags[_TAG_TILE_OFFSETS],
+                bytecounts=tags.get(_TAG_TILE_BYTECOUNTS, ()),
+                tile_width=tags[_TAG_TILE_WIDTH][0],
+                tile_length=tags[_TAG_TILE_LENGTH][0],
+            )
+        else:
+            rps = tags.get(_TAG_ROWS_PER_STRIP, (height,))[0]
+            page = TiffPage(
+                width=width,
+                height=height,
+                dtype=dtype,
+                rows_per_strip=min(rps, height),
+                offsets=tags[_TAG_STRIP_OFFSETS],
+                bytecounts=tags.get(_TAG_STRIP_BYTECOUNTS, ()),
+            )
+        pages.append(page)
     if not pages:
         raise ValueError(f"TIFF has no images: {path}")
     first = pages[0]
