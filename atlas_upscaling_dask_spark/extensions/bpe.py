@@ -135,8 +135,12 @@ def bpe_train(
     frame).  One corpus pass for word counts, then per-iteration work is
     bounded by the distinct-word table (cached); each iteration's driver
     traffic is ONE (s1, s2) row."""
-    spark = docs.sparkSession
-    syms = to_symbols(word_frequencies(docs, text_col)).cache()
+    # localCheckpoint per round, NOT cache: caching does not truncate
+    # the logical plan, so each round's fold-left would re-analyze an
+    # ever-growing expression tree — at 256 merges that is minutes of
+    # Catalyst analysis for a 31-row frame (the components.py iterative
+    # pitfall, measured here too).
+    syms = to_symbols(word_frequencies(docs, text_col)).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         best = (
@@ -149,10 +153,114 @@ def bpe_train(
             break
         s1, s2 = best[0]["s1"], best[0]["s2"]
         merges.append((s1, s2))
-        nxt = apply_merge(syms, s1, s2).cache()
-        nxt.count()  # materialize before dropping the parent cache
-        syms.unpersist()
-        syms = nxt
+        syms = apply_merge(syms, s1, s2).localCheckpoint(eager=True)
+    return merges, syms
+
+
+def apply_merges_batch(
+    symframe: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a SYMBOL-DISJOINT batch of merges in ONE fold pass.
+
+    When no two pairs in the batch share a symbol (and no pair's merged
+    token collides with another pair's symbol), sequential application
+    in any order equals simultaneous application — a merged token's
+    neighbors can never complete a different accepted pair.  The fold
+    looks each (prev, cur) adjacency up in a literal struct-keyed map,
+    so a 64-merge batch costs exactly one narrow pass over the
+    distinct-word frame instead of 64.
+    """
+    if not pairs:
+        return symframe
+    entries = []
+    for s1, s2 in pairs:
+        entries.append(F.struct(F.lit(s1).alias("a"), F.lit(s2).alias("b")))
+        entries.append(F.lit(s1 + s2))
+    merge_map = F.create_map(*entries)
+    init = F.struct(
+        F.expr("CAST(array() AS array<string>)").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def step(acc, s):
+        m = F.element_at(
+            merge_map, F.struct(acc["prev"].alias("a"), s.alias("b"))
+        )
+        hit = acc["prev"].isNotNull() & m.isNotNull()
+        return F.struct(
+            F.when(hit, F.concat(acc["out"], F.array(m)))
+            .otherwise(
+                F.when(
+                    acc["prev"].isNotNull(), F.concat(acc["out"], F.array(acc["prev"]))
+                ).otherwise(acc["out"])
+            )
+            .alias("out"),
+            F.when(hit, F.lit(None).cast("string")).otherwise(s).alias("prev"),
+        )
+
+    def finish(acc):
+        return F.when(
+            acc["prev"].isNotNull(), F.concat(acc["out"], F.array(acc["prev"]))
+        ).otherwise(acc["out"])
+
+    return symframe.withColumn("syms", F.aggregate("syms", init, step, finish))
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    n_merges: int = 256,
+    max_batch: int = 64,
+    text_col: str = "text",
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Production-vocab BPE training: batch NON-CONFLICTING merges per
+    corpus pass (the standard scalable-trainer heuristic — e.g.
+    SentencePiece's frequent-pair batching).
+
+    Each round counts pairs ONCE, takes the rank-ordered candidates,
+    and greedily accepts pairs that share no symbol with (and whose
+    merged token does not collide with) any pair already accepted this
+    round; the whole batch then applies in one fold pass
+    (:func:`apply_merges_batch`).  Driver rounds drop from
+    ``n_merges`` to ``~n_merges / max_batch`` — a 32k vocab costs
+    ~500 passes instead of 32k, which is what makes training tractable
+    when each pass is a distributed job.
+
+    Heuristic vs exact: later pairs in a batch are accepted on counts
+    measured BEFORE the earlier merges applied, so a pair formed by an
+    earlier merge (count ≤ its parent's) can in principle overtake
+    them; ``max_batch=1`` reproduces :func:`bpe_train` exactly
+    (property-tested), and larger batches trade that edge case for a
+    ``max_batch``× cut in corpus passes.
+    """
+    if max_batch < 1:
+        raise ValueError("max_batch must be >= 1")
+    # localCheckpoint per round (see bpe_train): plan stays one fold deep
+    syms = to_symbols(word_frequencies(docs, text_col)).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        want = min(max_batch, n_merges - len(merges))
+        cands = (
+            pair_counts(syms)
+            .orderBy(F.col("pair_count").desc(), F.col("s1").asc(), F.col("s2").asc())
+            .limit(want * 4)
+            .collect()
+        )
+        if not cands:
+            break
+        used: set[str] = set()
+        batch: list[tuple[str, str]] = []
+        for r in cands:
+            if len(batch) >= want:
+                break
+            s1, s2 = r["s1"], r["s2"]
+            if s1 in used or s2 in used or (s1 + s2) in used:
+                continue
+            batch.append((s1, s2))
+            used.update((s1, s2, s1 + s2))
+        if not batch:  # all candidates conflict: take the top pair alone
+            batch = [(cands[0]["s1"], cands[0]["s2"])]
+        merges.extend(batch)
+        syms = apply_merges_batch(syms, batch).localCheckpoint(eager=True)
     return merges, syms
 
 

@@ -318,6 +318,31 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — harness guard by design
         errors["point_lookup_q1q4"] = f"{type(e).__name__}: {e}"[:300]
 
+    # --- BPE trainer throughput (VERDICT r3 "Next round #8"): the
+    # sequential 10-merge baseline rate vs a production-shaped 256-merge
+    # batched run (non-conflicting merges, one corpus pass per batch of
+    # 64).  The contract: 256 batched merges land well inside 2× of
+    # (10-merge time × 25.6) — batching cuts the driver-round count
+    # ~64×, so the ratio is typically ≪ 1.
+    try:
+        from atlas_upscaling_dask_spark.extensions.bpe import (
+            bpe_train,
+            bpe_train_batched,
+        )
+        from atlas_upscaling_dask_spark.tables import load_table as _lt
+
+        docs_bpe = _lt(spark, SF_DIR, "documents")
+        t0 = time.perf_counter()
+        bpe_train(docs_bpe, n_merges=10)
+        timings["bpe_train10"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        m256, _ = bpe_train_batched(docs_bpe, n_merges=256, max_batch=64)
+        timings["bpe_train256_batched"] = round(time.perf_counter() - t0, 3)
+        payload_bpe_merges = len(m256)
+    except Exception as e:  # noqa: BLE001 — harness guard by design
+        errors["bpe_train"] = f"{type(e).__name__}: {e}"[:300]
+        payload_bpe_merges = None
+
     # MinHash-LSH with the dictionary-free xxhash backend (the scale path).
     try:
         from atlas_upscaling_dask_spark.extensions.dedup import minhash_lsh_pairs
@@ -352,6 +377,8 @@ def main() -> None:
         payload["bulk15_write_gb_per_sec"] = round(
             out15_gb / timings["bulk_upscale15_write"], 3
         )
+    if payload_bpe_merges is not None:
+        payload["bpe256_merges"] = payload_bpe_merges
     if spread:
         payload["spread"] = spread
     if errors:

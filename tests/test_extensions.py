@@ -1285,6 +1285,66 @@ def test_bpe_greedy_non_overlapping(spark):
     assert out == ["aa", "a", "</w>"]
 
 
+def test_bpe_batched_batch1_equals_sequential(spark):
+    from atlas_upscaling_dask_spark.extensions.bpe import bpe_train, bpe_train_batched
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider new new",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    seq_merges, seq_syms = bpe_train(docs, n_merges=8)
+    bat_merges, bat_syms = bpe_train_batched(docs, n_merges=8, max_batch=1)
+    assert bat_merges == seq_merges
+    a = {r["word"]: tuple(r["syms"]) for r in seq_syms.collect()}
+    b = {r["word"]: tuple(r["syms"]) for r in bat_syms.collect()}
+    assert a == b
+
+
+def test_bpe_apply_merges_batch_equals_sequential_folds(spark):
+    # symbol-disjoint batch == the same merges applied one pass at a time
+    from atlas_upscaling_dask_spark.extensions.bpe import (
+        apply_merge,
+        apply_merges_batch,
+        to_symbols,
+    )
+
+    df = spark.createDataFrame(
+        [("abcd", 3), ("dcba", 1), ("aabb", 2), ("cdcd", 5)],
+        "word string, freq long",
+    )
+    syms = to_symbols(df)
+    batch = [("a", "b"), ("c", "d")]
+    simultaneous = {
+        r["word"]: tuple(r["syms"])
+        for r in apply_merges_batch(syms, batch).collect()
+    }
+    seq = syms
+    for s1, s2 in batch:
+        seq = apply_merge(seq, s1, s2)
+    sequential = {r["word"]: tuple(r["syms"]) for r in seq.collect()}
+    assert simultaneous == sequential
+    assert simultaneous["abcd"] == ("ab", "cd", "</w>")
+
+
+def test_bpe_batched_production_run_segments_validly(spark, docs):
+    # a production-shaped run: 64 merges in batches of 16 over the real
+    # documents table — every merge is a pair of then-current symbols,
+    # and the final segmentation concatenates back to word + EOW
+    from atlas_upscaling_dask_spark.extensions.bpe import EOW, bpe_train_batched
+
+    merges, symframe = bpe_train_batched(docs, n_merges=64, max_batch=16)
+    assert len(merges) == 64
+    assert len(set(merges)) == 64  # no duplicate merges
+    rows = symframe.collect()
+    for r in rows[:500]:
+        assert "".join(r["syms"]) == r["word"] + EOW
+
+
 # ------------------------------------------------- time-series analytics
 
 
