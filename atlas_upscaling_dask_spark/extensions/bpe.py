@@ -270,9 +270,19 @@ def bpe_segment(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Tokenize documents with a trained merge list: per-word fold-left
-    application of each merge in training order — narrow, corpus-wide,
-    the inference half of the tokenizer.  Returns (doc_id, word, pieces).
+    """Tokenize documents with a trained merge list — narrow,
+    corpus-wide, the inference half of the tokenizer.  Returns
+    (doc_id, word, pieces).
+
+    Merges apply in training order, but CONSECUTIVE merges that share
+    no symbol (and no merged-token collision) fuse into one
+    :func:`apply_merges_batch` fold — order-preserving, semantics
+    identical (disjoint pairs cannot interact), and it keeps the plan
+    at ~n_batches fold expressions instead of one per merge: a
+    256-merge tokenizer would otherwise chain 256 folds and stall in
+    Catalyst analysis (the same blowup the trainers hit before
+    localCheckpoint), where segmentation must stay a single narrow
+    plan — no materialization — because it runs over the full corpus.
     """
     words = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -285,6 +295,13 @@ def bpe_segment(
             F.array(F.lit(EOW)),
         ),
     )
+    batch: list[tuple[str, str]] = []
+    used: set[str] = set()
     for s1, s2 in merges:
-        sym = apply_merge(sym, s1, s2)
+        if s1 in used or s2 in used or (s1 + s2) in used:
+            sym = apply_merges_batch(sym, batch)
+            batch, used = [], set()
+        batch.append((s1, s2))
+        used.update((s1, s2, s1 + s2))
+    sym = apply_merges_batch(sym, batch)
     return sym.select("doc_id", "word", F.col("syms").alias("pieces"))

@@ -1331,6 +1331,46 @@ def test_bpe_apply_merges_batch_equals_sequential_folds(spark):
     assert simultaneous["abcd"] == ("ab", "cd", "</w>")
 
 
+def test_bpe_segment_fused_equals_per_merge(spark):
+    # the order-preserving fusion in bpe_segment must equal strict
+    # per-merge sequential application, including a CONFLICTING chain
+    # ((a,b) then (ab,c) then (abc,d)) that forces batch flushes
+    from atlas_upscaling_dask_spark.extensions.bpe import (
+        EOW,
+        apply_merge,
+        bpe_segment,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcd abab cdcd dabc"), (2, "abc bcda aabbccdd")],
+        "doc_id long, text string",
+    )
+    merges = [("a", "b"), ("c", "d"), ("ab", "cd"), ("abcd", EOW), ("b", "c")]
+    got = {
+        (r["doc_id"], r["word"]): tuple(r["pieces"])
+        for r in bpe_segment(docs, merges).collect()
+    }
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    sym = words.withColumn(
+        "syms",
+        F.concat(
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ),
+            F.array(F.lit(EOW)),
+        ),
+    )
+    for s1, s2 in merges:
+        sym = apply_merge(sym, s1, s2)
+    want = {
+        (r["doc_id"], r["word"]): tuple(r["syms"]) for r in sym.collect()
+    }
+    assert got == want
+    assert got[(1, "abcd")] == ("abcd</w>",)
+
+
 def test_bpe_batched_production_run_segments_validly(spark, docs):
     # a production-shaped run: 64 merges in batches of 16 over the real
     # documents table — every merge is a pair of then-current symbols,
