@@ -561,11 +561,15 @@ class TestPngCodec:
                 + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
             )
 
-        # 16-bit depth and Adam7 interlace: explicit rejection
-        for depth, interlace, msg in ((16, 0, "8-bit"), (8, 1, "interlaced")):
+        # sub-byte depths and illegal 16-bit palette: explicit rejection
+        for depth, ctype_val, msg in (
+            (4, 0, "8/16-bit"),
+            (1, 0, "8/16-bit"),
+            (16, 3, "16-bit palette"),
+        ):
             data = (
                 PNG_SIGNATURE
-                + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace))
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, ctype_val, 0, 0, 0))
                 + chunk(b"IEND", b"")
             )
             with pytest.raises(ValueError, match=msg):
@@ -577,6 +581,43 @@ class TestPngCodec:
         bad[-5] ^= 0xFF  # inside IEND CRC
         with pytest.raises(ValueError, match="CRC"):
             decode_png(bytes(bad))
+
+    def test_16bit_and_adam7_roundtrip(self):
+        # round 4: 16-bit depth and Adam7 interlace are decoded for
+        # real — every (depth, interlace) combination round-trips
+        # bit-exactly, including ragged pass geometries (odd dims,
+        # single-row/column images where several Adam7 passes are empty)
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.sources.png import (
+            _ADAM7,
+            decode_png,
+            encode_png,
+            to_rgb,
+        )
+
+        # the pass grid must tile the plane exactly once
+        mask = np.zeros((16, 16), dtype=int)
+        for x0, y0, dx, dy in _ADAM7:
+            mask[y0::dy, x0::dx] += 1
+        assert mask.min() == 1 and mask.max() == 1
+
+        rng = np.random.default_rng(5)
+        for shape in [(13, 11, 3), (7, 9, 1), (16, 16, 4), (1, 1, 3), (8, 1, 1)]:
+            img8 = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            assert np.array_equal(decode_png(encode_png(img8)), img8)
+            assert np.array_equal(
+                decode_png(encode_png(img8, interlace=True)), img8
+            )
+        for shape in [(13, 11, 3), (5, 6, 1), (9, 8, 4)]:
+            img16 = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+            got = decode_png(encode_png(img16))
+            assert got.dtype == np.uint16 and np.array_equal(got, img16)
+            assert np.array_equal(
+                decode_png(encode_png(img16, interlace=True)), img16
+            )
+        hi = np.full((2, 2, 1), 0xABCD, dtype=np.uint16)
+        assert to_rgb(hi).dtype == np.uint8 and int(to_rgb(hi)[0, 0, 0]) == 0xAB
 
     def test_to_rgb_normalization(self):
         import numpy as np
