@@ -143,18 +143,118 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize kernel placeholder: plumbing-real, decode-stubbed.
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize: decode PNG payloads, nearest-neighbor sample
+    to (height, width), re-encode, update metadata — an Arrow-batched
+    narrow pass; payloads never leave the executor.
 
-    Returns the frame with updated metadata; the payload transform
-    raises until a codec is available (clearly-marked stub per the
-    container constraints).
+    Nearest-neighbor (not bilinear) is the deliberate choice for the
+    same reason the volume upscaler never interpolates (SURVEY §2.3):
+    categorical/label rasters must keep exact values.  Non-PNG payloads
+    raise — entropy-coded formats need a media library.
     """
-    return media.withColumn(
+    if width < 1 or height < 1:
+        raise ValueError("width/height must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.png import decode_png, encode_png
+
+        for pdf in batches:
+            out_payloads = []
+            for payload in pdf["payload"]:
+                img = decode_png(bytes(payload))
+                h, w = img.shape[:2]
+                yi = (np.arange(height) * h) // height
+                xi = (np.arange(width) * w) // width
+                out_payloads.append(encode_png(img[yi][:, xi]))
+            pdf = pdf.copy()
+            pdf["payload"] = out_payloads
+            yield pdf
+
+    resized = media.mapInPandas(kernel, schema=media.schema)
+    return resized.withColumn(
         "meta",
         F.col("meta").withField("width", F.lit(width)).withField(
             "height", F.lit(height)
         ),
+    )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak", T.DoubleType(), False),
+        T.StructField("zero_crossing_rate", T.DoubleType(), False),
+    ]
+)
+
+
+def _samples_to_unit(arr: np.ndarray, bits: int, tag: int) -> np.ndarray:
+    """Normalize decoded WAV samples to float64 in [-1, 1]."""
+    if tag == 3:  # IEEE float
+        return arr.astype(np.float64)
+    if bits == 8:  # unsigned per spec
+        return (arr.astype(np.float64) - 128.0) / 128.0
+    return arr.astype(np.float64) / float(1 << (bits - 1))
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over WAV payloads (the pure-NumPy
+    RIFF/PCM codec in ``sources/wav.py``): per-clip sample rate,
+    duration, RMS energy, peak amplitude, and zero-crossing rate of the
+    channel-mean signal — the standard cheap screens a speech/audio
+    data pipeline filters on (silence, clipping, wrong-rate clips)
+    before any expensive model runs.
+
+    Narrow Arrow-batched pass; compressed audio raises the codec's
+    documented error.
+    """
+    from ..sources.wav import decode_wav
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "n_frames",
+                "duration_s", "rms", "peak", "zero_crossing_rate",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr, info = decode_wav(bytes(payload))
+                mono = _samples_to_unit(arr, info.bits, info.format_tag).mean(axis=1)
+                n = len(mono)
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(info.sample_rate)
+                rows["n_channels"].append(info.n_channels)
+                rows["n_frames"].append(info.n_frames)
+                rows["duration_s"].append(info.duration_s)
+                rows["rms"].append(float(np.sqrt(np.mean(mono**2))) if n else 0.0)
+                rows["peak"].append(float(np.abs(mono).max()) if n else 0.0)
+                rows["zero_crossing_rate"].append(
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "sample_rate": pd.Series(rows["sample_rate"], dtype="int32"),
+                    "n_channels": pd.Series(rows["n_channels"], dtype="int32"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int64"),
+                    "duration_s": pd.Series(rows["duration_s"], dtype="float64"),
+                    "rms": pd.Series(rows["rms"], dtype="float64"),
+                    "peak": pd.Series(rows["peak"], dtype="float64"),
+                    "zero_crossing_rate": pd.Series(
+                        rows["zero_crossing_rate"], dtype="float64"
+                    ),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        kernel, schema=AUDIO_FEATURE_SCHEMA
     )
 
 

@@ -840,6 +840,75 @@ def test_extract_frames_real_multipage_tiff(spark, tmp_path):
         extract_frames(bad, every_n=2, fake=False).collect()
 
 
+def test_resize_images_real_png(spark):
+    # REAL resize: PNG payloads decoded, nearest-neighbor sampled,
+    # re-encoded — round-trip decode of the output must equal direct
+    # numpy nearest-neighbor indexing of the input
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.multimodal import resize_images
+    from atlas_upscaling_dask_spark.sources.png import decode_png, encode_png
+
+    rng = np.random.default_rng(9)
+    imgs = {i: rng.integers(0, 256, size=(10 + i, 8, 3), dtype=np.uint8) for i in (1, 2)}
+    media = spark.createDataFrame(
+        [
+            (i, "image", encode_png(img), (8, img.shape[0], None, None, "png"))
+            for i, img in imgs.items()
+        ],
+        "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int,codec:string>",
+    )
+    out = {r["media_id"]: r for r in resize_images(media, 4, 6).collect()}
+    for i, img in imgs.items():
+        h, w = img.shape[:2]
+        yi = (np.arange(6) * h) // 6
+        xi = (np.arange(4) * w) // 4
+        want = img[yi][:, xi]
+        got = decode_png(bytes(out[i]["payload"]))
+        assert np.array_equal(got, want)
+        assert out[i]["meta"]["width"] == 4 and out[i]["meta"]["height"] == 6
+    with pytest.raises(ValueError):
+        resize_images(media, 0, 6)
+
+
+def test_extract_audio_features_real_wav(spark):
+    # REAL audio decode via the RIFF/PCM codec: a pure sine at known
+    # amplitude has rms = A/sqrt(2) and zcr = 2f/rate (to grid
+    # precision); a silent clip has rms = peak = 0
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.multimodal import (
+        extract_audio_features,
+    )
+    from atlas_upscaling_dask_spark.sources.wav import encode_wav
+
+    rate, freq, amp = 8000, 100, 0.5
+    t = np.arange(8000) / rate
+    sine = (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    silent = np.zeros(4000, dtype=np.int16)
+    media = spark.createDataFrame(
+        [
+            (1, "audio", encode_wav(sine, rate), (None, None, rate, None, "wav")),
+            (2, "audio", encode_wav(silent, rate), (None, None, rate, None, "wav")),
+            (3, "image", b"notaudio", (None, None, None, None, "png")),
+        ],
+        "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int,codec:string>",
+    )
+    out = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert set(out) == {1, 2}  # image row filtered out, never decoded
+    s = out[1]
+    assert s["sample_rate"] == rate and s["n_channels"] == 1
+    assert s["n_frames"] == 8000 and abs(s["duration_s"] - 1.0) < 1e-9
+    assert abs(s["rms"] - amp / np.sqrt(2)) < 1e-3
+    assert abs(s["peak"] - amp) < 1e-3
+    assert abs(s["zero_crossing_rate"] - 2 * freq / rate) < 1e-3
+    q = out[2]
+    assert q["rms"] == 0.0 and q["peak"] == 0.0
+    assert q["duration_s"] == 0.5
+
+
 def test_label_centroids_fixed_point(spark):
     from atlas_upscaling_dask_spark.extensions.similarity import label_centroids
 

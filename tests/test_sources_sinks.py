@@ -630,3 +630,65 @@ class TestPngCodec:
         assert to_rgb(ga).shape == (2, 2, 3)
         rgba = np.zeros((2, 2, 4), dtype=np.uint8)
         assert to_rgb(rgba).shape == (2, 2, 3)
+
+
+class TestWavCodec:
+    def test_roundtrip_dtypes(self):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.sources.wav import decode_wav, encode_wav
+
+        rng = np.random.default_rng(2)
+        for dtype, hi in ((np.uint8, 256), (np.int16, 32768), (np.int32, 2**31)):
+            s = rng.integers(0, hi, size=(100, 2)).astype(dtype)
+            arr, info = decode_wav(encode_wav(s, 16000))
+            assert np.array_equal(arr, s)
+            assert (info.sample_rate, info.n_channels, info.n_frames) == (16000, 2, 100)
+        f32 = rng.normal(size=50).astype(np.float32)
+        arr, info = decode_wav(encode_wav(f32, 8000))
+        assert np.array_equal(arr[:, 0], f32) and info.format_tag == 3
+        # odd-length mono u8 data chunk exercises RIFF word alignment
+        odd = rng.integers(0, 256, size=7).astype(np.uint8)
+        arr, _ = decode_wav(encode_wav(odd, 44100))
+        assert np.array_equal(arr[:, 0], odd)
+
+    def test_24bit_sign_extension(self):
+        import struct
+
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.sources.wav import decode_wav
+
+        frames = np.array([1, -1, 8388607, -8388608, 1234567], dtype=np.int32)
+        raw = b"".join(int(x & 0xFFFFFF).to_bytes(3, "little") for x in frames)
+        fmt = struct.pack("<HHIIHH", 1, 1, 48000, 48000 * 3, 3, 24)
+
+        def chunk(cid, p):
+            return cid + struct.pack("<I", len(p)) + p + (b"\x00" if len(p) & 1 else b"")
+
+        body = chunk(b"fmt ", fmt) + chunk(b"data", raw)
+        wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        arr, info = decode_wav(wav)
+        assert np.array_equal(arr[:, 0], frames) and info.bits == 24
+
+    def test_rejections(self):
+        import struct
+
+        import pytest
+
+        from atlas_upscaling_dask_spark.sources.wav import decode_wav
+
+        with pytest.raises(ValueError, match="RIFF/WAVE"):
+            decode_wav(b"ID3\x04notawav....")
+        # ADPCM (tag 2): compressed formats need a media library
+        fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)
+
+        def chunk(cid, p):
+            return cid + struct.pack("<I", len(p)) + p + (b"\x00" if len(p) & 1 else b"")
+
+        body = chunk(b"fmt ", fmt) + chunk(b"data", b"\x00\x00")
+        wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        with pytest.raises(ValueError, match="media library"):
+            decode_wav(wav)
+        with pytest.raises(ValueError, match="missing fmt"):
+            decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
