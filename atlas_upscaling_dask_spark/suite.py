@@ -2144,6 +2144,75 @@ SELECT query_id, neighbor_id, adist, CAST(rk AS INTEGER) AS rk FROM (
 )
 
 
+def _multimodal_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL end-to-end audio codec exercise with a closed-form oracle:
+    # each doc becomes a ±A square-wave WAV (A and length derived from
+    # doc_id), encoded and DECODED by the pure-NumPy RIFF/PCM codec,
+    # then screened by extract_audio_features.  A square wave's
+    # features are analytic — rms = peak = A, zcr = 1 — so DuckDB can
+    # predict every output value without decoding a byte; rms rounds
+    # to 9 digits on both sides (float-portability contract: the
+    # pairwise-summed mean can drift a ulp from the analytic A).
+    import pandas as pd
+
+    from .extensions.multimodal import extract_audio_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_wav(batches):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.sources.wav import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                a = ((int(did) % 7) + 1) / 10.0
+                n = 100 + int(did) % 50
+                s = np.empty(n, dtype=np.float64)
+                s[0::2] = a
+                s[1::2] = -a
+                payloads.append(encode_wav(s, 8000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        make_wav, schema="media_id long, media_type string, payload binary"
+    )
+    return extract_audio_features(media).select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        "duration_s",
+        F.round("rms", 9).alias("rms"),
+        "peak",
+        "zero_crossing_rate",
+    )
+
+
+_register(
+    "multimodal_audio",
+    _multimodal_audio_q,
+    """
+SELECT doc_id AS media_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+       (100 + doc_id % 50) / 8000.0 AS duration_s,
+       round(((doc_id % 7) + 1) / 10.0, 9) AS rms,
+       ((doc_id % 7) + 1) / 10.0 AS peak,
+       1.0 AS zero_crossing_rate
+FROM documents
+""",
+)
+
+
 def _text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.text import text_stats
 
@@ -5446,7 +5515,7 @@ _DRIVER_CHECKED = {
 #: round 5's prefix).
 _PRIORITY = [
     # round-4 additions — no driver history anywhere:
-    "embed_ivf_pq_topk",
+    "embed_ivf_pq_topk", "multimodal_audio",
     # oracle SQL fixed this round (HUGEINT -> BIGINT casts): re-confirm
     "graph_pagerank", "bigram_coherence",
     # never driver-checked, highest operator value first:
