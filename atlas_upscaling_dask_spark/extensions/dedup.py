@@ -717,6 +717,18 @@ def _lsh_index_params(spark, path: str) -> dict:
     return json.loads(read_text(spark, path.rstrip("/") + "/_lsh_index.json"))
 
 
+#: on-disk banded layout (band is the partition column)
+_LSH_INDEX_SCHEMA = "doc_id bigint, sig_arr array<bigint>, band int, bkey string"
+
+
+def _read_lsh_index(spark, path: str) -> DataFrame:
+    """Schema-explicit index scan: a freshly-bootstrapped EMPTY index
+    (zero crawl batches appended yet) has no parquet files to infer a
+    schema from, and a continuous-ingest pipeline must start from
+    exactly that state."""
+    return spark.read.schema(_LSH_INDEX_SCHEMA).parquet(path)
+
+
 def lsh_index_pairs(
     spark,
     path: str,
@@ -726,7 +738,7 @@ def lsh_index_pairs(
     bucket self-join + in-bucket scoring as ``minhash_lsh_pairs``, but
     the signature computation is a parquet scan (parity-tested)."""
     p = _lsh_index_params(spark, path)
-    banded = spark.read.parquet(path)
+    banded = _read_lsh_index(spark, path)
     lhs = banded.select(
         F.col("doc_id").alias("d1"), F.col("sig_arr").alias("arr1"), "band", "bkey"
     )
@@ -773,7 +785,7 @@ def lsh_index_query(
         "band",
         "bkey",
     )
-    corpus = spark.read.parquet(path).select(
+    corpus = _read_lsh_index(spark, path).select(
         F.col("doc_id").alias("corpus_id"), F.col("sig_arr").alias("arr2"), "band", "bkey"
     )
     est = (

@@ -527,3 +527,92 @@ def start_anomaly_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def start_crawl_dedup_stream(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    out_path: str,
+    schema,
+    min_est_sim: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+):
+    """Continuous crawl ingestion with near-dup screening against the
+    PERSISTED LSH index — the streaming driver for the
+    ``extensions/dedup`` index family, and the operational shape of
+    corpus dedup at 100 TB: each crawl batch is hashed ONCE, probed
+    against the index (cost tracks the batch and its bucket hits, never
+    the corpus), and only the survivors' signatures are appended.
+
+    Per micro-batch:
+
+    1. probe: ``lsh_index_query`` — batch docs whose estimated
+       similarity to ANY indexed doc ≥ ``min_est_sim`` are dropped;
+    2. in-batch screen: ``minhash_lsh_pairs`` with the INDEX's pinned
+       parameters (xxhash backend, so batch and index hash
+       identically) — of each in-batch near-dup pair, the higher id
+       drops (lowest-id-wins, the exact_dedup convention);
+    3. survivors write to ``out_path/epoch=N`` (overwritten on replay
+       — idempotent), and their signatures append to the index.
+
+    Effectively-once nuance: the index APPEND is at-least-once (a
+    replayed epoch may append duplicate signature rows), but index
+    queries are insensitive to duplicate rows (candidates pass through
+    ``dropDuplicates``), so dedup DECISIONS — and the survivor output,
+    which is epoch-fenced — are exactly the same under replay.
+    """
+    from pyspark.sql import functions as F
+
+    from ..extensions.dedup import (
+        _lsh_index_params,
+        append_to_lsh_index,
+        lsh_index_query,
+        minhash_lsh_pairs,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # consumed three times (probe, in-batch pairs, append) — pin it
+        batch = batch_df.localCheckpoint(eager=True)
+        p = _lsh_index_params(spark, index_path)
+        vs_corpus = (
+            lsh_index_query(
+                spark, index_path, batch, min_est_sim, text_col, id_col
+            )
+            .select(F.col("probe_id").alias(id_col))
+            .distinct()
+        )
+        in_batch = (
+            minhash_lsh_pairs(
+                batch,
+                num_hashes=p["num_hashes"],
+                bands=p["bands"],
+                min_est_sim=min_est_sim,
+                shingle_n=p["shingle_n"],
+                text_col=text_col,
+                id_col=id_col,
+                use_dictionary=False,
+            )
+            .select(F.col("d2").alias(id_col))  # lowest id survives
+            .distinct()
+        )
+        dropped = vs_corpus.unionByName(in_batch).distinct()
+        survivors = batch.join(dropped, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        survivors.write.mode("overwrite").parquet(
+            f"{out_path}/epoch={int(epoch_id)}"
+        )
+        if not survivors.isEmpty():
+            append_to_lsh_index(survivors, index_path, text_col, id_col)
+
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -318,6 +318,33 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — harness guard by design
         errors["point_lookup_q1q4"] = f"{type(e).__name__}: {e}"[:300]
 
+    # --- persisted-index IVFADC: build once (untimed), then time the
+    # partition-pruned probe+ADC query — the number a production user
+    # sees per search batch once the corpus is indexed.
+    try:
+        import shutil as _sh
+        import tempfile as _tf
+
+        from atlas_upscaling_dask_spark.extensions.similarity import (
+            build_ivf_index,
+            ivf_pq_index_topk,
+        )
+        from atlas_upscaling_dask_spark.tables import load_table as _lt2
+
+        emb = _lt2(spark, SF_DIR, "embeddings")
+        idx_dir = _tf.mkdtemp(prefix="bench_ivfpq_")
+        try:
+            build_ivf_index(emb, idx_dir, n_centroids=16, pq=True)
+            q16 = emb.filter(F.col("vec_id") < 16)
+            timed(
+                "embed_ivf_pq_index",
+                lambda: force(ivf_pq_index_topk(spark, idx_dir, q16, k=5, n_probe=4)),
+            )
+        finally:
+            _sh.rmtree(idx_dir, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001 — harness guard by design
+        errors["embed_ivf_pq_index"] = f"{type(e).__name__}: {e}"[:300]
+
     # --- BPE trainer throughput (VERDICT r3 "Next round #8"): the
     # sequential 10-merge baseline rate vs a production-shaped 256-merge
     # batched run (non-conflicting merges, one corpus pass per batch of

@@ -430,3 +430,70 @@ def test_anomaly_stream_prefix_equals_batch(spark, tmp_path):
     want2 = zscore_outliers(full, threshold=3.0).filter(F.col("event_id") >= 100)
     assert got2.count() == 1 and got2.first()["event_id"] == 199
     assert got2.exceptAll(want2).isEmpty() and want2.exceptAll(got2).isEmpty()
+
+
+def test_crawl_dedup_stream_incremental_index(spark, tmp_path):
+    # Continuous crawl dedup against the persisted LSH index: drop 1
+    # seeds the corpus; drop 2 contains a near-dup of a drop-1 doc, an
+    # in-batch dup pair, and a fresh doc.  Epoch outputs carry exactly
+    # the survivors, and the final index equals a from-scratch build
+    # over all survivors (the append path is corpus-equivalent).
+    # Stop/restart between drops (the anomaly-test staging protocol).
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        build_lsh_index,
+        lsh_index_pairs,
+    )
+    from atlas_upscaling_dask_spark.streaming.ingest import (
+        start_crawl_dedup_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    drop1 = [
+        (1, base),
+        (2, "completely different text about spark and large scale data systems"),
+    ]
+    drop2 = [
+        (10, base + " today"),  # near-dup of doc 1 -> dropped vs corpus
+        (11, "brand new survey of streaming joins and watermark semantics"),
+        (12, "brand new survey of streaming joins and watermark semantics ok"),
+        # 11/12 are in-batch near-dups -> 12 drops (lowest id wins)
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "crawl_src")
+    idx = str(tmp_path / "crawl_idx")
+    out = str(tmp_path / "crawl_out")
+    ckpt = str(tmp_path / "crawl_ckpt")
+
+    d1 = spark.createDataFrame(drop1, schema)
+    d2 = spark.createDataFrame(drop2, schema)
+    # seed an EMPTY index with pinned params (build on a 0-row frame)
+    build_lsh_index(d1.limit(0), idx, num_hashes=16, bands=8, shingle_n=3)
+
+    def run_drop(df):
+        df.write.mode("append").parquet(src)
+        q = start_crawl_dedup_stream(
+            spark, src, idx, out, d1.schema, min_est_sim=0.5,
+            checkpoint_dir=ckpt,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_drop(d1)
+    run_drop(d2)
+
+    e0 = {r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=0").collect()}
+    e1 = {r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=1").collect()}
+    assert e0 == {1, 2}
+    assert e1 == {11}
+
+    # incremental index == rebuild over the survivors
+    survivors = spark.createDataFrame(
+        [r for r in drop1 + drop2 if r[0] in e0 | e1], schema
+    )
+    rebuilt = str(tmp_path / "crawl_idx_rebuilt")
+    build_lsh_index(survivors, rebuilt, num_hashes=16, bands=8, shingle_n=3)
+    a = sorted(map(tuple, lsh_index_pairs(spark, idx, 0.0).collect()))
+    b = sorted(map(tuple, lsh_index_pairs(spark, rebuilt, 0.0).collect()))
+    assert a == b
