@@ -364,6 +364,7 @@ def build_ivf_index(
     pq: bool = False,
     pq_m: int = 4,
     pq_k_sub: int = 16,
+    pq_refine_iters: int = 0,
 ) -> None:
     """Materialize the IVF index: corpus PARTITIONED BY bucket on disk,
     centroids in a JSON sidecar.  With ``pq=True`` the deterministic PQ
@@ -389,7 +390,12 @@ def build_ivf_index(
         "centroids": cents.tolist(),
     }
     if pq:
-        side["pq_books"] = pq_codebooks(corpus, pq_m, pq_k_sub, id_col, vec_col)
+        pq_books = pq_codebooks(corpus, pq_m, pq_k_sub, id_col, vec_col)
+        if pq_refine_iters > 0:
+            pq_books = refine_pq_codebooks(
+                corpus, pq_books, pq_refine_iters, vec_col=vec_col
+            )
+        side["pq_books"] = pq_books
     write_text(
         corpus.sparkSession,
         path.rstrip("/") + "/_ivf_centroids.json",
@@ -612,6 +618,85 @@ def pq_codebooks(
     ]
 
 
+def refine_pq_codebooks(
+    corpus: DataFrame,
+    books: list,
+    iters: int = 2,
+    precision_bits: int = 20,
+    vec_col: str = "embedding",
+) -> list:
+    """Per-subspace Lloyd refinement of PQ codebooks — the production
+    step :func:`pq_codebooks`'s docstring names, deterministic like
+    :func:`kmeans_centroids`.
+
+    Each iteration is one narrow assignment pass (every subspace's
+    round-9 argmin, the exact encode contract) and ONE shuffle keyed
+    (subspace, code, dim) that recomputes codeword means in fixed
+    point (floor(v·2^k) sums — exact and order-independent, so the
+    same corpus yields the same books under any partitioning).
+    Codewords that attract no members keep their previous value.
+    Books live on the driver between rounds: m·k_sub·dsub floats.
+
+    Refined books are NOT SQL-replayable (the oracle replays the
+    lowest-id seeds); they slot into `pq_encode`/`pq_topk`/
+    `build_ivf_index(pq=True)` unchanged — distortion strictly
+    improves on clustered data (pinned in tests).
+    """
+    import numpy as np
+    import pandas as pd
+
+    m, k_sub, dsub = len(books), len(books[0]), len(books[0][0])
+    scale = float(1 << precision_bits)
+    bk = np.asarray(books, dtype=np.float64)
+    for _ in range(iters):
+        cur = bk  # closure snapshot for this round
+
+        def assign(batches):
+            for pdf in batches:
+                x = np.array(list(pdf[vec_col]), dtype=np.float64)
+                js, cs, subs = [], [], []
+                for j in range(m):
+                    xs = x[:, j * dsub : (j + 1) * dsub]
+                    d = np.zeros((len(x), k_sub))
+                    for t in range(dsub):  # encode-contract fold order
+                        diff = xs[:, t : t + 1] - cur[j, :, t][None, :]
+                        d += diff * diff
+                    d = np.floor(d * 1e9 + 0.5) / 1e9
+                    js.append(np.full(len(x), j, dtype=np.int32))
+                    cs.append(d.argmin(axis=1).astype(np.int32))
+                    subs.append(xs)
+                yield pd.DataFrame(
+                    {
+                        "j": np.concatenate(js),
+                        "code": np.concatenate(cs),
+                        "sub": [list(r) for r in np.vstack(subs)],
+                    }
+                )
+
+        assigned = corpus.mapInPandas(
+            assign, schema="j int, code int, sub array<double>"
+        )
+        agg = (
+            assigned.select(
+                "j", "code", F.posexplode("sub").alias("t", "val")
+            )
+            .groupBy("j", "code", "t")
+            .agg(
+                F.sum(F.floor(F.col("val") * scale).cast("long")).alias("s_fp"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new = bk.copy()
+        for r in agg:
+            new[r["j"], r["code"], r["t"]] = r["s_fp"] / (r["n"] * scale)
+        bk = new
+    return [
+        [[float(v) for v in bk[j, c]] for c in range(k_sub)]
+        for j in range(m)
+    ]
+
+
 def _l2sq(a, b):
     """Squared L2 between two array columns — left-to-right fold, the
     same evaluation order DuckDB's list_sum uses."""
@@ -738,6 +823,7 @@ def pq_topk(
     k_sub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Asymmetric-distance PQ search: encode the corpus once (m small
     ints per vector), then score every (query, neighbor) as the sum of
@@ -756,6 +842,8 @@ def pq_topk(
     ascending, self-matches excluded.
     """
     books = pq_codebooks(corpus, m, k_sub, id_col, vec_col)
+    if refine_iters > 0:  # Lloyd-refined books: better recall, no oracle
+        books = refine_pq_codebooks(corpus, books, refine_iters, vec_col=vec_col)
     dsub = len(books[0][0])
     spark = corpus.sparkSession
     book_rows = [
@@ -942,6 +1030,7 @@ def ivf_pq_topk(
     k_sub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-pruned PQ search — the scale-safe composition `pq_topk`'s
     docstring names (FAISS's IVFADC, Jégou et al. §IV).
@@ -967,6 +1056,8 @@ def ivf_pq_topk(
 
     cents = _coarse_centroids(corpus, n_centroids, 0, id_col, vec_col)
     books = pq_codebooks(corpus, m, k_sub, id_col, vec_col)
+    if refine_iters > 0:  # Lloyd-refined books: better recall, no oracle
+        books = refine_pq_codebooks(corpus, books, refine_iters, vec_col=vec_col)
     q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:
         raise ValueError("empty query set")

@@ -1706,6 +1706,62 @@ def test_pq_encode_backends_identical(spark, emb):
 # -------------------------------------------------------------- ivf+pq
 
 
+def test_refine_pq_codebooks_reduces_distortion_deterministically(spark):
+    # Lloyd-refined books must strictly reduce mean quantization error
+    # on clustered data vs the lowest-id seeds, and be bit-identical
+    # across runs (fixed-point means -> partitioning-independent)
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.similarity import (
+        pq_codebooks,
+        refine_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(8, 64)) * 5
+    rows = [
+        (i, (centers[i % 8] + rng.normal(size=64) * 0.3).astype(float).tolist())
+        for i in range(400)
+    ]
+    emb8 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = pq_codebooks(emb8, m=4, k_sub=16)
+    refined = refine_pq_codebooks(emb8, seeds, iters=2)
+    again = refine_pq_codebooks(emb8, seeds, iters=2)
+    assert refined == again  # bitwise deterministic
+
+    x = np.array([r[1] for r in rows])
+
+    def distortion(books):
+        bk = np.asarray(books)  # (m, k_sub, dsub)
+        total = 0.0
+        for j in range(4):
+            xs = x[:, j * 16 : (j + 1) * 16]
+            d = ((xs[:, None, :] - bk[j][None, :, :]) ** 2).sum(axis=2)
+            total += d.min(axis=1).sum()
+        return total / len(x)
+
+    assert distortion(refined) < distortion(seeds) * 0.9
+
+
+def test_pq_topk_refined_books_still_cluster_correct(spark):
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.similarity import pq_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 64)) * 5
+    rows = [
+        (i, (centers[i % 8] + rng.normal(size=64) * 0.3).astype(float).tolist())
+        for i in range(400)
+    ]
+    emb8 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb8.filter(F.col("vec_id") < 8)
+    hits = pq_topk(queries, emb8, k=10, m=4, k_sub=16, refine_iters=1).collect()
+    assert len(hits) == 80
+    wrong = [r for r in hits if r["neighbor_id"] % 8 != r["query_id"] % 8]
+    assert not wrong
+
+
 def test_ivf_pq_distances_match_pq_on_shared_pairs(spark, emb):
     # IVFADC prunes candidates but must NOT change distances: every
     # (query, neighbor) it returns carries the exact adist pq_topk's
