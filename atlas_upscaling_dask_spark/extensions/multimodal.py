@@ -106,9 +106,20 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
     if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
         return to_rgb(decode_png(bytes(payload)))
+    if payload[:2] in (b"II", b"MM"):  # TIFF image payload: first page
+        from ..sources.tiff import decode_tiff_page
+
+        plane = decode_tiff_page(bytes(payload), 0)
+        if plane.dtype == np.uint16:  # high byte, like 16-bit PNG
+            plane = (plane >> 8).astype(np.uint8)
+        if plane.dtype != np.uint8:
+            raise ValueError(
+                f"TIFF image payloads decode at 8/16-bit, got {plane.dtype}"
+            )
+        return to_rgb(plane[:, :, None])
     raise ValueError(
-        "unsupported image format (PNG is the built-in codec; "
-        "TIFF volumes go through sources/tiff.py)"
+        "unsupported image format (PNG and uncompressed TIFF are the "
+        "built-in codecs; entropy-coded formats need an imaging library)"
     )
 
 

@@ -318,6 +318,23 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — harness guard by design
         errors["point_lookup_q1q4"] = f"{type(e).__name__}: {e}"[:300]
 
+    # --- brute-force ANN, scale backend: the partial-top-k GEMM kernel
+    # (vs the oracle-bitwise fold variant timed as embed_topk above)
+    try:
+        from atlas_upscaling_dask_spark.extensions.similarity import (
+            brute_force_topk_blas,
+        )
+        from atlas_upscaling_dask_spark.tables import load_table as _lt3
+
+        emb_b = _lt3(spark, SF_DIR, "embeddings")
+        qb = emb_b.filter(F.col("vec_id") < 10)
+        timed(
+            "embed_topk_blas",
+            lambda: force(brute_force_topk_blas(qb, emb_b, k=5)),
+        )
+    except Exception as e:  # noqa: BLE001 — harness guard by design
+        errors["embed_topk_blas"] = f"{type(e).__name__}: {e}"[:300]
+
     # --- persisted-index IVFADC: build once (untimed), then time the
     # partition-pruned probe+ADC query — the number a production user
     # sees per search batch once the corpus is indexed.

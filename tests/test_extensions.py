@@ -446,6 +446,22 @@ def test_decode_image_formats():
     src = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
     got = decode_image(encode_png(src), fake=False)
     assert np.array_equal(got, src)
+    # real TIFF path (round 4): first page, gray -> RGB
+    import tempfile
+
+    from atlas_upscaling_dask_spark.sources.tiff import write_tiff
+
+    gray = rng.integers(0, 256, size=(6, 4), dtype=np.uint8)
+    p = tempfile.mktemp(suffix=".tif")
+    write_tiff(p, gray)
+    got = decode_image(open(p, "rb").read(), fake=False)
+    assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+    # 16-bit TIFF reduces to the high byte, like 16-bit PNG
+    g16 = rng.integers(0, 65536, size=(3, 5), dtype=np.uint16)
+    p16 = tempfile.mktemp(suffix=".tif")
+    write_tiff(p16, g16)
+    got16 = decode_image(open(p16, "rb").read(), fake=False)
+    assert np.array_equal(got16[:, :, 0], (g16 >> 8).astype(np.uint8))
     # unknown formats are a clear error, not a wrong decode
     with pytest.raises(ValueError, match="unsupported image format"):
         decode_image(b"xx", fake=False)
