@@ -1125,3 +1125,55 @@ def ivf_pq_index_topk(
         candidates, cents, books, probes, luts, q_ids, k,
         "neighbor_id", "cv", assigned_bucket=True,
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (embedding-space) deduplication, SemDeDup-style (Abbas
+    et al., "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): cluster with the deterministic coarse
+    quantizer, compare pairs ONLY within a cluster, and drop the
+    higher id of every pair whose cosine ≥ ``threshold``.
+
+    Scale shape: the pair search is a bucket equi-join (candidates
+    ~ sum of squared cluster sizes, never corpus²), the quantizer is
+    the shared `ivf_topk` machinery (narrow GEMM assignment pass), and
+    the drop set joins back anti-style — no driver-sized state.  The
+    lowest-id-wins rule matches `exact_dedup`; for transitive FAMILY
+    collapse feed the pairs to `near_dup_clusters` instead.
+
+    Returns (vec_id, bucket, is_kept) for every corpus row.  The whole
+    path — lowest-id centroids, cosine, round-9 threshold compare — is
+    SQL-replayable (suite row `semantic_dedup`).
+    """
+    cents = _coarse_centroids(corpus, n_centroids, 0, id_col, vec_col)
+    assigned = _assign_buckets(corpus, cents, id_col, vec_col)
+    a = assigned.select(
+        F.col("neighbor_id").alias("d1"), "bucket", F.col("cv").alias("v1")
+    )
+    b = assigned.select(
+        F.col("neighbor_id").alias("d2"), "bucket", F.col("cv").alias("v2")
+    )
+    dropped = (
+        a.join(b, "bucket")
+        .filter(F.col("d1") < F.col("d2"))
+        .filter(
+            F.round(cosine(_as_double(F.col("v1")), _as_double(F.col("v2"))), 9)
+            >= threshold
+        )
+        .select("d2")
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned["neighbor_id"] == dropped["d2"], "left")
+        .select(
+            F.col("neighbor_id").alias(id_col),
+            "bucket",
+            F.col("d2").isNull().alias("is_kept"),
+        )
+    )

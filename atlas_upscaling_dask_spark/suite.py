@@ -2144,6 +2144,51 @@ SELECT query_id, neighbor_id, adist, CAST(rk AS INTEGER) AS rk FROM (
 )
 
 
+def _semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup (Abbas et al.): cluster-bucketed embedding near-dup
+    # pruning — pairs compared only within a coarse-quantizer cluster,
+    # higher id of any pair with cosine >= threshold drops.  The
+    # deterministic lowest-id quantizer keeps the whole path (assign,
+    # pair, threshold) SQL-replayable.
+    from .extensions.similarity import semantic_dedup
+
+    # threshold 0.3 ~ p99 of the fixture's in-bucket cosines: a real
+    # drop set, not an all-kept no-op
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3, n_centroids=16
+    )
+
+
+_register(
+    "semantic_dedup",
+    _semantic_dedup_q,
+    f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
+         embedding::DOUBLE[] AS ctv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+assigned AS (
+  SELECT vec_id, cv, cid AS bucket FROM (
+    SELECT c.vec_id, c.cv, ct.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_COSINE_SQL.format(a="c.cv", b="ct.ctv")} DESC, ct.cid) AS r
+    FROM corpus c, cents ct
+  ) WHERE r = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS d2
+  FROM assigned a JOIN assigned b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round({_COSINE_SQL.format(a="a.cv", b="b.cv")}, 9) >= 0.3
+)
+SELECT a.vec_id, a.bucket, d.d2 IS NULL AS is_kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.d2
+""",
+)
+
+
 def _multimodal_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL end-to-end audio codec exercise with a closed-form oracle:
     # each doc becomes a ±A square-wave WAV (A and length derived from
@@ -5515,7 +5560,7 @@ _DRIVER_CHECKED = {
 #: round 5's prefix).
 _PRIORITY = [
     # round-4 additions — no driver history anywhere:
-    "embed_ivf_pq_topk", "multimodal_audio",
+    "embed_ivf_pq_topk", "multimodal_audio", "semantic_dedup",
     # oracle SQL fixed this round (HUGEINT -> BIGINT casts): re-confirm
     "graph_pagerank", "bigram_coherence",
     # never driver-checked, highest operator value first:

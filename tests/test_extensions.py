@@ -1722,6 +1722,36 @@ def test_pq_encode_backends_identical(spark, emb):
 # -------------------------------------------------------------- ivf+pq
 
 
+def test_semantic_dedup_drops_near_duplicates(spark):
+    # tight clusters: within each cluster every pair is near-identical
+    # (cosine ~1), so exactly the lowest id per cluster survives;
+    # orthogonal-ish singletons survive untouched
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.similarity import semantic_dedup
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(size=(6, 64)) * 5
+    rows = []
+    for i in range(120):
+        c = i % 6
+        rows.append(
+            (i, (centers[c] + rng.normal(size=64) * 0.01).astype(float).tolist())
+        )
+    emb6 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # n_centroids == n_clusters: seeds 0..5 are one per cluster (more
+    # seeds would duplicate a centroid and split its cluster across two
+    # buckets — pruning is within-bucket by design)
+    out = {r["vec_id"]: r for r in semantic_dedup(emb6, threshold=0.95, n_centroids=6).collect()}
+    assert len(out) == 120
+    kept = {i for i, r in out.items() if r["is_kept"]}
+    # every cluster keeps exactly its lowest member id (0..5)
+    assert kept == set(range(6))
+    # bucket assignment is cluster-consistent: same cluster -> same bucket
+    for i in range(120):
+        assert out[i]["bucket"] == out[i % 6]["bucket"]
+
+
 def test_refine_pq_codebooks_reduces_distortion_deterministically(spark):
     # Lloyd-refined books must strictly reduce mean quantization error
     # on clustered data vs the lowest-id seeds, and be bit-identical
