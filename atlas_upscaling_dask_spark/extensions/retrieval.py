@@ -325,3 +325,57 @@ def bm25_index_topk(
     return topk.select(
         "doc_id", "score", F.row_number().over(w).cast("int").alias("rank")
     )
+
+
+def append_to_text_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold a NEW document batch into a persisted inverted index: the
+    batch is tokenized with the index's pinned bucket count, its
+    postings APPEND under the existing bucket partitions, and the
+    corpus stats sidecar advances by the batch's doc/token counts — so
+    BM25 idf and avgdl stay corpus-accurate without re-reading a byte
+    of the existing postings.  The LSH-index append contract
+    (`dedup.append_to_lsh_index`): continuous crawl ingestion costs
+    O(batch), and a query after append is IDENTICAL to a query against
+    a from-scratch rebuild over the union (pytest parity).
+
+    Caller contract: batch doc_ids must be new (re-appending an
+    existing doc would double its postings, like any append-only log —
+    dedup upstream, e.g. `start_crawl_dedup_stream`).
+    """
+    import json
+
+    from ..fsutil import read_text, write_text
+
+    spark = docs.sparkSession
+    stats = json.loads(read_text(spark, path.rstrip("/") + "/_corpus_stats.json"))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("dl"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    postings = (
+        toks.groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("bucket", F.abs(F.xxhash64("term")) % stats["n_buckets"])
+    )
+    postings.write.mode("append").partitionBy("bucket").parquet(path)
+    batch = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("s"),
+    ).collect()[0]
+    write_text(
+        spark,
+        path.rstrip("/") + "/_corpus_stats.json",
+        json.dumps(
+            {
+                "n_docs": stats["n_docs"] + int(batch["n"]),
+                "sum_len": stats["sum_len"] + int(batch["s"] or 0),
+                "n_buckets": stats["n_buckets"],
+            }
+        ),
+    )

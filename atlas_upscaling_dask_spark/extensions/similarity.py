@@ -1177,3 +1177,33 @@ def semantic_dedup(
             F.col("d2").isNull().alias("is_kept"),
         )
     )
+
+
+def append_to_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold a NEW vector batch into a persisted IVF index: the batch is
+    assigned against the index's FROZEN centroids (sidecar) and its
+    rows append under the existing bucket partitions — embedding-store
+    growth costs O(batch), and because assignment is per-vector against
+    fixed centroids, a query after append is IDENTICAL to a query
+    against an index rebuilt over the union with the same centroids
+    (pytest parity).  Centroids are deliberately not re-fit here; when
+    drift warrants it, rebuild (the FAISS operational convention).
+    """
+    import json
+
+    import numpy as np
+
+    from ..fsutil import read_text
+
+    spark = vectors.sparkSession
+    side = json.loads(
+        read_text(spark, path.rstrip("/") + "/_ivf_centroids.json")
+    )
+    cents = np.asarray(side["centroids"], dtype=np.float64)
+    assigned = _assign_buckets(vectors, cents, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("bucket").parquet(path)

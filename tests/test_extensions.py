@@ -1651,6 +1651,60 @@ def test_lsh_index_append_equals_rebuild(spark, docs, tmp_path):
     assert a == b and a
 
 
+def test_text_index_append_equals_rebuild(spark, docs, tmp_path):
+    # the persisted-index append contract, BM25 edition: build on half,
+    # append the rest -> identical scores AND identical corpus stats to
+    # a from-scratch build over everything
+    from atlas_upscaling_dask_spark.extensions.retrieval import (
+        append_to_text_index,
+        bm25_index_topk,
+        build_text_index,
+    )
+
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = str(tmp_path / "txt_inc")
+    full = str(tmp_path / "txt_full")
+    build_text_index(half1, inc)
+    append_to_text_index(half2, inc)
+    build_text_index(docs, full)
+    terms = ["the", "data", "model"]
+    a = sorted(map(tuple, bm25_index_topk(spark, inc, terms, k=10).collect()))
+    b = sorted(map(tuple, bm25_index_topk(spark, full, terms, k=10).collect()))
+    assert a == b and a
+
+
+def test_ivf_index_append_equals_rebuild(spark, emb, tmp_path):
+    # IVF edition: half1 holds the lowest ids, so a rebuild over the
+    # union picks the SAME centroid seeds -> append must be bitwise
+    # equivalent (assignment is per-vector against frozen centroids)
+    from atlas_upscaling_dask_spark.extensions.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    mid = ids[len(ids) // 2]
+    half1 = emb.filter(F.col("vec_id") < mid)
+    half2 = emb.filter(F.col("vec_id") >= mid)
+    inc = str(tmp_path / "ivf_inc")
+    full = str(tmp_path / "ivf_full")
+    build_ivf_index(half1, inc, n_centroids=8)
+    append_to_ivf_index(half2, inc)
+    build_ivf_index(emb, full, n_centroids=8)
+    q = emb.filter(F.col("vec_id") < 5)
+    a = sorted(
+        (r["query_id"], r["neighbor_id"], r["rk"])
+        for r in ivf_index_topk(spark, inc, q, k=5, n_probe=3).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["neighbor_id"], r["rk"])
+        for r in ivf_index_topk(spark, full, q, k=5, n_probe=3).collect()
+    )
+    assert a == b and a
+
+
 # ------------------------------------------------------------------ pq
 
 
