@@ -426,6 +426,13 @@ def audited_queries():
             QUERIES["embed_ivf_pq_topk"],
             {"max_shuffles": 1, "no_python_udf": True},
         ),
+        # SemDeDup: the pair search must be the bucket equi-join (two
+        # keyed exchanges: bucket join + drop-set distinct) — a cross
+        # product here would be corpus² at scale
+        "semantic_dedup": (
+            QUERIES["semantic_dedup"],
+            {"max_shuffles": 2},
+        ),
         # z-scored stats broadcast back; scan side never shuffles — and
         # the histogram/winsorize/centroid group share the same shape
         "winsorize_quantity": (
