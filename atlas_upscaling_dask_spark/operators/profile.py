@@ -1,0 +1,90 @@
+"""Table profiling — ANALYZE-grade per-column statistics in ONE pass.
+
+The maintenance companion of `sinks/bucketed.py`'s ANALYZE hook and the
+`sketches` module: a data-engineering pipeline profiles every ingested
+table (null rates, cardinalities, ranges) before trusting it, and at
+100 TB that profile must come from a single scan, not a per-column
+loop of jobs.
+
+Plan shape: one aggregation computes count(*), and per column
+(n_nulls, exact n_distinct, min, max).  Spark plans the multi-column
+DISTINCT aggregate with an Expand (one duplicated stream per distinct
+column) — the standard engine answer, linear in n_cols × rows with
+map-side partials, no joins, no driver loops.  The wide 1-row result
+then unpivots to one row per column (driver-side width, |cols| cells).
+
+Numeric/timestamp columns report min/max as DOUBLE (exact for ints
+below 2^53; timestamps as epoch seconds), strings as strings — both
+engines compare and cast these identically, which keeps the whole
+profile oracle-checkable (suite row ``profile_lineitem``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column profile: (column, n_rows, n_nulls, n_distinct,
+    min_numeric, max_numeric, min_string, max_string).
+
+    Numeric (and timestamp, as epoch seconds) columns fill the numeric
+    min/max; string columns fill the string min/max; each row's unused
+    pair is null.  ``n_distinct`` is exact COUNT(DISTINCT col) —
+    null-excluding on both engines.  Unsupported types raise rather
+    than profile wrong.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = list(cols) if cols is not None else list(fields)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        dt = fields[c]
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            # epoch seconds as exact-micros / 1e6 — one IEEE division,
+            # the same op the oracle's epoch_us(...)/1000000.0 performs
+            # (the session is UTC, so NTZ -> TS is identity)
+            num = F.unix_micros(F.col(c).cast("timestamp")) / F.lit(1000000.0)
+        elif isinstance(dt, _NUMERIC):
+            num = F.col(c).cast("double")
+        elif isinstance(dt, T.StringType):
+            num = None
+        else:
+            raise ValueError(f"profile_columns: unsupported type {dt} for {c!r}")
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__ndv_{c}"))
+        if num is not None:
+            aggs.append(F.min(num).alias(f"__min_{c}"))
+            aggs.append(F.max(num).alias(f"__max_{c}"))
+        else:
+            aggs.append(F.min(F.col(c)).alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c)).alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        is_str = isinstance(fields[c], T.StringType)
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__ndv_{c}").alias("n_distinct"),
+                (F.lit(None).cast("double") if is_str else F.col(f"__min_{c}"))
+                .alias("min_numeric"),
+                (F.lit(None).cast("double") if is_str else F.col(f"__max_{c}"))
+                .alias("max_numeric"),
+                (F.col(f"__min_{c}") if is_str else F.lit(None).cast("string"))
+                .alias("min_string"),
+                (F.col(f"__max_{c}") if is_str else F.lit(None).cast("string"))
+                .alias("max_string"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

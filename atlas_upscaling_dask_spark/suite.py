@@ -2144,6 +2144,49 @@ SELECT query_id, neighbor_id, adist, CAST(rk AS INTEGER) AS rk FROM (
 )
 
 
+def _profile_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANALYZE-grade profiling in ONE scan: per-column null counts,
+    # exact NDV, min/max — the ingest-validation pass a pipeline runs
+    # before trusting a table.  Timestamps normalize to epoch seconds
+    # via the same micros/1e6 division on both engines.
+    from .operators.profile import profile_columns
+
+    return profile_columns(load_table(spark, sf_dir, "lineitem"))
+
+
+_PROFILE_COLS = [
+    ("l_orderkey", "num"), ("l_partkey", "num"), ("l_suppkey", "num"),
+    ("l_linenumber", "num"), ("l_quantity", "num"),
+    ("l_extendedprice", "num"), ("l_discount", "num"), ("l_tax", "num"),
+    ("l_returnflag", "str"), ("l_linestatus", "str"), ("l_shipdate", "ts"),
+]
+
+
+def _profile_oracle_sql() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "str":
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            ms, xs = f"min({c})", f"max({c})"
+        else:
+            expr = f"(epoch_us({c}) / 1000000.0)" if kind == "ts" else c
+            mn = f"CAST(min({expr}) AS DOUBLE)"
+            mx = f"CAST(max({expr}) AS DOUBLE)"
+            ms = xs = "CAST(NULL AS VARCHAR)"
+        parts.append(
+            f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       {mn} AS min_numeric, {mx} AS max_numeric,
+       {ms} AS min_string, {xs} AS max_string
+FROM lineitem"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_register("profile_lineitem", _profile_lineitem_q, _profile_oracle_sql())
+
+
 def _semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup (Abbas et al.): cluster-bucketed embedding near-dup
     # pruning — pairs compared only within a coarse-quantizer cluster,
@@ -5561,6 +5604,7 @@ _DRIVER_CHECKED = {
 _PRIORITY = [
     # round-4 additions — no driver history anywhere:
     "embed_ivf_pq_topk", "multimodal_audio", "semantic_dedup",
+    "profile_lineitem",
     # oracle SQL fixed this round (HUGEINT -> BIGINT casts): re-confirm
     "graph_pagerank", "bigram_coherence",
     # never driver-checked, highest operator value first:

@@ -219,3 +219,34 @@ def test_point_lookup_chunks_skips_compressed(spark):
         synthetic_chunks(spark, meta, chunk=(4, 8, 8)), codec="zstd"
     )
     assert point_lookup_chunks(compressed, 1, 1, 1).isEmpty()
+
+
+def test_profile_columns_stats_and_rejection(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from atlas_upscaling_dask_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "a"), (2, None, "b"), (3, 7.5, "b"), (None, 1.0, None)],
+        "k long, v double, s string",
+    )
+    out = {r["column"]: r for r in profile_columns(df).collect()}
+    assert set(out) == {"k", "v", "s"}
+    k = out["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 1, 3)
+    assert (k["min_numeric"], k["max_numeric"]) == (1.0, 3.0)
+    assert k["min_string"] is None and k["max_string"] is None
+    v = out["v"]
+    assert (v["n_nulls"], v["n_distinct"], v["min_numeric"], v["max_numeric"]) == (
+        1, 3, 1.0, 7.5,
+    )
+    s = out["s"]
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
+    assert (s["min_string"], s["max_string"]) == ("a", "b")
+    assert s["min_numeric"] is None
+    # column subset + unsupported type rejection
+    arr = df.withColumn("a", F.array(F.lit(1)))
+    assert {r["column"] for r in profile_columns(arr, ["k", "s"]).collect()} == {"k", "s"}
+    with pytest.raises(ValueError, match="unsupported type"):
+        profile_columns(arr)
