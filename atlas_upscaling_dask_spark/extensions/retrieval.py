@@ -255,7 +255,9 @@ def build_text_index(
         docs.sparkSession,
         path.rstrip("/") + "/_corpus_stats.json",
         json.dumps(
-            {"n_docs": int(stats["n"]), "sum_len": int(stats["s"]),
+            # stats["s"] is None on an EMPTY bootstrap build (the t=0 of
+            # continuous ingestion — appends fill it in)
+            {"n_docs": int(stats["n"]), "sum_len": int(stats["s"] or 0),
              "n_buckets": n_buckets}
         ),
     )
@@ -287,8 +289,13 @@ def bm25_index_topk(
     buckets = sorted(
         set(_bucket_of_terms(spark, query_terms, stats["n_buckets"]).values())
     )
+    # schema-explicit like the LSH index read: an EMPTY bootstrap index
+    # (continuous ingestion's t=0) has no files to infer from
     postings = (
-        spark.read.parquet(path)
+        spark.read.schema(
+            "term string, doc_id bigint, dl int, tf bigint, bucket int"
+        )
+        .parquet(path)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(query_terms))
     )

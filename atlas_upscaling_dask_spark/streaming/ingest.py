@@ -539,6 +539,7 @@ def start_crawl_dedup_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint_dir: str | None = None,
+    text_index_path: str | None = None,
 ):
     """Continuous crawl ingestion with near-dup screening against the
     PERSISTED LSH index — the streaming driver for the
@@ -546,6 +547,11 @@ def start_crawl_dedup_stream(
     corpus dedup at 100 TB: each crawl batch is hashed ONCE, probed
     against the index (cost tracks the batch and its bucket hits, never
     the corpus), and only the survivors' signatures are appended.
+
+    With ``text_index_path``, survivors ALSO fold into the persisted
+    BM25 inverted index (`retrieval.append_to_text_index`) — the full
+    ingestion loop: dedup + search-index maintenance in one stream,
+    every step O(batch).
 
     Per micro-batch:
 
@@ -611,6 +617,12 @@ def start_crawl_dedup_stream(
         )
         if not survivors.isEmpty():
             append_to_lsh_index(survivors, index_path, text_col, id_col)
+            if text_index_path is not None:
+                from ..extensions.retrieval import append_to_text_index
+
+                append_to_text_index(
+                    survivors, text_index_path, text_col, id_col
+                )
 
     writer = stream.writeStream.foreachBatch(sink)
     if checkpoint_dir:

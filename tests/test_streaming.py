@@ -469,11 +469,19 @@ def test_crawl_dedup_stream_incremental_index(spark, tmp_path):
     # seed an EMPTY index with pinned params (build on a 0-row frame)
     build_lsh_index(d1.limit(0), idx, num_hashes=16, bands=8, shingle_n=3)
 
+    tidx = str(tmp_path / "crawl_text_idx")
+    from atlas_upscaling_dask_spark.extensions.retrieval import (
+        bm25_index_topk,
+        build_text_index,
+    )
+
+    build_text_index(d1.limit(0), tidx)  # empty bootstrap
+
     def run_drop(df):
         df.write.mode("append").parquet(src)
         q = start_crawl_dedup_stream(
             spark, src, idx, out, d1.schema, min_est_sim=0.5,
-            checkpoint_dir=ckpt,
+            checkpoint_dir=ckpt, text_index_path=tidx,
         )
         try:
             q.processAllAvailable()
@@ -497,3 +505,11 @@ def test_crawl_dedup_stream_incremental_index(spark, tmp_path):
     a = sorted(map(tuple, lsh_index_pairs(spark, idx, 0.0).collect()))
     b = sorted(map(tuple, lsh_index_pairs(spark, rebuilt, 0.0).collect()))
     assert a == b
+
+    # the stream also maintained the BM25 index: incremental == rebuild
+    tfull = str(tmp_path / "crawl_text_full")
+    build_text_index(survivors, tfull)
+    terms = ["the", "streaming", "data"]
+    ti = sorted(map(tuple, bm25_index_topk(spark, tidx, terms, k=10).collect()))
+    tf = sorted(map(tuple, bm25_index_topk(spark, tfull, terms, k=10).collect()))
+    assert ti == tf and ti
