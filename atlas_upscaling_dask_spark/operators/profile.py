@@ -31,7 +31,9 @@ _NUMERIC = (
 )
 
 
-def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile_columns(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
     """Per-column profile: (column, n_rows, n_nulls, n_distinct,
     min_numeric, max_numeric, min_string, max_string).
 
@@ -40,6 +42,12 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     pair is null.  ``n_distinct`` is exact COUNT(DISTINCT col) —
     null-excluding on both engines.  Unsupported types raise rather
     than profile wrong.
+
+    ``approx=True`` swaps exact NDV for HyperLogLog++
+    (``approx_count_distinct``, default ~2% rsd) — the 100 TB mode:
+    the exact multi-distinct plans an Expand that streams the data
+    once PER PROFILED COLUMN, while the sketch aggregate is a single
+    pass with constant per-column state.  Everything else stays exact.
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = list(cols) if cols is not None else list(fields)
@@ -60,7 +68,13 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         aggs.append(
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")
         )
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__ndv_{c}"))
+        aggs.append(
+            (
+                F.approx_count_distinct(F.col(c))
+                if approx
+                else F.countDistinct(F.col(c))
+            ).alias(f"__ndv_{c}")
+        )
         if num is not None:
             aggs.append(F.min(num).alias(f"__min_{c}"))
             aggs.append(F.max(num).alias(f"__max_{c}"))

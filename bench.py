@@ -268,6 +268,7 @@ def main() -> None:
         "prepare_rag_corpus",
         "embed_pq_topk",
         "embed_ivf_pq_topk",
+        "semantic_dedup",
     ]
     for name in headliners:
         timed(name, lambda n=name: force(suite.QUERIES[n](spark, SF_DIR)))
@@ -317,6 +318,35 @@ def main() -> None:
         timed("point_lookup_binary", point_query_binary, runs=3)
     except Exception as e:  # noqa: BLE001 — harness guard by design
         errors["point_lookup_q1q4"] = f"{type(e).__name__}: {e}"[:300]
+
+    # --- SemDeDup scale backend: per-bucket GEMM kernel (vs the
+    # fold-expression oracle form timed as semantic_dedup above)
+    try:
+        from atlas_upscaling_dask_spark.extensions.similarity import semantic_dedup
+        from atlas_upscaling_dask_spark.tables import load_table as _lt5
+
+        emb_sd = _lt5(spark, SF_DIR, "embeddings")
+        timed(
+            "semantic_dedup_gemm",
+            lambda: force(semantic_dedup(emb_sd, 0.3, 16, backend="gemm")),
+        )
+    except Exception as e:  # noqa: BLE001 — harness guard by design
+        errors["semantic_dedup_gemm"] = f"{type(e).__name__}: {e}"[:300]
+
+    # --- table profiling, scale mode: HLL NDV (single pass, no Expand)
+    # — the exact multi-distinct variant is the oracle row; this is the
+    # form a 100 TB ingest-validation pass runs (13× faster at sf0.1)
+    try:
+        from atlas_upscaling_dask_spark.operators.profile import profile_columns
+        from atlas_upscaling_dask_spark.tables import load_table as _lt4
+
+        li_prof = _lt4(spark, SF_DIR, "lineitem")
+        timed(
+            "profile_lineitem_approx",
+            lambda: force(profile_columns(li_prof, approx=True)),
+        )
+    except Exception as e:  # noqa: BLE001 — harness guard by design
+        errors["profile_lineitem_approx"] = f"{type(e).__name__}: {e}"[:300]
 
     # --- brute-force ANN, scale backend: the partial-top-k GEMM kernel
     # (vs the oracle-bitwise fold variant timed as embed_topk above)

@@ -1806,6 +1806,18 @@ def test_semantic_dedup_drops_near_duplicates(spark):
         assert out[i]["bucket"] == out[i % 6]["bucket"]
 
 
+def test_semantic_dedup_backends_identical(spark, emb):
+    from atlas_upscaling_dask_spark.extensions.similarity import semantic_dedup
+
+    a = sorted(map(tuple, semantic_dedup(emb, 0.3, 16).collect()))
+    b = sorted(
+        map(tuple, semantic_dedup(emb, 0.3, 16, backend="gemm").collect())
+    )
+    assert a == b and a
+    with pytest.raises(ValueError, match="fold|gemm"):
+        semantic_dedup(emb, 0.3, 16, backend="nope")
+
+
 def test_refine_pq_codebooks_reduces_distortion_deterministically(spark):
     # Lloyd-refined books must strictly reduce mean quantization error
     # on clustered data vs the lowest-id seeds, and be bit-identical

@@ -250,3 +250,26 @@ def test_profile_columns_stats_and_rejection(spark):
     assert {r["column"] for r in profile_columns(arr, ["k", "s"]).collect()} == {"k", "s"}
     with pytest.raises(ValueError, match="unsupported type"):
         profile_columns(arr)
+
+
+def test_profile_columns_approx_mode(spark):
+    # HLL mode: single pass without the per-column Expand; NDV within
+    # the sketch's tolerance of exact, everything else identical
+    from atlas_upscaling_dask_spark.operators.profile import profile_columns
+    from atlas_upscaling_dask_spark.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    cols = ["l_orderkey", "l_quantity", "l_returnflag"]
+    exact = {r["column"]: r for r in profile_columns(li, cols).collect()}
+    approx = {r["column"]: r for r in profile_columns(li, cols, approx=True).collect()}
+    for c in cols:
+        e, a = exact[c], approx[c]
+        assert (a["n_rows"], a["n_nulls"]) == (e["n_rows"], e["n_nulls"])
+        assert (a["min_numeric"], a["max_numeric"], a["min_string"], a["max_string"]) == (
+            e["min_numeric"], e["max_numeric"], e["min_string"], e["max_string"],
+        )
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(3, 0.1 * e["n_distinct"])
+    # the exact plan pays an Expand per distinct column; approx must not
+    exact_plan = profile_columns(li, cols)._jdf.queryExecution().executedPlan().toString()
+    approx_plan = profile_columns(li, cols, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan and "Expand" not in approx_plan
