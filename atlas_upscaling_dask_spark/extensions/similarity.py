@@ -1153,11 +1153,15 @@ def semantic_dedup(
     SQL-replayable (suite row `semantic_dedup`) with the default
     ``backend="fold"``.  ``backend="gemm"`` scores each bucket's pair
     matrix in ONE vectorized NumPy kernel (`applyInPandas` per bucket)
-    instead of the expression-fold equi-join — ~4× faster at sf0.1 and
+    instead of the expression-fold equi-join — ~3× faster at sf0.1 and
     the form that scales to real cluster sizes; same round-9 threshold
     rule, so the two backends disagree only if a pair's cosine sits
     within a float ulp of the threshold (property-tested equal on the
-    fixtures).
+    fixtures).  The gemm kernel materializes ONE BUCKET per task, so a
+    degenerate quantizer (everything in one cluster) concentrates the
+    corpus in one task — size ``n_centroids`` so buckets fit executor
+    memory, or fall back to ``fold``, whose skewed bucket join AQE
+    splits.
     """
     cents = _coarse_centroids(corpus, n_centroids, 0, id_col, vec_col)
     assigned = _assign_buckets(corpus, cents, id_col, vec_col)

@@ -167,7 +167,7 @@ def main() -> None:
         try:
             force(upscale_chunks(chunks15, 15, codec="zstd"))  # untimed warm
             t_runs = []
-            for _ in range(2):
+            for _ in range(3):  # durable write swings with page-cache state
                 jvm_gc()
                 t0 = time.perf_counter()
                 write_volume(
