@@ -249,6 +249,8 @@ def bpe_train_batched(
             break
         used: set[str] = set()
         batch: list[tuple[str, str]] = []
+        # the rank-1 candidate is always accepted (used is empty), so
+        # every round makes progress — batch is non-empty here
         for r in cands:
             if len(batch) >= want:
                 break
@@ -257,8 +259,6 @@ def bpe_train_batched(
                 continue
             batch.append((s1, s2))
             used.update((s1, s2, s1 + s2))
-        if not batch:  # all candidates conflict: take the top pair alone
-            batch = [(cands[0]["s1"], cands[0]["s2"])]
         merges.extend(batch)
         syms = apply_merges_batch(syms, batch).localCheckpoint(eager=True)
     return merges, syms

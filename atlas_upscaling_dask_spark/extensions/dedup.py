@@ -704,7 +704,14 @@ def build_lsh_index(
         docs.sparkSession,
         path.rstrip("/") + "/_lsh_index.json",
         json.dumps(
-            {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
+            {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_n": shingle_n,
+                # pinned so the schema-explicit read (empty-bootstrap
+                # support) works for string/int ids alike
+                "id_type": docs.schema[id_col].dataType.simpleString(),
+            }
         ),
     )
 
@@ -717,16 +724,16 @@ def _lsh_index_params(spark, path: str) -> dict:
     return json.loads(read_text(spark, path.rstrip("/") + "/_lsh_index.json"))
 
 
-#: on-disk banded layout (band is the partition column)
-_LSH_INDEX_SCHEMA = "doc_id bigint, sig_arr array<bigint>, band int, bkey string"
-
-
-def _read_lsh_index(spark, path: str) -> DataFrame:
+def _read_lsh_index(spark, path: str, params: dict) -> DataFrame:
     """Schema-explicit index scan: a freshly-bootstrapped EMPTY index
     (zero crawl batches appended yet) has no parquet files to infer a
     schema from, and a continuous-ingest pipeline must start from
-    exactly that state."""
-    return spark.read.schema(_LSH_INDEX_SCHEMA).parquet(path)
+    exactly that state.  The doc_id type comes from the params sidecar
+    (indexes built before it was pinned default to bigint)."""
+    id_type = params.get("id_type", "bigint")
+    return spark.read.schema(
+        f"doc_id {id_type}, sig_arr array<bigint>, band int, bkey string"
+    ).parquet(path)
 
 
 def lsh_index_pairs(
@@ -738,7 +745,7 @@ def lsh_index_pairs(
     bucket self-join + in-bucket scoring as ``minhash_lsh_pairs``, but
     the signature computation is a parquet scan (parity-tested)."""
     p = _lsh_index_params(spark, path)
-    banded = _read_lsh_index(spark, path)
+    banded = _read_lsh_index(spark, path, p)
     lhs = banded.select(
         F.col("doc_id").alias("d1"), F.col("sig_arr").alias("arr1"), "band", "bkey"
     )
@@ -785,7 +792,7 @@ def lsh_index_query(
         "band",
         "bkey",
     )
-    corpus = _read_lsh_index(spark, path).select(
+    corpus = _read_lsh_index(spark, path, p).select(
         F.col("doc_id").alias("corpus_id"), F.col("sig_arr").alias("arr2"), "band", "bkey"
     )
     est = (

@@ -110,12 +110,11 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         from ..sources.tiff import decode_tiff_page
 
         plane = decode_tiff_page(bytes(payload), 0)
-        if plane.dtype == np.uint16:  # high byte, like 16-bit PNG
-            plane = (plane >> 8).astype(np.uint8)
-        if plane.dtype != np.uint8:
+        if plane.dtype not in (np.uint8, np.uint16):
             raise ValueError(
                 f"TIFF image payloads decode at 8/16-bit, got {plane.dtype}"
             )
+        # to_rgb owns the 16-bit -> high-byte policy (same as PNG)
         return to_rgb(plane[:, :, None])
     raise ValueError(
         "unsupported image format (PNG and uncompressed TIFF are the "
@@ -182,7 +181,10 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             pdf["payload"] = out_payloads
             yield pdf
 
-    resized = media.mapInPandas(kernel, schema=media.schema)
+    # images only, like the frame/audio kernels — a mixed media frame
+    # must not feed WAV/TIFF payloads to the PNG decoder
+    imgs = media.filter(F.col("media_type") == "image")
+    resized = imgs.mapInPandas(kernel, schema=imgs.schema)
     return resized.withColumn(
         "meta",
         F.col("meta").withField("width", F.lit(width)).withField(

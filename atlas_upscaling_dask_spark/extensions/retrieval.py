@@ -256,9 +256,11 @@ def build_text_index(
         path.rstrip("/") + "/_corpus_stats.json",
         json.dumps(
             # stats["s"] is None on an EMPTY bootstrap build (the t=0 of
-            # continuous ingestion — appends fill it in)
+            # continuous ingestion — appends fill it in); id_type pins
+            # the schema-explicit read for string/int ids alike
             {"n_docs": int(stats["n"]), "sum_len": int(stats["s"] or 0),
-             "n_buckets": n_buckets}
+             "n_buckets": n_buckets,
+             "id_type": docs.schema[id_col].dataType.simpleString()}
         ),
     )
 
@@ -290,10 +292,12 @@ def bm25_index_topk(
         set(_bucket_of_terms(spark, query_terms, stats["n_buckets"]).values())
     )
     # schema-explicit like the LSH index read: an EMPTY bootstrap index
-    # (continuous ingestion's t=0) has no files to infer from
+    # (continuous ingestion's t=0) has no files to infer from; doc_id's
+    # type comes from the stats sidecar (pre-pin indexes: bigint)
+    id_type = stats.get("id_type", "bigint")
     postings = (
         spark.read.schema(
-            "term string, doc_id bigint, dl int, tf bigint, bucket int"
+            f"term string, doc_id {id_type}, dl int, tf bigint, bucket int"
         )
         .parquet(path)
         .filter(F.col("bucket").isin(buckets))
@@ -383,6 +387,7 @@ def append_to_text_index(
                 "n_docs": stats["n_docs"] + int(batch["n"]),
                 "sum_len": stats["sum_len"] + int(batch["s"] or 0),
                 "n_buckets": stats["n_buckets"],
+                "id_type": stats.get("id_type", "bigint"),
             }
         ),
     )

@@ -1052,12 +1052,30 @@ def ivf_pq_topk(
     same codebooks, the same encode fold, per-term round-to-9 carried
     as exact integer nanos.
     """
-    import numpy as np
-
     cents = _coarse_centroids(corpus, n_centroids, 0, id_col, vec_col)
     books = pq_codebooks(corpus, m, k_sub, id_col, vec_col)
     if refine_iters > 0:  # Lloyd-refined books: better recall, no oracle
         books = refine_pq_codebooks(corpus, books, refine_iters, vec_col=vec_col)
+    q_ids, probes, luts = _adc_probes(
+        queries, cents, books, n_probe, id_col, vec_col
+    )
+    # bucket assignment happens inside the kernel (one pass, no extra
+    # scan); nothing here pre-filters because the inline path has no
+    # bucket column yet — the index path below prunes partitions instead
+    return _adc_scan_topk(
+        corpus, cents, books, probes, luts, q_ids, k, id_col, vec_col,
+        assigned_bucket=False,
+    )
+
+
+def _adc_probes(queries, cents, books, n_probe, id_col, vec_col):
+    """Shared IVFADC query prep: collect the (small-by-contract) query
+    set, rank its ``n_probe`` nearest coarse buckets (stable argsort,
+    lowest-cid tie-break — the oracle's row_number order), and build
+    the per-query integer-nanos ADC LUTs."""
+    import numpy as np
+
+    ct = np.asarray(cents, dtype=np.float64)
     q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:
         raise ValueError("empty query set")
@@ -1066,16 +1084,9 @@ def ivf_pq_topk(
     for r in q_rows:
         qv = np.asarray(r[1], dtype=np.float64)
         qv = qv / np.linalg.norm(qv)
-        order = np.argsort(-(np.asarray(cents) @ qv), kind="stable")[:n_probe]
+        order = np.argsort(-(ct @ qv), kind="stable")[:n_probe]
         probes[int(r[0])] = [int(b) for b in order]
-    luts = _adc_lut_nanos(books, q_rows)
-    # bucket assignment happens inside the kernel (one pass, no extra
-    # scan); nothing here pre-filters because the inline path has no
-    # bucket column yet — the index path below prunes partitions instead
-    return _adc_scan_topk(
-        corpus, cents, books, probes, luts, q_ids, k, id_col, vec_col,
-        assigned_bucket=False,
-    )
+    return q_ids, probes, _adc_lut_nanos(books, q_rows)
 
 
 def ivf_pq_index_topk(
@@ -1108,17 +1119,9 @@ def ivf_pq_index_topk(
             "index has no PQ codebooks — rebuild with build_ivf_index(..., pq=True)"
         )
     books = side["pq_books"]
-    q_rows = queries.select(id_col, vec_col).collect()
-    if not q_rows:
-        raise ValueError("empty query set")
-    q_ids = [int(r[0]) for r in q_rows]
-    probes = {}
-    for r in q_rows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        qv = qv / np.linalg.norm(qv)
-        order = np.argsort(-(cents @ qv), kind="stable")[:n_probe]
-        probes[int(r[0])] = [int(b) for b in order]
-    luts = _adc_lut_nanos(books, q_rows)
+    q_ids, probes, luts = _adc_probes(
+        queries, cents, books, n_probe, id_col, vec_col
+    )
     probed = sorted({b for bs in probes.values() for b in bs})
     candidates = spark.read.parquet(path).filter(F.col("bucket").isin(probed))
     return _adc_scan_topk(

@@ -564,11 +564,58 @@ def start_crawl_dedup_stream(
     3. survivors write to ``out_path/epoch=N`` (overwritten on replay
        — idempotent), and their signatures append to the index.
 
-    Effectively-once nuance: the index APPEND is at-least-once (a
-    replayed epoch may append duplicate signature rows), but index
-    queries are insensitive to duplicate rows (candidates pass through
-    ``dropDuplicates``), so dedup DECISIONS — and the survivor output,
-    which is epoch-fenced — are exactly the same under replay.
+    Replay semantics: a retried epoch must reach the same decisions
+    even though its FIRST attempt may already have appended survivors
+    to the index.  Two mechanisms provide that: (a) the corpus probe
+    excludes SELF-matches (``probe_id == corpus_id``) — without this, a
+    replayed survivor would match its own just-appended signature and
+    vanish from the epoch output (data loss); (b) each index append is
+    fenced by a per-epoch marker file, so a replay skips appends its
+    first attempt completed — this keeps the non-idempotent BM25 stats
+    advance exactly-once and avoids duplicate signature rows.  The
+    residual window (crash strictly between an append's last data file
+    and its marker) re-appends that one batch: harmless for LSH
+    (queries dropDuplicates), a tf/stats overcount for BM25 — the
+    standard at-least-once caveat of appending to a non-transactional
+    table format.
+    """
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        crawl_dedup_batch(
+            spark, batch_df, int(epoch_id), index_path, out_path,
+            min_est_sim=min_est_sim, text_col=text_col, id_col=id_col,
+            text_index_path=text_index_path, marker_dir=checkpoint_dir,
+        )
+
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def crawl_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    out_path: str,
+    min_est_sim: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    text_index_path: str | None = None,
+    marker_dir: str | None = None,
+) -> None:
+    """One crawl-dedup micro-batch — the unit `start_crawl_dedup_stream`
+    drives, exposed so replay semantics are testable deterministically
+    (call it twice with the same ``epoch_id``: decisions, survivor
+    output, and index state must come out identical).
+
+    Append markers live under ``marker_dir`` (the stream passes its
+    CHECKPOINT — the thing that defines epoch numbering; an index-global
+    marker would collide when a different stream instance, with a fresh
+    checkpoint and epochs from 0, appends to the same index).  Without
+    a marker_dir there is no fence — fine when there are no replays.
     """
     from pyspark.sql import functions as F
 
@@ -578,53 +625,72 @@ def start_crawl_dedup_stream(
         lsh_index_query,
         minhash_lsh_pairs,
     )
+    from ..fsutil import read_text, write_text
 
-    stream = spark.readStream.schema(schema).parquet(docs_path)
+    def _marker(step: str) -> str | None:
+        if marker_dir is None:
+            return None
+        return f"{marker_dir.rstrip('/')}/_append_{int(epoch_id)}.{step}.done"
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        # consumed three times (probe, in-batch pairs, append) — pin it
-        batch = batch_df.localCheckpoint(eager=True)
-        p = _lsh_index_params(spark, index_path)
-        vs_corpus = (
-            lsh_index_query(
-                spark, index_path, batch, min_est_sim, text_col, id_col
-            )
-            .select(F.col("probe_id").alias(id_col))
-            .distinct()
+    def _done(path: str | None) -> bool:
+        if path is None:
+            return False
+        try:
+            read_text(spark, path)
+            return True
+        except Exception:  # noqa: BLE001 — missing marker == not done
+            return False
+
+    if batch_df.isEmpty():
+        return
+    # consumed three times (probe, in-batch pairs, append) — pin it
+    batch = batch_df.localCheckpoint(eager=True)
+    p = _lsh_index_params(spark, index_path)
+    vs_corpus = (
+        lsh_index_query(
+            spark, index_path, batch, min_est_sim, text_col, id_col
         )
-        in_batch = (
-            minhash_lsh_pairs(
-                batch,
-                num_hashes=p["num_hashes"],
-                bands=p["bands"],
-                min_est_sim=min_est_sim,
-                shingle_n=p["shingle_n"],
-                text_col=text_col,
-                id_col=id_col,
-                use_dictionary=False,
-            )
-            .select(F.col("d2").alias(id_col))  # lowest id survives
-            .distinct()
+        # self-matches appear when THIS epoch's first attempt already
+        # appended the batch — a replayed doc must not drop against
+        # its own signature
+        .filter(F.col("probe_id") != F.col("corpus_id"))
+        .select(F.col("probe_id").alias(id_col))
+        .distinct()
+    )
+    in_batch = (
+        minhash_lsh_pairs(
+            batch,
+            num_hashes=p["num_hashes"],
+            bands=p["bands"],
+            min_est_sim=min_est_sim,
+            shingle_n=p["shingle_n"],
+            text_col=text_col,
+            id_col=id_col,
+            use_dictionary=False,
         )
-        dropped = vs_corpus.unionByName(in_batch).distinct()
-        survivors = batch.join(dropped, id_col, "left_anti").localCheckpoint(
-            eager=True
-        )
-        survivors.write.mode("overwrite").parquet(
-            f"{out_path}/epoch={int(epoch_id)}"
-        )
-        if not survivors.isEmpty():
+        .select(F.col("d2").alias(id_col))  # lowest id survives
+        .distinct()
+    )
+    dropped = vs_corpus.unionByName(in_batch).distinct()
+    survivors = batch.join(dropped, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    survivors.write.mode("overwrite").parquet(
+        f"{out_path}/epoch={int(epoch_id)}"
+    )
+    if not survivors.isEmpty():
+        lsh_mark = _marker("lsh")
+        if not _done(lsh_mark):
             append_to_lsh_index(survivors, index_path, text_col, id_col)
-            if text_index_path is not None:
-                from ..extensions.retrieval import append_to_text_index
+            if lsh_mark:
+                write_text(spark, lsh_mark, "done")
+        if text_index_path is not None:
+            from ..extensions.retrieval import append_to_text_index
 
+            text_mark = _marker("text")
+            if not _done(text_mark):
                 append_to_text_index(
                     survivors, text_index_path, text_col, id_col
                 )
-
-    writer = stream.writeStream.foreachBatch(sink)
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer.start()
+                if text_mark:
+                    write_text(spark, text_mark, "done")

@@ -1651,6 +1651,45 @@ def test_lsh_index_append_equals_rebuild(spark, docs, tmp_path):
     assert a == b and a
 
 
+def test_persisted_indexes_support_string_ids(spark, tmp_path):
+    # CODE-REVIEW r4 finding #2: the schema-explicit index reads must
+    # honor the builder's id_col type (a crawl corpus keys on URL
+    # strings, not integers) — the sidecars pin it
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        build_lsh_index,
+        lsh_index_pairs,
+        lsh_index_query,
+    )
+    from atlas_upscaling_dask_spark.extensions.retrieval import (
+        bm25_index_topk,
+        build_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("u://a", "the quick brown fox jumps over the lazy dog again"),
+            ("u://b", "the quick brown fox jumps over the lazy dog again!"),
+            ("u://c", "completely different text about distributed query engines"),
+        ],
+        "doc_id string, text string",
+    )
+    idx = str(tmp_path / "str_lsh")
+    build_lsh_index(docs, idx, num_hashes=16, bands=8)
+    pairs = lsh_index_pairs(spark, idx, 0.5).collect()
+    assert {(r["d1"], r["d2"]) for r in pairs} == {("u://a", "u://b")}
+    probe = spark.createDataFrame(
+        [("u://new", "the quick brown fox jumps over the lazy dog")],
+        "doc_id string, text string",
+    )
+    hits = lsh_index_query(spark, idx, probe, 0.5).collect()
+    assert {r["corpus_id"] for r in hits} >= {"u://a"}
+
+    tidx = str(tmp_path / "str_txt")
+    build_text_index(docs, tidx)
+    top = bm25_index_topk(spark, tidx, ["different"], k=2).collect()
+    assert top and top[0]["doc_id"] == "u://c"
+
+
 def test_text_index_append_equals_rebuild(spark, docs, tmp_path):
     # the persisted-index append contract, BM25 edition: build on half,
     # append the rest -> identical scores AND identical corpus stats to
