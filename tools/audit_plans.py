@@ -433,6 +433,18 @@ def audited_queries():
             QUERIES["semantic_dedup"],
             {"max_shuffles": 2},
         ),
+        # audio codec row: encode + decode + features are consecutive
+        # Arrow kernels over the same rows — fully narrow, zero shuffle
+        "multimodal_audio": (
+            QUERIES["multimodal_audio"],
+            {"no_shuffle": True},
+        ),
+        # profiling: ONE aggregation (Expand partial + final) — per-
+        # column job loops would show up as extra exchanges here
+        "profile_lineitem": (
+            QUERIES["profile_lineitem"],
+            {"max_shuffles": 2, "no_python_udf": True},
+        ),
         # z-scored stats broadcast back; scan side never shuffles — and
         # the histogram/winsorize/centroid group share the same shape
         "winsorize_quantity": (
