@@ -1740,6 +1740,41 @@ WHERE inter / (s1.n + s2.n - inter) >= 0.5
 )
 
 
+def _setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT Jaccard-threshold join WITHOUT all-pairs: prefix filtering
+    # (AllPairs/PPJoin).  The oracle is brute-force all-pairs, so it
+    # verifies the filter's completeness theorem, not just the values.
+    from .extensions.dedup import prefix_filter_join
+
+    return prefix_filter_join(
+        load_table(spark, sf_dir, "documents"), threshold=0.6, n=3
+    )
+
+
+_register(
+    "setsim_prefix_join",
+    _setsim_prefix_join,
+    """
+WITH sh AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         unnest(range(len(string_split(text, ' ')) - 2)) AS i
+  FROM documents
+),
+g AS (SELECT DISTINCT doc_id, w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS gram FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
+       inter / (s1.n + s2.n - inter) AS jaccard
+FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+WHERE inter / (s1.n + s2.n - inter) >= 0.6
+""",
+)
+
+
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.dedup import minhash_lsh_pairs
 
@@ -2185,6 +2220,68 @@ FROM lineitem"""
 
 
 _register("profile_lineitem", _profile_lineitem_q, _profile_oracle_sql())
+
+
+def _check_constraints_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deequ-style declarative data-quality suite: every constraint
+    # compiles into ONE aggregation over one scan — completeness,
+    # PK uniqueness, ranges, set membership, and a cross-column
+    # predicate, each reported as (constraint, violations, passed).
+    from .operators.profile import check_constraints
+
+    return check_constraints(
+        load_table(spark, sf_dir, "lineitem"),
+        [
+            {"kind": "not_null", "col": "l_linestatus"},
+            {"kind": "unique", "cols": ["l_orderkey", "l_linenumber"]},
+            {"kind": "in_range", "col": "l_quantity", "lo": 1, "hi": 50},
+            {"kind": "in_set", "col": "l_returnflag", "values": ["A", "N", "R"]},
+            {
+                "kind": "expr",
+                "name": "ship_in_epoch",
+                "predicate": "l_shipdate >= DATE '1992-01-01'",
+            },
+            # deliberately tight cap: exercises the violations>0 branch
+            {
+                "kind": "expr",
+                "name": "quantity_cap_30",
+                "predicate": "l_quantity <= 30",
+            },
+        ],
+    )
+
+
+_register(
+    "check_constraints_lineitem",
+    _check_constraints_lineitem,
+    """
+WITH m AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS c0,
+         count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS c1,
+         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS c2,
+         sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                   AND l_returnflag IS NOT NULL THEN 1 ELSE 0 END) AS c3,
+         sum(CASE WHEN l_shipdate >= DATE '1992-01-01' THEN 0 ELSE 1 END) AS c4,
+         sum(CASE WHEN l_quantity <= 30 THEN 0 ELSE 1 END) AS c5
+  FROM lineitem
+)
+SELECT 'not_null(l_linestatus)' AS constraint, 'not_null' AS kind, n AS n_rows,
+       CAST(c0 AS BIGINT) AS n_violations, c0 = 0 AS passed FROM m
+UNION ALL
+SELECT 'unique(l_orderkey, l_linenumber)', 'unique', n,
+       CAST(c1 AS BIGINT), c1 = 0 FROM m
+UNION ALL
+SELECT 'in_range(l_quantity, 1, 50)', 'in_range', n,
+       CAST(c2 AS BIGINT), c2 = 0 FROM m
+UNION ALL
+SELECT 'in_set(l_returnflag)', 'in_set', n, CAST(c3 AS BIGINT), c3 = 0 FROM m
+UNION ALL
+SELECT 'ship_in_epoch', 'expr', n, CAST(c4 AS BIGINT), c4 = 0 FROM m
+UNION ALL
+SELECT 'quantity_cap_30', 'expr', n, CAST(c5 AS BIGINT), c5 = 0 FROM m
+""",
+)
 
 
 def _semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5325,6 +5422,55 @@ SELECT c_custkey, c_name, c_acctbal FROM ranked WHERE rk = 1 AND op <> 'delete'
 )
 
 
+def _scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Type-2 SCD history of each user's event_type: consecutive equal
+    # types collapse into one validity interval; one exchange total
+    # (lag window, island groupBy, and lead window all cluster on
+    # user_id).  Epoch-micros bounds keep the compare engine-exact.
+    from .operators.merge import scd2_build
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_build(
+        ev, "user_id", ["event_type"], ts_col="ts", tiebreak_cols=["event_id"]
+    )
+
+
+_register(
+    "scd2_user_segments",
+    _scd2_user_segments,
+    """
+WITH l AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER w AS rn,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+f AS (
+  SELECT *, CASE WHEN rn > 1 AND prev IS NOT DISTINCT FROM event_type
+                 THEN 0 ELSE 1 END AS chg
+  FROM l
+),
+g AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM f
+),
+i AS (
+  SELECT user_id, island, event_type, min(ts) AS vf
+  FROM g GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type,
+       epoch_us(vf) AS valid_from_us,
+       epoch_us(lead(vf) OVER wl) AS valid_to_us,
+       lead(vf) OVER wl IS NULL AS is_current,
+       CAST(island AS INT) AS version
+FROM i
+WINDOW wl AS (PARTITION BY user_id ORDER BY island)
+""",
+)
+
+
 def _hash_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.training import hash_split
 
@@ -5603,6 +5749,8 @@ _DRIVER_CHECKED = {
 #: round 5's prefix).
 _PRIORITY = [
     # round-4 additions — no driver history anywhere:
+    "setsim_prefix_join", "scd2_user_segments",
+    "check_constraints_lineitem",
     "embed_ivf_pq_topk", "multimodal_audio", "semantic_dedup",
     "profile_lineitem",
     # oracle SQL fixed this round (HUGEINT -> BIGINT casts): re-confirm

@@ -269,6 +269,9 @@ def main() -> None:
         "embed_pq_topk",
         "embed_ivf_pq_topk",
         "semantic_dedup",
+        "setsim_prefix_join",
+        "scd2_user_segments",
+        "check_constraints_lineitem",
     ]
     for name in headliners:
         timed(name, lambda n=name: force(suite.QUERIES[n](spark, SF_DIR)))

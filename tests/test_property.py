@@ -242,3 +242,33 @@ def test_tiff_write_parse_roundtrip_property(seed, dims, dt, bo, rps, tiled, big
         for z in range(nz):
             got = tiff._read_page_rows(fh, info.pages[z], 0, ny, 0, nx)
             assert np.array_equal(got, vol[z]), (z, dims, dt, bo, rps, tiled, big)
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    threshold=st.sampled_from([0.3, 0.5, 0.7, 0.85]),
+)
+@settings(**SETTINGS)
+def test_prefix_filter_join_matches_bruteforce(spark, seed, threshold):
+    # The AllPairs prefix-filter theorem (Jaccard >= t pairs always share
+    # a prefix token) checked empirically: the candidate-pruned join must
+    # return EXACTLY the brute-force all-pairs result — same pairs, same
+    # intersection/size counts.
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_join,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 15)))
+        for _ in range(rng.integers(4, 10))
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    key = lambda r: (r["d1"], r["d2"], r["inter"], r["n1"], r["n2"])
+    truth = {key(r) for r in ngram_jaccard_pairs(df, 3, threshold).collect()}
+    got = {key(r) for r in prefix_filter_join(df, threshold, 3).collect()}
+    assert got == truth, (seed, threshold, truth - got, got - truth)

@@ -273,3 +273,122 @@ def test_profile_columns_approx_mode(spark):
     exact_plan = profile_columns(li, cols)._jdf.queryExecution().executedPlan().toString()
     approx_plan = profile_columns(li, cols, approx=True)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in exact_plan and "Expand" not in approx_plan
+
+
+def test_scd2_build_intervals(spark):
+    from atlas_upscaling_dask_spark.operators.merge import scd2_build
+
+    df = spark.createDataFrame(
+        [
+            # user 1: A, A, B, A  -> three intervals (A, B, A)
+            (1, 100, "A", 1),
+            (1, 200, "A", 2),
+            (1, 300, "B", 3),
+            (1, 400, "A", 4),
+            # user 2: one row, NULL attribute -> one current interval
+            (2, 150, None, 5),
+        ],
+        "user_id long, t long, seg string, eid long",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"),
+        "seg",
+        "eid",
+    )
+    rows = sorted(
+        scd2_build(df, "user_id", ["seg"], "ts", ["eid"]).collect(),
+        key=lambda r: (r["user_id"], r["version"]),
+    )
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert [(r["seg"], r["version"]) for r in u1] == [("A", 1), ("B", 2), ("A", 3)]
+    assert [r["valid_from_us"] for r in u1] == [100e6, 300e6, 400e6]
+    assert [r["valid_to_us"] for r in u1] == [300e6, 400e6, None]
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    (u2,) = [r for r in rows if r["user_id"] == 2]
+    assert u2["seg"] is None and u2["is_current"] and u2["version"] == 1
+
+
+def test_scd2_same_timestamp_changes_are_ordered(spark):
+    from atlas_upscaling_dask_spark.operators.merge import scd2_build
+
+    # two changes at the SAME timestamp: the tiebreak column orders the
+    # islands deterministically and valid_to chains by change order
+    df = spark.createDataFrame(
+        [(1, 100, "A", 1), (1, 100, "B", 2), (1, 200, "B", 3)],
+        "user_id long, t long, seg string, eid long",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"),
+        "seg",
+        "eid",
+    )
+    rows = sorted(
+        scd2_build(df, "user_id", ["seg"], "ts", ["eid"]).collect(),
+        key=lambda r: r["version"],
+    )
+    assert [(r["seg"], r["valid_from_us"], r["valid_to_us"]) for r in rows] == [
+        ("A", 100e6, 100e6),
+        ("B", 100e6, None),
+    ]
+
+
+def test_check_constraints_kinds(spark):
+    from atlas_upscaling_dask_spark.operators.profile import check_constraints
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A", None), (2, -5.0, "B", "x"), (2, 200.0, "Z", "y")],
+        "k long, v double, flag string, s string",
+    )
+    out = {
+        r["constraint"]: r
+        for r in check_constraints(
+            df,
+            [
+                {"kind": "not_null", "col": "s"},
+                {"kind": "unique", "cols": ["k"]},
+                {"kind": "in_range", "col": "v", "lo": 0, "hi": 100},
+                {"kind": "in_set", "col": "flag", "values": ["A", "B"]},
+                {"kind": "expr", "name": "pos", "predicate": "v > 0"},
+            ],
+        ).collect()
+    }
+    assert len(out) == 5 and all(r["n_rows"] == 3 for r in out.values())
+    assert out["not_null(s)"]["n_violations"] == 1
+    assert out["unique(k)"]["n_violations"] == 1  # k=2 twice
+    assert out["in_range(v, 0, 100)"]["n_violations"] == 2  # -5 and 200
+    assert out["in_set(flag)"]["n_violations"] == 1  # Z
+    assert out["pos"]["n_violations"] == 1 and not out["pos"]["passed"]
+    assert out["not_null(s)"]["passed"] is False
+    # single scan: exactly one aggregation source; no join in the plan
+    plan = check_constraints(df, [{"kind": "not_null", "col": "s"}])
+    assert "Join" not in plan._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_check_constraints_null_predicate_is_violation(spark):
+    from atlas_upscaling_dask_spark.operators.profile import check_constraints
+
+    df = spark.createDataFrame([(None,), (5,)], "v int")
+    (row,) = check_constraints(
+        df, [{"kind": "expr", "name": "p", "predicate": "v > 0"}]
+    ).collect()
+    assert row["n_violations"] == 1  # NULL > 0 is not TRUE -> violation
+
+
+def test_check_constraints_unknown_kind_raises(spark):
+    import pytest as _pytest
+
+    from atlas_upscaling_dask_spark.operators.profile import check_constraints
+
+    df = spark.createDataFrame([(1,)], "v int")
+    with _pytest.raises(ValueError, match="unknown constraint kind"):
+        check_constraints(df, [{"kind": "bogus"}])
+
+
+def test_prefix_filter_join_threshold_validation(spark):
+    import pytest as _pytest
+
+    from atlas_upscaling_dask_spark.extensions.dedup import prefix_filter_join
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="threshold"):
+        prefix_filter_join(df, threshold=0.0)

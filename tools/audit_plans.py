@@ -479,6 +479,31 @@ def audited_queries():
             {"max_shuffles": 12, "broadcast": True, "codegen": True,
              "no_python_udf": True},
         ),
+        # SCD2 history build: lag window, island groupBy, and lead
+        # window ALL cluster on the key — Spark reuses the one hash
+        # exchange (subset-key clustering) for all three
+        "scd2_user_segments": (
+            QUERIES["scd2_user_segments"],
+            {"max_shuffles": 1, "codegen": True, "no_python_udf": True},
+        ),
+        # Deequ-style suite: every constraint folds into ONE
+        # aggregation (Expand partial -> final, 2 exchanges); a
+        # per-constraint job loop would blow this budget immediately
+        "check_constraints_lineitem": (
+            QUERIES["check_constraints_lineitem"],
+            {"max_shuffles": 2, "codegen": True, "no_python_udf": True},
+        ),
+        # AllPairs/PPJoin exact set-similarity: candidate generation is
+        # an equi-join on rare prefix tokens, NEVER a cross product.
+        # The sorted-array table is localCheckpoint'd (3 consumers →
+        # computed once), so the audited plan covers the candidate +
+        # verify stages: prefix join, pair distinct, two array joins —
+        # all equi-joins on (tok | d1 | d2), zero cartesians; budget 4
+        # (at sf the optimizer broadcasts the small sides → measured 1)
+        "setsim_prefix_join": (
+            QUERIES["setsim_prefix_join"],
+            {"max_shuffles": 4, "codegen": True, "no_python_udf": True},
+        ),
     }
 
 
