@@ -132,6 +132,59 @@ def scd2_build(
     )
 
 
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    fact_time_us: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Temporal dimension lookup: attach to each fact row the SCD2
+    interval that was valid at its timestamp — ``scd2_build``'s read
+    side, and the warehouse "join facts to dimension AS OF event time".
+
+    ``dim`` is a ``scd2_build`` output (``valid_from_us`` bounds);
+    ``fact_time_us`` is the fact's epoch-micros column.  Because the
+    intervals are half-open and contiguous per key, the containing
+    interval is simply the latest one with ``valid_from_us ≤ t`` — a
+    backward as-of join (`operators/asof.py`: union + one keyed window
+    scan, never a per-fact range probe).  Facts before the key's first
+    interval get NULL payloads.  Same-instant version chains (several
+    intervals sharing a valid_from) first collapse to the highest
+    version — "the state reached at that instant" — keeping the right
+    side unique per (key, time) as the as-of contract requires.
+    """
+    from .asof import asof_join
+
+    packed = F.struct(F.col("version").alias("_v"), *[
+        F.col(c).alias(c) for c in payload_cols if c != "version"
+    ])
+    uniq = (
+        dim.groupBy(key_col, "valid_from_us")
+        .agg(F.max(packed).alias("w"))
+        .select(
+            key_col,
+            "valid_from_us",
+            F.col("w._v").alias("version"),
+            *[
+                F.col(f"w.{c}").alias(c)
+                for c in payload_cols
+                if c != "version"
+            ],
+        )
+    )
+    out_payload = list(dict.fromkeys([*payload_cols, "version"]))
+    return asof_join(
+        facts,
+        uniq,
+        left_on=key_col,
+        right_on=key_col,
+        left_time=fact_time_us,
+        right_time="valid_from_us",
+        payload_cols=[c for c in out_payload if c != key_col],
+    )
+
+
 def table_diff(
     old: DataFrame,
     new: DataFrame,

@@ -5471,6 +5471,68 @@ WINDOW wl AS (PARTITION BY user_id ORDER BY island)
 )
 
 
+def _scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The read side of SCD2: look up each fact's dimension state AS OF
+    # its (shifted) event time — composed as scd2_build → backward
+    # as-of join; the oracle replays it with DuckDB's native ASOF JOIN,
+    # a genuinely independent implementation of the semantics.
+    from .operators.merge import scd2_build, scd2_lookup
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_build(
+        ev, "user_id", ["event_type"], "ts", ["event_id"]
+    ).withColumnRenamed("event_type", "segment")
+    facts = ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.lit(3_600_000_000)).alias("at_us"),
+    )
+    return scd2_lookup(facts, dim, "user_id", "at_us", ["segment"])
+
+
+_register(
+    "scd2_asof_lookup",
+    _scd2_asof_lookup,
+    """
+WITH l AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER w AS rn,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+f0 AS (
+  SELECT *, CASE WHEN rn > 1 AND prev IS NOT DISTINCT FROM event_type
+                 THEN 0 ELSE 1 END AS chg
+  FROM l
+),
+g AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM f0
+),
+i AS (
+  SELECT user_id, island, event_type, min(ts) AS vf
+  FROM g GROUP BY 1, 2, 3
+),
+u AS (
+  SELECT user_id, epoch_us(vf) AS vfu, event_type AS segment,
+         CAST(island AS INT) AS version,
+         row_number() OVER (PARTITION BY user_id, vf
+                            ORDER BY island DESC) AS rk
+  FROM i
+),
+d AS (SELECT user_id, vfu, segment, version FROM u WHERE rk = 1),
+fct AS (
+  SELECT event_id, user_id, epoch_us(ts) - 3600000000 AS at_us FROM events
+)
+SELECT fct.event_id, fct.user_id, fct.at_us, d.segment, d.version
+FROM fct ASOF LEFT JOIN d
+  ON fct.user_id = d.user_id AND fct.at_us >= d.vfu
+""",
+)
+
+
 def _hash_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.training import hash_split
 
@@ -5749,7 +5811,7 @@ _DRIVER_CHECKED = {
 #: round 5's prefix).
 _PRIORITY = [
     # round-4 additions — no driver history anywhere:
-    "setsim_prefix_join", "scd2_user_segments",
+    "setsim_prefix_join", "scd2_user_segments", "scd2_asof_lookup",
     "check_constraints_lineitem",
     "embed_ivf_pq_topk", "multimodal_audio", "semantic_dedup",
     "profile_lineitem",

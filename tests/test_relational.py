@@ -392,3 +392,29 @@ def test_prefix_filter_join_threshold_validation(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="threshold"):
         prefix_filter_join(df, threshold=0.0)
+
+
+def test_scd2_lookup_asof_semantics(spark):
+    from atlas_upscaling_dask_spark.operators.merge import scd2_build, scd2_lookup
+
+    dim_src = spark.createDataFrame(
+        # key 1: A@100, B@200 and a same-instant chain B->C@200 (eid order)
+        [(1, 100, "A", 1), (1, 200, "B", 2), (1, 200, "C", 3)],
+        "k long, t long, seg string, eid long",
+    ).select(
+        "k", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"), "seg", "eid"
+    )
+    dim = scd2_build(dim_src, "k", ["seg"], "ts", ["eid"])
+    facts = spark.createDataFrame(
+        [(10, 1, 50), (11, 1, 150), (12, 1, 200), (13, 1, 999), (14, 2, 100)],
+        "fid long, k long, at_s long",
+    ).select("fid", "k", (F.col("at_s") * 1_000_000).alias("at_us"))
+    out = {
+        r["fid"]: (r["seg"], r["version"])
+        for r in scd2_lookup(facts, dim, "k", "at_us", ["seg"]).collect()
+    }
+    assert out[10] == (None, None)  # before first interval
+    assert out[11] == ("A", 1)
+    assert out[12] == ("C", 3)  # same-instant chain: highest version wins
+    assert out[13] == ("C", 3)
+    assert out[14] == (None, None)  # unknown key

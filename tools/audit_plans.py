@@ -486,6 +486,14 @@ def audited_queries():
             QUERIES["scd2_user_segments"],
             {"max_shuffles": 1, "codegen": True, "no_python_udf": True},
         ),
+        # SCD2 read side: build (1 exchange; same-instant dedup agg
+        # reuses the key clustering) + as-of union scan (1 exchange on
+        # the union frame) — NEVER a per-fact range probe or a
+        # fact×interval join
+        "scd2_asof_lookup": (
+            QUERIES["scd2_asof_lookup"],
+            {"max_shuffles": 2, "codegen": True, "no_python_udf": True},
+        ),
         # Deequ-style suite: every constraint folds into ONE
         # aggregation (Expand partial -> final, 2 exchanges); a
         # per-constraint job loop would blow this budget immediately
