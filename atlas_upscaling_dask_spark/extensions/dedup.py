@@ -955,3 +955,66 @@ def prefix_filter_join(
     return ver.withColumn(
         "jaccard", F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
     ).filter(F.col("jaccard") >= threshold)
+
+
+def hamming_near_dup(
+    hashes: DataFrame,
+    max_hamming: int = 7,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    n_bands: int = 8,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Hamming-distance near-duplicate join over 64-bit fingerprints
+    (pHash, SimHash) WITHOUT all-pairs: the multi-index pigeonhole.
+
+    Split each hash into ``n_bands`` disjoint bit bands; two hashes
+    within Hamming distance ``max_hamming < n_bands`` differ in at most
+    ``max_hamming`` bands, so at least one band matches EXACTLY —
+    candidates come from an equi-join on (band, band_bits), the same
+    shuffle shape as MinHash LSH banding but with a completeness
+    GUARANTEE instead of a recall probability.  Verification is one
+    ``bit_count(xor)`` per candidate pair.  At corpus scale the join
+    cost tracks band-bucket occupancy (near-uniform for hash-like
+    fingerprints), never |corpus|².
+
+    Returns (d1, d2, hamming) for every unordered pair within the
+    distance bound.
+    """
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError(
+            f"need 0 <= max_hamming < n_bands for the pigeonhole "
+            f"guarantee, got {max_hamming} vs {n_bands}"
+        )
+    mask = (1 << band_bits) - 1
+    # both join sides consume the hash frame — materialize it once so
+    # an expensive upstream (image decode + DCT) doesn't run twice
+    hashes = hashes.localCheckpoint(eager=False)
+    banded = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), i -> "
+                f"struct(i AS band, shiftright({hash_col}, i * {band_bits}) "
+                f"& {mask}L AS bits))"
+            )
+        ).alias("b"),
+    ).select("_id", "_h", "b.band", "b.bits")
+    a = banded.select(
+        F.col("_id").alias("d1"), F.col("_h").alias("_h1"), "band", "bits"
+    )
+    b = banded.select(
+        F.col("_id").alias("d2"), F.col("_h").alias("_h2"), "band", "bits"
+    )
+    cand = (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "_h1", "_h2")
+        .distinct()
+    )
+    return cand.select(
+        "d1",
+        "d2",
+        F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -2398,6 +2398,126 @@ FROM documents
 )
 
 
+#: multiplier LUT for the synthetic DCT images — every value is coprime
+#: to 63, so {s·a+b mod 63 : s ∈ 1..63} is a bijection and each image
+#: activates EXACTLY 32 of the 63 AC slots (32 land below 32).
+_PHASH_AS = [1, 2, 4, 5, 8, 10, 11, 13, 16, 17]
+
+
+def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic 16-bit grayscale PNGs whose pHash is ANALYTIC:
+    # each image is the inverse-DCT of a sparse coefficient grid —
+    # groups of 7 consecutive doc_ids share one image (planted exact
+    # duplicates), the active AC slots follow a modular rule on the
+    # group id, and amplitudes rise with slot order.  The phash
+    # median-threshold then selects precisely the active slots minus
+    # the weakest, so DuckDB predicts all 63 bits without decoding a
+    # byte; 16-bit samples keep quantization noise 256× below the
+    # amplitude spacing (the margin that makes the bits exact).
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_png(batches):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.extensions.multimodal import _dct_matrix
+        from atlas_upscaling_dask_spark.sources.png import encode_png
+
+        m = _dct_matrix(32)
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                g = int(did) - int(did) % 7
+                if g not in cache:
+                    a = _PHASH_AS[g % 10]
+                    b = (g // 10) % 63
+                    slots = sorted(
+                        s for s in range(1, 64) if (s * a + b) % 63 < 32
+                    )
+                    c = np.zeros((32, 32))
+                    c[0, 0] = 128.0 * 32
+                    for rank, s in enumerate(slots):
+                        u, v = divmod(s, 8)
+                        c[u, v] = 10.0 + rank
+                    img = m.T @ c @ m
+                    cache[g] = encode_png(
+                        np.round(img * 256).astype(np.uint16)
+                    )
+                payloads.append(cache[g])
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(make_png, schema="media_id long, payload binary")
+
+
+_PHASH_HASHES_CTE = """
+p AS (SELECT doc_id, doc_id - doc_id % 7 AS g FROM documents),
+par AS (
+  SELECT doc_id,
+         ([1,2,4,5,8,10,11,13,16,17])[CAST(g % 10 AS INTEGER) + 1] AS a,
+         (g // 10) % 63 AS b
+  FROM p
+),
+slots AS (
+  SELECT doc_id, s.range AS s FROM par, range(1, 64) s
+  WHERE ((s.range * a + b) % 63) < 32
+),
+hs AS (
+  SELECT doc_id,
+         CAST(sum(1::BIGINT << CAST(s - 1 AS INTEGER))
+              - (1::BIGINT << CAST(min(s) - 1 AS INTEGER)) AS BIGINT) AS phash
+  FROM slots GROUP BY doc_id
+)
+"""
+
+
+def _image_phash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL pipeline: synthesize PNG → pure-NumPy decode → box resize →
+    # 2-D DCT → median-threshold hash; the oracle computes every bit
+    # analytically from the coefficient rule.
+    from .extensions.multimodal import image_phash
+
+    return image_phash(_phash_media(spark, sf_dir))
+
+
+_register(
+    "image_phash_values",
+    _image_phash_values,
+    f"""
+WITH {_PHASH_HASHES_CTE.strip()}
+SELECT doc_id AS media_id, phash FROM hs
+""",
+)
+
+
+def _image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pHash → multi-index Hamming join (8 bands × 8 bits): pairs within
+    # distance 7 MUST share a band (pigeonhole), so candidates come
+    # from an equi-join, never all-pairs.  The oracle is brute-force
+    # all-pairs over the analytic hashes — it checks both the hash bits
+    # and the band join's completeness guarantee.
+    from .extensions.dedup import hamming_near_dup
+    from .extensions.multimodal import image_phash
+
+    return hamming_near_dup(image_phash(_phash_media(spark, sf_dir)))
+
+
+_register(
+    "image_phash_neardup",
+    _image_phash_neardup,
+    f"""
+WITH {_PHASH_HASHES_CTE.strip()}
+SELECT h1.doc_id AS d1, h2.doc_id AS d2,
+       CAST(bit_count(xor(h1.phash, h2.phash)) AS INTEGER) AS hamming
+FROM hs h1 JOIN hs h2 ON h1.doc_id < h2.doc_id
+WHERE bit_count(xor(h1.phash, h2.phash)) <= 7
+""",
+)
+
+
 def _text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.text import text_stats
 
@@ -5812,7 +5932,8 @@ _DRIVER_CHECKED = {
 _PRIORITY = [
     # round-4 additions — no driver history anywhere:
     "setsim_prefix_join", "scd2_user_segments", "scd2_asof_lookup",
-    "check_constraints_lineitem",
+    "check_constraints_lineitem", "image_phash_values",
+    "image_phash_neardup",
     "embed_ivf_pq_topk", "multimodal_audio", "semantic_dedup",
     "profile_lineitem",
     # oracle SQL fixed this round (HUGEINT -> BIGINT casts): re-confirm

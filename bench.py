@@ -272,6 +272,7 @@ def main() -> None:
         "setsim_prefix_join",
         "scd2_user_segments",
         "check_constraints_lineitem",
+        "image_phash_neardup",
     ]
     for name in headliners:
         timed(name, lambda n=name: force(suite.QUERIES[n](spark, SF_DIR)))

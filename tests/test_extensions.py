@@ -2005,3 +2005,91 @@ def test_ivf_pq_index_without_books_raises(spark, emb, tmp_path):
     q = emb.filter(F.col("vec_id") < 2)
     with pytest.raises(ValueError, match="no PQ codebooks"):
         ivf_pq_index_topk(spark, idx, q, k=3, n_probe=2)
+
+
+# ----------------------------------------------------------- image phash
+
+
+def test_image_phash_invariance_and_sensitivity(spark):
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.multimodal import image_phash
+    from atlas_upscaling_dask_spark.sources.png import encode_png
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(64, 48), dtype=np.uint8)
+    # tiny perturbation: +1 on a few pixels (phash should move little)
+    near = base.copy()
+    near[:4, :4] = np.clip(near[:4, :4].astype(int) + 1, 0, 255).astype(np.uint8)
+    far = 255 - base  # inversion flips every AC coefficient's sign
+    pdf = [
+        (0, bytearray(encode_png(base))),
+        (1, bytearray(encode_png(base))),  # exact duplicate
+        (2, bytearray(encode_png(near))),
+        (3, bytearray(encode_png(far))),
+    ]
+    media = spark.createDataFrame(pdf, "media_id long, payload binary")
+    out = {r["media_id"]: r["phash"] for r in image_phash(media).collect()}
+    assert out[0] == out[1]
+    d_near = bin(out[0] ^ out[2]).count("1")
+    d_far = bin(out[0] ^ out[3]).count("1")
+    assert d_near <= 6, d_near
+    assert d_far >= 40, d_far  # inversion flips all 63 thresholded bits-ish
+    assert all(0 <= h < 2**63 for h in out.values())
+
+
+def test_image_phash_16bit_depth_consistent(spark):
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.multimodal import image_phash
+    from atlas_upscaling_dask_spark.sources.png import encode_png
+
+    rng = np.random.default_rng(11)
+    img8 = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    img16 = (img8.astype(np.uint16) * 256)  # same image, deeper samples
+    media = spark.createDataFrame(
+        [(0, bytearray(encode_png(img8))), (1, bytearray(encode_png(img16)))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r["phash"] for r in image_phash(media).collect()}
+    # hash thresholds RELATIVE magnitude: uniform scaling is invariant
+    assert out[0] == out[1]
+
+
+def test_hamming_near_dup_matches_bruteforce(spark):
+    import itertools
+
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.dedup import hamming_near_dup
+
+    rng = np.random.default_rng(3)
+    # cluster structure: a few seeds, others are seeds with few flipped bits
+    seeds = [int(x) for x in rng.integers(0, 2**62, size=6)]
+    hashes = []
+    for i in range(40):
+        h = seeds[i % 6]
+        for _ in range(i % 5):
+            h ^= 1 << int(rng.integers(0, 63))
+        hashes.append((i, h))
+    df = spark.createDataFrame(hashes, "media_id long, phash long")
+    got = {
+        (r["d1"], r["d2"], r["hamming"])
+        for r in hamming_near_dup(df, max_hamming=7).collect()
+    }
+    truth = set()
+    for (i, a), (j, b) in itertools.combinations(hashes, 2):
+        d = bin(a ^ b).count("1")
+        if d <= 7:
+            truth.add((i, j, d))
+    assert got == truth
+
+
+def test_hamming_near_dup_bound_validation(spark):
+    import pytest as _pytest
+
+    from atlas_upscaling_dask_spark.extensions.dedup import hamming_near_dup
+
+    df = spark.createDataFrame([(1, 0)], "media_id long, phash long")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_dup(df, max_hamming=8, n_bands=8)

@@ -508,6 +508,19 @@ def audited_queries():
         # verify stages: prefix join, pair distinct, two array joins —
         # all equi-joins on (tok | d1 | d2), zero cartesians; budget 4
         # (at sf the optimizer broadcasts the small sides → measured 1)
+        # pHash: decode → DCT → hash is ONE narrow Arrow pass — zero
+        # exchanges to fingerprint a 100 TB image corpus
+        "image_phash_values": (
+            QUERIES["image_phash_values"],
+            {"no_shuffle": True},
+        ),
+        # multi-index Hamming join: band equi-join + pair distinct —
+        # never an all-pairs product (budget covers the non-broadcast
+        # shape; at sf the band sides broadcast → measured 1)
+        "image_phash_neardup": (
+            QUERIES["image_phash_neardup"],
+            {"max_shuffles": 3},
+        ),
         "setsim_prefix_join": (
             QUERIES["setsim_prefix_join"],
             {"max_shuffles": 4, "codegen": True, "no_python_udf": True},
