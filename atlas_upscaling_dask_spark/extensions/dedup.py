@@ -957,6 +957,30 @@ def prefix_filter_join(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def _banded_hashes(
+    hashes: DataFrame,
+    n_bands: int,
+    band_bits: int,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Explode each fingerprint into its disjoint bit bands:
+    (media_id, phash, band, bits) — the multi-index rows behind both
+    the in-flight Hamming join and the persisted pHash index."""
+    mask = (1 << band_bits) - 1
+    return hashes.select(
+        F.col(id_col).alias("media_id"),
+        F.col(hash_col).alias("phash"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), i -> "
+                f"struct(i AS band, shiftright({hash_col}, i * {band_bits}) "
+                f"& {mask}L AS bits))"
+            )
+        ).alias("b"),
+    ).select("media_id", "phash", "b.band", "b.bits")
+
+
 def hamming_near_dup(
     hashes: DataFrame,
     max_hamming: int = 7,
@@ -986,26 +1010,15 @@ def hamming_near_dup(
             f"need 0 <= max_hamming < n_bands for the pigeonhole "
             f"guarantee, got {max_hamming} vs {n_bands}"
         )
-    mask = (1 << band_bits) - 1
     # both join sides consume the hash frame — materialize it once so
     # an expensive upstream (image decode + DCT) doesn't run twice
     hashes = hashes.localCheckpoint(eager=False)
-    banded = hashes.select(
-        F.col(id_col).alias("_id"),
-        F.col(hash_col).alias("_h"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_bands - 1}), i -> "
-                f"struct(i AS band, shiftright({hash_col}, i * {band_bits}) "
-                f"& {mask}L AS bits))"
-            )
-        ).alias("b"),
-    ).select("_id", "_h", "b.band", "b.bits")
+    banded = _banded_hashes(hashes, n_bands, band_bits, id_col, hash_col)
     a = banded.select(
-        F.col("_id").alias("d1"), F.col("_h").alias("_h1"), "band", "bits"
+        F.col("media_id").alias("d1"), F.col("phash").alias("_h1"), "band", "bits"
     )
     b = banded.select(
-        F.col("_id").alias("d2"), F.col("_h").alias("_h2"), "band", "bits"
+        F.col("media_id").alias("d2"), F.col("phash").alias("_h2"), "band", "bits"
     )
     cand = (
         a.join(b, ["band", "bits"])
@@ -1018,3 +1031,123 @@ def hamming_near_dup(
         "d2",
         F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def build_phash_index(
+    hashes: DataFrame,
+    path: str,
+    n_bands: int = 8,
+    band_bits: int = 8,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> None:
+    """Persist banded image fingerprints as a queryable Hamming index —
+    the image member of the persisted-index family
+    (``build_lsh_index``, ``similarity.build_ivf_index``,
+    ``retrieval.build_text_index``).
+
+    Layout: (media_id, phash, bits) PARTITIONED BY band; the per-band
+    join co-locates each probe band with exactly its partition's files,
+    and parquet min/max stats on ``bits`` prune row groups inside a
+    band (a full 8-band probe touches every band partition — the
+    pruning win is within-band, plus dynamic partition pruning when a
+    small probe broadcasts).  At 100 TB the corpus is decoded and hashed
+    ONCE — every new image batch probes (and appends to) the index
+    instead of re-decoding the archive.  A params sidecar pins
+    (n_bands, band_bits, id_type) and mismatched probes are refused.
+    """
+    import json
+
+    from ..fsutil import write_text
+
+    banded = _banded_hashes(hashes, n_bands, band_bits, id_col, hash_col)
+    banded.write.mode("overwrite").partitionBy("band").parquet(path)
+    write_text(
+        hashes.sparkSession,
+        path.rstrip("/") + "/_phash_index.json",
+        json.dumps(
+            {
+                "n_bands": n_bands,
+                "band_bits": band_bits,
+                "id_type": hashes.schema[id_col].dataType.simpleString(),
+            }
+        ),
+    )
+
+
+def _phash_index_params(spark, path: str) -> dict:
+    import json
+
+    from ..fsutil import read_text
+
+    return json.loads(read_text(spark, path.rstrip("/") + "/_phash_index.json"))
+
+
+def _read_phash_index(spark, path: str, params: dict) -> DataFrame:
+    # schema-explicit for the empty-bootstrap case (same contract as
+    # _read_lsh_index)
+    id_type = params.get("id_type", "bigint")
+    return spark.read.schema(
+        f"media_id {id_type}, phash bigint, bits bigint, band int"
+    ).parquet(path)
+
+
+def phash_index_query(
+    spark,
+    path: str,
+    probe_hashes: DataFrame,
+    max_hamming: int = 7,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Probe a persisted pHash index with NEW image fingerprints:
+    (probe_id, corpus_id, hamming) for every corpus image within the
+    Hamming bound.  Only the probe batch is banded; the corpus side is
+    the index scan joined per (band, bits) — incremental image dedup
+    whose cost tracks the batch, not the archive."""
+    p = _phash_index_params(spark, path)
+    if not 0 <= max_hamming < p["n_bands"]:
+        raise ValueError(
+            f"max_hamming {max_hamming} breaks the pigeonhole guarantee "
+            f"for an index with {p['n_bands']} bands"
+        )
+    probe = _banded_hashes(
+        probe_hashes, p["n_bands"], p["band_bits"], id_col, hash_col
+    ).select(
+        F.col("media_id").alias("probe_id"),
+        F.col("phash").alias("_h1"),
+        "band",
+        "bits",
+    )
+    corpus = _read_phash_index(spark, path, p).select(
+        F.col("media_id").alias("corpus_id"),
+        F.col("phash").alias("_h2"),
+        "band",
+        "bits",
+    )
+    cand = (
+        probe.join(corpus, ["band", "bits"])
+        .select("probe_id", "corpus_id", "_h1", "_h2")
+        .distinct()
+    )
+    return cand.select(
+        "probe_id",
+        "corpus_id",
+        F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def append_to_phash_index(
+    hashes: DataFrame,
+    path: str,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> None:
+    """Fold a NEW image batch into a persisted pHash index: banded with
+    the index's pinned parameters and APPENDED under the existing band
+    partitions — ingest cost tracks the batch.  Typical loop:
+    ``phash_index_query`` the batch first (dedup against the archive),
+    then append the survivors."""
+    p = _phash_index_params(hashes.sparkSession, path)
+    banded = _banded_hashes(hashes, p["n_bands"], p["band_bits"], id_col, hash_col)
+    banded.write.mode("append").partitionBy("band").parquet(path)

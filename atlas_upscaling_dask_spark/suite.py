@@ -2518,6 +2518,46 @@ WHERE bit_count(xor(h1.phash, h2.phash)) <= 7
 )
 
 
+def _image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full image-dedup composition: pHash → multi-index Hamming pairs →
+    # connected components → keep/drop clusters, the image twin of
+    # `dedup_clusters`; the oracle recomputes the clusters from the
+    # analytic hashes with a recursive min-label CTE.
+    from .extensions.dedup import hamming_near_dup, near_dup_clusters
+    from .extensions.multimodal import image_phash
+
+    h = image_phash(_phash_media(spark, sf_dir))
+    pairs = hamming_near_dup(h)
+    return near_dup_clusters(
+        h.select(F.col("media_id").alias("doc_id")), pairs
+    ).select(
+        F.col("doc_id").alias("media_id"), "cluster_id", "is_keeper"
+    )
+
+
+_register(
+    "image_dup_clusters",
+    _image_dup_clusters,
+    f"""
+WITH RECURSIVE {_PHASH_HASHES_CTE.strip()},
+pr AS (
+  SELECT h1.doc_id AS d1, h2.doc_id AS d2
+  FROM hs h1 JOIN hs h2 ON h1.doc_id < h2.doc_id
+  WHERE bit_count(xor(h1.phash, h2.phash)) <= 7
+),
+und AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+prop AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT u.a AS id, p.comp
+  FROM prop p JOIN und u ON u.b = p.id
+)
+SELECT id AS media_id, min(comp) AS cluster_id, min(comp) = id AS is_keeper
+FROM prop GROUP BY id
+""",
+)
+
+
 def _text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.text import text_stats
 
@@ -5933,7 +5973,7 @@ _PRIORITY = [
     # round-4 additions — no driver history anywhere:
     "setsim_prefix_join", "scd2_user_segments", "scd2_asof_lookup",
     "check_constraints_lineitem", "image_phash_values",
-    "image_phash_neardup",
+    "image_phash_neardup", "image_dup_clusters",
     "embed_ivf_pq_topk", "multimodal_audio", "semantic_dedup",
     "profile_lineitem",
     # oracle SQL fixed this round (HUGEINT -> BIGINT casts): re-confirm

@@ -2093,3 +2093,58 @@ def test_hamming_near_dup_bound_validation(spark):
     df = spark.createDataFrame([(1, 0)], "media_id long, phash long")
     with _pytest.raises(ValueError, match="pigeonhole"):
         hamming_near_dup(df, max_hamming=8, n_bands=8)
+
+
+def test_phash_index_query_matches_inline_and_appends(spark, tmp_path):
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        append_to_phash_index,
+        build_phash_index,
+        hamming_near_dup,
+        phash_index_query,
+    )
+
+    rng = np.random.default_rng(5)
+    seeds = [int(x) for x in rng.integers(0, 2**62, size=4)]
+    corpus = [(i, seeds[i % 4] ^ (1 << int(rng.integers(0, 63)))) for i in range(30)]
+    probe = [(100 + i, seeds[i % 4] ^ (1 << int(rng.integers(0, 63)))) for i in range(8)]
+    cdf = spark.createDataFrame(corpus, "media_id long, phash long")
+    pdf = spark.createDataFrame(probe, "media_id long, phash long")
+    idx = str(tmp_path / "phash_idx")
+    build_phash_index(cdf, idx)
+
+    got = {
+        (r["probe_id"], r["corpus_id"], r["hamming"])
+        for r in phash_index_query(spark, idx, pdf).collect()
+    }
+    # ground truth: inline join over the union, restricted to probe×corpus
+    truth = {
+        (pi, ci, bin(ph ^ ch).count("1"))
+        for pi, ph in probe
+        for ci, ch in corpus
+        if bin(ph ^ ch).count("1") <= 7
+    }
+    assert got == truth and truth, "index probe must equal brute force"
+
+    # append the probe batch; an index query for a fresh probe must now
+    # also see the appended images — equivalent to a full rebuild
+    append_to_phash_index(pdf, idx)
+    probe2 = spark.createDataFrame([(200, seeds[0])], "media_id long, phash long")
+    got2 = {
+        (r["corpus_id"], r["hamming"])
+        for r in phash_index_query(spark, idx, probe2).collect()
+    }
+    all_rows = corpus + probe
+    truth2 = {
+        (ci, bin(seeds[0] ^ ch).count("1"))
+        for ci, ch in all_rows
+        if bin(seeds[0] ^ ch).count("1") <= 7
+    }
+    assert got2 == truth2
+
+    # pinned-band contract: an out-of-bound probe distance is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        phash_index_query(spark, idx, pdf, max_hamming=8)
