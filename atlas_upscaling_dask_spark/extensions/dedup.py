@@ -827,6 +827,12 @@ def append_to_lsh_index(
     the corpus), then append the survivors.
     """
     p = _lsh_index_params(docs.sparkSession, path)
+    batch_t = docs.schema[id_col].dataType.simpleString()
+    if batch_t != p.get("id_type", "bigint"):
+        raise ValueError(
+            f"batch id type {batch_t!r} does not match the index's pinned "
+            f"id_type {p.get('id_type', 'bigint')!r}"
+        )
     banded = _banded_signatures(
         docs, p["num_hashes"], p["bands"], p["shingle_n"], text_col, id_col
     )
@@ -1149,5 +1155,12 @@ def append_to_phash_index(
     ``phash_index_query`` the batch first (dedup against the archive),
     then append the survivors."""
     p = _phash_index_params(hashes.sparkSession, path)
+    batch_t = hashes.schema[id_col].dataType.simpleString()
+    if batch_t != p.get("id_type", "bigint"):
+        raise ValueError(
+            f"batch id type {batch_t!r} does not match the index's pinned "
+            f"id_type {p.get('id_type', 'bigint')!r} — appending it would "
+            f"corrupt the schema-explicit index read"
+        )
     banded = _banded_hashes(hashes, p["n_bands"], p["band_bits"], id_col, hash_col)
     banded.write.mode("append").partitionBy("band").parquet(path)

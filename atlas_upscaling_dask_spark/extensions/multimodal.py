@@ -379,10 +379,18 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 
 def _box_resize(img: np.ndarray, size: int) -> np.ndarray:
-    """Deterministic box-mean resize of a 2-D float array to
-    ``size×size`` (floor-partitioned blocks via ``add.reduceat`` —
-    no interpolation library, identical on every platform)."""
+    """Deterministic resize of a 2-D float array to ``size×size``:
+    box-mean when an axis shrinks (floor-partitioned blocks via
+    ``add.reduceat``), floor-index replication when it grows (an icon
+    smaller than the working grid must not crash the job) — no
+    interpolation library, identical on every platform."""
     h, w = img.shape
+    if h < size:  # upsample rows by index replication, then fall through
+        img = img[(np.arange(size) * h) // size]
+        h = size
+    if w < size:
+        img = img[:, (np.arange(size) * w) // size]
+        w = size
     if h == size and w == size:
         return img
     ri = (np.arange(h) * size) // h
@@ -415,6 +423,12 @@ def image_phash(
     Arrow-batched pass — payloads never leave the executor; pair it
     with ``dedup.hamming_near_dup`` for the corpus-scale join.
     """
+    if hash_size * hash_size - 1 > 63:
+        raise ValueError(
+            f"hash_size {hash_size} needs {hash_size * hash_size - 1} hash "
+            f"bits — a BIGINT holds 63; use hash_size <= 8"
+        )
+    id_type = media.schema[id_col].dataType.simpleString()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..sources.png import PNG_SIGNATURE, decode_png
@@ -446,4 +460,4 @@ def image_phash(
                 {id_col: pdf[id_col], "phash": pd.array(hashes, dtype="int64")}
             )
 
-    return media.mapInPandas(kernel, schema=f"{id_col} long, phash long")
+    return media.mapInPandas(kernel, schema=f"{id_col} {id_type}, phash long")

@@ -153,6 +153,13 @@ def scd2_lookup(
     intervals sharing a valid_from) first collapse to the highest
     version — "the state reached at that instant" — keeping the right
     side unique per (key, time) as the as-of contract requires.
+
+    The matched interval's columns travel through the as-of scan as ONE
+    non-null struct, not as separate columns: the scan carries payloads
+    with ``last(ignorenulls)``, which would skip a legitimately-NULL
+    attribute and smuggle in the PREVIOUS interval's value next to the
+    current interval's version.  The struct is null only when no
+    interval matches, so NULL attributes come through faithfully.
     """
     from .asof import asof_join
 
@@ -162,26 +169,22 @@ def scd2_lookup(
     uniq = (
         dim.groupBy(key_col, "valid_from_us")
         .agg(F.max(packed).alias("w"))
-        .select(
-            key_col,
-            "valid_from_us",
-            F.col("w._v").alias("version"),
-            *[
-                F.col(f"w.{c}").alias(c)
-                for c in payload_cols
-                if c != "version"
-            ],
-        )
+        .select(key_col, "valid_from_us", F.col("w").alias("_p"))
     )
-    out_payload = list(dict.fromkeys([*payload_cols, "version"]))
-    return asof_join(
+    attrs = [c for c in payload_cols if c != "version"]
+    joined = asof_join(
         facts,
         uniq,
         left_on=key_col,
         right_on=key_col,
         left_time=fact_time_us,
         right_time="valid_from_us",
-        payload_cols=[c for c in out_payload if c != key_col],
+        payload_cols=["_p"],
+    )
+    return joined.select(
+        *facts.columns,
+        *[F.col(f"_p.{c}").alias(c) for c in attrs],
+        F.col("_p._v").alias("version"),
     )
 
 

@@ -122,6 +122,9 @@ def check_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
       predicate; a row violates when the predicate is not TRUE (NULL
       counts as a violation — three-valued logic made strict).
 
+    An EMPTY input passes every constraint (zero rows = zero
+    violations — sums coalesce to 0, never NULL).
+
     Output: one row per constraint — (constraint, kind, n_rows,
     n_violations, passed).  ALL constraints compile into a single
     aggregation, so a 100-constraint suite over 100 TB is one scan with
@@ -138,7 +141,11 @@ def check_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
         if kind == "not_null":
             c = spec["col"]
             name = spec.get("name", f"not_null({c})")
-            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(tag))
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+                ).alias(tag)
+            )
         elif kind == "unique":
             cols = spec["cols"]
             name = spec.get("name", f"unique({', '.join(cols)})")
@@ -153,18 +160,24 @@ def check_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
             name = spec.get("name", f"in_range({c}, {lo}, {hi})")
             viol = (F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))
             aggs.append(
-                F.sum(F.coalesce(viol, F.lit(False)).cast("long")).alias(tag)
+                F.coalesce(
+                    F.sum(F.coalesce(viol, F.lit(False)).cast("long")),
+                    F.lit(0),
+                ).alias(tag)
             )
         elif kind == "in_set":
             c, values = spec["col"], spec["values"]
             name = spec.get("name", f"in_set({c})")
             viol = ~F.col(c).isin(*values) & F.col(c).isNotNull()
-            aggs.append(F.sum(viol.cast("long")).alias(tag))
+            aggs.append(
+                F.coalesce(F.sum(viol.cast("long")), F.lit(0)).alias(tag)
+            )
         elif kind == "expr":
             pred, name = spec["predicate"], spec["name"]
             aggs.append(
-                F.sum(
-                    F.when(F.expr(pred), F.lit(0)).otherwise(F.lit(1))
+                F.coalesce(
+                    F.sum(F.when(F.expr(pred), F.lit(0)).otherwise(F.lit(1))),
+                    F.lit(0),
                 ).alias(tag)
             )
         else:

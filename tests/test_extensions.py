@@ -2148,3 +2148,49 @@ def test_phash_index_query_matches_inline_and_appends(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         phash_index_query(spark, idx, pdf, max_hamming=8)
+
+
+def test_image_phash_small_images_and_string_ids(spark):
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.multimodal import image_phash
+    from atlas_upscaling_dask_spark.sources.png import encode_png
+
+    rng = np.random.default_rng(2)
+    tiny = rng.integers(0, 256, size=(16, 9), dtype=np.uint8)  # icon < 32px
+    big = rng.integers(0, 256, size=(40, 64), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [("img/a.png", bytearray(encode_png(tiny))),
+         ("img/b.png", bytearray(encode_png(big)))],
+        "media_id string, payload binary",
+    )
+    out = {r["media_id"]: r["phash"] for r in image_phash(media).collect()}
+    assert set(out) == {"img/a.png", "img/b.png"}
+    assert all(0 <= h < 2**63 for h in out.values())
+
+
+def test_image_phash_hash_size_validation(spark):
+    import pytest as _pytest
+
+    from atlas_upscaling_dask_spark.extensions.multimodal import image_phash
+
+    media = spark.createDataFrame([(1, b"")], "media_id long, payload binary")
+    with _pytest.raises(ValueError, match="hash_size"):
+        image_phash(media, hash_size=16)
+
+
+def test_phash_index_append_refuses_wrong_id_type(spark, tmp_path):
+    import pytest as _pytest
+
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        append_to_phash_index,
+        build_phash_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_phash_index(
+        spark.createDataFrame([(1, 5)], "media_id long, phash long"), idx
+    )
+    bad = spark.createDataFrame([("x", 5)], "media_id string, phash long")
+    with _pytest.raises(ValueError, match="id_type"):
+        append_to_phash_index(bad, idx)

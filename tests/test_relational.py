@@ -418,3 +418,43 @@ def test_scd2_lookup_asof_semantics(spark):
     assert out[12] == ("C", 3)  # same-instant chain: highest version wins
     assert out[13] == ("C", 3)
     assert out[14] == (None, None)  # unknown key
+
+
+def test_scd2_lookup_null_attribute_comes_through(spark):
+    # a legitimately-NULL attribute must NOT be replaced by the previous
+    # interval's value (the as-of carry moves one struct, not bare cols)
+    from atlas_upscaling_dask_spark.operators.merge import scd2_build, scd2_lookup
+
+    dim_src = spark.createDataFrame(
+        [(1, 100, "A", 1), (1, 200, None, 2)],
+        "k long, t long, seg string, eid long",
+    ).select(
+        "k", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"), "seg", "eid"
+    )
+    dim = scd2_build(dim_src, "k", ["seg"], "ts", ["eid"])
+    facts = spark.createDataFrame([(10, 1, 300)], "fid long, k long, at_s long").select(
+        "fid", "k", (F.col("at_s") * 1_000_000).alias("at_us")
+    )
+    (row,) = scd2_lookup(facts, dim, "k", "at_us", ["seg"]).collect()
+    assert row["seg"] is None and row["version"] == 2
+
+
+def test_check_constraints_empty_table_passes(spark):
+    from atlas_upscaling_dask_spark.operators.profile import check_constraints
+
+    df = spark.createDataFrame([], "k long, v double")
+    rows = check_constraints(
+        df,
+        [
+            {"kind": "not_null", "col": "v"},
+            {"kind": "unique", "cols": ["k"]},
+            {"kind": "in_range", "col": "v", "lo": 0, "hi": 1},
+            {"kind": "in_set", "col": "k", "values": [1]},
+            {"kind": "expr", "name": "p", "predicate": "v > 0"},
+        ],
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_rows"] == 0
+        assert r["n_violations"] == 0, r["constraint"]
+        assert r["passed"] is True, r["constraint"]

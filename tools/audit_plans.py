@@ -501,13 +501,6 @@ def audited_queries():
             QUERIES["check_constraints_lineitem"],
             {"max_shuffles": 2, "codegen": True, "no_python_udf": True},
         ),
-        # AllPairs/PPJoin exact set-similarity: candidate generation is
-        # an equi-join on rare prefix tokens, NEVER a cross product.
-        # The sorted-array table is localCheckpoint'd (3 consumers →
-        # computed once), so the audited plan covers the candidate +
-        # verify stages: prefix join, pair distinct, two array joins —
-        # all equi-joins on (tok | d1 | d2), zero cartesians; budget 4
-        # (at sf the optimizer broadcasts the small sides → measured 1)
         # pHash: decode → DCT → hash is ONE narrow Arrow pass — zero
         # exchanges to fingerprint a 100 TB image corpus
         "image_phash_values": (
@@ -521,6 +514,13 @@ def audited_queries():
             QUERIES["image_phash_neardup"],
             {"max_shuffles": 3},
         ),
+        # AllPairs/PPJoin exact set-similarity: candidate generation is
+        # an equi-join on rare prefix tokens, NEVER a cross product.
+        # The sorted-array table is localCheckpoint'd (3 consumers →
+        # computed once), so the audited plan covers the candidate +
+        # verify stages: prefix join, pair distinct, two array joins —
+        # all equi-joins on (tok | d1 | d2), zero cartesians; budget 4
+        # (at sf the optimizer broadcasts the small sides → measured 1)
         "setsim_prefix_join": (
             QUERIES["setsim_prefix_join"],
             {"max_shuffles": 4, "codegen": True, "no_python_udf": True},
