@@ -694,3 +694,108 @@ def crawl_dedup_batch(
                 )
                 if text_mark:
                     write_text(spark, text_mark, "done")
+
+
+def start_image_dedup_stream(
+    spark: SparkSession,
+    media_path: str,
+    index_path: str,
+    out_path: str,
+    schema,
+    max_hamming: int = 7,
+    id_col: str = "media_id",
+    checkpoint_dir: str | None = None,
+):
+    """Continuous IMAGE ingestion with perceptual-hash screening against
+    the persisted pHash index — the image twin of
+    ``start_crawl_dedup_stream``: each batch is decoded and hashed
+    ONCE, probed against the archive (cost tracks the batch's band
+    buckets, never the archive), and only the survivors' fingerprints
+    are appended.  Same replay contract: self-match exclusion + a
+    per-epoch marker fence keep retried epochs byte-identical.
+    """
+    stream = spark.readStream.schema(schema).parquet(media_path)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        image_dedup_batch(
+            spark, batch_df, int(epoch_id), index_path, out_path,
+            max_hamming=max_hamming, id_col=id_col,
+            marker_dir=checkpoint_dir,
+        )
+
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def image_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    out_path: str,
+    max_hamming: int = 7,
+    id_col: str = "media_id",
+    marker_dir: str | None = None,
+) -> None:
+    """One image-dedup micro-batch (unit of `start_image_dedup_stream`,
+    exposed for deterministic replay testing): pHash the batch, drop
+    members within ``max_hamming`` of an archived image (self-matches
+    excluded for replay safety) or of a LOWER-id batch member, write
+    survivors to ``out_path/epoch=N`` (overwrite — idempotent), append
+    survivor fingerprints behind the per-epoch marker fence.
+    """
+    from pyspark.sql import functions as F
+
+    from ..extensions.dedup import (
+        append_to_phash_index,
+        hamming_near_dup,
+        phash_index_query,
+    )
+    from ..extensions.multimodal import image_phash
+    from ..fsutil import read_text, write_text
+
+    marker = (
+        f"{marker_dir.rstrip('/')}/_append_{int(epoch_id)}.phash.done"
+        if marker_dir
+        else None
+    )
+
+    def _done() -> bool:
+        if marker is None:
+            return False
+        try:
+            read_text(spark, marker)
+            return True
+        except Exception:  # noqa: BLE001 — missing marker == not done
+            return False
+
+    if batch_df.isEmpty():
+        return
+    batch = batch_df.localCheckpoint(eager=True)
+    # decode+DCT once for probe, in-batch screen, and append
+    hashes = image_phash(batch, id_col=id_col).localCheckpoint(eager=True)
+    vs_corpus = (
+        phash_index_query(spark, index_path, hashes, max_hamming, id_col)
+        .filter(F.col("probe_id") != F.col("corpus_id"))
+        .select(F.col("probe_id").alias(id_col))
+        .distinct()
+    )
+    in_batch = (
+        hamming_near_dup(hashes, max_hamming, id_col=id_col)
+        .select(F.col("d2").alias(id_col))  # lowest id survives
+        .distinct()
+    )
+    dropped = vs_corpus.unionByName(in_batch).distinct()
+    survivors = batch.join(dropped, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    survivors.write.mode("overwrite").parquet(
+        f"{out_path}/epoch={int(epoch_id)}"
+    )
+    if not survivors.isEmpty() and not _done():
+        surv_hashes = hashes.join(survivors.select(id_col), id_col, "left_semi")
+        append_to_phash_index(surv_hashes, index_path, id_col)
+        if marker:
+            write_text(spark, marker, "done")

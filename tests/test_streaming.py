@@ -569,3 +569,108 @@ def test_crawl_dedup_stream_replay_is_lossless(spark, tmp_path):
         map(tuple, bm25_index_topk(spark, tidx, terms, k=10).collect())
     )
     assert scores_after == scores_before, "BM25 stats must not double-count"
+
+
+def _png_of(arr):
+    from atlas_upscaling_dask_spark.sources.png import encode_png
+
+    return bytearray(encode_png(arr))
+
+
+def test_image_dedup_stream_incremental_index(spark, tmp_path):
+    # Image twin of the crawl-dedup stream: drop 1 seeds the archive;
+    # drop 2 holds a near-dup of an archived image (tiny perturbation),
+    # an in-batch dup pair, and a fresh image.  Stop/restart between
+    # drops (the staging protocol — never append into a watched dir
+    # while the query runs).
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.dedup import build_phash_index
+    from atlas_upscaling_dask_spark.streaming.ingest import (
+        start_image_dedup_stream,
+    )
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, size=(48, 48), dtype=np.uint8)
+    near = base.copy()
+    near[:3, :3] = np.clip(near[:3, :3] + 1, 0, 255)
+    other = rng.integers(0, 256, size=(48, 48), dtype=np.uint8)
+    fresh = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    drop1 = [(1, _png_of(base)), (2, _png_of(other))]
+    drop2 = [
+        (10, _png_of(near)),   # near-dup of archived 1 -> dropped
+        (11, _png_of(fresh)),  # new -> survives
+        (12, _png_of(fresh)),  # exact in-batch dup of 11 -> dropped
+    ]
+    schema = "media_id long, payload binary"
+    src = str(tmp_path / "img_src")
+    idx = str(tmp_path / "img_idx")
+    out = str(tmp_path / "img_out")
+    ckpt = str(tmp_path / "img_ckpt")
+
+    d1 = spark.createDataFrame(drop1, schema)
+    d2 = spark.createDataFrame(drop2, schema)
+    # empty bootstrap with pinned band geometry
+    build_phash_index(
+        spark.createDataFrame([], "media_id long, phash long"), idx
+    )
+
+    def run_drop(df):
+        df.write.mode("append").parquet(src)
+        q = start_image_dedup_stream(
+            spark, src, idx, out, d1.schema, checkpoint_dir=ckpt
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_drop(d1)
+    run_drop(d2)
+
+    e0 = {r["media_id"] for r in spark.read.parquet(f"{out}/epoch=0").collect()}
+    e1 = {r["media_id"] for r in spark.read.parquet(f"{out}/epoch=1").collect()}
+    assert e0 == {1, 2}
+    assert e1 == {11}
+
+
+def test_image_dedup_batch_replay_is_lossless(spark, tmp_path):
+    # replay: the per-batch unit runs TWICE with the same epoch id (the
+    # first attempt already appended fingerprints); the self-match
+    # filter plus the marker fence must keep output and index identical
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        _read_phash_index,
+        build_phash_index,
+    )
+    from atlas_upscaling_dask_spark.streaming.ingest import image_dedup_batch
+
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 256, size=(36, 36), dtype=np.uint8) for _ in range(3)]
+    batch = spark.createDataFrame(
+        [(i, _png_of(imgs[i])) for i in range(3)],
+        "media_id long, payload binary",
+    )
+    idx = str(tmp_path / "ridx")
+    out = str(tmp_path / "rout")
+    mark = str(tmp_path / "rmark")
+    build_phash_index(
+        spark.createDataFrame([], "media_id long, phash long"), idx
+    )
+    image_dedup_batch(spark, batch, 0, idx, out, marker_dir=mark)
+    first = sorted(
+        r["media_id"] for r in spark.read.parquet(f"{out}/epoch=0").collect()
+    )
+    n_index_rows = _read_phash_index(spark, idx, {"id_type": "bigint"}).count()
+    assert first == [0, 1, 2]
+
+    image_dedup_batch(spark, batch, 0, idx, out, marker_dir=mark)  # replay
+    again = sorted(
+        r["media_id"] for r in spark.read.parquet(f"{out}/epoch=0").collect()
+    )
+    assert again == first, "replay must not lose survivors to self-matches"
+    assert (
+        _read_phash_index(spark, idx, {"id_type": "bigint"}).count()
+        == n_index_rows
+    ), "marker fence must stop duplicate appends"
