@@ -28,6 +28,7 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within_us: int | None = None,
 ) -> DataFrame:
     """Per-user funnel completion times.
 
@@ -37,6 +38,15 @@ def funnel(
     EARLIEST occurrence strictly after step i-1's timestamp — the
     standard unordered-set-free funnel semantics (re-doing an earlier
     step never helps).
+
+    ``within_us`` adds a CONVERSION WINDOW: every step must land within
+    that many microseconds of the user's FIRST step-1 event (the
+    anchor).  Anchoring at the first occurrence is the deterministic
+    product-analytics convention; a user whose only in-window sequence
+    starts at a LATER step-1 occurrence counts as depth 1 by design
+    (re-anchoring variants are a different metric).  Given the fixed
+    anchor, taking each step's earliest valid occurrence is optimal —
+    it maximizes the time remaining for deeper steps.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -52,13 +62,20 @@ def funnel(
         .agg(F.min("ts").alias("ts_1"))
     )
     for i, step in enumerate(steps[1:], start=2):
-        nxt = (
-            ev.filter(F.col("event_type") == step)
-            .join(out.select("user_id", F.col(f"ts_{i - 1}").alias("__prev")), "user_id")
-            .filter(F.col("ts") > F.col("__prev"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(f"ts_{i}"))
+        prev = out.select(
+            "user_id",
+            F.col(f"ts_{i - 1}").alias("__prev"),
+            F.col("ts_1").alias("__anchor"),
         )
+        nxt = ev.filter(F.col("event_type") == step).join(prev, "user_id").filter(
+            F.col("ts") > F.col("__prev")
+        )
+        if within_us is not None:
+            nxt = nxt.filter(
+                F.unix_micros("ts")
+                <= F.unix_micros("__anchor") + F.lit(within_us)
+            )
+        nxt = nxt.groupBy("user_id").agg(F.min("ts").alias(f"ts_{i}"))
         out = out.join(nxt, "user_id", "left")
     # build innermost-first: the LAST wrap is the outermost test, so
     # ascending order puts the deepest step's check on the outside

@@ -5427,6 +5427,62 @@ FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
 )
 
 
+def _funnel_within_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the same funnel under a 24 h conversion window anchored at each
+    # user's FIRST 'view' — the product-analytics windowed-conversion
+    # metric (depth drops where the chain overruns the window)
+    from .operators.funnel import funnel
+
+    out = funnel(
+        load_table(spark, sf_dir, "events"),
+        ["view", "signup", "purchase"],
+        within_us=24 * 3600 * 1_000_000,
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("ts_1").alias("us_1"),
+        F.unix_micros("ts_2").alias("us_2"),
+        F.unix_micros("ts_3").alias("us_3"),
+        "depth",
+    )
+
+
+_register(
+    "funnel_within",
+    _funnel_within_q,
+    """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS ts_1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS ts_2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'signup' AND e.ts > s1.ts_1
+    AND epoch_us(e.ts) <= epoch_us(s1.ts_1) + 86400000000
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS ts_3
+  FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.ts_2
+    AND epoch_us(e.ts) <= epoch_us(s1.ts_1) + 86400000000
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       CAST(epoch_us(s1.ts_1) AS BIGINT) AS us_1,
+       CAST(epoch_us(s2.ts_2) AS BIGINT) AS us_2,
+       CAST(epoch_us(s3.ts_3) AS BIGINT) AS us_3,
+       CAST(CASE WHEN s3.ts_3 IS NOT NULL THEN 3
+                 WHEN s2.ts_2 IS NOT NULL THEN 2
+                 ELSE 1 END AS INTEGER) AS depth
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+""",
+)
+
+
 def _funnel_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.funnel import funnel_counts
 
@@ -5973,7 +6029,7 @@ _PRIORITY = [
     # round-4 additions — no driver history anywhere:
     "setsim_prefix_join", "scd2_user_segments", "scd2_asof_lookup",
     "check_constraints_lineitem", "image_phash_values",
-    "image_phash_neardup", "image_dup_clusters",
+    "image_phash_neardup", "image_dup_clusters", "funnel_within",
     "embed_ivf_pq_topk", "multimodal_audio", "semantic_dedup",
     "profile_lineitem",
     # oracle SQL fixed this round (HUGEINT -> BIGINT casts): re-confirm

@@ -2194,3 +2194,25 @@ def test_phash_index_append_refuses_wrong_id_type(spark, tmp_path):
     bad = spark.createDataFrame([("x", 5)], "media_id string, phash long")
     with _pytest.raises(ValueError, match="id_type"):
         append_to_phash_index(bad, idx)
+
+
+def test_funnel_conversion_window(spark):
+    from atlas_upscaling_dask_spark.operators.funnel import funnel
+
+    rows = [
+        # user 1: A@0h, B@2h, C@3h — completes only without a 1h window
+        (1, 0, "A"), (1, 7200, "B"), (1, 10800, "C"),
+        # user 2: A@0, B@30m, C@50m — completes inside 1h
+        (2, 0, "A"), (2, 1800, "B"), (2, 3000, "C"),
+        # user 3: A@0 then A@10h, B@10.5h — window anchors at FIRST A,
+        # so depth stays 1 by the documented convention
+        (3, 0, "A"), (3, 36000, "A"), (3, 37800, "B"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, t long, event_type string").select(
+        "user_id", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"), "event_type"
+    )
+    hour = 3_600_000_000
+    out = {r["user_id"]: r["depth"] for r in funnel(ev, ["A", "B", "C"], within_us=hour).collect()}
+    assert out == {1: 1, 2: 3, 3: 1}
+    unbounded = {r["user_id"]: r["depth"] for r in funnel(ev, ["A", "B", "C"]).collect()}
+    assert unbounded == {1: 3, 2: 3, 3: 2}
