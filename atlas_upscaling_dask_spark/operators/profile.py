@@ -195,3 +195,101 @@ def check_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
         for i, (name, kind) in enumerate(names)
     ]
     return wide.select(F.explode(F.array(*rows)).alias("c")).select("c.*")
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    numeric_cols: list[str],
+    categorical_cols: list[str] | None = None,
+    bins: int = 10,
+) -> DataFrame:
+    """Distribution drift between two snapshots of a table — the
+    monitoring step after `profile_columns` (shape) and
+    `check_constraints` (contracts): did yesterday's data and today's
+    data still look alike?
+
+    Per column the two value distributions are histogrammed on SHARED
+    bins — numeric columns on ``bins`` equal-width buckets spanning the
+    OLD snapshot's [min, max] (out-of-range new values clamp to the
+    edge buckets; NULL is its own bucket), categorical columns on the
+    value itself — and compared by **total-variation distance**
+    ``tv = ½·Σ|p_bin − q_bin|`` ∈ [0, 1].  TV instead of the
+    ln-based PSI for the same reason BM25 has a rational idf mode
+    (`retrieval.py`): every term is one exact integer division, so the
+    DuckDB oracle reproduces it bit-for-bit, while ``ln`` is libm- and
+    engine-dependent.  Per-bin terms round to 9 digits and sum as
+    DECIMAL(28,9) — the repo's order-independent float contract.
+
+    Plan shape: one 1-row min/max aggregate over OLD (broadcast), then
+    per side ONE scan → per-column bin explode → (column, bin) count;
+    everything after the two count aggregates is |cols|·|bins|-sized.
+    Returns (column, tv) — alert thresholds are the caller's policy
+    (0.1/0.2 are the common PSI-style heuristics).  A snapshot with
+    zero rows has no distribution: tv comes back NULL, not 0 — "no
+    data" must never read as "no drift".
+    """
+    categorical_cols = list(categorical_cols or [])
+    if not numeric_cols and not categorical_cols:
+        raise ValueError("profile_drift needs at least one column")
+    stats_aggs = []
+    for c in numeric_cols:
+        stats_aggs.append(F.min(F.col(c).cast("double")).alias(f"mn_{c}"))
+        stats_aggs.append(F.max(F.col(c).cast("double")).alias(f"mx_{c}"))
+    stats = old.agg(*stats_aggs) if stats_aggs else None
+
+    def histogram(df: DataFrame, tag: str) -> DataFrame:
+        d = df.crossJoin(F.broadcast(stats)) if stats is not None else df
+        entries = []
+        for c in numeric_cols:
+            mn, mx = F.col(f"mn_{c}"), F.col(f"mx_{c}")
+            v = F.col(c).cast("double")
+            raw = F.floor((v - mn) * F.lit(bins) / (mx - mn))
+            b = (
+                F.when(v.isNull() | mn.isNull(), F.lit(-1))
+                .when(mx == mn, F.lit(0))
+                .otherwise(
+                    F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+                )
+            )
+            entries.append(
+                F.struct(
+                    F.lit(c).alias("column"), b.cast("string").alias("bin")
+                )
+            )
+        for c in categorical_cols:
+            entries.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.coalesce(F.col(c).cast("string"), F.lit("__null__"))
+                    .alias("bin"),
+                )
+            )
+        return (
+            d.select(F.explode(F.array(*entries)).alias("e"))
+            .select("e.*")
+            .groupBy("column", "bin")
+            .agg(F.count(F.lit(1)).alias(f"c_{tag}"))
+        )
+
+    from pyspark.sql import Window
+
+    j = histogram(old, "old").join(
+        histogram(new, "new"), ["column", "bin"], "full_outer"
+    ).select(
+        "column",
+        "bin",
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    )
+    wcol = Window.partitionBy("column")
+    # try_divide: an EMPTY side puts 0 in the denominator — that must
+    # surface as NULL tv (documented), not an ANSI arithmetic error
+    p = F.try_divide(F.col("c_old"), F.sum("c_old").over(wcol))
+    q = F.try_divide(F.col("c_new"), F.sum("c_new").over(wcol))
+    term = F.round(F.abs(p - q), 9).cast("decimal(28,9)")
+    return (
+        j.select("column", term.alias("t"))
+        .groupBy("column")
+        .agg((F.sum("t").cast("double") / 2).alias("tv"))
+    )

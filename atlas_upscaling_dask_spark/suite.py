@@ -2222,6 +2222,79 @@ FROM lineitem"""
 _register("profile_lineitem", _profile_lineitem_q, _profile_oracle_sql())
 
 
+def _profile_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Snapshot drift: early-epoch lineitem vs the rest, per-column
+    # total-variation distance over shared histograms (bins pinned to
+    # the OLD snapshot's range).  TV, not PSI: no ln in the oracle
+    # contract — every term is an exact integer division.
+    from .operators.profile import profile_drift
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-01-01").cast("date")
+    return profile_drift(
+        li.filter(F.col("l_shipdate") < cut),
+        li.filter(F.col("l_shipdate") >= cut),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        ["l_returnflag"],
+    )
+
+
+_register(
+    "profile_drift_lineitem",
+    _profile_drift_lineitem,
+    """
+WITH o AS (SELECT * FROM lineitem WHERE l_shipdate < DATE '1998-01-01'),
+n AS (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1998-01-01'),
+st AS (
+  SELECT min(CAST(l_quantity AS DOUBLE)) AS mn_q, max(CAST(l_quantity AS DOUBLE)) AS mx_q,
+         min(CAST(l_extendedprice AS DOUBLE)) AS mn_e, max(CAST(l_extendedprice AS DOUBLE)) AS mx_e,
+         min(CAST(l_discount AS DOUBLE)) AS mn_d, max(CAST(l_discount AS DOUBLE)) AS mx_d
+  FROM o
+),
+ob AS (
+  SELECT u.col AS "column", u.bin FROM o CROSS JOIN st
+  CROSS JOIN LATERAL (VALUES
+    ('l_quantity', CAST(CASE WHEN mx_q = mn_q THEN 0 ELSE
+        least(9, greatest(0, CAST(floor((CAST(l_quantity AS DOUBLE) - mn_q) * 10 / (mx_q - mn_q)) AS BIGINT))) END AS VARCHAR)),
+    ('l_extendedprice', CAST(CASE WHEN mx_e = mn_e THEN 0 ELSE
+        least(9, greatest(0, CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn_e) * 10 / (mx_e - mn_e)) AS BIGINT))) END AS VARCHAR)),
+    ('l_discount', CAST(CASE WHEN mx_d = mn_d THEN 0 ELSE
+        least(9, greatest(0, CAST(floor((CAST(l_discount AS DOUBLE) - mn_d) * 10 / (mx_d - mn_d)) AS BIGINT))) END AS VARCHAR)),
+    ('l_returnflag', coalesce(l_returnflag, '__null__'))
+  ) AS u(col, bin)
+),
+nb AS (
+  SELECT u.col AS "column", u.bin FROM n CROSS JOIN st
+  CROSS JOIN LATERAL (VALUES
+    ('l_quantity', CAST(CASE WHEN mx_q = mn_q THEN 0 ELSE
+        least(9, greatest(0, CAST(floor((CAST(l_quantity AS DOUBLE) - mn_q) * 10 / (mx_q - mn_q)) AS BIGINT))) END AS VARCHAR)),
+    ('l_extendedprice', CAST(CASE WHEN mx_e = mn_e THEN 0 ELSE
+        least(9, greatest(0, CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn_e) * 10 / (mx_e - mn_e)) AS BIGINT))) END AS VARCHAR)),
+    ('l_discount', CAST(CASE WHEN mx_d = mn_d THEN 0 ELSE
+        least(9, greatest(0, CAST(floor((CAST(l_discount AS DOUBLE) - mn_d) * 10 / (mx_d - mn_d)) AS BIGINT))) END AS VARCHAR)),
+    ('l_returnflag', coalesce(l_returnflag, '__null__'))
+  ) AS u(col, bin)
+),
+oc AS (SELECT "column", bin, count(*) AS c_old FROM ob GROUP BY 1, 2),
+nc AS (SELECT "column", bin, count(*) AS c_new FROM nb GROUP BY 1, 2),
+j AS (
+  SELECT coalesce(oc."column", nc."column") AS "column",
+         coalesce(oc.bin, nc.bin) AS bin,
+         coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+  FROM oc FULL OUTER JOIN nc ON oc."column" = nc."column" AND oc.bin = nc.bin
+),
+t AS (
+  SELECT "column",
+         CAST(round(abs(c_old / sum(c_old) OVER (PARTITION BY "column")
+                      - c_new / sum(c_new) OVER (PARTITION BY "column")), 9)
+              AS DECIMAL(28,9)) AS term
+  FROM j
+)
+SELECT "column", CAST(sum(term) AS DOUBLE) / 2 AS tv FROM t GROUP BY "column"
+""",
+)
+
+
 def _check_constraints_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deequ-style declarative data-quality suite: every constraint
     # compiles into ONE aggregation over one scan — completeness,
@@ -6030,6 +6103,7 @@ _PRIORITY = [
     "setsim_prefix_join", "scd2_user_segments", "scd2_asof_lookup",
     "check_constraints_lineitem", "image_phash_values",
     "image_phash_neardup", "image_dup_clusters", "funnel_within",
+    "profile_drift_lineitem",
     "embed_ivf_pq_topk", "multimodal_audio", "semantic_dedup",
     "profile_lineitem",
     # oracle SQL fixed this round (HUGEINT -> BIGINT casts): re-confirm

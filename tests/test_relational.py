@@ -458,3 +458,33 @@ def test_check_constraints_empty_table_passes(spark):
         assert r["n_rows"] == 0
         assert r["n_violations"] == 0, r["constraint"]
         assert r["passed"] is True, r["constraint"]
+
+
+def test_profile_drift_semantics(spark):
+    from atlas_upscaling_dask_spark.operators.profile import profile_drift
+
+    old = spark.createDataFrame(
+        [(float(i % 10), "A" if i % 2 else "B") for i in range(100)],
+        "v double, flag string",
+    )
+    # identical distribution -> zero drift on both column kinds
+    same = {r["column"]: r["tv"] for r in profile_drift(old, old, ["v"], ["flag"]).collect()}
+    assert same == {"v": 0.0, "flag": 0.0}
+
+    # shifted numeric + skewed categorical -> positive, bounded drift
+    new = spark.createDataFrame(
+        [(float(9), "A")] * 100, "v double, flag string"
+    )
+    moved = {r["column"]: r["tv"] for r in profile_drift(old, new, ["v"], ["flag"]).collect()}
+    assert 0.8 <= moved["v"] <= 1.0   # all mass moved to one bin
+    assert abs(moved["flag"] - 0.5) < 1e-9  # A: 0.5 -> 1.0
+
+    # an empty side is "no data", not "no drift"
+    empty = old.limit(0)
+    nulls = {r["column"]: r["tv"] for r in profile_drift(old, empty, ["v"], ["flag"]).collect()}
+    assert all(v is None for v in nulls.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one column"):
+        profile_drift(old, new, [], [])

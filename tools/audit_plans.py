@@ -501,6 +501,16 @@ def audited_queries():
             QUERIES["check_constraints_lineitem"],
             {"max_shuffles": 2, "codegen": True, "no_python_udf": True},
         ),
+        # drift: 1-row min/max broadcast (a BroadcastNestedLoopJoin —
+        # broadcast, but not the BroadcastHashJoin the rule matches) +
+        # one scan per side (each a (column,bin) count agg) +
+        # full-outer join of two tiny histogram frames +
+        # |cols·bins|-row window — 5 exchanges, none data-sized after
+        # the two counts
+        "profile_drift_lineitem": (
+            QUERIES["profile_drift_lineitem"],
+            {"max_shuffles": 5, "codegen": True, "no_python_udf": True},
+        ),
         # pHash: decode → DCT → hash is ONE narrow Arrow pass — zero
         # exchanges to fingerprint a 100 TB image corpus
         "image_phash_values": (
