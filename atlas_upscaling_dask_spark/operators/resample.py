@@ -292,3 +292,90 @@ def zscore_outliers(
         )
         .filter(F.abs(F.col("z")) > threshold)
     )
+
+
+def mad_outliers(
+    events: DataFrame,
+    threshold: float = 3.5,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Robust per-group outlier screen via the median absolute
+    deviation: modified z-score ``0.6745·(v − med)/mad`` (Iglewicz &
+    Hoaglin), flagged when |mz| > ``threshold`` (3.5 is their
+    recommended cut).  Unlike ``zscore_outliers`` the estimator has a
+    50% breakdown point — a heavy-tailed group can't hide its own
+    outliers by inflating the standard deviation.
+
+    When a group's MAD is 0 (over half its values identical) the score
+    is undefined: mz comes back NULL and any value ≠ median is flagged
+    (infinitely many MADs away).
+
+    Exactness: exact interpolated medians (sort-based, the
+    `percentile_quantity` parity rule) and pure IEEE arithmetic — no
+    order-dependent double sums anywhere.  Plan: two grouped
+    aggregations (group cardinality ~ event types) broadcast back onto
+    the scan; the data-sized side never shuffles.
+    """
+    med = events.groupBy(group_col).agg(
+        F.expr(f"median({value_col})").alias("med")
+    )
+    j = events.join(F.broadcast(med), group_col)
+    mad = j.groupBy(group_col).agg(
+        F.expr(f"median(abs({value_col} - med))").alias("mad")
+    )
+    j2 = j.join(F.broadcast(mad), group_col)
+    dev = F.lit(0.6745) * (F.col(value_col) - F.col("med"))
+    mz = F.when(F.col("mad") == 0, F.lit(None).cast("double")).otherwise(
+        dev / F.col("mad")
+    )
+    flag = ((F.col("mad") == 0) & (F.col(value_col) != F.col("med"))) | (
+        (F.col("mad") > 0) & (F.abs(dev / F.col("mad")) > F.lit(threshold))
+    )
+    return j2.filter(flag).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col),
+        "med",
+        "mad",
+        mz.alias("mz"),
+    )
+
+
+def rolling_median(
+    events: DataFrame,
+    window_rows: int = 25,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Exact rolling median of the last ``window_rows`` values per key
+    — an aggregate Spark's window functions don't provide (only
+    percentile_approx): implemented as a sorted-array median over a
+    ``collect_list`` rows-frame.  Even-length frames interpolate the
+    two middle values, matching ``median`` everywhere (DuckDB's native
+    windowed median is the oracle — an independent implementation).
+
+    Per-row state is O(window_rows) — bound it to the tens/hundreds;
+    this is the running-median dashboard primitive, not a full-table
+    quantile (use ``quantile_sketch`` for that).  One keyed exchange.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+    k = F.size(arr)
+    lo = F.element_at(arr, ((k + 1) / 2).cast("int"))
+    hi_a = F.element_at(arr, (k / 2).cast("int"))
+    hi_b = F.element_at(arr, (k / 2 + 1).cast("int"))
+    med = F.when(k % 2 == 1, lo).otherwise((hi_a + hi_b) / 2)
+    return events.select(
+        F.col(id_col),
+        F.col(key_col),
+        med.alias("rolling_med"),
+    )

@@ -2295,6 +2295,103 @@ SELECT "column", CAST(sum(term) AS DOUBLE) / 2 AS tv FROM t GROUP BY "column"
 )
 
 
+def _mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # robust (50% breakdown) outlier screen — the heavy-tail-safe twin
+    # of zscore_outliers; exact medians per the percentile parity rule
+    from .operators.resample import mad_outliers
+
+    return mad_outliers(load_table(spark, sf_dir, "events"))
+
+
+_register(
+    "mad_outliers",
+    _mad_outliers_q,
+    """
+WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+j AS (SELECT e.event_id, e.event_type, e.value, m.med
+      FROM events e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, median(abs(value - med)) AS mad FROM j GROUP BY 1),
+j2 AS (SELECT j.*, mad.mad FROM j JOIN mad USING (event_type))
+SELECT event_id, event_type, value, med, mad,
+       CASE WHEN mad = 0 THEN NULL
+            ELSE (0.6745 * (value - med)) / mad END AS mz
+FROM j2
+WHERE (mad = 0 AND value <> med)
+   OR (mad > 0 AND abs((0.6745 * (value - med)) / mad) > 3.5)
+""",
+)
+
+
+def _rolling_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # windowed EXACT median — absent from Spark's window aggregates;
+    # sorted-array frame vs DuckDB's native windowed median oracle
+    from .operators.resample import rolling_median
+
+    return rolling_median(load_table(spark, sf_dir, "events"))
+
+
+_register(
+    "rolling_median",
+    _rolling_median_q,
+    """
+SELECT event_id, user_id,
+       median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+         AS rolling_med
+FROM events
+""",
+)
+
+
+def _map_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Map-type function battery: construction, extraction, keys/values,
+    # and map HOFs (map_filter / transform_values).  Outputs are
+    # scalars; the oracle computes the same values with plain CASE
+    # expressions — DuckDB's MAP surface lacks the HOFs, which is
+    # exactly why the battery exercises them Spark-side.
+    li = load_table(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity").cast("double"),
+        F.lit("disc"), F.col("l_discount").cast("double"),
+        F.lit("tax"), F.col("l_tax").cast("double"),
+    )
+    d = li.select("l_orderkey", "l_linenumber", m.alias("m"))
+    return d.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size("m").alias("n_entries"),
+        F.element_at("m", F.lit("qty")).alias("qty"),
+        F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("keys_sorted"),
+        F.size(F.expr("map_filter(m, (k, v) -> v >= 0.05)")).alias("n_big"),
+        F.element_at(
+            F.expr("transform_values(m, (k, v) -> v * 2)"), F.lit("disc")
+        ).alias("disc_x2"),
+        F.expr(
+            "aggregate(map_values(m), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("vals_sum"),
+    )
+
+
+_register(
+    "map_functions",
+    _map_functions_q,
+    """
+SELECT l_orderkey, l_linenumber,
+       CAST(3 AS INTEGER) AS n_entries,
+       CAST(l_quantity AS DOUBLE) AS qty,
+       'disc,qty,tax' AS keys_sorted,
+       CAST((CASE WHEN CAST(l_quantity AS DOUBLE) >= 0.05 THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(l_discount AS DOUBLE) >= 0.05 THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(l_tax AS DOUBLE) >= 0.05 THEN 1 ELSE 0 END)
+          AS INTEGER) AS n_big,
+       CAST(l_discount AS DOUBLE) * 2 AS disc_x2,
+       ((CAST(0.0 AS DOUBLE) + CAST(l_quantity AS DOUBLE))
+          + CAST(l_discount AS DOUBLE)) + CAST(l_tax AS DOUBLE) AS vals_sum
+FROM lineitem
+""",
+)
+
+
 def _check_constraints_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deequ-style declarative data-quality suite: every constraint
     # compiles into ONE aggregation over one scan — completeness,
@@ -6103,7 +6200,8 @@ _PRIORITY = [
     "setsim_prefix_join", "scd2_user_segments", "scd2_asof_lookup",
     "check_constraints_lineitem", "image_phash_values",
     "image_phash_neardup", "image_dup_clusters", "funnel_within",
-    "profile_drift_lineitem",
+    "profile_drift_lineitem", "mad_outliers", "rolling_median",
+    "map_functions",
     "embed_ivf_pq_topk", "multimodal_audio", "semantic_dedup",
     "profile_lineitem",
     # oracle SQL fixed this round (HUGEINT -> BIGINT casts): re-confirm

@@ -488,3 +488,30 @@ def test_profile_drift_semantics(spark):
 
     with _pytest.raises(ValueError, match="at least one column"):
         profile_drift(old, new, [], [])
+
+
+def test_mad_outliers_robustness(spark):
+    from atlas_upscaling_dask_spark.operators.resample import mad_outliers
+
+    # group A: tight cluster + one wild point; the wild point must not
+    # mask itself (it would under stddev with a small group)
+    rows = [(i, "A", 10.0 + (i % 3) * 0.1) for i in range(20)] + [(99, "A", 1000.0)]
+    # group B: >50% identical values -> mad 0; the deviant is flagged with NULL mz
+    rows += [(200 + i, "B", 5.0) for i in range(6)] + [(299, "B", 7.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r["event_id"]: r for r in mad_outliers(df).collect()}
+    assert 99 in out and out[99]["mz"] is not None and abs(out[99]["mz"]) > 3.5
+    assert 299 in out and out[299]["mz"] is None and out[299]["mad"] == 0.0
+    assert set(out) == {99, 299}
+
+
+def test_rolling_median_window_semantics(spark):
+    from atlas_upscaling_dask_spark.operators.resample import rolling_median
+
+    rows = [(i, 1, i, float(v)) for i, v in enumerate([5, 1, 9, 3])]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, t long, value double").select(
+        "event_id", "user_id", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"), "value"
+    )
+    out = {r["event_id"]: r["rolling_med"] for r in rolling_median(df, window_rows=3).collect()}
+    # frames: [5], [5,1], [5,1,9], [1,9,3]
+    assert out == {0: 5.0, 1: 3.0, 2: 5.0, 3: 3.0}

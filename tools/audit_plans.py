@@ -511,6 +511,25 @@ def audited_queries():
             QUERIES["profile_drift_lineitem"],
             {"max_shuffles": 5, "codegen": True, "no_python_udf": True},
         ),
+        # MAD: two tiny grouped medians broadcast back onto the scan —
+        # the data-sized side never shuffles (3 exchanges: 2 stats aggs
+        # + the med-join feeding the second agg)
+        "mad_outliers": (
+            QUERIES["mad_outliers"],
+            {"max_shuffles": 3, "broadcast": True, "codegen": True,
+             "no_python_udf": True},
+        ),
+        # rolling median: ONE keyed window exchange; per-row state is
+        # the O(window) frame array, never a per-key global sort
+        "rolling_median": (
+            QUERIES["rolling_median"],
+            {"max_shuffles": 1, "codegen": True, "no_python_udf": True},
+        ),
+        # map HOF battery: pure narrow projection — zero exchanges
+        "map_functions": (
+            QUERIES["map_functions"],
+            {"no_shuffle": True, "codegen": True, "no_python_udf": True},
+        ),
         # pHash: decode → DCT → hash is ONE narrow Arrow pass — zero
         # exchanges to fingerprint a 100 TB image corpus
         "image_phash_values": (
