@@ -62,6 +62,25 @@ def build_parser() -> argparse.ArgumentParser:
     rg.add_argument("--max-tokens", type=int, default=64)
     rg.add_argument("--overlap", type=int, default=16)
 
+    ql = sub.add_parser(
+        "quality",
+        help="data-quality report: per-column profile, PK/range "
+        "constraints, and (with --baseline) distribution drift",
+    )
+    ql.add_argument("--input", required=True, help="parquet table to audit")
+    ql.add_argument(
+        "--baseline", default=None,
+        help="earlier snapshot (parquet); adds per-column drift",
+    )
+    ql.add_argument(
+        "--key", nargs="+", default=None,
+        help="primary-key columns for a uniqueness constraint",
+    )
+    ql.add_argument(
+        "--not-null", nargs="+", default=(), dest="not_null",
+        help="columns that must be complete",
+    )
+
     return p
 
 
@@ -232,6 +251,66 @@ def cmd_rag(args) -> int:
     return 0
 
 
+def cmd_quality(args) -> int:
+    from pyspark.sql import types as T
+
+    from .operators.profile import check_constraints, profile_columns, profile_drift
+    from .session import get_spark
+
+    spark = get_spark("atlas-spark-quality")
+    df = spark.read.parquet(args.input)
+
+    prof = profile_columns(df).collect()  # |cols| rows
+    print(f"profile of {args.input} ({len(prof)} columns):")
+    for r in prof:
+        rng = (
+            f"[{r['min_numeric']}, {r['max_numeric']}]"
+            if r["min_numeric"] is not None
+            else f"[{r['min_string']!r}, {r['max_string']!r}]"
+        )
+        print(
+            f"  {r['column']}: rows={r['n_rows']} nulls={r['n_nulls']} "
+            f"ndv={r['n_distinct']} range={rng}"
+        )
+
+    constraints = [{"kind": "not_null", "col": c} for c in args.not_null]
+    if args.key:
+        constraints.append({"kind": "unique", "cols": list(args.key)})
+    failed = 0
+    if constraints:
+        print("constraints:")
+        for r in check_constraints(df, constraints).collect():
+            status = "PASS" if r["passed"] else "FAIL"
+            failed += 0 if r["passed"] else 1
+            print(
+                f"  {status} {r['constraint']}: "
+                f"{r['n_violations']}/{r['n_rows']} violations"
+            )
+
+    if args.baseline:
+        base = spark.read.parquet(args.baseline)
+        shared = [f for f in df.schema.fields if f.name in set(base.columns)]
+        nums = [
+            f.name for f in shared
+            if isinstance(f.dataType, (T.IntegerType, T.LongType,
+                                       T.FloatType, T.DoubleType,
+                                       T.DecimalType))
+        ]
+        cats = [
+            f.name for f in shared if isinstance(f.dataType, T.StringType)
+        ]
+        if nums or cats:
+            print(f"drift vs {args.baseline} (total-variation, 0..1):")
+            for r in sorted(
+                profile_drift(base, df, nums, cats).collect(),
+                key=lambda r: -(r["tv"] if r["tv"] is not None else 2),
+            ):
+                tv = "n/a" if r["tv"] is None else f"{r['tv']:.4f}"
+                print(f"  {r['column']}: {tv}")
+
+    return 1 if failed else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     return {
@@ -239,6 +318,7 @@ def main(argv: list[str] | None = None) -> int:
         "lookup": cmd_lookup,
         "pipeline": cmd_pipeline,
         "rag": cmd_rag,
+        "quality": cmd_quality,
     }[args.cmd](args)
 
 

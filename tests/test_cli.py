@@ -72,3 +72,34 @@ def test_cli_rag(spark, tmp_path, capsys):
 
     assert any(d.startswith("split=") for d in os.listdir(dst))
     assert "chunks" in capsys.readouterr().out
+
+
+def test_cli_quality(spark, tmp_path, capsys):
+    from atlas_upscaling_dask_spark.cli import main
+
+    base = str(tmp_path / "q_base")
+    cur = str(tmp_path / "q_cur")
+    spark.createDataFrame(
+        [(i, float(i % 10), "A" if i % 2 else "B") for i in range(100)],
+        "k long, v double, flag string",
+    ).write.mode("overwrite").parquet(base)
+    # current snapshot: shifted values, a duplicate key, and a NULL flag
+    spark.createDataFrame(
+        [(i, 9.0, "A") for i in range(99)] + [(0, 9.0, None)],
+        "k long, v double, flag string",
+    ).write.mode("overwrite").parquet(cur)
+
+    rc = main([
+        "quality", "--input", cur, "--baseline", base,
+        "--key", "k", "--not-null", "flag",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 1  # failed constraints -> nonzero exit
+    assert "FAIL unique(k): 1/100 violations" in out
+    assert "FAIL not_null(flag): 1/100 violations" in out
+    assert "drift vs" in out and "v: " in out
+
+    # clean table, no baseline -> exit 0
+    rc2 = main(["quality", "--input", base, "--key", "k"])
+    out2 = capsys.readouterr().out
+    assert rc2 == 0 and "PASS unique(k): 0/100 violations" in out2

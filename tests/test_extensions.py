@@ -2216,3 +2216,41 @@ def test_funnel_conversion_window(spark):
     assert out == {1: 1, 2: 3, 3: 1}
     unbounded = {r["user_id"]: r["depth"] for r in funnel(ev, ["A", "B", "C"]).collect()}
     assert unbounded == {1: 3, 2: 3, 3: 2}
+
+
+def test_phash_index_compaction_preserves_queries(spark, tmp_path):
+    # append-heavy indexes accumulate small files; compact_table must
+    # preserve the band partitioning, the params sidecar, and every
+    # query result bit-for-bit
+    import os
+
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        append_to_phash_index,
+        build_phash_index,
+        phash_index_query,
+    )
+    from atlas_upscaling_dask_spark.sinks.writer import compact_table
+
+    rng = np.random.default_rng(13)
+    idx = str(tmp_path / "cidx")
+    seed = int(rng.integers(0, 2**62))
+    build_phash_index(
+        spark.createDataFrame([(0, seed)], "media_id long, phash long"), idx
+    )
+    for i in range(1, 4):  # three appends -> one small file per band each
+        batch = spark.createDataFrame(
+            [(i, seed ^ (1 << int(rng.integers(0, 63))))],
+            "media_id long, phash long",
+        )
+        append_to_phash_index(batch, idx)
+    probe = spark.createDataFrame([(100, seed)], "media_id long, phash long")
+    before = sorted(
+        map(tuple, phash_index_query(spark, idx, probe).collect())
+    )
+    stats = compact_table(spark, idx, partition_cols=("band",))
+    assert stats["files_after"] < stats["files_before"]
+    after = sorted(map(tuple, phash_index_query(spark, idx, probe).collect()))
+    assert after == before and before
+    assert os.path.exists(os.path.join(idx, "_phash_index.json"))
