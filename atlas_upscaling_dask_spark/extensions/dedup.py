@@ -953,9 +953,11 @@ def prefix_filter_join(
         .select(
             "d1",
             "d2",
-            F.size(F.array_intersect("g1", "g2")).alias("inter"),
-            F.size("g1").alias("n1"),
-            F.size("g2").alias("n2"),
+            # long, matching the brute-force oracle's count(*) dtype —
+            # the driver's hash compare is typed (int32 != int64)
+            F.size(F.array_intersect("g1", "g2")).cast("long").alias("inter"),
+            F.size("g1").cast("long").alias("n1"),
+            F.size("g2").cast("long").alias("n2"),
         )
     )
     return ver.withColumn(

@@ -2562,7 +2562,7 @@ SELECT doc_id AS media_id,
        (100 + doc_id % 50) / 8000.0 AS duration_s,
        round(((doc_id % 7) + 1) / 10.0, 9) AS rms,
        ((doc_id % 7) + 1) / 10.0 AS peak,
-       1.0 AS zero_crossing_rate
+       CAST(1.0 AS DOUBLE) AS zero_crossing_rate
 FROM documents
 """,
 )
@@ -3331,7 +3331,7 @@ _register(
     _vox_meta_report,
     """
 SELECT CAST(16 AS INTEGER) AS dim_z, CAST(16 AS INTEGER) AS dim_y,
-       CAST(16 AS INTEGER) AS dim_x, 25.0 AS spacing_z,
+       CAST(16 AS INTEGER) AS dim_x, CAST(25.0 AS DOUBLE) AS spacing_z,
        16 * 25.0 / 1000 AS size_z_mm,
        16 * 25.0 / 1000 AS size_y_mm,
        16 * 25.0 / 1000 AS size_x_mm
