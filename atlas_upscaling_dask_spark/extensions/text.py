@@ -491,3 +491,46 @@ def lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.count("*").alias("n_bigrams"),
         (F.sum("p").cast("double") / F.count("*")).alias("lm_score"),
     )
+
+
+def hash_features(
+    docs: DataFrame,
+    n_features: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick featurization (HashingTF): tokens hash into
+    ``n_features`` buckets, per-doc bucket counts L2-normalize into
+    sparse tf vectors — the no-vocabulary text→vector step that feeds
+    clustering / ANN / linear probes without ever building (or
+    shipping) a dictionary.
+
+    Long-form output (doc_id, bucket, weight): sparse, oracle-checkable
+    scalar rows rather than an array column.  The bucket hash is the
+    first 8 hex digits of md5 mod ``n_features`` — portable to the SQL
+    oracle verbatim (`CAST('0x'||substr(md5(tok),1,8) AS BIGINT)`).
+    Exactness: the squared-norm is an integer sum (exact at any
+    parallelism); sqrt + one division are IEEE-identical everywhere.
+
+    Plan: narrow explode, then ONE exchange on doc_id — partitioning
+    by the doc key up front lets BOTH the (doc, bucket) count
+    aggregation and the per-doc norm window reuse it (a partitioning on
+    a subset of the group keys satisfies the aggregation's clustering;
+    the reverse order would pay two exchanges).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).repartition(F.col("doc_id"))
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+        % n_features
+    )
+    cnt = toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("doc_id")
+    norm = F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("double"))
+    return cnt.select(
+        "doc_id", "bucket", (F.col("cnt") / norm).alias("weight")
+    )

@@ -2392,6 +2392,35 @@ FROM lineitem
 )
 
 
+def _hash_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HashingTF featurization: dictionary-free text -> sparse L2 tf
+    # vectors in long form; md5-hex bucket hash replays verbatim in SQL
+    from .extensions.text import hash_features
+
+    return hash_features(load_table(spark, sf_dir, "documents"))
+
+
+_register(
+    "hash_features",
+    _hash_features_q,
+    """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS bucket
+  FROM t
+),
+c AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY 1, 2)
+SELECT doc_id, bucket,
+       cnt / sqrt(CAST(sum(cnt * cnt) OVER (PARTITION BY doc_id) AS DOUBLE))
+         AS weight
+FROM c
+""",
+)
+
+
 def _check_constraints_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deequ-style declarative data-quality suite: every constraint
     # compiles into ONE aggregation over one scan — completeness,
@@ -6201,7 +6230,7 @@ _PRIORITY = [
     "check_constraints_lineitem", "image_phash_values",
     "image_phash_neardup", "image_dup_clusters", "funnel_within",
     "profile_drift_lineitem", "mad_outliers", "rolling_median",
-    "map_functions",
+    "map_functions", "hash_features",
     "embed_ivf_pq_topk", "multimodal_audio", "semantic_dedup",
     "profile_lineitem",
     # oracle SQL fixed this round (HUGEINT -> BIGINT casts): re-confirm

@@ -2254,3 +2254,30 @@ def test_phash_index_compaction_preserves_queries(spark, tmp_path):
     after = sorted(map(tuple, phash_index_query(spark, idx, probe).collect()))
     assert after == before and before
     assert os.path.exists(os.path.join(idx, "_phash_index.json"))
+
+
+def test_hash_features_l2_and_partition_invariance(spark):
+    import math
+
+    from atlas_upscaling_dask_spark.extensions.text import hash_features
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "x"), (3, "a b a c")],
+        "doc_id long, text string",
+    )
+    rows = hash_features(df, n_features=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["bucket"]] = r["weight"]
+    # unit L2 norm per doc
+    for d, vec in by_doc.items():
+        assert math.isclose(sum(w * w for w in vec.values()), 1.0, rel_tol=1e-12), d
+    # identical text -> identical sparse vector
+    assert by_doc[1] == by_doc[3]
+    # single-token doc is a unit basis vector
+    assert list(by_doc[2].values()) == [1.0]
+    # partitioning must not change weights (integer norm, one division)
+    re = hash_features(df.repartition(7), n_features=8).collect()
+    assert {(r["doc_id"], r["bucket"], r["weight"]) for r in re} == {
+        (r["doc_id"], r["bucket"], r["weight"]) for r in rows
+    }

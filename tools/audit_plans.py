@@ -511,6 +511,12 @@ def audited_queries():
             QUERIES["profile_drift_lineitem"],
             {"max_shuffles": 5, "codegen": True, "no_python_udf": True},
         ),
+        # hashing-trick featurization: explode → doc_id repartition →
+        # count agg + norm window both REUSE that one exchange
+        "hash_features": (
+            QUERIES["hash_features"],
+            {"max_shuffles": 1, "codegen": True, "no_python_udf": True},
+        ),
         # MAD: two tiny grouped medians broadcast back onto the scan —
         # the data-sized side never shuffles (3 exchanges: 2 stats aggs
         # + the med-join feeding the second agg)
