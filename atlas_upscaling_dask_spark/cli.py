@@ -260,8 +260,23 @@ def cmd_quality(args) -> int:
     spark = get_spark("atlas-spark-quality")
     df = spark.read.parquet(args.input)
 
-    prof = profile_columns(df).collect()  # |cols| rows
+    # profile only the types the profiler supports — an ordinary DATE
+    # or BOOLEAN column must not crash the whole report
+    profilable = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(
+            f.dataType,
+            (T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+             T.FloatType, T.DoubleType, T.DecimalType, T.StringType,
+             T.TimestampType, T.TimestampNTZType),
+        )
+    ]
+    skipped = [c for c in df.columns if c not in profilable]
+    prof = profile_columns(df, profilable).collect()  # |cols| rows
     print(f"profile of {args.input} ({len(prof)} columns):")
+    if skipped:
+        print(f"  (skipped unsupported types: {', '.join(skipped)})")
     for r in prof:
         rng = (
             f"[{r['min_numeric']}, {r['max_numeric']}]"

@@ -373,7 +373,14 @@ def rolling_median(
     lo = F.element_at(arr, ((k + 1) / 2).cast("int"))
     hi_a = F.element_at(arr, (k / 2).cast("int"))
     hi_b = F.element_at(arr, (k / 2 + 1).cast("int"))
-    med = F.when(k % 2 == 1, lo).otherwise((hi_a + hi_b) / 2)
+    # collect_list drops NULLs, so the median runs over the frame's
+    # non-null values (DuckDB's median does the same); an ALL-null
+    # frame leaves k=0 — guard it to NULL or element_at(arr, 0) throws
+    med = (
+        F.when(k == 0, F.lit(None).cast("double"))
+        .when(k % 2 == 1, lo)
+        .otherwise((hi_a + hi_b) / 2)
+    )
     return events.select(
         F.col(id_col),
         F.col(key_col),

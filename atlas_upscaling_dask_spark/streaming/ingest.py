@@ -625,6 +625,78 @@ def crawl_dedup_batch(
         lsh_index_query,
         minhash_lsh_pairs,
     )
+
+    def plan(batch: DataFrame):
+        p = _lsh_index_params(spark, index_path)
+        vs_corpus = (
+            lsh_index_query(
+                spark, index_path, batch, min_est_sim, text_col, id_col
+            )
+            # self-matches appear when THIS epoch's first attempt
+            # already appended the batch — a replayed doc must not drop
+            # against its own signature
+            .filter(F.col("probe_id") != F.col("corpus_id"))
+            .select(F.col("probe_id").alias(id_col))
+            .distinct()
+        )
+        in_batch = (
+            minhash_lsh_pairs(
+                batch,
+                num_hashes=p["num_hashes"],
+                bands=p["bands"],
+                min_est_sim=min_est_sim,
+                shingle_n=p["shingle_n"],
+                text_col=text_col,
+                id_col=id_col,
+                use_dictionary=False,
+            )
+            .select(F.col("d2").alias(id_col))  # lowest id survives
+            .distinct()
+        )
+        appends = [
+            ("lsh", lambda surv: append_to_lsh_index(
+                surv, index_path, text_col, id_col
+            )),
+        ]
+        if text_index_path is not None:
+            from ..extensions.retrieval import append_to_text_index
+
+            appends.append(
+                ("text", lambda surv: append_to_text_index(
+                    surv, text_index_path, text_col, id_col
+                ))
+            )
+        return vs_corpus.unionByName(in_batch).distinct(), appends
+
+    _screened_ingest_batch(
+        spark, batch_df, epoch_id, out_path, id_col, plan, marker_dir
+    )
+
+
+def _screened_ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    out_path: str,
+    id_col: str,
+    plan,
+    marker_dir: str | None,
+) -> None:
+    """Shared replay-safe micro-batch skeleton for the screened-ingest
+    streams (text crawl dedup, image dedup): pin the batch once, let
+    ``plan(batch) -> (dropped_ids, [(step, append_fn)])`` decide who
+    drops and what to persist, write survivors idempotently to
+    ``out_path/epoch=N``, and run each append behind a per-epoch marker
+    fence.  Keeping the skeleton in ONE place keeps both streams'
+    replay contract (self-match exclusion is the plan's job; marker
+    fencing and overwrite-idempotence are this function's) provably
+    identical — a fix here fixes every screened stream.
+
+    Residual window (both streams): a crash strictly between an
+    append's last data file and its marker re-appends that one batch on
+    replay — the standard at-least-once caveat of non-transactional
+    appends.
+    """
     from ..fsutil import read_text, write_text
 
     def _marker(step: str) -> str | None:
@@ -643,35 +715,8 @@ def crawl_dedup_batch(
 
     if batch_df.isEmpty():
         return
-    # consumed three times (probe, in-batch pairs, append) — pin it
     batch = batch_df.localCheckpoint(eager=True)
-    p = _lsh_index_params(spark, index_path)
-    vs_corpus = (
-        lsh_index_query(
-            spark, index_path, batch, min_est_sim, text_col, id_col
-        )
-        # self-matches appear when THIS epoch's first attempt already
-        # appended the batch — a replayed doc must not drop against
-        # its own signature
-        .filter(F.col("probe_id") != F.col("corpus_id"))
-        .select(F.col("probe_id").alias(id_col))
-        .distinct()
-    )
-    in_batch = (
-        minhash_lsh_pairs(
-            batch,
-            num_hashes=p["num_hashes"],
-            bands=p["bands"],
-            min_est_sim=min_est_sim,
-            shingle_n=p["shingle_n"],
-            text_col=text_col,
-            id_col=id_col,
-            use_dictionary=False,
-        )
-        .select(F.col("d2").alias(id_col))  # lowest id survives
-        .distinct()
-    )
-    dropped = vs_corpus.unionByName(in_batch).distinct()
+    dropped, appends = plan(batch)
     survivors = batch.join(dropped, id_col, "left_anti").localCheckpoint(
         eager=True
     )
@@ -679,21 +724,12 @@ def crawl_dedup_batch(
         f"{out_path}/epoch={int(epoch_id)}"
     )
     if not survivors.isEmpty():
-        lsh_mark = _marker("lsh")
-        if not _done(lsh_mark):
-            append_to_lsh_index(survivors, index_path, text_col, id_col)
-            if lsh_mark:
-                write_text(spark, lsh_mark, "done")
-        if text_index_path is not None:
-            from ..extensions.retrieval import append_to_text_index
-
-            text_mark = _marker("text")
-            if not _done(text_mark):
-                append_to_text_index(
-                    survivors, text_index_path, text_col, id_col
-                )
-                if text_mark:
-                    write_text(spark, text_mark, "done")
+        for step, fn in appends:
+            mark = _marker(step)
+            if not _done(mark):
+                fn(survivors)
+                if mark:
+                    write_text(spark, mark, "done")
 
 
 def start_image_dedup_stream(
@@ -744,7 +780,9 @@ def image_dedup_batch(
     members within ``max_hamming`` of an archived image (self-matches
     excluded for replay safety) or of a LOWER-id batch member, write
     survivors to ``out_path/epoch=N`` (overwrite — idempotent), append
-    survivor fingerprints behind the per-epoch marker fence.
+    survivor fingerprints behind the per-epoch marker fence.  The
+    replay skeleton is `_screened_ingest_batch` — shared verbatim with
+    the text crawl stream.
     """
     from pyspark.sql import functions as F
 
@@ -754,48 +792,32 @@ def image_dedup_batch(
         phash_index_query,
     )
     from ..extensions.multimodal import image_phash
-    from ..fsutil import read_text, write_text
 
-    marker = (
-        f"{marker_dir.rstrip('/')}/_append_{int(epoch_id)}.phash.done"
-        if marker_dir
-        else None
-    )
+    def plan(batch: DataFrame):
+        # decode+DCT once for probe, in-batch screen, and append
+        hashes = image_phash(batch, id_col=id_col).localCheckpoint(
+            eager=True
+        )
+        vs_corpus = (
+            phash_index_query(spark, index_path, hashes, max_hamming, id_col)
+            .filter(F.col("probe_id") != F.col("corpus_id"))
+            .select(F.col("probe_id").alias(id_col))
+            .distinct()
+        )
+        in_batch = (
+            hamming_near_dup(hashes, max_hamming, id_col=id_col)
+            .select(F.col("d2").alias(id_col))  # lowest id survives
+            .distinct()
+        )
 
-    def _done() -> bool:
-        if marker is None:
-            return False
-        try:
-            read_text(spark, marker)
-            return True
-        except Exception:  # noqa: BLE001 — missing marker == not done
-            return False
+        def append(surv: DataFrame) -> None:
+            surv_hashes = hashes.join(
+                surv.select(id_col), id_col, "left_semi"
+            )
+            append_to_phash_index(surv_hashes, index_path, id_col)
 
-    if batch_df.isEmpty():
-        return
-    batch = batch_df.localCheckpoint(eager=True)
-    # decode+DCT once for probe, in-batch screen, and append
-    hashes = image_phash(batch, id_col=id_col).localCheckpoint(eager=True)
-    vs_corpus = (
-        phash_index_query(spark, index_path, hashes, max_hamming, id_col)
-        .filter(F.col("probe_id") != F.col("corpus_id"))
-        .select(F.col("probe_id").alias(id_col))
-        .distinct()
+        return vs_corpus.unionByName(in_batch).distinct(), [("phash", append)]
+
+    _screened_ingest_batch(
+        spark, batch_df, epoch_id, out_path, id_col, plan, marker_dir
     )
-    in_batch = (
-        hamming_near_dup(hashes, max_hamming, id_col=id_col)
-        .select(F.col("d2").alias(id_col))  # lowest id survives
-        .distinct()
-    )
-    dropped = vs_corpus.unionByName(in_batch).distinct()
-    survivors = batch.join(dropped, id_col, "left_anti").localCheckpoint(
-        eager=True
-    )
-    survivors.write.mode("overwrite").parquet(
-        f"{out_path}/epoch={int(epoch_id)}"
-    )
-    if not survivors.isEmpty() and not _done():
-        surv_hashes = hashes.join(survivors.select(id_col), id_col, "left_semi")
-        append_to_phash_index(surv_hashes, index_path, id_col)
-        if marker:
-            write_text(spark, marker, "done")

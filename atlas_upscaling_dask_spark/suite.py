@@ -2254,11 +2254,11 @@ st AS (
 ob AS (
   SELECT u.col AS "column", u.bin FROM o CROSS JOIN st
   CROSS JOIN LATERAL (VALUES
-    ('l_quantity', CAST(CASE WHEN mx_q = mn_q THEN 0 ELSE
+    ('l_quantity', CAST(CASE WHEN l_quantity IS NULL THEN -1 WHEN mx_q = mn_q THEN 0 ELSE
         least(9, greatest(0, CAST(floor((CAST(l_quantity AS DOUBLE) - mn_q) * 10 / (mx_q - mn_q)) AS BIGINT))) END AS VARCHAR)),
-    ('l_extendedprice', CAST(CASE WHEN mx_e = mn_e THEN 0 ELSE
+    ('l_extendedprice', CAST(CASE WHEN l_extendedprice IS NULL THEN -1 WHEN mx_e = mn_e THEN 0 ELSE
         least(9, greatest(0, CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn_e) * 10 / (mx_e - mn_e)) AS BIGINT))) END AS VARCHAR)),
-    ('l_discount', CAST(CASE WHEN mx_d = mn_d THEN 0 ELSE
+    ('l_discount', CAST(CASE WHEN l_discount IS NULL THEN -1 WHEN mx_d = mn_d THEN 0 ELSE
         least(9, greatest(0, CAST(floor((CAST(l_discount AS DOUBLE) - mn_d) * 10 / (mx_d - mn_d)) AS BIGINT))) END AS VARCHAR)),
     ('l_returnflag', coalesce(l_returnflag, '__null__'))
   ) AS u(col, bin)
@@ -2266,11 +2266,11 @@ ob AS (
 nb AS (
   SELECT u.col AS "column", u.bin FROM n CROSS JOIN st
   CROSS JOIN LATERAL (VALUES
-    ('l_quantity', CAST(CASE WHEN mx_q = mn_q THEN 0 ELSE
+    ('l_quantity', CAST(CASE WHEN l_quantity IS NULL THEN -1 WHEN mx_q = mn_q THEN 0 ELSE
         least(9, greatest(0, CAST(floor((CAST(l_quantity AS DOUBLE) - mn_q) * 10 / (mx_q - mn_q)) AS BIGINT))) END AS VARCHAR)),
-    ('l_extendedprice', CAST(CASE WHEN mx_e = mn_e THEN 0 ELSE
+    ('l_extendedprice', CAST(CASE WHEN l_extendedprice IS NULL THEN -1 WHEN mx_e = mn_e THEN 0 ELSE
         least(9, greatest(0, CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn_e) * 10 / (mx_e - mn_e)) AS BIGINT))) END AS VARCHAR)),
-    ('l_discount', CAST(CASE WHEN mx_d = mn_d THEN 0 ELSE
+    ('l_discount', CAST(CASE WHEN l_discount IS NULL THEN -1 WHEN mx_d = mn_d THEN 0 ELSE
         least(9, greatest(0, CAST(floor((CAST(l_discount AS DOUBLE) - mn_d) * 10 / (mx_d - mn_d)) AS BIGINT))) END AS VARCHAR)),
     ('l_returnflag', coalesce(l_returnflag, '__null__'))
   ) AS u(col, bin)

@@ -103,3 +103,20 @@ def test_cli_quality(spark, tmp_path, capsys):
     rc2 = main(["quality", "--input", base, "--key", "k"])
     out2 = capsys.readouterr().out
     assert rc2 == 0 and "PASS unique(k): 0/100 violations" in out2
+
+
+def test_cli_quality_skips_unsupported_types(spark, tmp_path, capsys):
+    import datetime
+
+    from atlas_upscaling_dask_spark.cli import main
+
+    src = str(tmp_path / "q_dates")
+    spark.createDataFrame(
+        [(1, datetime.date(2020, 1, 1), True), (2, datetime.date(2021, 2, 3), False)],
+        "k long, d date, flag boolean",
+    ).write.mode("overwrite").parquet(src)
+    rc = main(["quality", "--input", src, "--key", "k"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "skipped unsupported types: d, flag" in out
+    assert "PASS unique(k)" in out

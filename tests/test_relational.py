@@ -515,3 +515,21 @@ def test_rolling_median_window_semantics(spark):
     out = {r["event_id"]: r["rolling_med"] for r in rolling_median(df, window_rows=3).collect()}
     # frames: [5], [5,1], [5,1,9], [1,9,3]
     assert out == {0: 5.0, 1: 3.0, 2: 5.0, 3: 3.0}
+
+
+def test_rolling_median_null_values(spark):
+    # collect_list drops NULLs; an all-NULL frame must yield NULL, not
+    # an INVALID_INDEX_OF_ZERO crash (oracle semantics: median ignores
+    # NULLs, returns NULL when nothing remains)
+    from atlas_upscaling_dask_spark.operators.resample import rolling_median
+
+    rows = [(0, 1, 0, None), (1, 1, 1, 4.0), (2, 1, 2, None), (3, 1, 3, 8.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, t long, value double"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"), "value",
+    )
+    out = {r["event_id"]: r["rolling_med"] for r in rolling_median(df, window_rows=2).collect()}
+    # frames (non-null values): [], [4], [4], [8]
+    assert out == {0: None, 1: 4.0, 2: 4.0, 3: 8.0}
