@@ -238,3 +238,131 @@ def table_diff(
     if not include_unchanged:
         out = out.filter(F.col("status") != "unchanged")
     return out
+
+
+def write_scd2_table(
+    changes: DataFrame,
+    path: str,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_cols: list[str] | None = None,
+    n_buckets: int = 16,
+) -> None:
+    """Build an SCD2 history table and persist it bucket-partitioned —
+    the storage layout that makes `apply_scd2_changes` incremental: the
+    key hashes into ``n_buckets`` partitions, so folding a change batch
+    rewrites ONLY the buckets its keys live in (dynamic partition
+    overwrite), never the whole history.  A params sidecar pins the
+    layout; 100 TB of dimension history updates at O(touched buckets).
+    """
+    import json
+
+    from ..fsutil import write_text
+
+    hist = scd2_build(changes, key_col, attr_cols, ts_col, tiebreak_cols)
+    out = hist.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    )
+    out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    write_text(
+        changes.sparkSession,
+        path.rstrip("/") + "/_scd2_table.json",
+        json.dumps(
+            {
+                "key_col": key_col,
+                "attr_cols": list(attr_cols),
+                "n_buckets": n_buckets,
+                "key_type": changes.schema[key_col].dataType.simpleString(),
+            }
+        ),
+    )
+
+
+def _scd2_params(spark, path: str) -> dict:
+    import json
+
+    from ..fsutil import read_text
+
+    return json.loads(read_text(spark, path.rstrip("/") + "/_scd2_table.json"))
+
+
+def read_scd2_table(spark, path: str) -> DataFrame:
+    """Read a persisted SCD2 table (drops the layout bucket column)."""
+    return spark.read.parquet(path).drop("bucket")
+
+
+def apply_scd2_changes(
+    spark,
+    path: str,
+    new_changes: DataFrame,
+    ts_col: str = "ts",
+    tiebreak_cols: list[str] | None = None,
+) -> None:
+    """Fold a NEW change batch into a persisted SCD2 table — streaming
+    dimension maintenance whose cost tracks the batch, not the history.
+
+    Only the buckets containing the batch's keys are read and
+    rewritten (partition-pruned scan + dynamic partition overwrite —
+    the `operators/incremental.py` delta-invalidation pattern applied
+    to dimension history).  Unaffected keys inside a touched bucket
+    pass through untouched; affected keys' histories are rebuilt by
+    replaying their existing intervals (ordered by stored version) plus
+    the new batch through the same deterministic ``scd2_build``.
+
+    Ordering contract: changes must arrive in commit order — a new
+    batch's rows sort AFTER existing history at equal timestamps.  With
+    that contract, applying batches one at a time equals one build over
+    the concatenated feed (tested).  Re-delivered duplicates of the
+    latest change collapse harmlessly (equal consecutive attributes
+    merge into one interval).
+    """
+    p = _scd2_params(spark, path)
+    key_col, attr_cols = p["key_col"], p["attr_cols"]
+    n_buckets = p["n_buckets"]
+
+    batch_keys = new_changes.select(key_col).distinct()
+    buckets = [
+        r["b"]
+        for r in batch_keys.select(
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()  # bounded by n_buckets — a layout constant
+    ]
+    existing = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    keep = existing.join(batch_keys, key_col, "left_anti")
+
+    # replay affected keys: intervals -> change feed (version preserves
+    # same-instant ordering), new batch appended after at equal ts
+    old_feed = existing.join(batch_keys, key_col, "left_semi").select(
+        key_col,
+        F.timestamp_micros(F.col("valid_from_us")).alias("__ts"),
+        F.lit(0).alias("__gen"),
+        F.col("version").cast("long").alias("__ord"),
+        *attr_cols,
+    )
+    order_new = [F.col(c).cast("long") for c in (tiebreak_cols or [])]
+    new_feed = new_changes.select(
+        key_col,
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__gen"),
+        (order_new[0] if order_new else F.lit(0)).alias("__ord"),
+        *attr_cols,
+    )
+    rebuilt = scd2_build(
+        old_feed.unionByName(new_feed),
+        key_col,
+        attr_cols,
+        "__ts",
+        ["__gen", "__ord"],
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    )
+    out = keep.unionByName(rebuilt)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(path)
+    )

@@ -533,3 +533,69 @@ def test_rolling_median_null_values(spark):
     out = {r["event_id"]: r["rolling_med"] for r in rolling_median(df, window_rows=2).collect()}
     # frames (non-null values): [], [4], [4], [8]
     assert out == {0: None, 1: 4.0, 2: 4.0, 3: 8.0}
+
+
+def test_scd2_incremental_apply_equals_full_build(spark, tmp_path):
+    import os
+
+    from atlas_upscaling_dask_spark.operators.merge import (
+        apply_scd2_changes,
+        read_scd2_table,
+        scd2_build,
+        write_scd2_table,
+    )
+
+    def feed(rows):
+        return spark.createDataFrame(
+            rows, "k long, t long, seg string, eid long"
+        ).select(
+            "k", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"),
+            "seg", "eid",
+        )
+
+    batch1 = [(1, 100, "A", 1), (1, 200, "B", 2), (2, 100, "X", 3), (7, 50, "Q", 4)]
+    batch2 = [
+        (1, 300, "A", 5),          # key 1 flips back
+        (2, 200, "X", 6),          # same attrs -> collapses into interval
+        (3, 150, "N", 7),          # brand-new key
+        (1, 300, "C", 8),          # same-instant chain after eid 5
+    ]
+    path = str(tmp_path / "scd2")
+    write_scd2_table(feed(batch1), path, "k", ["seg"], "ts", ["eid"], n_buckets=8)
+
+    # untouched-bucket files must survive the incremental rewrite
+    def files():
+        out = {}
+        for root, _d, fs in os.walk(path):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    out[os.path.join(root, f)] = os.path.getsize(f"{root}/{f}")
+        return out
+
+    before = files()
+    apply_scd2_changes(spark, path, feed(batch2), "ts", ["eid"])
+    after = files()
+
+    got = sorted(
+        map(tuple, read_scd2_table(spark, path).collect())
+    )
+    want = sorted(
+        map(tuple, scd2_build(feed(batch1 + batch2), "k", ["seg"], "ts", ["eid"]).collect())
+    )
+    assert got == want
+
+    # key 7's bucket had no batch keys -> its files pass through intact
+    from pyspark.sql import functions as _F
+
+    b7 = spark.createDataFrame([(7,)], "k long").select(
+        _F.pmod(_F.xxhash64("k"), _F.lit(8)).alias("b")
+    ).first()["b"]
+    touched = {
+        spark.createDataFrame([(k,)], "k long")
+        .select(_F.pmod(_F.xxhash64("k"), _F.lit(8)).alias("b"))
+        .first()["b"]
+        for k in (1, 2, 3)
+    }
+    if b7 not in touched:  # hash collision would legitimately rewrite it
+        kept = [f for f in before if f"bucket={b7}" in f]
+        assert kept and all(f in after and after[f] == before[f] for f in kept)

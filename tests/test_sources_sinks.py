@@ -692,3 +692,31 @@ class TestWavCodec:
             decode_wav(wav)
         with pytest.raises(ValueError, match="missing fmt"):
             decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    # format breadth: the same frame written as ORC and parquet must
+    # read back identically (ORC is Spark-native — no extra packages)
+    from atlas_upscaling_dask_spark.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").limit(500)
+    orc, pq = str(tmp_path / "t_orc"), str(tmp_path / "t_pq")
+    li.write.mode("overwrite").orc(orc)
+    li.write.mode("overwrite").parquet(pq)
+    a = sorted(map(tuple, spark.read.orc(orc).collect()))
+    b = sorted(map(tuple, spark.read.parquet(pq).collect()))
+    assert a == b and len(a) == 500
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    # lakehouse schema evolution: files written before a column existed
+    # must surface NULLs for it under mergeSchema, and new files keep it
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, v string, score double"
+    ).write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"k", "v", "score"}
+    rows = {r["k"]: r["score"] for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}
