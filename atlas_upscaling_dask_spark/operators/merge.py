@@ -274,6 +274,13 @@ def write_scd2_table(
                 "attr_cols": list(attr_cols),
                 "n_buckets": n_buckets,
                 "key_type": changes.schema[key_col].dataType.simpleString(),
+                # pinned so a freshly-bootstrapped EMPTY table (no
+                # parquet files yet) still reads — same contract as
+                # the persisted-index family's schema-explicit scans
+                "attr_types": {
+                    c: changes.schema[c].dataType.simpleString()
+                    for c in attr_cols
+                },
             }
         ),
     )
@@ -287,9 +294,22 @@ def _scd2_params(spark, path: str) -> dict:
     return json.loads(read_text(spark, path.rstrip("/") + "/_scd2_table.json"))
 
 
+def _read_scd2(spark, path: str, p: dict) -> DataFrame:
+    # schema-explicit: an empty bootstrap has no files to infer from
+    attrs = ", ".join(
+        f"{c} {t}" for c, t in p.get("attr_types", {}).items()
+    ) or ", ".join(f"{c} string" for c in p["attr_cols"])
+    schema = (
+        f"{p['key_col']} {p.get('key_type', 'bigint')}, {attrs}, "
+        f"valid_from_us bigint, valid_to_us bigint, is_current boolean, "
+        f"version int, bucket int"
+    )
+    return spark.read.schema(schema).parquet(path)
+
+
 def read_scd2_table(spark, path: str) -> DataFrame:
     """Read a persisted SCD2 table (drops the layout bucket column)."""
-    return spark.read.parquet(path).drop("bucket")
+    return _read_scd2(spark, path, _scd2_params(spark, path)).drop("bucket")
 
 
 def apply_scd2_changes(
@@ -313,9 +333,15 @@ def apply_scd2_changes(
     Ordering contract: changes must arrive in commit order — a new
     batch's rows sort AFTER existing history at equal timestamps.  With
     that contract, applying batches one at a time equals one build over
-    the concatenated feed (tested).  Re-delivered duplicates of the
-    latest change collapse harmlessly (equal consecutive attributes
-    merge into one interval).
+    the concatenated feed (tested).
+
+    Replay-safe: a batch row whose (key, timestamp, attributes) already
+    exists as an interval start is an at-least-once re-delivery and is
+    dropped before the rebuild — re-applying an epoch (the streaming
+    driver's crash-recovery path) leaves the table byte-identical.
+    The dropped-row rule can only misfire on a feed that legitimately
+    revisits the exact same attribute tuple at the exact same
+    microsecond it first appeared — outside the commit-order contract.
     """
     p = _scd2_params(spark, path)
     key_col, attr_cols = p["key_col"], p["attr_cols"]
@@ -330,7 +356,7 @@ def apply_scd2_changes(
         .distinct()
         .collect()  # bounded by n_buckets — a layout constant
     ]
-    existing = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    existing = _read_scd2(spark, path, p).filter(F.col("bucket").isin(buckets))
     keep = existing.join(batch_keys, key_col, "left_anti")
 
     # replay affected keys: intervals -> change feed (version preserves
@@ -350,6 +376,19 @@ def apply_scd2_changes(
         (order_new[0] if order_new else F.lit(0)).alias("__ord"),
         *attr_cols,
     )
+    # replay fence: drop re-delivered rows already reflected as an
+    # interval start (null-safe attr compare — NULL attrs re-deliver too)
+    marks = existing.join(batch_keys, key_col, "left_semi").select(
+        F.col(key_col).alias("__mk"),
+        F.col("valid_from_us").alias("__mt"),
+        *[F.col(c).alias(f"__ma_{c}") for c in attr_cols],
+    )
+    cond = (F.col(key_col) == F.col("__mk")) & (
+        F.unix_micros("__ts") == F.col("__mt")
+    )
+    for c in attr_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__ma_{c}"))
+    new_feed = new_feed.join(marks, cond, "left_anti")
     rebuilt = scd2_build(
         old_feed.unionByName(new_feed),
         key_col,

@@ -821,3 +821,44 @@ def image_dedup_batch(
     _screened_ingest_batch(
         spark, batch_df, epoch_id, out_path, id_col, plan, marker_dir
     )
+
+
+def start_scd2_stream(
+    spark: SparkSession,
+    changes_path: str,
+    table_path: str,
+    schema,
+    ts_col: str = "ts",
+    tiebreak_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Continuous SCD2 dimension maintenance: each micro-batch of
+    change rows folds into the persisted bucket-partitioned history
+    (`operators/merge.py:apply_scd2_changes`) — streaming dimension
+    upkeep whose per-epoch cost tracks the batch's touched buckets.
+
+    Crash recovery relies on the apply's replay fence (re-delivered
+    (key, ts, attrs) rows drop before the rebuild), so re-running an
+    epoch is byte-idempotent; a crash mid-apply leaves some buckets
+    updated and others not, and the retry completes the rest (each
+    bucket's dynamic overwrite is deterministic in the same inputs).
+    """
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ..operators.merge import apply_scd2_changes
+
+        apply_scd2_changes(
+            spark,
+            table_path,
+            batch_df.localCheckpoint(eager=True),
+            ts_col,
+            tiebreak_cols,
+        )
+
+    stream = spark.readStream.schema(schema).parquet(changes_path)
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

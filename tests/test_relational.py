@@ -599,3 +599,34 @@ def test_scd2_incremental_apply_equals_full_build(spark, tmp_path):
     if b7 not in touched:  # hash collision would legitimately rewrite it
         kept = [f for f in before if f"bucket={b7}" in f]
         assert kept and all(f in after and after[f] == before[f] for f in kept)
+
+
+def test_scd2_apply_is_replay_idempotent(spark, tmp_path):
+    from atlas_upscaling_dask_spark.operators.merge import (
+        apply_scd2_changes,
+        read_scd2_table,
+        write_scd2_table,
+    )
+
+    def feed(rows):
+        return spark.createDataFrame(
+            rows, "k long, t long, seg string, eid long"
+        ).select(
+            "k", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"),
+            "seg", "eid",
+        )
+
+    path = str(tmp_path / "scd2r")
+    write_scd2_table(
+        feed([(1, 100, "A", 1), (1, 200, None, 2)]), path, "k", ["seg"],
+        "ts", ["eid"], n_buckets=4,
+    )
+    batch = feed([(1, 300, "A", 3), (1, 300, "C", 4), (2, 50, "Z", 5)])
+    apply_scd2_changes(spark, path, batch, "ts", ["eid"])
+    once = sorted(map(tuple, read_scd2_table(spark, path).collect()), key=lambda t: (t[0], t[5]))
+    # crash-recovery replay: the SAME batch applies again
+    apply_scd2_changes(spark, path, batch, "ts", ["eid"])
+    twice = sorted(map(tuple, read_scd2_table(spark, path).collect()), key=lambda t: (t[0], t[5]))
+    assert twice == once
+    segs = [(r[0], r[1], r[5]) for r in once]  # (k, seg, version)
+    assert (1, "A", 3) in segs and (1, "C", 4) in segs and (2, "Z", 1) in segs

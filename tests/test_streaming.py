@@ -674,3 +674,52 @@ def test_image_dedup_batch_replay_is_lossless(spark, tmp_path):
         _read_phash_index(spark, idx, {"id_type": "bigint"}).count()
         == n_index_rows
     ), "marker fence must stop duplicate appends"
+
+
+def test_scd2_stream_maintains_history(spark, tmp_path):
+    # streaming dimension maintenance: two drops (stop/restart staging
+    # protocol) must leave the SAME table as one batch build
+    from atlas_upscaling_dask_spark.operators.merge import (
+        read_scd2_table,
+        scd2_build,
+        write_scd2_table,
+    )
+    from atlas_upscaling_dask_spark.streaming.ingest import start_scd2_stream
+    from pyspark.sql import functions as F
+
+    def feed(rows):
+        return spark.createDataFrame(
+            rows, "k long, t long, seg string, eid long"
+        ).select(
+            "k", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"),
+            "seg", "eid",
+        )
+
+    drop1 = [(1, 100, "A", 1), (2, 100, "X", 2)]
+    drop2 = [(1, 200, "B", 3), (3, 50, "N", 4)]
+    src = str(tmp_path / "scd2_src")
+    tbl = str(tmp_path / "scd2_tbl")
+    ckpt = str(tmp_path / "scd2_ckpt")
+    write_scd2_table(feed([]).limit(0), tbl, "k", ["seg"], "ts", ["eid"], n_buckets=4)
+
+    def run_drop(df):
+        df.write.mode("append").parquet(src)
+        q = start_scd2_stream(
+            spark, src, tbl, feed([]).schema, "ts", ["eid"],
+            checkpoint_dir=ckpt,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_drop(feed(drop1))
+    run_drop(feed(drop2))
+
+    got = sorted(map(tuple, read_scd2_table(spark, tbl).collect()),
+                 key=lambda t: (t[0], t[5]))
+    want = sorted(
+        map(tuple, scd2_build(feed(drop1 + drop2), "k", ["seg"], "ts", ["eid"]).collect()),
+        key=lambda t: (t[0], t[5]),
+    )
+    assert got == want and len(got) == 4
