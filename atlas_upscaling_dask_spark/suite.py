@@ -2757,6 +2757,113 @@ FROM prop GROUP BY id
 )
 
 
+#: frame-period LUT for the synthetic spectral fixtures: all divide the
+#: 256-sample frame, so each frame's dominant DFT bin is EXACTLY 256/p.
+_AFP_PERIODS = [4, 8, 16, 32, 64, 128]
+_AFP_POW6 = [6 ** i for i in range(9)]
+
+
+def _afp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-frame square waves whose periods follow the base-6 digits of
+    # the 5-doc group id: the spectral fingerprint is ANALYTIC (bin i =
+    # 256 / period of digit i), groups of 5 docs share a clip (planted
+    # duplicates), float64 WAV encoding makes the roundtrip lossless.
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_wav(batches):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.sources.wav import encode_wav
+
+        j = np.arange(256)
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                g = int(did) - int(did) % 5
+                if g not in cache:
+                    a = ((g % 7) + 1) / 10.0
+                    segs = []
+                    for i in range(9):
+                        p = _AFP_PERIODS[(g // _AFP_POW6[i]) % 6]
+                        segs.append(np.where((j % p) < p // 2, a, -a))
+                    cache[g] = encode_wav(np.concatenate(segs), 8000)
+                payloads.append(cache[g])
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(make_wav, schema="media_id long, payload binary")
+
+
+_AFP_HASHES_CTE = """
+p AS (SELECT doc_id, doc_id - doc_id % 5 AS g FROM documents),
+d AS (
+  SELECT doc_id, i.range AS i,
+         256 // ([4,8,16,32,64,128])[CAST((g // ([1,6,36,216,1296,7776,46656,279936,1679616])[CAST(i.range AS INTEGER) + 1]) % 6 AS INTEGER) + 1] AS b
+  FROM p, range(9) i
+),
+hs AS (
+  SELECT doc_id,
+         CAST(sum((b::BIGINT) << CAST(7 * i AS INTEGER)) AS BIGINT) AS afp
+  FROM d GROUP BY doc_id
+)
+"""
+
+
+def _audio_fingerprint_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL pipeline: synthesize WAV → pure-NumPy RIFF decode → per-frame
+    # DFT → dominant-bin fingerprint; the oracle computes every 7-bit
+    # field analytically from the period rule.
+    from .extensions.multimodal import audio_fingerprint
+
+    return audio_fingerprint(_afp_media(spark, sf_dir))
+
+
+_register(
+    "audio_fingerprint_values",
+    _audio_fingerprint_values,
+    f"""
+WITH {_AFP_HASHES_CTE.strip()}
+SELECT doc_id AS media_id, afp FROM hs
+""",
+)
+
+
+def _audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spectral fingerprints through the SAME multi-index Hamming join
+    # as images — the fingerprint family's modality symmetry, oracle =
+    # brute-force all-pairs over the analytic fingerprints
+    from .extensions.dedup import hamming_near_dup
+    from .extensions.multimodal import audio_fingerprint
+
+    # max_hamming=1: distinct dominant bins are powers of two, so ANY
+    # single-frame spectral change already costs 2 bits — the tight
+    # bound keeps only true re-encodes of the same clip (and distance
+    # 1 is parity-impossible, so this is exact-match dedup with the
+    # same banded join the looser thresholds use)
+    return hamming_near_dup(
+        audio_fingerprint(_afp_media(spark, sf_dir)),
+        max_hamming=1,
+        hash_col="afp",
+    )
+
+
+_register(
+    "audio_near_dup",
+    _audio_near_dup,
+    f"""
+WITH {_AFP_HASHES_CTE.strip()}
+SELECT h1.doc_id AS d1, h2.doc_id AS d2,
+       CAST(bit_count(xor(h1.afp, h2.afp)) AS INTEGER) AS hamming
+FROM hs h1 JOIN hs h2 ON h1.doc_id < h2.doc_id
+WHERE bit_count(xor(h1.afp, h2.afp)) <= 1
+""",
+)
+
+
 def _text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.text import text_stats
 
@@ -6230,7 +6337,8 @@ _PRIORITY = [
     "check_constraints_lineitem", "image_phash_values",
     "image_phash_neardup", "image_dup_clusters", "funnel_within",
     "profile_drift_lineitem", "mad_outliers", "rolling_median",
-    "map_functions", "hash_features",
+    "map_functions", "hash_features", "audio_fingerprint_values",
+    "audio_near_dup",
     "embed_ivf_pq_topk", "multimodal_audio", "semantic_dedup",
     "profile_lineitem",
     # oracle SQL fixed this round (HUGEINT -> BIGINT casts): re-confirm

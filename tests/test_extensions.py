@@ -2281,3 +2281,37 @@ def test_hash_features_l2_and_partition_invariance(spark):
     assert {(r["doc_id"], r["bucket"], r["weight"]) for r in re} == {
         (r["doc_id"], r["bucket"], r["weight"]) for r in rows
     }
+
+
+def test_audio_fingerprint_semantics(spark):
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.multimodal import audio_fingerprint
+    from atlas_upscaling_dask_spark.sources.wav import encode_wav
+
+    j = np.arange(256 * 9)
+    tone16 = np.where((j % 16) < 8, 0.4, -0.4)   # bin 16 in every frame
+    tone32 = np.where((j % 32) < 16, 0.4, -0.4)  # bin 8 in every frame
+    short = tone16[:100]  # zero-padded clip
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(tone16, 8000))),
+            (2, bytearray(encode_wav(tone16, 8000))),      # exact dup
+            (3, bytearray(encode_wav(tone32, 8000))),
+            (4, bytearray(encode_wav(short, 8000))),
+            # stereo: both channels the same tone -> same fingerprint
+            (5, bytearray(encode_wav(np.stack([tone16, tone16], 1), 8000))),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r["afp"] for r in audio_fingerprint(media).collect()}
+    want16 = sum(16 << (7 * i) for i in range(9))
+    assert out[1] == want16 == out[2] == out[5]
+    assert out[3] == sum(8 << (7 * i) for i in range(9))
+    assert out[4] != out[1]  # padding changes later frames
+    assert all(0 <= v < 2**63 for v in out.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_frames"):
+        audio_fingerprint(media, n_frames=10)

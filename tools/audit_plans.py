@@ -511,6 +511,12 @@ def audited_queries():
             QUERIES["profile_drift_lineitem"],
             {"max_shuffles": 5, "codegen": True, "no_python_udf": True},
         ),
+        # spectral fingerprinting: synth + decode + DFT in ONE narrow
+        # Arrow pass — zero exchanges, like its image twin
+        "audio_fingerprint_values": (
+            QUERIES["audio_fingerprint_values"],
+            {"no_shuffle": True},
+        ),
         # hashing-trick featurization: explode → doc_id repartition →
         # count agg + norm window both REUSE that one exchange
         "hash_features": (
