@@ -1166,3 +1166,45 @@ def append_to_phash_index(
         )
     banded = _banded_hashes(hashes, p["n_bands"], p["band_bits"], id_col, hash_col)
     banded.write.mode("append").partitionBy("band").parquet(path)
+
+
+def set_jaccard_pairs(
+    items: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "media_id",
+    item_col: str = "phash",
+) -> DataFrame:
+    """Exact Jaccard similarity over generic (id, item) sets — the
+    set-overlap join behind video near-dup (items = frame hashes) and
+    any other bag-of-fingerprints comparison.  Same intersection-join
+    shape as ``ngram_jaccard_pairs`` but item-typed: candidates come
+    only from ids SHARING an item (equi-join on the item — never
+    all-pairs), and the division happens once on exact integer counts.
+
+    At 100 TB the item join is the standard inverted-index pattern:
+    bucket sizes track item popularity (a frame hash shared by every
+    video is a stop-item — prefilter such heavy hitters like stop
+    words if the distribution calls for it).
+    """
+    g = items.select(F.col(id_col).alias("_id"), F.col(item_col).alias("_it")).distinct()
+    sizes = g.groupBy("_id").agg(F.count("*").alias("sz"))
+    a = g.select(F.col("_id").alias("d1"), "_it")
+    b = g.select(F.col("_id").alias("d2"), "_it")
+    inter = (
+        a.join(b, "_it")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("_id").alias("d1"), F.col("sz").alias("n1"))
+    s2 = sizes.select(F.col("_id").alias("d2"), F.col("sz").alias("n2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "inter", "n1", "n2", "jaccard")
+    )

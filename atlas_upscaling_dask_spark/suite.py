@@ -2864,6 +2864,130 @@ WHERE bit_count(xor(h1.afp, h2.afp)) <= 1
 )
 
 
+def _video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4-frame multi-page TIFF "videos": frame f of group g uses the
+    # DCT-sparse construction of `_phash_media` with parameters
+    # (a, b) = (AS[(g+f) % 10], (g//10 + 3f) % 63) — every frame hash
+    # is analytic, groups of 5 docs share a clip.
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_tiff(batches):
+        import os
+        import tempfile
+
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.extensions.multimodal import _dct_matrix
+        from atlas_upscaling_dask_spark.sources import tiff as tiffmod
+
+        m = _dct_matrix(32)
+        cache: dict[int, bytes] = {}
+        tmpdir = tempfile.mkdtemp(prefix="vidsynth_")
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                g = int(did) - int(did) % 5
+                if g not in cache:
+                    frames = []
+                    for f in range(4):
+                        a = _PHASH_AS[(g + f) % 10]
+                        b = (g // 10 + 3 * f) % 63
+                        slots = sorted(
+                            s for s in range(1, 64) if (s * a + b) % 63 < 32
+                        )
+                        c = np.zeros((32, 32))
+                        c[0, 0] = 128.0 * 32
+                        for rank, sl in enumerate(slots):
+                            u, v = divmod(sl, 8)
+                            c[u, v] = 10.0 + rank
+                        frames.append(
+                            np.round((m.T @ c @ m) * 256).astype(np.uint16)
+                        )
+                    path = os.path.join(tmpdir, f"g{g}.tif")
+                    tiffmod.write_tiff(path, np.stack(frames))
+                    with open(path, "rb") as fh:
+                        cache[g] = fh.read()
+                    os.unlink(path)
+                payloads.append(cache[g])
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(make_tiff, schema="media_id long, payload binary")
+
+
+_VIDEO_HASHES_CTE = """
+p AS (SELECT doc_id, doc_id - doc_id % 5 AS g FROM documents),
+pf AS (
+  SELECT doc_id, g, f.range AS f,
+         ([1,2,4,5,8,10,11,13,16,17])[CAST((g + f.range) % 10 AS INTEGER) + 1] AS a,
+         (g // 10 + 3 * f.range) % 63 AS b
+  FROM p, range(4) f
+),
+slots AS (
+  SELECT doc_id, f, s.range AS s FROM pf, range(1, 64) s
+  WHERE ((s.range * a + b) % 63) < 32
+),
+vh AS (
+  SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+         CAST(sum(1::BIGINT << CAST(s - 1 AS INTEGER))
+              - (1::BIGINT << CAST(min(s) - 1 AS INTEGER)) AS BIGINT) AS phash
+  FROM slots GROUP BY doc_id, f
+)
+"""
+
+
+def _video_frame_hashes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL pipeline: multi-page-TIFF synth → page-wise decode → the
+    # same DCT hash as images, one row per frame; every bit analytic.
+    from .extensions.multimodal import video_frame_hashes
+
+    return video_frame_hashes(_video_media(spark, sf_dir))
+
+
+_register(
+    "video_frame_hashes",
+    _video_frame_hashes_q,
+    f"""
+WITH {_VIDEO_HASHES_CTE.strip()}
+SELECT doc_id AS media_id, frame_idx, phash FROM vh
+""",
+)
+
+
+def _video_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # videos compare as SETS of frame hashes — exact Jaccard via the
+    # generic item join (inverted-index shape, never all-pairs)
+    from .extensions.dedup import set_jaccard_pairs
+    from .extensions.multimodal import video_frame_hashes
+
+    return set_jaccard_pairs(
+        video_frame_hashes(_video_media(spark, sf_dir)), threshold=0.5
+    )
+
+
+_register(
+    "video_near_dup",
+    _video_near_dup_q,
+    f"""
+WITH {_VIDEO_HASHES_CTE.strip()},
+g2 AS (SELECT DISTINCT doc_id, phash FROM vh),
+sz AS (SELECT doc_id, count(*) AS n FROM g2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM g2 a JOIN g2 b ON a.phash = b.phash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
+       inter / (s1.n + s2.n - inter) AS jaccard
+FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+WHERE inter / (s1.n + s2.n - inter) >= 0.5
+""",
+)
+
+
 def _text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.text import text_stats
 
@@ -6338,7 +6462,7 @@ _PRIORITY = [
     "image_phash_neardup", "image_dup_clusters", "funnel_within",
     "profile_drift_lineitem", "mad_outliers", "rolling_median",
     "map_functions", "hash_features", "audio_fingerprint_values",
-    "audio_near_dup",
+    "audio_near_dup", "video_frame_hashes", "video_near_dup",
     "embed_ivf_pq_topk", "multimodal_audio", "semantic_dedup",
     "profile_lineitem",
     # oracle SQL fixed this round (HUGEINT -> BIGINT casts): re-confirm

@@ -2315,3 +2315,51 @@ def test_audio_fingerprint_semantics(spark):
 
     with _pytest.raises(ValueError, match="n_frames"):
         audio_fingerprint(media, n_frames=10)
+
+
+def test_video_frame_hashes_and_set_jaccard(spark, tmp_path):
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.dedup import set_jaccard_pairs
+    from atlas_upscaling_dask_spark.extensions.multimodal import (
+        image_phash,
+        video_frame_hashes,
+    )
+    from atlas_upscaling_dask_spark.sources import tiff as tiffmod
+    from atlas_upscaling_dask_spark.sources.png import encode_png
+
+    rng = np.random.default_rng(17)
+    frames = [rng.integers(0, 256, size=(32, 32), dtype=np.uint8) for _ in range(4)]
+
+    def vid(sel):
+        p = str(tmp_path / f"v{''.join(map(str, sel))}.tif")
+        tiffmod.write_tiff(p, np.stack([frames[i] for i in sel]))
+        return bytearray(open(p, "rb").read())
+
+    media = spark.createDataFrame(
+        [
+            (1, vid([0, 1, 2, 3])),
+            (2, vid([0, 1, 2, 3])),  # identical clip
+            (3, vid([0, 1, 2])),     # shares 3 of 4 scenes with 1
+            (4, vid([3])),           # shares 1 scene
+        ],
+        "media_id long, payload binary",
+    )
+    fh = video_frame_hashes(media)
+    rows = fh.collect()
+    assert len(rows) == 4 + 4 + 3 + 1
+    # frame 0's hash must equal image_phash of the same frame as a still
+    png = spark.createDataFrame(
+        [(9, bytearray(encode_png(frames[0])))], "media_id long, payload binary"
+    )
+    still = image_phash(png).first()["phash"]
+    v1f0 = {(r["media_id"], r["frame_idx"]): r["phash"] for r in rows}[(1, 0)]
+    assert v1f0 == still
+
+    pairs = {
+        (r["d1"], r["d2"]): (r["inter"], r["jaccard"])
+        for r in set_jaccard_pairs(fh, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == (4, 1.0)
+    assert pairs[(1, 3)][0] == 3 and abs(pairs[(1, 3)][1] - 0.75) < 1e-12
+    assert (1, 4) not in pairs  # jaccard 0.25 below threshold

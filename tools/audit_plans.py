@@ -517,6 +517,12 @@ def audited_queries():
             QUERIES["audio_fingerprint_values"],
             {"no_shuffle": True},
         ),
+        # per-frame video hashing: synth + page decode + DCT in one
+        # narrow Arrow pass — zero exchanges
+        "video_frame_hashes": (
+            QUERIES["video_frame_hashes"],
+            {"no_shuffle": True},
+        ),
         # hashing-trick featurization: explode → doc_id repartition →
         # count agg + norm window both REUSE that one exchange
         "hash_features": (
