@@ -204,27 +204,13 @@ def ngram_jaccard_pairs(
     in integer space (|I|, |A|, |B|) and divided once at the end, so the
     oracle matches bitwise.
     """
-    g = word_shingles(spread_small_input(docs, id_col), n, text_col, id_col)
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = g.select(F.col("doc_id").alias("d1"), "gram")
-    b = g.select(F.col("doc_id").alias("d2"), "gram")
-    inter = (
-        a.join(b, "gram")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("inter"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("n2"))
-    return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("d1", "d2", "inter", "n1", "n2", "jaccard")
+    # one generic intersection join serves every set-similarity caller
+    # (video frame hashes, any (id, item) bag) — text is items = shingles
+    return set_jaccard_pairs(
+        word_shingles(spread_small_input(docs, id_col), n, text_col, id_col),
+        threshold,
+        id_col="doc_id",
+        item_col="gram",
     )
 
 

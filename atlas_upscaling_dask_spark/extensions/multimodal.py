@@ -553,6 +553,13 @@ def audio_fingerprint(
             f"n_frames {n_frames} needs {n_frames * 7} bits — max 9 "
             f"frames fit a BIGINT's 63"
         )
+    if frame_len // 2 - 1 > 127:
+        raise ValueError(
+            f"frame_len {frame_len} yields bins past 127 — a 7-bit field "
+            f"can't hold them without aliasing distinct frequencies; use "
+            f"frame_len <= 256"
+        )
+    id_type = media.schema[id_col].dataType.simpleString()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..sources.wav import decode_wav
@@ -570,12 +577,15 @@ def audio_fingerprint(
                 for i in range(n_frames):
                     seg = samples[i * frame_len : (i + 1) * frame_len]
                     mag = np.abs(np.fft.rfft(seg))
-                    # argmax over AC bins; ties -> lowest bin
-                    b = int(np.argmax(mag[1:])) + 1
-                    fp |= (b % 128) << (7 * i)
+                    # argmax over bins 1..frame_len/2-1: DC carries no
+                    # pitch and the Nyquist bin is phase-degenerate for
+                    # real signals — excluding them also keeps every
+                    # bin inside the 7-bit field (no % aliasing)
+                    b = int(np.argmax(mag[1 : frame_len // 2])) + 1
+                    fp |= b << (7 * i)
                 fps.append(fp)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "afp": pd.array(fps, dtype="int64")}
             )
 
-    return media.mapInPandas(kernel, schema=f"{id_col} long, afp long")
+    return media.mapInPandas(kernel, schema=f"{id_col} {id_type}, afp long")

@@ -347,6 +347,23 @@ def apply_scd2_changes(
     key_col, attr_cols = p["key_col"], p["attr_cols"]
     n_buckets = p["n_buckets"]
 
+    # type pinning: xxhash64 is TYPE-sensitive, so a batch whose key
+    # arrives as int against a bigint table would bucket the same key
+    # VALUE elsewhere and fork its history across two partitions
+    batch_key_t = new_changes.schema[key_col].dataType.simpleString()
+    if batch_key_t != p.get("key_type", "bigint"):
+        raise ValueError(
+            f"batch key type {batch_key_t!r} != table's pinned "
+            f"{p.get('key_type', 'bigint')!r} — same values would hash "
+            f"into different buckets"
+        )
+    for c, t in p.get("attr_types", {}).items():
+        bt = new_changes.schema[c].dataType.simpleString()
+        if bt != t:
+            raise ValueError(
+                f"batch attr {c!r} type {bt!r} != table's pinned {t!r}"
+            )
+
     batch_keys = new_changes.select(key_col).distinct()
     buckets = [
         r["b"]
@@ -359,21 +376,30 @@ def apply_scd2_changes(
     existing = _read_scd2(spark, path, p).filter(F.col("bucket").isin(buckets))
     keep = existing.join(batch_keys, key_col, "left_anti")
 
-    # replay affected keys: intervals -> change feed (version preserves
-    # same-instant ordering), new batch appended after at equal ts
+    # replay affected keys: intervals -> change feed.  Ordering within
+    # a timestamp: __gen separates old history (ordered by its stored
+    # version) from the new batch (ordered by ITS OWN tiebreak columns,
+    # kept native-typed — casting them away would scramble same-ts
+    # batches); the two orderings never interleave, so each side's
+    # columns are NULL/constant on the other.
+    tbs = list(tiebreak_cols or [])
     old_feed = existing.join(batch_keys, key_col, "left_semi").select(
         key_col,
         F.timestamp_micros(F.col("valid_from_us")).alias("__ts"),
         F.lit(0).alias("__gen"),
-        F.col("version").cast("long").alias("__ord"),
+        F.col("version").cast("long").alias("__v"),
+        *[
+            F.lit(None).cast(new_changes.schema[c].dataType).alias(f"__tb{i}")
+            for i, c in enumerate(tbs)
+        ],
         *attr_cols,
     )
-    order_new = [F.col(c).cast("long") for c in (tiebreak_cols or [])]
     new_feed = new_changes.select(
         key_col,
         F.col(ts_col).alias("__ts"),
         F.lit(1).alias("__gen"),
-        (order_new[0] if order_new else F.lit(0)).alias("__ord"),
+        F.lit(0).cast("long").alias("__v"),
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tbs)],
         *attr_cols,
     )
     # replay fence: drop re-delivered rows already reflected as an
@@ -394,7 +420,7 @@ def apply_scd2_changes(
         key_col,
         attr_cols,
         "__ts",
-        ["__gen", "__ord"],
+        ["__gen", "__v", *[f"__tb{i}" for i in range(len(tbs))]],
     ).withColumn(
         "bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
     )

@@ -2363,3 +2363,34 @@ def test_video_frame_hashes_and_set_jaccard(spark, tmp_path):
     assert pairs[(1, 2)] == (4, 1.0)
     assert pairs[(1, 3)][0] == 3 and abs(pairs[(1, 3)][1] - 0.75) < 1e-12
     assert (1, 4) not in pairs  # jaccard 0.25 below threshold
+
+
+def test_audio_fingerprint_guards_and_string_ids(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from atlas_upscaling_dask_spark.extensions.multimodal import audio_fingerprint
+    from atlas_upscaling_dask_spark.sources.wav import encode_wav
+
+    tone = np.where((np.arange(256 * 9) % 16) < 8, 0.4, -0.4)
+    media = spark.createDataFrame(
+        [("clip/a.wav", bytearray(encode_wav(tone, 8000)))],
+        "media_id string, payload binary",
+    )
+    (row,) = audio_fingerprint(media).collect()
+    assert row["media_id"] == "clip/a.wav"
+    assert row["afp"] == sum(16 << (7 * i) for i in range(9))
+    with _pytest.raises(ValueError, match="frame_len"):
+        audio_fingerprint(media, frame_len=512)
+    # Nyquist-period input: bin 128 is excluded from the search, so the
+    # dominant falls to the strongest in-range bin instead of aliasing
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.sources.wav import encode_wav
+
+    nyq = np.where((np.arange(256 * 9) % 2) < 1, 0.4, -0.4)
+    m2 = spark.createDataFrame(
+        [(1, bytearray(encode_wav(nyq, 8000)))], "media_id long, payload binary"
+    )
+    (r2,) = audio_fingerprint(m2).collect()
+    assert 0 <= r2["afp"] < 2**63

@@ -630,3 +630,62 @@ def test_scd2_apply_is_replay_idempotent(spark, tmp_path):
     assert twice == once
     segs = [(r[0], r[1], r[5]) for r in once]  # (k, seg, version)
     assert (1, "A", 3) in segs and (1, "C", 4) in segs and (2, "Z", 1) in segs
+
+
+def test_scd2_apply_multi_and_string_tiebreaks(spark, tmp_path):
+    # tiebreak columns must survive the incremental apply NATIVELY —
+    # collapsing to one long-cast column scrambled same-ts batches
+    from atlas_upscaling_dask_spark.operators.merge import (
+        apply_scd2_changes,
+        read_scd2_table,
+        scd2_build,
+        write_scd2_table,
+    )
+
+    schema = "k long, t long, seg string, src string, eid long"
+
+    def feed(rows):
+        return spark.createDataFrame(rows, schema).select(
+            "k", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"),
+            "seg", "src", "eid",
+        )
+
+    b1 = [(1, 100, "A", "m", 1)]
+    # same ts, same first tiebreak (src) — only eid orders them
+    b2 = [(1, 200, "B", "m", 7), (1, 200, "C", "m", 6), (1, 200, "D", "n", 5)]
+    path = str(tmp_path / "scd2tb")
+    write_scd2_table(feed(b1), path, "k", ["seg"], "ts", ["src", "eid"], n_buckets=4)
+    apply_scd2_changes(spark, path, feed(b2), "ts", ["src", "eid"])
+    got = sorted(map(tuple, read_scd2_table(spark, path).collect()),
+                 key=lambda t: (t[0], t[5]))
+    want = sorted(
+        map(tuple, scd2_build(feed(b1 + b2), "k", ["seg"], "ts", ["src", "eid"]).collect()),
+        key=lambda t: (t[0], t[5]),
+    )
+    assert got == want
+    # order within ts=200: (m,6)->C, (m,7)->B, (n,5)->D
+    segs = [t[1] for t in got]
+    assert segs == ["A", "C", "B", "D"]
+
+
+def test_scd2_apply_refuses_type_drift(spark, tmp_path):
+    import pytest as _pytest
+
+    from atlas_upscaling_dask_spark.operators.merge import (
+        apply_scd2_changes,
+        write_scd2_table,
+    )
+
+    path = str(tmp_path / "scd2t")
+    base = spark.createDataFrame(
+        [(1, 100, "A", 1)], "k long, t long, seg string, eid long"
+    ).select("k", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"), "seg", "eid")
+    write_scd2_table(base, path, "k", ["seg"], "ts", ["eid"])
+    drifted = spark.createDataFrame(
+        [(2, 200, "B", 2)], "k int, t long, seg string, eid long"
+    ).select(
+        F.col("k").cast("int").alias("k"),
+        F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"), "seg", "eid",
+    )
+    with _pytest.raises(ValueError, match="pinned"):
+        apply_scd2_changes(spark, path, drifted, "ts", ["eid"])
