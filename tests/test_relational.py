@@ -689,3 +689,32 @@ def test_scd2_apply_refuses_type_drift(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="pinned"):
         apply_scd2_changes(spark, path, drifted, "ts", ["eid"])
+
+
+def test_join_strategy_hints_respected(spark, sf_dir):
+    # Spark-surface coverage: explicit join-strategy hints must override
+    # the optimizer's default pick (the escape hatch when statistics
+    # mislead at scale)
+    from atlas_upscaling_dask_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    merged = orders.join(
+        cust.hint("merge"), orders.o_custkey == cust.c_custkey
+    )
+    assert "SortMergeJoin" in plan_of(merged)
+
+    shuffled = orders.join(
+        cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey
+    )
+    p = plan_of(shuffled)
+    assert "ShuffledHashJoin" in p and "SortMergeJoin" not in p
+
+    bcast = orders.join(
+        cust.hint("broadcast"), orders.o_custkey == cust.c_custkey
+    )
+    assert "BroadcastHashJoin" in plan_of(bcast)
