@@ -778,8 +778,16 @@ def lsh_index_query(
         "band",
         "bkey",
     )
-    corpus = _read_lsh_index(spark, path, p).select(
-        F.col("doc_id").alias("corpus_id"), F.col("sig_arr").alias("arr2"), "band", "bkey"
+    corpus = _without_tombstoned(
+        spark,
+        path,
+        _read_lsh_index(spark, path, p).select(
+            F.col("doc_id").alias("corpus_id"),
+            F.col("sig_arr").alias("arr2"),
+            "band",
+            "bkey",
+        ),
+        "corpus_id",
     )
     est = (
         F.size(
@@ -1113,11 +1121,16 @@ def phash_index_query(
         "band",
         "bits",
     )
-    corpus = _read_phash_index(spark, path, p).select(
-        F.col("media_id").alias("corpus_id"),
-        F.col("phash").alias("_h2"),
-        "band",
-        "bits",
+    corpus = _without_tombstoned(
+        spark,
+        path,
+        _read_phash_index(spark, path, p).select(
+            F.col("media_id").alias("corpus_id"),
+            F.col("phash").alias("_h2"),
+            "band",
+            "bits",
+        ),
+        "corpus_id",
     )
     cand = (
         probe.join(corpus, ["band", "bits"])
@@ -1194,3 +1207,93 @@ def set_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "inter", "n1", "n2", "jaccard")
     )
+
+
+def _tombstone_dir(path: str) -> str:
+    # underscore prefix: Spark's scans treat _-prefixed paths as hidden,
+    # so tombstones never leak into the index read itself
+    return path.rstrip("/") + "/_tombstones"
+
+
+def add_index_tombstones(spark, path: str, ids: DataFrame) -> None:
+    """Takedown support for the persisted-index family (LSH, pHash):
+    record ids whose content must stop matching — effective at the NEXT
+    query, without rewriting a single index partition.
+
+    Queries anti-join the (small) tombstone set against their corpus
+    side; the rows stay on disk until ``purge_index_tombstones``
+    rewrites them away.  This is the soft-delete + compaction design
+    every append-only store uses for right-to-be-forgotten: takedown
+    latency is one small parquet append, physical deletion is a
+    schedulable maintenance pass.  ``ids`` is a one-column DataFrame
+    (any id type — matched by value against the index's id column).
+    """
+    ids.toDF("id").write.mode("append").parquet(_tombstone_dir(path))
+
+
+def _read_tombstones(spark, path: str) -> DataFrame | None:
+    import os
+
+    td = _tombstone_dir(path)
+    # local-FS existence probe is fine here: the sidecar pattern (fsutil)
+    # covers remote FS for params; tombstones follow the same layout
+    try:
+        if not any(
+            f.endswith(".parquet") for f in os.listdir(td)
+        ):
+            return None
+    except OSError:
+        return None
+    return spark.read.parquet(td)
+
+
+def _without_tombstoned(
+    spark, path: str, df: DataFrame, id_expr: str
+) -> DataFrame:
+    ts = _read_tombstones(spark, path)
+    if ts is None:
+        return df
+    return df.join(
+        F.broadcast(ts.select(F.col("id").alias(id_expr)).distinct()),
+        id_expr,
+        "left_anti",
+    )
+
+
+def purge_index_tombstones(spark, path: str) -> dict:
+    """Physically remove tombstoned rows from a band-partitioned index
+    (LSH or pHash): staged rewrite minus the tombstone set, sidecar
+    files carried across, tombstones cleared after the swap.  Returns
+    {"purged_ids", "rows_before", "rows_after"}.  Same single-writer
+    non-transactional contract as ``sinks.writer.compact_table``.
+    """
+    import os
+    import shutil
+
+    ts = _read_tombstones(spark, path)
+    if ts is None:
+        return {"purged_ids": 0, "rows_before": 0, "rows_after": 0}
+    idc = next(
+        c for c in spark.read.parquet(path).columns
+        if c in ("media_id", "doc_id")
+    )
+    df = spark.read.parquet(path)
+    before = df.count()
+    kept = df.join(
+        F.broadcast(ts.select(F.col("id").alias(idc)).distinct()),
+        idc,
+        "left_anti",
+    )
+    staging = path.rstrip("/") + ".__purge__"
+    kept.write.mode("overwrite").partitionBy("band").parquet(staging)
+    n_ids = ts.select("id").distinct().count()
+    for f in os.listdir(path):
+        full = os.path.join(path, f)
+        if f.startswith("_") and os.path.isfile(full):
+            shutil.copy2(full, os.path.join(staging, f))
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(staging, path)
+    after = spark.read.parquet(path).count()
+    shutil.rmtree(old)
+    return {"purged_ids": n_ids, "rows_before": before, "rows_after": after}

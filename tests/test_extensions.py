@@ -2394,3 +2394,44 @@ def test_audio_fingerprint_guards_and_string_ids(spark):
     )
     (r2,) = audio_fingerprint(m2).collect()
     assert 0 <= r2["afp"] < 2**63
+
+
+def test_index_takedown_tombstones_and_purge(spark, tmp_path):
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        add_index_tombstones,
+        build_phash_index,
+        phash_index_query,
+        purge_index_tombstones,
+    )
+
+    rng = np.random.default_rng(23)
+    seed = int(rng.integers(0, 2**62))
+    corpus = [(i, seed ^ (1 << i)) for i in range(10)]
+    idx = str(tmp_path / "tidx")
+    build_phash_index(
+        spark.createDataFrame(corpus, "media_id long, phash long"), idx
+    )
+    probe = spark.createDataFrame([(100, seed)], "media_id long, phash long")
+    full = {r["corpus_id"] for r in phash_index_query(spark, idx, probe).collect()}
+    assert full == set(range(10))
+
+    # takedown ids 3 and 7: the NEXT query must not match them
+    add_index_tombstones(
+        spark, idx, spark.createDataFrame([(3,), (7,)], "id long")
+    )
+    soft = {r["corpus_id"] for r in phash_index_query(spark, idx, probe).collect()}
+    assert soft == full - {3, 7}
+
+    # physical purge: rows gone from disk, params sidecar survives,
+    # queries unchanged, tombstones cleared
+    stats = purge_index_tombstones(spark, idx)
+    assert stats["purged_ids"] == 2
+    assert stats["rows_after"] == stats["rows_before"] - 2 * 8  # 8 bands/id
+    hard = {r["corpus_id"] for r in phash_index_query(spark, idx, probe).collect()}
+    assert hard == soft
+    raw = {r["media_id"] for r in spark.read.parquet(idx).collect()}
+    assert 3 not in raw and 7 not in raw
+    # idempotent second purge: nothing left to do
+    assert purge_index_tombstones(spark, idx)["purged_ids"] == 0
