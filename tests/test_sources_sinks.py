@@ -720,3 +720,26 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) == {"k", "v", "score"}
     rows = {r["k"]: r["score"] for r in df.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_csv_malformed_row_handling(spark, tmp_path):
+    # ingest robustness: PERMISSIVE captures bad rows in _corrupt_record,
+    # DROPMALFORMED silently skips them — both must keep the good rows
+    p = str(tmp_path / "dirty.csv")
+    with open(p, "w") as fh:
+        fh.write("k,v\n1,10\nnot_an_int,20\n3,thirty\n4,40\n")
+    schema = "k long, v long, _corrupt_record string"
+    perm = spark.read.csv(
+        p, header=True, schema=schema, mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()
+    good = perm.filter(F.col("_corrupt_record").isNull())
+    bad = perm.filter(F.col("_corrupt_record").isNotNull())
+    assert {r["k"] for r in good.collect()} == {1, 4}
+    assert bad.count() == 2  # both malformed lines preserved for triage
+    perm.unpersist()
+
+    dropped = spark.read.csv(
+        p, header=True, schema="k long, v long", mode="DROPMALFORMED"
+    )
+    assert {r["k"] for r in dropped.collect()} == {1, 4}
