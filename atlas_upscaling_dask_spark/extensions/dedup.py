@@ -1260,37 +1260,61 @@ def _without_tombstoned(
     )
 
 
-def purge_index_tombstones(spark, path: str) -> dict:
-    """Physically remove tombstoned rows from a band-partitioned index
-    (LSH or pHash): staged rewrite minus the tombstone set, sidecar
-    files carried across, tombstones cleared after the swap.  Returns
-    {"purged_ids", "rows_before", "rows_after"}.  Same single-writer
-    non-transactional contract as ``sinks.writer.compact_table``.
+def purge_index_tombstones(
+    spark, path: str, partition_col: str = "band"
+) -> dict:
+    """Physically remove tombstoned rows from a partitioned index
+    (LSH/pHash: ``band``; BM25 postings: pass ``bucket``): staged
+    rewrite minus the tombstone set, sidecar files carried across,
+    tombstones cleared after the swap.  A BM25 ``_corpus_stats.json``
+    sidecar is adjusted by the purged docs' lengths (exact for every
+    doc that had at least one posting — docs the index never saw keep
+    contributing to the global stats, which only the next full rebuild
+    reclaims).  Returns {"purged_ids", "rows_before", "rows_after"}.
+    Same single-writer non-transactional contract as
+    ``sinks.writer.compact_table``.
     """
+    import json
     import os
     import shutil
 
     ts = _read_tombstones(spark, path)
     if ts is None:
         return {"purged_ids": 0, "rows_before": 0, "rows_after": 0}
-    idc = next(
-        c for c in spark.read.parquet(path).columns
-        if c in ("media_id", "doc_id")
-    )
     df = spark.read.parquet(path)
+    idc = next(c for c in df.columns if c in ("media_id", "doc_id"))
     before = df.count()
-    kept = df.join(
-        F.broadcast(ts.select(F.col("id").alias(idc)).distinct()),
-        idc,
-        "left_anti",
-    )
+    ts_ids = F.broadcast(ts.select(F.col("id").alias(idc)).distinct())
+    kept = df.join(ts_ids, idc, "left_anti")
+
+    stats_path = os.path.join(path, "_corpus_stats.json")
+    new_stats = None
+    if os.path.isfile(stats_path) and "dl" in df.columns:
+        removed = (
+            df.join(ts_ids, idc, "left_semi")
+            .select(idc, "dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+            )
+            .first()
+        )
+        stats = json.loads(open(stats_path).read())
+        stats["n_docs"] = int(stats["n_docs"]) - int(removed["n"])
+        stats["sum_len"] = int(stats["sum_len"]) - int(removed["s"])
+        new_stats = json.dumps(stats)
+
     staging = path.rstrip("/") + ".__purge__"
-    kept.write.mode("overwrite").partitionBy("band").parquet(staging)
+    kept.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
     n_ids = ts.select("id").distinct().count()
     for f in os.listdir(path):
         full = os.path.join(path, f)
         if f.startswith("_") and os.path.isfile(full):
             shutil.copy2(full, os.path.join(staging, f))
+    if new_stats is not None:
+        with open(os.path.join(staging, "_corpus_stats.json"), "w") as fh:
+            fh.write(new_stats)
     old = path.rstrip("/") + ".__old__"
     os.rename(path, old)
     os.rename(staging, path)

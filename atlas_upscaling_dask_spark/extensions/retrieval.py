@@ -295,14 +295,23 @@ def bm25_index_topk(
     # (continuous ingestion's t=0) has no files to infer from; doc_id's
     # type comes from the stats sidecar (pre-pin indexes: bigint)
     id_type = stats.get("id_type", "bigint")
-    postings = (
+    from .dedup import _without_tombstoned
+
+    postings = _without_tombstoned(
+        spark,
+        path,
         spark.read.schema(
             f"term string, doc_id {id_type}, dl int, tf bigint, bucket int"
         )
         .parquet(path)
         .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("term").isin(query_terms))
+        .filter(F.col("term").isin(query_terms)),
+        "doc_id",
     )
+    # taken-down docs stop matching AND stop counting toward df here;
+    # the global (n_docs, sum_len) stay pre-purge until
+    # purge_index_tombstones adjusts the sidecar — a conservative idf
+    # drift bounded by the tombstone share
     dfreq = {
         r["term"]: int(r["n"])
         for r in postings.groupBy("term").agg(F.count("*").alias("n")).collect()

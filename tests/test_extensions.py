@@ -2435,3 +2435,45 @@ def test_index_takedown_tombstones_and_purge(spark, tmp_path):
     assert 3 not in raw and 7 not in raw
     # idempotent second purge: nothing left to do
     assert purge_index_tombstones(spark, idx)["purged_ids"] == 0
+
+
+def test_bm25_takedown_and_purge(spark, tmp_path):
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        add_index_tombstones,
+        purge_index_tombstones,
+    )
+    from atlas_upscaling_dask_spark.extensions.retrieval import (
+        bm25_index_topk,
+        build_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark streaming joins and spark state"),
+            (2, "spark shuffle exchange plans"),
+            (3, "gardening tips for winter roses"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bm25_ts")
+    build_text_index(docs, idx)
+    full = {r["doc_id"] for r in bm25_index_topk(spark, idx, ["spark"], k=5).collect()}
+    assert full == {1, 2}
+
+    add_index_tombstones(spark, idx, spark.createDataFrame([(1,)], "id long"))
+    soft = {r["doc_id"] for r in bm25_index_topk(spark, idx, ["spark"], k=5).collect()}
+    assert soft == {2}  # taken-down doc stops matching immediately
+
+    import json
+    import os
+
+    stats0 = json.loads(open(os.path.join(idx, "_corpus_stats.json")).read())
+    out = purge_index_tombstones(spark, idx, partition_col="bucket")
+    assert out["purged_ids"] == 1
+    stats1 = json.loads(open(os.path.join(idx, "_corpus_stats.json")).read())
+    assert stats1["n_docs"] == stats0["n_docs"] - 1
+    assert stats1["sum_len"] < stats0["sum_len"]
+    hard = {r["doc_id"] for r in bm25_index_topk(spark, idx, ["spark"], k=5).collect()}
+    assert hard == {2}
+    raw = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
+    assert 1 not in raw
