@@ -433,7 +433,14 @@ def ivf_index_topk(
     )
     q_df = _probe_frame(queries, cents, n_probe, id_col, vec_col)
     probed = sorted({r["bucket"] for r in q_df.select("bucket").distinct().collect()})
-    assigned = spark.read.parquet(path).filter(F.col("bucket").isin(probed))
+    from .dedup import _without_tombstoned
+
+    assigned = _without_tombstoned(
+        spark,
+        path,
+        spark.read.parquet(path).filter(F.col("bucket").isin(probed)),
+        "neighbor_id",  # the indexed layout's id column
+    )
     return _score_probed(q_df, assigned, k)
 
 
@@ -1123,7 +1130,14 @@ def ivf_pq_index_topk(
         queries, cents, books, n_probe, id_col, vec_col
     )
     probed = sorted({b for bs in probes.values() for b in bs})
-    candidates = spark.read.parquet(path).filter(F.col("bucket").isin(probed))
+    from .dedup import _without_tombstoned
+
+    candidates = _without_tombstoned(
+        spark,
+        path,
+        spark.read.parquet(path).filter(F.col("bucket").isin(probed)),
+        "neighbor_id",  # the indexed layout's id column
+    )
     return _adc_scan_topk(
         candidates, cents, books, probes, luts, q_ids, k,
         "neighbor_id", "cv", assigned_bucket=True,

@@ -2477,3 +2477,27 @@ def test_bm25_takedown_and_purge(spark, tmp_path):
     assert hard == {2}
     raw = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
     assert 1 not in raw
+
+
+def test_ivf_index_takedown(spark, emb, tmp_path):
+    from atlas_upscaling_dask_spark.extensions.dedup import add_index_tombstones
+    from atlas_upscaling_dask_spark.extensions.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    idx = str(tmp_path / "ivf_ts")
+    build_ivf_index(emb, idx, n_centroids=4)
+    q = emb.filter(F.col("vec_id") < 2)
+    full = ivf_index_topk(spark, idx, q, k=3)
+    top = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    victim = next(n for _q, n in top)
+    add_index_tombstones(
+        spark, idx, spark.createDataFrame([(int(victim),)], "id long")
+    )
+    after = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_index_topk(spark, idx, q, k=3).collect()
+    }
+    assert all(n != victim for _q, n in after)
+    assert after  # still returns k results from remaining corpus
