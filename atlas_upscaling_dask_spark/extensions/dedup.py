@@ -1232,17 +1232,13 @@ def add_index_tombstones(spark, path: str, ids: DataFrame) -> None:
 
 
 def _read_tombstones(spark, path: str) -> DataFrame | None:
-    import os
+    from .. import fsutil
 
     td = _tombstone_dir(path)
-    # local-FS existence probe is fine here: the sidecar pattern (fsutil)
-    # covers remote FS for params; tombstones follow the same layout
-    try:
-        if not any(
-            f.endswith(".parquet") for f in os.listdir(td)
-        ):
-            return None
-    except OSError:
+    # Hadoop FS probe, not os.listdir: the index (and so its tombstone
+    # dir) can live on any supported filesystem — a local probe would
+    # silently ignore takedowns on s3a://hdfs:// paths
+    if not fsutil.has_parquet_files(spark, td):
         return None
     return spark.read.parquet(td)
 
@@ -1253,46 +1249,78 @@ def _without_tombstoned(
     ts = _read_tombstones(spark, path)
     if ts is None:
         return df
-    return df.join(
-        F.broadcast(ts.select(F.col("id").alias(id_expr)).distinct()),
-        id_expr,
-        "left_anti",
-    )
+    # cast to the index column's exact type: an equi-join between a
+    # long tombstone and a string id would otherwise coerce both sides
+    # to double and match lossily above 2^53
+    ids = ts.select(
+        F.col("id").cast(df.schema[id_expr].dataType).alias(id_expr)
+    ).distinct()
+    return df.join(F.broadcast(ids), id_expr, "left_anti")
+
+
+_INDEX_ID_COLS = ("media_id", "doc_id", "neighbor_id")
 
 
 def purge_index_tombstones(
-    spark, path: str, partition_col: str = "band"
+    spark, path: str, partition_col: str = "band", id_col: str | None = None
 ) -> dict:
     """Physically remove tombstoned rows from a partitioned index
-    (LSH/pHash: ``band``; BM25 postings: pass ``bucket``): staged
-    rewrite minus the tombstone set, sidecar files carried across,
-    tombstones cleared after the swap.  A BM25 ``_corpus_stats.json``
-    sidecar is adjusted by the purged docs' lengths (exact for every
-    doc that had at least one posting — docs the index never saw keep
-    contributing to the global stats, which only the next full rebuild
-    reclaims).  Returns {"purged_ids", "rows_before", "rows_after"}.
-    Same single-writer non-transactional contract as
+    (LSH/pHash: ``band``; BM25 postings: ``bucket``; IVF/IVFADC:
+    ``bucket`` with ``neighbor_id``): staged rewrite minus the
+    tombstone set, sidecar files carried across, tombstones cleared
+    after the swap.  A BM25 ``_corpus_stats.json`` sidecar is adjusted
+    by the purged docs' lengths (exact for every doc that had at least
+    one posting — docs the index never saw keep contributing to the
+    global stats, which only the next full rebuild reclaims).
+
+    Returns {"tombstones_cleared", "rows_before", "rows_after",
+    "rows_purged"} — ``tombstones_cleared`` counts distinct tombstone
+    ids (including ids the index never held); ``rows_purged`` is the
+    actual row delta.  The after-count rides the rewrite job as an
+    ``observe`` metric (no output re-scan); the post-swap readability
+    check is a schema-explicit ``limit(1)`` so a fully-purged (empty)
+    index neither crashes schema inference nor aborts the swap.  Same
+    single-writer non-transactional contract as
     ``sinks.writer.compact_table``.
     """
     import json
     import os
     import shutil
 
+    from pyspark.sql import Observation
+
+    from .. import fsutil
+
     ts = _read_tombstones(spark, path)
     if ts is None:
-        return {"purged_ids": 0, "rows_before": 0, "rows_after": 0}
+        return {
+            "tombstones_cleared": 0,
+            "rows_before": 0,
+            "rows_after": 0,
+            "rows_purged": 0,
+        }
     df = spark.read.parquet(path)
-    idc = next(c for c in df.columns if c in ("media_id", "doc_id"))
+    if id_col is None:
+        id_col = next((c for c in df.columns if c in _INDEX_ID_COLS), None)
+        if id_col is None:
+            raise ValueError(
+                f"no known id column in index at {path} "
+                f"(columns {df.columns}); pass id_col= explicitly"
+            )
     before = df.count()
-    ts_ids = F.broadcast(ts.select(F.col("id").alias(idc)).distinct())
-    kept = df.join(ts_ids, idc, "left_anti")
+    ts_ids = F.broadcast(
+        ts.select(
+            F.col("id").cast(df.schema[id_col].dataType).alias(id_col)
+        ).distinct()
+    )
+    kept = df.join(ts_ids, id_col, "left_anti")
 
-    stats_path = os.path.join(path, "_corpus_stats.json")
+    stats_path = path.rstrip("/") + "/_corpus_stats.json"
     new_stats = None
-    if os.path.isfile(stats_path) and "dl" in df.columns:
+    if fsutil.exists(spark, stats_path) and "dl" in df.columns:
         removed = (
-            df.join(ts_ids, idc, "left_semi")
-            .select(idc, "dl")
+            df.join(ts_ids, id_col, "left_semi")
+            .select(id_col, "dl")
             .distinct()
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -1300,24 +1328,47 @@ def purge_index_tombstones(
             )
             .first()
         )
-        stats = json.loads(open(stats_path).read())
+        stats = json.loads(fsutil.read_text(spark, stats_path))
         stats["n_docs"] = int(stats["n_docs"]) - int(removed["n"])
         stats["sum_len"] = int(stats["sum_len"]) - int(removed["s"])
         new_stats = json.dumps(stats)
 
     staging = path.rstrip("/") + ".__purge__"
-    kept.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    obs = Observation("purge")
+    (
+        kept.observe(obs, F.count(F.lit(1)).alias("rows"))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(staging)
+    )
+    after = int(obs.get["rows"])
+    if after == 0:
+        # partitionBy over zero rows writes no parquet files, which
+        # would leave the index un-inferable — stage one empty,
+        # schema-bearing file instead (partition col inlined)
+        spark.createDataFrame([], df.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
     n_ids = ts.select("id").distinct().count()
     for f in os.listdir(path):
         full = os.path.join(path, f)
         if f.startswith("_") and os.path.isfile(full):
             shutil.copy2(full, os.path.join(staging, f))
     if new_stats is not None:
-        with open(os.path.join(staging, "_corpus_stats.json"), "w") as fh:
-            fh.write(new_stats)
+        fsutil.write_text(
+            spark, staging.rstrip("/") + "/_corpus_stats.json", new_stats
+        )
     old = path.rstrip("/") + ".__old__"
     os.rename(path, old)
     os.rename(staging, path)
-    after = spark.read.parquet(path).count()
+    # confirmed-readable check before dropping .__old__; schema-explicit
+    # so an empty index doesn't trip inference (recovery on failure:
+    # `mv path.__old__ path`)
+    spark.read.schema(df.schema).parquet(path).limit(1).collect()
     shutil.rmtree(old)
-    return {"purged_ids": n_ids, "rows_before": before, "rows_after": after}
+    return {
+        "tombstones_cleared": n_ids,
+        "rows_before": before,
+        "rows_after": after,
+        "rows_purged": before - after,
+    }

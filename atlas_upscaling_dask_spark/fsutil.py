@@ -35,6 +35,26 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+def exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists on its Hadoop FileSystem."""
+    fs, jpath, _, _ = _fs_and_path(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def has_parquet_files(spark: SparkSession, directory: str) -> bool:
+    """True iff ``directory`` exists and directly contains at least one
+    visible ``*.parquet`` file (Hadoop FS listing — works on any
+    supported filesystem, not just local POSIX)."""
+    fs, jpath, _, _ = _fs_and_path(spark, directory)
+    if not fs.exists(jpath):
+        return False
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def read_text(spark: SparkSession, path: str) -> str:
     """Read ``path`` as UTF-8 text via Hadoop FS."""
     fs, jpath, conf, jvm = _fs_and_path(spark, path)

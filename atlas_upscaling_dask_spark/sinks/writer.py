@@ -171,7 +171,10 @@ def compact_table(
 
     def _data_files(d: str) -> list[str]:
         out = []
-        for root, _dirs, files in os.walk(d):
+        for root, dirs, files in os.walk(d):
+            # prune hidden subtrees (_tombstones etc.) — their parquet
+            # is metadata, not table data, and must not skew sizing
+            dirs[:] = [s for s in dirs if not s.startswith(("_", "."))]
             out += [
                 os.path.join(root, f)
                 for f in files
@@ -186,6 +189,14 @@ def compact_table(
         f
         for f in os.listdir(path)
         if f.startswith("_") and os.path.isfile(os.path.join(path, f))
+    ]
+    # hidden directories (e.g. a persisted index's _tombstones) must
+    # survive the swap too — dropping them would silently revoke every
+    # pending takedown
+    sidecar_dirs = [
+        f
+        for f in os.listdir(path)
+        if f.startswith("_") and os.path.isdir(os.path.join(path, f))
     ]
 
     df = spark.read.parquet(path)
@@ -203,6 +214,8 @@ def compact_table(
     writer.parquet(staging)
     for s in sidecars:  # carry JSON sidecars across the swap
         shutil.copy2(os.path.join(path, s), os.path.join(staging, s))
+    for s in sidecar_dirs:  # and hidden dirs (tombstones, ...)
+        shutil.copytree(os.path.join(path, s), os.path.join(staging, s))
     old = path.rstrip("/") + ".__old__"
     os.rename(path, old)
     os.rename(staging, path)

@@ -2427,14 +2427,15 @@ def test_index_takedown_tombstones_and_purge(spark, tmp_path):
     # physical purge: rows gone from disk, params sidecar survives,
     # queries unchanged, tombstones cleared
     stats = purge_index_tombstones(spark, idx)
-    assert stats["purged_ids"] == 2
-    assert stats["rows_after"] == stats["rows_before"] - 2 * 8  # 8 bands/id
+    assert stats["tombstones_cleared"] == 2
+    assert stats["rows_purged"] == 2 * 8  # 8 bands/id
+    assert stats["rows_after"] == stats["rows_before"] - 2 * 8
     hard = {r["corpus_id"] for r in phash_index_query(spark, idx, probe).collect()}
     assert hard == soft
     raw = {r["media_id"] for r in spark.read.parquet(idx).collect()}
     assert 3 not in raw and 7 not in raw
     # idempotent second purge: nothing left to do
-    assert purge_index_tombstones(spark, idx)["purged_ids"] == 0
+    assert purge_index_tombstones(spark, idx)["tombstones_cleared"] == 0
 
 
 def test_bm25_takedown_and_purge(spark, tmp_path):
@@ -2469,7 +2470,8 @@ def test_bm25_takedown_and_purge(spark, tmp_path):
 
     stats0 = json.loads(open(os.path.join(idx, "_corpus_stats.json")).read())
     out = purge_index_tombstones(spark, idx, partition_col="bucket")
-    assert out["purged_ids"] == 1
+    assert out["tombstones_cleared"] == 1
+    assert out["rows_purged"] == out["rows_before"] - out["rows_after"]
     stats1 = json.loads(open(os.path.join(idx, "_corpus_stats.json")).read())
     assert stats1["n_docs"] == stats0["n_docs"] - 1
     assert stats1["sum_len"] < stats0["sum_len"]
@@ -2501,3 +2503,92 @@ def test_ivf_index_takedown(spark, emb, tmp_path):
     }
     assert all(n != victim for _q, n in after)
     assert after  # still returns k results from remaining corpus
+
+    # physical purge autodetects the IVF layout's neighbor_id column
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        purge_index_tombstones,
+    )
+
+    out = purge_index_tombstones(spark, idx, partition_col="bucket")
+    assert out["tombstones_cleared"] == 1
+    assert out["rows_purged"] == 1  # one row per vector in the IVF layout
+    raw = {r["neighbor_id"] for r in spark.read.parquet(idx).collect()}
+    assert victim not in raw
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_index_topk(spark, idx, q, k=3).collect()
+    }
+    assert again == after
+
+
+def test_purge_all_rows_leaves_readable_empty_index(spark, tmp_path):
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        add_index_tombstones,
+        build_phash_index,
+        phash_index_query,
+        purge_index_tombstones,
+    )
+
+    idx = str(tmp_path / "tidx_empty")
+    build_phash_index(
+        spark.createDataFrame([(1, 7), (2, 9)], "media_id long, phash long"),
+        idx,
+    )
+    add_index_tombstones(
+        spark, idx, spark.createDataFrame([(1,), (2,)], "id long")
+    )
+    out = purge_index_tombstones(spark, idx)
+    assert out["rows_after"] == 0 and out["rows_purged"] == out["rows_before"]
+    # the fully-purged index stays schema-inferable and queryable
+    assert spark.read.parquet(idx).count() == 0
+    probe = spark.createDataFrame([(100, 7)], "media_id long, phash long")
+    assert phash_index_query(spark, idx, probe).count() == 0
+
+
+def test_compaction_preserves_pending_tombstones(spark, tmp_path):
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        add_index_tombstones,
+        build_phash_index,
+        phash_index_query,
+    )
+    from atlas_upscaling_dask_spark.sinks.writer import compact_table
+
+    idx = str(tmp_path / "tidx_compact")
+    build_phash_index(
+        spark.createDataFrame(
+            [(i, 1 << i) for i in range(6)], "media_id long, phash long"
+        ),
+        idx,
+    )
+    add_index_tombstones(spark, idx, spark.createDataFrame([(4,)], "id long"))
+    compact_table(spark, idx, partition_cols=("band",))
+    # the takedown survives routine maintenance: still excluded
+    probe = spark.createDataFrame([(100, 1 << 4)], "media_id long, phash long")
+    hits = {r["corpus_id"] for r in phash_index_query(spark, idx, probe).collect()}
+    assert 4 not in hits
+
+
+def test_tombstone_id_type_cast_matches_exactly(spark, tmp_path):
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        add_index_tombstones,
+        build_phash_index,
+        phash_index_query,
+    )
+
+    idx = str(tmp_path / "tidx_str")
+    build_phash_index(
+        spark.createDataFrame(
+            [("a", 3), ("9007199254740993", 5)], "media_id string, phash long"
+        ),
+        idx,
+    )
+    # long tombstone against a string-id index: matched by exact cast,
+    # not a lossy double coercion (9007199254740993 > 2^53)
+    add_index_tombstones(
+        spark, idx, spark.createDataFrame([(9007199254740993,)], "id long")
+    )
+    probe = spark.createDataFrame(
+        [("p", 3), ("q", 5)], "media_id string, phash long"
+    )
+    hits = {r["corpus_id"] for r in phash_index_query(spark, idx, probe).collect()}
+    assert hits == {"a"}
