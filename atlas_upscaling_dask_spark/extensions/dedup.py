@@ -1372,3 +1372,230 @@ def purge_index_tombstones(
         "rows_after": after,
         "rows_purged": before - after,
     }
+
+
+# ---------------------------------------------------------------------------
+# Exact edit-distance self-join (pigeonhole segment signatures)
+# ---------------------------------------------------------------------------
+
+
+def _passjoin_name_pairs(names: DataFrame, max_dist: int) -> DataFrame:
+    """All unordered pairs of DISTINCT strings within ``max_dist`` edits.
+
+    Pigeonhole segment signatures (the PassJoin scheme, Li et al.,
+    VLDB 2012 — public literature): split each string into ``d+1``
+    contiguous segments; ``<= d`` edit operations can touch at most
+    ``d`` of them, so at least one segment survives VERBATIM in the
+    other string, shifted by at most ``d`` positions.  Candidates are
+    therefore an EQUI-join of one side's segments against the other
+    side's (length-class, segment-index, position-window) substrings —
+    never an all-pairs comparison — then verified with one exact
+    ``levenshtein`` call per distinct candidate pair.
+
+    Completeness: the segment join covers every pair where the segment
+    emitter's string has length ``>= d+1``; pairs where BOTH strings
+    have length ``<= d`` are always within ``d`` edits (edit distance
+    is bounded by the longer length) and come from the short bucket's
+    tiny self-join.  Input column must be named ``_s``.
+
+    At 100 TB the join key (segment text, length class, index) is
+    selective for natural text — segments are ``~L/(d+1)`` chars, far
+    more specific than q-grams — and the whole plan is one equi-join
+    exchange plus narrow explodes.  A corpus whose strings share a long
+    constant prefix degrades the segment keys (every pair matches on
+    the constant segment); normalize such prefixes away first, exactly
+    as ER blocking pipelines do — common-prefix stripping preserves
+    edit distance.
+    """
+    d = max_dist
+    n = d + 1
+    s = names.select("_s", F.length("_s").alias("_l"))
+    longs = s.filter(F.col("_l") >= n)
+    seg_exprs = [
+        f"l1 div {n} as k",
+        f"l1 % {n} as r",
+    ]
+    pos_exprs = [
+        f"k + if(i >= {n} - r, 1, 0) as seg_len",
+        f"i * k + greatest(0, i - ({n} - r)) + 1 as seg_pos",
+    ]
+    a = (
+        longs.selectExpr("_s as s1", "_l as l1")
+        .selectExpr("s1", "l1", f"explode(sequence(0, {d})) as i")
+        .selectExpr("s1", "l1", "i", *seg_exprs)
+        .selectExpr("s1", "l1", "i", *pos_exprs)
+        .selectExpr("s1", "l1", "i", "substring(s1, seg_pos, seg_len) as seg")
+    )
+    b = (
+        s.selectExpr("_s as s2", "_l as l2")
+        .selectExpr("s2", "l2", f"explode(sequence({-d}, {d})) as dl")
+        .selectExpr("s2", "l2", "l2 + dl as l1")
+        .filter(f"l1 >= {n}")
+        .selectExpr("s2", "l2", "l1", f"explode(sequence(0, {d})) as i")
+        .selectExpr("s2", "l2", "l1", "i", *seg_exprs)
+        .selectExpr("s2", "l2", "l1", "i", *pos_exprs)
+        .selectExpr(
+            "s2",
+            "l1",
+            "i",
+            "seg_len",
+            f"greatest(1, seg_pos - {d}) as lo",
+            f"least(l2 - seg_len + 1, seg_pos + {d}) as hi",
+        )
+        .filter("hi >= lo")
+        .selectExpr("s2", "l1", "i", "seg_len", "explode(sequence(lo, hi)) as p")
+        .selectExpr("s2", "l1", "i", "substring(s2, p, seg_len) as seg")
+    )
+    cand = (
+        a.join(b, ["seg", "l1", "i"])
+        .filter("s1 <> s2")
+        .selectExpr("least(s1, s2) as nm_a", "greatest(s1, s2) as nm_b")
+        .distinct()
+    )
+    verified = cand.withColumn(
+        "dist", F.levenshtein("nm_a", "nm_b")
+    ).filter(F.col("dist") <= d)
+    shorts = s.filter(F.col("_l") <= d).select(F.col("_s").alias("nm_a"))
+    short_pairs = (
+        shorts.join(
+            shorts.select(F.col("nm_a").alias("nm_b")),
+            F.col("nm_a") < F.col("nm_b"),
+        )
+        # bounded-by-contract nested-loop bucket: strings shorter than
+        # d+1 chars; ALL such pairs are within d edits by construction
+        .withColumn("dist", F.levenshtein("nm_a", "nm_b"))
+    )
+    return verified.unionByName(short_pairs)
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Self-join: id pairs whose strings are within ``max_dist``
+    Levenshtein edits — exact (verified), never all-pairs.
+
+    Works on DISTINCT strings first (natural-language columns are
+    heavily repeated: the part-name vocabulary is ~64 strings for any
+    number of parts), so the segment join's cost tracks the VOCABULARY,
+    not the row count; id pairs expand back afterwards: same-string id
+    pairs at distance 0, cross-string pairs through two equi-joins on
+    the verified string pairs.  Output: (id_a, id_b, dist), unordered
+    pairs normalized id_a < id_b.
+    """
+    m = df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_nm"))
+    names = m.select(F.col("_nm").alias("_s")).distinct()
+    name_pairs = _passjoin_name_pairs(names, max_dist)
+    same = (
+        m.alias("x")
+        .join(m.alias("y"), "_nm")
+        .filter(F.expr("x._id < y._id"))
+        .select(
+            F.expr("x._id").alias("id_a"),
+            F.expr("y._id").alias("id_b"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+    )
+    cross = (
+        name_pairs.join(m.withColumnRenamed("_nm", "nm_a"), "nm_a")
+        .withColumnRenamed("_id", "ia")
+        .join(m.withColumnRenamed("_nm", "nm_b"), "nm_b")
+        .withColumnRenamed("_id", "ib")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+    return same.unionByName(cross)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernandez & Stolfo's merge/purge method)
+# ---------------------------------------------------------------------------
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_cols: list[str],
+    window: int = 10,
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Candidate pairs within ``window`` positions of each other in the
+    global ``sort_cols`` order — the classic entity-resolution blocking
+    sweep (sort by a fuzzy key, compare only a sliding neighborhood:
+    O(n·w) comparisons instead of O(n²)).
+
+    Distributed global row numbers WITHOUT a single-partition sort and
+    WITHOUT re-shuffling the sorted data: range-repartition on the sort
+    key, sort within partitions, then read the partition id and a
+    CONSECUTIVE local index straight out of
+    ``monotonically_increasing_id`` (pid in the high bits, record
+    number in the low 33 — consecutive from 0 per partition; the
+    function is non-deterministic so Catalyst never reorders it across
+    the sort).  Each partition's prefix-sum offset joins back as a
+    BROADCAST frame (one row per partition — never a driver-side
+    closure dict), so the only data-sized exchange is the range
+    repartition itself.  Neighbor pairing buckets rows at width
+    ``window`` and joins each bucket against itself and its successor,
+    so a pair at offset ``< window`` is always co-keyed — one
+    equi-join, no range join, no hot keys.
+
+    Output: (id_a, id_b, rn_a, rn_b) with ``rn_b - rn_a < window``;
+    callers apply their similarity predicate on top.  Ties in the sort
+    key are broken by ``id_col`` so the order (and the oracle's) is
+    total and deterministic.
+    """
+    keys = [*[F.col(c) for c in sort_cols], F.col(id_col)]
+    local = (
+        df.repartitionByRange(n_ranges, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .select(
+            F.col(id_col),
+            F.shiftright("_mid", 33).alias("_pid"),
+            (F.col("_mid").bitwiseAND((1 << 33) - 1) + 1).alias("_lrn"),
+        )
+    )
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_n"))
+    # prefix-sum window over <= n_ranges rows: single partition is fine
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(woff), F.lit(0))
+    ).select("_pid", "_off")
+    # offsets has <= n_ranges rows: broadcast join, never a collect
+    rn = (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("rn", F.col("_lrn") + F.col("_off"))
+        .select(F.col(id_col), "rn")
+    )
+    lhs = rn.select(
+        F.col(id_col).alias("id_a"),
+        F.col("rn").alias("rn_a"),
+        F.expr(f"(rn - 1) div {window}").alias("_b"),
+    )
+    # each right row registers under its own bucket AND its
+    # predecessor's, so a pair at offset < window is always co-keyed —
+    # keeps the join a pure equi-join (an OR condition would fall back
+    # to a nested-loop cartesian)
+    rhs = rn.select(
+        F.col(id_col).alias("id_b"),
+        F.col("rn").alias("rn_b"),
+        F.explode(
+            F.array(
+                F.expr(f"(rn - 1) div {window}"),
+                F.expr(f"(rn - 1) div {window} - 1"),
+            )
+        ).alias("_b"),
+    )
+    return (
+        lhs.join(rhs, "_b")
+        .filter(
+            (F.col("rn_b") > F.col("rn_a"))
+            & (F.col("rn_b") - F.col("rn_a") < window)
+        )
+        .select("id_a", "id_b", "rn_a", "rn_b")
+    )

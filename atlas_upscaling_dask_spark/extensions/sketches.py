@@ -214,3 +214,66 @@ def quantile_estimate(
         F.expr(f"percentile(v, {p!r})").alias(f"q{int(p * 100)}") for p in probs
     ] + [F.count("*").alias("sample_size")]
     return vals.groupBy(*group_cols).agg(*aggs)
+
+
+def kmv_set_ops(
+    sketches: DataFrame,
+    group_col: str,
+    group_a,
+    group_b,
+    k: int = 64,
+) -> DataFrame:
+    """Set-operation NDV estimates for two groups' KMV sketches — the
+    Theta-sketch style union/intersection estimator over the already-
+    materialized sketch state, never the raw rows.
+
+    * union sketch = k smallest of the two sketches' union; its
+      estimate is the standard KMV formula;
+    * intersection estimate = (|A ∩ B ∩ U| / |U|) · union_est — the
+      fraction of the union sketch's uniform hash sample that both
+      input sets contain, scaled by the union estimate (Theta sketch
+      a-priori estimator);
+    * jaccard estimate = |A ∩ B ∩ U| / |U| directly.
+
+    One row out: (ndv_a_est, ndv_b_est, union_est, inter_est,
+    jaccard_est, union_sample).  Both inputs are one-row frames by
+    construction (a sketch per group), so the combining crossJoin is a
+    broadcast of a kilobyte — no data-sized exchange anywhere.  All
+    arithmetic is division/multiplication of exact integers in a fixed
+    order, so an oracle on another engine reproduces it bitwise.
+    """
+
+    def _est(sketch: Column, kk: int) -> Column:
+        kth = F.conv(F.element_at(sketch, kk), 16, 10).cast("long")
+        full = F.lit((kk - 1) * HASH_SPACE).cast("double") / kth.cast("double")
+        return F.when(
+            F.size(sketch) < kk, F.size(sketch).cast("double")
+        ).otherwise(full)
+
+    a = sketches.filter(F.col(group_col) == group_a).select(
+        F.col("sketch").alias("ska")
+    )
+    b = sketches.filter(F.col(group_col) == group_b).select(
+        F.col("sketch").alias("skb")
+    )
+    both = a.crossJoin(b)
+    u = F.slice(F.array_sort(F.array_union(F.col("ska"), F.col("skb"))), 1, k)
+    combined = both.select(
+        F.col("ska"),
+        F.col("skb"),
+        u.alias("u"),
+        F.size(u).alias("usz"),
+        F.size(
+            F.array_intersect(u, F.array_intersect(F.col("ska"), F.col("skb")))
+        ).alias("common"),
+    )
+    union_est = _est(F.col("u"), k)
+    frac = F.col("common").cast("double") / F.col("usz").cast("double")
+    return combined.select(
+        _est(F.col("ska"), k).alias("ndv_a_est"),
+        _est(F.col("skb"), k).alias("ndv_b_est"),
+        union_est.alias("union_est"),
+        (frac * union_est).alias("inter_est"),
+        frac.alias("jaccard_est"),
+        F.col("usz").alias("union_sample"),
+    )

@@ -7152,3 +7152,158 @@ SELECT e.l_returnflag AS l_returnflag, e.q25, e.q50, e.q75,
 FROM est e JOIN exact x ON e.l_returnflag = x.l_returnflag
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation: exact edit-distance join, sorted-neighborhood
+# blocking, KMV set-operation estimates
+# ---------------------------------------------------------------------------
+
+
+def _edit_distance_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact Levenshtein self-join via pigeonhole segment signatures
+    # (PassJoin): equi-join on (segment, length-class, index) — never
+    # all-pairs — then one verify per distinct string pair; the oracle
+    # IS the brute-force all-pairs join, so a pass proves the segment
+    # filter is complete, not just plausible.
+    from .extensions.dedup import edit_distance_join
+
+    return edit_distance_join(
+        load_table(spark, sf_dir, "part"), "p_partkey", "p_name", max_dist=2
+    )
+
+
+_register(
+    "edit_distance_join",
+    _edit_distance_join_q,
+    """
+WITH s AS (SELECT p_partkey AS id, p_name AS nm FROM part)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+FROM s a JOIN s b ON a.id < b.id
+WHERE levenshtein(a.nm, b.nm) <= 2
+""",
+)
+
+
+def _sorted_neighborhood_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Merge/purge blocking sweep: global order by account balance via
+    # range partitions + broadcast prefix-sum offsets (no single-
+    # partition sort), neighbors within 10 positions, then the
+    # suspected-duplicate predicate (same nation, balance within 0.50).
+    from .extensions.dedup import sorted_neighborhood_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = sorted_neighborhood_pairs(
+        cust, "c_custkey", ["c_acctbal"], window=10
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_acctbal").alias("bal_a"),
+        F.col("c_nationkey").alias("nat_a"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_acctbal").alias("bal_b"),
+        F.col("c_nationkey").alias("nat_b"),
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("nat_a") == F.col("nat_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "rn_a",
+            "rn_b",
+            (F.col("bal_b") - F.col("bal_a")).alias("bal_diff"),
+            F.col("nat_a").alias("nationkey"),
+        )
+    )
+
+
+_register(
+    "sorted_neighborhood",
+    _sorted_neighborhood_q,
+    """
+WITH r AS (
+  SELECT c_custkey, c_acctbal, c_nationkey,
+         row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+  FROM customer
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, a.rn AS rn_a, b.rn AS rn_b,
+       b.c_acctbal - a.c_acctbal AS bal_diff,
+       a.c_nationkey AS nationkey
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 10
+WHERE a.c_nationkey = b.c_nationkey
+""",
+)
+
+
+def _ndv_setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Theta-style set operations over materialized KMV sketch state:
+    # union/intersection/jaccard NDV estimates from two groups' sketch
+    # arrays (kilobytes), with the exact values joined alongside so
+    # the estimator error is visible in the result itself.
+    from .extensions.sketches import kmv_set_ops, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    sk = kmv_sketch(ev, "user_id", ["event_type"], k=64)
+    est = kmv_set_ops(sk, "event_type", "click", "view", k=64)
+    per_user = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("nt")
+    )
+    exact = per_user.agg(
+        F.count("*").alias("union_exact"),
+        F.count(F.when(F.col("nt") == 2, 1)).alias("inter_exact"),
+    )
+    return est.crossJoin(exact)
+
+
+_register(
+    "ndv_setops_sketch",
+    _ndv_setops_q,
+    """
+WITH da AS (SELECT DISTINCT substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS h
+            FROM events WHERE event_type = 'click'),
+db AS (SELECT DISTINCT substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS h
+       FROM events WHERE event_type = 'view'),
+ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM da)
+        WHERE rk <= 64),
+skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM db)
+        WHERE rk <= 64),
+u AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+                     FROM (SELECT h FROM ska UNION SELECT h FROM skb))
+      WHERE rk <= 64),
+stats AS (SELECT
+    (SELECT COUNT(*) FROM ska) AS asz, (SELECT MAX(h) FROM ska) AS akth,
+    (SELECT COUNT(*) FROM skb) AS bsz, (SELECT MAX(h) FROM skb) AS bkth,
+    (SELECT COUNT(*) FROM u)   AS usz, (SELECT MAX(h) FROM u)   AS ukth,
+    (SELECT COUNT(*) FROM u
+     WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)) AS common),
+est AS (SELECT asz, bsz, usz, common,
+    CASE WHEN asz < 64 THEN CAST(asz AS DOUBLE)
+         ELSE CAST(63 * 4503599627370496 AS DOUBLE)
+              / CAST(('0x' || akth)::BIGINT AS DOUBLE) END AS ndv_a_est,
+    CASE WHEN bsz < 64 THEN CAST(bsz AS DOUBLE)
+         ELSE CAST(63 * 4503599627370496 AS DOUBLE)
+              / CAST(('0x' || bkth)::BIGINT AS DOUBLE) END AS ndv_b_est,
+    CASE WHEN usz < 64 THEN CAST(usz AS DOUBLE)
+         ELSE CAST(63 * 4503599627370496 AS DOUBLE)
+              / CAST(('0x' || ukth)::BIGINT AS DOUBLE) END AS union_est
+    FROM stats),
+exact AS (SELECT COUNT(*) AS union_exact,
+                 COUNT(CASE WHEN nt = 2 THEN 1 END) AS inter_exact
+          FROM (SELECT user_id, COUNT(DISTINCT event_type) AS nt
+                FROM events WHERE event_type IN ('click', 'view')
+                GROUP BY user_id))
+SELECT ndv_a_est, ndv_b_est, union_est,
+       (CAST(common AS DOUBLE) / CAST(usz AS DOUBLE)) * union_est AS inter_est,
+       CAST(common AS DOUBLE) / CAST(usz AS DOUBLE) AS jaccard_est,
+       CAST(usz AS INTEGER) AS union_sample,
+       union_exact, inter_exact
+FROM est, exact
+""",
+)

@@ -2592,3 +2592,34 @@ def test_tombstone_id_type_cast_matches_exactly(spark, tmp_path):
     )
     hits = {r["corpus_id"] for r in phash_index_query(spark, idx, probe).collect()}
     assert hits == {"a"}
+
+
+def test_kmv_set_ops_exact_below_k_and_bounded_error_above(spark):
+    from atlas_upscaling_dask_spark.extensions.sketches import (
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    # below k: every estimate is exact (the sketch IS the set)
+    small = spark.createDataFrame(
+        [("a", u) for u in range(30)] + [("b", u) for u in range(20, 51)],
+        "g string, u long",
+    )
+    sk = kmv_sketch(small, "u", ["g"], k=64)
+    (r,) = kmv_set_ops(sk, "g", "a", "b", k=64).collect()
+    assert r["ndv_a_est"] == 30.0 and r["ndv_b_est"] == 31.0
+    assert r["union_est"] == 51.0
+    assert r["inter_est"] == 10.0  # users 20..29
+    assert abs(r["jaccard_est"] - 10.0 / 51.0) < 1e-12
+
+    # above k: estimates land within ~4 relative standard errors
+    big = spark.createDataFrame(
+        [("a", u) for u in range(2000)]
+        + [("b", u) for u in range(1000, 3000)],
+        "g string, u long",
+    )
+    skb = kmv_sketch(big, "u", ["g"], k=64)
+    (rb,) = kmv_set_ops(skb, "g", "a", "b", k=64).collect()
+    rse = 4 / (62**0.5)
+    assert abs(rb["union_est"] - 3000) / 3000 < rse
+    assert abs(rb["inter_est"] - 1000) / 1000 < 3 * rse  # ratio estimator

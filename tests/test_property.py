@@ -272,3 +272,78 @@ def test_prefix_filter_join_matches_bruteforce(spark, seed, threshold):
     truth = {key(r) for r in ngram_jaccard_pairs(df, 3, threshold).collect()}
     got = {key(r) for r in prefix_filter_join(df, threshold, 3).collect()}
     assert got == truth, (seed, threshold, truth - got, got - truth)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(seed=st.integers(0, 10_000), d=st.sampled_from([1, 2]))
+@settings(**SETTINGS)
+def test_edit_distance_join_matches_bruteforce(spark, seed, d):
+    # The pigeonhole segment theorem (<= d edits leave one of d+1
+    # segments verbatim, shifted <= d) checked empirically: the
+    # candidate-pruned join must equal brute-force all-pairs — incl.
+    # insertions/deletions, duplicate strings, and the short bucket
+    # (len <= d), over an adversarially small alphabet.
+    from atlas_upscaling_dask_spark.extensions.dedup import edit_distance_join
+
+    rng = np.random.default_rng(seed)
+    strings = [
+        "".join(rng.choice(list("ab"), size=rng.integers(0, 9)))
+        for _ in range(rng.integers(4, 12))
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(strings)), "id long, s string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_join(df, "id", "s", d).collect()
+    }
+    truth = {
+        (i, j, _lev(strings[i], strings[j]))
+        for i in range(len(strings))
+        for j in range(i + 1, len(strings))
+        if _lev(strings[i], strings[j]) <= d
+    }
+    assert got == truth, (seed, d, truth - got, got - truth)
+
+
+@given(seed=st.integers(0, 10_000), window=st.sampled_from([2, 3, 5]))
+@settings(**SETTINGS)
+def test_sorted_neighborhood_matches_naive(spark, seed, window):
+    # Distributed row numbers (range partitions + broadcast offsets)
+    # and the bucket/successor pairing must reproduce the single-sort
+    # definition exactly — including duplicate sort keys (tie-broken
+    # by id) and pairs straddling range-partition boundaries.
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 40))
+    keys = [int(k) for k in rng.integers(0, 10, n)]
+    df = spark.createDataFrame(
+        [(i, keys[i]) for i in range(n)], "id long, k long"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["rn_a"], r["rn_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "id", ["k"], window=window, n_ranges=4
+        ).collect()
+    }
+    order = sorted(range(n), key=lambda i: (keys[i], i))
+    truth = {
+        (order[p], order[q], p + 1, q + 1)
+        for p in range(n)
+        for q in range(p + 1, min(p + window, n))
+    }
+    assert got == truth, (seed, window, truth - got, got - truth)

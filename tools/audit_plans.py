@@ -572,6 +572,30 @@ def audited_queries():
             QUERIES["setsim_prefix_join"],
             {"max_shuffles": 4, "codegen": True, "no_python_udf": True},
         ),
+        # PassJoin exact edit-distance: candidates come from an
+        # EQUI-join on (segment, length-class, index) — never a
+        # cartesian (the only nested-loop is the bounded-by-contract
+        # short-string bucket, len <= d).  Budget covers distinct
+        # names, segment join, candidate distinct, and id expansion.
+        "edit_distance_join": (
+            QUERIES["edit_distance_join"],
+            {"max_shuffles": 6, "codegen": True, "no_python_udf": True},
+        ),
+        # sorted-neighborhood blocking: ONE data-sized exchange (the
+        # range repartition, appearing once per lineage replay) — rank
+        # comes from monotonically_increasing_id, NOT a re-shuffling
+        # window; remaining exchanges move only (id, rn) pairs
+        "sorted_neighborhood": (
+            QUERIES["sorted_neighborhood"],
+            {"max_shuffles": 8, "codegen": True, "no_python_udf": True},
+        ),
+        # KMV set ops: sketch build (distinct + rank + collect) per
+        # side; combining is all 1-row broadcast nested loops —
+        # kilobytes, never a data-sized exchange
+        "ndv_setops_sketch": (
+            QUERIES["ndv_setops_sketch"],
+            {"max_shuffles": 7, "codegen": True, "no_python_udf": True},
+        ),
     }
 
 
