@@ -1426,9 +1426,12 @@ def _passjoin_name_pairs(names: DataFrame, max_dist: int) -> DataFrame:
         .selectExpr("s1", "l1", "i", *pos_exprs)
         .selectExpr("s1", "l1", "i", "substring(s1, seg_pos, seg_len) as seg")
     )
+    # enumerate only l1 >= l2 (the segment emitter is the LONGER
+    # string; equal lengths tie-break below) — the pigeonhole covers
+    # each unordered pair in one direction, halving candidate volume
     b = (
         s.selectExpr("_s as s2", "_l as l2")
-        .selectExpr("s2", "l2", f"explode(sequence({-d}, {d})) as dl")
+        .selectExpr("s2", "l2", f"explode(sequence(0, {d})) as dl")
         .selectExpr("s2", "l2", "l2 + dl as l1")
         .filter(f"l1 >= {n}")
         .selectExpr("s2", "l2", "l1", f"explode(sequence(0, {d})) as i")
@@ -1449,6 +1452,7 @@ def _passjoin_name_pairs(names: DataFrame, max_dist: int) -> DataFrame:
     cand = (
         a.join(b, ["seg", "l1", "i"])
         .filter("s1 <> s2")
+        .filter("l1 > length(s2) OR s1 < s2")
         .selectExpr("least(s1, s2) as nm_a", "greatest(s1, s2) as nm_b")
         .distinct()
     )
@@ -1546,12 +1550,17 @@ def sorted_neighborhood_pairs(
 
     Output: (id_a, id_b, rn_a, rn_b) with ``rn_b - rn_a < window``;
     callers apply their similarity predicate on top.  Ties in the sort
-    key are broken by ``id_col`` so the order (and the oracle's) is
-    total and deterministic.
+    key are broken by ``id_col``, and the input is first projected to
+    DISTINCT (sort key, id) rows: with duplicate composites the
+    re-evaluated (non-deterministic) rank lineage could number the two
+    join sides differently and fabricate or drop neighbor pairs, so
+    totality of the order is enforced by construction, not assumed.
     """
     keys = [*[F.col(c) for c in sort_cols], F.col(id_col)]
     local = (
-        df.repartitionByRange(n_ranges, *keys)
+        df.select(*keys)
+        .distinct()
+        .repartitionByRange(n_ranges, *keys)
         .sortWithinPartitions(*keys)
         .withColumn("_mid", F.monotonically_increasing_id())
         .select(
@@ -1559,6 +1568,11 @@ def sorted_neighborhood_pairs(
             F.shiftright("_mid", 33).alias("_pid"),
             (F.col("_mid").bitwiseAND((1 << 33) - 1) + 1).alias("_lrn"),
         )
+        # materialize the (non-deterministic) rank assignment ONCE —
+        # the offsets job and both join sides must read the same
+        # numbering, and a checkpoint also stops the distinct+range
+        # exchanges replaying per consumer
+        .localCheckpoint()
     )
     counts = local.groupBy("_pid").agg(F.count("*").alias("_n"))
     # prefix-sum window over <= n_ranges rows: single partition is fine

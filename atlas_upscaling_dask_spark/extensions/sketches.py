@@ -92,18 +92,20 @@ def kmv_merge(
     )
 
 
-def kmv_estimate_expr(sketch_col: str = "sketch", k: int = 64) -> Column:
-    """Distinct-count estimate from a sketch column.
+def kmv_estimate_expr(sketch_col: Column | str = "sketch", k: int = 64) -> Column:
+    """Distinct-count estimate from a sketch column (name or Column).
 
     Exact (= sketch size) below ``k``; else ``(k-1)/u_k`` computed as a
     single IEEE division of exact integers — bitwise reproducible
     across engines.
     """
-    kth = F.conv(F.element_at(F.col(sketch_col), k), 16, 10).cast("long")
+    if isinstance(sketch_col, str):
+        sketch_col = F.col(sketch_col)
+    kth = F.conv(F.element_at(sketch_col, k), 16, 10).cast("long")
     full_est = F.lit((k - 1) * HASH_SPACE).cast("double") / kth.cast("double")
     return F.when(
-        F.size(F.col(sketch_col)) < k,
-        F.size(F.col(sketch_col)).cast("double"),
+        F.size(sketch_col) < k,
+        F.size(sketch_col).cast("double"),
     ).otherwise(full_est)
 
 
@@ -243,19 +245,18 @@ def kmv_set_ops(
     order, so an oracle on another engine reproduces it bitwise.
     """
 
-    def _est(sketch: Column, kk: int) -> Column:
-        kth = F.conv(F.element_at(sketch, kk), 16, 10).cast("long")
-        full = F.lit((kk - 1) * HASH_SPACE).cast("double") / kth.cast("double")
-        return F.when(
-            F.size(sketch) < kk, F.size(sketch).cast("double")
-        ).otherwise(full)
-
     a = sketches.filter(F.col(group_col) == group_a).select(
         F.col("sketch").alias("ska")
     )
     b = sketches.filter(F.col(group_col) == group_b).select(
         F.col("sketch").alias("skb")
     )
+    # fail loudly on a missing group (typo, or no rows): a silent
+    # empty result would read as "no data" downstream.  The sketches
+    # frame is one row per group by construction, so this is cheap.
+    for side, g in ((a, group_a), (b, group_b)):
+        if side.limit(1).count() == 0:
+            raise ValueError(f"no sketch for {group_col}={g!r}")
     both = a.crossJoin(b)
     u = F.slice(F.array_sort(F.array_union(F.col("ska"), F.col("skb"))), 1, k)
     combined = both.select(
@@ -267,11 +268,11 @@ def kmv_set_ops(
             F.array_intersect(u, F.array_intersect(F.col("ska"), F.col("skb")))
         ).alias("common"),
     )
-    union_est = _est(F.col("u"), k)
+    union_est = kmv_estimate_expr(F.col("u"), k)
     frac = F.col("common").cast("double") / F.col("usz").cast("double")
     return combined.select(
-        _est(F.col("ska"), k).alias("ndv_a_est"),
-        _est(F.col("skb"), k).alias("ndv_b_est"),
+        kmv_estimate_expr(F.col("ska"), k).alias("ndv_a_est"),
+        kmv_estimate_expr(F.col("skb"), k).alias("ndv_b_est"),
         union_est.alias("union_est"),
         (frac * union_est).alias("inter_est"),
         frac.alias("jaccard_est"),

@@ -581,13 +581,14 @@ def audited_queries():
             QUERIES["edit_distance_join"],
             {"max_shuffles": 6, "codegen": True, "no_python_udf": True},
         ),
-        # sorted-neighborhood blocking: ONE data-sized exchange (the
-        # range repartition, appearing once per lineage replay) — rank
-        # comes from monotonically_increasing_id, NOT a re-shuffling
-        # window; remaining exchanges move only (id, rn) pairs
+        # sorted-neighborhood blocking: the ranked frame is
+        # localCheckpoint'd (one distinct + one range exchange, run
+        # ONCE upstream of this audited plan — rank comes from
+        # monotonically_increasing_id, not a re-shuffling window);
+        # downstream: bucket join sides + id joins, all narrow
         "sorted_neighborhood": (
             QUERIES["sorted_neighborhood"],
-            {"max_shuffles": 8, "codegen": True, "no_python_udf": True},
+            {"max_shuffles": 4, "codegen": True, "no_python_udf": True},
         ),
         # KMV set ops: sketch build (distinct + rank + collect) per
         # side; combining is all 1-row broadcast nested loops —
