@@ -278,3 +278,194 @@ def kmv_set_ops(
         frac.alias("jaccard_est"),
         F.col("usz").alias("union_sample"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket_expr(row_col: str, value_col: str, width: int) -> Column:
+    # same md5 convention as the KMV family: 52 portable hash bits,
+    # reduced mod width — reproduced verbatim by the SQL oracle
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(row_col).cast("string"),
+                        F.lit(":"),
+                        F.col(value_col).cast("string"),
+                    )
+                ),
+                1,
+                HEX_DIGITS,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch of ``value_col``'s frequency distribution:
+    ``depth`` hash rows × ``width`` buckets, stored as (r, bucket, cnt)
+    rows — at most ``depth·width`` of them regardless of input size.
+
+    Mergeable by summing cnt on (r, bucket) (algebraic, like every
+    sketch here), so shards/days sketch independently and roll up
+    without rescanning — the bounded-space answer to "how often does
+    ANY value occur" when the value domain (terms, urls, ids) is too
+    large to count exactly.  Build cost: one narrow explode (depth
+    rows per input row) + ONE partial-aggregated exchange.
+    """
+    rows = (
+        df.select(F.col(value_col).cast("string").alias("_v"))
+        .selectExpr("_v", f"explode(sequence(0, {depth - 1})) as r")
+        .withColumn("bucket", _cms_bucket_expr("r", "_v", width))
+    )
+    return rows.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Frequency estimates for ``probes``' values from a built sketch:
+    min over the depth rows of the probed buckets.
+
+    Never underestimates (every occurrence hashed into every row);
+    overestimates by collision mass ~ n/width per row, driven down
+    exponentially in depth by the min.  The sketch side is ≤
+    depth·width rows — always the broadcast side of the probe join.
+    """
+    p = (
+        probes.select(F.col(value_col).alias("_v"))
+        .distinct()
+        .selectExpr("_v", f"explode(sequence(0, {depth - 1})) as r")
+        .withColumn("bucket", _cms_bucket_expr("r", "_v", width))
+    )
+    joined = p.join(F.broadcast(cms), ["r", "bucket"], "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0))
+    )
+    return joined.groupBy("_v").agg(F.min("cnt").alias("cms_est")).select(
+        F.col("_v").alias(value_col), "cms_est"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (bitmap as long words) + semi-join reduction
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos_expr(hash_idx: str, value_col: str, m_bits: int) -> Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("b"),
+                        F.col(hash_idx).cast("string"),
+                        F.lit(":"),
+                        F.col(value_col).cast("string"),
+                    )
+                ),
+                1,
+                HEX_DIGITS,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 65536, k_hashes: int = 5
+) -> DataFrame:
+    """Bloom filter over ``key_col``: an ``m_bits`` bitmap stored as
+    (widx, word) long rows — ≤ m_bits/64 of them, mergeable by
+    ``bit_or`` on widx.  One narrow explode + ONE aggregation.
+    """
+    pos = (
+        df.select(F.col(key_col).cast("string").alias("_v"))
+        .distinct()
+        .selectExpr("_v", f"explode(sequence(0, {k_hashes - 1})) as j")
+        .withColumn("pos", _bloom_pos_expr("j", "_v", m_bits))
+    )
+    return (
+        pos.select(
+            F.expr("pos div 64").alias("widx"),
+            # BIGINT shift: exact up to 63 (a 32-bit shift would wrap)
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    m_bits: int = 65536,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Semi-join reduction via a Bloom runtime filter: build the filter
+    from the SMALL side's keys, screen the big side against the
+    broadcast bitmap (a false-positive-prone, false-negative-FREE
+    prefilter), then take the EXACT semi-join on the survivors.
+
+    The result equals ``big.join(small, key, "left_semi")`` — the
+    bloom only prunes rows before the real exchange, which is the
+    point at 100 TB: the big side's shuffle carries only keys that
+    (probably) match, instead of the whole table.  The exactness
+    contract is oracle-enforced (the SQL twin is the plain semi-join,
+    so a false NEGATIVE — a dropped match — fails the gate; false
+    positives are removed by the final exact join).
+    """
+    bloom = bloom_build(small, key_col, m_bits, k_hashes)
+    probes = (
+        big.select(F.col(key_col).alias("_v"))
+        .distinct()
+        .selectExpr("_v", f"explode(sequence(0, {k_hashes - 1})) as j")
+        .withColumn("pos", _bloom_pos_expr("j", "_v", m_bits))
+        .select(
+            "_v",
+            F.expr("pos div 64").alias("widx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "widx", "left")
+        .withColumn(
+            "set",
+            (
+                F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("bit"))
+                != 0
+            ).cast("int"),
+        )
+        .groupBy("_v")
+        .agg(F.min("set").alias("all_set"))
+        .filter(F.col("all_set") == 1)
+        .select(F.col("_v").alias(key_col))
+    )
+    screened = big.join(
+        F.broadcast(hits.select(key_col)), key_col, "left_semi"
+    )
+    return screened.join(
+        small.select(key_col).distinct(), key_col, "left_semi"
+    )

@@ -7307,3 +7307,78 @@ SELECT ndv_a_est, ndv_b_est, union_est,
 FROM est, exact
 """,
 )
+
+
+def _cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-min frequency estimates for the exact top-20 terms, joined
+    # with the exact counts so the (one-sided) estimation error is
+    # visible in the result; the sketch itself is <= depth*width rows.
+    from .extensions.sketches import cms_build, cms_estimate
+    from .extensions.text import vocab_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    cms = cms_build(tokens, "token", depth=3, width=256)
+    top = vocab_topk(docs, k=20)
+    est = cms_estimate(cms, top, "token", depth=3, width=256)
+    return top.join(est, "token").select(
+        "token", F.col("n").alias("n_exact"), "cms_est", "rank"
+    )
+
+
+_register(
+    "cms_heavy_hitters",
+    _cms_heavy_hitters_q,
+    """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+top AS (SELECT token, n, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+    FROM counts) WHERE rank <= 20),
+cms AS (SELECT r, bucket, count(*) AS cnt FROM (
+    SELECT t.r AS r,
+           ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || token), 1, 13))::BIGINT
+             % 256 AS bucket
+    FROM toks, range(3) t(r)) GROUP BY r, bucket),
+probes AS (SELECT token, t.r AS r,
+           ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || token), 1, 13))::BIGINT
+             % 256 AS bucket
+           FROM top, range(3) t(r)),
+est AS (SELECT token, MIN(COALESCE(cnt, 0)) AS cms_est
+        FROM probes LEFT JOIN cms USING (r, bucket) GROUP BY token)
+SELECT top.token AS token, top.n AS n_exact, est.cms_est AS cms_est,
+       top.rank AS rank
+FROM top JOIN est USING (token)
+""",
+)
+
+
+def _bloom_semi_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semi-join reduction: Bloom runtime filter built from one nation's
+    # customers screens the orders scan before the exact semi-join.
+    # The oracle is the PLAIN semi-join, so a Bloom false negative (a
+    # dropped match) fails the gate; false positives are removed by
+    # the exact join and cost only pruned-scan efficiency.
+    from .extensions.sketches import bloom_prefilter_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 7)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return bloom_prefilter_join(orders, cust, "o_custkey").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+_register(
+    "bloom_semi_join",
+    _bloom_semi_join_q,
+    """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
+""",
+)

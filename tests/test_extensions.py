@@ -2623,3 +2623,71 @@ def test_kmv_set_ops_exact_below_k_and_bounded_error_above(spark):
     rse = 4 / (62**0.5)
     assert abs(rb["union_est"] - 3000) / 3000 < rse
     assert abs(rb["inter_est"] - 1000) / 1000 < 3 * rse  # ratio estimator
+
+
+def test_cms_never_underestimates_and_wide_sketch_is_exact(spark):
+    from atlas_upscaling_dask_spark.extensions.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    # skewed multiset: value i appears i+1 times
+    rows = [(f"v{i}",) for i in range(40) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "t string")
+    probes = df.select("t").distinct()
+    exact = {f"v{i}": i + 1 for i in range(40)}
+
+    # narrow sketch: one-sided error only (est >= exact, always)
+    narrow = cms_estimate(
+        cms_build(df, "t", depth=3, width=16), probes, "t", depth=3, width=16
+    )
+    for r in narrow.collect():
+        assert r["cms_est"] >= exact[r["t"]]
+
+    # wide sketch: few collisions expected, min-over-depth exact here
+    wide = cms_estimate(
+        cms_build(df, "t", depth=4, width=4096), probes, "t", depth=4, width=4096
+    )
+    assert {r["t"]: r["cms_est"] for r in wide.collect()} == exact
+
+
+def test_cms_merge_by_summing_shards(spark):
+    from pyspark.sql import functions as F
+
+    from atlas_upscaling_dask_spark.extensions.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, "t string")
+    b = spark.createDataFrame([("x",)] * 3 + [("z",)] * 7, "t string")
+    merged = (
+        cms_build(a, "t").unionByName(cms_build(b, "t"))
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(a.unionByName(b), "t")
+    probes = spark.createDataFrame([("x",), ("y",), ("z",)], "t string")
+    em = {r["t"]: r["cms_est"] for r in cms_estimate(merged, probes, "t").collect()}
+    ew = {r["t"]: r["cms_est"] for r in cms_estimate(whole, probes, "t").collect()}
+    assert em == ew  # shard-and-merge == sketch-the-union
+
+
+def test_bloom_semi_join_exact_and_bitmap_bounded(spark):
+    from atlas_upscaling_dask_spark.extensions.sketches import (
+        bloom_build,
+        bloom_prefilter_join,
+    )
+
+    big = spark.createDataFrame([(i, i % 100) for i in range(5000)], "rid long, k long")
+    small = spark.createDataFrame([(k,) for k in range(0, 100, 7)], "k long")
+    got = {
+        (r["rid"], r["k"])
+        for r in bloom_prefilter_join(big, small, "k").collect()
+    }
+    keep = {k for k in range(0, 100, 7)}
+    truth = {(i, i % 100) for i in range(5000) if (i % 100) in keep}
+    assert got == truth
+
+    bm = bloom_build(small, "k", m_bits=4096, k_hashes=5)
+    assert bm.count() <= 4096 // 64  # bitmap words only, never key rows

@@ -597,6 +597,22 @@ def audited_queries():
             QUERIES["ndv_setops_sketch"],
             {"max_shuffles": 7, "codegen": True, "no_python_udf": True},
         ),
+        # count-min: explode + ONE partial-aggregated count exchange
+        # for the sketch, top-k heap for the probes, broadcast probe
+        # join (the sketch is <= depth*width rows by construction)
+        "cms_heavy_hitters": (
+            QUERIES["cms_heavy_hitters"],
+            {"max_shuffles": 3, "broadcast": True, "codegen": True,
+             "no_python_udf": True},
+        ),
+        # Bloom semi-join reduction: bitmap build aggregates <=
+        # m_bits/64 words; the big side is screened by BROADCAST
+        # bitmap + hits joins before any exchange of matched rows
+        "bloom_semi_join": (
+            QUERIES["bloom_semi_join"],
+            {"max_shuffles": 4, "broadcast": True, "codegen": True,
+             "no_python_udf": True},
+        ),
     }
 
 
