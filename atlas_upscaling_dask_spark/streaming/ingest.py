@@ -862,3 +862,56 @@ def start_scd2_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def start_cms_stream(
+    spark: SparkSession,
+    docs_path: str,
+    state_path: str,
+    schema,
+    text_col: str = "text",
+    depth: int = 3,
+    width: int = 256,
+    checkpoint_dir: str | None = None,
+):
+    """Maintain a count-min term-frequency sketch over a document
+    stream — the streaming driver for ``extensions/sketches.cms_build``.
+
+    Each micro-batch sketches ONLY its own tokens (cost tracks the
+    batch, never the corpus) and sum-merges into the previous state —
+    count-min's merge is addition on (r, bucket), so the fold is exact:
+    the streamed sketch is IDENTICAL to sketching the whole corpus in
+    one batch, which the test asserts.  State versioning and retry
+    semantics are the ``start_incremental_agg`` recipe verbatim: a
+    retried epoch folds onto state from an earlier epoch and
+    overwrites its own ``epoch=N`` directory, so replays are
+    idempotent and readers always see a complete ≤ depth·width-row
+    version.
+    """
+    from ..extensions.sketches import cms_build
+
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tokens = batch_df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("token")
+        )
+        delta = cms_build(tokens, "token", depth=depth, width=width)
+        prev = read_agg_state(spark, state_path, before_epoch=int(epoch_id))
+        if prev is None:
+            state = delta
+        else:
+            state = (
+                prev.unionByName(delta)
+                .groupBy("r", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        out = f"{state_path}/epoch={int(epoch_id)}"
+        state.write.mode("overwrite").parquet(out)
+
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -273,6 +273,9 @@ def main() -> None:
         "scd2_user_segments",
         "check_constraints_lineitem",
         "image_phash_neardup",
+        "edit_distance_join",
+        "bloom_semi_join",
+        "cms_heavy_hitters",
     ]
     for name in headliners:
         timed(name, lambda n=name: force(suite.QUERIES[n](spark, SF_DIR)))

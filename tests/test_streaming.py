@@ -723,3 +723,50 @@ def test_scd2_stream_maintains_history(spark, tmp_path):
         key=lambda t: (t[0], t[5]),
     )
     assert got == want and len(got) == 4
+
+
+def test_cms_stream_equals_whole_corpus_sketch(spark, tmp_path):
+    # Streaming CMS maintenance: the sum-merge fold is exact, so the
+    # final state after two drops must be IDENTICAL to sketching the
+    # concatenated corpus in one batch.  Stop/restart between drops
+    # (the anomaly-test staging protocol).
+    from atlas_upscaling_dask_spark.extensions.sketches import cms_build
+    from atlas_upscaling_dask_spark.streaming.ingest import (
+        read_agg_state,
+        start_cms_stream,
+    )
+
+    schema = "doc_id long, text string"
+    drop1 = [(i, "alpha beta gamma alpha") for i in range(20)]
+    drop2 = [(100 + i, "beta delta") for i in range(10)]
+    d1 = spark.createDataFrame(drop1, schema)
+    d2 = spark.createDataFrame(drop2, schema)
+    full = spark.createDataFrame(drop1 + drop2, schema)
+
+    src = str(tmp_path / "cms_src")
+    state = str(tmp_path / "cms_state")
+    ckpt = str(tmp_path / "cms_ckpt")
+    d1.write.mode("append").parquet(src)
+
+    q = start_cms_stream(spark, src, state, d1.schema, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    mid = read_agg_state(spark, state)
+    want1 = cms_build(
+        d1.select(F.explode(F.split("text", " ")).alias("token")), "token"
+    )
+    assert mid.exceptAll(want1).isEmpty() and want1.exceptAll(mid).isEmpty()
+
+    d2.write.mode("append").parquet(src)
+    q = start_cms_stream(spark, src, state, d1.schema, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = read_agg_state(spark, state)
+    want = cms_build(
+        full.select(F.explode(F.split("text", " ")).alias("token")), "token"
+    )
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
