@@ -7382,3 +7382,39 @@ SELECT o_orderkey, o_custkey FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
 """,
 )
+
+
+def _entity_resolution_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full entity-resolution composition: exact edit-distance pairs
+    # (PassJoin) → connected components → keep/drop clusters with
+    # lowest-id canonical election — the string twin of
+    # `image_dup_clusters`; the oracle recomputes the clusters from
+    # brute-force levenshtein pairs with a recursive min-label CTE.
+    from .extensions.dedup import edit_distance_join, near_dup_clusters
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = edit_distance_join(part, "p_partkey", "p_name", max_dist=2).select(
+        F.col("id_a").alias("d1"), F.col("id_b").alias("d2")
+    )
+    return near_dup_clusters(
+        part.select(F.col("p_partkey").alias("doc_id")), pairs
+    ).select(F.col("doc_id").alias("p_partkey"), "cluster_id", "is_keeper")
+
+
+_register(
+    "entity_resolution_parts",
+    _entity_resolution_parts_q,
+    """
+WITH RECURSIVE s AS (SELECT p_partkey AS id, p_name AS nm FROM part),
+pr AS (SELECT a.id AS d1, b.id AS d2 FROM s a JOIN s b ON a.id < b.id
+       WHERE levenshtein(a.nm, b.nm) <= 2),
+und AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+prop AS (
+  SELECT id, id AS comp FROM s
+  UNION
+  SELECT u.a AS id, p.comp FROM prop p JOIN und u ON u.b = p.id
+)
+SELECT id AS p_partkey, min(comp) AS cluster_id, min(comp) = id AS is_keeper
+FROM prop GROUP BY id
+""",
+)
