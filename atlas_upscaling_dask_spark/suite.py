@@ -7418,3 +7418,51 @@ SELECT id AS p_partkey, min(comp) AS cluster_id, min(comp) = id AS is_keeper
 FROM prop GROUP BY id
 """,
 )
+
+
+def _event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First-order Markov transition matrix over per-user event
+    # sequences: one lag window keyed on user (same exchange the
+    # sessionizer uses), integer-exact counts, one final division per
+    # output row.  The 25-row result is the behavioral-analytics
+    # staple (what follows what, and how often).
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    counts = pairs.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+        ).alias("prob"),
+    )
+
+
+_register(
+    "event_transitions",
+    _event_transitions_q,
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS prob
+FROM counts
+""",
+)
