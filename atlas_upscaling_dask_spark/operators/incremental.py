@@ -139,3 +139,44 @@ def finalize(state: DataFrame, keys: list[str], sum_cols: list[str]) -> DataFram
             F.col(f"max_{c}").cast("double").alias(f"max_{c}"),
         ]
     return state.filter(F.col("cnt") > 0).select(*cols)
+
+
+def incremental_join_update(
+    prev_view: DataFrame | None,
+    prev_left: DataFrame | None,
+    prev_right: DataFrame | None,
+    delta_left: DataFrame | None,
+    delta_right: DataFrame | None,
+    key: str,
+) -> DataFrame:
+    """Incremental maintenance of a materialized INNER-join view under
+    append-only deltas — the classic IVM delta rule:
+
+        V' = V ∪ (ΔL ⋈ R) ∪ (L ⋈ ΔR) ∪ (ΔL ⋈ ΔR)
+
+    Only the delta sides drive new work: each term joins a batch-sized
+    frame against one snapshot (or the other delta), so maintaining a
+    100 TB join view costs O(|Δ| ⋈-matched rows) per batch, never a
+    re-join of the bases.  The snapshots are the PRE-batch states (the
+    delta-delta term covers new-new matches exactly once).
+
+    Append-only by contract: retractions need signed rows (the
+    aggregate module's discipline) or a rebuild; this mirrors what
+    incremental-view engines document for join views.  Any ``None``
+    input is treated as empty.
+    """
+    parts = []
+    if prev_view is not None:
+        parts.append(prev_view)
+    if delta_left is not None and prev_right is not None:
+        parts.append(delta_left.join(prev_right, key))
+    if prev_left is not None and delta_right is not None:
+        parts.append(prev_left.join(delta_right, key))
+    if delta_left is not None and delta_right is not None:
+        parts.append(delta_left.join(delta_right, key))
+    if not parts:
+        raise ValueError("incremental_join_update: every input is None")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -7466,3 +7466,72 @@ SELECT prev_type, next_type, n,
 FROM counts
 """,
 )
+
+
+def _incremental_join_view_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialized join-view maintenance under append-only deltas:
+    # orders/customers each split deterministically into a base load
+    # and a delta batch; the view folds through the IVM delta rule
+    # (V' = V ∪ ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR) and must equal the oracle's
+    # from-scratch join of the full tables.
+    from .operators.incremental import incremental_join_update
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey")
+    )
+    lo = orders.filter(F.col("o_orderkey") % 3 != 0)
+    dl = orders.filter(F.col("o_orderkey") % 3 == 0)
+    lc = cust.filter(F.col("c_custkey") % 4 != 0)
+    dc = cust.filter(F.col("c_custkey") % 4 == 0)
+    v0 = incremental_join_update(None, None, None, lo, lc, "c_custkey")
+    v1 = incremental_join_update(v0, lo, lc, dl, dc, "c_custkey")
+    return v1.select("o_orderkey", "c_custkey", "c_nationkey")
+
+
+_register(
+    "incremental_join_view",
+    _incremental_join_view_q,
+    """
+SELECT o_orderkey, o_custkey AS c_custkey, c_nationkey
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+
+
+def _table_checksum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Order-independent per-group table digest: XOR-fold of 52-bit row
+    # hashes + exact counts in ONE scan — the replication/migration
+    # validation primitive (two sites compare 4 rows, not 100 TB).
+    # XOR is self-inverse, so duplicate-PAIR insertions cancel — the
+    # count column is part of the contract, not decoration.
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "bit_xor(CAST(conv(substring(md5(concat_ws('|', "
+                "CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING), "
+                "CAST(l_partkey AS STRING))), 1, 13), 16, 10) AS BIGINT))"
+            ).alias("checksum"),
+            F.count("*").alias("n_rows"),
+        )
+        .select("l_returnflag", "checksum", "n_rows")
+    )
+
+
+_register(
+    "table_checksum",
+    _table_checksum_q,
+    """
+SELECT l_returnflag,
+       bit_xor(('0x' || substr(md5(
+           CAST(l_orderkey AS VARCHAR) || '|' ||
+           CAST(l_linenumber AS VARCHAR) || '|' ||
+           CAST(l_partkey AS VARCHAR)), 1, 13))::BIGINT) AS checksum,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)

@@ -718,3 +718,34 @@ def test_join_strategy_hints_respected(spark, sf_dir):
         cust.hint("broadcast"), orders.o_custkey == cust.c_custkey
     )
     assert "BroadcastHashJoin" in plan_of(bcast)
+
+
+def test_incremental_join_view_matches_full_recompute(spark):
+    # The IVM delta rule folded over THREE delta batches per side must
+    # equal the from-scratch join — multiset semantics included
+    # (duplicate keys multiply).
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.operators.incremental import (
+        incremental_join_update,
+    )
+
+    rng = np.random.default_rng(11)
+    lbatches = [
+        [(int(k), i * 100 + j) for j, k in enumerate(rng.integers(0, 12, 15))]
+        for i in range(3)
+    ]
+    rbatches = [
+        [(int(k), i * 1000 + j) for j, k in enumerate(rng.integers(0, 12, 10))]
+        for i in range(3)
+    ]
+    mk = lambda rows, c: spark.createDataFrame(rows, f"k long, {c} long")
+    view = None
+    pl = pr = None
+    for lb, rb in zip(lbatches, rbatches):
+        dl, dr = mk(lb, "lv"), mk(rb, "rv")
+        view = incremental_join_update(view, pl, pr, dl, dr, "k")
+        pl = dl if pl is None else pl.unionByName(dl)
+        pr = dr if pr is None else pr.unionByName(dr)
+    full = pl.join(pr, "k")
+    assert view.exceptAll(full).isEmpty() and full.exceptAll(view).isEmpty()
