@@ -389,19 +389,13 @@ def _bloom_pos_expr(hash_idx: str, value_col: str, m_bits: int) -> Column:
     )
 
 
-def bloom_build(
-    df: DataFrame, key_col: str, m_bits: int = 65536, k_hashes: int = 5
+def _bloom_words(
+    keys_str: DataFrame, m_bits: int, k_hashes: int
 ) -> DataFrame:
-    """Bloom filter over ``key_col``: an ``m_bits`` bitmap stored as
-    (widx, word) long rows — ≤ m_bits/64 of them, mergeable by
-    ``bit_or`` on widx.  One narrow explode + ONE aggregation.
-    """
-    pos = (
-        df.select(F.col(key_col).cast("string").alias("_v"))
-        .distinct()
-        .selectExpr("_v", f"explode(sequence(0, {k_hashes - 1})) as j")
-        .withColumn("pos", _bloom_pos_expr("j", "_v", m_bits))
-    )
+    """Bitmap words from a distinct string-key frame (column ``_v``)."""
+    pos = keys_str.selectExpr(
+        "_v", f"explode(sequence(0, {k_hashes - 1})) as j"
+    ).withColumn("pos", _bloom_pos_expr("j", "_v", m_bits))
     return (
         pos.select(
             F.expr("pos div 64").alias("widx"),
@@ -415,11 +409,22 @@ def bloom_build(
     )
 
 
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 65536, k_hashes: int = 5
+) -> DataFrame:
+    """Bloom filter over ``key_col``: an ``m_bits`` bitmap stored as
+    (widx, word) long rows — ≤ m_bits/64 of them, mergeable by
+    ``bit_or`` on widx.  One narrow explode + ONE aggregation.
+    """
+    keys = df.select(F.col(key_col).cast("string").alias("_v")).distinct()
+    return _bloom_words(keys, m_bits, k_hashes)
+
+
 def bloom_prefilter_join(
     big: DataFrame,
     small: DataFrame,
     key_col: str,
-    m_bits: int = 65536,
+    m_bits: int | None = None,
     k_hashes: int = 5,
 ) -> DataFrame:
     """Semi-join reduction via a Bloom runtime filter: build the filter
@@ -434,10 +439,35 @@ def bloom_prefilter_join(
     contract is oracle-enforced (the SQL twin is the plain semi-join,
     so a false NEGATIVE — a dropped match — fails the gate; false
     positives are removed by the final exact join).
+
+    Guard rails (a runtime filter must never be worse than no filter):
+
+    * ``m_bits=None`` (default) sizes the bitmap from the small side's
+      actual distinct-key count — next power of two ≥ 16·n, ~0.14%
+      false positives at k=5 — instead of trusting a fixed default a
+      100× bigger build side would saturate;
+    * an explicitly-passed ``m_bits`` that the key count saturates
+      (n·8 > m) falls back to the PLAIN semi-join: a saturated filter
+      passes ~every key, and broadcasting ~all big-side keys as
+      "hits" is an OOM, not an optimization;
+    * the small side's keys are hashed AFTER casting to the big side's
+      key type, so mixed-type joins (long vs double) probe the same
+      strings the big side hashes — otherwise 7 and 7.0 would md5
+      differently and a real match would be silently dropped.
     """
-    bloom = bloom_build(small, key_col, m_bits, k_hashes)
+    big_type = big.schema[key_col].dataType
+    skeys = (
+        small.select(F.col(key_col).cast(big_type).cast("string").alias("_v"))
+        .distinct()
+    )
+    n = skeys.count()
+    if m_bits is None:
+        m_bits = 1 << max(10, (max(16 * n, 1) - 1).bit_length())
+    elif n * 8 > m_bits:
+        return big.join(small.select(key_col), key_col, "left_semi")
+    bloom = _bloom_words(skeys, m_bits, k_hashes)
     probes = (
-        big.select(F.col(key_col).alias("_v"))
+        big.select(F.col(key_col).cast("string").alias("_v"))
         .distinct()
         .selectExpr("_v", f"explode(sequence(0, {k_hashes - 1})) as j")
         .withColumn("pos", _bloom_pos_expr("j", "_v", m_bits))
@@ -461,11 +491,7 @@ def bloom_prefilter_join(
         .groupBy("_v")
         .agg(F.min("set").alias("all_set"))
         .filter(F.col("all_set") == 1)
-        .select(F.col("_v").alias(key_col))
+        .select(F.col("_v").cast(big_type).alias(key_col))
     )
-    screened = big.join(
-        F.broadcast(hits.select(key_col)), key_col, "left_semi"
-    )
-    return screened.join(
-        small.select(key_col).distinct(), key_col, "left_semi"
-    )
+    screened = big.join(F.broadcast(hits), key_col, "left_semi")
+    return screened.join(small.select(key_col), key_col, "left_semi")

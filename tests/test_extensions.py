@@ -2691,3 +2691,35 @@ def test_bloom_semi_join_exact_and_bitmap_bounded(spark):
 
     bm = bloom_build(small, "k", m_bits=4096, k_hashes=5)
     assert bm.count() <= 4096 // 64  # bitmap words only, never key rows
+
+
+def test_bloom_prefilter_mixed_key_types_no_false_negatives(spark):
+    from atlas_upscaling_dask_spark.extensions.sketches import (
+        bloom_prefilter_join,
+    )
+
+    # big side double keys, small side longs: 7 must match 7.0 exactly
+    # as the plain coerced semi-join would
+    big = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(200)], "rid long, k double"
+    )
+    small = spark.createDataFrame([(7,), (3,)], "k long")
+    got = {r["rid"] for r in bloom_prefilter_join(big, small, "k").collect()}
+    truth = {
+        r["rid"] for r in big.join(small, "k", "left_semi").collect()
+    }
+    assert got == truth and got  # non-empty and identical
+
+
+def test_bloom_prefilter_saturated_filter_falls_back(spark):
+    from atlas_upscaling_dask_spark.extensions.sketches import (
+        bloom_prefilter_join,
+    )
+
+    big = spark.createDataFrame([(i, i) for i in range(3000)], "rid long, k long")
+    small = spark.createDataFrame([(k,) for k in range(0, 3000, 2)], "k long")
+    # 1500 keys against an explicit 1024-bit filter: saturated — the
+    # guard must return the exact plain semi-join, not a useless screen
+    got = bloom_prefilter_join(big, small, "k", m_bits=1024)
+    truth = big.join(small, "k", "left_semi")
+    assert got.exceptAll(truth).isEmpty() and truth.exceptAll(got).isEmpty()
