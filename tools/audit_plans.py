@@ -666,7 +666,14 @@ def _bulk(spark, op: str):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # positional sf_dir only — `audit_plans.py --write-md PLANS.md`
+    # must not read the flag as a data directory
+    positional = [
+        a
+        for i, a in enumerate(sys.argv[1:], 1)
+        if not a.startswith("--") and sys.argv[i - 1] != "--write-md"
+    ]
+    sf_dir = positional[0] if positional else "/root/testdata/sf0.001"
     write_md = None
     if "--write-md" in sys.argv:
         write_md = sys.argv[sys.argv.index("--write-md") + 1]
