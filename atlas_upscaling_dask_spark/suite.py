@@ -7535,3 +7535,80 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """,
 )
+
+
+def _ndv_rolling_7d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling 7-day distinct users from DAILY KMV sketches: each day's
+    # sketch fans out to the 7 window-end days it serves (narrow
+    # explode — an equi-keyed merge, never a range join), merges via
+    # k-smallest-of-union, and estimates; the exact rolling NDV joins
+    # alongside.  This is the sketch-lattice pattern at 100 TB: daily
+    # state is kilobytes, a year of rolling MAU curves never rescans
+    # events.
+    from .extensions.sketches import kmv_merge, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = kmv_sketch(ev, "user_id", ["day"], k=64)
+    days = daily.select(F.col("day").alias("target")).distinct()
+    fanned = daily.select(
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("target"),
+        "sketch",
+    ).join(days, "target", "left_semi")
+    merged = kmv_merge(fanned, ["target"], k=64)
+    exact = (
+        ev.select("user_id", "day")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(day, date_add(day, 6))")).alias(
+                "target"
+            ),
+        )
+        .join(days, "target", "left_semi")
+        .groupBy("target")
+        .agg(F.countDistinct("user_id").alias("ndv_exact"))
+    )
+    from .extensions.sketches import kmv_estimate_expr
+
+    return (
+        merged.join(exact, "target")
+        .select(
+            F.col("target").cast("string").alias("day"),
+            kmv_estimate_expr("sketch", 64).alias("ndv_est"),
+            F.size("sketch").alias("sketch_size"),
+            "ndv_exact",
+        )
+    )
+
+
+_register(
+    "ndv_rolling_7d",
+    _ndv_rolling_7d_q,
+    """
+WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM ev),
+win AS (
+  SELECT d.day AS target, e.user_id,
+         substr(md5(CAST(e.user_id AS VARCHAR)), 1, 13) AS h
+  FROM days d JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day
+),
+sk AS (
+  SELECT target, COUNT(*) AS sketch_size, MAX(h) AS kth FROM (
+    SELECT target, h, row_number() OVER (
+             PARTITION BY target ORDER BY h) AS rk
+    FROM (SELECT DISTINCT target, h FROM win)
+  ) WHERE rk <= 64 GROUP BY target
+),
+exact AS (SELECT target, COUNT(DISTINCT user_id) AS ndv_exact
+          FROM win GROUP BY target)
+SELECT CAST(s.target AS VARCHAR) AS day,
+       CASE WHEN s.sketch_size < 64 THEN CAST(s.sketch_size AS DOUBLE)
+            ELSE CAST(63 * 4503599627370496 AS DOUBLE)
+                 / CAST(('0x' || s.kth)::BIGINT AS DOUBLE) END AS ndv_est,
+       CAST(s.sketch_size AS INTEGER) AS sketch_size,
+       e.ndv_exact AS ndv_exact
+FROM sk s JOIN exact e ON s.target = e.target
+""",
+)
