@@ -347,3 +347,30 @@ def test_sorted_neighborhood_matches_naive(spark, seed, window):
         for q in range(p + 1, min(p + window, n))
     }
     assert got == truth, (seed, window, truth - got, got - truth)
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(**SETTINGS)
+def test_kmv_merge_equals_direct_sketch(spark, seed):
+    # The mergeability theorem the rolling-window row leans on:
+    # k-smallest-of-union of per-group bottom-k sketches == bottom-k of
+    # the union sketched directly, for arbitrary overlapping groups.
+    from atlas_upscaling_dask_spark.extensions.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    rng = np.random.default_rng(seed)
+    n_groups = int(rng.integers(2, 5))
+    rows = [
+        (g, int(v))
+        for g in range(n_groups)
+        for v in rng.integers(0, 300, int(rng.integers(5, 120)))
+    ]
+    df = spark.createDataFrame(rows, "g int, v long")
+    k = int(rng.choice([8, 16, 64]))
+    merged = kmv_merge(kmv_sketch(df, "v", ["g"], k), [], k)
+    direct = kmv_sketch(df, "v", [], k)
+    (m,) = merged.collect()
+    (d,) = direct.collect()
+    assert m["sketch"] == d["sketch"], (seed, k)
