@@ -450,16 +450,30 @@ def bloom_prefilter_join(
       (n·8 > m) falls back to the PLAIN semi-join: a saturated filter
       passes ~every key, and broadcasting ~all big-side keys as
       "hits" is an OOM, not an optimization;
-    * the small side's keys are hashed AFTER casting to the big side's
-      key type, so mixed-type joins (long vs double) probe the same
-      strings the big side hashes — otherwise 7 and 7.0 would md5
-      differently and a real match would be silently dropped.
+    * BOTH sides' keys are hashed at the join's COMMON type (derived
+      from Catalyst's own coercion via an ``array(a, b)`` probe, with
+      ``-0.0`` normalized to ``+0.0``): casting one side to the
+      other's type is wrong whenever the common type widens the probe
+      side too (big long vs small double coerces big to double — a
+      long-typed hash would miss 2^53+1's rounded match), and an
+      underivable common type falls back to the plain semi-join.
+
+    Construction is EAGER by contract: sizing/saturation need the
+    small side's distinct-key count, so building this operator runs
+    one job over the small side (the keys are localCheckpoint'd and
+    reused by the bitmap build — scanned once, not twice).
     """
-    big_type = big.schema[key_col].dataType
-    skeys = (
-        small.select(F.col(key_col).cast(big_type).cast("string").alias("_v"))
-        .distinct()
-    )
+    common = _common_key_type(big, small, key_col)
+    if common is None:
+        return big.join(small.select(key_col), key_col, "left_semi")
+
+    def _keystr(df: DataFrame) -> Column:
+        c = F.col(key_col).cast(common)
+        if common.typeName() in ("double", "float"):
+            c = c + F.lit(0.0).cast(common)  # -0.0 == 0.0 in joins
+        return c.cast("string").alias("_v")
+
+    skeys = small.select(_keystr(small)).distinct().localCheckpoint()
     n = skeys.count()
     if m_bits is None:
         m_bits = 1 << max(10, (max(16 * n, 1) - 1).bit_length())
@@ -467,7 +481,7 @@ def bloom_prefilter_join(
         return big.join(small.select(key_col), key_col, "left_semi")
     bloom = _bloom_words(skeys, m_bits, k_hashes)
     probes = (
-        big.select(F.col(key_col).cast("string").alias("_v"))
+        big.select(_keystr(big))
         .distinct()
         .selectExpr("_v", f"explode(sequence(0, {k_hashes - 1})) as j")
         .withColumn("pos", _bloom_pos_expr("j", "_v", m_bits))
@@ -491,7 +505,29 @@ def bloom_prefilter_join(
         .groupBy("_v")
         .agg(F.min("set").alias("all_set"))
         .filter(F.col("all_set") == 1)
-        .select(F.col("_v").cast(big_type).alias(key_col))
+        .select(F.col("_v").cast(common).alias(key_col))
     )
     screened = big.join(F.broadcast(hits), key_col, "left_semi")
     return screened.join(small.select(key_col), key_col, "left_semi")
+
+
+def _common_key_type(big: DataFrame, small: DataFrame, key_col: str):
+    """The type Spark's join coercion would compare ``key_col`` at —
+    derived by asking Catalyst to type ``array(a, b)`` over the two
+    sides' key types (the same widening family join keys use).
+    Returns None when no common type exists."""
+    pt = big.schema[key_col].dataType
+    bt = small.schema[key_col].dataType
+    if pt == bt:
+        return pt
+    from pyspark.sql.types import StructField, StructType
+
+    spark = big.sparkSession
+    probe = spark.createDataFrame(
+        [], StructType([StructField("a", pt), StructField("b", bt)])
+    )
+    try:
+        arr = probe.select(F.array("a", "b").alias("x"))
+        return arr.schema["x"].dataType.elementType
+    except Exception:  # noqa: BLE001 — incompatible types: caller falls back
+        return None

@@ -7545,7 +7545,7 @@ def _ndv_rolling_7d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # alongside.  This is the sketch-lattice pattern at 100 TB: daily
     # state is kilobytes, a year of rolling MAU curves never rescans
     # events.
-    from .extensions.sketches import kmv_merge, kmv_sketch
+    from .extensions.sketches import kmv_estimate_expr, kmv_merge, kmv_sketch
 
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.to_date("ts")
@@ -7570,8 +7570,6 @@ def _ndv_rolling_7d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("target")
         .agg(F.countDistinct("user_id").alias("ndv_exact"))
     )
-    from .extensions.sketches import kmv_estimate_expr
-
     return (
         merged.join(exact, "target")
         .select(

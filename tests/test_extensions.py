@@ -2723,3 +2723,21 @@ def test_bloom_prefilter_saturated_filter_falls_back(spark):
     got = bloom_prefilter_join(big, small, "k", m_bits=1024)
     truth = big.join(small, "k", "left_semi")
     assert got.exceptAll(truth).isEmpty() and truth.exceptAll(got).isEmpty()
+
+
+def test_bloom_prefilter_widening_coercion_no_false_negatives(spark):
+    # The common join type can widen BOTH sides (big long vs small
+    # double coerces big to double): 2**53+1 as a long rounds to
+    # 2**53 as a double and matches small's 2**53 — the bloom screen
+    # must hash at the coerced type or it silently drops that match.
+    from atlas_upscaling_dask_spark.extensions.sketches import (
+        bloom_prefilter_join,
+    )
+
+    big = spark.createDataFrame(
+        [(1, 2**53 + 1), (2, 7), (3, 9)], "rid long, k long"
+    )
+    small = spark.createDataFrame([(float(2**53),), (7.0,)], "k double")
+    got = {r["rid"] for r in bloom_prefilter_join(big, small, "k").collect()}
+    truth = {r["rid"] for r in big.join(small, "k", "left_semi").collect()}
+    assert got == truth == {1, 2}

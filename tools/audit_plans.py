@@ -610,7 +610,7 @@ def audited_queries():
         # bitmap + hits joins before any exchange of matched rows
         "bloom_semi_join": (
             QUERIES["bloom_semi_join"],
-            {"max_shuffles": 3, "broadcast": True, "codegen": True,
+            {"max_shuffles": 2, "broadcast": True, "codegen": True,
              "no_python_udf": True},
         ),
     }
