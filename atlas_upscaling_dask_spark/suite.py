@@ -7610,3 +7610,72 @@ SELECT CAST(s.target AS VARCHAR) AS day,
 FROM sk s JOIN exact e ON s.target = e.target
 """,
 )
+
+
+def _attribution_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch multi-touch attribution: each purchase credits the user's
+    # clicks in the preceding 7 days with U-shaped position weights
+    # (1.0 solo, 0.5/0.5 for two, else 0.4 first + 0.4 last + 0.2
+    # split across the middle).  Per-user band join + one window —
+    # pair-level output, so no order-dependent weight sums anywhere.
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("cts"),
+    )
+    touch = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("tts"),
+    )
+    j = conv.join(touch, "user_id").filter(
+        (F.col("tts") <= F.col("cts"))
+        & (F.col("tts") >= F.col("cts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    w = Window.partitionBy("conv_id").orderBy("tts", "touch_id")
+    wn = Window.partitionBy("conv_id")
+    ranked = j.select(
+        "conv_id",
+        "touch_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n_touches"),
+    )
+    weight = (
+        F.when(F.col("n_touches") == 1, F.lit(1.0))
+        .when(F.col("n_touches") == 2, F.lit(0.5))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("n_touches")),
+            F.lit(0.4),
+        )
+        .otherwise(F.lit(0.2) / (F.col("n_touches") - 2).cast("double"))
+    )
+    return ranked.select(
+        "conv_id", "touch_id", "rn", "n_touches", weight.alias("weight")
+    )
+
+
+_register(
+    "attribution_weights",
+    _attribution_weights_q,
+    """
+WITH conv AS (SELECT user_id, event_id AS conv_id, ts AS cts
+              FROM events WHERE event_type = 'purchase'),
+touch AS (SELECT user_id, event_id AS touch_id, ts AS tts
+          FROM events WHERE event_type = 'click'),
+ranked AS (
+  SELECT c.conv_id, t.touch_id,
+         row_number() OVER (PARTITION BY c.conv_id
+                            ORDER BY t.tts, t.touch_id) AS rn,
+         count(*) OVER (PARTITION BY c.conv_id) AS n_touches
+  FROM conv c JOIN touch t ON c.user_id = t.user_id
+  WHERE t.tts <= c.cts AND t.tts >= c.cts - INTERVAL 7 DAY
+)
+SELECT conv_id, touch_id, CAST(rn AS INTEGER) AS rn, n_touches,
+       CASE WHEN n_touches = 1 THEN 1.0
+            WHEN n_touches = 2 THEN 0.5
+            WHEN rn = 1 OR rn = n_touches THEN 0.4
+            ELSE 0.2 / CAST(n_touches - 2 AS DOUBLE) END AS weight
+FROM ranked
+""",
+)
