@@ -959,6 +959,108 @@ def prefix_filter_join(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def containment_join(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT set-containment self-join: pairs where the CONTAINED doc's
+    shingles lie (almost) wholly inside the CONTAINING doc —
+    ``|S(in) ∩ S(out)| / |S(in)| ≥ t``, directional and asymmetric.
+
+    This is the quote/excerpt/boilerplate-inclusion detector Jaccard
+    joins cannot express: a 50-shingle snippet fully embedded in a
+    5000-shingle page has Jaccard ≈ 0.01 (invisible to
+    :func:`prefix_filter_join` at any useful τ) but containment 1.0.
+    The reference has no dedup at all; this extends the driver-mandated
+    dedup family (SURVEY §2.8) the way CC-style pipelines layer exact →
+    near-dup → containment screens.
+
+    Candidate generation is the classic inverted-index set-containment
+    join with a frequency-ordered prefix filter on the CONTAINED side
+    only: overlap must reach ``ceil(t·|in|)``, so if none of the first
+    ``|in| - ceil(t·|in|) + 1`` rarest shingles of the contained doc hit
+    the containing doc, the pair cannot qualify.  The containing side
+    has no length bound (anything ≥ ceil(t·|in|) can contain), so it
+    exposes ALL its tokens — the equi-join probes a full inverted index
+    with the probe side's rarest grams, so candidate volume is bounded
+    by the posting lengths of RARE tokens (Zipf tail), not by corpus
+    size.  A size filter ``|out| ≥ ceil(t·|in|)`` prunes pre-verify.
+
+    Plan shape: shingle freq count (1 exchange), per-doc sorted arrays
+    materialized once (lazy localCheckpoint, 3 consumers), probe-prefix
+    explode ⋈ full-posting explode, candidate distinct, two verify
+    joins.  Containment is computed in integer space and divided ONCE
+    (long/long → IEEE double), so the brute-force DuckDB oracle matches
+    bitwise; any pair the prefix filter missed would surface as a
+    row-count mismatch.  At 100 TB the posting side is the persisted
+    inverted index (``retrieval.build_inverted_index`` layout) and the
+    array table stages to parquet — same plan, disk-backed.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    g = word_shingles(spread_small_input(docs, id_col), n, text_col, id_col)
+    freq = g.groupBy("gram").agg(F.count("*").alias("df"))
+    arrs = (
+        g.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("gram")))
+            ).alias("sg")
+        )
+        .select("doc_id", F.expr("transform(sg, s -> s.gram)").alias("grams"))
+    )
+    arrs = arrs.localCheckpoint(eager=False)
+    # contained-side prefix: p = |in| - ceil(t·|in|) + 1 (1e-9 ceil
+    # guard as in prefix_filter_join — only ever lengthens the prefix)
+    probe = arrs.select(
+        F.col("doc_id").alias("d_in"),
+        F.size("grams").alias("sz_in"),
+        F.explode(
+            F.expr(
+                f"slice(grams, 1, CAST(size(grams) - ceil({threshold!r} * "
+                f"size(grams) - 1e-9) + 1 AS INT))"
+            )
+        ).alias("tok"),
+    )
+    posting = arrs.select(
+        F.col("doc_id").alias("d_out"),
+        F.size("grams").alias("sz_out"),
+        F.explode("grams").alias("tok"),
+    )
+    cand = (
+        probe.join(posting, "tok")
+        .filter(
+            (F.col("d_in") != F.col("d_out"))
+            & (
+                F.col("sz_out")
+                >= F.ceil(F.lit(threshold) * F.col("sz_in") - F.lit(1e-9))
+            )
+        )
+        .select("d_in", "d_out")
+        .distinct()
+    )
+    g1 = arrs.select(F.col("doc_id").alias("d_in"), F.col("grams").alias("g_in"))
+    g2 = arrs.select(F.col("doc_id").alias("d_out"), F.col("grams").alias("g_out"))
+    ver = (
+        cand.join(g1, "d_in")
+        .join(g2, "d_out")
+        .select(
+            "d_in",
+            "d_out",
+            F.size(F.array_intersect("g_in", "g_out")).cast("long").alias("inter"),
+            F.size("g_in").cast("long").alias("n_in"),
+            F.size("g_out").cast("long").alias("n_out"),
+        )
+    )
+    return ver.withColumn(
+        "containment", F.col("inter") / F.col("n_in")
+    ).filter(F.col("containment") >= threshold)
+
+
 def _banded_hashes(
     hashes: DataFrame,
     n_bands: int,

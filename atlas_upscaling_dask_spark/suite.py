@@ -7679,3 +7679,39 @@ SELECT conv_id, touch_id, CAST(rn AS INTEGER) AS rn, n_touches,
 FROM ranked
 """,
 )
+
+
+def _containment_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Directional quote/excerpt detection: contained-doc shingles ⊆
+    # containing doc at ≥ 0.7 — the asymmetric screen Jaccard joins
+    # can't see (a snippet inside a long page has Jaccard ≈ 0).
+    from .extensions.dedup import containment_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_join(docs, threshold=0.7, n=3)
+
+
+_register(
+    "setsim_containment_join",
+    _containment_join_q,
+    """
+WITH sh AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         unnest(range(len(string_split(text, ' ')) - 2)) AS i
+  FROM documents
+),
+g AS (SELECT DISTINCT doc_id, w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS gram FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d_in, b.doc_id AS d_out, count(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.d_in, i.d_out, i.inter, s1.n AS n_in, s2.n AS n_out,
+       CAST(i.inter AS DOUBLE) / s1.n AS containment
+FROM inter i
+JOIN sz s1 ON i.d_in = s1.doc_id
+JOIN sz s2 ON i.d_out = s2.doc_id
+WHERE CAST(i.inter AS DOUBLE) / s1.n >= 0.7
+""",
+)

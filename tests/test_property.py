@@ -374,3 +374,60 @@ def test_kmv_merge_equals_direct_sketch(spark, seed):
     (m,) = merged.collect()
     (d,) = direct.collect()
     assert m["sketch"] == d["sketch"], (seed, k)
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    threshold=st.sampled_from([0.5, 0.7, 0.9]),
+)
+@settings(**SETTINGS)
+def test_containment_join_matches_bruteforce(spark, seed, threshold):
+    # Containment prefix-filter completeness: any (in, out) pair with
+    # |S_in ∩ S_out| >= ceil(t·|S_in|) must share at least one of the
+    # contained doc's |S_in| - ceil(t·|S_in|) + 1 rarest shingles with
+    # the containing doc — the pruned join equals brute force exactly.
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        containment_join,
+        word_shingles,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 15)))
+        for _ in range(rng.integers(4, 10))
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    sets = {}
+    for r in word_shingles(df, 3).collect():
+        sets.setdefault(r["doc_id"], set()).add(r["gram"])
+    truth = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b and len(sa & sb) / len(sa) >= threshold:
+                truth.add((a, b, len(sa & sb), len(sa), len(sb)))
+    key = lambda r: (r["d_in"], r["d_out"], r["inter"], r["n_in"], r["n_out"])
+    got = {key(r) for r in containment_join(df, threshold, 3).collect()}
+    assert got == truth, (seed, threshold, truth - got, got - truth)
+
+
+def test_containment_sees_what_jaccard_cannot(spark):
+    # A short snippet verbatim inside a long page: containment = 1.0
+    # while Jaccard is far below any useful near-dup threshold — the
+    # directional screen is not expressible as a symmetric join.
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        containment_join,
+        ngram_jaccard_pairs,
+    )
+
+    snippet = "alpha beta gamma delta epsilon"
+    page = " ".join(f"tok{i}" for i in range(200)) + " " + snippet
+    df = spark.createDataFrame(
+        [(1, snippet), (2, page)], "doc_id long, text string"
+    )
+    got = containment_join(df, threshold=0.9, n=3).collect()
+    assert [(r["d_in"], r["d_out"]) for r in got] == [(1, 2)]
+    assert got[0]["containment"] == 1.0
+    assert ngram_jaccard_pairs(df, 3, 0.5).count() == 0
