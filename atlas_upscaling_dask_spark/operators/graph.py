@@ -225,3 +225,79 @@ ORDER BY rank_scaled DESC, node ASC LIMIT {top_k}
 """
     )
     return "\n".join(parts)
+
+
+def bfs_levels(
+    pairs: DataFrame,
+    source: int | None = None,
+    max_hops: int = 6,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Shortest-hop distance from ``source`` to every node reachable in
+    ``max_hops`` BFS rounds, as (node, dist) — the Pregel/GraphX BFS
+    shape expressed as an iterative DataFrame fixpoint.
+
+    ``source=None`` picks the smallest node id (deterministic without a
+    second pass: it is min over the edge table, one agg — broadcast as
+    a 1-row frame, never a driver-side collect of graph data).
+
+    Each round expands the current distance frontier through the
+    symmetrized edge list and folds with ``min(dist)`` — a node reached
+    twice keeps its earliest hop count, so after round k every node at
+    true distance ≤ k is final (synchronous BFS invariant).  Per-round
+    ``localCheckpoint`` keeps the plan linear in rounds, exactly like
+    :func:`pagerank`; each round is ONE join + ONE aggregation exchange
+    on the frontier (not the whole graph — already-settled nodes
+    re-emit only their min, and AQE collapses the tiny early rounds).
+
+    At 100 TB: rounds scale with graph diameter, not size; the edge
+    table partitions by src once and every round's join reuses that
+    partitioning.  The reference (a flat Dask pipeline) has no graph
+    surface at all — this rounds out the pair-table analytics family
+    (components / triangles / PageRank) the near-dup clustering path
+    already relies on.
+    """
+    edges = canonical_edges(pairs, a_col, b_col)
+    directed = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    if source is None:
+        src = directed.agg(F.min("a").alias("node"))
+    else:
+        src = directed.sparkSession.createDataFrame(
+            [(int(source),)], "node long"
+        )
+    dist = src.select(
+        F.col("node").cast("long").alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    for _ in range(max_hops):
+        expanded = dist.join(
+            directed, dist["node"] == directed["a"], "inner"
+        ).select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionAll(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+def bfs_oracle_sql(edges_cte: str, max_hops: int = 6) -> str:
+    """DuckDB twin of :func:`bfs_levels` (source = min node id): a
+    recursive CTE bounded by ``max_hops``, folded with min(dist)."""
+    return f"""
+WITH RECURSIVE {edges_cte},
+und AS (
+  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+),
+bfs AS (
+  SELECT (SELECT MIN(a) FROM und) AS node, 0 AS dist
+  UNION
+  SELECT u.b AS node, bfs.dist + 1 AS dist
+  FROM bfs JOIN und u ON u.a = bfs.node
+  WHERE bfs.dist < {max_hops}
+)
+SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM bfs GROUP BY node
+"""

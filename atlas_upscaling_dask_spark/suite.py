@@ -7715,3 +7715,20 @@ JOIN sz s2 ON i.d_out = s2.doc_id
 WHERE CAST(i.inter AS DOUBLE) / s1.n >= 0.7
 """,
 )
+
+
+def _graph_bfs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shortest-hop levels from the smallest part id over the
+    # co-purchase graph — 6 synchronous BFS rounds, Pregel-style.
+    from .operators.graph import bfs_levels
+
+    return bfs_levels(_copurchase_edges(spark, sf_dir), max_hops=6)
+
+
+def _graph_bfs_oracle() -> str:
+    from .operators.graph import bfs_oracle_sql
+
+    return bfs_oracle_sql(GRAPH_EDGES_CTE.strip(), max_hops=6)
+
+
+_register("graph_bfs", _graph_bfs_q, _graph_bfs_oracle())

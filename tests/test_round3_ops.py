@@ -470,3 +470,39 @@ def test_quantile_sketch_estimate_accuracy(spark):
     # rank-space SE ~ sqrt(p(1-p)/512) ≈ 2.2%; allow 4 sigma ≈ 9%.
     for p, got in ((0.25, out["q25"]), (0.5, out["q50"]), (0.75, out["q75"])):
         assert abs(got / n - p) < 0.09, (p, got)
+
+
+def test_bfs_levels_matches_python_bfs(spark):
+    # Hand graph with two components and a diameter > 1: distances from
+    # the min node must equal a reference BFS; the unreachable component
+    # must be absent (not dist=null, not dist=max_hops).
+    from collections import deque
+
+    from atlas_upscaling_dask_spark.operators.graph import bfs_levels
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 6), (6, 5), (8, 9)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want, dq = {1: 0}, deque([1])
+    while dq:
+        u = dq.popleft()
+        for v in adj[u]:
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    got = {r["node"]: r["dist"] for r in bfs_levels(df, max_hops=6).collect()}
+    assert got == want
+
+
+def test_bfs_levels_hop_bound(spark):
+    # A 10-node path with max_hops=3 keeps only nodes within 3 hops.
+    from atlas_upscaling_dask_spark.operators.graph import bfs_levels
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "a long, b long"
+    )
+    got = {r["node"]: r["dist"] for r in bfs_levels(df, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
