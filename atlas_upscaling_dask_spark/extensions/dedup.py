@@ -1715,3 +1715,42 @@ def sorted_neighborhood_pairs(
         )
         .select("id_a", "id_b", "rn_a", "rn_b")
     )
+
+
+def canonical_by_quality(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup family,
+    keep the HIGHEST-QUALITY member instead of the arbitrary min-id.
+
+    Production dedup pipelines keep the best copy of a duplicated page
+    (longest, cleanest, most recent crawl), not the lexicographically
+    first — :func:`near_dup_clusters` supplies the families (transitive
+    closure over any pair frame), ``quality`` supplies (doc_id, quality)
+    from any scorer, and the winner is argmax(quality) with min(doc_id)
+    as the deterministic tiebreak.  Returns every doc as (doc_id,
+    cluster_id, quality, is_canonical); singletons are their own
+    canonical.
+
+    Plan: components fixpoint + ONE broadcast-able join + ONE window per
+    cluster — the window partitions by cluster_id, whose cardinality
+    and skew track duplicate families (bounded in practice; a pathological
+    mega-family degrades to the same single-partition sort any per-group
+    argmax does, and salting the rank as in skew.py applies unchanged).
+    """
+    clusters = near_dup_clusters(docs, pairs, id_col).select(
+        "doc_id", "cluster_id"
+    )
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )

@@ -7732,3 +7732,67 @@ def _graph_bfs_oracle() -> str:
 
 
 _register("graph_bfs", _graph_bfs_q, _graph_bfs_oracle())
+
+
+def _dedup_canonical_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keep the BEST copy of each near-dup family (argmax quality, min-id
+    # tiebreak) — the production alternative to min-id canonicalization.
+    from .extensions.dedup import canonical_by_quality, ngram_jaccard_pairs
+    from .extensions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return canonical_by_quality(docs, pairs, quality_score(docs))
+
+
+_register(
+    "dedup_canonical_quality",
+    _dedup_canonical_quality_q,
+    f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         unnest(range(len(string_split(text, ' ')) - 2)) AS i
+  FROM documents
+),
+g AS (SELECT DISTINCT doc_id, w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS gram FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+  WHERE inter / (s1.n + s2.n - inter) >= 0.5
+),
+und AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+prop AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT u.a AS id, p.comp
+  FROM prop p JOIN und u ON u.b = p.id
+),
+clus AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM prop GROUP BY id),
+st AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         len(list_filter(string_split(text, ' '), x -> list_contains({_STOPLIST_SQL}, x))) AS n_stop
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         ((CASE WHEN n_chars >= 64 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN n_stop / n_tokens >= 0.05 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN n_punct * 4 <= n_tokens THEN 1.0 ELSE 0.0 END)) / 3 AS quality
+  FROM st
+)
+SELECT c.doc_id, c.cluster_id, q.quality,
+       row_number() OVER (PARTITION BY c.cluster_id
+                          ORDER BY q.quality DESC, c.doc_id ASC) = 1
+         AS is_canonical
+FROM clus c JOIN q USING (doc_id)
+""",
+)

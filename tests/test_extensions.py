@@ -2741,3 +2741,24 @@ def test_bloom_prefilter_widening_coercion_no_false_negatives(spark):
     got = {r["rid"] for r in bloom_prefilter_join(big, small, "k").collect()}
     truth = {r["rid"] for r in big.join(small, "k", "left_semi").collect()}
     assert got == truth == {1, 2}
+
+
+def test_canonical_by_quality_prefers_best_copy(spark):
+    # Family {1,2,3} linked by pairs; doc 2 has the highest quality so
+    # it is canonical despite not being min-id; singleton 9 keeps
+    # itself; ties fall back to min doc_id.
+    from atlas_upscaling_dask_spark.extensions.dedup import canonical_by_quality
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (9, "z")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "d1 long, d2 long")
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (9, 0.1)], "doc_id long, quality double"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in canonical_by_quality(docs, pairs, quality).collect()
+    }
+    # 2 and 3 tie on quality 0.9 -> min doc_id (2) wins
+    assert got == {1: (1, False), 2: (1, True), 3: (1, False), 9: (9, True)}
