@@ -293,3 +293,68 @@ def profile_drift(
         .groupBy("column")
         .agg((F.sum("t").cast("double") / 2).alias("tv"))
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    k: int = 32,
+    n_ranges: int = 32,
+) -> DataFrame:
+    """EXACT equi-depth (equal-height) histogram: ``k`` buckets, each
+    holding ``floor((b+1)·N/k) − floor(b·N/k)`` rows of the sorted
+    multiset, reported as (bucket, n_rows, lo, hi).
+
+    Equi-WIDTH histograms (``value_histogram``) mislead on skewed
+    distributions — one bucket swallows the mass; the equi-depth
+    variant is what optimizers and drift monitors actually keep.
+    The output is TIE-ORDER INDEPENDENT: bucket populations are fixed
+    by the rank formula alone, and a run of equal values straddling a
+    boundary contributes that same value to both buckets' lo/hi
+    whichever duplicate lands where — so no total order is needed.
+
+    Global ranks come from the sorted-neighborhood machinery (range
+    repartition → sortWithinPartitions → consecutive per-partition ids
+    from monotonically_increasing_id → broadcast prefix-sum offsets):
+    NO single-partition global sort, no driver collect; the only
+    data-sized exchange is the range repartition.  N arrives as a
+    broadcast 1-row frame, never a driver round-trip.  The rank lineage
+    is localCheckpoint-ed once so every consumer reads one numbering.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    vals = df.select(F.col(value_col).alias("val"))
+    local = (
+        vals.repartitionByRange(n_ranges, "val")
+        .sortWithinPartitions("val")
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .select(
+            "val",
+            F.shiftright("_mid", 33).alias("_pid"),
+            (F.col("_mid").bitwiseAND((1 << 33) - 1) + 1).alias("_lrn"),
+        )
+        .localCheckpoint()
+    )
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_n"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(woff), F.lit(0))
+    ).select("_pid", "_off")
+    total = counts.agg(F.sum("_n").alias("_total"))
+    ranked = (
+        local.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "val",
+            F.expr(f"CAST(((_lrn + _off - 1) * {k}) div _total AS INT)").alias(
+                "bucket"
+            ),
+        )
+    )
+    return ranked.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("val").alias("lo"),
+        F.max("val").alias("hi"),
+    )

@@ -7796,3 +7796,73 @@ SELECT c.doc_id, c.cluster_id, q.quality,
 FROM clus c JOIN q USING (doc_id)
 """,
 )
+
+
+def _histogram_equidepth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact 32-bucket equi-depth histogram of extended price — the
+    # skew-proof profile equi-width histograms can't give; global ranks
+    # via range partitions + broadcast prefix-sum offsets.
+    from .operators.profile import equidepth_histogram
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return equidepth_histogram(li, "l_extendedprice", k=32)
+
+
+_register(
+    "histogram_equidepth",
+    _histogram_equidepth_q,
+    """
+WITH r AS (
+  SELECT l_extendedprice AS val,
+         row_number() OVER (ORDER BY l_extendedprice) AS rn,
+         count(*) OVER () AS n
+  FROM lineitem
+)
+SELECT CAST(((rn - 1) * 32) // n AS INTEGER) AS bucket,
+       count(*) AS n_rows, min(val) AS lo, max(val) AS hi
+FROM r GROUP BY 1
+""",
+)
+
+
+def _market_basket_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Items co-ordered more than independence predicts: top-20 part
+    # pairs by lift over order baskets, support >= 3 orders.
+    from .extensions.assoc import pair_lift
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return pair_lift(li, "l_orderkey", "l_partkey", min_support=3, top_k=20)
+
+
+_register(
+    "market_basket_lift",
+    _market_basket_lift_q,
+    """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+kept AS (
+  SELECT i.basket, i.item FROM items i
+  JOIN (SELECT basket, count(*) AS c FROM items GROUP BY basket) s
+    ON i.basket = s.basket
+  WHERE s.c <= 64
+),
+nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM kept),
+ic AS (SELECT item, count(*) AS cnt FROM kept GROUP BY item),
+pc AS (
+  SELECT x.item AS a, y.item AS b, count(*) AS cnt_ab
+  FROM kept x JOIN kept y ON x.basket = y.basket AND x.item < y.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT p.a, p.b, p.cnt_ab, ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+       (CAST(p.cnt_ab AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE))
+         / (CAST(ia.cnt AS DOUBLE) * CAST(ib.cnt AS DOUBLE)) AS lift
+FROM pc p
+JOIN ic ia ON p.a = ia.item
+JOIN ic ib ON p.b = ib.item
+CROSS JOIN nb
+ORDER BY lift DESC, p.a, p.b
+LIMIT 20
+""",
+)

@@ -2762,3 +2762,65 @@ def test_canonical_by_quality_prefers_best_copy(spark):
     }
     # 2 and 3 tie on quality 0.9 -> min doc_id (2) wins
     assert got == {1: (1, False), 2: (1, True), 3: (1, False), 9: (9, True)}
+
+
+def test_equidepth_histogram_buckets_balanced(spark):
+    # 1000 heavily-skewed values into 10 buckets: every bucket must hold
+    # exactly 100 rows (the defining equi-depth property, which an
+    # equi-width histogram fails by construction here), contiguous
+    # non-overlapping ranges, and total == N.
+    from atlas_upscaling_dask_spark.operators.profile import equidepth_histogram
+
+    vals = [(float(i * i),) for i in range(1000)]  # quadratic skew
+    df = spark.createDataFrame(vals, "v double")
+    rows = sorted(
+        equidepth_histogram(df, "v", k=10).collect(), key=lambda r: r["bucket"]
+    )
+    assert [r["bucket"] for r in rows] == list(range(10))
+    assert all(r["n_rows"] == 100 for r in rows)
+    assert sum(r["n_rows"] for r in rows) == 1000
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["hi"] <= cur["lo"]
+
+
+def test_equidepth_histogram_tie_runs_are_stable(spark):
+    # A value run straddling a boundary: bucket populations stay fixed
+    # by the rank formula and the straddled value shows up as hi of one
+    # bucket and lo of the next — tie order cannot change the output.
+    from atlas_upscaling_dask_spark.operators.profile import equidepth_histogram
+
+    df = spark.createDataFrame([(1.0,)] * 6 + [(2.0,)] * 6, "v double")
+    rows = {r["bucket"]: r for r in equidepth_histogram(df, "v", k=4).collect()}
+    assert {b: rows[b]["n_rows"] for b in rows} == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert rows[1]["lo"] == 1.0 and rows[1]["hi"] == 1.0
+    assert rows[2]["lo"] == 2.0
+
+
+def test_pair_lift_hand_computed(spark):
+    # Baskets: {1,2} x3, {1,3}, {2,3} -> pair (1,2) support 3; lift =
+    # (3*5)/(4*4) = 0.9375. min_support=3 drops the other pairs.
+    from atlas_upscaling_dask_spark.extensions.assoc import pair_lift
+
+    rows = [
+        (10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 2),
+        (13, 1), (13, 3), (14, 2), (14, 3),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = pair_lift(df, "basket", "item", min_support=3, top_k=5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["a"], r["b"], r["cnt_ab"], r["cnt_a"], r["cnt_b"]) == (1, 2, 3, 4, 4)
+    assert r["lift"] == (3.0 * 5.0) / (4.0 * 4.0)
+
+
+def test_pair_lift_oversized_basket_dropped(spark):
+    # A basket above max_basket contributes NO pairs (dropped whole,
+    # not truncated) — the quadratic-blowup guard.
+    from atlas_upscaling_dask_spark.extensions.assoc import pair_lift
+
+    big = [(99, i) for i in range(70)]
+    small = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2)]
+    df = spark.createDataFrame(big + small, "basket long, item long")
+    got = pair_lift(df, "basket", "item", min_support=1, top_k=100).collect()
+    assert {(r["a"], r["b"]) for r in got} == {(1, 2)}
+    assert got[0]["cnt_ab"] == 3
