@@ -1042,6 +1042,13 @@ def containment_join(
         )
         .select("d_in", "d_out")
         .distinct()
+        # AQE sizes post-shuffle partitions for ~64 MB of BYTES, but the
+        # verify stage is CPU-bound (one array_intersect per pair) — a
+        # byte-coalesced 3-partition distinct serializes it onto 3
+        # cores.  An explicit narrow repartition of the (id, id) pair
+        # frame restores full parallelism for ~nothing (measured 6.6 s
+        # → 3.4 s at sf0.1).
+        .repartition(int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions")))
     )
     g1 = arrs.select(F.col("doc_id").alias("d_in"), F.col("grams").alias("g_in"))
     g2 = arrs.select(F.col("doc_id").alias("d_out"), F.col("grams").alias("g_out"))

@@ -276,6 +276,11 @@ def main() -> None:
         "edit_distance_join",
         "bloom_semi_join",
         "cms_heavy_hitters",
+        "setsim_containment_join",
+        "dedup_canonical_quality",
+        "histogram_equidepth",
+        "market_basket_lift",
+        "graph_bfs",
     ]
     for name in headliners:
         timed(name, lambda n=name: force(suite.QUERIES[n](spark, SF_DIR)))

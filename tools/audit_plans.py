@@ -613,6 +613,37 @@ def audited_queries():
             {"max_shuffles": 2, "broadcast": True, "codegen": True,
              "no_python_udf": True},
         ),
+        # containment join: post-checkpoint plan is prefix-probe ⋈
+        # posting + verify joins — pair-distinct exchange plus the
+        # explicit narrow repartition that parallelizes the CPU-bound
+        # verify; the array-table joins broadcast at this scale
+        "setsim_containment_join": (
+            QUERIES["setsim_containment_join"],
+            {"max_shuffles": 2, "broadcast": True, "codegen": True,
+             "no_python_udf": True},
+        ),
+        # canonical-quality dedup: components fixpoint is checkpointed;
+        # the residual plan is one quality join + one cluster window
+        "dedup_canonical_quality": (
+            QUERIES["dedup_canonical_quality"],
+            {"max_shuffles": 1, "broadcast": True, "codegen": True,
+             "no_python_udf": True},
+        ),
+        # equi-depth histogram: range repartition + rank-offsets agg +
+        # bounded (<= n_ranges rows) offsets window + final bucket agg —
+        # and NEVER a global single-partition sort of the data itself
+        "histogram_equidepth": (
+            QUERIES["histogram_equidepth"],
+            {"max_shuffles": 5, "broadcast": True, "codegen": True,
+             "no_python_udf": True},
+        ),
+        # basket lift: distinct + size-guard join + pair agg + two item
+        # joins; N is a broadcast 1-row frame (no driver round-trip)
+        "market_basket_lift": (
+            QUERIES["market_basket_lift"],
+            {"max_shuffles": 5, "broadcast": True, "codegen": True,
+             "no_python_udf": True},
+        ),
     }
 
 
