@@ -386,3 +386,116 @@ def rolling_median(
         F.col(key_col),
         med.alias("rolling_med"),
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    value_scale: int = 100,
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP) under step-function
+    semantics: each observation holds until the next one, so the mean
+    weights every value by how LONG it was current, not how often it
+    was sampled — the difference that matters for irregular streams
+    (a sensor that reports rarely when stable would otherwise dominate).
+
+    Exactness contract: values are fixed-point at ``value_scale``
+    (centi-units by default — exact for 2-decimal inputs), durations
+    are integer microseconds from ``unix_micros``, and the weighted sum
+    ``Σ scaled_value·Δµs`` accumulates as BIGINT — an associative,
+    order-independent integer sum, divided ONCE at the end by
+    ``value_scale · span_µs``.  The SQL oracle reproduces it bitwise
+    (same contract as ewma / lm_score).  Overflow headroom: the sum is
+    bounded by max|scaled value| · span_µs; 2⁶³ allows ~30 years of span
+    at |value| ≤ 10⁶ — guarded by the DECIMAL cast DuckDB also applies.
+
+    Plan: ONE lead() window per key + ONE aggregation, both keyed on
+    ``key_col`` — no self-join, cost identical to a groupBy.  Keys with
+    a single event have zero observed span and are reported with
+    ``twap = value`` (the only defensible answer) and ``span_us = 0``.
+    """
+    w = Window.partitionBy(key_col).orderBy(time_col, tiebreak_col)
+    us = F.unix_micros(F.col(time_col))
+    stepped = events.select(
+        F.col(key_col).alias("k"),
+        F.round(F.col(value_col) * value_scale).cast("long").alias("sv"),
+        (F.lead(us).over(w) - us).alias("dur_us"),
+        F.row_number().over(w).alias("rn"),
+    )
+    agg = stepped.groupBy("k").agg(
+        F.sum(F.when(F.col("dur_us").isNotNull(), F.col("sv") * F.col("dur_us"))).alias(
+            "wsum"
+        ),
+        F.sum("dur_us").alias("span_us"),
+        F.count("*").cast("long").alias("n_events"),
+        # deterministic fallback: the (time, tiebreak)-first value —
+        # portable as MAX(CASE WHEN rn=1 ...) in the oracle
+        F.max(F.when(F.col("rn") == 1, F.col("sv"))).alias("first_sv"),
+    )
+    return agg.select(
+        F.col("k").alias(key_col),
+        F.when(
+            F.col("span_us") > 0,
+            F.col("wsum").cast("double")
+            / (F.col("span_us") * F.lit(value_scale)).cast("double"),
+        )
+        .otherwise(F.col("first_sv").cast("double") / F.lit(value_scale))
+        .alias("twap"),
+        F.coalesce(F.col("span_us"), F.lit(0)).cast("long").alias("span_us"),
+        "n_events",
+    )
+
+
+def merge_intervals(
+    intervals: DataFrame,
+    key_col: str = "key",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Collapse overlapping/adjacent intervals per key into maximal
+    disjoint "islands" — the gaps-and-islands classic (coverage spans,
+    on-call windows, sessionized availability).
+
+    An interval starts a new island iff its start exceeds the running
+    maximum end of all earlier intervals (ordered by start; touching
+    intervals merge).  The island id is then a running count of such
+    breaks, and one aggregation emits (key, island start, island end,
+    n_intervals).  Two windows + one aggregation, ALL keyed on
+    ``key_col`` — no self-join, no driver loop; per-key sorts are the
+    AQE skew case, and the running max/sum are frame-bounded windows
+    Spark evaluates in one pass over each key's sorted run.
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = intervals.select(
+        F.col(key_col).alias("k"),
+        F.col(start_col).alias("s"),
+        F.col(end_col).alias("e"),
+        F.when(prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    w2 = Window.partitionBy("k").orderBy("s", "e")
+    islands = flagged.withColumn(
+        "island", F.sum("brk").over(w2.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("k", "island")
+        .agg(
+            F.min("s").alias("island_start"),
+            F.max("e").alias("island_end"),
+            F.count("*").cast("long").alias("n_intervals"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.col("island").cast("int").alias("island"),
+            "island_start",
+            "island_end",
+            "n_intervals",
+        )
+    )

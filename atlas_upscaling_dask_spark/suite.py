@@ -7866,3 +7866,99 @@ ORDER BY lift DESC, p.a, p.b
 LIMIT 20
 """,
 )
+
+
+def _twap_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Step-function time-weighted mean of `value` per user — weights by
+    # how long a reading was current, not how often it was sampled;
+    # integer-µs × centi-value sums keep it engine-exact.
+    from .operators.resample import time_weighted_avg
+
+    return time_weighted_avg(load_table(spark, sf_dir, "events"))
+
+
+_register(
+    "twap_events",
+    _twap_events_q,
+    """
+WITH s AS (
+  SELECT user_id AS k,
+         CAST(round(value * 100) AS BIGINT) AS sv,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dur_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+a AS (
+  SELECT k,
+         SUM(CASE WHEN dur_us IS NOT NULL THEN sv * dur_us END) AS wsum,
+         SUM(dur_us) AS span_us,
+         COUNT(*) AS n_events,
+         MAX(CASE WHEN rn = 1 THEN sv END) AS first_sv
+  FROM s GROUP BY k
+)
+SELECT k AS user_id,
+       CASE WHEN span_us > 0
+            THEN CAST(wsum AS DOUBLE) / CAST(CAST(span_us * 100 AS BIGINT) AS DOUBLE)
+            ELSE CAST(first_sv AS DOUBLE) / 100 END AS twap,
+       CAST(COALESCE(span_us, 0) AS BIGINT) AS span_us,
+       n_events
+FROM a
+""",
+)
+
+
+def _interval_islands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gaps-and-islands: merge each customer's 30-day order-coverage
+    # windows into maximal disjoint spans (epoch-µs endpoints).
+    from .operators.resample import merge_intervals
+
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("k"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            + F.lit(2592000000000)
+        ).alias("e"),
+    )
+    out = merge_intervals(iv, key_col="k", start_col="s", end_col="e")
+    return out.select(
+        F.col("k").alias("o_custkey"),
+        "island",
+        "island_start",
+        "island_end",
+        "n_intervals",
+    )
+
+
+_register(
+    "interval_islands",
+    _interval_islands_q,
+    """
+WITH iv AS (
+  SELECT o_custkey AS k, epoch_us(o_orderdate) AS s,
+         epoch_us(o_orderdate) + 2592000000000 AS e
+  FROM orders
+),
+f AS (
+  SELECT k, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY k ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > max(e) OVER (PARTITION BY k ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+),
+g AS (
+  SELECT k, s, e,
+         SUM(brk) OVER (PARTITION BY k ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM f
+)
+SELECT k AS o_custkey, CAST(island AS INTEGER) AS island,
+       MIN(s) AS island_start, MAX(e) AS island_end,
+       COUNT(*) AS n_intervals
+FROM g GROUP BY 1, 2
+""",
+)

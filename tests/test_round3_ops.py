@@ -506,3 +506,44 @@ def test_bfs_levels_hop_bound(spark):
     )
     got = {r["node"]: r["dist"] for r in bfs_levels(df, max_hops=3).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_time_weighted_avg_step_semantics(spark):
+    # Value 10 held for 3 s then 40 for 1 s: twap = (10*3 + 40*1)/4 =
+    # 17.5 — the arithmetic mean (25.0) would be wrong.  A single-event
+    # key reports its own value with span 0.
+    import datetime as dt
+
+    from atlas_upscaling_dask_spark.operators.resample import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, 10.0),
+        (2, t0 + dt.timedelta(seconds=3), 1, 40.0),
+        (3, t0 + dt.timedelta(seconds=4), 1, 40.0),
+        (4, t0, 2, 7.25),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {r["user_id"]: r for r in time_weighted_avg(df).collect()}
+    assert got[1]["twap"] == (10.0 * 3 + 40.0 * 1) / 4.0
+    assert got[1]["span_us"] == 4_000_000 and got[1]["n_events"] == 3
+    assert got[2]["twap"] == 7.25 and got[2]["span_us"] == 0
+
+
+def test_merge_intervals_islands(spark):
+    # [0,10],[5,20] merge; [20,30] touches so merges too; [40,50] is a
+    # new island; key isolation holds.
+    from atlas_upscaling_dask_spark.operators.resample import merge_intervals
+
+    rows = [
+        (1, 0, 10), (1, 5, 20), (1, 20, 30), (1, 40, 50),
+        (2, 0, 5),
+    ]
+    df = spark.createDataFrame(rows, "key long, start long, end long")
+    got = sorted(
+        (r["key"], r["island"], r["island_start"], r["island_end"], r["n_intervals"])
+        for r in merge_intervals(df).collect()
+    )
+    assert got == [(1, 1, 0, 30, 3), (1, 2, 40, 50, 1), (2, 1, 0, 5, 1)]
