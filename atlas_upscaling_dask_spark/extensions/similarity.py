@@ -1263,3 +1263,47 @@ def append_to_ivf_index(
     cents = np.asarray(side["centroids"], dtype=np.float64)
     assigned = _assign_buckets(vectors, cents, id_col, vec_col)
     assigned.write.mode("append").partitionBy("bucket").parquet(path)
+
+
+def knn_graph_mutual(
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual k-NN graph over an embedding corpus: undirected edges
+    (a < b) kept only when EACH endpoint ranks the other in its own
+    LSH-bucket top-k — the standard graph-construction step before
+    density clustering / community detection over embeddings, and the
+    robust variant (mutuality prunes hub edges that asymmetric k-NN
+    graphs accumulate around dense regions).
+
+    Built entirely from :func:`ann_lsh_topk` applied corpus-vs-corpus:
+    the candidate generation is the bucket equi-join (never a cross
+    product — at 100 TB the corpus is stored bucketed by the sign-LSH
+    key so the self-join co-locates), and the directed top-k table is
+    materialized ONCE (lazy localCheckpoint) then self-joined on the
+    reversed pair to test mutuality.  The reversed-pair join keys on
+    both ids — uniform, skew-free.  Output carries the cosine and both
+    directed ranks; cosine(a,b) and cosine(b,a) are bitwise identical
+    (commutative products, same summation order), so the equi-join on
+    the pair never drops an edge to floating-point asymmetry.
+    """
+    topk = ann_lsh_topk(
+        corpus, corpus, k=k, n_planes=n_planes, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)
+    fwd = topk.select(
+        F.col("query_id").alias("a"),
+        F.col("neighbor_id").alias("b"),
+        "cosine",
+        F.col("rk").alias("rk_ab"),
+    ).filter(F.col("a") < F.col("b"))
+    rev = topk.select(
+        F.col("neighbor_id").alias("a"),
+        F.col("query_id").alias("b"),
+        F.col("rk").alias("rk_ba"),
+    ).filter(F.col("a") < F.col("b"))
+    return fwd.join(rev, ["a", "b"]).select(
+        "a", "b", "cosine", "rk_ab", "rk_ba"
+    )

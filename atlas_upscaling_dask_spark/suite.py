@@ -7962,3 +7962,43 @@ SELECT k AS o_custkey, CAST(island AS INTEGER) AS island,
 FROM g GROUP BY 1, 2
 """,
 )
+
+
+def _knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mutual k-NN graph over the whole embedding corpus: undirected
+    # edges where each endpoint is in the other's bucket-local top-5.
+    from .extensions.similarity import knn_graph_mutual
+
+    return knn_graph_mutual(
+        load_table(spark, sf_dir, "embeddings"), k=5, n_planes=8
+    )
+
+
+_register(
+    "embed_knn_graph",
+    _knn_graph_q,
+    f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_BUCKET_SQL.format(v='(embedding::DOUBLE[])')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {_COSINE_SQL.format(a='q.v', b='n.v')} AS cosine
+  FROM c q JOIN c n USING (bucket) WHERE q.vec_id != n.vec_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored
+  ) WHERE rk <= 5
+)
+SELECT f.query_id AS a, f.neighbor_id AS b, f.cosine,
+       CAST(f.rk AS INTEGER) AS rk_ab, CAST(r.rk AS INTEGER) AS rk_ba
+FROM topk f
+JOIN topk r ON r.query_id = f.neighbor_id AND r.neighbor_id = f.query_id
+WHERE f.query_id < f.neighbor_id
+""",
+)

@@ -2824,3 +2824,25 @@ def test_pair_lift_oversized_basket_dropped(spark):
     got = pair_lift(df, "basket", "item", min_support=1, top_k=100).collect()
     assert {(r["a"], r["b"]) for r in got} == {(1, 2)}
     assert got[0]["cnt_ab"] == 3
+
+
+def test_knn_graph_mutual_edges_only(spark):
+    # 4 vectors in one LSH bucket (all-positive first component): 0 and
+    # 1 are near-identical (mutual rank 1), 2 is a hub-ish point, 3 is
+    # far from everything with k=1 — asymmetric edges must be pruned.
+    from atlas_upscaling_dask_spark.extensions.similarity import knn_graph_mutual
+
+    rows = [
+        (0, [1.0, 0.0, 0.1]),
+        (1, [1.0, 0.0, 0.12]),
+        (2, [1.0, 0.9, 0.0]),
+        (3, [1.0, -0.9, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["a"], r["b"]) for r in knn_graph_mutual(df, k=1, n_planes=1).collect()}
+    # with k=1: 0<->1 mutual; 2 and 3 each pick 0 or 1 but are nobody's
+    # top-1 -> no other edge survives
+    assert got == {(0, 1)}
+    full = knn_graph_mutual(df, k=3, n_planes=1)
+    r01 = [r for r in full.collect() if (r["a"], r["b"]) == (0, 1)][0]
+    assert r01["rk_ab"] == 1 and r01["rk_ba"] == 1
