@@ -915,3 +915,51 @@ def start_cms_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def start_kmv_stream(
+    spark: SparkSession,
+    events_path: str,
+    state_path: str,
+    schema,
+    value_col: str = "user_id",
+    group_col: str = "event_type",
+    k: int = 64,
+    checkpoint_dir: str | None = None,
+):
+    """Maintain per-group KMV distinct-count sketches over an event
+    stream — the streaming driver for ``extensions/sketches.kmv_sketch``.
+
+    Each micro-batch sketches ONLY its own rows, then merges with the
+    previous state via ``kmv_merge`` — KMV's merge (k smallest of the
+    hash union) is associative and duplicate-insensitive, so the fold
+    is exact: the streamed sketch is IDENTICAL to sketching the whole
+    history in one batch, the mergeability theorem the batch property
+    test already proves.  Exact-NDV streaming state would grow with the
+    distinct count; the sketch state is ≤ 13·k bytes per group forever.
+
+    Epoch-versioned state directories follow the ``start_cms_stream``
+    recipe: a retried epoch re-reads state strictly before itself and
+    overwrites its own ``epoch=N`` dir, so replays are idempotent and
+    readers always see a complete version.
+    """
+    from ..extensions.sketches import kmv_merge, kmv_sketch
+
+    stream = spark.readStream.schema(schema).parquet(events_path)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = kmv_sketch(batch_df, value_col, [group_col], k=k)
+        prev = read_agg_state(spark, state_path, before_epoch=int(epoch_id))
+        if prev is None:
+            state = delta
+        else:
+            state = kmv_merge(prev.unionByName(delta), [group_col], k=k)
+        out = f"{state_path}/epoch={int(epoch_id)}"
+        state.write.mode("overwrite").parquet(out)
+
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

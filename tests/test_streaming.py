@@ -770,3 +770,46 @@ def test_cms_stream_equals_whole_corpus_sketch(spark, tmp_path):
         full.select(F.explode(F.split("text", " ")).alias("token")), "token"
     )
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_kmv_stream_equals_whole_history_sketch(spark, tmp_path):
+    # Streaming KMV maintenance: the k-smallest-of-union fold is exact
+    # (mergeability), so the final per-group state after two drops must
+    # be IDENTICAL to sketching the concatenated history in one batch —
+    # including a group that only appears in drop 2.  Stop/restart
+    # between drops (the anomaly-test staging protocol).
+    from atlas_upscaling_dask_spark.extensions.sketches import kmv_sketch
+    from atlas_upscaling_dask_spark.streaming.ingest import (
+        read_agg_state,
+        start_kmv_stream,
+    )
+
+    schema = "event_id long, event_type string, user_id long"
+    drop1 = [(i, "click", i % 40) for i in range(60)]
+    drop2 = [(100 + i, "click", 30 + (i % 50)) for i in range(50)] + [
+        (990 + i, "view", i) for i in range(5)
+    ]
+    d1 = spark.createDataFrame(drop1, schema)
+    d2 = spark.createDataFrame(drop2, schema)
+    full = spark.createDataFrame(drop1 + drop2, schema)
+
+    src = str(tmp_path / "kmv_src")
+    state = str(tmp_path / "kmv_state")
+    ckpt = str(tmp_path / "kmv_ckpt")
+    d1.write.mode("append").parquet(src)
+
+    q = start_kmv_stream(spark, src, state, d1.schema, k=16, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    d2.write.mode("append").parquet(src)
+    q = start_kmv_stream(spark, src, state, d1.schema, k=16, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = read_agg_state(spark, state)
+    want = kmv_sketch(full, "user_id", ["event_type"], k=16)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
