@@ -532,3 +532,70 @@ def chunk_documents(
         F.col("c.n_tokens").alias("n_tokens"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+def negative_samples(
+    docs: DataFrame,
+    k: int = 4,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic in-batch negative mining for contrastive training:
+    each document draws ``k`` pseudo-random partners (≠ itself) from the
+    corpus via the LCG, as (doc_id, j, neg_doc_id).
+
+    Contrastive objectives (CLIP/DPR-style) need negatives per anchor;
+    sampling them with engine randomness would be irreproducible across
+    retries and engines, so the draw is the same affine-LCG arithmetic
+    ``train_shuffle`` uses: candidate index = ``((A·(idx·k + j + seed)
+    + C) mod M) mod N``, bumped by one (mod N) on self-collision.  Every
+    epoch/seed yields a different but fully reproducible draw.
+
+    The dense 0..N−1 index comes from a global row_number over
+    ``id_col`` — the same oracle-portability price ``token_dictionary``
+    pays, and the same escape hatch at 100 TB: swap the global window
+    for the range-partition + broadcast-offset rank machinery
+    (``dedup.sorted_neighborhood_pairs``) — the downstream plan
+    (explode k, one equi-join back to the index table) is unchanged.
+    N arrives via a broadcast 1-row frame; the index table is
+    checkpointed once and consumed by both the anchor and the
+    negative-resolution side of the join.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.orderBy(id_col)
+    idx = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .withColumn("idx", (F.row_number().over(w) - 1).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    n = idx.agg(F.count("*").alias("n"))
+    pos = (
+        idx.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "idx",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+        )
+        .withColumn(
+            "cand",
+            (
+                (
+                    F.lit(LCG_A) * (F.col("idx") * k + F.col("j") + F.lit(seed))
+                    + F.lit(LCG_C)
+                )
+                % F.lit(LCG_M)
+            )
+            % F.col("n"),
+        )
+        .withColumn(
+            "cand",
+            F.when(F.col("cand") == F.col("idx"), (F.col("cand") + 1) % F.col("n"))
+            .otherwise(F.col("cand")),
+        )
+    )
+    neg = idx.select(F.col("idx").alias("cand"), F.col("doc_id").alias("neg_doc_id"))
+    return pos.join(neg, "cand").select(
+        "doc_id", F.col("j").cast("int").alias("j"), "neg_doc_id"
+    )

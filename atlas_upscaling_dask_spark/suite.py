@@ -8002,3 +8002,39 @@ JOIN topk r ON r.query_id = f.neighbor_id AND r.neighbor_id = f.query_id
 WHERE f.query_id < f.neighbor_id
 """,
 )
+
+
+def _negative_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reproducible contrastive negatives: 4 LCG-drawn partners per doc.
+    from .extensions.training import negative_samples
+
+    return negative_samples(load_table(spark, sf_dir, "documents"), k=4, seed=7)
+
+
+_register(
+    "negative_samples",
+    _negative_samples_q,
+    """
+WITH ids AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+  FROM documents
+),
+nn AS (SELECT count(*) AS n FROM documents),
+pos AS (
+  SELECT i.doc_id, i.idx, nn.n, CAST(j.range AS BIGINT) AS j
+  FROM ids i CROSS JOIN nn CROSS JOIN range(4) j
+),
+c0 AS (
+  SELECT doc_id, idx, n, j,
+         ((1103515245 * (idx * 4 + j + 7) + 12345) % 2147483648) % n AS cand
+  FROM pos
+),
+c1 AS (
+  SELECT doc_id, j,
+         CASE WHEN cand = idx THEN (cand + 1) % n ELSE cand END AS cand
+  FROM c0
+)
+SELECT c1.doc_id, CAST(c1.j AS INTEGER) AS j, i2.doc_id AS neg_doc_id
+FROM c1 JOIN ids i2 ON i2.idx = c1.cand
+""",
+)

@@ -2846,3 +2846,21 @@ def test_knn_graph_mutual_edges_only(spark):
     full = knn_graph_mutual(df, k=3, n_planes=1)
     r01 = [r for r in full.collect() if (r["a"], r["b"]) == (0, 1)][0]
     assert r01["rk_ab"] == 1 and r01["rk_ba"] == 1
+
+
+def test_negative_samples_properties(spark):
+    # k negatives per anchor, never the anchor itself, all valid ids,
+    # deterministic across invocations, different under another seed.
+    from atlas_upscaling_dask_spark.extensions.training import negative_samples
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(17)], "doc_id long, text string"
+    )
+    out1 = sorted(map(tuple, negative_samples(docs, k=3, seed=1).collect()))
+    out2 = sorted(map(tuple, negative_samples(docs, k=3, seed=1).collect()))
+    out3 = sorted(map(tuple, negative_samples(docs, k=3, seed=2).collect()))
+    assert out1 == out2 and out1 != out3
+    assert len(out1) == 17 * 3
+    ids = set(range(17))
+    for doc_id, j, neg in out1:
+        assert neg in ids and neg != doc_id and 0 <= j < 3
