@@ -534,3 +534,57 @@ def hash_features(
     return cnt.select(
         "doc_id", "bucket", (F.col("cnt") / norm).alias("weight")
     )
+
+
+def tfidf_topterms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction: top-``k`` terms by a
+    TF·IDF-style rarity-weighted frequency, as (doc_id, term, tf, df,
+    score, rank).
+
+    The idf factor is the RATIONAL surrogate the BM25 operator uses
+    (``(2N − 2df + 1) / (2df + 1)`` — strictly decreasing in df, same
+    ranking as ln-idf) so the score is ONE division of exact integers
+    and the DuckDB twin matches bitwise; a libm ``ln`` would make the
+    ranking engine-dependent in the last ulp (retrieval.py's exactness
+    contract).
+
+    Plan: token explode → per-(doc, term) tf count → per-term df count
+    → one join keyed by term → per-doc rank window.  The df join's hot
+    keys are stopwords — exactly the rows whose idf is lowest; at
+    100 TB, pre-filtering terms with df ≈ N (they can never reach a
+    top-k) cuts the join's skew before AQE even sees it.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfx, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                (
+                    F.col("tf")
+                    * (2 * F.col("n_docs") - 2 * F.col("df") + 1)
+                ).cast("double")
+                / (2 * F.col("df") + 1).cast("double")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -8038,3 +8038,36 @@ SELECT c1.doc_id, CAST(c1.j AS INTEGER) AS j, i2.doc_id AS neg_doc_id
 FROM c1 JOIN ids i2 ON i2.idx = c1.cand
 """,
 )
+
+
+def _tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keyword extraction: top-3 rarity-weighted terms per document
+    # (rational idf — one exact-integer division, engine-portable).
+    from .extensions.text import tfidf_topterms
+
+    return tfidf_topterms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+_register(
+    "tfidf_topterms",
+    _tfidf_topterms_q,
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf * (2 * nn.n_docs - 2 * d.df + 1) AS DOUBLE)
+           / CAST(2 * d.df + 1 AS DOUBLE) AS score
+  FROM tf t JOIN dfx d USING (term) CROSS JOIN nn
+)
+SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+)

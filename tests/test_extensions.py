@@ -2864,3 +2864,24 @@ def test_negative_samples_properties(spark):
     ids = set(range(17))
     for doc_id, j, neg in out1:
         assert neg in ids and neg != doc_id and 0 <= j < 3
+
+
+def test_tfidf_topterms_rarity_beats_frequency(spark):
+    # "rare" appears once in doc 1 but nowhere else; "common" appears
+    # twice in doc 1 but in every doc — rarity must outrank frequency.
+    from atlas_upscaling_dask_spark.extensions.text import tfidf_topterms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rare"),
+            (2, "common filler"),
+            (3, "common filler"),
+        ],
+        "doc_id long, text string",
+    )
+    got = tfidf_topterms(docs, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in got}
+    assert top[1] == "rare"
+    # idf surrogate: tf=1, df=1, n=3 -> 1*(6-2+1)/3 = 5/3
+    r1 = [r for r in got if r["doc_id"] == 1][0]
+    assert r1["score"] == 5.0 / 3.0 and r1["rank"] == 1
