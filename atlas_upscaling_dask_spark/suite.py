@@ -8071,3 +8071,54 @@ SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank FROM (
 ) WHERE rank <= 3
 """,
 )
+
+
+def _pareto_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 2-D skyline: orders no other order dominates (higher-or-equal
+    # price AND earlier-or-equal date, one strict).  The naive answer
+    # is an O(n²) dominance anti-join — the engine answer is
+    # O(n log n): collapse to one row per distinct price (min date),
+    # running-min over the strictly-higher-price prefix (a ROWS frame,
+    # valid because the frame is per DISTINCT price), then one join
+    # back.  The oracle IS the naive quadratic NOT EXISTS, proving the
+    # window rewrite loses nothing.  The price-ordered window is global
+    # but runs on the POST-AGGREGATION frame (one row per distinct
+    # price); at 100 TB prepend the local-skyline prefilter — the
+    # skyline of a union equals the skyline of per-partition skylines,
+    # so each partition prunes its dominated rows before the exchange.
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("d_us"),
+    )
+    pg = base.groupBy("price").agg(F.min("d_us").alias("dmin"))
+    wp = (
+        Window.orderBy(F.desc("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pg = pg.withColumn("m1", F.min("dmin").over(wp))
+    keep = base.join(pg, "price").filter(
+        (F.col("d_us") == F.col("dmin"))
+        & (F.col("m1").isNull() | (F.col("m1") > F.col("d_us")))
+    )
+    return keep.select("o_orderkey", "price", "d_us")
+
+
+_register(
+    "pareto_orders",
+    _pareto_orders_q,
+    """
+WITH b AS (
+  SELECT o_orderkey, o_totalprice AS price, epoch_us(o_orderdate) AS d_us
+  FROM orders
+)
+SELECT a.o_orderkey, a.price, a.d_us
+FROM b a
+WHERE NOT EXISTS (
+  SELECT 1 FROM b x
+  WHERE x.price >= a.price AND x.d_us <= a.d_us
+    AND (x.price > a.price OR x.d_us < a.d_us)
+)
+""",
+)
