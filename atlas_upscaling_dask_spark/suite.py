@@ -6467,6 +6467,11 @@ _PRIORITY = [
     "profile_lineitem",
     # oracle SQL fixed this round (HUGEINT -> BIGINT casts): re-confirm
     "graph_pagerank", "bigram_coherence",
+    # round-4 continuation session — brand-new operators, no history:
+    "setsim_containment_join", "graph_bfs", "dedup_canonical_quality",
+    "histogram_equidepth", "market_basket_lift", "twap_events",
+    "interval_islands", "embed_knn_graph", "negative_samples",
+    "tfidf_topterms", "pareto_orders",
     # never driver-checked, highest operator value first:
     "embed_pq_topk", "bm25_index_topk", "incremental_agg", "table_diff",
     "quantile_sketch", "cdc_apply", "dedup_clusters", "vox_components",
