@@ -938,6 +938,11 @@ def prefix_filter_join(
         )
         .select("d1", "d2")
         .distinct()
+        # same CPU-vs-bytes mismatch as containment_join: AQE coalesces
+        # the pair distinct to a few byte-sized partitions while the
+        # verify stage is array_intersect-bound — repartition the narrow
+        # pair frame so verification uses every core
+        .repartition(int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions")))
     )
     g1 = arrs.select(F.col("doc_id").alias("d1"), F.col("grams").alias("g1"))
     g2 = arrs.select(F.col("doc_id").alias("d2"), F.col("grams").alias("g2"))

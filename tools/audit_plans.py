@@ -570,7 +570,9 @@ def audited_queries():
         # (at sf the optimizer broadcasts the small sides → measured 1)
         "setsim_prefix_join": (
             QUERIES["setsim_prefix_join"],
-            {"max_shuffles": 4, "codegen": True, "no_python_udf": True},
+            # +1 exchange: the explicit verify-stage repartition of the
+            # candidate pair frame (CPU-bound array_intersect stage)
+            {"max_shuffles": 5, "codegen": True, "no_python_udf": True},
         ),
         # PassJoin exact edit-distance: candidates come from an
         # EQUI-join on (segment, length-class, index) — never a
