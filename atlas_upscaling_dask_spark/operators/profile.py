@@ -301,9 +301,10 @@ def equidepth_histogram(
     k: int = 32,
     n_ranges: int = 32,
 ) -> DataFrame:
-    """EXACT equi-depth (equal-height) histogram: ``k`` buckets, each
-    holding ``floor((b+1)·N/k) − floor(b·N/k)`` rows of the sorted
-    multiset, reported as (bucket, n_rows, lo, hi).
+    """EXACT equi-depth (equal-height) histogram: ``k`` buckets; the
+    0-based rank ``r`` lands in bucket ``floor(r·k/N)``, so bucket ``b``
+    holds ``ceil((b+1)·N/k) − ceil(b·N/k)`` rows of the sorted multiset,
+    reported as (bucket, n_rows, lo, hi).
 
     Equi-WIDTH histograms (``value_histogram``) mislead on skewed
     distributions — one bucket swallows the mass; the equi-depth

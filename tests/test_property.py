@@ -431,3 +431,60 @@ def test_containment_sees_what_jaccard_cannot(spark):
     assert [(r["d_in"], r["d_out"]) for r in got] == [(1, 2)]
     assert got[0]["containment"] == 1.0
     assert ngram_jaccard_pairs(df, 3, 0.5).count() == 0
+
+
+@given(seed=st.integers(0, 10_000), k=st.sampled_from([1, 3, 8]))
+@settings(**SETTINGS)
+def test_equidepth_histogram_matches_sorted_slices(spark, seed, k):
+    # Bucket b = floor(rank0*k/N) of the sorted multiset must hold
+    # exactly ceil((b+1)N/k) - ceil(bN/k) values, with lo/hi the slice
+    # endpoints — checked against a plain sorted list, duplicates and
+    # skew included.
+    from atlas_upscaling_dask_spark.operators.profile import equidepth_histogram
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 60))
+    vals = sorted(float(v) for v in rng.integers(0, 10, size=n))
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r["bucket"]: (r["n_rows"], r["lo"], r["hi"])
+        for r in equidepth_histogram(df, "v", k=k, n_ranges=4).collect()
+    }
+    want = {}
+    for b in range(k):
+        lo_i = (b * n + k - 1) // k
+        hi_i = ((b + 1) * n + k - 1) // k
+        if hi_i > lo_i:
+            want[b] = (hi_i - lo_i, vals[lo_i], vals[hi_i - 1])
+    assert got == want, (seed, k, got, want)
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(**SETTINGS)
+def test_merge_intervals_matches_bruteforce(spark, seed):
+    # Random interval sets per key vs a plain sweep-line merge.
+    from atlas_upscaling_dask_spark.operators.resample import merge_intervals
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for key in range(int(rng.integers(1, 4))):
+        for _ in range(int(rng.integers(1, 12))):
+            s = int(rng.integers(0, 50))
+            rows.append((key, s, s + int(rng.integers(1, 15))))
+    df = spark.createDataFrame(rows, "key long, start long, end long")
+    want = []
+    bykey = {}
+    for key, s, e in rows:
+        bykey.setdefault(key, []).append((s, e))
+    for key, ivs in bykey.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e), merged[-1][2] + 1)
+            else:
+                merged.append((s, e, 1))
+        for i, (s, e, c) in enumerate(merged, 1):
+            want.append((key, i, s, e, c))
+    got = sorted(map(tuple, merge_intervals(df).collect()))
+    assert got == sorted(want), (seed, got, want)
