@@ -531,3 +531,147 @@ def _common_key_type(big: DataFrame, small: DataFrame, key_col: str):
         return arr.schema["x"].dataType.elementType
     except Exception:  # noqa: BLE001 — incompatible types: caller falls back
         return None
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (dense-array-free, exact-register) distinct-count sketch
+# ---------------------------------------------------------------------------
+#
+# The KMV sketch above keeps 13·k bytes per group; HyperLogLog (Flajolet
+# et al. 2007) gets the same job done in m registers of ≤6 bits — the
+# sketch of choice when the GROUP BY is huge (per-domain, per-user NDV
+# at 100 TB) and even kilobytes per group is too much state.  Registers
+# here are derived from the same md5 contract as KMV so the DuckDB
+# oracle reproduces them EXACTLY: bucket = first ``b`` bits of the
+# digest (hex-aligned), sub-stream = the next 52 bits, and
+# rho = position of the sub-stream's leftmost 1-bit (53 when zero) is
+# pure integer arithmetic (string length of bin()) in both engines.
+#
+# State: a sorted array of (bucket, rho) structs for NON-EMPTY buckets
+# only — no binary blob, no private codec, mergeable by explode +
+# per-bucket max (associative, commutative, idempotent).  The harmonic
+# sum is kept in integer space: sum_j 2^(-rho_j) over all m registers
+# (empty register => rho 0) equals S / 2^53 where
+# S = zeros·2^53 + sum 2^(53-rho) is an EXACT BIGINT (max m·2^53 =
+# 2^61 at the b=8 ceiling), so the raw estimate
+# alpha_m·m²·2^53 / S is ONE IEEE division of exact integers —
+# bitwise reproducible across engines, like every estimator here.
+#
+# Building never needs a distinct: duplicates cannot move a register's
+# max.  Plan: one partial-aggregated exchange at (group, bucket), one
+# tiny collect at (group) — on a 100 TB scan the map-side combine
+# reduces each task's output to <= m rows per group.
+
+HLL_SUB_HEX = 13  # 52-bit sub-stream: exact in int64 and a double mantissa
+_HLL_RHO_MAX = 4 * HLL_SUB_HEX + 1  # 53: all-zero sub-stream
+
+
+def _hll_alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _hll_check_b(b: int) -> int:
+    if b % 4 or not 4 <= b <= 10:
+        # hex-aligned bucket prefix keeps the oracle a substr(); b<=10
+        # keeps the integer harmonic sum m·2^53 inside int64
+        raise ValueError(f"b must be 4 or 8 (hex-aligned, <=10), got {b}")
+    return 1 << b
+
+
+def hll_sketch(
+    df: DataFrame, value_col: str, group_cols: list[str], b: int = 8
+) -> DataFrame:
+    """Per-group HLL registers for ``value_col`` (NULLs ignored, like
+    COUNT DISTINCT).  Returns ``group_cols + [sketch]`` where sketch is
+    the sorted array of (bucket, rho) structs of non-empty buckets."""
+    _hll_check_b(b)
+    nb = b // 4
+    hx = F.md5(F.col(value_col).cast("string"))
+    bucket = F.conv(F.substring(hx, 1, nb), 16, 10).cast("int")
+    sub = F.conv(F.substring(hx, nb + 1, HLL_SUB_HEX), 16, 10).cast("long")
+    rho = F.when(sub == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(sub))
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("bucket", "rho"))).alias("sketch")
+        )
+    )
+
+
+def hll_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge sketches to a coarser key: per-bucket max over the union.
+    Never touches raw rows; exchanges are register-count-sized."""
+    return (
+        sketches.select(*group_cols, F.explode("sketch").alias("e"))
+        .groupBy(*group_cols, F.col("e.bucket").alias("bucket"))
+        .agg(F.max("e.rho").alias("rho"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("bucket", "rho"))).alias("sketch")
+        )
+    )
+
+
+def hll_harmonic_expr(sketch_col: str = "sketch", b: int = 8) -> Column:
+    """The EXACT integer harmonic sum S = zeros·2^53 + Σ 2^(53-rho)
+    (so Σ_j 2^(-M_j) over all m registers = S / 2^53)."""
+    m = _hll_check_b(b)
+    # rho in [1, 53] => shift amount in [0, 52]; S <= m·2^53 = 2^61
+    return F.expr(
+        f"(CAST({m} AS BIGINT) - size({sketch_col}))"
+        f" * CAST({1 << _HLL_RHO_MAX} AS BIGINT)"
+        f" + aggregate({sketch_col}, CAST(0 AS BIGINT),"
+        f" (acc, x) -> acc + shiftleft(CAST(1 AS BIGINT),"
+        f" {_HLL_RHO_MAX} - x.rho))"
+    )
+
+
+def hll_estimate_expr(
+    sketch_col: str = "sketch", b: int = 8, correct_small: bool = True
+) -> Column:
+    """NDV estimate: raw = alpha_m·m²·2^53 / S (one IEEE division of
+    exact integers — engine-bitwise).  With ``correct_small`` (the
+    practical default), the standard linear-counting regime
+    (raw <= 2.5m with empty registers) uses m·ln(m/zeros) instead —
+    accurate, but ln() is a libm call whose last ulp is not contracted
+    across engines, so exactness-gated oracles compare the raw form."""
+    m = _hll_check_b(b)
+    num = _hll_alpha(m) * m * m * float(1 << _HLL_RHO_MAX)
+    s = hll_harmonic_expr(sketch_col, b)
+    raw = F.lit(num) / s.cast("double")
+    if not correct_small:
+        return raw
+    zeros = F.lit(m) - F.size(F.col(sketch_col))
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    return F.when((raw <= 2.5 * m) & (zeros > 0), lc).otherwise(raw)
+
+
+def hll_ndv_rollup(
+    df: DataFrame,
+    value_col: str,
+    fine_cols: list[str],
+    coarse_cols: list[str],
+    b: int = 8,
+) -> DataFrame:
+    """Materialize-once / roll-up-many for HLL: fine sketches merged to
+    the coarse key, estimated with the exactness-gated raw form plus
+    the exact harmonic sum so the oracle can compare integers."""
+    merged = hll_merge(hll_sketch(df, value_col, fine_cols, b), coarse_cols)
+    return merged.select(
+        *coarse_cols,
+        F.size("sketch").cast("int").alias("nonempty"),
+        hll_harmonic_expr("sketch", b).alias("s_scaled"),
+        hll_estimate_expr("sketch", b, correct_small=False).alias("ndv_raw"),
+    )

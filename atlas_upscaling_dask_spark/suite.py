@@ -6457,7 +6457,7 @@ _DRIVER_CHECKED = {
 #: round 5's prefix).
 _PRIORITY = [
     # round-4 additions — no driver history anywhere:
-    "setsim_prefix_join", "scd2_user_segments", "scd2_asof_lookup",
+    "hll_ndv", "setsim_prefix_join", "scd2_user_segments", "scd2_asof_lookup",
     "check_constraints_lineitem", "image_phash_values",
     "image_phash_neardup", "image_dup_clusters", "funnel_within",
     "profile_drift_lineitem", "mad_outliers", "rolling_median",
@@ -6779,6 +6779,67 @@ SELECT s.l_returnflag AS l_returnflag,
        CAST(s.sketch_size AS INTEGER) AS sketch_size,
        e.ndv_exact AS ndv_exact
 FROM sk s JOIN exact e ON s.l_returnflag = e.l_returnflag
+""",
+)
+
+
+def _hll_ndv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperLogLog twin of ndv_sketch: the ≤6-bits-per-register sketch
+    # for huge GROUP BYs.  Fine (returnflag, linestatus) registers
+    # merged up to returnflag; the oracle reproduces the registers
+    # EXACTLY (md5-prefix bucket, bin()-length rho) and compares the
+    # integer harmonic sum plus the raw estimate's single IEEE division.
+    from .extensions.sketches import hll_ndv_rollup
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = hll_ndv_rollup(
+        li, "l_partkey", ["l_returnflag", "l_linestatus"], ["l_returnflag"], b=8
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("ndv_exact")
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag", "nonempty", "s_scaled", "ndv_raw", "ndv_exact"
+    )
+
+
+_register(
+    "hll_ndv",
+    _hll_ndv_q,
+    f"""
+WITH parts AS (
+  SELECT l_returnflag,
+         ('0x' || substr(h, 1, 2))::INTEGER AS bucket,
+         ('0x' || substr(h, 3, 13))::BIGINT AS sub
+  FROM (SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS h
+        FROM lineitem WHERE l_partkey IS NOT NULL)
+),
+regs AS (
+  -- max per (coarse, bucket) == build-fine-then-merge: register max is
+  -- associative over any grouping refinement
+  SELECT l_returnflag, bucket,
+         MAX(CASE WHEN sub = 0 THEN 53
+                  ELSE 53 - length(bin(sub)) END) AS rho
+  FROM parts GROUP BY l_returnflag, bucket
+),
+agg AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS INTEGER) AS nonempty,
+         CAST((256 - COUNT(*)) * CAST({1 << 53} AS BIGINT)
+              + SUM(CAST({1 << 53} AS BIGINT) // (1::BIGINT << rho))
+           AS BIGINT) AS s_scaled
+  FROM regs GROUP BY l_returnflag
+),
+exact AS (
+  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS ndv_exact
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT a.l_returnflag AS l_returnflag, a.nonempty AS nonempty,
+       a.s_scaled AS s_scaled,
+       {0.7213 / (1 + 1.079 / 256) * 256 * 256 * float(1 << 53)!r}
+         / CAST(a.s_scaled AS DOUBLE) AS ndv_raw,
+       e.ndv_exact AS ndv_exact
+FROM agg a JOIN exact e ON a.l_returnflag = e.l_returnflag
 """,
 )
 

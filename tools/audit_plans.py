@@ -318,6 +318,13 @@ def audited_queries():
             QUERIES["ndv_sketch"],
             {"max_shuffles": 8, "codegen": True, "no_python_udf": True},
         ),
+        # HLL twin: duplicate-insensitive register max needs NO distinct
+        # — (group, bucket) partial agg + group collect + the merge's
+        # explode re-agg; everything past the scan is register-sized
+        "hll_ndv": (
+            QUERIES["hll_ndv"],
+            {"max_shuffles": 8, "codegen": True, "no_python_udf": True},
+        ),
         # degree-orientation triangles: equi-joins only over the
         # CHECKPOINTED oriented edge list — a cartesian anywhere here
         # would be quadratic at scale
