@@ -499,3 +499,73 @@ def merge_intervals(
             "n_intervals",
         )
     )
+
+
+def seasonal_decompose(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    period_us: int = 86_400_000_000,
+    n_phases: int = 24,
+) -> DataFrame:
+    """Seasonal-means decomposition: value = level + seasonal + residual.
+
+    The classical additive decomposition with a phase-mean seasonal
+    model (the "hour-of-day profile" every ops dashboard and anomaly
+    screen starts from): each event's phase is its position inside the
+    repeating period bucketed into ``n_phases`` slots
+    (``((epoch_us mod period) · n_phases) div period`` — pure integer
+    arithmetic), ``level`` is the per-key mean, ``seasonal`` is the
+    per-(key, phase) mean minus the level (so seasonal components sum
+    to ~0 across phases), and ``residual = value − level − seasonal``
+    is what anomaly screens should threshold INSTEAD of the raw value
+    — a 9am spike that is normal for 9am no longer trips a global
+    z-score.
+
+    Exactness: both means use the zscore contract — DECIMAL(18,2) sums
+    (exact, order-independent) finished by one IEEE division; the
+    subtractions are IEEE ops on identical inputs, so the whole result
+    is bitwise-portable across engines.
+
+    Plan shape: TWO tiny partial-aggregated exchanges (keys·phases and
+    keys rows) broadcast-joined back onto the scan — the event-sized
+    side never shuffles, exactly the zscore_outliers pattern.  At
+    100 TB the stats frames stay kilobytes regardless of row count.
+    """
+    if n_phases < 1 or period_us < n_phases:
+        raise ValueError("need n_phases >= 1 and period_us >= n_phases")
+    us = F.unix_micros(F.col(ts_col))
+    dec = F.col(value_col).cast("decimal(18,2)")
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("eid"),
+        us.alias("ts_us"),
+        F.col(value_col).alias("v"),
+        F.expr(
+            f"CAST(((unix_micros({ts_col}) % {period_us}) * {n_phases})"
+            f" div {period_us} AS INT)"
+        ).alias("phase"),
+        dec.alias("vd"),
+    )
+    ph = base.groupBy("k", "phase").agg(
+        (F.sum("vd").cast("double") / F.count("*")).alias("phase_mean")
+    )
+    lv = base.groupBy("k").agg(
+        (F.sum("vd").cast("double") / F.count("*")).alias("level")
+    )
+    return (
+        base.join(F.broadcast(ph), ["k", "phase"])
+        .join(F.broadcast(lv), "k")
+        .select(
+            F.col("k").alias(key_col),
+            F.col("eid").alias(id_col),
+            "ts_us",
+            "phase",
+            F.col("v").alias(value_col),
+            "level",
+            (F.col("phase_mean") - F.col("level")).alias("seasonal"),
+            (F.col("v") - F.col("phase_mean")).alias("residual"),
+        )
+    )

@@ -6457,7 +6457,7 @@ _DRIVER_CHECKED = {
 #: round 5's prefix).
 _PRIORITY = [
     # round-4 additions — no driver history anywhere:
-    "hll_ndv", "setsim_prefix_join", "scd2_user_segments", "scd2_asof_lookup",
+    "hll_ndv", "seasonal_decompose", "setsim_prefix_join", "scd2_user_segments", "scd2_asof_lookup",
     "check_constraints_lineitem", "image_phash_values",
     "image_phash_neardup", "image_dup_clusters", "funnel_within",
     "profile_drift_lineitem", "mad_outliers", "rolling_median",
@@ -6840,6 +6840,52 @@ SELECT a.l_returnflag AS l_returnflag, a.nonempty AS nonempty,
          / CAST(a.s_scaled AS DOUBLE) AS ndv_raw,
        e.ndv_exact AS ndv_exact
 FROM agg a JOIN exact e ON a.l_returnflag = e.l_returnflag
+""",
+)
+
+
+def _seasonal_decompose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Additive seasonal-means decomposition of event values: level +
+    # hour-of-day seasonal + residual, the de-seasonalized signal
+    # anomaly screens should threshold instead of the raw value.
+    from .operators.resample import seasonal_decompose
+
+    return seasonal_decompose(
+        load_table(spark, sf_dir, "events"),
+        period_us=86_400_000_000,
+        n_phases=24,
+    )
+
+
+# Both means use the zscore contract (DECIMAL(18,2) sums, one IEEE
+# division); phase is pure integer arithmetic — bitwise-portable.
+_register(
+    "seasonal_decompose",
+    _seasonal_decompose_q,
+    """
+WITH base AS (
+  SELECT event_type AS k, event_id AS eid, epoch_us(ts) AS ts_us, value AS v,
+         CAST(((epoch_us(ts) % 86400000000) * 24) // 86400000000
+              AS INTEGER) AS phase
+  FROM events
+),
+ph AS (
+  SELECT k, phase,
+         CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS phase_mean
+  FROM base GROUP BY k, phase
+),
+lv AS (
+  SELECT k,
+         CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS level
+  FROM base GROUP BY k
+)
+SELECT b.k AS event_type, b.eid AS event_id, b.ts_us AS ts_us,
+       b.phase AS phase, b.v AS value, l.level AS level,
+       p.phase_mean - l.level AS seasonal,
+       b.v - p.phase_mean AS residual
+FROM base b
+JOIN ph p ON b.k = p.k AND b.phase = p.phase
+JOIN lv l ON b.k = l.k
 """,
 )
 

@@ -114,3 +114,86 @@ def test_hll_rejects_unaligned_b(spark):
     for bad in (3, 6, 12):
         with pytest.raises(ValueError):
             hll_sketch(df, "v", ["g"], b=bad)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_recovers_planted_profile(spark):
+    """A clean signal level + phase-profile must decompose exactly:
+    residual 0 everywhere, seasonal = planted offset - its mean."""
+    import datetime
+
+    from atlas_upscaling_dask_spark.operators.resample import seasonal_decompose
+
+    day_us = 86_400_000_000
+    offsets = {0: 10.0, 1: -4.0, 2: 0.0, 3: -6.0}  # 4-phase profile
+    level = 100.0
+    rows = []
+    eid = 0
+    for day in range(5):
+        for ph, off in offsets.items():
+            ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(
+                days=day, hours=6 * ph
+            )
+            rows.append((eid, ts, "t", level + off))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = seasonal_decompose(
+        df, period_us=day_us, n_phases=4
+    ).collect()
+    mean_off = sum(offsets.values()) / len(offsets)
+    for r in out:
+        assert r["level"] == level + mean_off
+        assert r["seasonal"] == offsets[r["phase"]] - mean_off
+        assert r["residual"] == 0.0
+        assert r["value"] == r["level"] + r["seasonal"] + r["residual"]
+
+
+def test_seasonal_decompose_residual_identity_and_plan(spark):
+    """On arbitrary data: value ≈ level + seasonal + residual (the sum
+    telescopes algebraically; IEEE non-associativity leaves ulp-level
+    error), and the two stats joins are broadcasts (scan side never
+    shuffles)."""
+    import datetime
+
+    from atlas_upscaling_dask_spark.operators.resample import seasonal_decompose
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 3, 1) + datetime.timedelta(minutes=37 * i),
+            "ab"[i % 2],
+            float((i * 193) % 47) / 7.0,
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = seasonal_decompose(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    for r in out.collect():
+        assert abs(r["level"] + r["seasonal"] + r["residual"] - r["value"]) < 1e-9
+
+
+def test_seasonal_decompose_rejects_bad_phases(spark):
+    import pytest
+
+    from atlas_upscaling_dask_spark.operators.resample import seasonal_decompose
+
+    df = spark.range(1).select(
+        F.col("id").alias("event_id"),
+        F.current_timestamp().alias("ts"),
+        F.lit("t").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, n_phases=0)
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, period_us=3, n_phases=10)

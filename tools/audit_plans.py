@@ -325,6 +325,13 @@ def audited_queries():
             QUERIES["hll_ndv"],
             {"max_shuffles": 8, "codegen": True, "no_python_udf": True},
         ),
+        # zscore pattern doubled: two tiny stats aggs broadcast back —
+        # the event-sized scan side must never shuffle
+        "seasonal_decompose": (
+            QUERIES["seasonal_decompose"],
+            {"max_shuffles": 2, "broadcast": True, "codegen": True,
+             "no_python_udf": True},
+        ),
         # degree-orientation triangles: equi-joins only over the
         # CHECKPOINTED oriented edge list — a cartesian anywhere here
         # would be quadratic at scale
