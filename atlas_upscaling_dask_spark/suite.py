@@ -6457,7 +6457,8 @@ _DRIVER_CHECKED = {
 #: round 5's prefix).
 _PRIORITY = [
     # round-4 additions — no driver history anywhere:
-    "hll_ndv", "seasonal_decompose", "setsim_prefix_join", "scd2_user_segments", "scd2_asof_lookup",
+    "hll_ndv", "seasonal_decompose", "embed_covariance",
+    "embed_pca_topk", "setsim_prefix_join", "scd2_user_segments", "scd2_asof_lookup",
     "check_constraints_lineitem", "image_phash_values",
     "image_phash_neardup", "image_dup_clusters", "funnel_within",
     "profile_drift_lineitem", "mad_outliers", "rolling_median",
@@ -6888,6 +6889,62 @@ JOIN ph p ON b.k = p.k AND b.phase = p.phase
 JOIN lv l ON b.k = l.k
 """,
 )
+
+
+def _embed_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed exact covariance of the embedding corpus (the moment
+    # half of PCA): scaled-integer moments — partition-local int64
+    # GEMM partials, DECIMAL totals, one IEEE division per cell.  The
+    # oracle replays the same integers through HUGEINT arithmetic.
+    from .extensions.linalg import embedding_covariance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, scale_bits=20)
+
+
+_register(
+    "embed_covariance",
+    _embed_covariance_q,
+    """
+WITH flat AS (
+  SELECT vec_id, i,
+         CAST(round(embedding[i + 1]::DOUBLE * 1048576) AS BIGINT) AS x
+  FROM embeddings,
+       unnest(generate_series(0, len(embedding) - 1, 1)) AS s(i)
+),
+agg AS (
+  SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+         SUM(a.x * b.x) AS sxy, SUM(a.x) AS sx, SUM(b.x) AS sy
+  FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       CAST(n AS BIGINT) AS n,
+       CAST(sxy AS BIGINT) AS sxy, CAST(sx AS BIGINT) AS sx,
+       CAST(sy AS BIGINT) AS sy,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * (n - 1) * 1099511627776::HUGEINT AS DOUBLE) AS cov
+FROM agg
+""",
+)
+
+
+def _embed_pca_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANN via data-adaptive dimensionality reduction: PCA-reduced
+    # candidate search + exact full-dimension rerank.  The eigensolve
+    # is driver-side LAPACK (d×d over the exact covariance frame) —
+    # not SQL-replayable, so this row is rows-only; the covariance
+    # half is the oracle-exact embed_covariance row and recall/parity
+    # properties are pytest-verified.
+    from .extensions.linalg import pca_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, reduce_k=8, oversample=4
+    )
+
+
+_register("embed_pca_topk", _embed_pca_topk_q, None)
 
 
 GRAPH_EDGES_CTE = """

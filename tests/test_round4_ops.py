@@ -197,3 +197,132 @@ def test_seasonal_decompose_rejects_bad_phases(spark):
         seasonal_decompose(df, n_phases=0)
     with pytest.raises(ValueError):
         seasonal_decompose(df, period_us=3, n_phases=10)
+
+
+# ---------------------------------------------------------------------------
+# Covariance / PCA
+# ---------------------------------------------------------------------------
+
+
+def _toy_vectors(spark, n=120, d=6, seed=7, parts=1):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n, d))
+    base[:, 0] = base[:, 1] * 2.0 + rng.normal(scale=0.1, size=n)  # correlated
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return (df.repartition(parts) if parts > 1 else df), base
+
+
+def test_embedding_covariance_matches_integer_model(spark):
+    """The distributed moments must equal a plain-Python scaled-integer
+    model EXACTLY — sums, counts, and the final division."""
+    from atlas_upscaling_dask_spark.extensions.linalg import embedding_covariance
+
+    df, base = _toy_vectors(spark)
+    b = 20
+    scale = float(1 << b)
+    sc = base * scale
+    x = (np.sign(sc) * np.floor(np.abs(sc) + 0.5)).astype(np.int64)
+    got = {
+        (r["i"], r["j"]): (r["n"], r["sxy"], r["sx"], r["sy"], r["cov"])
+        for r in embedding_covariance(df, scale_bits=b).collect()
+    }
+    n, d = x.shape
+    assert len(got) == d * (d + 1) // 2
+    for i in range(d):
+        for j in range(i, d):
+            sxy = int(x[:, i] @ x[:, j])
+            sx, sy = int(x[:, i].sum()), int(x[:, j].sum())
+            cov = float(n * sxy - sx * sy) / float(n * (n - 1) * (1 << (2 * b)))
+            assert got[(i, j)] == (n, sxy, sx, sy, cov)
+
+
+def test_embedding_covariance_partition_independent(spark):
+    from atlas_upscaling_dask_spark.extensions.linalg import embedding_covariance
+
+    df1, _ = _toy_vectors(spark, parts=1)
+    df7, _ = _toy_vectors(spark, parts=7)
+    a = sorted(map(tuple, embedding_covariance(df1).collect()))
+    b = sorted(map(tuple, embedding_covariance(df7).collect()))
+    assert a == b  # integer partials are associative
+
+
+def test_embedding_covariance_rejects_ragged_and_null(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from atlas_upscaling_dask_spark.extensions.linalg import embedding_covariance
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises((Py4JJavaError, Exception)):
+        embedding_covariance(bad.coalesce(1)).collect()
+    nullv = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises((Py4JJavaError, Exception)):
+        embedding_covariance(nullv.coalesce(1)).collect()
+
+
+def test_pca_fit_matches_numpy(spark):
+    from atlas_upscaling_dask_spark.extensions.linalg import pca_fit
+
+    df, base = _toy_vectors(spark)
+    m = pca_fit(df, k=3)
+    comps, ev = m["components"], m["eigenvalues"]
+    # orthonormal rows
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+    # descending eigenvalues, all >= 0 (covariance is PSD)
+    assert ev[0] >= ev[1] >= ev[2] >= -1e-12
+    # numpy PCA on the same data agrees up to the sign convention
+    # (covariance differs only by the 2^-40 quantization)
+    cov_np = np.cov(base, rowvar=False)
+    w, v = np.linalg.eigh(cov_np)
+    order = np.argsort(w)[::-1][:3]
+    ref = v[:, order].T
+    signs = np.sign(ref[np.arange(3), np.abs(ref).argmax(axis=1)])
+    ref = ref * signs[:, None]
+    assert np.allclose(comps, ref, atol=1e-4)
+    assert np.allclose(ev, w[order], atol=1e-6)
+    assert np.allclose(m["mean"], base.mean(axis=0), atol=1e-5)
+
+
+def test_pca_project_matches_numpy_and_is_narrow(spark):
+    from atlas_upscaling_dask_spark.extensions.linalg import pca_fit, pca_project
+
+    df, base = _toy_vectors(spark)
+    m = pca_fit(df, k=2)
+    out = pca_project(df, m)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero-shuffle projection
+    got = {r["vec_id"]: np.array(r["pc"]) for r in out.collect()}
+    want = (base - m["mean"]) @ m["components"].T
+    for i in range(len(base)):
+        assert np.allclose(got[i], want[i], atol=1e-9)
+
+
+def test_pca_topk_recall_against_exact(spark):
+    """Recall on LOW-RANK data (the case PCA reduction exists for: real
+    embedding corpora concentrate variance in few directions; isotropic
+    noise is the documented worst case)."""
+    from atlas_upscaling_dask_spark.extensions.linalg import pca_topk
+    from atlas_upscaling_dask_spark.extensions.similarity import brute_force_topk
+
+    rng = np.random.default_rng(3)
+    latent = rng.normal(size=(200, 4))
+    mixing = rng.normal(size=(4, 12))
+    base = latent @ mixing + rng.normal(scale=0.05, size=(200, 12))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(q, df, k=5)
+    approx = pca_topk(q, df, k=5, reduce_k=6, oversample=4)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(ap) == len(ex) == 40
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.85, recall

@@ -332,6 +332,13 @@ def audited_queries():
             {"max_shuffles": 2, "broadcast": True, "codegen": True,
              "no_python_udf": True},
         ),
+        # covariance: the only exchange is the d(d+1)/2-per-partition
+        # partial frame's aggregation — partition-count-sized, never
+        # data-sized (the Arrow kernel is the sanctioned Python path)
+        "embed_covariance": (
+            QUERIES["embed_covariance"],
+            {"max_shuffles": 1},
+        ),
         # degree-orientation triangles: equi-joins only over the
         # CHECKPOINTED oriented edge list — a cartesian anywhere here
         # would be quadratic at scale
