@@ -509,6 +509,7 @@ def seasonal_decompose(
     id_col: str = "event_id",
     period_us: int = 86_400_000_000,
     n_phases: int = 24,
+    with_level: bool = True,
 ) -> DataFrame:
     """Seasonal-means decomposition: value = level + seasonal + residual.
 
@@ -552,12 +553,24 @@ def seasonal_decompose(
     ph = base.groupBy("k", "phase").agg(
         (F.sum("vd").cast("double") / F.count("*")).alias("phase_mean")
     )
+    joined = base.join(F.broadcast(ph), ["k", "phase"])
+    if not with_level:
+        # the de-seasonalized screen only needs the residual; skipping
+        # the level join halves the stats subtrees downstream
+        # compositions re-execute (see seasonal_anomalies' plan budget)
+        return joined.select(
+            F.col("k").alias(key_col),
+            F.col("eid").alias(id_col),
+            "ts_us",
+            "phase",
+            F.col("v").alias(value_col),
+            (F.col("v") - F.col("phase_mean")).alias("residual"),
+        )
     lv = base.groupBy("k").agg(
         (F.sum("vd").cast("double") / F.count("*")).alias("level")
     )
     return (
-        base.join(F.broadcast(ph), ["k", "phase"])
-        .join(F.broadcast(lv), "k")
+        joined.join(F.broadcast(lv), "k")
         .select(
             F.col("k").alias(key_col),
             F.col("eid").alias(id_col),

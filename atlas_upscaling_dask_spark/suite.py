@@ -6458,7 +6458,7 @@ _DRIVER_CHECKED = {
 _PRIORITY = [
     # round-4 additions — no driver history anywhere:
     "hll_ndv", "seasonal_decompose", "embed_covariance",
-    "embed_pca_topk", "setsim_prefix_join", "scd2_user_segments", "scd2_asof_lookup",
+    "embed_pca_topk", "seasonal_anomalies", "setsim_prefix_join", "scd2_user_segments", "scd2_asof_lookup",
     "check_constraints_lineitem", "image_phash_values",
     "image_phash_neardup", "image_dup_clusters", "funnel_within",
     "profile_drift_lineitem", "mad_outliers", "rolling_median",
@@ -6945,6 +6945,63 @@ def _embed_pca_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("embed_pca_topk", _embed_pca_topk_q, None)
+
+
+def _seasonal_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The composition seasonal_decompose exists for: z-score the
+    # DE-SEASONALIZED residual, so a spike that is normal for its
+    # hour-of-day no longer trips the screen (and genuinely anomalous
+    # values inside quiet hours now do).
+    from .operators.resample import seasonal_decompose, zscore_outliers
+
+    dec = seasonal_decompose(
+        load_table(spark, sf_dir, "events"), with_level=False
+    )
+    return zscore_outliers(
+        dec, threshold=2.5, value_col="residual", id_col="event_id"
+    )
+
+
+_register(
+    "seasonal_anomalies",
+    _seasonal_anomalies_q,
+    """
+WITH base AS (
+  SELECT event_type AS k, event_id AS eid, value AS v,
+         CAST(((epoch_us(ts) % 86400000000) * 24) // 86400000000
+              AS INTEGER) AS phase
+  FROM events
+),
+ph AS (
+  SELECT k, phase,
+         CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS phase_mean
+  FROM base GROUP BY k, phase
+),
+dec AS (
+  SELECT b.k, b.eid, b.v - p.phase_mean AS residual
+  FROM base b JOIN ph p ON b.k = p.k AND b.phase = p.phase
+),
+stats AS (
+  SELECT k, count(*) AS n,
+         sum(CAST(residual AS DECIMAL(18,2))) AS s,
+         sum(CAST(residual AS DECIMAL(18,2))
+             * CAST(residual AS DECIMAL(18,2))) AS ss
+  FROM dec GROUP BY k
+),
+m AS (
+  SELECT k,
+         CAST(s AS DOUBLE) / n AS mean,
+         sqrt(greatest(0.0, CAST(ss AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))) AS std
+  FROM stats
+)
+SELECT d.eid AS event_id, d.k AS event_type, d.residual AS residual,
+       m.mean AS mean, m.std AS std,
+       (d.residual - m.mean) / m.std AS z
+FROM dec d JOIN m ON d.k = m.k
+WHERE abs((d.residual - m.mean) / m.std) > 2.5
+""",
+)
 
 
 GRAPH_EDGES_CTE = """

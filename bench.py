@@ -281,6 +281,9 @@ def main() -> None:
         "histogram_equidepth",
         "market_basket_lift",
         "graph_bfs",
+        "hll_ndv",
+        "seasonal_decompose",
+        "embed_covariance",
     ]
     for name in headliners:
         timed(name, lambda n=name: force(suite.QUERIES[n](spark, SF_DIR)))

@@ -326,3 +326,69 @@ def test_pca_topk_recall_against_exact(spark):
     assert len(ap) == len(ex) == 40
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.85, recall
+
+
+def test_seasonal_anomalies_catches_off_profile_spike(spark):
+    """A value that is normal for 9am but planted at 3am must be
+    flagged by the residual screen and MISSED by the raw z-score."""
+    import datetime
+
+    from atlas_upscaling_dask_spark.operators.resample import (
+        seasonal_decompose,
+        zscore_outliers,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    eid = 0
+    for day in range(30):
+        for hour in range(24):
+            base = 100.0 if 8 <= hour <= 18 else 10.0  # busy days, quiet nights
+            ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(
+                days=day, hours=hour
+            )
+            rows.append((eid, ts, "t", base + float(rng.normal(scale=1.0))))
+            eid += 1
+    # the planted anomaly: a daytime-sized value at 3am
+    spike_ts = datetime.datetime(2024, 2, 5, 3)
+    rows.append((eid, spike_ts, "t", 100.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    dec = seasonal_decompose(df, with_level=False)
+    res_flags = {
+        r["event_id"]
+        for r in zscore_outliers(
+            dec, threshold=3.0, value_col="residual", id_col="event_id"
+        ).collect()
+    }
+    raw_flags = {
+        r["event_id"] for r in zscore_outliers(df, threshold=3.0).collect()
+    }
+    assert eid in res_flags  # de-seasonalized screen catches it
+    assert eid not in raw_flags  # raw z-score cannot: 100 is a normal value
+
+
+def test_seasonal_decompose_with_level_false_matches_residuals(spark):
+    import datetime
+
+    from atlas_upscaling_dask_spark.operators.resample import seasonal_decompose
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 3, 1) + datetime.timedelta(minutes=91 * i),
+            "t",
+            float(i % 13),
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    full = {r["event_id"]: r["residual"] for r in seasonal_decompose(df).collect()}
+    slim = {
+        r["event_id"]: r["residual"]
+        for r in seasonal_decompose(df, with_level=False).collect()
+    }
+    assert full == slim

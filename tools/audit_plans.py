@@ -339,6 +339,13 @@ def audited_queries():
             QUERIES["embed_covariance"],
             {"max_shuffles": 1},
         ),
+        # composed decompose -> zscore: three tiny stats aggs, ALL
+        # broadcast back; the event scan still never shuffles
+        "seasonal_anomalies": (
+            QUERIES["seasonal_anomalies"],
+            {"max_shuffles": 3, "broadcast": True, "codegen": True,
+             "no_python_udf": True},
+        ),
         # degree-orientation triangles: equi-joins only over the
         # CHECKPOINTED oriented edge list — a cartesian anywhere here
         # would be quadratic at scale
