@@ -963,3 +963,47 @@ def start_kmv_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def start_hll_stream(
+    spark: SparkSession,
+    events_path: str,
+    state_path: str,
+    schema,
+    value_col: str = "user_id",
+    group_col: str = "event_type",
+    b: int = 8,
+    checkpoint_dir: str | None = None,
+):
+    """Maintain per-group HyperLogLog registers over an event stream —
+    the ≤6-bits-per-register sibling of :func:`start_kmv_stream` for
+    when the streamed GROUP BY is huge (per-domain NDV over a crawl).
+
+    Identical fold contract: each micro-batch sketches only its own
+    rows, then ``hll_merge`` (per-bucket max) folds it into the prior
+    state — associative, commutative, duplicate-insensitive, so the
+    streamed registers are IDENTICAL to one-batch registers of the
+    full history, and a replayed epoch converges to the same state
+    (max is idempotent).  State is ≤ m struct rows per group forever.
+    Epoch-versioned state dirs follow the ``start_cms_stream`` recipe.
+    """
+    from ..extensions.sketches import hll_merge, hll_sketch
+
+    stream = spark.readStream.schema(schema).parquet(events_path)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = hll_sketch(batch_df, value_col, [group_col], b=b)
+        prev = read_agg_state(spark, state_path, before_epoch=int(epoch_id))
+        if prev is None:
+            state = delta
+        else:
+            state = hll_merge(prev.unionByName(delta), [group_col])
+        out = f"{state_path}/epoch={int(epoch_id)}"
+        state.write.mode("overwrite").parquet(out)
+
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -813,3 +813,45 @@ def test_kmv_stream_equals_whole_history_sketch(spark, tmp_path):
     got = read_agg_state(spark, state)
     want = kmv_sketch(full, "user_id", ["event_type"], k=16)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_hll_stream_equals_whole_history_sketch(spark, tmp_path):
+    # Streaming HLL maintenance: the per-bucket max fold is exact
+    # (associative + idempotent), so the final per-group registers
+    # after two drops must be IDENTICAL to sketching the concatenated
+    # history in one batch — including a group only present in drop 2.
+    from atlas_upscaling_dask_spark.extensions.sketches import hll_sketch
+    from atlas_upscaling_dask_spark.streaming.ingest import (
+        read_agg_state,
+        start_hll_stream,
+    )
+
+    schema = "event_id long, event_type string, user_id long"
+    drop1 = [(i, "click", i % 40) for i in range(60)]
+    drop2 = [(100 + i, "click", 30 + (i % 50)) for i in range(50)] + [
+        (990 + i, "view", i) for i in range(5)
+    ]
+    d1 = spark.createDataFrame(drop1, schema)
+    d2 = spark.createDataFrame(drop2, schema)
+    full = spark.createDataFrame(drop1 + drop2, schema)
+
+    src = str(tmp_path / "hll_src")
+    state = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "hll_ckpt")
+    d1.write.mode("append").parquet(src)
+
+    q = start_hll_stream(spark, src, state, d1.schema, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    d2.write.mode("append").parquet(src)
+    q = start_hll_stream(spark, src, state, d1.schema, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = read_agg_state(spark, state)
+    want = hll_sketch(full, "user_id", ["event_type"], b=8)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
