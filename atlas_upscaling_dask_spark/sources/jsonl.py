@@ -1,100 +1,76 @@
-"""JSONL (newline-delimited JSON) source + sharded sink for corpora.
+"""JSONL (newline-delimited JSON) document ingestion.
 
-The interchange format of training-data pipelines: one JSON object per
-line, gzip-sharded.  Reading with an EXPLICIT schema matters doubly at
-scale: schema inference is a full extra pass over 100 TB, and a drifted
-field silently becomes NULL instead of failing fast — so the reader
-takes a required schema and ``columnNameOfCorruptRecord`` captures bad
-lines for quarantine instead of dropping them.
+The text-corpus interchange format: crawl dumps, annotation exports,
+and model-generated data all move as JSONL.  Spark's native JSON
+source already does the right distributed thing — one task per file
+split, schema enforced at scan time — so this module is a thin,
+opinionated layer that pins the three decisions a 100 TB ingest gets
+wrong by default:
+
+* **Explicit schema, never inference.**  Schema inference is a full
+  extra pass over the data (doubling scan cost) and can silently widen
+  types between drops; every reader here takes a DDL schema string.
+* **Malformed lines are DATA, not exceptions.**  A crawl dump at scale
+  ALWAYS contains truncated/garbled lines; a single bad record must
+  not kill a 1000-executor job (FAILFAST), nor vanish silently
+  (DROPMALFORMED's default temptation).  ``read_jsonl`` reads
+  PERMISSIVE with a corrupt-record column and ``split_corrupt``
+  separates survivors from a quarantine frame the pipeline can count,
+  sample, and alert on.
+* **Round-trip fidelity is tested, not assumed** (newlines, quotes,
+  non-BMP unicode — the oracle-checked ``jsonl_roundtrip`` row writes
+  the documents table out and reads it back distributed).
+
+No counterpart in the reference repo (its sources are raw volumes +
+CSV dims); this is part of the LLM-data-pipeline surface.
 """
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-DOCUMENT_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
-        # bad lines land here instead of silently vanishing
-        T.StructField("_corrupt", T.StringType()),
-    ]
-)
+CORRUPT_COL = "_corrupt_record"
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """Write a frame as JSONL, one object per line, distributed (one
+    file per partition — at scale, size partitions before calling).
+    ``compression``: None | 'gzip' | 'zstd' (line-splittable readers
+    need None or a splittable codec; gzip trades scan parallelism for
+    ratio on cold archives)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
 
 
 def read_jsonl(
-    spark: SparkSession, path: str, schema: T.StructType = DOCUMENT_SCHEMA
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    mode: str = "PERMISSIVE",
 ) -> DataFrame:
-    """Schema-pinned JSONL scan; corrupt lines are quarantined in the
-    ``_corrupt`` column, never silently dropped.
-
-    Implemented as ``text`` scan + ``from_json`` rather than
-    ``spark.read.json``: the native reader's internal corrupt-record
-    column refuses any downstream plan that references only it
-    (QUERY_ONLY_CORRUPT_RECORD_COLUMN) and the documented workaround is
-    caching — a non-starter at 100 TB.  ``from_json`` honors the same
-    PERMISSIVE/corrupt-record options as a plain expression, single
-    pass, no special-casing."""
-    parsed = spark.read.text(path).select(
-        F.from_json(
-            F.col("value"),
-            schema,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
-        ).alias("r")
+    """Schema-pinned JSONL scan.  In PERMISSIVE mode (the default and
+    the one that survives real crawl dumps) malformed lines come back
+    as rows whose ``_corrupt_record`` column holds the raw line and
+    whose data columns are NULL — feed to :func:`split_corrupt`."""
+    reader = (
+        spark.read.schema(f"{schema}, {CORRUPT_COL} string")
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
     )
-    return parsed.select("r.*")
+    return reader.json(path)
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean, quarantine) — route bad lines to a side table for triage.
+    """(clean, quarantine): clean rows lose the corrupt column;
+    quarantine keeps only (raw line) for counting/sampling/alerting.
 
-    The quarantine keeps ``doc_id`` alongside the raw line: partly for
-    triage, partly because Spark refuses plans that reference ONLY the
-    internal corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
-    """
-    clean = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
-    bad = df.filter(F.col("_corrupt").isNotNull()).select("doc_id", "_corrupt")
-    return clean, bad
-
-
-def export_jsonl(
-    df: DataFrame,
-    path: str,
-    target_shard_mb: int = 256,
-    est_bytes_per_row: int | None = None,
-    compression: str = "gzip",
-) -> int:
-    """Write size-targeted JSONL shards; returns the shard count.
-
-    Shard sizing is the operational knob at scale: too-small shards
-    drown the consumer in file handles and scheduler tasks, too-large
-    ones kill parallel restartability.  The row-width estimate defaults
-    to a 1% sample (cheap relative to the write itself).
-    """
-    n_rows = df.count()
-    if n_rows == 0:
-        df.limit(0).write.mode("overwrite").json(path)
-        return 0
-    if est_bytes_per_row is None:
-        sample = df.sample(0.01, seed=7).limit(1000).toJSON().collect() or (
-            df.limit(100).toJSON().collect()
-        )
-        est_bytes_per_row = max(
-            1, sum(len(s) + 1 for s in sample) // max(len(sample), 1)
-        )
-    total_mb = n_rows * est_bytes_per_row / 1e6
-    shards = max(1, math.ceil(total_mb / target_shard_mb))
-    (
-        df.repartition(shards)
-        .write.mode("overwrite")
-        .option("compression", compression)
-        .json(path)
+    Spark leaves ``_corrupt_record`` NULL for well-formed lines, so the
+    split is a narrow filter — no shuffle, no second scan."""
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
     )
-    return shards
+    return clean, quarantine

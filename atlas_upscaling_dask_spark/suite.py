@@ -6458,7 +6458,8 @@ _DRIVER_CHECKED = {
 _PRIORITY = [
     # round-4 additions — no driver history anywhere:
     "hll_ndv", "seasonal_decompose", "embed_covariance",
-    "embed_pca_topk", "seasonal_anomalies", "setsim_prefix_join", "scd2_user_segments", "scd2_asof_lookup",
+    "embed_pca_topk", "seasonal_anomalies", "jsonl_roundtrip",
+    "setsim_prefix_join", "scd2_user_segments", "scd2_asof_lookup",
     "check_constraints_lineitem", "image_phash_values",
     "image_phash_neardup", "image_dup_clusters", "funnel_within",
     "profile_drift_lineitem", "mad_outliers", "rolling_median",
@@ -7001,6 +7002,37 @@ SELECT d.eid AS event_id, d.k AS event_type, d.residual AS residual,
 FROM dec d JOIN m ON d.k = m.k
 WHERE abs((d.residual - m.mean) / m.std) > 2.5
 """,
+)
+
+
+def _jsonl_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSONL ingest fidelity end-to-end: write the documents table as
+    # newline-delimited JSON (the corpus interchange format), read it
+    # back DISTRIBUTED with a pinned schema, prove nothing changed.
+    # The oracle reads the original table — any escaping/encoding/type
+    # drift in either direction of the round trip breaks the hash.
+    import tempfile
+
+    from .sources.jsonl import read_jsonl, split_corrupt, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="jsonl_rt_")
+    write_jsonl(docs, path)
+    rd = read_jsonl(
+        spark,
+        path,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    clean, _quar = split_corrupt(rd)
+    return clean.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+_register(
+    "jsonl_roundtrip",
+    _jsonl_roundtrip_q,
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
 )
 
 
