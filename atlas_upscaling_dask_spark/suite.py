@@ -3813,7 +3813,7 @@ def _scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_totalprice
         FROM orders_sq
-        WHERE o_totalprice > 2 * (
+        WHERE o_totalprice > 1.5 * (
           SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
           FROM orders_sq
         )
@@ -3827,7 +3827,7 @@ _register(
     """
 SELECT o_orderkey, o_totalprice
 FROM orders
-WHERE o_totalprice > 2 * (
+WHERE o_totalprice > 1.5 * (
   SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
   FROM orders
 )
@@ -6416,32 +6416,46 @@ SELECT z, y, x, label FROM ranked WHERE rk = 1
 
 #: rows verified by the driver in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json)
 _DRIVER_CHECKED = {
-    "asof_events_orders", "asof_forward", "assemble_packs", "bm25_topk",
-    "bpe_pair_counts", "changelog_apply", "chunk_documents",
-    "cohort_retention", "contamination", "correlation_stats",
-    "cube_counts", "decimate_lineitem", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dim_filter_project", "dim_join_left", "distinct_agg",
+    "asof_events_orders", "asof_forward", "assemble_packs",
+    "audio_fingerprint_values", "audio_near_dup", "bigram_coherence",
+    "bm25_index_topk", "bm25_topk", "bpe_pair_counts", "cdc_apply",
+    "changelog_apply", "check_constraints_lineitem", "chunk_documents",
+    "cohort_retention", "contamination", "correlation_stats", "cube_counts",
+    "decimate_lineitem", "dedup_canonical_quality", "dedup_clusters",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dim_filter_project", "dim_join_left", "distinct_agg",
     "doc_fingerprint", "doc_pipeline", "duplicate_spans",
-    "duplicate_windows", "embed_ann_lsh", "embed_ivf_topk",
-    "embed_near_dup", "embed_topk", "event_neighbor_diff", "ewma_events",
-    "funnel_counts", "fuzzy_lookup", "graph_pagerank", "graph_triangles",
-    "hash_split", "hierarchy_join", "json_extract_events", "lang_id",
-    "line_dedup", "lm_score", "mixture_resample", "mixture_upsample",
+    "duplicate_windows", "embed_ann_lsh", "embed_covariance",
+    "embed_ivf_pq_topk", "embed_ivf_topk", "embed_knn_graph",
+    "embed_near_dup", "embed_pq_topk", "embed_topk", "event_neighbor_diff",
+    "ewma_events", "funnel_counts", "funnel_within", "fuzzy_lookup",
+    "graph_bfs", "graph_pagerank", "graph_triangles", "hash_features",
+    "hash_split", "hierarchy_join", "histogram_equidepth", "hll_ndv",
+    "image_dup_clusters", "image_phash_neardup", "image_phash_values",
+    "incremental_agg", "interval_islands", "json_extract_events",
+    "jsonl_roundtrip", "lang_id", "line_dedup", "lm_score", "mad_outliers",
+    "map_functions", "market_basket_lift", "mixture_resample",
+    "mixture_upsample", "model_quality_screen", "multimodal_audio",
     "multimodal_digest", "multimodal_features", "ndv_sketch",
-    "pack_sequences", "pivot_returnflag", "prepare_rag_corpus",
-    "prepare_training_set", "quality_score", "region_rollup_chunkpath",
-    "resample_interpolate", "rollup_counts", "scalar_functions",
-    "semi_anti_customers", "sessionize", "set_except_intersect",
-    "sliding_window_agg", "text_stats", "time_bucket_agg", "topk_orders",
-    "tpch_q1_pricing", "tpch_q2_min_cost", "tpch_q3_shipping",
-    "tpch_q4_priority", "tpch_q5_local_supplier", "tpch_q6_forecast",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share", "tpch_q9_profit",
-    "train_shuffle", "upscale_lineitem", "value_histogram",
+    "negative_samples", "pack_sequences", "pareto_orders",
+    "pivot_returnflag", "prepare_rag_corpus", "prepare_training_set",
+    "profile_drift_lineitem", "profile_lineitem", "quality_score",
+    "quantile_sketch", "region_rollup_chunkpath", "resample_interpolate",
+    "rolling_median", "rollup_counts", "scalar_functions",
+    "scd2_asof_lookup", "scd2_user_segments", "seasonal_anomalies",
+    "seasonal_decompose", "semantic_dedup", "semi_anti_customers",
+    "sessionize", "set_except_intersect", "setsim_containment_join",
+    "setsim_prefix_join", "sliding_window_agg", "stratified_sample",
+    "table_diff", "text_stats", "tfidf_topterms", "time_bucket_agg",
+    "topk_orders", "tpch_q1_pricing", "tpch_q2_min_cost",
+    "tpch_q3_shipping", "tpch_q4_priority", "tpch_q5_local_supplier",
+    "tpch_q6_forecast", "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_profit", "train_shuffle", "twap_events", "upscale_lineitem",
+    "value_histogram", "video_frame_hashes", "video_near_dup",
     "vox_adjacency_chunkpath", "vox_centroids", "vox_closure",
-    "vox_components_chunkpath", "vox_decimate", "vox_decimate_chunkpath",
-    "vox_decode", "vox_enhance_chunkpath", "vox_erode_chunkpath",
-    "vox_extents", "vox_hierarchy", "vox_histogram",
+    "vox_components", "vox_components_chunkpath", "vox_decimate",
+    "vox_decimate_chunkpath", "vox_decode", "vox_enhance_chunkpath",
+    "vox_erode_chunkpath", "vox_extents", "vox_hierarchy", "vox_histogram",
     "vox_histogram_chunkpath", "vox_mode_chunkpath", "vox_morton",
     "vox_outline", "vox_outline_chunkpath", "vox_outline_wrap",
     "vox_point_lookup", "vox_point_lookup_chunkpath", "vox_pyramid",
@@ -6450,53 +6464,31 @@ _DRIVER_CHECKED = {
     "window_running_sum", "winsorize_quantity", "zscore_outliers",
 }
 
-#: hand-ranked head: round-4 additions and oracle-fixed rows first, then
-#: every never-driver-checked row — persisted-index / incremental /
-#: sketch operators, the vox siblings, and the TPC-H remainder — with
-#: pure function-coverage rows last (they spill past the 50-sample into
-#: round 5's prefix).
+#: hand-ranked head for round 5: the two rows changed this round
+#: (embed_pca_topk gained an exact oracle via the 100%-recall fixture;
+#: scalar_subquery was de-vacuated), then every remaining
+#: never-driver-checked row — the ~8 past the 50-sample spill into
+#: round 6's prefix.
 _PRIORITY = [
-    # round-4 additions — no driver history anywhere:
-    "hll_ndv", "seasonal_decompose", "embed_covariance",
-    "embed_pca_topk", "seasonal_anomalies", "jsonl_roundtrip",
-    "setsim_prefix_join", "scd2_user_segments", "scd2_asof_lookup",
-    "check_constraints_lineitem", "image_phash_values",
-    "image_phash_neardup", "image_dup_clusters", "funnel_within",
-    "profile_drift_lineitem", "mad_outliers", "rolling_median",
-    "map_functions", "hash_features", "audio_fingerprint_values",
-    "audio_near_dup", "video_frame_hashes", "video_near_dup",
-    "embed_ivf_pq_topk", "multimodal_audio", "semantic_dedup",
-    "profile_lineitem",
-    # oracle SQL fixed this round (HUGEINT -> BIGINT casts): re-confirm
-    "graph_pagerank", "bigram_coherence",
-    # round-4 continuation session — brand-new operators, no history:
-    "setsim_containment_join", "graph_bfs", "dedup_canonical_quality",
-    "histogram_equidepth", "market_basket_lift", "twap_events",
-    "interval_islands", "embed_knn_graph", "negative_samples",
-    "tfidf_topterms", "pareto_orders",
-    # never driver-checked, highest operator value first:
-    "embed_pq_topk", "bm25_index_topk", "incremental_agg", "table_diff",
-    "quantile_sketch", "cdc_apply", "dedup_clusters", "vox_components",
-    "model_quality_screen", "stratified_sample", "sequence_gaps",
+    "embed_pca_topk", "scalar_subquery", "sequence_gaps",
     "cumulative_users", "corpus_report", "vocab_topk", "oov_rate",
-    "vox_tiff_scan", "vox_zorder_code", "salted_join",
-    "range_join_events", "vox_erode", "vox_dilate",
-    "region_volume_rollup", "vox_point_after_upscale", "embed_quantize",
-    "rare_terms", "vox_relabel", "vox_histogram_preserved",
-    "vox_downsample_mode", "vox_adjacency", "vox_bbox",
-    "lateral_topk_per_cust", "embed_centroids", "tpch_q10_returns",
-    "tpch_q12_shipmode", "tpch_q11_important_stock", "tpch_q13_custdist",
-    "tpch_q14_promo", "tpch_q17_small_qty", "tpch_q18_large_orders",
-    "percentile_quantity", "orders_above_cust_avg", "revenue_by_month",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+    "vox_tiff_scan", "vox_zorder_code", "salted_join", "range_join_events",
+    "vox_erode", "vox_dilate", "region_volume_rollup",
+    "vox_point_after_upscale", "embed_quantize", "rare_terms",
+    "vox_relabel", "vox_histogram_preserved", "vox_downsample_mode",
+    "vox_adjacency", "vox_bbox", "lateral_topk_per_cust", "embed_centroids",
+    "tpch_q10_returns", "tpch_q12_shipmode", "tpch_q11_important_stock",
+    "tpch_q13_custdist", "tpch_q14_promo", "tpch_q17_small_qty",
+    "tpch_q18_large_orders", "percentile_quantity", "orders_above_cust_avg",
+    "revenue_by_month", "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
     "tpch_q19_disjunctive", "tpch_q20_nested_in", "tpch_q21_waiting",
     "tpch_q22_global_sales", "repetition_stats", "funnel_steps",
     "resample_ffill", "redact_pii", "vox_outline_wrap_chunkpath",
     "vox_dilate_chunkpath", "vox_rechunk_fastpaths",
     "vox_extents_chunkpath", "string_functions", "array_functions",
     "null_semantics", "date_arithmetic", "text_normalize",
-    "frame_sample_plan", "vox_meta_report", "scalar_subquery",
-    "window_frames", "grouping_sets", "unpivot_lineitem", "approx_agg",
+    "frame_sample_plan", "vox_meta_report", "window_frames",
+    "grouping_sets", "unpivot_lineitem", "approx_agg",
 ]
 
 
@@ -6933,19 +6925,46 @@ FROM agg
 def _embed_pca_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ANN via data-adaptive dimensionality reduction: PCA-reduced
     # candidate search + exact full-dimension rerank.  The eigensolve
-    # is driver-side LAPACK (d×d over the exact covariance frame) —
-    # not SQL-replayable, so this row is rows-only; the covariance
-    # half is the oracle-exact embed_covariance row and recall/parity
-    # properties are pytest-verified.
+    # is driver-side LAPACK (d×d over the exact covariance frame) and
+    # not SQL-replayable — but the OUTPUT is: with the candidate cap
+    # sized to the corpus (oversample·k ≥ n), reduced-space recall is
+    # provably 100%, and since every candidate gets an exact
+    # full-dimension rerank the result is identically the exact
+    # brute-force top-k — the same oracle SQL as embed_topk.  The
+    # whole path (covariance → eigensolve → projection → candidate
+    # gen → rerank) still executes; recall at production oversample
+    # settings is pytest-bounded (test_pca_topk_recall_against_exact).
+    import math
+
     from .extensions.linalg import pca_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
     return pca_topk(
-        emb.filter(F.col("vec_id") < 10), emb, k=5, reduce_k=8, oversample=4
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        k=5,
+        reduce_k=8,
+        oversample=math.ceil(n / 5),
     )
 
 
-_register("embed_pca_topk", _embed_pca_topk_q, None)
+_register(
+    "embed_pca_topk",
+    _embed_pca_topk_q,
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COSINE_SQL.format(a='qv', b='cv')} AS cosine
+  FROM q, c WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+)
 
 
 def _seasonal_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
