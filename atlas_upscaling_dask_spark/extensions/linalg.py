@@ -87,19 +87,38 @@ def embedding_covariance(
             x = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
                 np.int64
             )
-            sxy = (x.T @ x)[iu, ju]  # int64 GEMM: exact
-            sx = x.sum(axis=0, dtype=np.int64)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(iu.astype(np.int32)),
-                    pa.array(ju.astype(np.int32)),
-                    pa.array(np.full(len(iu), x.shape[0], dtype=np.int64)),
-                    pa.array(sxy),
-                    pa.array(sx[iu]),
-                    pa.array(sx[ju]),
-                ],
-                ["i", "j", "n", "sxy", "sx", "sy"],
-            )
+            # The int64 GEMM is exact only while max|x|²·rows < 2^63.
+            # Unit-normalized vectors at the default scale_bits/batch
+            # size are far inside that, but unnormalized embeddings or
+            # a raised arrow.maxRecordsPerBatch would WRAP silently in
+            # numpy — so derive the safe row count from the actual
+            # batch magnitude and emit per-block partials (the
+            # downstream DECIMAL(38,0) aggregation merges them
+            # exactly); a single row that already violates the bound
+            # is a hard error, not a wrong answer.
+            m = int(np.abs(x).max(initial=0))
+            safe_rows = x.shape[0] if m == 0 else (2**63 - 1) // (m * m)
+            if safe_rows < 1:
+                raise ValueError(
+                    "embedding_covariance: |scaled value| "
+                    f"{m} exceeds the int64-exact bound even for a "
+                    "single row; lower scale_bits or normalize vectors"
+                )
+            for lo in range(0, x.shape[0], safe_rows):
+                blk = x[lo : lo + safe_rows]
+                sxy = (blk.T @ blk)[iu, ju]  # int64 GEMM: exact
+                sx = blk.sum(axis=0, dtype=np.int64)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(iu.astype(np.int32)),
+                        pa.array(ju.astype(np.int32)),
+                        pa.array(np.full(len(iu), blk.shape[0], dtype=np.int64)),
+                        pa.array(sxy),
+                        pa.array(sx[iu]),
+                        pa.array(sx[ju]),
+                    ],
+                    ["i", "j", "n", "sxy", "sx", "sy"],
+                )
 
     partials = df.select(F.col(vec_col).cast("array<double>").alias("v")).mapInArrow(
         kernel, schema
@@ -117,13 +136,18 @@ def embedding_covariance(
         * (F.col("n") - 1).cast(dec)
         * F.lit(1 << (2 * scale_bits)).cast(dec)
     )
+    # The moment totals stay DECIMAL(38,0): even unit-normalized
+    # vectors at scale_bits=20 overflow a BIGINT total past ~8e6 rows
+    # (x² ~ 2^40 each), so a long cast here would abort exactly when
+    # the operator is doing its job at scale.  Fixture-scale callers
+    # that need BIGINT for an oracle compare cast in their projection.
     return agg.select(
         "i",
         "j",
         "n",
-        F.col("sxy").cast("long").alias("sxy"),
-        F.col("sx").cast("long").alias("sx"),
-        F.col("sy").cast("long").alias("sy"),
+        "sxy",
+        "sx",
+        "sy",
         (num.cast("double") / den.cast("double")).alias("cov"),
     )
 

@@ -32,12 +32,17 @@ LCG_M = 2_147_483_648  # 2^31
 def shuffle_pos_expr(id_col: str = "doc_id", seed: int = 0) -> Column:
     """Deterministic pseudo-random position for stable training-data
     shuffles: pos = (a·(id + seed) + c) mod 2^31.  A different ``seed``
-    yields a different epoch order.  Pure BIGINT arithmetic (max
-    operand ~2^61 < 2^63) — replayable in any engine, and a *narrow*
-    projection: reshuffling 100 TB costs zero shuffle; consumers read
-    shards ordered by (shard, shuffle_pos) from the writer's
-    ``sortWithinPartitions``."""
-    return (F.lit(LCG_A) * (F.col(id_col) + F.lit(seed)) + F.lit(LCG_C)) % F.lit(LCG_M)
+    yields a different epoch order.  Pure BIGINT arithmetic — the id
+    is reduced mod M before the multiply (A·(x mod M) ≡ A·x (mod M)),
+    bounding the product by A·(M−1) ≈ 2.4e18 < 2^63 for ANY doc_id,
+    so 64-bit snowflake-style ids can't overflow the draw — replayable
+    in any engine, and a *narrow* projection: reshuffling 100 TB costs
+    zero shuffle; consumers read shards ordered by (shard,
+    shuffle_pos) from the writer's ``sortWithinPartitions``."""
+    return (
+        F.lit(LCG_A) * F.pmod(F.col(id_col) + F.lit(seed), F.lit(LCG_M))
+        + F.lit(LCG_C)
+    ) % F.lit(LCG_M)
 
 
 def train_shuffle(
@@ -579,10 +584,18 @@ def negative_samples(
             F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
         )
         .withColumn(
+            # Reduce the argument mod M BEFORE the multiply: A·(x mod M)
+            # ≡ A·x (mod M) and A·(M−1) ≈ 2.4e18 < 2^63, so the product
+            # never overflows int64 — whereas A·x directly wraps once
+            # idx·k+j ≥ ~8.4e9 (≈2.1e9 docs at k=4), aborting under
+            # ANSI mode and silently corrupting the draw without it.
             "cand",
             (
                 (
-                    F.lit(LCG_A) * (F.col("idx") * k + F.col("j") + F.lit(seed))
+                    F.lit(LCG_A)
+                    * F.pmod(
+                        F.col("idx") * k + F.col("j") + F.lit(seed), F.lit(LCG_M)
+                    )
                     + F.lit(LCG_C)
                 )
                 % F.lit(LCG_M)

@@ -242,21 +242,24 @@ def bfs_levels(
     second pass: it is min over the edge table, one agg — broadcast as
     a 1-row frame, never a driver-side collect of graph data).
 
-    Each round expands the current distance frontier through the
-    symmetrized edge list and folds with ``min(dist)`` — a node reached
-    twice keeps its earliest hop count, so after round k every node at
-    true distance ≤ k is final (synchronous BFS invariant).  Per-round
-    ``localCheckpoint`` keeps the plan linear in rounds, exactly like
-    :func:`pagerank`; each round is ONE join + ONE aggregation exchange
-    on the frontier (not the whole graph — already-settled nodes
-    re-emit only their min, and AQE collapses the tiny early rounds).
+    Per-round work is FRONTIER-sized, not graph-sized: only the nodes
+    first reached last round expand through the symmetrized edge list
+    (one equi-join), and a left-anti join against the settled table
+    drops re-reached nodes — in synchronous BFS a node's first round
+    IS its shortest hop count, so settled entries are final and never
+    re-aggregated.  Per-round ``localCheckpoint`` keeps the plan
+    linear in rounds, exactly like :func:`pagerank`, and the loop
+    short-circuits the moment a frontier comes back empty (the
+    checkpoint has already materialized it, so the emptiness probe is
+    free — no wasted full-graph rounds after convergence).
 
-    At 100 TB: rounds scale with graph diameter, not size; the edge
-    table partitions by src once and every round's join reuses that
-    partitioning.  The reference (a flat Dask pipeline) has no graph
-    surface at all — this rounds out the pair-table analytics family
-    (components / triangles / PageRank) the near-dup clustering path
-    already relies on.
+    At 100 TB: rounds scale with graph diameter, not size, and each
+    round touches O(frontier·degree) edge rows plus one node-keyed
+    anti-join; the edge table partitions by src once and every round's
+    join reuses that partitioning.  The reference (a flat Dask
+    pipeline) has no graph surface at all — this rounds out the
+    pair-table analytics family (components / triangles / PageRank)
+    the near-dup clustering path already relies on.
     """
     edges = canonical_edges(pairs, a_col, b_col)
     directed = edges.unionAll(
@@ -268,19 +271,24 @@ def bfs_levels(
         src = directed.sparkSession.createDataFrame(
             [(int(source),)], "node long"
         )
-    dist = src.select(
+    frontier = src.select(
         F.col("node").cast("long").alias("node"), F.lit(0).alias("dist")
     ).localCheckpoint()
-    for _ in range(max_hops):
-        expanded = dist.join(
-            directed, dist["node"] == directed["a"], "inner"
-        ).select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
-        dist = (
-            dist.unionAll(expanded)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+    dist = frontier
+    for hop in range(1, max_hops + 1):
+        if frontier.isEmpty():
+            break
+        expanded = (
+            frontier.join(directed, frontier["node"] == directed["a"], "inner")
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            expanded.join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"))
             .localCheckpoint()
         )
+        dist = dist.unionAll(frontier).localCheckpoint()
     return dist.select("node", F.col("dist").cast("int").alias("dist"))
 
 

@@ -5591,8 +5591,8 @@ _register(
     _train_shuffle_q,
     """
 SELECT doc_id,
-       (1103515245 * (doc_id + 7) + 12345) % 2147483648 AS shuffle_pos,
-       CAST(((1103515245 * (doc_id + 7) + 12345) % 2147483648) % 8 AS INTEGER) AS shard
+       (1103515245 * ((doc_id + 7) % 2147483648) + 12345) % 2147483648 AS shuffle_pos,
+       CAST(((1103515245 * ((doc_id + 7) % 2147483648) + 12345) % 2147483648) % 8 AS INTEGER) AS shard
 FROM documents
 """,
 )
@@ -5613,8 +5613,8 @@ _register(
 WITH base AS (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_tokens,
-         (1103515245 * (doc_id + 7) + 12345) % 2147483648 AS shuffle_pos,
-         CAST(((1103515245 * (doc_id + 7) + 12345) % 2147483648) % 8 AS INTEGER) AS shard
+         (1103515245 * ((doc_id + 7) % 2147483648) + 12345) % 2147483648 AS shuffle_pos,
+         CAST(((1103515245 * ((doc_id + 7) % 2147483648) + 12345) % 2147483648) % 8 AS INTEGER) AS shard
   FROM documents
 ),
 cum AS (
@@ -5646,8 +5646,8 @@ _register(
 WITH base AS (
   SELECT doc_id, text,
          len(string_split(text, ' ')) AS n_tokens,
-         (1103515245 * (doc_id + 7) + 12345) % 2147483648 AS shuffle_pos,
-         CAST(((1103515245 * (doc_id + 7) + 12345) % 2147483648) % 8 AS INTEGER) AS shard
+         (1103515245 * ((doc_id + 7) % 2147483648) + 12345) % 2147483648 AS shuffle_pos,
+         CAST(((1103515245 * ((doc_id + 7) % 2147483648) + 12345) % 2147483648) % 8 AS INTEGER) AS shard
   FROM documents
 ),
 packed AS (
@@ -5790,8 +5790,8 @@ train AS (
 base AS (
   SELECT doc_id, source,
          len(string_split(text, ' ')) AS n_tokens,
-         (1103515245 * (doc_id + 7) + 12345) % 2147483648 AS shuffle_pos,
-         CAST(((1103515245 * (doc_id + 7) + 12345) % 2147483648) % 8 AS INTEGER) AS shard
+         (1103515245 * ((doc_id + 7) % 2147483648) + 12345) % 2147483648 AS shuffle_pos,
+         CAST(((1103515245 * ((doc_id + 7) % 2147483648) + 12345) % 2147483648) % 8 AS INTEGER) AS shard
   FROM train
 ),
 cum AS (
@@ -6892,7 +6892,20 @@ def _embed_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.linalg import embedding_covariance
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_covariance(emb, scale_bits=20)
+    cov = embedding_covariance(emb, scale_bits=20)
+    # The operator keeps moment totals DECIMAL(38,0) (BIGINT overflows
+    # past ~8e6 normalized rows); the fixture fits comfortably, so cast
+    # here — DuckDB's DECIMAL→pandas path goes through float64 and
+    # would break the exact compare otherwise.
+    return cov.select(
+        "i",
+        "j",
+        "n",
+        F.col("sxy").cast("long").alias("sxy"),
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sy").cast("long").alias("sy"),
+        "cov",
+    )
 
 
 _register(
@@ -8303,7 +8316,7 @@ pos AS (
 ),
 c0 AS (
   SELECT doc_id, idx, n, j,
-         ((1103515245 * (idx * 4 + j + 7) + 12345) % 2147483648) % n AS cand
+         ((1103515245 * ((idx * 4 + j + 7) % 2147483648) + 12345) % 2147483648) % n AS cand
   FROM pos
 ),
 c1 AS (

@@ -247,6 +247,53 @@ def test_embedding_covariance_partition_independent(spark):
     assert a == b  # integer partials are associative
 
 
+def test_embedding_covariance_block_split_stays_exact(spark):
+    """Unnormalized large-magnitude vectors: |x|²·rows would wrap int64
+    in a single GEMM, so the kernel must split the batch into safe
+    blocks and still produce the EXACT integer moments (verified
+    against arbitrary-precision Python ints)."""
+    from atlas_upscaling_dask_spark.extensions.linalg import embedding_covariance
+
+    # |v|=2850 at scale_bits=20 → |x| ~ 2.99e9, |x|² ~ 8.9e18: one row
+    # fits int64 but TWO would overflow — forces one-row blocks.
+    rng = np.random.default_rng(11)
+    base = rng.uniform(-2000.0, 2000.0, size=(40, 3))
+    base[0, 0] = 2850.0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = 20
+    sc = base * float(1 << b)
+    x = (np.sign(sc) * np.floor(np.abs(sc) + 0.5)).astype(np.int64)
+    got = {
+        (r["i"], r["j"]): (r["n"], r["sxy"], r["sx"], r["sy"])
+        for r in embedding_covariance(df.coalesce(1), scale_bits=b).collect()
+    }
+    xs = [[int(v) for v in row] for row in x]  # python ints: no wrap
+    n, d = x.shape
+    for i in range(d):
+        for j in range(i, d):
+            sxy = sum(r[i] * r[j] for r in xs)
+            sx = sum(r[i] for r in xs)
+            sy = sum(r[j] for r in xs)
+            assert got[(i, j)] == (n, sxy, sx, sy)
+
+
+def test_embedding_covariance_rejects_single_row_overflow(spark):
+    """A magnitude the bound can't admit even for ONE row must be a
+    hard error, never a silently wrapped covariance."""
+    import pytest
+
+    from atlas_upscaling_dask_spark.extensions.linalg import embedding_covariance
+
+    # |x| ~ 3.2e12 at scale_bits=20 → |x|² ~ 1e25 >> 2^63
+    df = spark.createDataFrame(
+        [(1, [3.1e6, 1.0]), (2, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="int64-exact bound|exceeds"):
+        embedding_covariance(df.coalesce(1), scale_bits=20).collect()
+
+
 def test_embedding_covariance_rejects_ragged_and_null(spark):
     import pytest
     from py4j.protocol import Py4JJavaError
