@@ -6470,7 +6470,7 @@ _DRIVER_CHECKED = {
 #: never-driver-checked row — the ~8 past the 50-sample spill into
 #: round 6's prefix.
 _PRIORITY = [
-    "embed_pca_topk", "scalar_subquery", "sequence_gaps",
+    "vox_zarr_roundtrip", "embed_pca_topk", "scalar_subquery", "sequence_gaps",
     "cumulative_users", "corpus_report", "vocab_topk", "oov_rate",
     "vox_tiff_scan", "vox_zorder_code", "salted_join", "range_join_events",
     "vox_erode", "vox_dilate", "region_volume_rollup",
@@ -7065,6 +7065,45 @@ _register(
     "jsonl_roundtrip",
     _jsonl_roundtrip_q,
     "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+
+
+def _vox_zarr_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's on-disk product end-to-end: build a 2-level
+    # pyramid on the bulk path, write it as a REAL OME-Zarr v2 store
+    # (hand-rolled to the public spec — zlib chunks, .zarray/.zattrs
+    # multiscales), then scan it back DISTRIBUTED and prove every
+    # voxel of every level survived the format boundary.
+    import tempfile
+
+    from .operators.enhance import enhance_chunks
+    from .sinks.ome_zarr import scan_ome_zarr, write_ome_zarr
+    from .volume import chunks_to_voxels, synthetic_chunks
+
+    chunks = synthetic_chunks(spark, FIXTURE_META, chunk=(8, 8, 8))
+    pyr = enhance_chunks(chunks, scale=1, outline=False, levels=2)
+    path = tempfile.mkdtemp(prefix="omezarr_") + "/vol.zarr"
+    write_ome_zarr(pyr, path, FIXTURE_META)
+    out = None
+    for lvl in (0, 1):
+        vox = chunks_to_voxels(scan_ome_zarr(spark, path, lvl))
+        lv = vox.select(
+            F.lit(lvl).cast("int").alias("level"), "z", "y", "x", "label"
+        )
+        out = lv if out is None else out.unionByName(lv)
+    return out
+
+
+_register(
+    "vox_zarr_roundtrip",
+    _vox_zarr_roundtrip_q,
+    f"""
+WITH {VOX_CTE}
+SELECT CAST(0 AS INTEGER) AS level, z, y, x, label FROM voxels
+UNION ALL
+SELECT CAST(1 AS INTEGER) AS level, z // 2, y // 2, x // 2, label
+FROM voxels WHERE z % 2 = 0 AND y % 2 = 0 AND x % 2 = 0
+""",
 )
 
 

@@ -1,0 +1,221 @@
+"""OME-Zarr writer/scanner: spec compliance and round-trip fidelity.
+
+zarr-python isn't in the container, so compliance is checked against
+the Zarr v2 spec directly: metadata JSON shape, chunk file naming,
+full-size padded edge chunks, zlib codec bytes, fill_value semantics
+for missing files.  The reader half (read_zarr_level / scan_ome_zarr)
+implements the same spec independently of the writer's in-memory
+state — it sees only what's on disk.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from atlas_upscaling_dask_spark.volume import (
+    PAYLOAD_DTYPE,
+    VolumeMeta,
+    chunks_to_voxels,
+    synthetic_chunks,
+)
+
+
+def _dense_from_chunks(spark_df, shape):
+    arr = np.zeros(shape, dtype=PAYLOAD_DTYPE)
+    for r in chunks_to_voxels(spark_df).collect():
+        arr[r["z"], r["y"], r["x"]] = r["label"]
+    return arr
+
+
+def test_ome_zarr_roundtrip_two_levels(spark, tmp_path):
+    from atlas_upscaling_dask_spark.operators.enhance import enhance_chunks
+    from atlas_upscaling_dask_spark.sinks.ome_zarr import (
+        read_zarr_level,
+        write_ome_zarr,
+    )
+
+    meta = VolumeMeta(16, 16, 16)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    pyr = enhance_chunks(chunks, scale=1, outline=False, levels=2)
+    out = str(tmp_path / "vol.zarr")
+    receipts = write_ome_zarr(pyr, out, meta)
+
+    # level 0 assembles to the exact source volume
+    base = _dense_from_chunks(chunks, meta.shape)
+    np.testing.assert_array_equal(read_zarr_level(out, 0), base)
+    # level 1 is the stride-2 decimation (prev[::2,::2,::2])
+    np.testing.assert_array_equal(read_zarr_level(out, 1), base[::2, ::2, ::2])
+    assert receipts[0]["n_chunks"] + receipts[0]["n_skipped"] == 8
+    assert receipts[1]["n_chunks"] + receipts[1]["n_skipped"] == 8
+
+
+def test_ome_zarr_metadata_matches_reference_shape(spark, tmp_path):
+    # .zgroup/.zattrs/.zarray must carry the exact OME-NGFF 0.4 keys the
+    # reference writes (upscale_streaming_enhance.py:229-255): zyx axes
+    # in micrometers, per-level scale doubling, image-label flag.
+    from atlas_upscaling_dask_spark.operators.enhance import enhance_chunks
+    from atlas_upscaling_dask_spark.sinks.ome_zarr import write_ome_zarr
+
+    meta = VolumeMeta(16, 16, 16, spacing_z=12.5, spacing_y=12.5, spacing_x=12.5)
+    pyr = enhance_chunks(
+        synthetic_chunks(spark, meta, chunk=(8, 8, 8)), levels=2, outline=False
+    )
+    out = str(tmp_path / "vol.zarr")
+    write_ome_zarr(pyr, out, meta, scale=2)
+
+    assert json.load(open(os.path.join(out, ".zgroup"))) == {"zarr_format": 2}
+    attrs = json.load(open(os.path.join(out, ".zattrs")))
+    ms = attrs["multiscales"][0]
+    assert ms["version"] == "0.4"
+    assert [a["name"] for a in ms["axes"]] == ["z", "y", "x"]
+    assert all(a["unit"] == "micrometer" for a in ms["axes"])
+    assert [d["path"] for d in ms["datasets"]] == ["0", "1"]
+    s0 = ms["datasets"][0]["coordinateTransformations"][0]
+    s1 = ms["datasets"][1]["coordinateTransformations"][0]
+    assert s0 == {"type": "scale", "scale": [12.5, 12.5, 12.5]}
+    assert s1 == {"type": "scale", "scale": [25.0, 25.0, 25.0]}
+    assert attrs["image-label"] is True
+
+    za = json.load(open(os.path.join(out, "0", ".zarray")))
+    assert za["zarr_format"] == 2
+    assert za["shape"] == [16, 16, 16]
+    assert za["chunks"] == [8, 8, 8]
+    assert za["dtype"] == "<u4"
+    assert za["order"] == "C"
+    assert za["fill_value"] == 0
+    assert za["compressor"] == {"id": "zlib", "level": 1}
+    za1 = json.load(open(os.path.join(out, "1", ".zarray")))
+    assert za1["shape"] == [8, 8, 8]
+
+
+def test_ome_zarr_chunk_bytes_are_spec_exact(spark, tmp_path):
+    # Decode a chunk file by hand (zlib + C-order <u4) — proving any
+    # spec-conforming zarr reader, not just ours, reconstructs it.
+    from atlas_upscaling_dask_spark.sinks.ome_zarr import write_ome_zarr
+
+    meta = VolumeMeta(16, 16, 16)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    out = str(tmp_path / "vol.zarr")
+    write_ome_zarr(chunks, out, meta)
+    base = _dense_from_chunks(chunks, meta.shape)
+    raw = zlib.decompress(open(os.path.join(out, "0", "1.0.1"), "rb").read())
+    block = np.frombuffer(raw, dtype="<u4").reshape(8, 8, 8)
+    np.testing.assert_array_equal(block, base[8:16, 0:8, 8:16])
+
+
+def test_ome_zarr_edge_chunks_padded_full_size(spark, tmp_path):
+    # Zarr v2 stores edge chunks FULL chunk-shape; with compressor none
+    # the file size proves the padding, and readers crop it back off.
+    from atlas_upscaling_dask_spark.sinks.ome_zarr import (
+        read_zarr_level,
+        write_ome_zarr,
+    )
+
+    meta = VolumeMeta(12, 12, 12)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    out = str(tmp_path / "vol.zarr")
+    write_ome_zarr(chunks, out, meta, compressor="none")
+    fsz = os.path.getsize(os.path.join(out, "0", "1.1.1"))
+    assert fsz == 8 * 8 * 8 * 4  # padded, not 4*4*4*4
+    np.testing.assert_array_equal(
+        read_zarr_level(out, 0), _dense_from_chunks(chunks, meta.shape)
+    )
+
+
+def test_ome_zarr_all_zero_chunks_skipped_and_scan_restores(spark, tmp_path):
+    import pandas as pd
+
+    from atlas_upscaling_dask_spark.sinks.ome_zarr import (
+        scan_ome_zarr,
+        write_ome_zarr,
+    )
+
+    # full 2x2x2 chunk grid, one non-zero corner: 7 of 8 are all-zero
+    meta = VolumeMeta(16, 16, 16)
+    grid = [(cz, cy, cx) for cz in range(2) for cy in range(2) for cx in range(2)]
+    corner = np.zeros((8, 8, 8), dtype=PAYLOAD_DTYPE)
+    corner[:4, :4, :4] = 9
+    pdf = pd.DataFrame(
+        {
+            "volume_id": ["v"] * 8,
+            "cz": [g[0] for g in grid],
+            "cy": [g[1] for g in grid],
+            "cx": [g[2] for g in grid],
+            "z0": [g[0] * 8 for g in grid],
+            "y0": [g[1] * 8 for g in grid],
+            "x0": [g[2] * 8 for g in grid],
+            "dz": [8] * 8, "dy": [8] * 8, "dx": [8] * 8,
+            "codec": ["raw"] * 8,
+            "payload": [
+                (corner if g == (0, 0, 0) else np.zeros((8, 8, 8), dtype=PAYLOAD_DTYPE)).tobytes()
+                for g in grid
+            ],
+        }
+    )
+    chunks = spark.createDataFrame(pdf)
+    out = str(tmp_path / "sparse.zarr")
+    receipts = write_ome_zarr(chunks, out, meta)
+    assert receipts[0]["n_chunks"] == 1 and receipts[0]["n_skipped"] == 7
+    files = [f for f in os.listdir(os.path.join(out, "0")) if not f.startswith(".")]
+    assert files == ["0.0.0"]
+
+    # the distributed scan synthesizes fill-value blocks for the gaps
+    back = scan_ome_zarr(spark, out, 0)
+    got = {
+        (r["z"], r["y"], r["x"]): r["label"]
+        for r in chunks_to_voxels(back).collect()
+    }
+    assert len(got) == 16**3
+    assert sum(1 for v in got.values() if v) == 64
+    assert got[(0, 0, 0)] == 9 and got[(15, 15, 15)] == 0
+
+
+def test_ome_zarr_scan_roundtrips_chunk_frame(spark, tmp_path):
+    from atlas_upscaling_dask_spark.sinks.ome_zarr import (
+        scan_ome_zarr,
+        write_ome_zarr,
+    )
+
+    meta = VolumeMeta(16, 16, 16)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    out = str(tmp_path / "vol.zarr")
+    write_ome_zarr(chunks, out, meta)
+    a = sorted(
+        (r["z"], r["y"], r["x"], r["label"])
+        for r in chunks_to_voxels(chunks).collect()
+    )
+    b = sorted(
+        (r["z"], r["y"], r["x"], r["label"])
+        for r in chunks_to_voxels(scan_ome_zarr(spark, out, 0)).collect()
+    )
+    assert a == b
+
+
+def test_ome_zarr_misaligned_grid_rejected(spark, tmp_path):
+    from atlas_upscaling_dask_spark.sinks.ome_zarr import write_ome_zarr
+
+    meta = VolumeMeta(16, 16, 16)
+    # two chunks of different shapes whose origins can't share a grid
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "volume_id": ["v", "v"],
+            "cz": [0, 1], "cy": [0, 0], "cx": [0, 0],
+            "z0": [0, 6], "y0": [0, 0], "x0": [0, 0],
+            "dz": [6, 10], "dy": [16, 16], "dx": [16, 16],
+            "codec": ["raw", "raw"],
+            "payload": [
+                np.ones((6, 16, 16), dtype=PAYLOAD_DTYPE).tobytes(),
+                np.ones((10, 16, 16), dtype=PAYLOAD_DTYPE).tobytes(),
+            ],
+        }
+    )
+    bad = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="aligned|rechunk"):
+        write_ome_zarr(bad, str(tmp_path / "bad.zarr"), meta)
