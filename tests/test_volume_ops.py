@@ -775,3 +775,53 @@ def test_connected_components_chunks_adversarial_boundary_count(spark):
     assert stats["n"] == Z * Y * X
     assert stats["n_comp"] == Y * X
     assert stats["bad"] == 0
+
+
+def test_cc_edges_star_handles_pathological_chain(spark):
+    # A 300-node path: min-label needs 300 rounds (O(diameter)); the
+    # large-star/small-star alternation must finish in O(log n) — so
+    # max_iters=20 only passes if the rewiring really is geometric.
+    from atlas_upscaling_dask_spark.operators.components import (
+        connected_components_edges,
+    )
+
+    n = 300
+    verts = spark.range(n).select(F.col("id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    out = connected_components_edges(verts, edges, max_iters=20)
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r["comp"] == 0 for r in rows)
+
+
+def test_cc_edges_star_equals_minlabel_on_random_graph(spark):
+    # Property: both algorithms produce the identical (id -> min member)
+    # mapping on a random graph with isolated vertices, several
+    # components, duplicate and self edges.
+    import random
+
+    from atlas_upscaling_dask_spark.operators.components import (
+        connected_components_edges,
+    )
+
+    rng = random.Random(17)
+    n = 120
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    pairs += [(5, 5), (7, 7)]  # self loops must be ignored
+    pairs += pairs[:10]  # duplicates
+    verts = spark.range(n).select(F.col("id"))
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    star = {
+        r["id"]: r["comp"]
+        for r in connected_components_edges(verts, edges).collect()
+    }
+    ml = {
+        r["id"]: r["comp"]
+        for r in connected_components_edges(
+            verts, edges, algorithm="minlabel", max_iters=200
+        ).collect()
+    }
+    assert star == ml
+    assert len(star) == n
