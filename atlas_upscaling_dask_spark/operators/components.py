@@ -182,12 +182,17 @@ def connected_components_edges(
             f"connected_components_edges did not converge in {max_iters} "
             "rounds - raise max_iters"
         )
-    # converged star forest: every non-root u points at its root
+    # converged star forest: every non-root u points at its root.
+    # localCheckpoint preserves the minlabel contract (consumers see a
+    # materialized leaf, not this fixpoint's groupBy lineage — their
+    # residual plans stay one-exchange and AQE sees the true size).
     mapped = e.groupBy("u").agg(F.min("v").alias("comp")).select(
         F.col("u").alias("id"), "comp"
     )
-    return verts.join(mapped, "id", "left").select(
-        "id", F.coalesce("comp", F.col("id")).alias("comp")
+    return (
+        verts.join(mapped, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+        .localCheckpoint(eager=True)
     )
 
 

@@ -445,6 +445,76 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — harness guard by design
         errors["dedup_minhash_lsh"] = f"{type(e).__name__}: {e}"[:300]
 
+    # JSONL ingest (VERDICT r4 "Next round #7"): size-targeted shard
+    # export once (setup), then the timed path = schema-pinned scan +
+    # corrupt-record split, both halves forced — the crawl-dump ingest
+    # shape.  Uncompressed shards so the scan keeps line-level split
+    # parallelism (the scale path; gzip is the cold-archive trade).
+    try:
+        import shutil as _sh2
+        import tempfile as _tf2
+
+        from atlas_upscaling_dask_spark.sources.jsonl import (
+            DOCUMENTS_DDL,
+            export_jsonl,
+            read_jsonl,
+            split_corrupt,
+        )
+        from atlas_upscaling_dask_spark.tables import load_table as _lt3
+
+        jdir = _tf2.mkdtemp(prefix="bench_jsonl_")
+        try:
+            export_jsonl(
+                _lt3(spark, SF_DIR, "documents"),
+                jdir,
+                target_shard_mb=1,
+                compression=None,
+            )
+
+            def jsonl_ingest() -> None:
+                clean, quar = split_corrupt(
+                    read_jsonl(spark, jdir, DOCUMENTS_DDL)
+                )
+                force(clean)
+                force(quar)
+
+            timed("jsonl_ingest", jsonl_ingest)
+        finally:
+            _sh2.rmtree(jdir, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001 — harness guard by design
+        errors["jsonl_ingest"] = f"{type(e).__name__}: {e}"[:300]
+
+    # OME-Zarr format boundary at the reference's real volume shape:
+    # executor-parallel chunk-file export, then the distributed scan.
+    try:
+        import shutil as _sh3
+        import tempfile as _tf3
+
+        from atlas_upscaling_dask_spark.sinks.ome_zarr import (
+            scan_ome_zarr,
+            write_ome_zarr,
+        )
+
+        zmeta = VolumeMeta(456, 320, 528)
+        zchunks = synthetic_chunks(spark, zmeta, chunk=(57, 80, 132))
+        zdir = _tf3.mkdtemp(prefix="bench_zarr_")
+        zpath = os.path.join(zdir, "vol.zarr")
+        try:
+            timed(
+                "zarr_export",
+                lambda: write_ome_zarr(zchunks, zpath, zmeta),
+                runs=2,
+            )
+            timed(
+                "zarr_scan",
+                lambda: force(scan_ome_zarr(spark, zpath, 0)),
+                runs=2,
+            )
+        finally:
+            _sh3.rmtree(zdir, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001 — harness guard by design
+        errors["zarr_export"] = f"{type(e).__name__}: {e}"[:300]
+
     total = round(sum(timings.values()), 3)
     sf = 0.1
     if "sf0.01" in SF_DIR:

@@ -674,7 +674,68 @@ def audited_queries():
             {"max_shuffles": 5, "broadcast": True, "codegen": True,
              "no_python_udf": True},
         ),
+        # JSONL ingest: text scan + from_json + corrupt split must stay
+        # a NARROW pipeline — zero exchanges, no row-UDFs; the split is
+        # a filter, never a second scan or a shuffle
+        "jsonl_clean_scan": (
+            _jsonl_scan,
+            {"no_shuffle": True, "codegen": True, "no_python_udf": True},
+        ),
+        # OME-Zarr scan: one exchange of the METADATA grid (16-byte
+        # coordinate rows — spreads the filename list across executors);
+        # payload decode is the narrow mapInArrow after it.  A second
+        # exchange would mean chunk PAYLOADS started moving.
+        "zarr_scan": (
+            _zarr_scan,
+            {"max_shuffles": 1, "no_python_udf": True},
+        ),
     }
+
+
+_SCAN_FIXTURE: dict = {}
+
+
+def _jsonl_scan(spark, sf_dir: str):
+    import tempfile
+
+    from atlas_upscaling_dask_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    if "jsonl" not in _SCAN_FIXTURE:
+        d = tempfile.mkdtemp(prefix="audit_jsonl_")
+        write_jsonl(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "doc_id long, text string"
+            ),
+            d,
+        )
+        _SCAN_FIXTURE["jsonl"] = d
+    clean, _quar = split_corrupt(
+        read_jsonl(spark, _SCAN_FIXTURE["jsonl"], "doc_id long, text string")
+    )
+    return clean
+
+
+def _zarr_scan(spark, sf_dir: str):
+    import tempfile
+
+    from atlas_upscaling_dask_spark.sinks.ome_zarr import (
+        scan_ome_zarr,
+        write_ome_zarr,
+    )
+    from atlas_upscaling_dask_spark.volume import VolumeMeta, synthetic_chunks
+
+    if "zarr" not in _SCAN_FIXTURE:
+        d = tempfile.mkdtemp(prefix="audit_zarr_") + "/vol.zarr"
+        meta = VolumeMeta(16, 16, 16)
+        write_ome_zarr(
+            synthetic_chunks(spark, meta, chunk=(8, 8, 8)), d, meta
+        )
+        _SCAN_FIXTURE["zarr"] = d
+    return scan_ome_zarr(spark, _SCAN_FIXTURE["zarr"], 0)
 
 
 _BULK_FIXTURE: dict = {}
