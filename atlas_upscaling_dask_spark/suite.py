@@ -6405,90 +6405,94 @@ SELECT z, y, x, label FROM ranked WHERE rk = 1
 
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.  The driver's correctness gate samples a prefix
-# of queries() — the first 50 keys.  Rounds 1-3 cumulatively drove 103 of
-# the 172 registered rows (union of CORRECTNESS_r0{1,2,3}.json), so
-# ordered_queries() leads with the rows that still lack any driver-green
-# evidence, plus the two whose oracle SQL was fixed this round
-# (graph_pagerank / bigram_coherence HUGEINT casts) so the driver
-# re-confirms them.  Local verification always runs the full set
-# regardless of order (tools/check_oracle.py).
+# of queries() — the first 50 keys.  Rounds 1-5 cumulatively drove 200 of
+# the 222 registered rows green (union of CORRECTNESS_r0{1..5}.json), so
+# ordered_queries() leads with the 22 rows that still lack driver-green
+# evidence; the remaining prefix slots re-confirm already-green rows.
+# Local verification always runs the full set regardless of order
+# (tools/check_oracle.py).
 # ---------------------------------------------------------------------------
 
-#: rows verified by the driver in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json)
+#: rows with a driver-green CORRECTNESS_r0{1..5}.json entry (rows+schema
+#: match, no error) — regenerated each round from the actual JSON files.
 _DRIVER_CHECKED = {
     "asof_events_orders", "asof_forward", "assemble_packs",
     "audio_fingerprint_values", "audio_near_dup", "bigram_coherence",
     "bm25_index_topk", "bm25_topk", "bpe_pair_counts", "cdc_apply",
     "changelog_apply", "check_constraints_lineitem", "chunk_documents",
-    "cohort_retention", "contamination", "correlation_stats", "cube_counts",
-    "decimate_lineitem", "dedup_canonical_quality", "dedup_clusters",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "dim_filter_project", "dim_join_left", "distinct_agg",
-    "doc_fingerprint", "doc_pipeline", "duplicate_spans",
-    "duplicate_windows", "embed_ann_lsh", "embed_covariance",
-    "embed_ivf_pq_topk", "embed_ivf_topk", "embed_knn_graph",
-    "embed_near_dup", "embed_pq_topk", "embed_topk", "event_neighbor_diff",
-    "ewma_events", "funnel_counts", "funnel_within", "fuzzy_lookup",
-    "graph_bfs", "graph_pagerank", "graph_triangles", "hash_features",
-    "hash_split", "hierarchy_join", "histogram_equidepth", "hll_ndv",
-    "image_dup_clusters", "image_phash_neardup", "image_phash_values",
-    "incremental_agg", "interval_islands", "json_extract_events",
-    "jsonl_roundtrip", "lang_id", "line_dedup", "lm_score", "mad_outliers",
+    "cohort_retention", "contamination", "corpus_report", "correlation_stats",
+    "cube_counts", "cumulative_users", "decimate_lineitem",
+    "dedup_canonical_quality", "dedup_clusters", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dim_filter_project", "dim_join_left", "distinct_agg", "doc_fingerprint",
+    "doc_pipeline", "duplicate_spans", "duplicate_windows", "embed_ann_lsh",
+    "embed_centroids", "embed_covariance", "embed_ivf_pq_topk",
+    "embed_ivf_topk", "embed_knn_graph", "embed_near_dup", "embed_pca_topk",
+    "embed_pq_topk", "embed_quantize", "embed_topk", "event_neighbor_diff",
+    "ewma_events", "funnel_counts", "funnel_steps", "funnel_within",
+    "fuzzy_lookup", "graph_bfs", "graph_pagerank", "graph_triangles",
+    "hash_features", "hash_split", "hierarchy_join", "histogram_equidepth",
+    "hll_ndv", "image_dup_clusters", "image_phash_neardup",
+    "image_phash_values", "incremental_agg", "interval_islands",
+    "json_extract_events", "jsonl_roundtrip", "lang_id",
+    "lateral_topk_per_cust", "line_dedup", "lm_score", "mad_outliers",
     "map_functions", "market_basket_lift", "mixture_resample",
     "mixture_upsample", "model_quality_screen", "multimodal_audio",
-    "multimodal_digest", "multimodal_features", "ndv_sketch",
-    "negative_samples", "pack_sequences", "pareto_orders",
-    "pivot_returnflag", "prepare_rag_corpus", "prepare_training_set",
-    "profile_drift_lineitem", "profile_lineitem", "quality_score",
-    "quantile_sketch", "region_rollup_chunkpath", "resample_interpolate",
-    "rolling_median", "rollup_counts", "scalar_functions",
-    "scd2_asof_lookup", "scd2_user_segments", "seasonal_anomalies",
-    "seasonal_decompose", "semantic_dedup", "semi_anti_customers",
-    "sessionize", "set_except_intersect", "setsim_containment_join",
-    "setsim_prefix_join", "sliding_window_agg", "stratified_sample",
+    "multimodal_digest", "ndv_sketch", "negative_samples", "oov_rate",
+    "orders_above_cust_avg", "pack_sequences", "pareto_orders",
+    "percentile_quantity", "pivot_returnflag", "prepare_rag_corpus",
+    "prepare_training_set", "profile_drift_lineitem", "profile_lineitem",
+    "quality_score", "quantile_sketch", "range_join_events", "rare_terms",
+    "redact_pii", "region_rollup_chunkpath", "region_volume_rollup",
+    "repetition_stats", "resample_ffill", "resample_interpolate",
+    "revenue_by_month", "rolling_median", "rollup_counts", "salted_join",
+    "scalar_functions", "scalar_subquery", "scd2_asof_lookup",
+    "scd2_user_segments", "seasonal_anomalies", "seasonal_decompose",
+    "semantic_dedup", "semi_anti_customers", "sequence_gaps", "sessionize",
+    "set_except_intersect", "setsim_containment_join", "setsim_prefix_join",
+    "sliding_window_agg", "stratified_sample", "string_functions",
     "table_diff", "text_stats", "tfidf_topterms", "time_bucket_agg",
-    "topk_orders", "tpch_q1_pricing", "tpch_q2_min_cost",
-    "tpch_q3_shipping", "tpch_q4_priority", "tpch_q5_local_supplier",
-    "tpch_q6_forecast", "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_profit", "train_shuffle", "twap_events", "upscale_lineitem",
-    "value_histogram", "video_frame_hashes", "video_near_dup",
-    "vox_adjacency_chunkpath", "vox_centroids", "vox_closure",
+    "topk_orders", "tpch_q10_returns", "tpch_q11_important_stock",
+    "tpch_q12_shipmode", "tpch_q13_custdist", "tpch_q14_promo",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt", "tpch_q17_small_qty",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive", "tpch_q1_pricing",
+    "tpch_q20_nested_in", "tpch_q21_waiting", "tpch_q22_global_sales",
+    "tpch_q2_min_cost", "tpch_q3_shipping", "tpch_q4_priority",
+    "tpch_q5_local_supplier", "tpch_q6_forecast", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_profit", "train_shuffle", "twap_events",
+    "upscale_lineitem", "value_histogram", "video_frame_hashes",
+    "video_near_dup", "vocab_topk", "vox_adjacency",
+    "vox_adjacency_chunkpath", "vox_bbox", "vox_centroids", "vox_closure",
     "vox_components", "vox_components_chunkpath", "vox_decimate",
-    "vox_decimate_chunkpath", "vox_decode", "vox_enhance_chunkpath",
-    "vox_erode_chunkpath", "vox_extents", "vox_hierarchy", "vox_histogram",
-    "vox_histogram_chunkpath", "vox_mode_chunkpath", "vox_morton",
-    "vox_outline", "vox_outline_chunkpath", "vox_outline_wrap",
-    "vox_point_lookup", "vox_point_lookup_chunkpath", "vox_pyramid",
-    "vox_resize", "vox_rotate", "vox_upscale2", "vox_upscale_chunkpath",
-    "vox_verify_upscale", "weighted_sample", "window_rank_topk",
-    "window_running_sum", "winsorize_quantity", "zscore_outliers",
+    "vox_decimate_chunkpath", "vox_decode", "vox_dilate",
+    "vox_dilate_chunkpath", "vox_downsample_mode", "vox_enhance_chunkpath",
+    "vox_erode", "vox_erode_chunkpath", "vox_extents",
+    "vox_extents_chunkpath", "vox_hierarchy", "vox_histogram",
+    "vox_histogram_chunkpath", "vox_histogram_preserved",
+    "vox_mode_chunkpath", "vox_morton", "vox_outline",
+    "vox_outline_chunkpath", "vox_outline_wrap", "vox_outline_wrap_chunkpath",
+    "vox_point_after_upscale", "vox_point_lookup",
+    "vox_point_lookup_chunkpath", "vox_pyramid", "vox_rechunk_fastpaths",
+    "vox_relabel", "vox_resize", "vox_rotate", "vox_tiff_scan",
+    "vox_upscale2", "vox_upscale_chunkpath", "vox_verify_upscale",
+    "vox_zarr_roundtrip", "vox_zorder_code", "weighted_sample",
+    "window_rank_topk", "window_running_sum", "winsorize_quantity",
+    "zscore_outliers",
 }
 
-#: hand-ranked head for round 5: the two rows changed this round
-#: (embed_pca_topk gained an exact oracle via the 100%-recall fixture;
-#: scalar_subquery was de-vacuated), then every remaining
-#: never-driver-checked row — the ~8 past the 50-sample spill into
-#: round 6's prefix.
+#: round 6 head: the 22 rows with NO driver-green evidence yet —
+#: multimodal_features first (its only driver run, r1, errored on the
+#: since-removed list-typed output; judge-verified green in r5), then the
+#: 21 never-driver-sampled rows.  22 < 50, so one driver pass closes the
+#: gap; tests/test_suite_meta.py asserts this partition stays exhaustive.
 _PRIORITY = [
-    "vox_zarr_roundtrip", "embed_pca_topk", "scalar_subquery", "sequence_gaps",
-    "cumulative_users", "corpus_report", "vocab_topk", "oov_rate",
-    "vox_tiff_scan", "vox_zorder_code", "salted_join", "range_join_events",
-    "vox_erode", "vox_dilate", "region_volume_rollup",
-    "vox_point_after_upscale", "embed_quantize", "rare_terms",
-    "vox_relabel", "vox_histogram_preserved", "vox_downsample_mode",
-    "vox_adjacency", "vox_bbox", "lateral_topk_per_cust", "embed_centroids",
-    "tpch_q10_returns", "tpch_q12_shipmode", "tpch_q11_important_stock",
-    "tpch_q13_custdist", "tpch_q14_promo", "tpch_q17_small_qty",
-    "tpch_q18_large_orders", "percentile_quantity", "orders_above_cust_avg",
-    "revenue_by_month", "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
-    "tpch_q19_disjunctive", "tpch_q20_nested_in", "tpch_q21_waiting",
-    "tpch_q22_global_sales", "repetition_stats", "funnel_steps",
-    "resample_ffill", "redact_pii", "vox_outline_wrap_chunkpath",
-    "vox_dilate_chunkpath", "vox_rechunk_fastpaths",
-    "vox_extents_chunkpath", "string_functions", "array_functions",
-    "null_semantics", "date_arithmetic", "text_normalize",
-    "frame_sample_plan", "vox_meta_report", "window_frames",
-    "grouping_sets", "unpivot_lineitem", "approx_agg",
+    "multimodal_features", "grouping_sets", "vox_meta_report", "approx_agg",
+    "window_frames", "unpivot_lineitem", "date_arithmetic", "array_functions",
+    "null_semantics", "frame_sample_plan", "text_normalize",
+    "edit_distance_join", "sorted_neighborhood", "ndv_setops_sketch",
+    "cms_heavy_hitters", "bloom_semi_join", "entity_resolution_parts",
+    "event_transitions", "incremental_join_view", "table_checksum",
+    "ndv_rolling_7d", "attribution_weights",
 ]
 
 

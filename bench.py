@@ -68,18 +68,25 @@ def main() -> None:
     def timed(name: str, fn, runs: int = 3) -> None:
         # best-of-N: the host shows multi-point load-average swings from
         # external neighbors; min-of-runs reports the operator, not them.
+        # EVERY row records its per-run list in spread (VERDICT r5 #3:
+        # a phantom 2.7× bulk_outline regression needed a judge
+        # re-measurement because best-of alone can't prove noise) and
+        # starts from a collected heap so GC debt from preceding rows
+        # doesn't leak into the first sample.
         # One broken query must NOT erase the round's numbers: record the
         # failure and keep going — the JSON line always prints.
-        best = float("inf")
+        jvm_gc()
+        t_runs: list[float] = []
         try:
             for _ in range(runs):
                 t0 = time.perf_counter()
                 fn()
-                best = min(best, time.perf_counter() - t0)
+                t_runs.append(time.perf_counter() - t0)
         except Exception as e:  # noqa: BLE001 — harness guard by design
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             return
-        timings[name] = round(best, 3)
+        spread[name] = [round(t, 3) for t in t_runs]
+        timings[name] = round(min(t_runs), 3)
 
     # --- bulk path at the reference's baseline shape (BASELINE.md row 1).
     # One untimed full-size pass first: the Python worker pool forks and
@@ -201,15 +208,19 @@ def main() -> None:
             force(outline_chunks(chunks, codec="lz4"))  # untimed warm
             t_runs = []
             for _ in range(3):
+                jvm_gc()
                 t0 = time.perf_counter()
                 force(outline_chunks(chunks, codec="lz4"))
                 t_runs.append(time.perf_counter() - t0)
+            spread["bulk_outline"] = [round(t, 3) for t in t_runs]
             timings["bulk_outline"] = round(min(t_runs), 3)
             t_runs = []
             for _ in range(3):
+                jvm_gc()
                 t0 = time.perf_counter()
                 force(decimate_chunks(chunks, 2))
                 t_runs.append(time.perf_counter() - t0)
+            spread["bulk_decimate"] = [round(t, 3) for t in t_runs]
             timings["bulk_decimate"] = round(min(t_runs), 3)
             # the reference's composed enhance workload (×2 upscale →
             # torus outline → 2-level pyramid) end-to-end on the bulk
@@ -219,6 +230,7 @@ def main() -> None:
             # cache population itself is inside the timing).
             t_runs = []
             for _ in range(2):
+                jvm_gc()
                 t0 = time.perf_counter()
                 base = outline_chunks(
                     upscale_chunks(chunks, 2, codec="lz4"), wrap=True, codec="lz4"
@@ -229,6 +241,7 @@ def main() -> None:
                 finally:
                     base.unpersist(blocking=True)
                 t_runs.append(time.perf_counter() - t0)
+            spread["bulk_enhance"] = [round(t, 3) for t in t_runs]
             timings["bulk_enhance"] = round(min(t_runs), 3)
         finally:
             chunks.unpersist(blocking=True)
@@ -237,6 +250,36 @@ def main() -> None:
         bulk_derived()
     except Exception as e:  # noqa: BLE001 — harness guard by design
         errors["bulk_outline"] = f"{type(e).__name__}: {e}"[:300]
+
+    # --- scale soak (VERDICT r5 #6): the flagship ×2 at 8× the baseline
+    # voxel count — (912,640,1056) uint32 ≈ 2.46 GB raw → 19.7 GB logical
+    # out — with the SAME per-chunk geometry as bulk_upscale2 (768 chunks
+    # instead of 96; 24 waves on 32 threads instead of 3).  Per-GB rate
+    # should match the sf-shape row within 2×: throughput is set by the
+    # per-chunk kernel, and executor memory stays partition-bounded no
+    # matter how many chunks the volume has.
+    meta4x = VolumeMeta(912, 640, 1056)
+
+    def bulk2_4x():
+        chunks4x = synthetic_chunks(spark, meta4x, chunk=(29, 160, 176)).cache()
+        try:
+            force(upscale_chunks(chunks4x, 2, codec="lz4"))  # untimed warm
+            t_runs = []
+            for _ in range(2):
+                jvm_gc()
+                t0 = time.perf_counter()
+                force(upscale_chunks(chunks4x, 2, codec="lz4"))
+                t_runs.append(time.perf_counter() - t0)
+            spread["bulk_upscale2_4x"] = [round(t, 3) for t in t_runs]
+            timings["bulk_upscale2_4x"] = round(min(t_runs), 3)
+        finally:
+            chunks4x.unpersist(blocking=True)
+
+    try:
+        bulk2_4x()
+    except Exception as e:  # noqa: BLE001 — harness guard by design
+        errors["bulk_upscale2_4x"] = f"{type(e).__name__}: {e}"[:300]
+    out4x_gb = meta4x.n_voxels * 8 * 4 / 1e9
 
     # Post-bulk hygiene: the bulk section pushes multi-GB of binary
     # payloads through the block manager and JVM old-gen; without an
@@ -421,12 +464,16 @@ def main() -> None:
         from atlas_upscaling_dask_spark.tables import load_table as _lt
 
         docs_bpe = _lt(spark, SF_DIR, "documents")
+        jvm_gc()
         t0 = time.perf_counter()
         bpe_train(docs_bpe, n_merges=10)
         timings["bpe_train10"] = round(time.perf_counter() - t0, 3)
+        spread["bpe_train10"] = [timings["bpe_train10"]]  # single-run row
+        jvm_gc()
         t0 = time.perf_counter()
         m256, _ = bpe_train_batched(docs_bpe, n_merges=256, max_batch=64)
         timings["bpe_train256_batched"] = round(time.perf_counter() - t0, 3)
+        spread["bpe_train256_batched"] = [timings["bpe_train256_batched"]]
         payload_bpe_merges = len(m256)
     except Exception as e:  # noqa: BLE001 — harness guard by design
         errors["bpe_train"] = f"{type(e).__name__}: {e}"[:300]
@@ -530,6 +577,10 @@ def main() -> None:
     }
     if "bulk_upscale2" in timings:
         payload["bulk_gb_per_sec"] = round(out_gb / timings["bulk_upscale2"], 3)
+    if "bulk_upscale2_4x" in timings:
+        payload["bulk4x_gb_per_sec"] = round(
+            out4x_gb / timings["bulk_upscale2_4x"], 3
+        )
     if "bulk_upscale15" in timings:
         payload["bulk15_gb_per_sec"] = round(out15_gb / timings["bulk_upscale15"], 3)
     if "bulk_upscale15_write" in timings:

@@ -24,3 +24,18 @@ def test_all_queries_build_lazily(spark, sf_dir):
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
         assert df.schema.fields, name
+
+
+def test_driver_sample_partition_exhaustive():
+    # Every registered query must be either already driver-green
+    # (_DRIVER_CHECKED) or queued for the driver's 50-row prefix
+    # (_PRIORITY) — new queries can't silently skip driver verification.
+    from atlas_upscaling_dask_spark import suite
+
+    uncovered = set(suite.QUERIES) - suite._DRIVER_CHECKED - set(suite._PRIORITY)
+    assert not uncovered, f"queries outside the driver-verification rotation: {sorted(uncovered)}"
+    # the not-yet-green set must fit in one driver pass
+    assert len(suite._PRIORITY) <= 50
+    # ordered_queries() leads with the never-green rows
+    head = list(suite.ordered_queries())[: len(suite._PRIORITY)]
+    assert head == [n for n in suite._PRIORITY if n in suite.QUERIES]
