@@ -171,9 +171,12 @@ def connected_components_edges(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # fixpoint = consecutive edge sets equal (both are distinct
-        # checkpointed sets: one count + one anti check)
-        converged = (
+        # fixpoint = consecutive edge sets equal.  Both are distinct
+        # checkpointed sets, so a cardinality mismatch already proves
+        # inequality — the two-way exceptAll (two extra full passes
+        # over the edge set) runs only in rounds where the counts
+        # agree, i.e. at or near the fixpoint.
+        converged = small.count() == e.count() and (
             small.exceptAll(e).unionAll(e.exceptAll(small)).isEmpty()
         )
         e = small

@@ -71,14 +71,25 @@ def read_jsonl(
     as rows whose ``_corrupt_record`` column holds the raw line and
     whose data columns are NULL — feed to :func:`split_corrupt`.
     ``mode='FAILFAST'`` raises on the first malformed line instead
-    (for sources contractually guaranteed clean)."""
+    (for sources contractually guaranteed clean).
+
+    Blank / whitespace-only lines are dropped BEFORE parsing: the
+    native JSON reader skips them, and ``from_json`` would otherwise
+    turn each into an all-NULL row with a NULL corrupt column — a
+    phantom "clean" document injected per blank line, which crawl
+    dumps routinely contain.  The filter is a narrow predicate on the
+    text scan, so the plan shape is unchanged."""
     struct = T.StructType.fromDDL(schema).add(CORRUPT_COL, T.StringType())
-    parsed = spark.read.text(path).select(
-        F.from_json(
-            F.col("value"),
-            struct,
-            {"mode": mode, "columnNameOfCorruptRecord": CORRUPT_COL},
-        ).alias("r")
+    parsed = (
+        spark.read.text(path)
+        .filter(F.col("value").rlike(r"\S"))  # trim() only strips 0x20
+        .select(
+            F.from_json(
+                F.col("value"),
+                struct,
+                {"mode": mode, "columnNameOfCorruptRecord": CORRUPT_COL},
+            ).alias("r")
+        )
     )
     return parsed.select("r.*")
 

@@ -61,3 +61,29 @@ def test_jsonl_failfast_mode_raises(spark, tmp_path):
     (p / "a.json").write_text('{"doc_id": 1}\nnot json at all\n')
     with pytest.raises(Exception):
         read_jsonl(spark, str(p), "doc_id long", mode="FAILFAST").collect()
+
+
+def test_jsonl_blank_lines_are_neither_clean_nor_quarantined(spark, tmp_path):
+    # Crawl dumps routinely contain blank/whitespace-only lines; the
+    # native JSON reader skips them, and so must we — previously each
+    # became an all-NULL "clean" row (NULL corrupt column), silently
+    # injecting phantom documents into the clean frame.
+    from atlas_upscaling_dask_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    p = tmp_path / "dump"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "one"}\n'
+        "\n"
+        "   \n"
+        "\t\n"
+        '{"doc_id": 2, "text": "two"}\n'
+        "not json\n"
+        "\n"
+    )
+    clean, quar = split_corrupt(
+        read_jsonl(spark, str(p), "doc_id long, text string")
+    )
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    bad = [r["raw_line"] for r in quar.collect()]
+    assert bad == ["not json"]
