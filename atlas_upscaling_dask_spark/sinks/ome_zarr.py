@@ -14,10 +14,14 @@ from the public spec:
   transforms) and ``image-label`` exactly as the reference writes them
   (``upscale_streaming_enhance.py:229-255``);
 * each level ``i/`` holds a ``.zarray`` (shape, chunks, ``<u4`` dtype,
-  C order, fill_value 0, zlib compressor) and chunk files named
-  ``cz.cy.cx`` (v2 ``dimension_separator: "."``) containing the
-  zlib-compressed C-order block — numcodecs' ``zlib`` codec IS
-  ``zlib.compress``, so zarr-python/napari open the output directly.
+  C order, fill_value 0) and chunk files named ``cz.cy.cx`` (v2
+  ``dimension_separator: "."``) containing the compressed C-order
+  block.  Compressors: ``zlib`` (numcodecs' zlib codec IS
+  ``zlib.compress``), ``none``, or ``blosc`` — the reference
+  pipeline's exact codec (zstd clevel-5 BITSHUFFLE,
+  ``upscale_streaming.py:103-108``) emitted by the pure-NumPy c-blosc
+  encoder in ``sources/blosc1.py``; zarr-python/napari open all three
+  directly.
 
 Scale design: the engine's chunk-packed table already has the exact
 chunk grid, so the export is one ``mapInArrow`` pass — each executor
@@ -59,9 +63,22 @@ _RECEIPT_SCHEMA = "level int, n_chunks long, n_bytes long, n_skipped long"
 def _compressor_json(compressor: str, clevel: int) -> dict | None:
     if compressor == "zlib":
         return {"id": "zlib", "level": int(clevel)}
+    if compressor == "blosc":
+        # numcodecs-parity JSON for the reference pipeline's exact codec
+        # (upscale_streaming.py:103-108): zstd, BITSHUFFLE (=2),
+        # auto blocksize (=0); chunks come from sources/blosc1.py
+        return {
+            "id": "blosc",
+            "cname": "zstd",
+            "clevel": int(clevel),
+            "shuffle": 2,
+            "blocksize": 0,
+        }
     if compressor == "none":
         return None
-    raise ValueError(f"compressor must be 'zlib' or 'none', got {compressor!r}")
+    raise ValueError(
+        f"compressor must be 'zlib', 'blosc' or 'none', got {compressor!r}"
+    )
 
 
 def _put_bytes(path: str, data: bytes) -> None:
@@ -242,7 +259,16 @@ def export_ome_zarr_frame(
                     full[:dz, :dy, :dx] = block
                     block = full
                 raw = np.ascontiguousarray(block).tobytes()
-                data = zlib.compress(raw, clevel) if comp else raw
+                if comp is None:
+                    data = raw
+                elif comp["id"] == "blosc":
+                    from ..sources.blosc1 import blosc_compress
+
+                    data = blosc_compress(
+                        raw, PAYLOAD_DTYPE.itemsize, cname="zstd", clevel=clevel
+                    )
+                else:
+                    data = zlib.compress(raw, clevel)
                 _put_bytes(
                     os.path.join(
                         path, str(lvl), f"{z0 // kz}.{y0 // ky}.{x0 // kx}"
@@ -326,9 +352,12 @@ def _read_zarray(path: str, level: int) -> dict:
 
 
 def _blosc_decompress(data: bytes) -> bytes:
-    """Guarded Blosc decode: neither ``blosc`` nor ``numcodecs`` is in
-    this container, but reference-produced stores use it — import if
-    available, fail with a named remedy otherwise."""
+    """Blosc chunk decode: prefer a real binding if one is installed;
+    otherwise the pure-NumPy c-blosc codec (``sources/blosc1.py``)
+    decodes zlib/zstd-inner chunks — which covers stores the
+    *reference's own pipeline* writes (zstd clevel-5 BITSHUFFLE,
+    ``upscale_streaming.py:103-108``).  Only blosclz/lz4/snappy inner
+    codecs still need the C library (named in blosc1's error)."""
     try:
         import blosc  # type: ignore[import-not-found]
 
@@ -340,12 +369,10 @@ def _blosc_decompress(data: bytes) -> bytes:
 
         return _ncb.decompress(data)
     except ImportError:
-        raise RuntimeError(
-            "this Zarr store's chunks are Blosc-compressed (the codec the "
-            "reference pipeline writes); install 'blosc' or 'numcodecs' on "
-            "the executors to scan it, or re-write the store with zlib or "
-            "compressor=None"
-        ) from None
+        pass
+    from ..sources.blosc1 import blosc_decompress
+
+    return blosc_decompress(data)
 
 
 def _decode_chunk_file(fpath: str, meta: dict) -> np.ndarray:

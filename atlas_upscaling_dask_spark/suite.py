@@ -6486,7 +6486,8 @@ _DRIVER_CHECKED = {
 #: 21 never-driver-sampled rows.  22 < 50, so one driver pass closes the
 #: gap; tests/test_suite_meta.py asserts this partition stays exhaustive.
 _PRIORITY = [
-    "multimodal_features", "grouping_sets", "vox_meta_report", "approx_agg",
+    "multimodal_features", "vox_zarr_blosc_roundtrip", "grouping_sets",
+    "vox_meta_report", "approx_agg",
     "window_frames", "unpivot_lineitem", "date_arithmetic", "array_functions",
     "null_semantics", "frame_sample_plan", "text_normalize",
     "edit_distance_join", "sorted_neighborhood", "ndv_setops_sketch",
@@ -7108,6 +7109,32 @@ UNION ALL
 SELECT CAST(1 AS INTEGER) AS level, z // 2, y // 2, x // 2, label
 FROM voxels WHERE z % 2 = 0 AND y % 2 = 0 AND x % 2 = 0
 """,
+)
+
+
+def _vox_zarr_blosc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Codec parity with the reference's ACTUAL store: Blosc zstd
+    # BITSHUFFLE chunks (upscale_streaming.py:103-108), encoded and
+    # decoded by the pure-NumPy c-blosc codec (sources/blosc1.py) —
+    # write the volume as a blosc-compressed OME-Zarr store, scan it
+    # back distributed, prove every voxel survived.
+    import tempfile
+
+    from .sinks.ome_zarr import scan_ome_zarr, write_ome_zarr
+    from .volume import chunks_to_voxels, synthetic_chunks
+
+    chunks = synthetic_chunks(spark, FIXTURE_META, chunk=(8, 8, 8))
+    path = tempfile.mkdtemp(prefix="omezarr_blosc_") + "/vol.zarr"
+    write_ome_zarr(chunks, path, FIXTURE_META, compressor="blosc", clevel=5)
+    return chunks_to_voxels(scan_ome_zarr(spark, path, 0)).select(
+        "z", "y", "x", "label"
+    )
+
+
+_register(
+    "vox_zarr_blosc_roundtrip",
+    _vox_zarr_blosc_roundtrip_q,
+    f"WITH {VOX_CTE}\nSELECT z, y, x, label FROM voxels",
 )
 
 

@@ -271,36 +271,93 @@ def test_ome_zarr_scan_reads_reference_style_store(spark, tmp_path):
     assert sum(got.values()) == int(block.sum())
 
 
-def test_ome_zarr_blosc_store_fails_with_named_remedy(tmp_path):
-    # Blosc is the codec the reference pipeline writes
-    # (upscale_streaming.py:103-108) but the library is absent here:
-    # metadata must parse, and the chunk decode must raise a clear
-    # actionable error rather than feeding blosc frames to zlib.
+def test_ome_zarr_blosc_store_scans_via_pure_codec(spark, tmp_path):
+    # A store compressed the way the REFERENCE pipeline compresses
+    # (blosc zstd BITSHUFFLE, upscale_streaming.py:103-108) must scan
+    # back exactly — decoded by sources/blosc1.py since no C blosc
+    # binding exists in this container.
     from atlas_upscaling_dask_spark.sinks.ome_zarr import (
-        _decode_chunk_file,
-        _read_zarray,
+        read_zarr_level,
+        scan_ome_zarr,
     )
-
-    try:  # if a blosc binding IS present, the guarded path decodes
-        import blosc  # noqa: F401
-
-        pytest.skip("blosc available; guarded error path not reachable")
-    except ImportError:
-        pass
+    from atlas_upscaling_dask_spark.sources.blosc1 import blosc_compress
 
     out = str(tmp_path / "blosc.zarr")
     _write_store_meta(
         out,
+        (8, 8, 8),
         (4, 4, 4),
-        (4, 4, 4),
-        {"id": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 2},
+        {"id": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 2, "blocksize": 0},
         ".",
     )
-    meta = _read_zarray(out, 0)  # accepted: blosc is a known codec
+    block = (np.arange(64, dtype="<u4") % 7).reshape(4, 4, 4)
+    with open(os.path.join(out, "0", "1.1.0"), "wb") as fh:
+        fh.write(blosc_compress(block.tobytes(), 4, cname="zstd", clevel=5))
+
+    np.testing.assert_array_equal(read_zarr_level(out, 0)[4:8, 4:8, 0:4], block)
+    got = {
+        (r["z"], r["y"], r["x"]): r["label"]
+        for r in chunks_to_voxels(scan_ome_zarr(spark, out, 0)).collect()
+    }
+    assert len(got) == 512 and sum(got.values()) == int(block.sum())
+
+
+def test_ome_zarr_blosc_roundtrip_write_then_scan(spark, tmp_path):
+    # Writer parity with the reference's codec: compressor="blosc"
+    # emits numcodecs-JSON metadata + c-blosc zstd BITSHUFFLE chunks,
+    # and the distributed scan restores every voxel.
+    from atlas_upscaling_dask_spark.sinks.ome_zarr import (
+        scan_ome_zarr,
+        write_ome_zarr,
+    )
+
+    meta = VolumeMeta(16, 16, 16)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    out = str(tmp_path / "vol_blosc.zarr")
+    write_ome_zarr(chunks, out, meta, compressor="blosc", clevel=5)
+    za = json.load(open(os.path.join(out, "0", ".zarray")))
+    assert za["compressor"] == {
+        "id": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 2, "blocksize": 0,
+    }
+    a = sorted(
+        (r["z"], r["y"], r["x"], r["label"])
+        for r in chunks_to_voxels(chunks).collect()
+    )
+    b = sorted(
+        (r["z"], r["y"], r["x"], r["label"])
+        for r in chunks_to_voxels(scan_ome_zarr(spark, out, 0)).collect()
+    )
+    assert a == b
+
+
+def test_ome_zarr_blosc_foreign_inner_codec_named(tmp_path):
+    # blosclz/lz4/snappy inner codecs still need the C library: the
+    # decode must name the codec and the remedy, not feed bytes to zlib.
+    from atlas_upscaling_dask_spark.sinks.ome_zarr import (
+        _decode_chunk_file,
+        _read_zarray,
+    )
+    from atlas_upscaling_dask_spark.sources.blosc1 import blosc_compress
+
+    try:
+        import blosc  # noqa: F401
+
+        pytest.skip("blosc available; pure-codec error path not reachable")
+    except ImportError:
+        pass
+
+    out = str(tmp_path / "lz4.zarr")
+    _write_store_meta(
+        out, (4, 4, 4), (4, 4, 4),
+        {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 2}, ".",
+    )
+    meta = _read_zarray(out, 0)
+    chunk = bytearray(blosc_compress(bytes(256), 4, cname="zlib"))
+    chunk[2] = (chunk[2] & 0x1F) | (1 << 5)  # flip inner codec to lz4
     fpath = os.path.join(out, "0", "0.0.0")
     with open(fpath, "wb") as fh:
-        fh.write(b"\x02\x01\x13\x04" + b"\x00" * 28)  # blosc-ish frame
-    with pytest.raises(RuntimeError, match="[Bb]losc"):
+        fh.write(bytes(chunk))
+    with pytest.raises(RuntimeError, match="lz4"):
         _decode_chunk_file(fpath, meta)
 
 
