@@ -139,7 +139,22 @@ def connected_components_edges(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    converged = e.isEmpty()
+    def _edge_sig(df: DataFrame) -> tuple:
+        # (cardinality, order-free hash-sum): one cheap aggregate job
+        # over a checkpointed distinct set.  Signature INequality proves
+        # the edge set changed; equality is only a trigger for the
+        # exceptAll proof below — never trusted as convergence itself.
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: sum(int64 hashes) overflows LONG
+            # under ANSI; DECIMAL(20,0)→sum DECIMAL(30,0) is exact to
+            # 10^10 edges
+            F.sum(F.xxhash64("u", "v").cast("decimal(20,0)")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    sig_e = _edge_sig(e)
+    converged = sig_e[0] == 0
     for _ in range(max_iters):
         if converged:
             break
@@ -172,14 +187,17 @@ def connected_components_edges(
             .localCheckpoint(eager=True)
         )
         # fixpoint = consecutive edge sets equal.  Both are distinct
-        # checkpointed sets, so a cardinality mismatch already proves
-        # inequality — the two-way exceptAll (two extra full passes
-        # over the edge set) runs only in rounds where the counts
-        # agree, i.e. at or near the fixpoint.
-        converged = small.count() == e.count() and (
+        # checkpointed sets, so a (count, hash-sum) signature mismatch
+        # already proves inequality for one aggregate job; the two-way
+        # exceptAll (two extra full passes over the edge set) runs only
+        # when signatures collide — i.e. at the fixpoint, plus a
+        # vanishing 2^-64-ish false-trigger rate that costs one extra
+        # probe, never a wrong answer.
+        sig_s = _edge_sig(small)
+        converged = sig_s == sig_e and (
             small.exceptAll(e).unionAll(e.exceptAll(small)).isEmpty()
         )
-        e = small
+        e, sig_e = small, sig_s
     if not converged:
         raise RuntimeError(
             f"connected_components_edges did not converge in {max_iters} "

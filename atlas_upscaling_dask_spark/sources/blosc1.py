@@ -284,7 +284,13 @@ def blosc_decompress(chunk: bytes) -> bytes:
     for i in range(nblocks):
         neblock = min(blocksize, nbytes - i * blocksize)
         pos = bstarts[i]
+        if not 16 <= pos <= len(chunk) - 4:
+            raise ValueError(f"blosc block {i} offset {pos} outside chunk")
         (csize,) = struct.unpack_from("<i", chunk, pos)
+        if csize < 0 or pos + 4 + csize > len(chunk):
+            raise ValueError(
+                f"blosc block {i} stream size {csize} overruns the chunk"
+            )
         payload = chunk[pos + 4 : pos + 4 + csize]
         if csize == neblock:  # stored raw (post-filter)
             raw = np.frombuffer(payload, dtype=np.uint8)

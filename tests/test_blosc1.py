@@ -160,3 +160,19 @@ def test_truncated_chunk_rejected():
         blosc_decompress(chunk[:-1])
     with pytest.raises(ValueError, match="header"):
         blosc_decompress(chunk[:10])
+
+
+def test_malformed_offsets_rejected_cleanly():
+    import numpy as np
+
+    chunk = bytearray(blosc_compress(np.zeros(5000, np.uint8).tobytes(), 1))
+    # corrupt the first block offset to point past the chunk end
+    struct.pack_into("<i", chunk, 16, len(chunk) + 100)
+    with pytest.raises(ValueError, match="outside|overrun"):
+        blosc_decompress(bytes(chunk))
+    # corrupt it to point INSIDE but with a stream size overrunning
+    chunk2 = bytearray(blosc_compress(np.zeros(5000, np.uint8).tobytes(), 1))
+    struct.pack_into("<i", chunk2, 16, len(chunk2) - 6)
+    struct.pack_into("<i", chunk2, len(chunk2) - 6, 10_000)
+    with pytest.raises(ValueError, match="overrun"):
+        blosc_decompress(bytes(chunk2))
