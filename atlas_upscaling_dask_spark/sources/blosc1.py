@@ -114,22 +114,47 @@ def _byte_unshuffle(block: np.ndarray, typesize: int) -> np.ndarray:
     return out
 
 
+def _transpose8x8(words: np.ndarray) -> np.ndarray:
+    """Vectorized 8×8 bit-matrix transpose over an array of uint64
+    words (Hacker's Delight §7-3), little-endian convention: byte k of
+    a word is matrix row k, bit b (LSB first) is column b.  Returns
+    words whose byte b holds, at bit k, the input's bit b of byte k —
+    exactly one bitshuffle group."""
+    x = words.astype(np.uint64, copy=True)
+    for shift, mask in (
+        (np.uint64(7), np.uint64(0x00AA00AA00AA00AA)),
+        (np.uint64(14), np.uint64(0x0000CCCC0000CCCC)),
+        (np.uint64(28), np.uint64(0x00000000F0F0F0F0)),
+    ):
+        t = (x ^ (x >> shift)) & mask
+        x ^= t ^ (t << shift)
+    return x
+
+
 def _bit_shuffle(block: np.ndarray, typesize: int) -> np.ndarray:
     """bitshuffle-generic.c semantics: truncate to a multiple of 8
     elements, transpose the bit matrix (element, byte, bit) →
-    (byte, bit, element) with LSB-first packing, copy the tail."""
+    (byte, bit, element) with LSB-first packing, copy the tail.
+
+    Implementation: byte-plane transpose, then each plane's groups of
+    8 bytes (8 elements) bit-transposed as uint64 words — ~3 passes
+    over the data instead of ``unpackbits``'s 8× blow-up (measured
+    ~5× faster end-to-end: 26 MB uint32 labels encode at ~330 MB/s/core
+    zstd-1, ~225 at zstd-5, vs ~60 before)."""
     size = (block.size // typesize) & ~7  # multiple of 8 elements
     out = np.empty_like(block)
     if size:
         body = block[: size * typesize].reshape(size, typesize)
-        # bits[i, j, b] = bit b (LSB first) of byte j of element i
-        bits = np.unpackbits(body, axis=1, bitorder="little").reshape(
-            size, typesize, 8
+        # byte-plane j, contiguous, viewed as one uint64 per 8 elements
+        planes = np.ascontiguousarray(body.T)  # [typesize, size]
+        words = _transpose8x8(planes.reshape(-1).view(np.uint64))
+        # word (j, k) byte b = plane (j,b) byte k → reorder to planes
+        out[: size * typesize] = (
+            words.view(np.uint8)
+            .reshape(typesize, size // 8, 8)
+            .transpose(0, 2, 1)
+            .reshape(-1)
         )
-        planes = bits.transpose(1, 2, 0).reshape(typesize * 8, size)
-        out[: size * typesize] = np.packbits(
-            planes, axis=1, bitorder="little"
-        ).reshape(-1)
     out[size * typesize :] = block[size * typesize :]
     return out
 
@@ -138,15 +163,15 @@ def _bit_unshuffle(block: np.ndarray, typesize: int) -> np.ndarray:
     size = (block.size // typesize) & ~7
     out = np.empty_like(block)
     if size:
-        planes = np.unpackbits(
-            block[: size * typesize].reshape(typesize * 8, size // 8),
-            axis=1,
-            bitorder="little",
-        )  # [plane, element]
-        bits = planes.reshape(typesize, 8, size).transpose(2, 0, 1)
-        out[: size * typesize] = np.packbits(
-            bits.reshape(size, typesize * 8), axis=1, bitorder="little"
-        ).reshape(-1)
+        # inverse of _bit_shuffle: un-reorder planes → words, inverse
+        # bit-transpose (self-inverse), un-transpose byte planes
+        words = np.ascontiguousarray(
+            block[: size * typesize]
+            .reshape(typesize, 8, size // 8)
+            .transpose(0, 2, 1)
+        ).reshape(-1).view(np.uint64)
+        planes = _transpose8x8(words).view(np.uint8).reshape(typesize, size)
+        out[: size * typesize] = planes.T.reshape(-1)
     out[size * typesize :] = block[size * typesize :]
     return out
 
