@@ -59,6 +59,14 @@ ZARR_DTYPE = "<u4"  # PAYLOAD_DTYPE, spelled per the Zarr v2 spec
 
 _RECEIPT_SCHEMA = "level int, n_chunks long, n_bytes long, n_skipped long"
 
+#: per-process caches: resolved Blosc decode callable, zstd decompressor
+_BLOSC_IMPL = None
+_ZSTD_DEC = None
+
+#: scan kernel output-batch flush threshold (bytes of decoded payload);
+#: module-level so tests can shrink it to exercise the flush path
+_SCAN_FLUSH_BYTES = 256 << 20
+
 
 def _compressor_json(compressor: str, clevel: int) -> dict | None:
     if compressor == "zlib":
@@ -232,6 +240,11 @@ def export_ome_zarr_frame(
     grids_bc = grids  # tiny dict, captured by closure
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        zstd_codec = None
+        if comp is not None and comp["id"] == "zstd":
+            import pyarrow as _pa
+
+            zstd_codec = _pa.Codec("zstd", compression_level=clevel)
         stats: dict[int, list[int]] = {}
         for batch in batches:
             d = batch.to_pydict()
@@ -272,14 +285,8 @@ def export_ome_zarr_frame(
                     data = blosc_compress(
                         raw, PAYLOAD_DTYPE.itemsize, cname="zstd", clevel=clevel
                     )
-                elif comp["id"] == "zstd":
-                    import pyarrow as _pa
-
-                    data = (
-                        _pa.Codec("zstd", compression_level=clevel)
-                        .compress(raw)
-                        .to_pybytes()
-                    )
+                elif zstd_codec is not None:
+                    data = zstd_codec.compress(raw).to_pybytes()
                 else:
                     data = zlib.compress(raw, clevel)
                 _put_bytes(
@@ -371,21 +378,26 @@ def _blosc_decompress(data: bytes) -> bytes:
     *reference's own pipeline* writes (zstd clevel-5 BITSHUFFLE,
     ``upscale_streaming.py:103-108``).  Only blosclz/lz4/snappy inner
     codecs still need the C library (named in blosc1's error)."""
-    try:
-        import blosc  # type: ignore[import-not-found]
+    global _BLOSC_IMPL
+    if _BLOSC_IMPL is None:
+        # resolve ONCE per process: failed imports are not cached by
+        # Python, and this sits in the per-chunk decode hot path
+        try:
+            import blosc  # type: ignore[import-not-found]
 
-        return blosc.decompress(data)
-    except ImportError:
-        pass
-    try:
-        from numcodecs import blosc as _ncb  # type: ignore[import-not-found]
+            _BLOSC_IMPL = blosc.decompress
+        except ImportError:
+            try:
+                from numcodecs import (  # type: ignore[import-not-found]
+                    blosc as _ncb,
+                )
 
-        return _ncb.decompress(data)
-    except ImportError:
-        pass
-    from ..sources.blosc1 import blosc_decompress
+                _BLOSC_IMPL = _ncb.decompress
+            except ImportError:
+                from ..sources.blosc1 import blosc_decompress
 
-    return blosc_decompress(data)
+                _BLOSC_IMPL = blosc_decompress
+    return _BLOSC_IMPL(data)
 
 
 def _decode_chunk_file(fpath: str, meta: dict) -> np.ndarray:
@@ -396,10 +408,13 @@ def _decode_chunk_file(fpath: str, meta: dict) -> np.ndarray:
         if comp.get("id") == "blosc":
             data = _blosc_decompress(data)
         elif comp.get("id") == "zstd":
-            import pyarrow as _pa
+            global _ZSTD_DEC
+            if _ZSTD_DEC is None:
+                import pyarrow as _pa
 
+                _ZSTD_DEC = _pa.Codec("zstd")
             n = int(np.prod(meta["chunks"])) * np.dtype(meta["dtype"]).itemsize
-            data = _pa.Codec("zstd").decompress(data, decompressed_size=n)
+            data = _ZSTD_DEC.decompress(data, decompressed_size=n)
         else:
             data = zlib.decompress(data)
     return np.frombuffer(data, dtype=np.dtype(meta["dtype"])).reshape(
@@ -487,10 +502,17 @@ def scan_ome_zarr(
         F.expr(f"CAST(id % {nx} AS INT)").alias("cx"),
     )
 
+    # captured DRIVER-side so the closure ships the value to executors
+    flush_bytes = _SCAN_FLUSH_BYTES
+
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # flush by BYTES, not input rows: a 10k-coordinate Arrow input
+        # batch of 3 MB blocks would otherwise accumulate ~33 GB in one
+        # output batch and overflow Arrow's 2 GB binary limit (the same
+        # guard upscale.py's kernel applies)
+        rows, payloads, pending = [], [], 0
         for batch in batches:
             d = batch.to_pydict()
-            rows, payloads = [], []
             for i in range(len(d["cz"])):
                 cz, cy, cx = d["cz"][i], d["cy"][i], d["cx"][i]
                 z0, y0, x0 = cz * kz, cy * ky, cx * kx
@@ -515,8 +537,13 @@ def scan_ome_zarr(
                 rows.append(
                     (volume_id, cz, cy, cx, z0, y0, x0, bz, by, bx)
                 )
-                payloads.append(np.ascontiguousarray(block).tobytes())
-            if rows:
-                yield _chunk_batch(rows, payloads)
+                payload = np.ascontiguousarray(block).tobytes()
+                payloads.append(payload)
+                pending += len(payload)
+                if pending >= flush_bytes:
+                    yield _chunk_batch(rows, payloads)
+                    rows, payloads, pending = [], [], 0
+        if rows:
+            yield _chunk_batch(rows, payloads)
 
     return gdf.mapInArrow(kernel, schema=CHUNK_SCHEMA)

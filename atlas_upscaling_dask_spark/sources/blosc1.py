@@ -234,12 +234,13 @@ def blosc_compress(
 
     arr = np.frombuffer(data, dtype=np.uint8)
     nblocks = -(-nbytes // bsize)
+    zstd_codec = _zstd(clevel) if cname == "zstd" else None  # once, not per block
     streams: list[bytes] = []
     for i in range(nblocks):
         block = arr[i * bsize : min((i + 1) * bsize, nbytes)]
         filtered = _apply_filter(block, typesize, shuffle)
-        if cname == "zstd":
-            comp = _zstd(clevel).compress(filtered.tobytes()).to_pybytes()
+        if zstd_codec is not None:
+            comp = zstd_codec.compress(filtered.tobytes()).to_pybytes()
         else:
             comp = zlib.compress(filtered.tobytes(), clevel)
         if len(comp) >= block.size:  # stored-raw marker: csize == neblock
@@ -284,10 +285,16 @@ def blosc_decompress(chunk: bytes) -> bytes:
         raise ValueError(
             f"blosc chunk truncated: header says {cbytes} bytes, got {len(chunk)}"
         )
+    if nbytes < 0:
+        raise ValueError(f"blosc chunk header nbytes {nbytes} is negative")
     if typesize == 0:
         typesize = 256  # c-blosc stores 256 as 0
     if flags & _FLAG_MEMCPYED:
         return chunk[16 : 16 + nbytes]
+    if blocksize <= 0:
+        # a zero/negative blocksize on a non-memcpy chunk would skip
+        # every block and silently return uninitialized memory
+        raise ValueError(f"blosc chunk header blocksize {blocksize} invalid")
 
     codec = _CODEC_NAMES.get(flags >> 5, f"code {flags >> 5}")
     if codec not in _CODEC_CODES:
@@ -303,8 +310,9 @@ def blosc_decompress(chunk: bytes) -> bytes:
         if flags & _FLAG_BYTE_SHUFFLE
         else BLOSC_NOSHUFFLE
     )
-    nblocks = -(-nbytes // blocksize) if blocksize else 1
+    nblocks = -(-nbytes // blocksize)
     bstarts = struct.unpack_from(f"<{nblocks}i", chunk, 16)
+    zstd_codec = _zstd() if codec == "zstd" else None  # once, not per block
     out = np.empty(nbytes, dtype=np.uint8)
     for i in range(nblocks):
         neblock = min(blocksize, nbytes - i * blocksize)
@@ -319,9 +327,9 @@ def blosc_decompress(chunk: bytes) -> bytes:
         payload = chunk[pos + 4 : pos + 4 + csize]
         if csize == neblock:  # stored raw (post-filter)
             raw = np.frombuffer(payload, dtype=np.uint8)
-        elif codec == "zstd":
+        elif zstd_codec is not None:
             raw = np.frombuffer(
-                _zstd().decompress(payload, decompressed_size=neblock),
+                zstd_codec.decompress(payload, decompressed_size=neblock),
                 dtype=np.uint8,
             )
         else:

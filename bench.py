@@ -75,9 +75,9 @@ def main() -> None:
         # doesn't leak into the first sample.
         # One broken query must NOT erase the round's numbers: record the
         # failure and keep going — the JSON line always prints.
-        jvm_gc()
         t_runs: list[float] = []
         try:
+            jvm_gc()  # inside the guard: a wedged JVM must not abort the run
             for _ in range(runs):
                 t0 = time.perf_counter()
                 fn()

@@ -176,3 +176,12 @@ def test_malformed_offsets_rejected_cleanly():
     struct.pack_into("<i", chunk2, len(chunk2) - 6, 10_000)
     with pytest.raises(ValueError, match="overrun"):
         blosc_decompress(bytes(chunk2))
+
+
+def test_zero_blocksize_header_rejected():
+    # a non-memcpy chunk claiming blocksize=0 must raise, not silently
+    # return nbytes of uninitialized memory
+    chunk = bytearray(blosc_compress(b"a" * 1000, 1, cname="zlib"))
+    struct.pack_into("<i", chunk, 8, 0)
+    with pytest.raises(ValueError, match="blocksize"):
+        blosc_decompress(bytes(chunk))

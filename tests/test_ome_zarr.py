@@ -408,3 +408,27 @@ def test_ome_zarr_zstd_roundtrip(spark, tmp_path):
         for r in chunks_to_voxels(scan_ome_zarr(spark, out, 0)).collect()
     )
     assert a == b
+
+
+def test_ome_zarr_scan_flushes_output_batches(spark, tmp_path, monkeypatch):
+    # The scan kernel must emit size-bounded output batches: with the
+    # flush threshold shrunk below one chunk's bytes, a single-partition
+    # scan of 8 chunks must still return every voxel (multiple yields),
+    # proving large stores can't accumulate into one oversized batch.
+    import atlas_upscaling_dask_spark.sinks.ome_zarr as oz
+
+    meta = VolumeMeta(16, 16, 16)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    out = str(tmp_path / "flush.zarr")
+    oz.write_ome_zarr(chunks, out, meta)
+    monkeypatch.setattr(oz, "_SCAN_FLUSH_BYTES", 1024)  # < one 2 KiB chunk
+    back = oz.scan_ome_zarr(spark, out, 0).coalesce(1)
+    got = sorted(
+        (r["z"], r["y"], r["x"], r["label"])
+        for r in chunks_to_voxels(back).collect()
+    )
+    want = sorted(
+        (r["z"], r["y"], r["x"], r["label"])
+        for r in chunks_to_voxels(chunks).collect()
+    )
+    assert got == want
