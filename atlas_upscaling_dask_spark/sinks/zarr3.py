@@ -1,0 +1,695 @@
+"""Zarr v3 writer + distributed scan, with the sharding_indexed codec.
+
+Forward-looking twin of ``ome_zarr.py`` (Zarr v2 / OME-NGFF 0.4, the
+reference's on-disk format): the ecosystem's current spec is **Zarr v3
++ OME-NGFF 0.5**, and its headline scale feature is **sharding** — many
+chunks packed into one storage object with a binary index — which is
+exactly what a 100 TB store needs on an object store: a (456,320,528)
+volume at the reference's scale-15 output with 128³ chunks is ~12M
+chunk objects unsharded; 8×8×8-chunk shards cut that to ~23k objects
+while keeping sub-object range reads.  Everything here is hand-rolled
+from the PUBLIC specs (zarr-specs v3 core + sharding codec + crc32c
+checksum codec; OME-NGFF 0.5), no zarr-python required:
+
+* array metadata ``zarr.json``: ``zarr_format`` 3, ``node_type``
+  "array", regular ``chunk_grid``, ``chunk_key_encoding`` "default"
+  ("/"-separated ``c/z/y/x`` keys), codec chain ``bytes``(little) →
+  ``zstd``;
+* sharded arrays swap the codec chain for ``sharding_indexed``: the
+  chunk_grid addresses SHARDS, inner chunks live inside the shard
+  followed (``index_location: end``) by an index of per-chunk
+  ``(offset, nbytes)`` uint64-LE pairs in C order — missing chunk =
+  ``(2^64-1, 2^64-1)`` — encoded with ``bytes`` + ``crc32c``
+  (table-driven Castagnoli CRC, implemented here);
+* group ``zarr.json``: ``node_type`` "group" with OME-NGFF 0.5
+  ``attributes.ome.multiscales`` (same z/y/x micrometer axes and
+  per-level scale transforms the reference writes for 0.4).
+
+Scale design mirrors the v2 module: export is ONE exchange — a hash
+repartition on the shard key + sortWithinPartitions so each task
+streams its shards in key order, holding exactly one encoded shard in
+memory before the atomic file publish (unsharded export is the same
+zero-shuffle mapInArrow as v2).  The scan derives the shard grid
+arithmetically from ``spark.range`` (nothing materialized on the
+driver), reads each shard's index executor-side, validates its crc32c,
+and decodes only present inner chunks — absent inner chunks and absent
+whole shards synthesize ``fill_value`` blocks in-kernel.  Output
+batches flush at the same byte bound as the v2 scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..volume import CHUNK_SCHEMA, PAYLOAD_DTYPE, VolumeMeta, _chunk_batch
+from .ome_zarr import _put_bytes
+
+MISSING = (1 << 64) - 1
+
+#: scan output flush bound (bytes of decoded payload), as in ome_zarr
+_SCAN_FLUSH_BYTES = 256 << 20
+
+
+# ---------------------------------------------------------------------------
+# crc32c (Castagnoli, poly 0x1EDC6F41 reflected = 0x82F63B78) — the
+# sharding index checksum codec.  Table-driven; indexes are tiny.
+# ---------------------------------------------------------------------------
+
+
+def _crc32c_table() -> np.ndarray:
+    poly = np.uint32(0x82F63B78)
+    table = np.zeros(256, dtype=np.uint32)
+    for i in range(256):
+        crc = np.uint32(i)
+        for _ in range(8):
+            crc = (crc >> np.uint32(1)) ^ (poly if crc & np.uint32(1) else np.uint32(0))
+        table[i] = crc
+    return table
+
+
+_CRC32C_TABLE = _crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    tbl = _CRC32C_TABLE
+    for b in data:
+        crc = int(tbl[(crc ^ b) & 0xFF]) ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# codec chain (bytes little-endian → zstd|gzip|none), both directions
+# ---------------------------------------------------------------------------
+
+
+def _codecs_json(codec: str, clevel: int) -> list[dict]:
+    chain: list[dict] = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if codec == "zstd":
+        chain.append(
+            {"name": "zstd", "configuration": {"level": int(clevel), "checksum": False}}
+        )
+    elif codec == "gzip":
+        chain.append({"name": "gzip", "configuration": {"level": int(clevel)}})
+    elif codec != "none":
+        raise ValueError(f"codec must be 'zstd', 'gzip' or 'none', got {codec!r}")
+    return chain
+
+
+def _encode_chunk(raw: bytes, codec: str, clevel: int, zstd_codec=None) -> bytes:
+    if codec == "zstd":
+        c = zstd_codec or _zstd(clevel)
+        return c.compress(raw).to_pybytes()
+    if codec == "gzip":
+        import gzip
+
+        return gzip.compress(raw, clevel)
+    return raw
+
+
+def _zstd(level: int | None = None):
+    if level is None:
+        return pa.Codec("zstd")
+    return pa.Codec("zstd", compression_level=level)
+
+
+def _parse_codecs(codecs: list[dict]) -> tuple[str, dict | None]:
+    """Validate a chunk codec chain; returns ('zstd'|'gzip'|'none',
+    sharding_config|None).  Only chains this module can honor pass."""
+    if codecs and codecs[0].get("name") == "sharding_indexed":
+        if len(codecs) != 1:
+            raise ValueError("sharding_indexed must be the sole top-level codec")
+        return "shard", codecs[0]["configuration"]
+    if not codecs or codecs[0].get("name") != "bytes":
+        raise ValueError(f"unsupported codec chain {codecs!r} (need bytes first)")
+    endian = (codecs[0].get("configuration") or {}).get("endian", "little")
+    if endian != "little":
+        raise ValueError("big-endian arrays unsupported")
+    if len(codecs) == 1:
+        return "none", None
+    name = codecs[1].get("name")
+    if name not in ("zstd", "gzip"):
+        raise ValueError(f"unsupported compression codec {name!r}")
+    if len(codecs) > 2:
+        raise ValueError(f"unsupported codec chain tail {codecs[2:]!r}")
+    return name, None
+
+
+def _decode_chunk(data: bytes, codec: str, nbytes: int) -> bytes:
+    if codec == "zstd":
+        return _zstd().decompress(data, decompressed_size=nbytes)
+    if codec == "gzip":
+        import gzip
+
+        return gzip.decompress(data)
+    return data
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+def write_zarr3(
+    chunks: DataFrame,
+    path: str,
+    meta: VolumeMeta,
+    codec: str = "zstd",
+    clevel: int = 1,
+    shard: tuple[int, int, int] | None = None,
+    name: str = "labels",
+    shapes: dict[int, tuple[int, int, int]] | None = None,
+) -> dict:
+    """Write a chunk-packed (optionally ``level``-stacked) volume as a
+    Zarr v3 hierarchy with OME-NGFF 0.5 multiscale metadata; returns
+    per-level receipts ``{level: {"n_objects", "n_chunks", "n_bytes",
+    "n_skipped"}}``.
+
+    ``shard`` — inner chunks per shard along (z,y,x); ``None`` writes
+    one object per chunk (chunk keys ``c/z/y/x``), a tuple writes
+    ``sharding_indexed`` shards (chunk grid addresses shards, index at
+    end, crc32c-checked).  All-zero chunks are omitted (= fill_value);
+    shards with no surviving chunk write no object at all.
+    """
+    import shutil
+
+    if "level" not in chunks.columns:
+        chunks = chunks.withColumn("level", F.lit(0).cast("int"))
+    ext = (
+        chunks.groupBy("level")
+        .agg(
+            F.max("dz").alias("kz"),
+            F.max("dy").alias("ky"),
+            F.max("dx").alias("kx"),
+            F.max(F.col("z0") + F.col("dz")).alias("zdim"),
+            F.max(F.col("y0") + F.col("dy")).alias("ydim"),
+            F.max(F.col("x0") + F.col("dx")).alias("xdim"),
+        )
+        .collect()
+    )
+    if not ext:
+        raise ValueError("write_zarr3: empty chunk frame")
+    grids: dict[int, tuple] = {}
+    for r in sorted(ext, key=lambda r: r["level"]):
+        shp = (shapes or {}).get(
+            r["level"], (int(r["zdim"]), int(r["ydim"]), int(r["xdim"]))
+        )
+        grids[int(r["level"])] = (int(r["kz"]), int(r["ky"]), int(r["kx"]), *shp)
+    levels = sorted(grids)
+    if levels != list(range(len(levels))):
+        raise ValueError(f"write_zarr3: levels must be 0..n-1, got {levels}")
+
+    if os.path.exists(path):
+        shutil.rmtree(path)  # K3 destructive overwrite
+
+    # ---- driver-side metadata ----
+    datasets = []
+    for i in levels:
+        kz, ky, kx, zd, yd, xd = grids[i]
+        if shard is None:
+            codecs = _codecs_json(codec, clevel)
+            grid_shape = [kz, ky, kx]
+        else:
+            sz, sy, sx = shard
+            codecs = [
+                {
+                    "name": "sharding_indexed",
+                    "configuration": {
+                        "chunk_shape": [kz, ky, kx],
+                        "codecs": _codecs_json(codec, clevel),
+                        "index_codecs": [
+                            {"name": "bytes", "configuration": {"endian": "little"}},
+                            {"name": "crc32c"},
+                        ],
+                        "index_location": "end",
+                    },
+                }
+            ]
+            grid_shape = [kz * sz, ky * sy, kx * sx]
+        zarray = {
+            "zarr_format": 3,
+            "node_type": "array",
+            "shape": [zd, yd, xd],
+            "data_type": "uint32",
+            "chunk_grid": {
+                "name": "regular",
+                "configuration": {"chunk_shape": grid_shape},
+            },
+            "chunk_key_encoding": {
+                "name": "default",
+                "configuration": {"separator": "/"},
+            },
+            "fill_value": 0,
+            "codecs": codecs,
+            "dimension_names": ["z", "y", "x"],
+        }
+        _put_bytes(
+            os.path.join(path, str(i), "zarr.json"),
+            json.dumps(zarray, indent=4).encode(),
+        )
+        datasets.append(
+            {
+                "path": str(i),
+                "coordinateTransformations": [
+                    {
+                        "type": "scale",
+                        "scale": [
+                            meta.spacing_z * (2**i),
+                            meta.spacing_y * (2**i),
+                            meta.spacing_x * (2**i),
+                        ],
+                    }
+                ],
+            }
+        )
+    group = {
+        "zarr_format": 3,
+        "node_type": "group",
+        "attributes": {
+            "ome": {
+                "version": "0.5",
+                "multiscales": [
+                    {
+                        "name": name,
+                        "axes": [
+                            {"name": "z", "type": "space", "unit": "micrometer"},
+                            {"name": "y", "type": "space", "unit": "micrometer"},
+                            {"name": "x", "type": "space", "unit": "micrometer"},
+                        ],
+                        "datasets": datasets,
+                    }
+                ],
+            }
+        },
+    }
+    _put_bytes(os.path.join(path, "zarr.json"), json.dumps(group, indent=4).encode())
+
+    frame = export_zarr3_frame(chunks, path, grids, codec, clevel, shard)
+    receipts = (
+        frame.groupBy("level")
+        .agg(
+            F.sum("n_objects").alias("n_objects"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n_bytes").alias("n_bytes"),
+            F.sum("n_skipped").alias("n_skipped"),
+        )
+        .collect()
+    )
+    return {
+        int(r["level"]): {
+            "n_objects": int(r["n_objects"]),
+            "n_chunks": int(r["n_chunks"]),
+            "n_bytes": int(r["n_bytes"]),
+            "n_skipped": int(r["n_skipped"]),
+        }
+        for r in receipts
+    }
+
+
+_RECEIPT3 = "level int, n_objects long, n_chunks long, n_bytes long, n_skipped long"
+
+
+def export_zarr3_frame(
+    chunks: DataFrame,
+    path: str,
+    grids: dict[int, tuple],
+    codec: str,
+    clevel: int,
+    shard: tuple[int, int, int] | None,
+) -> DataFrame:
+    """The unexecuted write-kernel frame (see ``export_ome_zarr_frame``
+    for the audit rationale).  Unsharded: zero-shuffle mapInArrow.
+    Sharded: ONE hash exchange on (level, shard key) + in-partition
+    sort, then a streaming kernel that holds one encoded shard."""
+    cols = [
+        "level", "cz", "cy", "cx", "z0", "y0", "x0", "dz", "dy", "dx",
+        "codec", "payload",
+    ]
+    if shard is None:
+        return chunks.select(*cols).mapInArrow(
+            _unsharded_kernel(path, grids, codec, clevel), schema=_RECEIPT3
+        )
+    sz, sy, sx = shard
+    keyed = chunks.select(
+        *cols,
+        F.expr(f"CAST(cz DIV {sz} AS INT)").alias("_sz"),
+        F.expr(f"CAST(cy DIV {sy} AS INT)").alias("_sy"),
+        F.expr(f"CAST(cx DIV {sx} AS INT)").alias("_sx"),
+    )
+    spread = (
+        keyed.repartition("level", "_sz", "_sy", "_sx")
+        .sortWithinPartitions("level", "_sz", "_sy", "_sx")
+    )
+    return spread.mapInArrow(
+        _sharded_kernel(path, grids, codec, clevel, shard), schema=_RECEIPT3
+    )
+
+
+def _decode_rows(d: dict, i: int, grids: dict[int, tuple]):
+    from ..volume import _decode_payload
+
+    lvl = d["level"][i]
+    kz, ky, kx, zd, yd, xd = grids[lvl]
+    dz, dy, dx = d["dz"][i], d["dy"][i], d["dx"][i]
+    z0, y0, x0 = d["z0"][i], d["y0"][i], d["x0"][i]
+    if z0 % kz or y0 % ky or x0 % kx:
+        raise ValueError(
+            f"write_zarr3: chunk origin ({z0},{y0},{x0}) not aligned to "
+            f"grid ({kz},{ky},{kx}) at level {lvl}; rechunk() first"
+        )
+    block = np.frombuffer(
+        _decode_payload(
+            d["payload"][i], d["codec"][i], dz * dy * dx * PAYLOAD_DTYPE.itemsize
+        ),
+        dtype=PAYLOAD_DTYPE,
+    ).reshape(dz, dy, dx)
+    if not block.any():
+        return lvl, None, None  # fill chunk: omit
+    if (dz, dy, dx) != (kz, ky, kx):
+        full = np.zeros((kz, ky, kx), dtype=PAYLOAD_DTYPE)
+        full[:dz, :dy, :dx] = block
+        block = full
+    return lvl, (z0 // kz, y0 // ky, x0 // kx), np.ascontiguousarray(block).tobytes()
+
+
+def _unsharded_kernel(path, grids, codec, clevel):
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        zc = _zstd(clevel) if codec == "zstd" else None
+        stats: dict[int, list[int]] = {}
+        for batch in batches:
+            d = batch.to_pydict()
+            for i in range(len(d["cz"])):
+                lvl, key, raw = _decode_rows(d, i, grids)
+                st = stats.setdefault(lvl, [0, 0, 0, 0])
+                if key is None:
+                    st[3] += 1
+                    continue
+                data = _encode_chunk(raw, codec, clevel, zc)
+                _put_bytes(
+                    os.path.join(path, str(lvl), "c", *(str(k) for k in key)),
+                    data,
+                )
+                st[0] += 1
+                st[1] += 1
+                st[2] += len(data)
+        for lvl, (o, n, b, s) in stats.items():
+            yield _receipt3(lvl, o, n, b, s)
+
+    return kernel
+
+
+def _receipt3(lvl, o, n, b, s):
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([lvl], type=pa.int32()),
+            pa.array([o], type=pa.int64()),
+            pa.array([n], type=pa.int64()),
+            pa.array([b], type=pa.int64()),
+            pa.array([s], type=pa.int64()),
+        ],
+        ["level", "n_objects", "n_chunks", "n_bytes", "n_skipped"],
+    )
+
+
+def _sharded_kernel(path, grids, codec, clevel, shard):
+    sz, sy, sx = shard
+
+    def flush(lvl, skey, parts, stats):
+        # assemble one shard: payload concat + (offset,nbytes) index in
+        # C order over the sz*sy*sx inner-chunk grid + crc32c, at end
+        if not parts:
+            return
+        idx = np.full((sz * sy * sx, 2), MISSING, dtype=np.uint64)
+        blobs: list[bytes] = []
+        off = 0
+        for (iz, iy, ix), data in sorted(parts.items()):
+            pos = (iz * sy + iy) * sx + ix
+            idx[pos, 0] = off
+            idx[pos, 1] = len(data)
+            blobs.append(data)
+            off += len(data)
+        raw_idx = idx.tobytes()
+        payload = b"".join(blobs) + raw_idx + struct.pack("<I", crc32c(raw_idx))
+        _put_bytes(
+            os.path.join(path, str(lvl), "c", *(str(k) for k in skey)), payload
+        )
+        st = stats.setdefault(lvl, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += len(parts)
+        st[2] += len(payload)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        zc = _zstd(clevel) if codec == "zstd" else None
+        stats: dict[int, list[int]] = {}
+        cur = None  # (lvl, skey)
+        parts: dict[tuple, bytes] = {}
+        for batch in batches:
+            d = batch.to_pydict()
+            for i in range(len(d["cz"])):
+                lvl, key, raw = _decode_rows(d, i, grids)
+                skey = (d["_sz"][i], d["_sy"][i], d["_sx"][i])
+                if cur is not None and (lvl, skey) != cur:
+                    flush(cur[0], cur[1], parts, stats)
+                    parts = {}
+                cur = (lvl, skey)
+                st = stats.setdefault(lvl, [0, 0, 0, 0])
+                if key is None:
+                    st[3] += 1
+                    continue
+                inner = (key[0] - skey[0] * sz, key[1] - skey[1] * sy,
+                         key[2] - skey[2] * sx)
+                parts[inner] = _encode_chunk(raw, codec, clevel, zc)
+        if cur is not None:
+            flush(cur[0], cur[1], parts, stats)
+        for lvl, (o, n, b, s) in stats.items():
+            yield _receipt3(lvl, o, n, b, s)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+
+def _read_zarr3_meta(path: str, level: int) -> dict:
+    with open(os.path.join(path, str(level), "zarr.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("zarr_format") != 3 or meta.get("node_type") != "array":
+        raise ValueError("not a Zarr v3 array")
+    if meta.get("data_type") != "uint32":
+        raise ValueError(f"unsupported data_type {meta.get('data_type')!r}")
+    cke = meta.get("chunk_key_encoding", {})
+    if cke.get("name") != "default" or (
+        cke.get("configuration") or {}
+    ).get("separator", "/") != "/":
+        raise ValueError(f"unsupported chunk_key_encoding {cke!r}")
+    kind, shard_cfg = _parse_codecs(meta["codecs"])
+    if kind == "shard":
+        inner_kind, nested = _parse_codecs(shard_cfg["codecs"])
+        if nested is not None or inner_kind == "shard":
+            raise ValueError("nested sharding unsupported")
+        idx_names = [c.get("name") for c in shard_cfg.get("index_codecs", [])]
+        if idx_names != ["bytes", "crc32c"]:
+            raise ValueError(f"unsupported index_codecs {idx_names!r}")
+        if shard_cfg.get("index_location", "end") != "end":
+            raise ValueError("index_location 'start' unsupported")
+        meta["_codec"] = inner_kind
+        meta["_inner_chunk"] = list(shard_cfg["chunk_shape"])
+    else:
+        meta["_codec"] = kind
+        meta["_inner_chunk"] = None
+    return meta
+
+
+def _read_shard_index(fpath: str, n: int) -> np.ndarray:
+    """(n,2) uint64 (offset,nbytes) array from a shard file's tail;
+    crc32c-validated."""
+    size = 16 * n + 4
+    with open(fpath, "rb") as fh:
+        fh.seek(-size, os.SEEK_END)
+        tail = fh.read(size)
+    raw, (crc,) = tail[:-4], struct.unpack("<I", tail[-4:])
+    if crc32c(raw) != crc:
+        raise ValueError(f"shard index crc32c mismatch in {fpath}")
+    return np.frombuffer(raw, dtype=np.uint64).reshape(n, 2)
+
+
+def scan_zarr3(
+    spark: SparkSession,
+    path: str,
+    level: int = 0,
+    volume_id: str = "zarr3",
+) -> DataFrame:
+    """Distributed Zarr v3 level scan → chunk-packed frame.  Driver
+    reads ONE ``zarr.json``; the shard/chunk grid derives arithmetically
+    from ``spark.range`` (never materialized), presence is an
+    executor-side probe, shard indexes are read and crc-checked in the
+    kernel, and absent chunks/shards synthesize ``fill_value``."""
+    meta = _read_zarr3_meta(path, level)
+    zd, yd, xd = meta["shape"]
+    gz, gy, gx = meta["chunk_grid"]["configuration"]["chunk_shape"]
+    inner = meta["_inner_chunk"]
+    codec = meta["_codec"]
+    fill = meta.get("fill_value") or 0
+    lvl_dir = os.path.join(path, str(level), "c")
+    nz, ny, nx = -(-zd // gz), -(-yd // gy), -(-xd // gx)
+    n_cells = nz * ny * nx
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    gdf = spark.range(n_cells, numPartitions=min(n_cells, par * 4) or 1).select(
+        F.expr(f"CAST(id DIV {ny * nx} AS INT)").alias("gz"),
+        F.expr(f"CAST((id % {ny * nx}) DIV {nx} AS INT)").alias("gy"),
+        F.expr(f"CAST(id % {nx} AS INT)").alias("gx"),
+    )
+    if inner is None:
+        kz, ky, kx = gz, gy, gx
+        sz = sy = sx = 1
+    else:
+        kz, ky, kx = inner
+        sz, sy, sx = gz // kz, gy // ky, gx // kx
+    flush_bytes = _SCAN_FLUSH_BYTES
+
+    def emit(rows, payloads, cz, cy, cx, block):
+        z0, y0, x0 = cz * kz, cy * ky, cx * kx
+        bz, by, bx = min(kz, zd - z0), min(ky, yd - y0), min(kx, xd - x0)
+        if bz <= 0 or by <= 0 or bx <= 0:
+            return 0  # inner cell entirely past the array edge
+        if block is None:
+            block = np.full((bz, by, bx), fill, dtype=PAYLOAD_DTYPE)
+        else:
+            block = block[:bz, :by, :bx]
+        rows.append((volume_id, cz, cy, cx, z0, y0, x0, bz, by, bx))
+        data = np.ascontiguousarray(block).tobytes()
+        payloads.append(data)
+        return len(data)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        rows, payloads, pending = [], [], 0
+        n_inner = sz * sy * sx
+        for batch in batches:
+            d = batch.to_pydict()
+            for i in range(len(d["gz"])):
+                g = (d["gz"][i], d["gy"][i], d["gx"][i])
+                fpath = os.path.join(lvl_dir, *(str(k) for k in g))
+                present = os.path.exists(fpath)
+                if inner is None:
+                    block = None
+                    if present:
+                        with open(fpath, "rb") as fh:
+                            data = fh.read()
+                        block = np.frombuffer(
+                            _decode_chunk(data, codec, kz * ky * kx * 4),
+                            dtype=PAYLOAD_DTYPE,
+                        ).reshape(kz, ky, kx)
+                    pending += emit(rows, payloads, *g, block)
+                else:
+                    idx = (
+                        _read_shard_index(fpath, n_inner) if present else None
+                    )
+                    fh = open(fpath, "rb") if present else None
+                    try:
+                        for iz in range(sz):
+                            for iy in range(sy):
+                                for ix in range(sx):
+                                    cz = g[0] * sz + iz
+                                    cy = g[1] * sy + iy
+                                    cx = g[2] * sx + ix
+                                    block = None
+                                    if idx is not None:
+                                        pos = (iz * sy + iy) * sx + ix
+                                        off, nb = int(idx[pos, 0]), int(idx[pos, 1])
+                                        if off != MISSING:
+                                            fh.seek(off)
+                                            block = np.frombuffer(
+                                                _decode_chunk(
+                                                    fh.read(nb), codec,
+                                                    kz * ky * kx * 4,
+                                                ),
+                                                dtype=PAYLOAD_DTYPE,
+                                            ).reshape(kz, ky, kx)
+                                    pending += emit(
+                                        rows, payloads, cz, cy, cx, block
+                                    )
+                                    if pending >= flush_bytes:
+                                        yield _chunk_batch(rows, payloads)
+                                        rows, payloads, pending = [], [], 0
+                    finally:
+                        if fh is not None:
+                            fh.close()
+                if pending >= flush_bytes:
+                    yield _chunk_batch(rows, payloads)
+                    rows, payloads, pending = [], [], 0
+        if rows:
+            yield _chunk_batch(rows, payloads)
+
+    return gdf.mapInArrow(kernel, schema=CHUNK_SCHEMA)
+
+
+def read_zarr3_level(path: str, level: int = 0) -> np.ndarray:
+    """Driver-side dense assembly of one level (tooling/verification
+    twin, like ``read_zarr_level`` for v2) — walks present objects."""
+    meta = _read_zarr3_meta(path, level)
+    zd, yd, xd = meta["shape"]
+    gz, gy, gx = meta["chunk_grid"]["configuration"]["chunk_shape"]
+    inner, codec = meta["_inner_chunk"], meta["_codec"]
+    fill = meta.get("fill_value") or 0
+    out = np.full((zd, yd, xd), fill, dtype=PAYLOAD_DTYPE)
+    lvl_dir = os.path.join(path, str(level), "c")
+    if not os.path.isdir(lvl_dir):
+        return out
+    kz, ky, kx = inner or (gz, gy, gx)
+    for root, _dirs, files in os.walk(lvl_dir):
+        for fname in files:
+            rel = os.path.relpath(os.path.join(root, fname), lvl_dir)
+            g = tuple(int(p) for p in rel.split(os.sep))
+            fpath = os.path.join(root, fname)
+            if inner is None:
+                data = open(fpath, "rb").read()
+                block = np.frombuffer(
+                    _decode_chunk(data, codec, kz * ky * kx * 4),
+                    dtype=PAYLOAD_DTYPE,
+                ).reshape(kz, ky, kx)
+                _paste(out, g, (kz, ky, kx), block)
+            else:
+                sz, sy, sx = gz // kz, gy // ky, gx // kx
+                idx = _read_shard_index(fpath, sz * sy * sx)
+                with open(fpath, "rb") as fh:
+                    for iz in range(sz):
+                        for iy in range(sy):
+                            for ix in range(sx):
+                                pos = (iz * sy + iy) * sx + ix
+                                off, nb = int(idx[pos, 0]), int(idx[pos, 1])
+                                if off == MISSING:
+                                    continue
+                                fh.seek(off)
+                                block = np.frombuffer(
+                                    _decode_chunk(
+                                        fh.read(nb), codec, kz * ky * kx * 4
+                                    ),
+                                    dtype=PAYLOAD_DTYPE,
+                                ).reshape(kz, ky, kx)
+                                _paste(
+                                    out,
+                                    (g[0] * sz + iz, g[1] * sy + iy, g[2] * sx + ix),
+                                    (kz, ky, kx),
+                                    block,
+                                )
+    return out
+
+
+def _paste(out, cidx, kshape, block):
+    sl = tuple(
+        slice(c * k, min((c + 1) * k, s))
+        for c, k, s in zip(cidx, kshape, out.shape)
+    )
+    if any(s.stop <= s.start for s in sl):
+        return
+    out[sl] = block[tuple(slice(0, s.stop - s.start) for s in sl)]

@@ -6486,7 +6486,8 @@ _DRIVER_CHECKED = {
 #: 21 never-driver-sampled rows.  22 < 50, so one driver pass closes the
 #: gap; tests/test_suite_meta.py asserts this partition stays exhaustive.
 _PRIORITY = [
-    "multimodal_features", "vox_zarr_blosc_roundtrip", "grouping_sets",
+    "multimodal_features", "vox_zarr_blosc_roundtrip",
+    "vox_zarr3_shard_roundtrip", "grouping_sets",
     "vox_meta_report", "approx_agg",
     "window_frames", "unpivot_lineitem", "date_arithmetic", "array_functions",
     "null_semantics", "frame_sample_plan", "text_normalize",
@@ -7134,6 +7135,31 @@ def _vox_zarr_blosc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     "vox_zarr_blosc_roundtrip",
     _vox_zarr_blosc_roundtrip_q,
+    f"WITH {VOX_CTE}\nSELECT z, y, x, label FROM voxels",
+)
+
+
+def _vox_zarr3_shard_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The FORWARD format boundary: Zarr v3 + sharding_indexed (OME-NGFF
+    # 0.5) — many chunks per storage object with a crc32c-checked binary
+    # index, the layout that keeps a 100 TB store's object count sane.
+    # Write sharded, scan back distributed, prove voxel identity.
+    import tempfile
+
+    from .sinks.zarr3 import scan_zarr3, write_zarr3
+    from .volume import chunks_to_voxels, synthetic_chunks
+
+    chunks = synthetic_chunks(spark, FIXTURE_META, chunk=(8, 8, 8))
+    path = tempfile.mkdtemp(prefix="zarr3_") + "/vol.zarr"
+    write_zarr3(chunks, path, FIXTURE_META, shard=(2, 2, 2))
+    return chunks_to_voxels(scan_zarr3(spark, path, 0)).select(
+        "z", "y", "x", "label"
+    )
+
+
+_register(
+    "vox_zarr3_shard_roundtrip",
+    _vox_zarr3_shard_roundtrip_q,
     f"WITH {VOX_CTE}\nSELECT z, y, x, label FROM voxels",
 )
 

@@ -566,6 +566,25 @@ def main() -> None:
                 lambda: write_ome_zarr(zchunks, zpath2, zmeta, compressor="zstd"),
                 runs=2,
             )
+            # Zarr v3 + sharding_indexed (OME-NGFF 0.5): 4x4x4-chunk
+            # shards cut the object count 64x; export pays its one
+            # shard-grouping exchange, scan reads shard indexes
+            from atlas_upscaling_dask_spark.sinks.zarr3 import (
+                scan_zarr3,
+                write_zarr3,
+            )
+
+            zpath3 = os.path.join(zdir, "vol3.zarr")
+            timed(
+                "zarr3_shard_export",
+                lambda: write_zarr3(zchunks, zpath3, zmeta, shard=(4, 4, 4)),
+                runs=2,
+            )
+            timed(
+                "zarr3_shard_scan",
+                lambda: force(scan_zarr3(spark, zpath3, 0)),
+                runs=2,
+            )
         finally:
             _sh3.rmtree(zdir, ignore_errors=True)
     except Exception as e:  # noqa: BLE001 — harness guard by design

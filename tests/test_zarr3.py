@@ -1,0 +1,301 @@
+"""Zarr v3 + sharding_indexed: spec compliance, shard binary format,
+round-trip fidelity.
+
+zarr-python v3 isn't in the container, so the shard format is verified
+the hard way: tests hand-parse shard files (index at end, uint64-LE
+offset/nbytes pairs, crc32c) independently of the module's own reader,
+and crc32c is checked against its published test vector.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from atlas_upscaling_dask_spark.sinks.zarr3 import (
+    MISSING,
+    crc32c,
+    read_zarr3_level,
+    scan_zarr3,
+    write_zarr3,
+)
+from atlas_upscaling_dask_spark.volume import (
+    PAYLOAD_DTYPE,
+    VolumeMeta,
+    chunks_to_voxels,
+    synthetic_chunks,
+)
+
+
+def _dense(spark_df, shape):
+    arr = np.zeros(shape, dtype=PAYLOAD_DTYPE)
+    for r in chunks_to_voxels(spark_df).collect():
+        arr[r["z"], r["y"], r["x"]] = r["label"]
+    return arr
+
+
+def test_crc32c_published_vectors():
+    # RFC 3720 / crc32c reference vector
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA  # iSCSI test vector
+
+
+def test_zarr3_unsharded_roundtrip_and_metadata(spark, tmp_path):
+    meta = VolumeMeta(16, 16, 16)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    out = str(tmp_path / "v3.zarr")
+    receipts = write_zarr3(chunks, out, meta, codec="zstd", clevel=1)
+
+    grp = json.load(open(os.path.join(out, "zarr.json")))
+    assert grp["zarr_format"] == 3 and grp["node_type"] == "group"
+    ome = grp["attributes"]["ome"]
+    assert ome["version"] == "0.5"
+    assert [a["name"] for a in ome["multiscales"][0]["axes"]] == ["z", "y", "x"]
+
+    za = json.load(open(os.path.join(out, "0", "zarr.json")))
+    assert za["zarr_format"] == 3 and za["node_type"] == "array"
+    assert za["shape"] == [16, 16, 16] and za["data_type"] == "uint32"
+    assert za["chunk_grid"]["configuration"]["chunk_shape"] == [8, 8, 8]
+    assert za["codecs"][0]["name"] == "bytes"
+    assert za["codecs"][1]["name"] == "zstd"
+    assert za["dimension_names"] == ["z", "y", "x"]
+
+    # chunk objects under c/z/y/x
+    assert os.path.exists(os.path.join(out, "0", "c", "1", "0", "1"))
+    assert receipts[0]["n_chunks"] + receipts[0]["n_skipped"] == 8
+
+    np.testing.assert_array_equal(read_zarr3_level(out, 0), _dense(chunks, meta.shape))
+    got = sorted(
+        (r["z"], r["y"], r["x"], r["label"])
+        for r in chunks_to_voxels(scan_zarr3(spark, out, 0)).collect()
+    )
+    want = sorted(
+        (r["z"], r["y"], r["x"], r["label"])
+        for r in chunks_to_voxels(chunks).collect()
+    )
+    assert got == want
+
+
+def test_zarr3_sharded_roundtrip_objects_and_format(spark, tmp_path):
+    # 4x2x2 chunk grid sharded (2,2,2) -> 2x1x1 shard objects
+    meta = VolumeMeta(32, 16, 16)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    out = str(tmp_path / "v3s.zarr")
+    receipts = write_zarr3(
+        chunks, out, meta, codec="zstd", clevel=1, shard=(2, 2, 2)
+    )
+    assert receipts[0]["n_objects"] == 2  # 16 chunks -> 2 shards
+    assert receipts[0]["n_chunks"] + receipts[0]["n_skipped"] == 16
+
+    za = json.load(open(os.path.join(out, "0", "zarr.json")))
+    sh = za["codecs"][0]
+    assert sh["name"] == "sharding_indexed"
+    assert za["chunk_grid"]["configuration"]["chunk_shape"] == [16, 16, 16]
+    assert sh["configuration"]["chunk_shape"] == [8, 8, 8]
+    assert [c["name"] for c in sh["configuration"]["index_codecs"]] == [
+        "bytes",
+        "crc32c",
+    ]
+    assert sh["configuration"]["index_location"] == "end"
+
+    # hand-parse shard (0,0,0) independently of the module's reader:
+    # tail = 8 inner entries x 16 bytes + 4-byte crc32c
+    fpath = os.path.join(out, "0", "c", "0", "0", "0")
+    blob = open(fpath, "rb").read()
+    raw_idx, (crc,) = blob[-132:-4], struct.unpack("<I", blob[-4:])
+    assert crc32c(raw_idx) == crc
+    idx = np.frombuffer(raw_idx, dtype=np.uint64).reshape(8, 2)
+    dense = _dense(chunks, meta.shape)
+    # inner chunk (1,0,1) of shard (0,0,0) = volume block [8:16,0:8,8:16]
+    pos = (1 * 2 + 0) * 2 + 1
+    off, nb = int(idx[pos, 0]), int(idx[pos, 1])
+    assert off != MISSING
+    block = np.frombuffer(
+        pa.Codec("zstd").decompress(
+            blob[off : off + nb], decompressed_size=8 * 8 * 8 * 4
+        ),
+        dtype="<u4",
+    ).reshape(8, 8, 8)
+    np.testing.assert_array_equal(block, dense[8:16, 0:8, 8:16])
+
+    # full fidelity both read paths
+    np.testing.assert_array_equal(read_zarr3_level(out, 0), dense)
+    got = sorted(
+        (r["z"], r["y"], r["x"], r["label"])
+        for r in chunks_to_voxels(scan_zarr3(spark, out, 0)).collect()
+    )
+    want = sorted(
+        (r["z"], r["y"], r["x"], r["label"])
+        for r in chunks_to_voxels(chunks).collect()
+    )
+    assert got == want
+
+
+def test_zarr3_sharded_sparse_and_missing(spark, tmp_path):
+    import pandas as pd
+
+    # 2x2x2 chunk grid, ONE non-zero chunk, shard=(2,2,2): a single
+    # shard object holding one inner chunk; 7 index slots MISSING
+    meta = VolumeMeta(16, 16, 16)
+    grid = [(cz, cy, cx) for cz in range(2) for cy in range(2) for cx in range(2)]
+    corner = np.zeros((8, 8, 8), dtype=PAYLOAD_DTYPE)
+    corner[:2, :2, :2] = 5
+    pdf = pd.DataFrame(
+        {
+            "volume_id": ["v"] * 8,
+            "cz": [g[0] for g in grid],
+            "cy": [g[1] for g in grid],
+            "cx": [g[2] for g in grid],
+            "z0": [g[0] * 8 for g in grid],
+            "y0": [g[1] * 8 for g in grid],
+            "x0": [g[2] * 8 for g in grid],
+            "dz": [8] * 8, "dy": [8] * 8, "dx": [8] * 8,
+            "codec": ["raw"] * 8,
+            "payload": [
+                (corner if g == (1, 1, 1) else np.zeros((8, 8, 8), dtype=PAYLOAD_DTYPE)).tobytes()
+                for g in grid
+            ],
+        }
+    )
+    out = str(tmp_path / "sparse3.zarr")
+    receipts = write_zarr3(
+        spark.createDataFrame(pdf), out, meta, shard=(2, 2, 2)
+    )
+    assert receipts[0]["n_objects"] == 1
+    assert receipts[0]["n_chunks"] == 1 and receipts[0]["n_skipped"] == 7
+    idx = np.frombuffer(
+        open(os.path.join(out, "0", "c", "0", "0", "0"), "rb").read()[-132:-4],
+        dtype=np.uint64,
+    ).reshape(8, 2)
+    assert int(idx[7, 0]) != MISSING  # inner (1,1,1) present
+    assert sum(1 for k in range(8) if int(idx[k, 0]) == MISSING) == 7
+
+    got = {
+        (r["z"], r["y"], r["x"]): r["label"]
+        for r in chunks_to_voxels(scan_zarr3(spark, out, 0)).collect()
+    }
+    assert len(got) == 16**3
+    assert got[(8, 8, 8)] == 5 and got[(0, 0, 0)] == 0
+    assert sum(1 for v in got.values() if v) == 8
+
+
+def test_zarr3_edge_shards_and_partial_grid(spark, tmp_path):
+    # 12^3 volume, 8^3 chunks (edge chunks partial), shard=(2,2,2):
+    # one shard covers the whole 2x2x2 chunk grid incl. edge padding
+    meta = VolumeMeta(12, 12, 12)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    out = str(tmp_path / "edge3.zarr")
+    write_zarr3(chunks, out, meta, shard=(2, 2, 2))
+    np.testing.assert_array_equal(read_zarr3_level(out, 0), _dense(chunks, meta.shape))
+    got = sorted(
+        (r["z"], r["y"], r["x"], r["label"])
+        for r in chunks_to_voxels(scan_zarr3(spark, out, 0)).collect()
+    )
+    want = sorted(
+        (r["z"], r["y"], r["x"], r["label"])
+        for r in chunks_to_voxels(chunks).collect()
+    )
+    assert got == want
+
+
+def test_zarr3_multilevel_pyramid(spark, tmp_path):
+    from atlas_upscaling_dask_spark.operators.enhance import enhance_chunks
+
+    meta = VolumeMeta(16, 16, 16)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    pyr = enhance_chunks(chunks, scale=1, outline=False, levels=2)
+    out = str(tmp_path / "pyr3.zarr")
+    write_zarr3(pyr, out, meta, shard=(2, 2, 2))
+    base = _dense(chunks, meta.shape)
+    np.testing.assert_array_equal(read_zarr3_level(out, 0), base)
+    np.testing.assert_array_equal(read_zarr3_level(out, 1), base[::2, ::2, ::2])
+    grp = json.load(open(os.path.join(out, "zarr.json")))
+    ds = grp["attributes"]["ome"]["multiscales"][0]["datasets"]
+    assert [d["path"] for d in ds] == ["0", "1"]
+
+
+def test_zarr3_scan_foreign_store(spark, tmp_path):
+    # a store this module did not write: uncompressed, unsharded,
+    # hand-built metadata + raw chunk file
+    out = str(tmp_path / "foreign3.zarr")
+    os.makedirs(os.path.join(out, "0", "c", "1", "0"))
+    with open(os.path.join(out, "0", "zarr.json"), "w") as fh:
+        json.dump(
+            {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": [8, 8, 8],
+                "data_type": "uint32",
+                "chunk_grid": {
+                    "name": "regular",
+                    "configuration": {"chunk_shape": [4, 4, 4]},
+                },
+                "chunk_key_encoding": {
+                    "name": "default",
+                    "configuration": {"separator": "/"},
+                },
+                "fill_value": 0,
+                "codecs": [
+                    {"name": "bytes", "configuration": {"endian": "little"}}
+                ],
+            },
+            fh,
+        )
+    block = np.arange(64, dtype="<u4").reshape(4, 4, 4)
+    with open(os.path.join(out, "0", "c", "1", "0", "1"), "wb") as fh:
+        fh.write(block.tobytes())
+    dense = read_zarr3_level(out, 0)
+    np.testing.assert_array_equal(dense[4:8, 0:4, 4:8], block)
+    got = {
+        (r["z"], r["y"], r["x"]): r["label"]
+        for r in chunks_to_voxels(scan_zarr3(spark, out, 0)).collect()
+    }
+    assert len(got) == 512 and sum(got.values()) == int(block.sum())
+
+
+def test_zarr3_corrupt_shard_index_rejected(spark, tmp_path):
+    meta = VolumeMeta(16, 16, 16)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    out = str(tmp_path / "crc3.zarr")
+    write_zarr3(chunks, out, meta, shard=(2, 2, 2))
+    fpath = os.path.join(out, "0", "c", "0", "0", "0")
+    blob = bytearray(open(fpath, "rb").read())
+    blob[-40] ^= 0xFF  # flip a bit inside the index body
+    open(fpath, "wb").write(bytes(blob))
+    with pytest.raises(Exception, match="crc32c"):
+        read_zarr3_level(out, 0)
+
+
+def test_zarr3_unsupported_codec_chain_named(tmp_path):
+    from atlas_upscaling_dask_spark.sinks.zarr3 import _read_zarr3_meta
+
+    out = str(tmp_path / "weird3.zarr")
+    os.makedirs(os.path.join(out, "0"))
+    with open(os.path.join(out, "0", "zarr.json"), "w") as fh:
+        json.dump(
+            {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": [4, 4, 4],
+                "data_type": "uint32",
+                "chunk_grid": {
+                    "name": "regular",
+                    "configuration": {"chunk_shape": [4, 4, 4]},
+                },
+                "chunk_key_encoding": {"name": "default"},
+                "fill_value": 0,
+                "codecs": [
+                    {"name": "bytes", "configuration": {"endian": "little"}},
+                    {"name": "blosc", "configuration": {}},
+                ],
+            },
+            fh,
+        )
+    with pytest.raises(ValueError, match="blosc"):
+        _read_zarr3_meta(out, 0)

@@ -702,6 +702,19 @@ def audited_queries():
             _tiff_ordered_export,
             {"max_shuffles": 1, "no_python_udf": True, "codegen": True},
         ),
+        # Zarr v3 sharded scan: Range-derived shard grid, executor-side
+        # index reads + inner-chunk decode — fully narrow.
+        "zarr3_scan": (
+            _zarr3_scan,
+            {"no_shuffle": True, "no_python_udf": True},
+        ),
+        # Zarr v3 sharded export: exactly ONE hash exchange co-locating
+        # each shard's chunks (that IS the shard grouping); more would
+        # mean payloads moved twice.
+        "zarr3_export_sharded": (
+            _zarr3_export,
+            {"max_shuffles": 1, "no_python_udf": True},
+        ),
     }
 
 
@@ -771,6 +784,36 @@ def _tiff_ordered_export(spark, sf_dir: str):
     from atlas_upscaling_dask_spark.volume import chunks_to_voxels
 
     return chunks_to_voxels(_chunk_table(spark)).orderBy("z", "y", "x")
+
+
+def _zarr3_scan(spark, sf_dir: str):
+    import tempfile
+
+    from atlas_upscaling_dask_spark.sinks.zarr3 import scan_zarr3, write_zarr3
+    from atlas_upscaling_dask_spark.volume import VolumeMeta, synthetic_chunks
+
+    if "zarr3" not in _SCAN_FIXTURE:
+        d = tempfile.mkdtemp(prefix="audit_zarr3_") + "/vol.zarr"
+        meta = VolumeMeta(16, 16, 16)
+        write_zarr3(
+            synthetic_chunks(spark, meta, chunk=(8, 8, 8)), d, meta,
+            shard=(2, 2, 2),
+        )
+        _SCAN_FIXTURE["zarr3"] = d
+    return scan_zarr3(spark, _SCAN_FIXTURE["zarr3"], 0)
+
+
+def _zarr3_export(spark, sf_dir: str):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from atlas_upscaling_dask_spark.sinks.zarr3 import export_zarr3_frame
+
+    out = tempfile.mkdtemp(prefix="audit_zarr3_out_") + "/vol.zarr"
+    grids = {0: (8, 8, 8, 16, 16, 16)}
+    chunks = _chunk_table(spark).withColumn("level", F.lit(0).cast("int"))
+    return export_zarr3_frame(chunks, out, grids, "zstd", 1, (2, 2, 2))
 
 
 _BULK_FIXTURE: dict = {}
