@@ -185,3 +185,46 @@ def test_zero_blocksize_header_rejected():
     struct.pack_into("<i", chunk, 8, 0)
     with pytest.raises(ValueError, match="blocksize"):
         blosc_decompress(bytes(chunk))
+
+
+# --- hypothesis: arbitrary data/typesize/mode round-trips ---
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        data=st.binary(min_size=1, max_size=5000),
+        typesize=st.sampled_from([1, 2, 3, 4, 5, 8, 16]),
+        shuffle=st.sampled_from(
+            [BLOSC_NOSHUFFLE, BLOSC_SHUFFLE, BLOSC_BITSHUFFLE]
+        ),
+        cname=st.sampled_from(["zlib", "zstd"]),
+        blocksize=st.sampled_from([None, 64, 257, 1024]),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_chunk_roundtrip_property(data, typesize, shuffle, cname, blocksize):
+        chunk = blosc_compress(
+            data, typesize, cname=cname, shuffle=shuffle, blocksize=blocksize
+        )
+        assert blosc_decompress(chunk) == data
+
+    @given(
+        n_elems=st.integers(1, 64),
+        tail=st.integers(0, 7),
+        typesize=st.sampled_from([1, 2, 3, 4, 8]),
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_shuffles_match_scalar_property(n_elems, tail, typesize):
+        rng = np.random.default_rng(n_elems * 31 + tail * 7 + typesize)
+        block = rng.integers(0, 256, n_elems * typesize + tail, dtype=np.uint8)
+        assert (
+            _bit_shuffle(block, typesize).tobytes()
+            == _bit_shuffle_scalar(block.tobytes(), typesize)
+        )
+        assert (
+            _byte_shuffle(block, typesize).tobytes()
+            == _byte_shuffle_scalar(block.tobytes(), typesize)
+        )
+except ImportError:  # hypothesis is baked in; guard for portability
+    pass
