@@ -62,6 +62,28 @@ def build_parser() -> argparse.ArgumentParser:
     rg.add_argument("--max-tokens", type=int, default=64)
     rg.add_argument("--overlap", type=int, default=16)
 
+    zr = sub.add_parser(
+        "export-zarr",
+        help="write a chunk table as an OME-Zarr store (v2 = the "
+        "reference pipeline's format; v3 adds sharding)",
+    )
+    zr.add_argument("--input", required=True, help="parquet chunk table or 'synthetic'")
+    zr.add_argument("--output", required=True, help="store directory (.zarr)")
+    zr.add_argument("--format", choices=["v2", "v3"], default="v2")
+    zr.add_argument(
+        "--compressor",
+        choices=["zlib", "zstd", "blosc", "none"],
+        default="zlib",
+        help="v2 chunk codec (blosc = the reference's zstd+BITSHUFFLE); "
+        "v3 accepts zstd/none",
+    )
+    zr.add_argument("--clevel", type=int, default=1)
+    zr.add_argument(
+        "--shard", type=int, nargs=3, default=None, metavar=("SZ", "SY", "SX"),
+        help="v3 only: chunks per shard along z/y/x (sharding_indexed)",
+    )
+    zr.add_argument("--shape", type=int, nargs=3, default=(16, 16, 16), metavar=("Z", "Y", "X"))
+
     ql = sub.add_parser(
         "quality",
         help="data-quality report: per-column profile, PK/range "
@@ -326,6 +348,53 @@ def cmd_quality(args) -> int:
     return 1 if failed else 0
 
 
+def cmd_export_zarr(args) -> int:
+    from .session import get_spark
+    from .volume import VolumeMeta, infer_meta, synthetic_chunks
+
+    spark = get_spark("atlas-spark-export-zarr")
+    if args.input == "synthetic":
+        meta = VolumeMeta(*args.shape)
+        chunks = synthetic_chunks(spark, meta)
+    else:
+        chunks = spark.read.parquet(args.input)
+        meta = infer_meta(chunks)
+
+    if args.format == "v2":
+        if args.shard is not None:
+            print("REFUSED: --shard requires --format v3", file=sys.stderr)
+            return 2
+        from .sinks.ome_zarr import write_ome_zarr
+
+        receipts = write_ome_zarr(
+            chunks, args.output, meta,
+            compressor=args.compressor, clevel=args.clevel,
+        )
+    else:
+        if args.compressor in ("zlib", "blosc"):
+            print(
+                f"REFUSED: v3 codec must be zstd or none, got {args.compressor}",
+                file=sys.stderr,
+            )
+            return 2
+        from .sinks.zarr3 import write_zarr3
+
+        receipts = write_zarr3(
+            chunks, args.output, meta,
+            codec=args.compressor, clevel=args.clevel,
+            shard=tuple(args.shard) if args.shard else None,
+        )
+    for lvl in sorted(receipts):
+        r = receipts[lvl]
+        objs = f" objects={r['n_objects']}" if "n_objects" in r else ""
+        print(
+            f"level {lvl}: chunks={r['n_chunks']} skipped={r['n_skipped']}"
+            f" bytes={r['n_bytes']}{objs}"
+        )
+    print(f"wrote {args.output}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     return {
@@ -334,6 +403,7 @@ def main(argv: list[str] | None = None) -> int:
         "pipeline": cmd_pipeline,
         "rag": cmd_rag,
         "quality": cmd_quality,
+        "export-zarr": cmd_export_zarr,
     }[args.cmd](args)
 
 

@@ -120,3 +120,40 @@ def test_cli_quality_skips_unsupported_types(spark, tmp_path, capsys):
     assert rc == 0
     assert "skipped unsupported types: d, flag" in out
     assert "PASS unique(k)" in out
+
+
+def test_cli_export_zarr_v2_and_v3(spark, tmp_path, capsys):
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.cli import main
+    from atlas_upscaling_dask_spark.sinks.ome_zarr import read_zarr_level
+    from atlas_upscaling_dask_spark.sinks.zarr3 import read_zarr3_level
+
+    out2 = str(tmp_path / "store_v2.zarr")
+    rc = main([
+        "export-zarr", "--input", "synthetic", "--output", out2,
+        "--shape", "8", "8", "8", "--compressor", "blosc", "--clevel", "5",
+    ])
+    assert rc == 0
+    assert "wrote" in capsys.readouterr().out
+    v2 = read_zarr_level(out2, 0)
+    assert v2.shape == (8, 8, 8) and v2.any()
+
+    out3 = str(tmp_path / "store_v3.zarr")
+    rc = main([
+        "export-zarr", "--input", "synthetic", "--output", out3,
+        "--shape", "8", "8", "8", "--format", "v3",
+        "--compressor", "zstd", "--shard", "2", "2", "2",
+    ])
+    assert rc == 0
+    np.testing.assert_array_equal(read_zarr3_level(out3, 0), v2)
+
+    # guards: shard needs v3; v3 rejects zlib/blosc
+    assert main([
+        "export-zarr", "--input", "synthetic", "--output", str(tmp_path / "x"),
+        "--shard", "2", "2", "2",
+    ]) == 2
+    assert main([
+        "export-zarr", "--input", "synthetic", "--output", str(tmp_path / "y"),
+        "--format", "v3", "--compressor", "blosc",
+    ]) == 2
