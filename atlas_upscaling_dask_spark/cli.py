@@ -73,9 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     zr.add_argument(
         "--compressor",
         choices=["zlib", "zstd", "blosc", "none"],
-        default="zlib",
+        default=None,
         help="v2 chunk codec (blosc = the reference's zstd+BITSHUFFLE); "
-        "v3 accepts zstd/none",
+        "v3 accepts zstd/none.  Default: zlib for v2, zstd for v3",
     )
     zr.add_argument("--clevel", type=int, default=1)
     zr.add_argument(
@@ -360,6 +360,7 @@ def cmd_export_zarr(args) -> int:
         chunks = spark.read.parquet(args.input)
         meta = infer_meta(chunks)
 
+    compressor = args.compressor or ("zlib" if args.format == "v2" else "zstd")
     if args.format == "v2":
         if args.shard is not None:
             print("REFUSED: --shard requires --format v3", file=sys.stderr)
@@ -368,12 +369,12 @@ def cmd_export_zarr(args) -> int:
 
         receipts = write_ome_zarr(
             chunks, args.output, meta,
-            compressor=args.compressor, clevel=args.clevel,
+            compressor=compressor, clevel=args.clevel,
         )
     else:
-        if args.compressor in ("zlib", "blosc"):
+        if compressor in ("zlib", "blosc"):
             print(
-                f"REFUSED: v3 codec must be zstd or none, got {args.compressor}",
+                f"REFUSED: v3 codec must be zstd or none, got {compressor}",
                 file=sys.stderr,
             )
             return 2
@@ -381,7 +382,7 @@ def cmd_export_zarr(args) -> int:
 
         receipts = write_zarr3(
             chunks, args.output, meta,
-            codec=args.compressor, clevel=args.clevel,
+            codec=compressor, clevel=args.clevel,
             shard=tuple(args.shard) if args.shard else None,
         )
     for lvl in sorted(receipts):

@@ -94,6 +94,44 @@ def _compressor_json(compressor: str, clevel: int) -> dict | None:
     )
 
 
+def derive_level_grids(
+    chunks: DataFrame,
+    shapes: dict[int, tuple[int, int, int]] | None,
+    who: str,
+) -> tuple[DataFrame, dict[int, tuple]]:
+    """Shared by the v2 and v3 writers: default the ``level`` column,
+    size every level's chunk grid + array shape from the data with one
+    tiny agg (≤ levels rows on the driver), apply ``shapes`` overrides,
+    and validate levels are 0..n-1.  Returns (chunks_with_level,
+    {level: (kz, ky, kx, zdim, ydim, xdim)})."""
+    if "level" not in chunks.columns:
+        chunks = chunks.withColumn("level", F.lit(0).cast("int"))
+    ext = (
+        chunks.groupBy("level")
+        .agg(
+            F.max("dz").alias("kz"),
+            F.max("dy").alias("ky"),
+            F.max("dx").alias("kx"),
+            F.max(F.col("z0") + F.col("dz")).alias("zdim"),
+            F.max(F.col("y0") + F.col("dy")).alias("ydim"),
+            F.max(F.col("x0") + F.col("dx")).alias("xdim"),
+        )
+        .collect()
+    )
+    if not ext:
+        raise ValueError(f"{who}: empty chunk frame")
+    grids: dict[int, tuple] = {}
+    for r in sorted(ext, key=lambda r: r["level"]):
+        shp = (shapes or {}).get(
+            r["level"], (int(r["zdim"]), int(r["ydim"]), int(r["xdim"]))
+        )
+        grids[int(r["level"])] = (int(r["kz"]), int(r["ky"]), int(r["kx"]), *shp)
+    levels = sorted(grids)
+    if levels != list(range(len(levels))):
+        raise ValueError(f"{who}: levels must be 0..n-1, got {levels}")
+    return chunks, grids
+
+
 def _put_bytes(path: str, data: bytes) -> None:
     """Atomic single-file publish: write sibling temp, rename over.
 
@@ -138,33 +176,8 @@ def export_ome_zarr_frame(
     reference's ``rmtree`` (``upscale_streaming_enhance.py:193-194``).
     """
     comp = _compressor_json(compressor, clevel)
-    if "level" not in chunks.columns:
-        chunks = chunks.withColumn("level", F.lit(0).cast("int"))
-
-    # one tiny agg (≤ levels rows) sizes every .zarray on the driver
-    ext = (
-        chunks.groupBy("level")
-        .agg(
-            F.max("dz").alias("kz"),
-            F.max("dy").alias("ky"),
-            F.max("dx").alias("kx"),
-            F.max(F.col("z0") + F.col("dz")).alias("zdim"),
-            F.max(F.col("y0") + F.col("dy")).alias("ydim"),
-            F.max(F.col("x0") + F.col("dx")).alias("xdim"),
-        )
-        .collect()
-    )
-    if not ext:
-        raise ValueError("write_ome_zarr: empty chunk frame")
-    grids: dict[int, tuple] = {}
-    for r in sorted(ext, key=lambda r: r["level"]):
-        shp = (shapes or {}).get(
-            r["level"], (int(r["zdim"]), int(r["ydim"]), int(r["xdim"]))
-        )
-        grids[int(r["level"])] = (int(r["kz"]), int(r["ky"]), int(r["kx"]), *shp)
+    chunks, grids = derive_level_grids(chunks, shapes, "write_ome_zarr")
     levels = sorted(grids)
-    if levels != list(range(len(levels))):
-        raise ValueError(f"write_ome_zarr: levels must be 0..n-1, got {levels}")
 
     import shutil
 
@@ -452,18 +465,18 @@ def _list_chunk_files(lvl_dir: str, meta: dict) -> list[tuple[tuple, str]]:
             head = () if rel == "." else tuple(rel.split(os.sep))
             for fname in files:
                 parts = (*head, fname)
-                if any(p.startswith(".") for p in parts):
+                # skip non-chunk entries: dot-files, NFS silly-renames,
+                # crashed _put_bytes __tmp__ leftovers
+                if not all(p.isdigit() for p in parts):
                     continue
                 found.append((tuple(int(p) for p in parts), os.path.join(root, fname)))
     else:
         for fname in os.listdir(lvl_dir):
-            if fname.startswith("."):
+            parts = fname.split(sep)
+            if not all(p.isdigit() for p in parts):
                 continue
             found.append(
-                (
-                    tuple(int(p) for p in fname.split(sep)),
-                    os.path.join(lvl_dir, fname),
-                )
+                (tuple(int(p) for p in parts), os.path.join(lvl_dir, fname))
             )
     return found
 

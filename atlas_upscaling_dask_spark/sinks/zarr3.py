@@ -181,31 +181,16 @@ def write_zarr3(
     """
     import shutil
 
-    if "level" not in chunks.columns:
-        chunks = chunks.withColumn("level", F.lit(0).cast("int"))
-    ext = (
-        chunks.groupBy("level")
-        .agg(
-            F.max("dz").alias("kz"),
-            F.max("dy").alias("ky"),
-            F.max("dx").alias("kx"),
-            F.max(F.col("z0") + F.col("dz")).alias("zdim"),
-            F.max(F.col("y0") + F.col("dy")).alias("ydim"),
-            F.max(F.col("x0") + F.col("dx")).alias("xdim"),
+    from .ome_zarr import derive_level_grids
+
+    if shard is not None and (
+        len(shard) != 3 or any(int(s) < 1 for s in shard)
+    ):
+        raise ValueError(
+            f"shard must be three positive chunk counts, got {shard!r}"
         )
-        .collect()
-    )
-    if not ext:
-        raise ValueError("write_zarr3: empty chunk frame")
-    grids: dict[int, tuple] = {}
-    for r in sorted(ext, key=lambda r: r["level"]):
-        shp = (shapes or {}).get(
-            r["level"], (int(r["zdim"]), int(r["ydim"]), int(r["xdim"]))
-        )
-        grids[int(r["level"])] = (int(r["kz"]), int(r["ky"]), int(r["kx"]), *shp)
+    chunks, grids = derive_level_grids(chunks, shapes, "write_zarr3")
     levels = sorted(grids)
-    if levels != list(range(len(levels))):
-        raise ValueError(f"write_zarr3: levels must be 0..n-1, got {levels}")
 
     if os.path.exists(path):
         shutil.rmtree(path)  # K3 destructive overwrite
@@ -337,19 +322,27 @@ def export_zarr3_frame(
         return chunks.select(*cols).mapInArrow(
             _unsharded_kernel(path, grids, codec, clevel), schema=_RECEIPT3
         )
-    sz, sy, sx = shard
+    sz, sy, sx = (int(s) for s in shard)
+    if min(sz, sy, sx) < 1:
+        raise ValueError(f"shard must be positive chunk counts, got {shard!r}")
     keyed = chunks.select(
         *cols,
         F.expr(f"CAST(cz DIV {sz} AS INT)").alias("_sz"),
         F.expr(f"CAST(cy DIV {sy} AS INT)").alias("_sy"),
         F.expr(f"CAST(cx DIV {sx} AS INT)").alias("_sx"),
     )
+    # explicit partition count: payloads cross this exchange compressed,
+    # so AQE's byte-based coalescing would squeeze the CPU-bound
+    # encode/assembly kernel onto a few cores (the repo's documented
+    # pitfall — same fix as dedup.containment_join)
+    n_part = int(chunks.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     spread = (
-        keyed.repartition("level", "_sz", "_sy", "_sx")
+        keyed.repartition(n_part, "level", "_sz", "_sy", "_sx")
         .sortWithinPartitions("level", "_sz", "_sy", "_sx")
     )
     return spread.mapInArrow(
-        _sharded_kernel(path, grids, codec, clevel, shard), schema=_RECEIPT3
+        _sharded_kernel(path, grids, codec, clevel, (sz, sy, sx)),
+        schema=_RECEIPT3,
     )
 
 
@@ -464,6 +457,17 @@ def _sharded_kernel(path, grids, codec, clevel, shard):
                 if key is None:
                     st[3] += 1
                     continue
+                # the shard file is addressed by the PARTITION key
+                # (cz DIV s); the index slot must come from the SAME
+                # chunk coordinate or an inconsistent frame (cz not
+                # matching z0//kz) would wrap a negative slot into
+                # another chunk's entry and corrupt the shard silently
+                if (key[0] // sz, key[1] // sy, key[2] // sx) != skey:
+                    raise ValueError(
+                        f"write_zarr3: chunk coords cz/cy/cx disagree "
+                        f"with origins z0/y0/x0 (origin-derived chunk "
+                        f"{key} is outside shard {skey}); fix the frame"
+                    )
                 inner = (key[0] - skey[0] * sz, key[1] - skey[1] * sy,
                          key[2] - skey[2] * sx)
                 parts[inner] = _encode_chunk(raw, codec, clevel, zc)
@@ -502,8 +506,17 @@ def _read_zarr3_meta(path: str, level: int) -> dict:
             raise ValueError(f"unsupported index_codecs {idx_names!r}")
         if shard_cfg.get("index_location", "end") != "end":
             raise ValueError("index_location 'start' unsupported")
+        inner_shape = list(shard_cfg["chunk_shape"])
+        grid_shape = meta["chunk_grid"]["configuration"]["chunk_shape"]
+        if len(inner_shape) != len(grid_shape) or any(
+            k < 1 or g % k for g, k in zip(grid_shape, inner_shape)
+        ):
+            raise ValueError(
+                f"inner chunk shape {inner_shape} must evenly divide the "
+                f"shard shape {grid_shape}"
+            )
         meta["_codec"] = inner_kind
-        meta["_inner_chunk"] = list(shard_cfg["chunk_shape"])
+        meta["_inner_chunk"] = inner_shape
     else:
         meta["_codec"] = kind
         meta["_inner_chunk"] = None
@@ -649,7 +662,10 @@ def read_zarr3_level(path: str, level: int = 0) -> np.ndarray:
     for root, _dirs, files in os.walk(lvl_dir):
         for fname in files:
             rel = os.path.relpath(os.path.join(root, fname), lvl_dir)
-            g = tuple(int(p) for p in rel.split(os.sep))
+            parts = rel.split(os.sep)
+            if not all(p.isdigit() for p in parts):
+                continue  # NFS silly-renames, crashed __tmp__ files, etc.
+            g = tuple(int(p) for p in parts)
             fpath = os.path.join(root, fname)
             if inner is None:
                 data = open(fpath, "rb").read()

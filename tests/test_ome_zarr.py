@@ -432,3 +432,23 @@ def test_ome_zarr_scan_flushes_output_batches(spark, tmp_path, monkeypatch):
         for r in chunks_to_voxels(chunks).collect()
     )
     assert got == want
+
+
+def test_ome_zarr_reader_ignores_stray_files(spark, tmp_path):
+    # crashed _put_bytes leaves "1.0.1.__tmp__<pid>.<uuid>"; NFS leaves
+    # ".nfs*" — neither parses as chunk coordinates and neither may
+    # break the level read
+    from atlas_upscaling_dask_spark.sinks.ome_zarr import (
+        read_zarr_level,
+        write_ome_zarr,
+    )
+
+    meta = VolumeMeta(16, 16, 16)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    out = str(tmp_path / "stray2.zarr")
+    write_ome_zarr(chunks, out, meta)
+    open(os.path.join(out, "0", "1.0.1.__tmp__42.dead"), "wb").write(b"junk")
+    open(os.path.join(out, "0", ".nfs000001"), "wb").write(b"junk")
+    np.testing.assert_array_equal(
+        read_zarr_level(out, 0), _dense_from_chunks(chunks, meta.shape)
+    )

@@ -299,3 +299,87 @@ def test_zarr3_unsupported_codec_chain_named(tmp_path):
         )
     with pytest.raises(ValueError, match="blosc"):
         _read_zarr3_meta(out, 0)
+
+
+def test_zarr3_shard_validation_and_frame_consistency(spark, tmp_path):
+    meta = VolumeMeta(16, 16, 16)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    with pytest.raises(ValueError, match="shard"):
+        write_zarr3(chunks, str(tmp_path / "bad.zarr"), meta, shard=(0, 2, 2))
+
+    # cz disagreeing with z0//kz must raise, not wrap into another
+    # chunk's index slot
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "volume_id": ["v", "v"],
+            "cz": [0, 9], "cy": [0, 0], "cx": [0, 0],  # cz=9 is a lie
+            "z0": [0, 8], "y0": [0, 0], "x0": [0, 0],
+            "dz": [8, 8], "dy": [8, 8], "dx": [8, 8],
+            "codec": ["raw", "raw"],
+            "payload": [
+                np.ones((8, 8, 8), dtype=PAYLOAD_DTYPE).tobytes(),
+                np.ones((8, 8, 8), dtype=PAYLOAD_DTYPE).tobytes(),
+            ],
+        }
+    )
+    with pytest.raises(Exception, match="disagree"):
+        write_zarr3(
+            spark.createDataFrame(pdf), str(tmp_path / "lie.zarr"),
+            meta, shard=(2, 2, 2),
+        )
+
+
+def test_zarr3_inner_must_divide_shard(tmp_path):
+    from atlas_upscaling_dask_spark.sinks.zarr3 import _read_zarr3_meta
+
+    out = str(tmp_path / "odd.zarr")
+    os.makedirs(os.path.join(out, "0"))
+    with open(os.path.join(out, "0", "zarr.json"), "w") as fh:
+        json.dump(
+            {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": [20, 20, 20],
+                "data_type": "uint32",
+                "chunk_grid": {
+                    "name": "regular",
+                    "configuration": {"chunk_shape": [10, 10, 10]},
+                },
+                "chunk_key_encoding": {"name": "default"},
+                "fill_value": 0,
+                "codecs": [
+                    {
+                        "name": "sharding_indexed",
+                        "configuration": {
+                            "chunk_shape": [4, 4, 4],
+                            "codecs": [
+                                {"name": "bytes",
+                                 "configuration": {"endian": "little"}}
+                            ],
+                            "index_codecs": [
+                                {"name": "bytes",
+                                 "configuration": {"endian": "little"}},
+                                {"name": "crc32c"},
+                            ],
+                            "index_location": "end",
+                        },
+                    }
+                ],
+            },
+            fh,
+        )
+    with pytest.raises(ValueError, match="divide"):
+        _read_zarr3_meta(out, 0)
+
+
+def test_zarr3_reader_ignores_stray_files(spark, tmp_path):
+    meta = VolumeMeta(16, 16, 16)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    out = str(tmp_path / "stray.zarr")
+    write_zarr3(chunks, out, meta, shard=(2, 2, 2))
+    # NFS silly-rename + crashed temp publish artifacts
+    open(os.path.join(out, "0", "c", ".nfs000001"), "wb").write(b"junk")
+    open(os.path.join(out, "0", "c", "0", "0", "0.__tmp__1.abc"), "wb").write(b"junk")
+    np.testing.assert_array_equal(read_zarr3_level(out, 0), _dense(chunks, meta.shape))
