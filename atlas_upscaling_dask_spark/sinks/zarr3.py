@@ -709,3 +709,161 @@ def _paste(out, cidx, kshape, block):
     if any(s.stop <= s.start for s in sl):
         return
     out[sl] = block[tuple(slice(0, s.stop - s.start) for s in sl)]
+
+
+# ---------------------------------------------------------------------------
+# incremental shard maintenance
+# ---------------------------------------------------------------------------
+
+
+def update_zarr3(
+    chunks: DataFrame,
+    path: str,
+    level: int = 0,
+) -> dict:
+    """Incrementally update a SHARDED Zarr v3 level in place: only the
+    shards containing a changed chunk are rewritten, and within a
+    rewritten shard the untouched inner chunks are BYTE-COPIED from the
+    existing object (no decode/re-encode).  The 100 TB maintenance
+    story: a pipeline that touched 0.1% of the volume republishes 0.1%
+    of the shard objects, not the store (complements
+    ``operators/incremental``'s derived-chunk CDC, which computes WHICH
+    chunks changed).
+
+    ``chunks`` carries the changed chunks for ONE level in the store's
+    grid (all-zero payload = the chunk becomes fill/absent).  Data
+    movement: the same single shard-key exchange as the full export.
+    Returns ``{"n_shards": rewritten, "n_chunks": replaced,
+    "n_dropped": zeroed}``.  Publishes via the same atomic
+    temp+rename as every writer here; a concurrent reader sees the old
+    or the new shard, never a torn one.
+    """
+    meta = _read_zarr3_meta(path, level)
+    if meta["_inner_chunk"] is None:
+        raise ValueError("update_zarr3: store is unsharded — use write_zarr3")
+    kz, ky, kx = meta["_inner_chunk"]
+    gz, gy, gx = meta["chunk_grid"]["configuration"]["chunk_shape"]
+    sz, sy, sx = gz // kz, gy // ky, gx // kx
+    codec = meta["_codec"]
+    clevel = 1
+    for c in (meta["codecs"][0]["configuration"]["codecs"] or []):
+        if c.get("name") in ("zstd", "gzip"):
+            clevel = int((c.get("configuration") or {}).get("level", 1))
+    lvl_dir = os.path.join(path, str(level), "c")
+    grids = {int(level): (kz, ky, kx, *meta["shape"])}
+
+    cols = [
+        "cz", "cy", "cx", "z0", "y0", "x0", "dz", "dy", "dx",
+        "codec", "payload",
+    ]
+    keyed = chunks.select(
+        F.lit(int(level)).cast("int").alias("level"),
+        *cols,
+        F.expr(f"CAST(cz DIV {sz} AS INT)").alias("_sz"),
+        F.expr(f"CAST(cy DIV {sy} AS INT)").alias("_sy"),
+        F.expr(f"CAST(cx DIV {sx} AS INT)").alias("_sx"),
+    )
+    n_part = int(chunks.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    spread = (
+        keyed.repartition(n_part, "_sz", "_sy", "_sx")
+        .sortWithinPartitions("_sz", "_sy", "_sx")
+    )
+
+    n_inner = sz * sy * sx
+
+    def rewrite(skey, parts, stats):
+        """Merge changed inner chunks into the existing shard object."""
+        fpath = os.path.join(lvl_dir, *(str(k) for k in skey))
+        existing: dict[tuple, bytes] = {}
+        if os.path.exists(fpath):
+            idx = _read_shard_index(fpath, n_inner)
+            with open(fpath, "rb") as fh:
+                for iz in range(sz):
+                    for iy in range(sy):
+                        for ix in range(sx):
+                            pos = (iz * sy + iy) * sx + ix
+                            off, nb = int(idx[pos, 0]), int(idx[pos, 1])
+                            if off == MISSING:
+                                continue
+                            fh.seek(off)
+                            existing[(iz, iy, ix)] = fh.read(nb)
+        for inner, data in parts.items():
+            if data is None:
+                existing.pop(inner, None)  # chunk zeroed out
+                stats[2] += 1
+            else:
+                existing[inner] = data
+                stats[1] += 1
+        if not existing:
+            if os.path.exists(fpath):
+                os.remove(fpath)  # whole shard now fill
+            stats[0] += 1
+            return
+        idx = np.full((n_inner, 2), MISSING, dtype=np.uint64)
+        blobs, off = [], 0
+        for (iz, iy, ix), data in sorted(existing.items()):
+            pos = (iz * sy + iy) * sx + ix
+            idx[pos, 0], idx[pos, 1] = off, len(data)
+            blobs.append(data)
+            off += len(data)
+        raw_idx = idx.tobytes()
+        _put_bytes(
+            fpath, b"".join(blobs) + raw_idx + struct.pack("<I", crc32c(raw_idx))
+        )
+        stats[0] += 1
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        zc = _zstd(clevel) if codec == "zstd" else None
+        stats = [0, 0, 0]  # shards rewritten, chunks replaced, dropped
+        cur = None
+        parts: dict[tuple, bytes | None] = {}
+        for batch in batches:
+            d = batch.to_pydict()
+            for i in range(len(d["cz"])):
+                lvl, key, raw = _decode_rows(d, i, grids)
+                skey = (d["_sz"][i], d["_sy"][i], d["_sx"][i])
+                if cur is not None and skey != cur:
+                    rewrite(cur, parts, stats)
+                    parts = {}
+                cur = skey
+                ckey = (d["cz"][i], d["cy"][i], d["cx"][i])
+                if key is not None and key != ckey:
+                    raise ValueError(
+                        f"update_zarr3: chunk coords {ckey} disagree with "
+                        f"origin-derived {key}; fix the frame"
+                    )
+                inner = (
+                    ckey[0] - skey[0] * sz,
+                    ckey[1] - skey[1] * sy,
+                    ckey[2] - skey[2] * sx,
+                )
+                if not all(0 <= v < s for v, s in zip(inner, (sz, sy, sx))):
+                    raise ValueError(
+                        f"update_zarr3: chunk {ckey} outside shard {skey}"
+                    )
+                parts[inner] = (
+                    None if key is None else _encode_chunk(raw, codec, clevel, zc)
+                )
+        if cur is not None:
+            rewrite(cur, parts, stats)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([v], type=pa.int64()) for v in stats],
+            ["n_shards", "n_chunks", "n_dropped"],
+        )
+
+    res = (
+        spread.mapInArrow(
+            kernel, schema="n_shards long, n_chunks long, n_dropped long"
+        )
+        .agg(
+            F.sum("n_shards").alias("n_shards"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n_dropped").alias("n_dropped"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_shards": int(res["n_shards"] or 0),
+        "n_chunks": int(res["n_chunks"] or 0),
+        "n_dropped": int(res["n_dropped"] or 0),
+    }

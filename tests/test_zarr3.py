@@ -383,3 +383,58 @@ def test_zarr3_reader_ignores_stray_files(spark, tmp_path):
     open(os.path.join(out, "0", "c", ".nfs000001"), "wb").write(b"junk")
     open(os.path.join(out, "0", "c", "0", "0", "0.__tmp__1.abc"), "wb").write(b"junk")
     np.testing.assert_array_equal(read_zarr3_level(out, 0), _dense(chunks, meta.shape))
+
+
+def test_zarr3_incremental_update_rewrites_only_touched_shards(spark, tmp_path):
+    import pandas as pd
+
+    from atlas_upscaling_dask_spark.sinks.zarr3 import update_zarr3
+
+    # 4x2x2 chunk grid, shard=(2,2,2) -> 2 shard objects
+    meta = VolumeMeta(32, 16, 16)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    out = str(tmp_path / "upd.zarr")
+    write_zarr3(chunks, out, meta, shard=(2, 2, 2))
+    s0 = os.path.join(out, "0", "c", "0", "0", "0")
+    s1 = os.path.join(out, "0", "c", "1", "0", "0")
+    before0 = open(s0, "rb").read()
+    before1 = open(s1, "rb").read()
+
+    # change ONE chunk in shard 1 (cz=2 -> skey 1); shard 0 untouched
+    newblock = np.full((8, 8, 8), 77, dtype=PAYLOAD_DTYPE)
+    upd = pd.DataFrame(
+        {
+            "volume_id": ["v"],
+            "cz": [2], "cy": [0], "cx": [1],
+            "z0": [16], "y0": [0], "x0": [8],
+            "dz": [8], "dy": [8], "dx": [8],
+            "codec": ["raw"],
+            "payload": [newblock.tobytes()],
+        }
+    )
+    res = update_zarr3(spark.createDataFrame(upd), out, level=0)
+    assert res == {"n_shards": 1, "n_chunks": 1, "n_dropped": 0}
+    assert open(s0, "rb").read() == before0  # untouched shard byte-identical
+    assert open(s1, "rb").read() != before1
+
+    dense = read_zarr3_level(out, 0)
+    np.testing.assert_array_equal(dense[16:24, 0:8, 8:16], newblock)
+    # every other chunk unchanged
+    base = _dense(chunks, meta.shape)
+    base[16:24, 0:8, 8:16] = 77
+    np.testing.assert_array_equal(dense, base)
+
+    # zero out that chunk again: it becomes MISSING in the index
+    upd2 = upd.copy()
+    upd2["payload"] = [np.zeros((8, 8, 8), dtype=PAYLOAD_DTYPE).tobytes()]
+    res2 = update_zarr3(spark.createDataFrame(upd2), out, level=0)
+    assert res2 == {"n_shards": 1, "n_chunks": 0, "n_dropped": 1}
+    dense2 = read_zarr3_level(out, 0)
+    base[16:24, 0:8, 8:16] = 0
+    np.testing.assert_array_equal(dense2, base)
+
+    # unsharded stores are not updatable in place
+    out2 = str(tmp_path / "plain.zarr")
+    write_zarr3(chunks, out2, meta)
+    with pytest.raises(ValueError, match="unsharded"):
+        update_zarr3(spark.createDataFrame(upd), out2, 0)
