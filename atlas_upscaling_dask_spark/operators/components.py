@@ -168,12 +168,17 @@ def connected_components_edges(
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", "u").alias("m"))
         )
+        # cache(), not localCheckpoint: `large` has two consumers in
+        # THIS round (mins2 + the join) but never crosses rounds, so a
+        # lazy cache avoids the eager checkpoint's extra materialization
+        # job; `small` below does cross rounds (it becomes `e`) and
+        # keeps the checkpoint to truncate lineage at the round boundary
         large = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .cache()
         )
         # small-star: neighbors ≤ u (and u itself) link to that min;
         # output stays (u > v)-oriented because m ≤ v < u throughout
@@ -186,6 +191,7 @@ def connected_components_edges(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        large.unpersist()
         # fixpoint = consecutive edge sets equal.  Both are distinct
         # checkpointed sets, so a (count, hash-sum) signature mismatch
         # already proves inequality for one aggregate job; the two-way
