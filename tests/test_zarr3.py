@@ -438,3 +438,30 @@ def test_zarr3_incremental_update_rewrites_only_touched_shards(spark, tmp_path):
     write_zarr3(chunks, out2, meta)
     with pytest.raises(ValueError, match="unsharded"):
         update_zarr3(spark.createDataFrame(upd), out2, 0)
+
+
+@pytest.mark.parametrize(
+    "dims,chunk,shard",
+    [
+        ((9, 7, 5), (4, 4, 4), (3, 2, 1)),   # nothing divides anything
+        ((3, 3, 3), (8, 8, 8), (2, 2, 2)),   # chunk larger than volume
+        ((16, 16, 16), (8, 8, 8), (8, 8, 8)),  # shard larger than grid
+        ((17, 8, 8), (8, 8, 8), (1, 1, 1)),  # 1-chunk shards
+        ((8, 8, 8), (8, 8, 8), None),        # single chunk, unsharded
+    ],
+)
+def test_zarr3_edge_geometries_roundtrip(spark, tmp_path, dims, chunk, shard):
+    meta = VolumeMeta(*dims)
+    chunks = synthetic_chunks(spark, meta, chunk=chunk)
+    out = str(tmp_path / "geom.zarr")
+    write_zarr3(chunks, out, meta, shard=shard)
+    np.testing.assert_array_equal(read_zarr3_level(out, 0), _dense(chunks, dims))
+    got = sorted(
+        (r["z"], r["y"], r["x"], r["label"])
+        for r in chunks_to_voxels(scan_zarr3(spark, out, 0)).collect()
+    )
+    want = sorted(
+        (r["z"], r["y"], r["x"], r["label"])
+        for r in chunks_to_voxels(chunks).collect()
+    )
+    assert got == want
