@@ -236,6 +236,21 @@ def export_ome_zarr_frame(
         "image-label": True,
     }
     _put_bytes(os.path.join(path, ".zattrs"), json.dumps(zattrs, indent=4).encode())
+    # consolidated metadata (zarr-python's consolidate_metadata layout):
+    # one .zmetadata JSON holding every metadata document, so an
+    # object-store reader opens the hierarchy with ONE GET instead of a
+    # LIST + per-node round-trips
+    consolidated = {"zarr_consolidated_format": 1, "metadata": {
+        ".zgroup": {"zarr_format": 2},
+        ".zattrs": zattrs,
+    }}
+    for i in levels:
+        with open(os.path.join(path, str(i), ".zarray")) as fh:
+            consolidated["metadata"][f"{i}/.zarray"] = json.load(fh)
+    _put_bytes(
+        os.path.join(path, ".zmetadata"),
+        json.dumps(consolidated, indent=4).encode(),
+    )
     info = {
         "source": meta.source,
         "element_spacing_zyx": [meta.spacing_z, meta.spacing_y, meta.spacing_x],

@@ -452,3 +452,27 @@ def test_ome_zarr_reader_ignores_stray_files(spark, tmp_path):
     np.testing.assert_array_equal(
         read_zarr_level(out, 0), _dense_from_chunks(chunks, meta.shape)
     )
+
+
+def test_ome_zarr_consolidated_metadata(spark, tmp_path):
+    # .zmetadata must mirror every metadata document (zarr-python
+    # consolidate_metadata layout) so object-store readers open the
+    # hierarchy with one GET
+    from atlas_upscaling_dask_spark.operators.enhance import enhance_chunks
+    from atlas_upscaling_dask_spark.sinks.ome_zarr import write_ome_zarr
+
+    meta = VolumeMeta(16, 16, 16)
+    pyr = enhance_chunks(
+        synthetic_chunks(spark, meta, chunk=(8, 8, 8)), levels=2, outline=False
+    )
+    out = str(tmp_path / "cons.zarr")
+    write_ome_zarr(pyr, out, meta)
+    cm = json.load(open(os.path.join(out, ".zmetadata")))
+    assert cm["zarr_consolidated_format"] == 1
+    md = cm["metadata"]
+    assert md[".zgroup"] == json.load(open(os.path.join(out, ".zgroup")))
+    assert md[".zattrs"] == json.load(open(os.path.join(out, ".zattrs")))
+    for lvl in ("0", "1"):
+        assert md[f"{lvl}/.zarray"] == json.load(
+            open(os.path.join(out, lvl, ".zarray"))
+        )
