@@ -183,12 +183,7 @@ def write_zarr3(
 
     from .ome_zarr import derive_level_grids
 
-    if shard is not None and (
-        len(shard) != 3 or any(int(s) < 1 for s in shard)
-    ):
-        raise ValueError(
-            f"shard must be three positive chunk counts, got {shard!r}"
-        )
+    _check_shard(shard)
     chunks, grids = derive_level_grids(chunks, shapes, "write_zarr3")
     levels = sorted(grids)
 
@@ -302,6 +297,15 @@ def write_zarr3(
 _RECEIPT3 = "level int, n_objects long, n_chunks long, n_bytes long, n_skipped long"
 
 
+def _check_shard(shard) -> None:
+    if shard is not None and (
+        len(shard) != 3 or any(int(s) < 1 for s in shard)
+    ):
+        raise ValueError(
+            f"shard must be three positive chunk counts, got {shard!r}"
+        )
+
+
 def export_zarr3_frame(
     chunks: DataFrame,
     path: str,
@@ -322,9 +326,8 @@ def export_zarr3_frame(
         return chunks.select(*cols).mapInArrow(
             _unsharded_kernel(path, grids, codec, clevel), schema=_RECEIPT3
         )
+    _check_shard(shard)
     sz, sy, sx = (int(s) for s in shard)
-    if min(sz, sy, sx) < 1:
-        raise ValueError(f"shard must be positive chunk counts, got {shard!r}")
     keyed = chunks.select(
         *cols,
         F.expr(f"CAST(cz DIV {sz} AS INT)").alias("_sz"),
@@ -659,45 +662,41 @@ def read_zarr3_level(path: str, level: int = 0) -> np.ndarray:
     if not os.path.isdir(lvl_dir):
         return out
     kz, ky, kx = inner or (gz, gy, gx)
-    for root, _dirs, files in os.walk(lvl_dir):
-        for fname in files:
-            rel = os.path.relpath(os.path.join(root, fname), lvl_dir)
-            parts = rel.split(os.sep)
-            if not all(p.isdigit() for p in parts):
-                continue  # NFS silly-renames, crashed __tmp__ files, etc.
-            g = tuple(int(p) for p in parts)
-            fpath = os.path.join(root, fname)
-            if inner is None:
-                data = open(fpath, "rb").read()
-                block = np.frombuffer(
-                    _decode_chunk(data, codec, kz * ky * kx * 4),
-                    dtype=PAYLOAD_DTYPE,
-                ).reshape(kz, ky, kx)
-                _paste(out, g, (kz, ky, kx), block)
-            else:
-                sz, sy, sx = gz // kz, gy // ky, gx // kx
-                idx = _read_shard_index(fpath, sz * sy * sx)
-                with open(fpath, "rb") as fh:
-                    for iz in range(sz):
-                        for iy in range(sy):
-                            for ix in range(sx):
-                                pos = (iz * sy + iy) * sx + ix
-                                off, nb = int(idx[pos, 0]), int(idx[pos, 1])
-                                if off == MISSING:
-                                    continue
-                                fh.seek(off)
-                                block = np.frombuffer(
-                                    _decode_chunk(
-                                        fh.read(nb), codec, kz * ky * kx * 4
-                                    ),
-                                    dtype=PAYLOAD_DTYPE,
-                                ).reshape(kz, ky, kx)
-                                _paste(
-                                    out,
-                                    (g[0] * sz + iz, g[1] * sy + iy, g[2] * sx + ix),
-                                    (kz, ky, kx),
-                                    block,
-                                )
+    from .ome_zarr import _list_chunk_files
+
+    # same nested c/z/y/x walk + stray-file filter as the v2 reader
+    for g, fpath in _list_chunk_files(lvl_dir, {"dimension_separator": "/"}):
+        if inner is None:
+            data = open(fpath, "rb").read()
+            block = np.frombuffer(
+                _decode_chunk(data, codec, kz * ky * kx * 4),
+                dtype=PAYLOAD_DTYPE,
+            ).reshape(kz, ky, kx)
+            _paste(out, g, (kz, ky, kx), block)
+        else:
+            sz, sy, sx = gz // kz, gy // ky, gx // kx
+            idx = _read_shard_index(fpath, sz * sy * sx)
+            with open(fpath, "rb") as fh:
+                for iz in range(sz):
+                    for iy in range(sy):
+                        for ix in range(sx):
+                            pos = (iz * sy + iy) * sx + ix
+                            off, nb = int(idx[pos, 0]), int(idx[pos, 1])
+                            if off == MISSING:
+                                continue
+                            fh.seek(off)
+                            block = np.frombuffer(
+                                _decode_chunk(
+                                    fh.read(nb), codec, kz * ky * kx * 4
+                                ),
+                                dtype=PAYLOAD_DTYPE,
+                            ).reshape(kz, ky, kx)
+                            _paste(
+                                out,
+                                (g[0] * sz + iz, g[1] * sy + iy, g[2] * sx + ix),
+                                (kz, ky, kx),
+                                block,
+                            )
     return out
 
 
@@ -741,6 +740,25 @@ def update_zarr3(
     meta = _read_zarr3_meta(path, level)
     if meta["_inner_chunk"] is None:
         raise ValueError("update_zarr3: store is unsharded — use write_zarr3")
+    if meta.get("fill_value") not in (0, None):
+        # the all-zero⇒absent demotion below is only correct when
+        # absent means zero; a foreign store with fill_value=7 would
+        # silently read back 7s where the update wrote 0s
+        raise ValueError(
+            f"update_zarr3: store fill_value {meta.get('fill_value')!r} != 0; "
+            "in-place updates support zero-fill stores only"
+        )
+    if "level" in chunks.columns:
+        # a pyramid CDC frame carries a level column; silently stamping
+        # every row with the target level would splice level-1 chunks
+        # into level-0 shards
+        stray = chunks.filter(F.col("level") != int(level)).limit(1).count()
+        if stray:
+            raise ValueError(
+                f"update_zarr3: frame contains rows for other levels; "
+                f"filter to level {level} (or update each level separately)"
+            )
+        chunks = chunks.drop("level")
     kz, ky, kx = meta["_inner_chunk"]
     gz, gy, gx = meta["chunk_grid"]["configuration"]["chunk_shape"]
     sz, sy, sx = gz // kz, gy // ky, gx // kx
@@ -787,16 +805,26 @@ def update_zarr3(
                                 continue
                             fh.seek(off)
                             existing[(iz, iy, ix)] = fh.read(nb)
+        changed = False
         for inner, data in parts.items():
             if data is None:
-                existing.pop(inner, None)  # chunk zeroed out
-                stats[2] += 1
+                if existing.pop(inner, None) is not None:
+                    stats[2] += 1  # count only chunks that WERE present
+                    changed = True
             else:
                 existing[inner] = data
                 stats[1] += 1
+                changed = True
+        if not changed:
+            return  # pure no-op (e.g. zeroing an already-absent chunk)
         if not existing:
-            if os.path.exists(fpath):
-                os.remove(fpath)  # whole shard now fill
+            # whole shard now fill: publish an all-MISSING index rather
+            # than os.remove — keeps the atomic old-or-new visibility
+            # contract (a concurrent scan's exists() probe + open would
+            # otherwise race a deletion)
+            idx = np.full((n_inner, 2), MISSING, dtype=np.uint64)
+            raw_idx = idx.tobytes()
+            _put_bytes(fpath, raw_idx + struct.pack("<I", crc32c(raw_idx)))
             stats[0] += 1
             return
         idx = np.full((n_inner, 2), MISSING, dtype=np.uint64)

@@ -6480,11 +6480,13 @@ _DRIVER_CHECKED = {
     "zscore_outliers",
 }
 
-#: round 6 head: the 22 rows with NO driver-green evidence yet —
+#: round 6 head: every row with NO driver-green evidence yet —
 #: multimodal_features first (its only driver run, r1, errored on the
-#: since-removed list-typed output; judge-verified green in r5), then the
-#: 21 never-driver-sampled rows.  22 < 50, so one driver pass closes the
-#: gap; tests/test_suite_meta.py asserts this partition stays exhaustive.
+#: since-removed list-typed output; judge-verified green in r5), the two
+#: new r6 format-boundary rows, then the 21 never-driver-sampled rows.
+#: Well under the 50-row prefix, so one driver pass closes the gap;
+#: tests/test_entry.py::test_driver_sample_partition_exhaustive asserts
+#: this partition stays exhaustive.
 _PRIORITY = [
     "multimodal_features", "vox_zarr_blosc_roundtrip",
     "vox_zarr3_shard_roundtrip", "grouping_sets",

@@ -465,3 +465,63 @@ def test_zarr3_edge_geometries_roundtrip(spark, tmp_path, dims, chunk, shard):
         for r in chunks_to_voxels(chunks).collect()
     )
     assert got == want
+
+
+def test_zarr3_update_edge_semantics(spark, tmp_path):
+    import pandas as pd
+
+    from atlas_upscaling_dask_spark.sinks.zarr3 import update_zarr3
+
+    # one-shard store with a single present chunk
+    meta = VolumeMeta(16, 16, 16)
+    grid = [(cz, cy, cx) for cz in range(2) for cy in range(2) for cx in range(2)]
+    corner = np.zeros((8, 8, 8), dtype=PAYLOAD_DTYPE)
+    corner[0, 0, 0] = 3
+    pdf = pd.DataFrame(
+        {
+            "volume_id": ["v"] * 8,
+            "cz": [g[0] for g in grid], "cy": [g[1] for g in grid],
+            "cx": [g[2] for g in grid],
+            "z0": [g[0] * 8 for g in grid], "y0": [g[1] * 8 for g in grid],
+            "x0": [g[2] * 8 for g in grid],
+            "dz": [8] * 8, "dy": [8] * 8, "dx": [8] * 8,
+            "codec": ["raw"] * 8,
+            "payload": [
+                (corner if g == (0, 0, 0) else np.zeros((8, 8, 8), dtype=PAYLOAD_DTYPE)).tobytes()
+            for g in grid],
+        }
+    )
+    out = str(tmp_path / "edgeupd.zarr")
+    write_zarr3(spark.createDataFrame(pdf), out, meta, shard=(2, 2, 2))
+    fpath = os.path.join(out, "0", "c", "0", "0", "0")
+    before = open(fpath, "rb").read()
+
+    zero = np.zeros((8, 8, 8), dtype=PAYLOAD_DTYPE).tobytes()
+
+    def upd_frame(cz, cy, cx, payload):
+        return spark.createDataFrame(pd.DataFrame({
+            "volume_id": ["v"], "cz": [cz], "cy": [cy], "cx": [cx],
+            "z0": [cz * 8], "y0": [cy * 8], "x0": [cx * 8],
+            "dz": [8], "dy": [8], "dx": [8],
+            "codec": ["raw"], "payload": [payload],
+        }))
+
+    # zeroing an ALREADY-ABSENT chunk is a pure no-op: no receipt, no write
+    res = update_zarr3(upd_frame(1, 1, 1, zero), out, 0)
+    assert res == {"n_shards": 0, "n_chunks": 0, "n_dropped": 0}
+    assert open(fpath, "rb").read() == before
+
+    # zeroing the LAST present chunk publishes an all-MISSING index
+    # object (atomic old-or-new; never os.remove racing a reader)
+    res = update_zarr3(upd_frame(0, 0, 0, zero), out, 0)
+    assert res == {"n_shards": 1, "n_chunks": 0, "n_dropped": 1}
+    assert os.path.exists(fpath)
+    assert os.path.getsize(fpath) == 8 * 16 + 4  # bare index + crc
+    assert not read_zarr3_level(out, 0).any()
+
+    # a frame carrying rows for another level is rejected
+    from pyspark.sql import functions as F
+
+    lvl_frame = upd_frame(0, 0, 0, zero).withColumn("level", F.lit(1))
+    with pytest.raises(ValueError, match="other levels"):
+        update_zarr3(lvl_frame, out, 0)
