@@ -119,6 +119,47 @@ def start_slice_ingestion(
     return writer.start()
 
 
+def start_zarr3_ingestion(
+    spark: SparkSession,
+    slices_path: str,
+    store_path: str,
+    meta_shape: tuple[int, int, int],
+    checkpoint_dir: str | None = None,
+    level: int = 0,
+):
+    """Stream voxel slices straight into a LIVE sharded Zarr v3 store.
+
+    The streaming twin of :func:`~..sinks.zarr3.update_zarr3`: each
+    micro-batch packs its voxels to the store's OWN inner-chunk grid
+    (read from ``zarr.json``) and republishes only the shards it
+    touched — a viewer (napari et al.) pointed at the store sees slabs
+    appear as they arrive, each shard swap atomic.  A slab drop maps to
+    whole chunks (as in :func:`start_slice_ingestion`), so updates
+    replace chunks, never merge within one.
+    """
+    from ..sinks.zarr3 import _read_zarr3_meta, update_zarr3
+    from ..volume import VOXEL_SCHEMA, VolumeMeta, voxels_to_chunks
+
+    m = _read_zarr3_meta(store_path, level)
+    if m["_inner_chunk"] is None:
+        raise ValueError("start_zarr3_ingestion: store must be sharded")
+    chunk = tuple(m["_inner_chunk"])
+    meta = VolumeMeta(*meta_shape)
+    stream = spark.readStream.schema(VOXEL_SCHEMA).parquet(slices_path)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_zarr3(
+            voxels_to_chunks(batch_df, meta, chunk=chunk), store_path, level
+        )
+
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def start_upscale_ingestion(
     spark: SparkSession,
     slices_path: str,

@@ -855,3 +855,67 @@ def test_hll_stream_equals_whole_history_sketch(spark, tmp_path):
     got = read_agg_state(spark, state)
     want = hll_sketch(full, "user_id", ["event_type"], b=8)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_zarr3_ingestion_updates_live_store(spark, tmp_path):
+    # slabs stream into a sharded Zarr v3 store shard-by-shard: after
+    # each micro-batch wave the store reflects exactly the slabs seen
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.sinks.zarr3 import (
+        read_zarr3_level,
+        write_zarr3,
+    )
+    from atlas_upscaling_dask_spark.streaming.ingest import start_zarr3_ingestion
+    from atlas_upscaling_dask_spark.volume import (
+        PAYLOAD_DTYPE,
+        VolumeMeta,
+        synthetic_chunks,
+        synthetic_voxels,
+    )
+
+    meta = VolumeMeta(16, 16, 16)
+    store = str(tmp_path / "live.zarr")
+    # seed: an all-zero store with the target grid (4,16,16) chunks,
+    # (4,1,1)-chunk shards
+    import pandas as pd
+
+    zero = np.zeros((4, 16, 16), dtype=PAYLOAD_DTYPE).tobytes()
+    seed = spark.createDataFrame(pd.DataFrame({
+        "volume_id": ["v"] * 4,
+        "cz": list(range(4)), "cy": [0] * 4, "cx": [0] * 4,
+        "z0": [i * 4 for i in range(4)], "y0": [0] * 4, "x0": [0] * 4,
+        "dz": [4] * 4, "dy": [16] * 4, "dx": [16] * 4,
+        "codec": ["raw"] * 4,
+        "payload": [zero] * 4,
+    }))
+    write_zarr3(seed, store, meta, shard=(4, 1, 1))
+    assert not read_zarr3_level(store, 0).any()
+
+    vox = synthetic_voxels(spark).cache()
+    slices = str(tmp_path / "slices")
+    os.makedirs(slices, exist_ok=True)
+    q = start_zarr3_ingestion(spark, slices, store, (16, 16, 16))
+    try:
+        # wave 1: bottom half
+        for i in range(2):
+            vox.filter((F.col("z") >= i * 4) & (F.col("z") < (i + 1) * 4)).coalesce(
+                1
+            ).write.mode("append").parquet(slices)
+        q.processAllAvailable()
+        dense = read_zarr3_level(store, 0)
+        assert dense[:8].any() and not dense[8:].any()
+        # wave 2: top half
+        for i in range(2, 4):
+            vox.filter((F.col("z") >= i * 4) & (F.col("z") < (i + 1) * 4)).coalesce(
+                1
+            ).write.mode("append").parquet(slices)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # final store equals the full synthetic volume
+    want = np.zeros((16, 16, 16), dtype=PAYLOAD_DTYPE)
+    for r in vox.collect():
+        want[r["z"], r["y"], r["x"]] = r["label"]
+    np.testing.assert_array_equal(read_zarr3_level(store, 0), want)
