@@ -402,10 +402,12 @@ def _read_zarray(path: str, level: int) -> dict:
 def _blosc_decompress(data: bytes) -> bytes:
     """Blosc chunk decode: prefer a real binding if one is installed;
     otherwise the pure-NumPy c-blosc codec (``sources/blosc1.py``)
-    decodes zlib/zstd-inner chunks — which covers stores the
-    *reference's own pipeline* writes (zstd clevel-5 BITSHUFFLE,
-    ``upscale_streaming.py:103-108``).  Only blosclz/lz4/snappy inner
-    codecs still need the C library (named in blosc1's error)."""
+    decodes zlib/zstd/lz4-inner chunks (incl. c-blosc's split-stream
+    block layout) — which covers BOTH compressor choices the
+    *reference's own pipeline* offers (zstd or lz4, clevel-5
+    BITSHUFFLE, ``upscale_streaming.py:103-108``).  Only
+    blosclz/snappy inner codecs still need the C library (named in
+    blosc1's error)."""
     global _BLOSC_IMPL
     if _BLOSC_IMPL is None:
         # resolve ONCE per process: failed imports are not cached by

@@ -526,17 +526,28 @@ def _read_zarr3_meta(path: str, level: int) -> dict:
     return meta
 
 
-def _read_shard_index(fpath: str, n: int) -> np.ndarray:
-    """(n,2) uint64 (offset,nbytes) array from a shard file's tail;
-    crc32c-validated."""
+def _read_shard_index_fh(fh, n: int) -> np.ndarray:
+    """(n,2) uint64 (offset,nbytes) array from an OPEN shard file's
+    tail; crc32c-validated.  Readers MUST take the index and the chunk
+    ranges from the same handle: a concurrent ``os.replace`` publish
+    swaps the directory entry, but an already-open descriptor keeps
+    the old inode, so index and data stay mutually consistent (old
+    shard or new shard, never old-index-over-new-data)."""
     size = 16 * n + 4
-    with open(fpath, "rb") as fh:
-        fh.seek(-size, os.SEEK_END)
-        tail = fh.read(size)
+    fh.seek(-size, os.SEEK_END)
+    tail = fh.read(size)
     raw, (crc,) = tail[:-4], struct.unpack("<I", tail[-4:])
     if crc32c(raw) != crc:
-        raise ValueError(f"shard index crc32c mismatch in {fpath}")
+        raise ValueError(f"shard index crc32c mismatch in {fh.name}")
     return np.frombuffer(raw, dtype=np.uint64).reshape(n, 2)
+
+
+def _read_shard_index(fpath: str, n: int) -> np.ndarray:
+    """Path convenience over :func:`_read_shard_index_fh` — only for
+    callers that do NOT read chunk payloads afterwards (tests, audits);
+    payload readers must reuse one handle for both."""
+    with open(fpath, "rb") as fh:
+        return _read_shard_index_fh(fh, n)
 
 
 def scan_zarr3(
@@ -607,10 +618,11 @@ def scan_zarr3(
                         ).reshape(kz, ky, kx)
                     pending += emit(rows, payloads, *g, block)
                 else:
-                    idx = (
-                        _read_shard_index(fpath, n_inner) if present else None
-                    )
+                    # one open per shard: index and payload ranges come
+                    # from the same inode even if the shard is replaced
+                    # mid-scan (see _read_shard_index_fh)
                     fh = open(fpath, "rb") if present else None
+                    idx = _read_shard_index_fh(fh, n_inner) if present else None
                     try:
                         for iz in range(sz):
                             for iy in range(sy):
@@ -667,7 +679,8 @@ def read_zarr3_level(path: str, level: int = 0) -> np.ndarray:
     # same nested c/z/y/x walk + stray-file filter as the v2 reader
     for g, fpath in _list_chunk_files(lvl_dir, {"dimension_separator": "/"}):
         if inner is None:
-            data = open(fpath, "rb").read()
+            with open(fpath, "rb") as fh:
+                data = fh.read()
             block = np.frombuffer(
                 _decode_chunk(data, codec, kz * ky * kx * 4),
                 dtype=PAYLOAD_DTYPE,
@@ -675,8 +688,8 @@ def read_zarr3_level(path: str, level: int = 0) -> np.ndarray:
             _paste(out, g, (kz, ky, kx), block)
         else:
             sz, sy, sx = gz // kz, gy // ky, gx // kx
-            idx = _read_shard_index(fpath, sz * sy * sx)
             with open(fpath, "rb") as fh:
+                idx = _read_shard_index_fh(fh, sz * sy * sx)
                 for iz in range(sz):
                     for iy in range(sy):
                         for ix in range(sx):
@@ -752,7 +765,14 @@ def update_zarr3(
         # a pyramid CDC frame carries a level column; silently stamping
         # every row with the target level would splice level-1 chunks
         # into level-0 shards
-        stray = chunks.filter(F.col("level") != int(level)).limit(1).count()
+        # null-safe: a NULL level is just as much "not this level" as a
+        # wrong one — plain != would drop NULL rows from the probe and
+        # silently stamp them with the target level below
+        stray = (
+            chunks.filter(~F.col("level").eqNullSafe(int(level)))
+            .limit(1)
+            .count()
+        )
         if stray:
             raise ValueError(
                 f"update_zarr3: frame contains rows for other levels; "
@@ -794,8 +814,8 @@ def update_zarr3(
         fpath = os.path.join(lvl_dir, *(str(k) for k in skey))
         existing: dict[tuple, bytes] = {}
         if os.path.exists(fpath):
-            idx = _read_shard_index(fpath, n_inner)
             with open(fpath, "rb") as fh:
+                idx = _read_shard_index_fh(fh, n_inner)
                 for iz in range(sz):
                     for iy in range(sy):
                         for ix in range(sx):

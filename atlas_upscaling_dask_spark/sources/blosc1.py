@@ -18,7 +18,8 @@ Chunk layout (all ints little-endian)::
     byte 0      version   (chunk format, 2)
     byte 1      versionlz (inner-codec format version)
     byte 2      flags     bit0 byte-shuffle | bit1 memcpyed |
-                          bit2 bit-shuffle  | bits5-7 compressor code
+                          bit2 bit-shuffle  | bit4 DON'T-split |
+                          bits5-7 compressor code
     byte 3      typesize
     bytes 4-7   nbytes    (uncompressed size)
     bytes 8-11  blocksize
@@ -26,10 +27,22 @@ Chunk layout (all ints little-endian)::
 
     memcpyed:  raw data follows the header (no shuffle applied).
     otherwise: nblocks = ceil(nbytes/blocksize) uint32 block offsets
-               (from chunk start), then per block one stream per
-               "split"; zlib(3)/zstd(4) never split, so each block is
-               [int32 csize][payload] where csize == uncompressed
-               block size marks a stored-raw block.
+               (from chunk start), then per block its streams, each
+               ``[int32 csize][payload]`` where csize == uncompressed
+               stream size marks a stored-raw stream.
+
+    Splitting (c-blosc ≥ 1.14, header-driven): flags bit 4 SET means
+    every block is one stream.  Bit 4 CLEAR means each full block was
+    split into ``typesize`` streams of ``blocksize/typesize`` bytes
+    (the split happens AFTER the shuffle filter, so each stream is one
+    byte plane); the final leftover block is never split.  c-blosc's
+    writer splits only for blosclz/lz4 with ``typesize <= 16`` and
+    ``blocksize/typesize >= 128`` (``split_block()``, blosc.c) — so
+    reference stores written with ``--compressor lz4`` are split and a
+    reader MUST reassemble streams; zstd/zlib chunks always carry
+    bit 4.  This writer mirrors ``split_block()`` exactly — lz4 chunks
+    split like c-blosc's own, zstd/zlib chunks set bit 4 — so both are
+    first-class to real c-blosc readers of any version.
 
 Filters are applied PER BLOCK before compression, exactly as
 ``blosc_c`` does:
@@ -41,14 +54,17 @@ Filters are applied PER BLOCK before compression, exactly as
   plane ``j*8+b``, packed LSB-first over elements); the tail after
   ``size*typesize`` is copied unshuffled.
 
-Scope honestly stated: inner codecs zlib + zstd only (what the
-container can decode — ``zlib`` stdlib and ``pyarrow``'s zstd; the
-reference's config is zstd, so its stores are covered).  blosclz /
-lz4 / snappy chunks raise with a named remedy.  Correctness evidence:
-byte-for-byte round-trips across typesizes / shuffle modes / partial
-blocks, plus an independent scalar (pure-loop) twin of both shuffle
-transforms that the vectorized kernels are property-tested against —
-the strongest check available without the C library itself.
+Scope honestly stated: inner codecs zlib + zstd + **lz4** (zlib via
+stdlib, zstd via ``pyarrow``, lz4 via a from-spec block-format codec
+below — covering both compressor choices the reference pipeline
+offers, ``upscale_streaming.py:103-108``).  blosclz / snappy chunks
+raise with a named remedy.  Correctness evidence: byte-for-byte
+round-trips across typesizes / shuffle modes / partial blocks /
+split layouts, an independent scalar (pure-loop) twin of both shuffle
+transforms that the vectorized kernels are property-tested against,
+hand-derived golden bytes frozen from the published bitshuffle and
+LZ4 specifications, and synthetic c-blosc-1.21-layout split chunks —
+the strongest checks available without the C library itself.
 """
 
 from __future__ import annotations
@@ -73,10 +89,18 @@ BLOSC_BITSHUFFLE = 2
 _FLAG_BYTE_SHUFFLE = 0x1
 _FLAG_MEMCPYED = 0x2
 _FLAG_BIT_SHUFFLE = 0x4
+_FLAG_DONT_SPLIT = 0x10  # c-blosc >= 1.14: blocks are NOT split
 
 # bits 5-7 of flags (c-blosc blosc.h compressor codes)
 _CODEC_NAMES = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
-_CODEC_CODES = {"zlib": 3, "zstd": 4}
+_CODEC_CODES = {"lz4": 1, "zlib": 3, "zstd": 4}
+
+# c-blosc split_block() constants (blosc.c): a 1.14+ writer splits a
+# block into `typesize` streams only under these bounds, and records
+# the decision in flags bit 4 — the decoder below is purely
+# header-driven, exactly like modern blosc_d.
+_MAX_SPLITS = 16
+_MIN_BUFFERSIZE = 128
 
 _VERSION = 2  # BLOSC_VERSION_FORMAT
 
@@ -87,6 +111,126 @@ def _zstd(level: int | None = None):
     if level is None:
         return pa.Codec("zstd")
     return pa.Codec("zstd", compression_level=level)
+
+
+# ---------------------------------------------------------------------------
+# LZ4 block format (the PUBLIC lz4_Block_format.md spec) — what c-blosc
+# embeds per stream when cname="lz4".  Pure Python; the decoder walks
+# sequences (token → literals → offset/matchlen → match copy), the
+# compressor is a greedy 4-byte hash matcher honoring the spec's end
+# conditions (last 5 bytes literal, no match within 12 of the end).
+# ---------------------------------------------------------------------------
+
+
+def _lz4_decompress_block(src: bytes, dst_size: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if i >= n:
+                    raise ValueError("lz4: truncated literal-length bytes")
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        if i + lit > n:
+            raise ValueError("lz4: literals overrun the block")
+        out += src[i : i + lit]
+        i += lit
+        if i >= n:
+            break  # last sequence carries literals only
+        if i + 2 > n:
+            raise ValueError("lz4: truncated match offset")
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0 or offset > len(out):
+            raise ValueError(f"lz4: match offset {offset} out of range")
+        mlen = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                if i >= n:
+                    raise ValueError("lz4: truncated match-length bytes")
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        if offset >= mlen:
+            out += out[start : start + mlen]
+        else:  # overlapping match: the copied region repeats the pattern
+            pat = out[start:]
+            out += (pat * (-(-mlen // offset)))[:mlen]
+        if len(out) > dst_size:
+            raise ValueError("lz4: output overruns the declared size")
+    if len(out) != dst_size:
+        raise ValueError(
+            f"lz4: decoded {len(out)} bytes, expected {dst_size}"
+        )
+    return bytes(out)
+
+
+def _lz4_emit(out: bytearray, literals: bytes, offset: int, mlen: int) -> None:
+    """Append one sequence; mlen == 0 means the final literals-only one."""
+    ll = len(literals)
+    token_l = 15 if ll >= 15 else ll
+    if mlen:
+        m = mlen - 4
+        token_m = 15 if m >= 15 else m
+    else:
+        token_m = 0
+    out.append((token_l << 4) | token_m)
+    if ll >= 15:
+        rest = ll - 15
+        while rest >= 255:
+            out.append(255)
+            rest -= 255
+        out.append(rest)
+    out += literals
+    if not mlen:
+        return
+    out += struct.pack("<H", offset)
+    if mlen - 4 >= 15:
+        rest = mlen - 4 - 15
+        while rest >= 255:
+            out.append(255)
+            rest -= 255
+        out.append(rest)
+
+
+def _lz4_compress_block(src: bytes) -> bytes:
+    """Greedy single-pass LZ4 block encoder.  Always spec-valid output;
+    compression ratio is what a hash-table greedy matcher gives (fine —
+    the read side is the interop requirement; this exists so lz4 chunks
+    can be WRITTEN and so tests can round-trip real split layouts)."""
+    n = len(src)
+    out = bytearray()
+    anchor = 0
+    if n >= 13:  # MFLIMIT: below this, lz4 emits literals only
+        table: dict[bytes, int] = {}
+        i = 0
+        last_match_start = n - 12  # spec: last match starts >= 12 from end
+        while i <= last_match_start:
+            key = src[i : i + 4]
+            j = table.get(key, -1)
+            table[key] = i
+            if j >= 0 and i - j <= 65535:
+                maxm = n - 5 - i  # spec: last 5 bytes are literals
+                m = 4
+                while m < maxm and src[j + m] == src[i + m]:
+                    m += 1
+                _lz4_emit(out, src[anchor:i], i - j, m)
+                i += m
+                anchor = i
+            else:
+                i += 1
+    _lz4_emit(out, src[anchor:], 0, 0)
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -226,11 +370,28 @@ def blosc_compress(
         raise ValueError("blosc_compress: empty input")
     bsize = blocksize or _default_blocksize(nbytes, typesize)
     bsize = min(bsize, nbytes)
+    # split decision mirrors c-blosc's split_block() byte-for-byte: lz4
+    # (and blosclz, unsupported here) splits each full block into
+    # `typesize` byte-plane streams; zstd/zlib never split.  The
+    # decision is recorded in flags bit 4 (c-blosc >= 1.14) — without
+    # it a real c-blosc reader would assume the wrong stream count.
+    split = (
+        cname == "lz4"
+        and typesize <= _MAX_SPLITS
+        and bsize // typesize >= _MIN_BUFFERSIZE
+    )
     flags = _CODEC_CODES[cname] << 5
+    if not split:
+        flags |= _FLAG_DONT_SPLIT
     if shuffle == BLOSC_SHUFFLE and typesize > 1:
         flags |= _FLAG_BYTE_SHUFFLE
     elif shuffle == BLOSC_BITSHUFFLE:
         flags |= _FLAG_BIT_SHUFFLE
+
+    if split and bsize % typesize:
+        # c-blosc blocksizes are always a multiple of typesize; an
+        # explicit caller-chosen one that isn't cannot be split evenly
+        bsize -= bsize % typesize
 
     arr = np.frombuffer(data, dtype=np.uint8)
     nblocks = -(-nbytes // bsize)
@@ -238,17 +399,24 @@ def blosc_compress(
     streams: list[bytes] = []
     for i in range(nblocks):
         block = arr[i * bsize : min((i + 1) * bsize, nbytes)]
-        filtered = _apply_filter(block, typesize, shuffle)
-        if zstd_codec is not None:
-            comp = zstd_codec.compress(filtered.tobytes()).to_pybytes()
-        else:
-            comp = zlib.compress(filtered.tobytes(), clevel)
-        if len(comp) >= block.size:  # stored-raw marker: csize == neblock
-            streams.append(
-                struct.pack("<i", block.size) + filtered.tobytes()
-            )
-        else:
-            streams.append(struct.pack("<i", len(comp)) + comp)
+        filtered = _apply_filter(block, typesize, shuffle).tobytes()
+        # leftover (final partial) blocks are never split, like blosc_c
+        nstreams = typesize if split and block.size == bsize else 1
+        neblock = block.size // nstreams
+        parts: list[bytes] = []
+        for s in range(nstreams):
+            piece = filtered[s * neblock : (s + 1) * neblock]
+            if zstd_codec is not None:
+                comp = zstd_codec.compress(piece).to_pybytes()
+            elif cname == "lz4":
+                comp = _lz4_compress_block(piece)
+            else:
+                comp = zlib.compress(piece, clevel)
+            if len(comp) >= neblock:  # stored-raw marker: csize == neblock
+                parts.append(struct.pack("<i", neblock) + piece)
+            else:
+                parts.append(struct.pack("<i", len(comp)) + comp)
+        streams.append(b"".join(parts))
 
     header_len = 16 + 4 * nblocks
     bstarts, pos = [], header_len
@@ -259,8 +427,9 @@ def blosc_compress(
     cbytes = 16 + len(body)
     if cbytes >= nbytes + 16:
         # compression not worth it: spec memcpy mode (flags bit 1,
-        # raw ORIGINAL data after the header, shuffle flags cleared)
-        flags = (flags & 0xE0) | _FLAG_MEMCPYED
+        # raw ORIGINAL data after the header, shuffle flags cleared,
+        # codec + don't-split bits kept)
+        flags = (flags & 0xF0) | _FLAG_MEMCPYED
         header = struct.pack(
             "<BBBBiii", _VERSION, 1, flags, typesize, nbytes, bsize, nbytes + 16
         )
@@ -300,8 +469,8 @@ def blosc_decompress(chunk: bytes) -> bytes:
     if codec not in _CODEC_CODES:
         raise RuntimeError(
             f"blosc chunk uses inner codec {codec!r}; this pure-Python "
-            "decoder handles zlib and zstd — install the 'blosc' binding "
-            "for other codecs"
+            "decoder handles zlib, zstd and lz4 — install the 'blosc' "
+            "binding for other codecs"
         )
     shuffle = (
         BLOSC_BITSHUFFLE
@@ -310,35 +479,60 @@ def blosc_decompress(chunk: bytes) -> bytes:
         if flags & _FLAG_BYTE_SHUFFLE
         else BLOSC_NOSHUFFLE
     )
+    dont_split = bool(flags & _FLAG_DONT_SPLIT)
+    if not dont_split and blocksize % typesize:
+        # a 1.14+ writer only clears bit 4 when it split the block into
+        # `typesize` equal streams, which requires divisibility
+        raise ValueError(
+            f"blosc chunk declares split blocks but blocksize {blocksize} "
+            f"is not a multiple of typesize {typesize}"
+        )
     nblocks = -(-nbytes // blocksize)
     bstarts = struct.unpack_from(f"<{nblocks}i", chunk, 16)
     zstd_codec = _zstd() if codec == "zstd" else None  # once, not per block
     out = np.empty(nbytes, dtype=np.uint8)
     for i in range(nblocks):
-        neblock = min(blocksize, nbytes - i * blocksize)
+        bsize = min(blocksize, nbytes - i * blocksize)
+        # header-driven stream count, exactly modern blosc_d: one
+        # stream when bit 4 is set or for the final leftover block,
+        # else the block was split into `typesize` byte-plane streams
+        leftover = bsize != blocksize
+        nstreams = 1 if dont_split or leftover else typesize
+        neblock = bsize // nstreams
         pos = bstarts[i]
-        if not 16 <= pos <= len(chunk) - 4:
-            raise ValueError(f"blosc block {i} offset {pos} outside chunk")
-        (csize,) = struct.unpack_from("<i", chunk, pos)
-        if csize < 0 or pos + 4 + csize > len(chunk):
-            raise ValueError(
-                f"blosc block {i} stream size {csize} overruns the chunk"
-            )
-        payload = chunk[pos + 4 : pos + 4 + csize]
-        if csize == neblock:  # stored raw (post-filter)
-            raw = np.frombuffer(payload, dtype=np.uint8)
-        elif zstd_codec is not None:
-            raw = np.frombuffer(
-                zstd_codec.decompress(payload, decompressed_size=neblock),
-                dtype=np.uint8,
-            )
-        else:
-            raw = np.frombuffer(zlib.decompress(payload), dtype=np.uint8)
-        if raw.size != neblock:
-            raise ValueError(
-                f"blosc block {i} decoded to {raw.size} bytes, expected {neblock}"
-            )
-        out[i * blocksize : i * blocksize + neblock] = _undo_filter(
-            raw, typesize, shuffle
+        decoded = np.empty(bsize, dtype=np.uint8)
+        for s in range(nstreams):
+            if not 16 <= pos <= len(chunk) - 4:
+                raise ValueError(
+                    f"blosc block {i} stream {s} offset {pos} outside chunk"
+                )
+            (csize,) = struct.unpack_from("<i", chunk, pos)
+            if csize < 0 or pos + 4 + csize > len(chunk):
+                raise ValueError(
+                    f"blosc block {i} stream {s} size {csize} overruns the chunk"
+                )
+            payload = chunk[pos + 4 : pos + 4 + csize]
+            pos += 4 + csize
+            if csize == neblock:  # stored raw (post-filter)
+                raw = np.frombuffer(payload, dtype=np.uint8)
+            elif zstd_codec is not None:
+                raw = np.frombuffer(
+                    zstd_codec.decompress(payload, decompressed_size=neblock),
+                    dtype=np.uint8,
+                )
+            elif codec == "lz4":
+                raw = np.frombuffer(
+                    _lz4_decompress_block(payload, neblock), dtype=np.uint8
+                )
+            else:
+                raw = np.frombuffer(zlib.decompress(payload), dtype=np.uint8)
+            if raw.size != neblock:
+                raise ValueError(
+                    f"blosc block {i} stream {s} decoded to {raw.size} "
+                    f"bytes, expected {neblock}"
+                )
+            decoded[s * neblock : (s + 1) * neblock] = raw
+        out[i * blocksize : i * blocksize + bsize] = _undo_filter(
+            decoded, typesize, shuffle
         )
     return out.tobytes()

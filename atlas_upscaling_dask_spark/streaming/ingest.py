@@ -143,6 +143,13 @@ def start_zarr3_ingestion(
     m = _read_zarr3_meta(store_path, level)
     if m["_inner_chunk"] is None:
         raise ValueError("start_zarr3_ingestion: store must be sharded")
+    if tuple(meta_shape) != tuple(m["shape"]):
+        # a disagreeing shape would pack chunks outside (or short of)
+        # the store's readable grid — written but never scanned back
+        raise ValueError(
+            f"start_zarr3_ingestion: meta_shape {tuple(meta_shape)} != "
+            f"store shape {tuple(m['shape'])} in {store_path}/{level}"
+        )
     chunk = tuple(m["_inner_chunk"])
     meta = VolumeMeta(*meta_shape)
     stream = spark.readStream.schema(VOXEL_SCHEMA).parquet(slices_path)

@@ -6405,110 +6405,118 @@ SELECT z, y, x, label FROM ranked WHERE rk = 1
 
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.  The driver's correctness gate samples a prefix
-# of queries() — the first 50 keys.  Rounds 1-5 cumulatively drove 200 of
-# the 222 registered rows green (union of CORRECTNESS_r0{1..5}.json), so
-# ordered_queries() leads with the 22 rows that still lack driver-green
-# evidence; the remaining prefix slots re-confirm already-green rows.
-# Local verification always runs the full set regardless of order
-# (tools/check_oracle.py).
+# of queries() — the first 50 keys.  After r6 every one of the 224
+# registered rows has driver-green evidence (union of
+# CORRECTNESS_r0{1..6}.json), so the rotation is STALENESS-driven
+# (r6 verdict, next-round #5): _LAST_GREEN records the most recent round
+# each row was driver-green, and ordered_queries() leads with the
+# longest-unchecked rows — evidence from five rounds of code drift ago
+# re-proves before last round's.  Queries with no entry (new this
+# round) sort first of all, so new work still can't skip the driver
+# gate.  Local verification always runs the full set regardless of
+# order (tools/check_oracle.py).
 # ---------------------------------------------------------------------------
 
-#: rows with a driver-green CORRECTNESS_r0{1..5}.json entry (rows+schema
-#: match, no error) — regenerated each round from the actual JSON files.
-_DRIVER_CHECKED = {
-    "asof_events_orders", "asof_forward", "assemble_packs",
-    "audio_fingerprint_values", "audio_near_dup", "bigram_coherence",
-    "bm25_index_topk", "bm25_topk", "bpe_pair_counts", "cdc_apply",
-    "changelog_apply", "check_constraints_lineitem", "chunk_documents",
-    "cohort_retention", "contamination", "corpus_report", "correlation_stats",
-    "cube_counts", "cumulative_users", "decimate_lineitem",
-    "dedup_canonical_quality", "dedup_clusters", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dim_filter_project", "dim_join_left", "distinct_agg", "doc_fingerprint",
-    "doc_pipeline", "duplicate_spans", "duplicate_windows", "embed_ann_lsh",
-    "embed_centroids", "embed_covariance", "embed_ivf_pq_topk",
-    "embed_ivf_topk", "embed_knn_graph", "embed_near_dup", "embed_pca_topk",
-    "embed_pq_topk", "embed_quantize", "embed_topk", "event_neighbor_diff",
-    "ewma_events", "funnel_counts", "funnel_steps", "funnel_within",
-    "fuzzy_lookup", "graph_bfs", "graph_pagerank", "graph_triangles",
-    "hash_features", "hash_split", "hierarchy_join", "histogram_equidepth",
-    "hll_ndv", "image_dup_clusters", "image_phash_neardup",
-    "image_phash_values", "incremental_agg", "interval_islands",
-    "json_extract_events", "jsonl_roundtrip", "lang_id",
-    "lateral_topk_per_cust", "line_dedup", "lm_score", "mad_outliers",
-    "map_functions", "market_basket_lift", "mixture_resample",
-    "mixture_upsample", "model_quality_screen", "multimodal_audio",
-    "multimodal_digest", "ndv_sketch", "negative_samples", "oov_rate",
-    "orders_above_cust_avg", "pack_sequences", "pareto_orders",
-    "percentile_quantity", "pivot_returnflag", "prepare_rag_corpus",
-    "prepare_training_set", "profile_drift_lineitem", "profile_lineitem",
-    "quality_score", "quantile_sketch", "range_join_events", "rare_terms",
-    "redact_pii", "region_rollup_chunkpath", "region_volume_rollup",
-    "repetition_stats", "resample_ffill", "resample_interpolate",
-    "revenue_by_month", "rolling_median", "rollup_counts", "salted_join",
-    "scalar_functions", "scalar_subquery", "scd2_asof_lookup",
-    "scd2_user_segments", "seasonal_anomalies", "seasonal_decompose",
-    "semantic_dedup", "semi_anti_customers", "sequence_gaps", "sessionize",
-    "set_except_intersect", "setsim_containment_join", "setsim_prefix_join",
-    "sliding_window_agg", "stratified_sample", "string_functions",
-    "table_diff", "text_stats", "tfidf_topterms", "time_bucket_agg",
-    "topk_orders", "tpch_q10_returns", "tpch_q11_important_stock",
-    "tpch_q12_shipmode", "tpch_q13_custdist", "tpch_q14_promo",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt", "tpch_q17_small_qty",
-    "tpch_q18_large_orders", "tpch_q19_disjunctive", "tpch_q1_pricing",
-    "tpch_q20_nested_in", "tpch_q21_waiting", "tpch_q22_global_sales",
-    "tpch_q2_min_cost", "tpch_q3_shipping", "tpch_q4_priority",
-    "tpch_q5_local_supplier", "tpch_q6_forecast", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_profit", "train_shuffle", "twap_events",
-    "upscale_lineitem", "value_histogram", "video_frame_hashes",
-    "video_near_dup", "vocab_topk", "vox_adjacency",
-    "vox_adjacency_chunkpath", "vox_bbox", "vox_centroids", "vox_closure",
-    "vox_components", "vox_components_chunkpath", "vox_decimate",
-    "vox_decimate_chunkpath", "vox_decode", "vox_dilate",
-    "vox_dilate_chunkpath", "vox_downsample_mode", "vox_enhance_chunkpath",
-    "vox_erode", "vox_erode_chunkpath", "vox_extents",
-    "vox_extents_chunkpath", "vox_hierarchy", "vox_histogram",
-    "vox_histogram_chunkpath", "vox_histogram_preserved",
-    "vox_mode_chunkpath", "vox_morton", "vox_outline",
-    "vox_outline_chunkpath", "vox_outline_wrap", "vox_outline_wrap_chunkpath",
-    "vox_point_after_upscale", "vox_point_lookup",
-    "vox_point_lookup_chunkpath", "vox_pyramid", "vox_rechunk_fastpaths",
-    "vox_relabel", "vox_resize", "vox_rotate", "vox_tiff_scan",
-    "vox_upscale2", "vox_upscale_chunkpath", "vox_verify_upscale",
-    "vox_zarr_roundtrip", "vox_zorder_code", "weighted_sample",
-    "window_rank_topk", "window_running_sum", "winsorize_quantity",
-    "zscore_outliers",
+#: name -> most recent round whose CORRECTNESS_r0N.json has this row
+#: green (rows+schema match, err null) — regenerated each round from
+#: the committed JSON files.
+_LAST_GREEN = {
+    # last driver-green in round 1 (2 rows)
+    "doc_fingerprint": 1, "multimodal_digest": 1,
+    # last driver-green in round 2 (24 rows)
+    "asof_events_orders": 2, "decimate_lineitem": 2, "dedup_exact": 2,
+    "dedup_minhash_lsh": 2, "dedup_ngram_jaccard": 2, "dedup_simhash": 2,
+    "duplicate_windows": 2, "embed_ann_lsh": 2, "embed_ivf_topk": 2,
+    "embed_near_dup": 2, "embed_topk": 2, "json_extract_events": 2,
+    "lang_id": 2, "mixture_resample": 2, "mixture_upsample": 2,
+    "quality_score": 2, "scalar_functions": 2, "semi_anti_customers": 2,
+    "sessionize": 2, "set_except_intersect": 2, "sliding_window_agg": 2,
+    "text_stats": 2, "time_bucket_agg": 2, "upscale_lineitem": 2,
+    # last driver-green in round 3 (49 rows)
+    "asof_forward": 3, "assemble_packs": 3, "bm25_topk": 3,
+    "bpe_pair_counts": 3, "changelog_apply": 3, "chunk_documents": 3,
+    "cohort_retention": 3, "contamination": 3, "correlation_stats": 3,
+    "doc_pipeline": 3, "duplicate_spans": 3, "ewma_events": 3,
+    "funnel_counts": 3, "fuzzy_lookup": 3, "graph_triangles": 3,
+    "hash_split": 3, "line_dedup": 3, "lm_score": 3, "ndv_sketch": 3,
+    "pack_sequences": 3, "prepare_rag_corpus": 3, "prepare_training_set": 3,
+    "region_rollup_chunkpath": 3, "resample_interpolate": 3,
+    "tpch_q2_min_cost": 3, "tpch_q3_shipping": 3, "tpch_q4_priority": 3,
+    "tpch_q5_local_supplier": 3, "tpch_q6_forecast": 3,
+    "tpch_q7_volume_shipping": 3, "tpch_q8_market_share": 3,
+    "tpch_q9_profit": 3, "train_shuffle": 3, "value_histogram": 3,
+    "vox_adjacency_chunkpath": 3, "vox_centroids": 3,
+    "vox_components_chunkpath": 3, "vox_decimate_chunkpath": 3,
+    "vox_enhance_chunkpath": 3, "vox_erode_chunkpath": 3,
+    "vox_histogram_chunkpath": 3, "vox_mode_chunkpath": 3, "vox_morton": 3,
+    "vox_outline_chunkpath": 3, "vox_point_lookup_chunkpath": 3,
+    "vox_upscale_chunkpath": 3, "weighted_sample": 3, "winsorize_quantity": 3,
+    "zscore_outliers": 3,
+    # last driver-green in round 4 (49 rows)
+    "audio_fingerprint_values": 4, "audio_near_dup": 4, "bigram_coherence": 4,
+    "bm25_index_topk": 4, "cdc_apply": 4, "check_constraints_lineitem": 4,
+    "dedup_canonical_quality": 4, "dedup_clusters": 4, "embed_covariance": 4,
+    "embed_ivf_pq_topk": 4, "embed_knn_graph": 4, "embed_pq_topk": 4,
+    "funnel_within": 4, "graph_bfs": 4, "graph_pagerank": 4,
+    "hash_features": 4, "histogram_equidepth": 4, "hll_ndv": 4,
+    "image_dup_clusters": 4, "image_phash_neardup": 4, "image_phash_values": 4,
+    "incremental_agg": 4, "interval_islands": 4, "jsonl_roundtrip": 4,
+    "mad_outliers": 4, "map_functions": 4, "market_basket_lift": 4,
+    "model_quality_screen": 4, "multimodal_audio": 4, "negative_samples": 4,
+    "pareto_orders": 4, "profile_drift_lineitem": 4, "profile_lineitem": 4,
+    "quantile_sketch": 4, "rolling_median": 4, "scd2_asof_lookup": 4,
+    "scd2_user_segments": 4, "seasonal_anomalies": 4, "seasonal_decompose": 4,
+    "semantic_dedup": 4, "setsim_containment_join": 4, "setsim_prefix_join": 4,
+    "stratified_sample": 4, "table_diff": 4, "tfidf_topterms": 4,
+    "twap_events": 4, "video_frame_hashes": 4, "video_near_dup": 4,
+    "vox_components": 4,
+    # last driver-green in round 5 (50 rows)
+    "corpus_report": 5, "cumulative_users": 5, "embed_centroids": 5,
+    "embed_pca_topk": 5, "embed_quantize": 5, "funnel_steps": 5,
+    "lateral_topk_per_cust": 5, "oov_rate": 5, "orders_above_cust_avg": 5,
+    "percentile_quantity": 5, "range_join_events": 5, "rare_terms": 5,
+    "redact_pii": 5, "region_volume_rollup": 5, "repetition_stats": 5,
+    "resample_ffill": 5, "revenue_by_month": 5, "salted_join": 5,
+    "scalar_subquery": 5, "sequence_gaps": 5, "string_functions": 5,
+    "tpch_q10_returns": 5, "tpch_q11_important_stock": 5,
+    "tpch_q12_shipmode": 5, "tpch_q13_custdist": 5, "tpch_q14_promo": 5,
+    "tpch_q15_top_supplier": 5, "tpch_q16_supplier_cnt": 5,
+    "tpch_q17_small_qty": 5, "tpch_q18_large_orders": 5,
+    "tpch_q19_disjunctive": 5, "tpch_q20_nested_in": 5, "tpch_q21_waiting": 5,
+    "tpch_q22_global_sales": 5, "vocab_topk": 5, "vox_adjacency": 5,
+    "vox_bbox": 5, "vox_dilate": 5, "vox_dilate_chunkpath": 5,
+    "vox_downsample_mode": 5, "vox_erode": 5, "vox_extents_chunkpath": 5,
+    "vox_histogram_preserved": 5, "vox_outline_wrap_chunkpath": 5,
+    "vox_point_after_upscale": 5, "vox_rechunk_fastpaths": 5, "vox_relabel": 5,
+    "vox_tiff_scan": 5, "vox_zarr_roundtrip": 5, "vox_zorder_code": 5,
+    # last driver-green in round 6 (50 rows)
+    "approx_agg": 6, "array_functions": 6, "attribution_weights": 6,
+    "bloom_semi_join": 6, "cms_heavy_hitters": 6, "cube_counts": 6,
+    "date_arithmetic": 6, "dim_filter_project": 6, "dim_join_left": 6,
+    "distinct_agg": 6, "edit_distance_join": 6, "entity_resolution_parts": 6,
+    "event_neighbor_diff": 6, "event_transitions": 6, "frame_sample_plan": 6,
+    "grouping_sets": 6, "hierarchy_join": 6, "incremental_join_view": 6,
+    "multimodal_features": 6, "ndv_rolling_7d": 6, "ndv_setops_sketch": 6,
+    "null_semantics": 6, "pivot_returnflag": 6, "rollup_counts": 6,
+    "sorted_neighborhood": 6, "table_checksum": 6, "text_normalize": 6,
+    "topk_orders": 6, "tpch_q1_pricing": 6, "unpivot_lineitem": 6,
+    "vox_closure": 6, "vox_decimate": 6, "vox_decode": 6, "vox_extents": 6,
+    "vox_hierarchy": 6, "vox_histogram": 6, "vox_meta_report": 6,
+    "vox_outline": 6, "vox_outline_wrap": 6, "vox_point_lookup": 6,
+    "vox_pyramid": 6, "vox_resize": 6, "vox_rotate": 6, "vox_upscale2": 6,
+    "vox_verify_upscale": 6, "vox_zarr3_shard_roundtrip": 6,
+    "vox_zarr_blosc_roundtrip": 6, "window_frames": 6, "window_rank_topk": 6,
+    "window_running_sum": 6,
 }
-
-#: round 6 head: every row with NO driver-green evidence yet —
-#: multimodal_features first (its only driver run, r1, errored on the
-#: since-removed list-typed output; judge-verified green in r5), the two
-#: new r6 format-boundary rows, then the 21 never-driver-sampled rows.
-#: Well under the 50-row prefix, so one driver pass closes the gap;
-#: tests/test_entry.py::test_driver_sample_partition_exhaustive asserts
-#: this partition stays exhaustive.
-_PRIORITY = [
-    "multimodal_features", "vox_zarr_blosc_roundtrip",
-    "vox_zarr3_shard_roundtrip", "grouping_sets",
-    "vox_meta_report", "approx_agg",
-    "window_frames", "unpivot_lineitem", "date_arithmetic", "array_functions",
-    "null_semantics", "frame_sample_plan", "text_normalize",
-    "edit_distance_join", "sorted_neighborhood", "ndv_setops_sketch",
-    "cms_heavy_hitters", "bloom_semi_join", "entity_resolution_parts",
-    "event_transitions", "incremental_join_view", "table_checksum",
-    "ndv_rolling_7d", "attribution_weights",
-]
 
 
 def ordered_queries() -> dict[str, QueryFn]:
-    """All registered queries, never-driver-checked entries first."""
-    pri = [n for n in _PRIORITY if n in QUERIES]
-    pri_set = set(pri)
-    rest_unchecked = [
-        n for n in QUERIES if n not in _DRIVER_CHECKED and n not in pri_set
-    ]
-    checked = [n for n in QUERIES if n in _DRIVER_CHECKED and n not in pri_set]
-    return {n: QUERIES[n] for n in (*pri, *rest_unchecked, *checked)}
+    """All registered queries, stalest driver evidence first: rows with
+    no green round yet (new queries) lead, then ascending last-green
+    round; registration order breaks ties deterministically."""
+    reg = {n: i for i, n in enumerate(QUERIES)}
+    names = sorted(QUERIES, key=lambda n: (_LAST_GREEN.get(n, 0), reg[n]))
+    return {n: QUERIES[n] for n in names}
 
 
 def _vox_enhance_chunkpath(spark: SparkSession, sf_dir: str) -> DataFrame:

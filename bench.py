@@ -617,10 +617,26 @@ def main() -> None:
         )
     if payload_bpe_merges is not None:
         payload["bpe256_merges"] = payload_bpe_merges
-    if spread:
-        payload["spread"] = spread
     if errors:
         payload["errors"] = errors
+    # Full payload (incl. per-run spread for every row) goes to a
+    # committed sidecar; the stdout line stays compact (best-of per
+    # query + headline rates — the shape that parsed in r1-r5).  r6's
+    # spread-bearing stdout line outgrew the driver's tail-capture
+    # window and the round's official bench record came back
+    # "parsed": null (r6 verdict, What's wrong #1).
+    full = dict(payload)
+    if spread:
+        full["spread"] = spread
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        )
+        with open(sidecar, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as e:  # read-only checkout must not kill the line
+        payload.setdefault("errors", {})["sidecar"] = str(e)[:120]
     print(json.dumps(payload))
 
 

@@ -23,6 +23,8 @@ from atlas_upscaling_dask_spark.sources.blosc1 import (
     _bit_unshuffle,
     _byte_shuffle,
     _byte_unshuffle,
+    _lz4_compress_block,
+    _lz4_decompress_block,
     blosc_compress,
     blosc_decompress,
 )
@@ -91,7 +93,7 @@ def test_bit_shuffle_known_vector():
     assert _bit_shuffle(np.full(8, 0xFF, np.uint8), 1).tolist() == [0xFF] * 8
 
 
-@pytest.mark.parametrize("cname", ["zstd", "zlib"])
+@pytest.mark.parametrize("cname", ["zstd", "zlib", "lz4"])
 @pytest.mark.parametrize(
     "shuffle", [BLOSC_NOSHUFFLE, BLOSC_SHUFFLE, BLOSC_BITSHUFFLE]
 )
@@ -113,7 +115,12 @@ def test_chunk_roundtrip_all_modes(cname, shuffle, typesize):
     assert version == 2 and ts == typesize
     assert nbytes == len(data) and cbytes == len(chunk)
     assert blocksize == 4096
-    assert (flags >> 5) == (4 if cname == "zstd" else 3)
+    assert (flags >> 5) == {"zstd": 4, "zlib": 3, "lz4": 1}[cname]
+    # header-driven splitting must be advertised exactly as c-blosc's
+    # split_block() decides it: lz4 splits (these typesizes/blocksize
+    # all satisfy typesize<=16 and blocksize/typesize>=128), zstd/zlib
+    # never do and must SET the don't-split bit
+    assert bool(flags & 0x10) == (cname != "lz4")
 
 
 def test_chunk_roundtrip_single_block_and_exact_blocks():
@@ -149,8 +156,11 @@ def test_reference_codec_defaults():
 def test_unsupported_inner_codec_named():
     data = bytes(100)
     chunk = bytearray(blosc_compress(data, 1, cname="zlib"))
-    chunk[2] = (chunk[2] & 0x1F) | (1 << 5)  # rewrite codec code to lz4
-    with pytest.raises(RuntimeError, match="lz4"):
+    chunk[2] = (chunk[2] & 0x1F) | (2 << 5)  # rewrite codec code to snappy
+    with pytest.raises(RuntimeError, match="snappy"):
+        blosc_decompress(bytes(chunk))
+    chunk[2] = chunk[2] & 0x1F  # blosclz (code 0)
+    with pytest.raises(RuntimeError, match="blosclz"):
         blosc_decompress(bytes(chunk))
 
 
@@ -187,6 +197,155 @@ def test_zero_blocksize_header_rejected():
         blosc_decompress(bytes(chunk))
 
 
+# --- golden bytes: constants derived BY HAND from the published specs
+# (bitshuffle's transform definition; lz4_Block_format.md), so they are
+# independent of every implementation in this repo — a plane-order or
+# packing regression in the kernels cannot also rewrite these literals.
+
+
+def test_bit_shuffle_golden_bytes_typesize1():
+    # elements e_i = i+1, i = 0..7; plane b's single byte packs bit b of
+    # each element LSB-first over i:
+    #   bit0 of [1..8] = 1,0,1,0,1,0,1,0 -> 0x55
+    #   bit1           = 0,1,1,0,0,1,1,0 -> 0x66
+    #   bit2           = 0,0,0,1,1,1,1,0 -> 0x78
+    #   bit3           = 0,0,0,0,0,0,0,1 -> 0x80
+    block = np.arange(1, 9, dtype=np.uint8)
+    assert _bit_shuffle(block, 1).tolist() == [
+        0x55, 0x66, 0x78, 0x80, 0, 0, 0, 0,
+    ]
+
+
+def test_bit_shuffle_golden_bytes_typesize2():
+    # 8 two-byte elements: byte0 of element i = i+1 (planes 0-7 as in
+    # the typesize-1 case), byte1 of element i = 0x80 >> i (bit b set
+    # iff i == 7-b, so plane 8+b's byte = 1 << (7-b))
+    block = np.zeros(16, dtype=np.uint8)
+    block[0::2] = np.arange(1, 9, dtype=np.uint8)
+    block[1::2] = (0x80 >> np.arange(8)).astype(np.uint8)
+    expect = [0x55, 0x66, 0x78, 0x80, 0, 0, 0, 0] + [
+        0x80, 0x40, 0x20, 0x10, 0x08, 0x04, 0x02, 0x01,
+    ]
+    assert _bit_shuffle(block, 2).tolist() == expect
+    assert _bit_unshuffle(np.array(expect, np.uint8), 2).tolist() == block.tolist()
+
+
+def test_lz4_golden_decode():
+    # hand-assembled from lz4_Block_format.md: token 0x44 = 4 literals
+    # "abcd" + match len 4+4=8 at offset 4 (overlapping -> the 4-byte
+    # pattern repeats), then a final literals-only token 0x50 "WXYZ!"
+    comp = bytes([0x44]) + b"abcd" + bytes([0x04, 0x00]) + bytes([0x50]) + b"WXYZ!"
+    assert _lz4_decompress_block(comp, 17) == b"abcdabcdabcdWXYZ!"
+    # 15-in-token literal-length escape: 15 + 0 = 15 literals
+    comp2 = bytes([0xF0, 0x00]) + b"ABCDEFGHIJKLMNO"
+    assert _lz4_decompress_block(comp2, 15) == b"ABCDEFGHIJKLMNO"
+    # declared size mismatch must raise, not return short data
+    with pytest.raises(ValueError, match="expected"):
+        _lz4_decompress_block(comp, 18)
+
+
+def test_lz4_block_roundtrip_shapes():
+    rng = np.random.default_rng(11)
+    cases = [
+        b"x",                                   # below MFLIMIT: literals only
+        b"abcabcabcabcabcabcabcabcabc",         # overlapping matches
+        b"a" * 5000,                            # long match-length escapes
+        rng.integers(0, 256, 4096, np.uint8).tobytes(),   # incompressible
+        np.repeat(rng.integers(0, 9, 700, np.uint8), 9).tobytes(),
+        bytes(range(256)) * 300,                # >64KB: offsets near the cap
+    ]
+    for src in cases:
+        comp = _lz4_compress_block(src)
+        assert _lz4_decompress_block(comp, len(src)) == src
+
+
+def _cblosc_split_chunk(
+    data: bytes, typesize: int, blocksize: int, shuffle: int
+) -> bytes:
+    """Assemble an lz4 chunk exactly as c-blosc 1.21's writer does when
+    ``split_block()`` is true: flags bit 4 CLEAR, every FULL block's
+    post-filter bytes split into ``typesize`` equal streams (one byte
+    plane each), the final leftover block left as a single stream.
+    Built here independently of blosc_compress (which never splits) to
+    prove the reader handles the layout the reference's
+    ``--compressor lz4`` stores actually have."""
+    assert blocksize % typesize == 0 and blocksize // typesize >= 128
+    nbytes = len(data)
+    flags = (1 << 5)  # lz4, bit4 CLEAR = split
+    if shuffle == BLOSC_SHUFFLE and typesize > 1:
+        flags |= 0x1
+    elif shuffle == BLOSC_BITSHUFFLE:
+        flags |= 0x4
+    arr = np.frombuffer(data, dtype=np.uint8)
+    nblocks = -(-nbytes // blocksize)
+    streams = []
+    for i in range(nblocks):
+        block = arr[i * blocksize : min((i + 1) * blocksize, nbytes)]
+        if shuffle == BLOSC_SHUFFLE and typesize > 1:
+            filtered = _byte_shuffle(block, typesize).tobytes()
+        elif shuffle == BLOSC_BITSHUFFLE:
+            filtered = _bit_shuffle(block, typesize).tobytes()
+        else:
+            filtered = block.tobytes()
+        nstreams = typesize if block.size == blocksize else 1
+        neblock = block.size // nstreams
+        parts = []
+        for s in range(nstreams):
+            piece = filtered[s * neblock : (s + 1) * neblock]
+            comp = _lz4_compress_block(piece)
+            if len(comp) >= neblock:
+                comp = piece  # stored raw: csize == neblock
+            parts.append(struct.pack("<i", len(comp)) + comp)
+        streams.append(b"".join(parts))
+    header_len = 16 + 4 * nblocks
+    bstarts, pos = [], header_len
+    for s in streams:
+        bstarts.append(pos)
+        pos += len(s)
+    body = struct.pack(f"<{nblocks}i", *bstarts) + b"".join(streams)
+    header = struct.pack(
+        "<BBBBiii", 2, 1, flags, typesize, nbytes, blocksize, 16 + len(body)
+    )
+    return header + body
+
+
+@pytest.mark.parametrize(
+    "shuffle", [BLOSC_NOSHUFFLE, BLOSC_SHUFFLE, BLOSC_BITSHUFFLE]
+)
+@pytest.mark.parametrize("typesize,blocksize", [(4, 2048), (2, 1024), (8, 4096)])
+def test_cblosc_split_layout_decodes(shuffle, typesize, blocksize):
+    # low-entropy label-ish data: lz4 genuinely compresses the planes,
+    # and the trailing partial block exercises the leftover=1-stream rule
+    rng = np.random.default_rng(typesize * 10 + shuffle)
+    n = blocksize * 2 + 904  # 2 full (split) blocks + leftover
+    data = np.repeat(rng.integers(0, 6, n // 8 + 1, np.uint8), 8).tobytes()[:n]
+    chunk = _cblosc_split_chunk(data, typesize, blocksize, shuffle)
+    assert not chunk[2] & 0x10  # split layout advertised
+    assert blosc_decompress(chunk) == data
+    # blosc_compress mirrors c-blosc's split_block() for lz4: its output
+    # must be byte-identical to this independently assembled layout
+    assert (
+        blosc_compress(
+            data, typesize, cname="lz4", shuffle=shuffle, blocksize=blocksize
+        )
+        == chunk
+    )
+    # exact-multiple total: the LAST block is full and therefore split
+    n2 = blocksize * 2
+    data2 = np.repeat(rng.integers(0, 6, n2 // 8, np.uint8), 8).tobytes()[:n2]
+    chunk2 = _cblosc_split_chunk(data2, typesize, blocksize, shuffle)
+    assert blosc_decompress(chunk2) == data2
+
+
+def test_split_flag_with_indivisible_blocksize_rejected():
+    chunk = bytearray(blosc_compress(b"ab" * 3000, 4, cname="zlib"))
+    struct.pack_into("<i", chunk, 8, 1000)  # 1000 % 4 == 0 — keep valid
+    chunk[2] &= ~0x10  # claim split...
+    chunk[3] = 3  # ...with typesize 3, which cannot divide 1000
+    with pytest.raises(ValueError, match="multiple of typesize"):
+        blosc_decompress(bytes(chunk))
+
+
 # --- hypothesis: arbitrary data/typesize/mode round-trips ---
 
 try:
@@ -199,7 +358,7 @@ try:
         shuffle=st.sampled_from(
             [BLOSC_NOSHUFFLE, BLOSC_SHUFFLE, BLOSC_BITSHUFFLE]
         ),
-        cname=st.sampled_from(["zlib", "zstd"]),
+        cname=st.sampled_from(["zlib", "zstd", "lz4"]),
         blocksize=st.sampled_from([None, 64, 257, 1024]),
     )
     @settings(max_examples=150, deadline=None)

@@ -26,16 +26,21 @@ def test_all_queries_build_lazily(spark, sf_dir):
         assert df.schema.fields, name
 
 
-def test_driver_sample_partition_exhaustive():
-    # Every registered query must be either already driver-green
-    # (_DRIVER_CHECKED) or queued for the driver's 50-row prefix
-    # (_PRIORITY) — new queries can't silently skip driver verification.
+def test_driver_sample_rotation_is_staleness_ordered():
+    # The driver samples the FIRST 50 of ordered_queries().  The
+    # rotation must (a) carry no stale names, (b) put never-green
+    # queries (new work) first so they can't skip the driver gate, and
+    # (c) order the rest stalest-evidence-first so every row's green
+    # proof keeps getting refreshed as the code drifts.
     from atlas_upscaling_dask_spark import suite
 
-    uncovered = set(suite.QUERIES) - suite._DRIVER_CHECKED - set(suite._PRIORITY)
-    assert not uncovered, f"queries outside the driver-verification rotation: {sorted(uncovered)}"
-    # the not-yet-green set must fit in one driver pass
-    assert len(suite._PRIORITY) <= 50
-    # ordered_queries() leads with the never-green rows
-    head = list(suite.ordered_queries())[: len(suite._PRIORITY)]
-    assert head == [n for n in suite._PRIORITY if n in suite.QUERIES]
+    stale = set(suite._LAST_GREEN) - set(suite.QUERIES)
+    assert not stale, f"_LAST_GREEN names not registered: {sorted(stale)}"
+    order = list(suite.ordered_queries())
+    assert set(order) == set(suite.QUERIES)
+    ranks = [suite._LAST_GREEN.get(n, 0) for n in order]
+    assert ranks == sorted(ranks), "ordered_queries() not staleness-sorted"
+    # never-green rows (rank 0) must all sit inside the 50-row prefix
+    n_new = ranks.count(0)
+    assert n_new <= 50, f"{n_new} unchecked rows cannot fit one driver pass"
+    assert all(r == 0 for r in ranks[:n_new])
