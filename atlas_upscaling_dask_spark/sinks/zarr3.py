@@ -571,7 +571,10 @@ def scan_zarr3(
     nz, ny, nx = -(-zd // gz), -(-yd // gy), -(-xd // gx)
     n_cells = nz * ny * nx
     par = max(spark.sparkContext.defaultParallelism, 1)
-    gdf = spark.range(n_cells, numPartitions=min(n_cells, par * 4) or 1).select(
+    # >= ~4 shard cells per task, <= 4 waves — one-cell tasks pay the
+    # per-task mapInArrow round-trip (see scan_ome_zarr, r6 zarr_scan)
+    nparts = max(1, min(n_cells, par * 4, max(par, -(-n_cells // 4))))
+    gdf = spark.range(n_cells, numPartitions=nparts).select(
         F.expr(f"CAST(id DIV {ny * nx} AS INT)").alias("gz"),
         F.expr(f"CAST((id % {ny * nx}) DIV {nx} AS INT)").alias("gy"),
         F.expr(f"CAST(id % {nx} AS INT)").alias("gx"),
@@ -750,6 +753,31 @@ def update_zarr3(
     temp+rename as every writer here; a concurrent reader sees the old
     or the new shard, never a torn one.
     """
+    res = (
+        _update_zarr3_plan(chunks, path, level)
+        .agg(
+            F.sum("n_shards").alias("n_shards"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n_dropped").alias("n_dropped"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_shards": int(res["n_shards"] or 0),
+        "n_chunks": int(res["n_chunks"] or 0),
+        "n_dropped": int(res["n_dropped"] or 0),
+    }
+
+
+def _update_zarr3_plan(
+    chunks: DataFrame,
+    path: str,
+    level: int = 0,
+) -> DataFrame:
+    """Build (lazily) the distributed plan behind :func:`update_zarr3`:
+    ONE hash exchange on the shard key feeding the shard-merge kernel.
+    Split out so the plan auditor can assert that invariant without
+    executing the side-effecting kernel."""
     meta = _read_zarr3_meta(path, level)
     if meta["_inner_chunk"] is None:
         raise ValueError("update_zarr3: store is unsharded — use write_zarr3")
@@ -899,19 +927,6 @@ def update_zarr3(
             ["n_shards", "n_chunks", "n_dropped"],
         )
 
-    res = (
-        spread.mapInArrow(
-            kernel, schema="n_shards long, n_chunks long, n_dropped long"
-        )
-        .agg(
-            F.sum("n_shards").alias("n_shards"),
-            F.sum("n_chunks").alias("n_chunks"),
-            F.sum("n_dropped").alias("n_dropped"),
-        )
-        .collect()[0]
+    return spread.mapInArrow(
+        kernel, schema="n_shards long, n_chunks long, n_dropped long"
     )
-    return {
-        "n_shards": int(res["n_shards"] or 0),
-        "n_chunks": int(res["n_chunks"] or 0),
-        "n_dropped": int(res["n_dropped"] or 0),
-    }

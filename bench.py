@@ -585,6 +585,39 @@ def main() -> None:
                 lambda: force(scan_zarr3(spark, zpath3, 0)),
                 runs=2,
             )
+            # Zarr v3 at 4x volume (2.46 GB logical, 1024 chunks, 128
+            # shards): shard assembly must stay one-shard-in-memory at
+            # 8x the shard count, rates within 2x of the per-GB v2
+            # rows (r6 verdict #7)
+            from atlas_upscaling_dask_spark.sinks.zarr3 import update_zarr3
+
+            zmeta4 = VolumeMeta(912, 640, 1056)
+            zchunks4 = synthetic_chunks(spark, zmeta4, chunk=(57, 80, 132))
+            zpath34 = os.path.join(zdir, "vol3_4x.zarr")
+            timed(
+                "zarr3_4x_shard_export",
+                lambda: write_zarr3(zchunks4, zpath34, zmeta4, shard=(2, 2, 2)),
+                runs=2,
+            )
+            timed(
+                "zarr3_4x_shard_scan",
+                lambda: force(scan_zarr3(spark, zpath34, 0)),
+                runs=2,
+            )
+            # incremental maintenance against that 2.46 GB store: a
+            # ONE-chunk delta rewrites one 19 MB shard — the time must
+            # track the delta, not the store (r6 verdict #6).  The
+            # delta is generated directly at chunk size (a filter over
+            # the full synthetic volume would re-generate 2.46 GB just
+            # to discard it and measure the generator, not the update).
+            delta = synthetic_chunks(
+                spark, VolumeMeta(57, 80, 132), chunk=(57, 80, 132)
+            )
+            timed(
+                "zarr3_update_small_delta",
+                lambda: update_zarr3(delta, zpath34, 0),
+                runs=2,
+            )
         finally:
             _sh3.rmtree(zdir, ignore_errors=True)
     except Exception as e:  # noqa: BLE001 — harness guard by design

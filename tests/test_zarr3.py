@@ -525,3 +525,60 @@ def test_zarr3_update_edge_semantics(spark, tmp_path):
     lvl_frame = upd_frame(0, 0, 0, zero).withColumn("level", F.lit(1))
     with pytest.raises(ValueError, match="other levels"):
         update_zarr3(lvl_frame, out, 0)
+
+
+def test_zarr3_scan_million_cell_grid_is_distributed(spark, tmp_path):
+    # r6 verdict next-round #3: the v3 twin of
+    # test_ome_zarr_scan_million_cell_grid_is_distributed.  A
+    # metadata-only SHARDED store with a (100,100,100) shard grid has
+    # exactly 10^6 shard cells; the scan's plan must source from Range
+    # (arithmetic grid, nothing materialized on the driver) and the
+    # fully sparse scan (zero shard objects -> all fill blocks)
+    # completes.
+    out = str(tmp_path / "big3.zarr")
+    os.makedirs(os.path.join(out, "0"))
+    with open(os.path.join(out, "0", "zarr.json"), "w") as fh:
+        json.dump(
+            {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": [400, 400, 400],
+                "data_type": "uint32",
+                "chunk_grid": {
+                    "name": "regular",
+                    "configuration": {"chunk_shape": [4, 4, 4]},
+                },
+                "chunk_key_encoding": {
+                    "name": "default",
+                    "configuration": {"separator": "/"},
+                },
+                "fill_value": 0,
+                "codecs": [
+                    {
+                        "name": "sharding_indexed",
+                        "configuration": {
+                            "chunk_shape": [4, 4, 4],
+                            "codecs": [
+                                {
+                                    "name": "bytes",
+                                    "configuration": {"endian": "little"},
+                                }
+                            ],
+                            "index_codecs": [
+                                {
+                                    "name": "bytes",
+                                    "configuration": {"endian": "little"},
+                                },
+                                {"name": "crc32c"},
+                            ],
+                            "index_location": "end",
+                        },
+                    }
+                ],
+            },
+            fh,
+        )
+    df = scan_zarr3(spark, out, 0)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Range" in plan and "LocalRelation" not in plan
+    assert df.count() == 1_000_000

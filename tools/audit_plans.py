@@ -715,6 +715,14 @@ def audited_queries():
             _zarr3_export,
             {"max_shuffles": 1, "no_python_udf": True},
         ),
+        # Zarr v3 incremental update: the newest write path (r6) — ONE
+        # hash exchange on the shard key feeding the shard-merge
+        # kernel; cost must track the DELTA, so a second exchange (or
+        # any store-sized movement) is a violation.
+        "zarr3_update": (
+            _zarr3_update,
+            {"max_shuffles": 1, "no_python_udf": True},
+        ),
     }
 
 
@@ -814,6 +822,33 @@ def _zarr3_export(spark, sf_dir: str):
     grids = {0: (8, 8, 8, 16, 16, 16)}
     chunks = _chunk_table(spark).withColumn("level", F.lit(0).cast("int"))
     return export_zarr3_frame(chunks, out, grids, "zstd", 1, (2, 2, 2))
+
+
+def _zarr3_update(spark, sf_dir: str):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from atlas_upscaling_dask_spark.sinks.zarr3 import (
+        _update_zarr3_plan,
+        write_zarr3,
+    )
+    from atlas_upscaling_dask_spark.volume import VolumeMeta, synthetic_chunks
+
+    if "zarr3_upd" not in _SCAN_FIXTURE:
+        d = tempfile.mkdtemp(prefix="audit_zarr3_upd_") + "/vol.zarr"
+        meta = VolumeMeta(16, 16, 16)
+        write_zarr3(
+            synthetic_chunks(spark, meta, chunk=(8, 8, 8)), d, meta,
+            shard=(2, 2, 2),
+        )
+        _SCAN_FIXTURE["zarr3_upd"] = d
+    # the delta: one changed chunk from the parquet-backed table (the
+    # plan is what's audited; the kernel never executes here)
+    delta = _chunk_table(spark).filter(
+        (F.col("cz") == 0) & (F.col("cy") == 0) & (F.col("cx") == 0)
+    )
+    return _update_zarr3_plan(delta, _SCAN_FIXTURE["zarr3_upd"], 0)
 
 
 _BULK_FIXTURE: dict = {}
