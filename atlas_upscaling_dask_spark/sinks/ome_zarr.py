@@ -71,13 +71,14 @@ _SCAN_FLUSH_BYTES = 256 << 20
 def _compressor_json(compressor: str, clevel: int) -> dict | None:
     if compressor == "zlib":
         return {"id": "zlib", "level": int(clevel)}
-    if compressor == "blosc":
-        # numcodecs-parity JSON for the reference pipeline's exact codec
-        # (upscale_streaming.py:103-108): zstd, BITSHUFFLE (=2),
-        # auto blocksize (=0); chunks come from sources/blosc1.py
+    if compressor in ("blosc", "blosc-lz4"):
+        # numcodecs-parity JSON for the reference pipeline's two codec
+        # choices (upscale_streaming.py:103-108 offers zstd OR lz4),
+        # BITSHUFFLE (=2), auto blocksize (=0); chunks come from
+        # sources/blosc1.py (lz4 in c-blosc's split-block layout)
         return {
             "id": "blosc",
-            "cname": "zstd",
+            "cname": "zstd" if compressor == "blosc" else "lz4",
             "clevel": int(clevel),
             "shuffle": 2,
             "blocksize": 0,
@@ -90,7 +91,8 @@ def _compressor_json(compressor: str, clevel: int) -> dict | None:
     if compressor == "none":
         return None
     raise ValueError(
-        f"compressor must be 'zlib', 'zstd', 'blosc' or 'none', got {compressor!r}"
+        "compressor must be 'zlib', 'zstd', 'blosc', 'blosc-lz4' or "
+        f"'none', got {compressor!r}"
     )
 
 
@@ -311,7 +313,10 @@ def export_ome_zarr_frame(
                     from ..sources.blosc1 import blosc_compress
 
                     data = blosc_compress(
-                        raw, PAYLOAD_DTYPE.itemsize, cname="zstd", clevel=clevel
+                        raw,
+                        PAYLOAD_DTYPE.itemsize,
+                        cname=comp.get("cname", "zstd"),
+                        clevel=clevel,
                     )
                 elif zstd_codec is not None:
                     data = zstd_codec.compress(raw).to_pybytes()

@@ -7174,6 +7174,90 @@ _register(
 )
 
 
+def _vox_zarr_lz4_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference pipeline's OTHER compressor choice
+    # (upscale_streaming.py:103-108 offers zstd or lz4): Blosc lz4
+    # BITSHUFFLE chunks in c-blosc's SPLIT block layout (bit 4 clear,
+    # typesize byte-plane streams per block — what the C library
+    # actually writes for lz4), encoded and decoded by the pure-NumPy
+    # codec.  Write, scan back distributed, prove voxel identity.
+    import tempfile
+
+    from .sinks.ome_zarr import scan_ome_zarr, write_ome_zarr
+    from .volume import chunks_to_voxels, synthetic_chunks
+
+    chunks = synthetic_chunks(spark, FIXTURE_META, chunk=(8, 8, 8))
+    path = tempfile.mkdtemp(prefix="omezarr_lz4_") + "/vol.zarr"
+    write_ome_zarr(chunks, path, FIXTURE_META, compressor="blosc-lz4", clevel=5)
+    return chunks_to_voxels(scan_ome_zarr(spark, path, 0)).select(
+        "z", "y", "x", "label"
+    )
+
+
+_register(
+    "vox_zarr_lz4_roundtrip",
+    _vox_zarr_lz4_roundtrip_q,
+    f"WITH {VOX_CTE}\nSELECT z, y, x, label FROM voxels",
+)
+
+
+def _vox_zarr3_update_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The incremental-maintenance path end-to-end: write the sharded v3
+    # store, then update_zarr3 splices ONE changed chunk in (byte-
+    # copying the shard's untouched chunks) and demotes another to
+    # fill via an all-zero payload; the distributed scan must read back
+    # exactly the composed volume.
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from .sinks.zarr3 import scan_zarr3, update_zarr3, write_zarr3
+    from .volume import PAYLOAD_DTYPE, chunks_to_voxels, synthetic_chunks
+
+    chunks = synthetic_chunks(spark, FIXTURE_META, chunk=(8, 8, 8))
+    path = tempfile.mkdtemp(prefix="zarr3_upd_") + "/vol.zarr"
+    write_zarr3(chunks, path, FIXTURE_META, shard=(2, 2, 2))
+    z, y, x = np.meshgrid(
+        np.arange(8), np.arange(8), np.arange(8), indexing="ij"
+    )
+    new_block = (900000 + z * 256 + y * 16 + x).astype(PAYLOAD_DTYPE)
+    delta = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "volume_id": ["v", "v"],
+                "cz": [0, 1], "cy": [0, 1], "cx": [0, 1],
+                "z0": [0, 8], "y0": [0, 8], "x0": [0, 8],
+                "dz": [8, 8], "dy": [8, 8], "dx": [8, 8],
+                "codec": ["raw", "raw"],
+                "payload": [
+                    new_block.tobytes(),
+                    np.zeros((8, 8, 8), dtype=PAYLOAD_DTYPE).tobytes(),
+                ],
+            }
+        )
+    )
+    update_zarr3(delta, path, 0)
+    return chunks_to_voxels(scan_zarr3(spark, path, 0)).select(
+        "z", "y", "x", "label"
+    )
+
+
+_register(
+    "vox_zarr3_update_roundtrip",
+    _vox_zarr3_update_roundtrip_q,
+    f"""
+WITH {VOX_CTE}
+SELECT z, y, x,
+       CASE WHEN z < 8 AND y < 8 AND x < 8
+              THEN 900000 + z * 256 + y * 16 + x
+            WHEN z >= 8 AND y >= 8 AND x >= 8 THEN 0
+            ELSE label END AS label
+FROM voxels
+""",
+)
+
+
 GRAPH_EDGES_CTE = """
 edges AS (
   SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b

@@ -919,3 +919,28 @@ def test_zarr3_ingestion_updates_live_store(spark, tmp_path):
     for r in vox.collect():
         want[r["z"], r["y"], r["x"]] = r["label"]
     np.testing.assert_array_equal(read_zarr3_level(store, 0), want)
+
+
+def test_zarr3_ingestion_rejects_mismatched_meta_shape(spark, tmp_path):
+    # a caller-supplied shape that disagrees with the store's own
+    # zarr.json would pack chunks outside the readable grid — written
+    # but never scanned back; it must be rejected up front
+    import numpy as np
+    import pytest
+
+    from atlas_upscaling_dask_spark.sinks.zarr3 import write_zarr3
+    from atlas_upscaling_dask_spark.streaming.ingest import (
+        start_zarr3_ingestion,
+    )
+    from atlas_upscaling_dask_spark.volume import VolumeMeta, synthetic_chunks
+
+    meta = VolumeMeta(16, 16, 16)
+    store = str(tmp_path / "live.zarr")
+    write_zarr3(
+        synthetic_chunks(spark, meta, chunk=(8, 8, 8)), store, meta,
+        shard=(2, 2, 2),
+    )
+    with pytest.raises(ValueError, match="meta_shape"):
+        start_zarr3_ingestion(
+            spark, str(tmp_path / "slices"), store, (32, 16, 16)
+        )

@@ -582,3 +582,65 @@ def test_zarr3_scan_million_cell_grid_is_distributed(spark, tmp_path):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Range" in plan and "LocalRelation" not in plan
     assert df.count() == 1_000_000
+
+
+def test_zarr3_single_handle_survives_concurrent_shard_replace(spark, tmp_path):
+    # The live-store contract: a reader that already opened a shard
+    # must see a CONSISTENT (index, payload) pair even if an
+    # update_zarr3/start_zarr3_ingestion os.replace swaps the file
+    # between its reads — the open descriptor pins the old inode.
+    # Simulate the race deterministically: open shard v1, replace the
+    # path with a different v2 shard, then read index + chunk bytes
+    # from the ORIGINAL handle and require v1 data back.
+    from atlas_upscaling_dask_spark.sinks.zarr3 import (
+        _read_shard_index_fh,
+        update_zarr3,
+    )
+
+    meta = VolumeMeta(16, 16, 16)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    out = str(tmp_path / "race.zarr")
+    write_zarr3(chunks, out, meta, shard=(2, 2, 2))
+    fpath = os.path.join(out, "0", "c", "0", "0", "0")
+    v1_bytes = open(fpath, "rb").read()
+    v1_dense = read_zarr3_level(out, 0)
+
+    fh = open(fpath, "rb")  # the "reader" arrives...
+    try:
+        # ...and the writer republishes the shard underneath it
+        import pandas as pd
+
+        delta = spark.createDataFrame(pd.DataFrame({
+            "volume_id": ["v"], "cz": [0], "cy": [0], "cx": [0],
+            "z0": [0], "y0": [0], "x0": [0], "dz": [8], "dy": [8], "dx": [8],
+            "codec": ["raw"],
+            "payload": [np.full((8, 8, 8), 9, dtype=PAYLOAD_DTYPE).tobytes()],
+        }))
+        res = update_zarr3(delta, out, 0)
+        assert res["n_shards"] == 1
+        assert open(fpath, "rb").read() != v1_bytes  # path now serves v2
+
+        # the old handle still yields a self-consistent v1 view
+        idx = _read_shard_index_fh(fh, 8)
+        for pos, (iz, iy, ix) in enumerate(
+            (a, b, c) for a in range(2) for b in range(2) for c in range(2)
+        ):
+            off, nb = int(idx[pos, 0]), int(idx[pos, 1])
+            if off == MISSING:
+                continue
+            fh.seek(off)
+            block = np.frombuffer(
+                pa.Codec("zstd").decompress(
+                    fh.read(nb), decompressed_size=8 * 8 * 8 * 4
+                ),
+                dtype="<u4",
+            ).reshape(8, 8, 8)
+            np.testing.assert_array_equal(
+                block,
+                v1_dense[iz * 8 : (iz + 1) * 8, iy * 8 : (iy + 1) * 8,
+                         ix * 8 : (ix + 1) * 8],
+            )
+    finally:
+        fh.close()
+    # and a fresh open sees the committed v2
+    assert (read_zarr3_level(out, 0)[:8, :8, :8] == 9).all()
