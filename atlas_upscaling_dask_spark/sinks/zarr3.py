@@ -588,9 +588,12 @@ def scan_zarr3(
     n_inner = sz * sy * sx
     total = nz * ny * nx * n_inner
     par = max(spark.sparkContext.defaultParallelism, 1)
-    # >= ~4 inner cells per task, <= 4 waves — one-cell tasks pay the
-    # per-task mapInArrow round-trip (see scan_ome_zarr, r6 zarr_scan)
-    nparts = max(1, min(total, par * 4, max(par, -(-total // 4))))
+    # ONE wave of tasks: every extra task costs a fixed ~6 ms mapInArrow
+    # round-trip (measured sweep: 32/64/96/128 partitions on a 1024-cell
+    # store → 0.88/1.12/1.27/1.49 s), and uniform cells make waves pure
+    # overhead.  Very large grids get a second wave as straggler
+    # insurance — its cost is amortized there.
+    nparts = max(1, min(total, par if total <= 64 * par else 2 * par))
     gdf = spark.range(total, numPartitions=nparts)
     flush_bytes = _SCAN_FLUSH_BYTES
 
