@@ -72,9 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     zr.add_argument("--format", choices=["v2", "v3"], default="v2")
     zr.add_argument(
         "--compressor",
-        choices=["zlib", "zstd", "blosc", "none"],
+        choices=["zlib", "zstd", "blosc", "blosc-lz4", "none"],
         default=None,
-        help="v2 chunk codec (blosc = the reference's zstd+BITSHUFFLE); "
+        help="v2 chunk codec (blosc / blosc-lz4 = the reference "
+        "pipeline's two choices, zstd or lz4 with BITSHUFFLE); "
         "v3 accepts zstd/none.  Default: zlib for v2, zstd for v3",
     )
     zr.add_argument("--clevel", type=int, default=1)
@@ -372,7 +373,7 @@ def cmd_export_zarr(args) -> int:
             compressor=compressor, clevel=args.clevel,
         )
     else:
-        if compressor in ("zlib", "blosc"):
+        if compressor in ("zlib", "blosc", "blosc-lz4"):
             print(
                 f"REFUSED: v3 codec must be zstd or none, got {compressor}",
                 file=sys.stderr,

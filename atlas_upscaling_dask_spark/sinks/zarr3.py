@@ -676,6 +676,56 @@ def scan_zarr3(
     return gdf.mapInArrow(kernel, schema=CHUNK_SCHEMA)
 
 
+def reshard_zarr3(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    shard: tuple[int, int, int] | None,
+    codec: str = "zstd",
+    clevel: int = 1,
+    name: str = "labels",
+) -> dict:
+    """Repack an existing Zarr v3 store into a new shard geometry (the
+    object-store migration op: unsharded → sharded for object-count
+    sanity, or shard-size retuning as access patterns change).  Every
+    level of ``src`` is scanned (zero-shuffle, inner-chunk-parallel)
+    and re-exported through the single shard-key exchange — chunk
+    payloads move exactly once, and all-fill regions stay absent in
+    ``dst`` (the scan synthesizes them, the writer re-omits them).
+    The inner chunk grid is preserved; ``shard=None`` writes one object
+    per chunk.  Returns the writer's per-level receipts."""
+    from functools import reduce
+
+    levels = []
+    while os.path.exists(os.path.join(src, str(len(levels)), "zarr.json")):
+        levels.append(len(levels))
+    if not levels:
+        raise ValueError(f"reshard_zarr3: no levels found under {src}")
+    shapes: dict[int, tuple[int, int, int]] = {}
+    frames = []
+    for lvl in levels:
+        m = _read_zarr3_meta(src, lvl)
+        if m.get("fill_value") not in (0, None):
+            # the writer's all-zero⇒absent omission is only fill-exact
+            # for zero-fill stores (same contract as update_zarr3)
+            raise ValueError(
+                f"reshard_zarr3: source fill_value {m.get('fill_value')!r}"
+                " != 0; only zero-fill stores repack losslessly"
+            )
+        shapes[lvl] = tuple(m["shape"])
+        frames.append(
+            scan_zarr3(spark, src, lvl).withColumn(
+                "level", F.lit(int(lvl)).cast("int")
+            )
+        )
+    stacked = reduce(DataFrame.unionByName, frames)
+    meta = VolumeMeta(*shapes[0])
+    return write_zarr3(
+        stacked, dst, meta,
+        codec=codec, clevel=clevel, shard=shard, name=name, shapes=shapes,
+    )
+
+
 def read_zarr3_level(path: str, level: int = 0) -> np.ndarray:
     """Driver-side dense assembly of one level (tooling/verification
     twin, like ``read_zarr_level`` for v2) — walks present objects."""

@@ -7243,6 +7243,34 @@ def _vox_zarr3_update_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _vox_zarr3_reshard_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The object-store migration op: repack an existing sharded store
+    # into a new shard geometry (here sharded → one-object-per-chunk).
+    # Chunk payloads move exactly once (zero-shuffle scan → the single
+    # shard-key export exchange); the scan of the REPACKED store must
+    # read back every voxel.
+    import tempfile
+
+    from .sinks.zarr3 import reshard_zarr3, scan_zarr3, write_zarr3
+    from .volume import chunks_to_voxels, synthetic_chunks
+
+    chunks = synthetic_chunks(spark, FIXTURE_META, chunk=(8, 8, 8))
+    d = tempfile.mkdtemp(prefix="zarr3_rs_")
+    src, dst = d + "/src.zarr", d + "/dst.zarr"
+    write_zarr3(chunks, src, FIXTURE_META, shard=(2, 2, 2))
+    reshard_zarr3(spark, src, dst, shard=None)
+    return chunks_to_voxels(scan_zarr3(spark, dst, 0)).select(
+        "z", "y", "x", "label"
+    )
+
+
+_register(
+    "vox_zarr3_reshard_roundtrip",
+    _vox_zarr3_reshard_roundtrip_q,
+    f"WITH {VOX_CTE}\nSELECT z, y, x, label FROM voxels",
+)
+
+
 _register(
     "vox_zarr3_update_roundtrip",
     _vox_zarr3_update_roundtrip_q,

@@ -139,6 +139,19 @@ def test_cli_export_zarr_v2_and_v3(spark, tmp_path, capsys):
     v2 = read_zarr_level(out2, 0)
     assert v2.shape == (8, 8, 8) and v2.any()
 
+    # the reference pipeline's OTHER codec choice: blosc lz4
+    outl = str(tmp_path / "store_lz4.zarr")
+    rc = main([
+        "export-zarr", "--input", "synthetic", "--output", outl,
+        "--shape", "8", "8", "8", "--compressor", "blosc-lz4", "--clevel", "5",
+    ])
+    assert rc == 0
+    np.testing.assert_array_equal(read_zarr_level(outl, 0), v2)
+    import json as _json
+    import os as _os
+    za = _json.load(open(_os.path.join(outl, "0", ".zarray")))
+    assert za["compressor"]["cname"] == "lz4"
+
     out3 = str(tmp_path / "store_v3.zarr")
     rc = main([
         "export-zarr", "--input", "synthetic", "--output", out3,
@@ -156,4 +169,8 @@ def test_cli_export_zarr_v2_and_v3(spark, tmp_path, capsys):
     assert main([
         "export-zarr", "--input", "synthetic", "--output", str(tmp_path / "y"),
         "--format", "v3", "--compressor", "blosc",
+    ]) == 2
+    assert main([
+        "export-zarr", "--input", "synthetic", "--output", str(tmp_path / "z"),
+        "--format", "v3", "--compressor", "blosc-lz4",
     ]) == 2

@@ -644,3 +644,49 @@ def test_zarr3_single_handle_survives_concurrent_shard_replace(spark, tmp_path):
         fh.close()
     # and a fresh open sees the committed v2
     assert (read_zarr3_level(out, 0)[:8, :8, :8] == 9).all()
+
+
+def test_zarr3_reshard_geometries_and_sparsity(spark, tmp_path):
+    from atlas_upscaling_dask_spark.sinks.zarr3 import reshard_zarr3
+
+    meta = VolumeMeta(32, 32, 32)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))  # 4x4x4 grid
+    src = str(tmp_path / "src.zarr")
+    write_zarr3(chunks, src, meta, shard=(2, 2, 2))  # 8 shard objects
+    dense = read_zarr3_level(src, 0)
+
+    # retune to bigger shards: 8 objects -> 1
+    big = str(tmp_path / "big.zarr")
+    rec = reshard_zarr3(spark, src, big, shard=(4, 4, 4))
+    assert rec[0]["n_objects"] == 1
+    np.testing.assert_array_equal(read_zarr3_level(big, 0), dense)
+    za = json.load(open(os.path.join(big, "0", "zarr.json")))
+    assert za["codecs"][0]["configuration"]["chunk_shape"] == [8, 8, 8]
+
+    # and back down to unsharded: one object per chunk
+    flat = str(tmp_path / "flat.zarr")
+    rec = reshard_zarr3(spark, big, flat, shard=None)
+    assert rec[0]["n_objects"] == rec[0]["n_chunks"] == 64
+    np.testing.assert_array_equal(read_zarr3_level(flat, 0), dense)
+
+    # sparse stays sparse: zero a chunk via update, repack, and the
+    # destination must OMIT it (scan synthesizes fill, writer re-drops)
+    from atlas_upscaling_dask_spark.sinks.zarr3 import update_zarr3
+    import pandas as pd
+
+    zero = np.zeros((8, 8, 8), dtype=PAYLOAD_DTYPE).tobytes()
+    update_zarr3(
+        spark.createDataFrame(pd.DataFrame({
+            "volume_id": ["v"], "cz": [0], "cy": [0], "cx": [0],
+            "z0": [0], "y0": [0], "x0": [0], "dz": [8], "dy": [8], "dx": [8],
+            "codec": ["raw"], "payload": [zero],
+        })),
+        src, 0,
+    )
+    sp = str(tmp_path / "sparse_flat.zarr")
+    rec = reshard_zarr3(spark, src, sp, shard=None)
+    assert rec[0]["n_skipped"] >= 1
+    assert not os.path.exists(os.path.join(sp, "0", "c", "0", "0", "0"))
+    got = read_zarr3_level(sp, 0)
+    assert not got[:8, :8, :8].any()
+    np.testing.assert_array_equal(got[8:], dense[8:])
