@@ -368,6 +368,12 @@ try:
         )
         assert blosc_decompress(chunk) == data
 
+    @given(data=st.binary(min_size=1, max_size=8000))
+    @settings(max_examples=200, deadline=None)
+    def test_lz4_block_roundtrip_property(data):
+        comp = _lz4_compress_block(data)
+        assert _lz4_decompress_block(comp, len(data)) == data
+
     @given(
         n_elems=st.integers(1, 64),
         tail=st.integers(0, 7),
