@@ -3438,6 +3438,34 @@ SELECT z, y, x, label FROM voxels
 )
 
 
+def _vox_tiff_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # K6 BOTH directions under the driver gate: the ordered streaming
+    # export (one range-sort exchange; the driver assembles one (Y,X)
+    # plane at a time, never the volume — the reference's slice-wise
+    # BigTIFF loop, anno_upsampling.py:112-118) writes the fixture cube
+    # as a BigTIFF, and the distributed strip scan reads it back.
+    import os
+    import tempfile
+
+    from .sinks.writer import export_tiff
+    from .sources.tiff import read_tiff_chunks
+    from .volume import chunks_to_voxels, synthetic_chunks
+
+    chunks = synthetic_chunks(spark, FIXTURE_META, chunk=(8, 8, 8))
+    d = tempfile.mkdtemp(prefix="tiff_export_rt_")
+    path = os.path.join(d, "cube.tif")
+    export_tiff(chunks_to_voxels(chunks), path, FIXTURE_META)
+    back, _info = read_tiff_chunks(spark, path, chunk=(8, 8, 8))
+    return chunks_to_voxels(back).select("z", "y", "x", "label")
+
+
+_register(
+    "vox_tiff_export_roundtrip",
+    _vox_tiff_export_roundtrip,
+    f"WITH {VOX_CTE}\nSELECT z, y, x, label FROM voxels",
+)
+
+
 def _vox_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Morton (Z-order) code over the fixture cube — the clustering key
     # behind multi-axis file skipping; pure shift/mask arithmetic the
