@@ -120,14 +120,18 @@ def read_mhd_chunks(spark, mhd_path: str, chunk: tuple[int, int, int] | None = N
     data_file = hdr.data_file
     from pyspark.sql import functions as F
 
-    grid = (
-        spark.range(ncz * ncy * ncx)
-        .select(
-            (F.col("id") / (ncy * ncx)).cast("int").alias("cz"),
-            ((F.col("id") / ncx) % ncy).cast("int").alias("cy"),
-            (F.col("id") % ncx).cast("int").alias("cx"),
-        )
-        .repartition(min(ncz * ncy * ncx, 256))
+    n_cells = ncz * ncy * ncx
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    # ONE wave of contiguous-cell tasks (two for very large grids):
+    # extra tasks each pay a fixed mapInArrow round-trip, and a hash
+    # repartition would both add the scan's only exchange and scatter
+    # cells away from z-contiguous runs — contiguity keeps each task's
+    # seeks sequential in the raw file (see the zarr scanners' sweep)
+    nparts = max(1, min(n_cells, par if n_cells <= 64 * par else 2 * par))
+    grid = spark.range(n_cells, numPartitions=nparts).select(
+        (F.col("id") / (ncy * ncx)).cast("int").alias("cz"),
+        ((F.col("id") / ncx) % ncy).cast("int").alias("cy"),
+        (F.col("id") % ncx).cast("int").alias("cx"),
     )
 
     def read(batches):

@@ -3384,6 +3384,44 @@ GROUP BY doc_id, n, sha256, i % 3
 
 
 _TIFF_FIXTURE_PATH: str | None = None
+_MHD_FIXTURE_PATH: str | None = None
+
+
+def _mhd_fixture() -> str:
+    """Write the FIXTURES.md §1 cube as an MHD header + raw volume ONCE
+    per process (same caching rationale as :func:`_tiff_fixture`) —
+    big-endian on disk so the scan's byte-order normalization (T8,
+    ``upscale_streaming.py:23-57``) is exercised under the driver gate
+    too, not just in pytest."""
+    global _MHD_FIXTURE_PATH
+    if _MHD_FIXTURE_PATH is None:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        import numpy as np
+
+        z, y, x = np.meshgrid(
+            np.arange(16), np.arange(16), np.arange(16), indexing="ij"
+        )
+        vol = (15564 + (z // 4) * 16 + (y // 4) * 4 + (x // 4)).astype(">u4")
+        d = tempfile.mkdtemp(prefix="mhd_fixture_")
+        atexit.register(shutil.rmtree, d, True)
+        with open(os.path.join(d, "cube.raw"), "wb") as fh:
+            fh.write(vol.tobytes())
+        with open(os.path.join(d, "cube.mhd"), "w") as fh:
+            fh.write(
+                "ObjectType = Image\n"
+                "NDims = 3\n"
+                "DimSize = 16 16 16\n"
+                "ElementSpacing = 25.0 25.0 25.0\n"
+                "ElementType = MET_UINT\n"
+                "ByteOrderMSB = True\n"
+                "ElementDataFile = cube.raw\n"
+            )
+        _MHD_FIXTURE_PATH = os.path.join(d, "cube.mhd")
+    return _MHD_FIXTURE_PATH
 
 
 def _tiff_fixture() -> str:
@@ -3431,6 +3469,28 @@ def _vox_tiff_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     "vox_tiff_scan",
     _vox_tiff_scan,
+    f"""
+WITH {VOX_CTE}
+SELECT z, y, x, label FROM voxels
+""",
+)
+
+
+def _vox_mhd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S1-S3 + T8 end-to-end under the driver gate: the reference's OWN
+    # input format (MHD header + raw volume, upscale_streaming.py:23-57)
+    # written BIG-endian, range-read distributed, byte-order normalized,
+    # landed in COO — vs the same SQL cube every vox_* query uses.
+    from .sources.mhd import read_mhd_chunks
+    from .volume import chunks_to_voxels
+
+    chunks, _hdr = read_mhd_chunks(spark, _mhd_fixture(), chunk=(8, 8, 8))
+    return chunks_to_voxels(chunks).select("z", "y", "x", "label")
+
+
+_register(
+    "vox_mhd_scan",
+    _vox_mhd_scan,
     f"""
 WITH {VOX_CTE}
 SELECT z, y, x, label FROM voxels
