@@ -323,14 +323,16 @@ def read_tiff_chunks(spark, path: str, chunk: tuple[int, int, int] | None = None
     pages = info.pages
     from pyspark.sql import functions as F
 
-    grid = (
-        spark.range(ncz * ncy * ncx)
-        .select(
-            (F.col("id") / (ncy * ncx)).cast("int").alias("cz"),
-            ((F.col("id") / ncx) % ncy).cast("int").alias("cy"),
-            (F.col("id") % ncx).cast("int").alias("cx"),
-        )
-        .repartition(min(ncz * ncy * ncx, 256))
+    n_cells = ncz * ncy * ncx
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    # ONE wave of contiguous-cell tasks (two for very large grids) —
+    # same rationale as read_mhd_chunks: no exchange, z-contiguous
+    # strip reads, no per-task round-trip overhead from tiny tasks
+    nparts = max(1, min(n_cells, par if n_cells <= 64 * par else 2 * par))
+    grid = spark.range(n_cells, numPartitions=nparts).select(
+        (F.col("id") / (ncy * ncx)).cast("int").alias("cz"),
+        ((F.col("id") / ncx) % ncy).cast("int").alias("cy"),
+        (F.col("id") % ncx).cast("int").alias("cx"),
     )
 
     def read(batches):

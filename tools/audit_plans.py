@@ -723,6 +723,18 @@ def audited_queries():
             _zarr3_update,
             {"max_shuffles": 1, "no_python_udf": True},
         ),
+        # MHD raw-volume scan: one wave of z-contiguous range-read
+        # tasks — r7 removed a grid hash-repartition that was this
+        # path's only exchange; any shuffle reappearing is a violation.
+        "mhd_scan": (
+            _mhd_scan,
+            {"no_shuffle": True, "no_python_udf": True},
+        ),
+        # TIFF strip/tile scan: same contract.
+        "tiff_scan": (
+            _tiff_scan,
+            {"no_shuffle": True, "no_python_udf": True},
+        ),
     }
 
 
@@ -822,6 +834,22 @@ def _zarr3_export(spark, sf_dir: str):
     grids = {0: (8, 8, 8, 16, 16, 16)}
     chunks = _chunk_table(spark).withColumn("level", F.lit(0).cast("int"))
     return export_zarr3_frame(chunks, out, grids, "zstd", 1, (2, 2, 2))
+
+
+def _mhd_scan(spark, sf_dir: str):
+    from atlas_upscaling_dask_spark.sources.mhd import read_mhd_chunks
+    from atlas_upscaling_dask_spark.suite import _mhd_fixture
+
+    chunks, _hdr = read_mhd_chunks(spark, _mhd_fixture(), chunk=(8, 8, 8))
+    return chunks
+
+
+def _tiff_scan(spark, sf_dir: str):
+    from atlas_upscaling_dask_spark.sources.tiff import read_tiff_chunks
+    from atlas_upscaling_dask_spark.suite import _tiff_fixture
+
+    chunks, _info = read_tiff_chunks(spark, _tiff_fixture(), chunk=(8, 8, 8))
+    return chunks
 
 
 def _zarr3_update(spark, sf_dir: str):
