@@ -531,6 +531,48 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — harness guard by design
         errors["jsonl_ingest"] = f"{type(e).__name__}: {e}"[:300]
 
+    # MHD raw-volume INPUT boundary at the reference's real shape —
+    # the file the reference's own pipeline starts from
+    # (upscale_streaming.py:23-57): 308 MB little-endian uint32 raw,
+    # scanned by the one-wave z-contiguous range-read path.
+    try:
+        import shutil as _sh4
+        import tempfile as _tf4
+
+        import numpy as _np4
+
+        from atlas_upscaling_dask_spark.sources.mhd import read_mhd_chunks
+
+        mdir = _tf4.mkdtemp(prefix="bench_mhd_")
+        try:
+            vol = (
+                _np4.arange(456 * 320 * 528, dtype="<u4") % 997
+            ).reshape(456, 320, 528)
+            with open(os.path.join(mdir, "vol.raw"), "wb") as fh:
+                fh.write(vol.tobytes())
+            del vol
+            with open(os.path.join(mdir, "vol.mhd"), "w") as fh:
+                fh.write(
+                    "ObjectType = Image\nNDims = 3\n"
+                    "DimSize = 528 320 456\n"
+                    "ElementSpacing = 25.0 25.0 25.0\n"
+                    "ElementType = MET_UINT\n"
+                    "ByteOrderMSB = False\n"
+                    "ElementDataFile = vol.raw\n"
+                )
+
+            def mhd_scan() -> None:
+                chunks, _hdr = read_mhd_chunks(
+                    spark, os.path.join(mdir, "vol.mhd"), chunk=(57, 80, 132)
+                )
+                force(chunks)
+
+            timed("mhd_scan", mhd_scan, runs=2)
+        finally:
+            _sh4.rmtree(mdir, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001 — harness guard by design
+        errors["mhd_scan"] = f"{type(e).__name__}: {e}"[:300]
+
     # OME-Zarr format boundary at the reference's real volume shape:
     # executor-parallel chunk-file export, then the distributed scan.
     try:
