@@ -634,6 +634,12 @@ def main() -> None:
             from atlas_upscaling_dask_spark.sinks.zarr3 import update_zarr3
 
             zmeta4 = VolumeMeta(912, 640, 1056)
+            # NOTE: the input volume is deliberately NOT cached — a
+            # block-manager cache of 2.46 GB of binary chunk rows made
+            # the export 6x SLOWER (42 s vs 6.5 s measured; cache
+            # serialization dominates large-binary rows).  The row
+            # includes ~1 s of synthetic generation per run, like
+            # zarr_export always has.
             zchunks4 = synthetic_chunks(spark, zmeta4, chunk=(57, 80, 132))
             zpath34 = os.path.join(zdir, "vol3_4x.zarr")
             timed(
