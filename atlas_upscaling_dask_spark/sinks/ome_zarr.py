@@ -53,7 +53,13 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..volume import CHUNK_SCHEMA, PAYLOAD_DTYPE, VolumeMeta, _chunk_batch
+from ..volume import (
+    CHUNK_SCHEMA,
+    PAYLOAD_DTYPE,
+    VolumeMeta,
+    _chunk_batch,
+    one_wave_partitions,
+)
 
 ZARR_DTYPE = "<u4"  # PAYLOAD_DTYPE, spelled per the Zarr v2 spec
 
@@ -528,14 +534,9 @@ def scan_ome_zarr(
     lvl_dir = os.path.join(path, str(level))
     nz, ny, nx = -(-zd // kz), -(-yd // ky), -(-xd // kx)
     n_cells = nz * ny * nx
-    par = max(spark.sparkContext.defaultParallelism, 1)
-    # ONE wave of tasks: each extra task pays a fixed ~6-25 ms
-    # mapInArrow round-trip (the r6 drift: 128 one-chunk tasks took
-    # this scan 0.66 → 1.21 s; a measured partition sweep shows the
-    # overhead is linear in task count), and uniform cells make extra
-    # waves pure overhead.  Very large grids get a second wave as
-    # straggler insurance — amortized there.
-    nparts = max(1, min(n_cells, par if n_cells <= 64 * par else 2 * par))
+    # one wave of tasks (see volume.one_wave_partitions — the r6 drift
+    # was 128 one-chunk tasks taking this scan 0.66 → 1.21 s)
+    nparts = one_wave_partitions(n_cells, spark)
     # SQL `div` = exact integer division (no double round-trip): ids up
     # to 2^63 cells stay exact, unlike floor(id / n)
     gdf = spark.range(n_cells, numPartitions=nparts).select(

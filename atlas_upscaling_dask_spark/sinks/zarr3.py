@@ -542,12 +542,6 @@ def _read_shard_index_fh(fh, n: int) -> np.ndarray:
     return np.frombuffer(raw, dtype=np.uint64).reshape(n, 2)
 
 
-def _read_shard_index(fpath: str, n: int) -> np.ndarray:
-    """Path convenience over :func:`_read_shard_index_fh` — only for
-    callers that do NOT read chunk payloads afterwards (tests, audits);
-    payload readers must reuse one handle for both."""
-    with open(fpath, "rb") as fh:
-        return _read_shard_index_fh(fh, n)
 
 
 def scan_zarr3(
@@ -587,14 +581,9 @@ def scan_zarr3(
         sz, sy, sx = gz // kz, gy // ky, gx // kx
     n_inner = sz * sy * sx
     total = nz * ny * nx * n_inner
-    par = max(spark.sparkContext.defaultParallelism, 1)
-    # ONE wave of tasks: every extra task costs a fixed ~6 ms mapInArrow
-    # round-trip (measured sweep: 32/64/96/128 partitions on a 1024-cell
-    # store → 0.88/1.12/1.27/1.49 s), and uniform cells make waves pure
-    # overhead.  Very large grids get a second wave as straggler
-    # insurance — its cost is amortized there.
-    nparts = max(1, min(total, par if total <= 64 * par else 2 * par))
-    gdf = spark.range(total, numPartitions=nparts)
+    from ..volume import one_wave_partitions
+
+    gdf = spark.range(total, numPartitions=one_wave_partitions(total, spark))
     flush_bytes = _SCAN_FLUSH_BYTES
 
     def emit(rows, payloads, cz, cy, cx, block):
@@ -701,6 +690,20 @@ def reshard_zarr3(
         levels.append(len(levels))
     if not levels:
         raise ValueError(f"reshard_zarr3: no levels found under {src}")
+    # carry the source's physical spacing through the repack: the dst
+    # group metadata is regenerated, and defaulting VolumeMeta's 25 µm
+    # would silently rescale a store whose multiscale transforms say
+    # otherwise (viewers would render the migrated volume wrong-sized)
+    spacing = (25.0, 25.0, 25.0)
+    try:
+        with open(os.path.join(src, "zarr.json")) as fh:
+            grp = json.load(fh)
+        ds0 = grp["attributes"]["ome"]["multiscales"][0]["datasets"][0]
+        for t in ds0.get("coordinateTransformations", []):
+            if t.get("type") == "scale" and len(t.get("scale", [])) == 3:
+                spacing = tuple(float(v) for v in t["scale"])
+    except (OSError, KeyError, IndexError, ValueError):
+        pass  # foreign store without OME group metadata: keep defaults
     shapes: dict[int, tuple[int, int, int]] = {}
     frames = []
     for lvl in levels:
@@ -719,7 +722,7 @@ def reshard_zarr3(
             )
         )
     stacked = reduce(DataFrame.unionByName, frames)
-    meta = VolumeMeta(*shapes[0])
+    meta = VolumeMeta(*shapes[0], *spacing)
     return write_zarr3(
         stacked, dst, meta,
         codec=codec, clevel=clevel, shard=shard, name=name, shapes=shapes,

@@ -490,14 +490,8 @@ def blosc_decompress(chunk: bytes) -> bytes:
     nblocks = -(-nbytes // blocksize)
     bstarts = struct.unpack_from(f"<{nblocks}i", chunk, 16)
     zstd_codec = _zstd() if codec == "zstd" else None  # once, not per block
-    out = np.empty(nbytes, dtype=np.uint8)
-    for i in range(nblocks):
-        bsize = min(blocksize, nbytes - i * blocksize)
-        # header-driven stream count, exactly modern blosc_d: one
-        # stream when bit 4 is set or for the final leftover block,
-        # else the block was split into `typesize` byte-plane streams
-        leftover = bsize != blocksize
-        nstreams = 1 if dont_split or leftover else typesize
+
+    def decode_block(i: int, bsize: int, nstreams: int) -> np.ndarray:
         neblock = bsize // nstreams
         pos = bstarts[i]
         decoded = np.empty(bsize, dtype=np.uint8)
@@ -513,25 +507,62 @@ def blosc_decompress(chunk: bytes) -> bytes:
                 )
             payload = chunk[pos + 4 : pos + 4 + csize]
             pos += 4 + csize
-            if csize == neblock:  # stored raw (post-filter)
-                raw = np.frombuffer(payload, dtype=np.uint8)
-            elif zstd_codec is not None:
-                raw = np.frombuffer(
-                    zstd_codec.decompress(payload, decompressed_size=neblock),
-                    dtype=np.uint8,
-                )
-            elif codec == "lz4":
-                raw = np.frombuffer(
-                    _lz4_decompress_block(payload, neblock), dtype=np.uint8
-                )
-            else:
-                raw = np.frombuffer(zlib.decompress(payload), dtype=np.uint8)
+            try:
+                if csize == neblock:  # stored raw (post-filter)
+                    raw = np.frombuffer(payload, dtype=np.uint8)
+                elif zstd_codec is not None:
+                    raw = np.frombuffer(
+                        zstd_codec.decompress(
+                            payload, decompressed_size=neblock
+                        ),
+                        dtype=np.uint8,
+                    )
+                elif codec == "lz4":
+                    raw = np.frombuffer(
+                        _lz4_decompress_block(payload, neblock), dtype=np.uint8
+                    )
+                else:
+                    raw = np.frombuffer(
+                        zlib.decompress(payload), dtype=np.uint8
+                    )
+            except ValueError:
+                raise
+            except Exception as e:  # pyarrow OSError etc. → named error
+                raise ValueError(
+                    f"blosc block {i} stream {s} failed to decode as "
+                    f"{codec}: {e}"
+                ) from e
             if raw.size != neblock:
                 raise ValueError(
                     f"blosc block {i} stream {s} decoded to {raw.size} "
                     f"bytes, expected {neblock}"
                 )
             decoded[s * neblock : (s + 1) * neblock] = raw
+        return decoded
+
+    # bit4-clear zstd/zlib is a layout NO c-blosc >= 1.14 writer emits
+    # (split_block() never splits those codecs and 1.14+ always records
+    # the decision): it is either pre-1.14 c-blosc output (split) or
+    # this module's pre-bit-4 output (unsplit).  Try the split reading
+    # first (modern-decoder semantics), fall back to single-stream on
+    # failure, and remember the resolution for the remaining blocks.
+    legacy_unsplit = False
+    out = np.empty(nbytes, dtype=np.uint8)
+    for i in range(nblocks):
+        bsize = min(blocksize, nbytes - i * blocksize)
+        # header-driven stream count, exactly modern blosc_d: one
+        # stream when bit 4 is set or for the final leftover block,
+        # else the block was split into `typesize` byte-plane streams
+        leftover = bsize != blocksize
+        nstreams = 1 if dont_split or leftover or legacy_unsplit else typesize
+        try:
+            decoded = decode_block(i, bsize, nstreams)
+        except ValueError:
+            if nstreams > 1 and codec in ("zstd", "zlib"):
+                decoded = decode_block(i, bsize, 1)
+                legacy_unsplit = True
+            else:
+                raise
         out[i * blocksize : i * blocksize + bsize] = _undo_filter(
             decoded, typesize, shuffle
         )

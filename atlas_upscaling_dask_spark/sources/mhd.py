@@ -22,7 +22,13 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..volume import CHUNK_SCHEMA, VolumeMeta, _chunk_batch, choose_chunks
+from ..volume import (
+    CHUNK_SCHEMA,
+    VolumeMeta,
+    _chunk_batch,
+    choose_chunks,
+    one_wave_partitions,
+)
 
 # MET_* → numpy dtype (the full lattice of upscale_streaming.py:12-21).
 MHD_DTYPES = {
@@ -121,13 +127,10 @@ def read_mhd_chunks(spark, mhd_path: str, chunk: tuple[int, int, int] | None = N
     from pyspark.sql import functions as F
 
     n_cells = ncz * ncy * ncx
-    par = max(spark.sparkContext.defaultParallelism, 1)
-    # ONE wave of contiguous-cell tasks (two for very large grids):
-    # extra tasks each pay a fixed mapInArrow round-trip, and a hash
-    # repartition would both add the scan's only exchange and scatter
-    # cells away from z-contiguous runs — contiguity keeps each task's
-    # seeks sequential in the raw file (see the zarr scanners' sweep)
-    nparts = max(1, min(n_cells, par if n_cells <= 64 * par else 2 * par))
+    # one wave of contiguous-cell tasks (volume.one_wave_partitions);
+    # a hash repartition here would both add the scan's only exchange
+    # and scatter cells away from z-contiguous sequential reads
+    nparts = one_wave_partitions(n_cells, spark)
     grid = spark.range(n_cells, numPartitions=nparts).select(
         (F.col("id") / (ncy * ncx)).cast("int").alias("cz"),
         ((F.col("id") / ncx) % ncy).cast("int").alias("cy"),

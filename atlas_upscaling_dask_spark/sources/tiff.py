@@ -28,7 +28,13 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..volume import CHUNK_SCHEMA, VolumeMeta, _chunk_batch, choose_chunks
+from ..volume import (
+    CHUNK_SCHEMA,
+    VolumeMeta,
+    _chunk_batch,
+    choose_chunks,
+    one_wave_partitions,
+)
 
 # TIFF field types → (struct fmt char, size).  Only the types baseline
 # writers actually emit for the tags we read.
@@ -324,11 +330,10 @@ def read_tiff_chunks(spark, path: str, chunk: tuple[int, int, int] | None = None
     from pyspark.sql import functions as F
 
     n_cells = ncz * ncy * ncx
-    par = max(spark.sparkContext.defaultParallelism, 1)
-    # ONE wave of contiguous-cell tasks (two for very large grids) —
+    # one wave of contiguous-cell tasks (volume.one_wave_partitions) —
     # same rationale as read_mhd_chunks: no exchange, z-contiguous
     # strip reads, no per-task round-trip overhead from tiny tasks
-    nparts = max(1, min(n_cells, par if n_cells <= 64 * par else 2 * par))
+    nparts = one_wave_partitions(n_cells, spark)
     grid = spark.range(n_cells, numPartitions=nparts).select(
         (F.col("id") / (ncy * ncx)).cast("int").alias("cz"),
         ((F.col("id") / ncx) % ncy).cast("int").alias("cy"),

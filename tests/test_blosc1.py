@@ -393,3 +393,22 @@ try:
         )
 except ImportError:  # hypothesis is baked in; guard for portability
     pass
+
+
+def test_pre_bit4_legacy_chunks_still_decode():
+    # Chunks written by this module BEFORE it recorded the don't-split
+    # decision in flags bit 4 (zstd/zlib, unsplit, bit 4 clear) — a
+    # layout no c-blosc >= 1.14 writer emits — must still decode via
+    # the single-stream fallback rather than failing with an opaque
+    # decompressor error against existing on-disk stores.
+    rng = np.random.default_rng(3)
+    for cname, shuffle, ts in (("zstd", 2, 4), ("zlib", 1, 8), ("zstd", 0, 1)):
+        data = np.repeat(rng.integers(0, 9, 5000, np.uint8), 7).tobytes()[
+            : 5000 * 7 - 11
+        ]
+        chunk = bytearray(
+            blosc_compress(data, ts, cname=cname, shuffle=shuffle, blocksize=4096)
+        )
+        assert chunk[2] & 0x10
+        chunk[2] &= ~0x10  # emulate the pre-bit-4 writer
+        assert blosc_decompress(bytes(chunk)) == data

@@ -690,3 +690,24 @@ def test_zarr3_reshard_geometries_and_sparsity(spark, tmp_path):
     got = read_zarr3_level(sp, 0)
     assert not got[:8, :8, :8].any()
     np.testing.assert_array_equal(got[8:], dense[8:])
+
+
+def test_zarr3_reshard_preserves_spacing(spark, tmp_path):
+    # the repack regenerates group metadata; the source's physical
+    # voxel spacing must survive (a 10 um store must not come out 25 um)
+    from atlas_upscaling_dask_spark.sinks.zarr3 import reshard_zarr3
+
+    meta = VolumeMeta(16, 16, 16, 10.0, 12.0, 14.0)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    src = str(tmp_path / "sp_src.zarr")
+    write_zarr3(chunks, src, meta, shard=(2, 2, 2))
+    dst = str(tmp_path / "sp_dst.zarr")
+    reshard_zarr3(spark, src, dst, shard=None)
+    grp = json.load(open(os.path.join(dst, "zarr.json")))
+    ds0 = grp["attributes"]["ome"]["multiscales"][0]["datasets"][0]
+    scale = [
+        t["scale"]
+        for t in ds0["coordinateTransformations"]
+        if t["type"] == "scale"
+    ][0]
+    assert scale == [10.0, 12.0, 14.0]
