@@ -6509,55 +6509,36 @@ SELECT z, y, x, label FROM ranked WHERE rk = 1
 #: green (rows+schema match, err null) — regenerated each round from
 #: the committed JSON files.
 _LAST_GREEN = {
-    # last driver-green in round 1 (2 rows)
-    "doc_fingerprint": 1, "multimodal_digest": 1,
-    # last driver-green in round 2 (24 rows)
-    "asof_events_orders": 2, "decimate_lineitem": 2, "dedup_exact": 2,
-    "dedup_minhash_lsh": 2, "dedup_ngram_jaccard": 2, "dedup_simhash": 2,
-    "duplicate_windows": 2, "embed_ann_lsh": 2, "embed_ivf_topk": 2,
-    "embed_near_dup": 2, "embed_topk": 2, "json_extract_events": 2,
-    "lang_id": 2, "mixture_resample": 2, "mixture_upsample": 2,
-    "quality_score": 2, "scalar_functions": 2, "semi_anti_customers": 2,
-    "sessionize": 2, "set_except_intersect": 2, "sliding_window_agg": 2,
-    "text_stats": 2, "time_bucket_agg": 2, "upscale_lineitem": 2,
-    # last driver-green in round 3 (49 rows)
-    "asof_forward": 3, "assemble_packs": 3, "bm25_topk": 3,
-    "bpe_pair_counts": 3, "changelog_apply": 3, "chunk_documents": 3,
-    "cohort_retention": 3, "contamination": 3, "correlation_stats": 3,
-    "doc_pipeline": 3, "duplicate_spans": 3, "ewma_events": 3,
-    "funnel_counts": 3, "fuzzy_lookup": 3, "graph_triangles": 3,
-    "hash_split": 3, "line_dedup": 3, "lm_score": 3, "ndv_sketch": 3,
-    "pack_sequences": 3, "prepare_rag_corpus": 3, "prepare_training_set": 3,
-    "region_rollup_chunkpath": 3, "resample_interpolate": 3,
-    "tpch_q2_min_cost": 3, "tpch_q3_shipping": 3, "tpch_q4_priority": 3,
-    "tpch_q5_local_supplier": 3, "tpch_q6_forecast": 3,
-    "tpch_q7_volume_shipping": 3, "tpch_q8_market_share": 3,
-    "tpch_q9_profit": 3, "train_shuffle": 3, "value_histogram": 3,
-    "vox_adjacency_chunkpath": 3, "vox_centroids": 3,
+    # last driver-green in round 3 (30 rows)
+    "assemble_packs": 3, "bm25_topk": 3, "changelog_apply": 3,
+    "cohort_retention": 3, "contamination": 3, "funnel_counts": 3,
+    "graph_triangles": 3, "hash_split": 3, "line_dedup": 3, "ndv_sketch": 3,
+    "pack_sequences": 3, "prepare_training_set": 3, "region_rollup_chunkpath":
+    3, "resample_interpolate": 3, "tpch_q6_forecast": 3,
+    "tpch_q7_volume_shipping": 3, "tpch_q8_market_share": 3, "tpch_q9_profit":
+    3, "train_shuffle": 3, "vox_adjacency_chunkpath": 3,
     "vox_components_chunkpath": 3, "vox_decimate_chunkpath": 3,
     "vox_enhance_chunkpath": 3, "vox_erode_chunkpath": 3,
     "vox_histogram_chunkpath": 3, "vox_mode_chunkpath": 3, "vox_morton": 3,
     "vox_outline_chunkpath": 3, "vox_point_lookup_chunkpath": 3,
-    "vox_upscale_chunkpath": 3, "weighted_sample": 3, "winsorize_quantity": 3,
-    "zscore_outliers": 3,
+    "weighted_sample": 3,
     # last driver-green in round 4 (49 rows)
     "audio_fingerprint_values": 4, "audio_near_dup": 4, "bigram_coherence": 4,
     "bm25_index_topk": 4, "cdc_apply": 4, "check_constraints_lineitem": 4,
     "dedup_canonical_quality": 4, "dedup_clusters": 4, "embed_covariance": 4,
     "embed_ivf_pq_topk": 4, "embed_knn_graph": 4, "embed_pq_topk": 4,
-    "funnel_within": 4, "graph_bfs": 4, "graph_pagerank": 4,
-    "hash_features": 4, "histogram_equidepth": 4, "hll_ndv": 4,
-    "image_dup_clusters": 4, "image_phash_neardup": 4, "image_phash_values": 4,
-    "incremental_agg": 4, "interval_islands": 4, "jsonl_roundtrip": 4,
-    "mad_outliers": 4, "map_functions": 4, "market_basket_lift": 4,
-    "model_quality_screen": 4, "multimodal_audio": 4, "negative_samples": 4,
-    "pareto_orders": 4, "profile_drift_lineitem": 4, "profile_lineitem": 4,
-    "quantile_sketch": 4, "rolling_median": 4, "scd2_asof_lookup": 4,
-    "scd2_user_segments": 4, "seasonal_anomalies": 4, "seasonal_decompose": 4,
-    "semantic_dedup": 4, "setsim_containment_join": 4, "setsim_prefix_join": 4,
-    "stratified_sample": 4, "table_diff": 4, "tfidf_topterms": 4,
-    "twap_events": 4, "video_frame_hashes": 4, "video_near_dup": 4,
-    "vox_components": 4,
+    "funnel_within": 4, "graph_bfs": 4, "graph_pagerank": 4, "hash_features":
+    4, "histogram_equidepth": 4, "hll_ndv": 4, "image_dup_clusters": 4,
+    "image_phash_neardup": 4, "image_phash_values": 4, "incremental_agg": 4,
+    "interval_islands": 4, "jsonl_roundtrip": 4, "mad_outliers": 4,
+    "map_functions": 4, "market_basket_lift": 4, "model_quality_screen": 4,
+    "multimodal_audio": 4, "negative_samples": 4, "pareto_orders": 4,
+    "profile_drift_lineitem": 4, "profile_lineitem": 4, "quantile_sketch": 4,
+    "rolling_median": 4, "scd2_asof_lookup": 4, "scd2_user_segments": 4,
+    "seasonal_anomalies": 4, "seasonal_decompose": 4, "semantic_dedup": 4,
+    "setsim_containment_join": 4, "setsim_prefix_join": 4, "stratified_sample":
+    4, "table_diff": 4, "tfidf_topterms": 4, "twap_events": 4,
+    "video_frame_hashes": 4, "video_near_dup": 4, "vox_components": 4,
     # last driver-green in round 5 (50 rows)
     "corpus_report": 5, "cumulative_users": 5, "embed_centroids": 5,
     "embed_pca_topk": 5, "embed_quantize": 5, "funnel_steps": 5,
@@ -6566,17 +6547,17 @@ _LAST_GREEN = {
     "redact_pii": 5, "region_volume_rollup": 5, "repetition_stats": 5,
     "resample_ffill": 5, "revenue_by_month": 5, "salted_join": 5,
     "scalar_subquery": 5, "sequence_gaps": 5, "string_functions": 5,
-    "tpch_q10_returns": 5, "tpch_q11_important_stock": 5,
-    "tpch_q12_shipmode": 5, "tpch_q13_custdist": 5, "tpch_q14_promo": 5,
-    "tpch_q15_top_supplier": 5, "tpch_q16_supplier_cnt": 5,
-    "tpch_q17_small_qty": 5, "tpch_q18_large_orders": 5,
-    "tpch_q19_disjunctive": 5, "tpch_q20_nested_in": 5, "tpch_q21_waiting": 5,
-    "tpch_q22_global_sales": 5, "vocab_topk": 5, "vox_adjacency": 5,
-    "vox_bbox": 5, "vox_dilate": 5, "vox_dilate_chunkpath": 5,
-    "vox_downsample_mode": 5, "vox_erode": 5, "vox_extents_chunkpath": 5,
-    "vox_histogram_preserved": 5, "vox_outline_wrap_chunkpath": 5,
-    "vox_point_after_upscale": 5, "vox_rechunk_fastpaths": 5, "vox_relabel": 5,
-    "vox_tiff_scan": 5, "vox_zarr_roundtrip": 5, "vox_zorder_code": 5,
+    "tpch_q10_returns": 5, "tpch_q11_important_stock": 5, "tpch_q12_shipmode":
+    5, "tpch_q13_custdist": 5, "tpch_q14_promo": 5, "tpch_q15_top_supplier": 5,
+    "tpch_q16_supplier_cnt": 5, "tpch_q17_small_qty": 5,
+    "tpch_q18_large_orders": 5, "tpch_q19_disjunctive": 5,
+    "tpch_q20_nested_in": 5, "tpch_q21_waiting": 5, "tpch_q22_global_sales": 5,
+    "vocab_topk": 5, "vox_adjacency": 5, "vox_bbox": 5, "vox_dilate": 5,
+    "vox_dilate_chunkpath": 5, "vox_downsample_mode": 5, "vox_erode": 5,
+    "vox_extents_chunkpath": 5, "vox_histogram_preserved": 5,
+    "vox_outline_wrap_chunkpath": 5, "vox_point_after_upscale": 5,
+    "vox_rechunk_fastpaths": 5, "vox_relabel": 5, "vox_tiff_scan": 5,
+    "vox_zarr_roundtrip": 5, "vox_zorder_code": 5,
     # last driver-green in round 6 (50 rows)
     "approx_agg": 6, "array_functions": 6, "attribution_weights": 6,
     "bloom_semi_join": 6, "cms_heavy_hitters": 6, "cube_counts": 6,
@@ -6595,6 +6576,24 @@ _LAST_GREEN = {
     "vox_verify_upscale": 6, "vox_zarr3_shard_roundtrip": 6,
     "vox_zarr_blosc_roundtrip": 6, "window_frames": 6, "window_rank_topk": 6,
     "window_running_sum": 6,
+    # last driver-green in round 7 (50 rows)
+    "asof_events_orders": 7, "asof_forward": 7, "bpe_pair_counts": 7,
+    "chunk_documents": 7, "correlation_stats": 7, "decimate_lineitem": 7,
+    "dedup_exact": 7, "dedup_minhash_lsh": 7, "dedup_ngram_jaccard": 7,
+    "dedup_simhash": 7, "doc_fingerprint": 7, "doc_pipeline": 7,
+    "duplicate_spans": 7, "duplicate_windows": 7, "embed_ann_lsh": 7,
+    "embed_ivf_topk": 7, "embed_near_dup": 7, "embed_topk": 7, "ewma_events":
+    7, "fuzzy_lookup": 7, "json_extract_events": 7, "lang_id": 7, "lm_score":
+    7, "mixture_resample": 7, "mixture_upsample": 7, "multimodal_digest": 7,
+    "prepare_rag_corpus": 7, "quality_score": 7, "scalar_functions": 7,
+    "semi_anti_customers": 7, "sessionize": 7, "set_except_intersect": 7,
+    "sliding_window_agg": 7, "text_stats": 7, "time_bucket_agg": 7,
+    "tpch_q2_min_cost": 7, "tpch_q3_shipping": 7, "tpch_q4_priority": 7,
+    "tpch_q5_local_supplier": 7, "upscale_lineitem": 7, "value_histogram": 7,
+    "vox_centroids": 7, "vox_mhd_scan": 7, "vox_tiff_export_roundtrip": 7,
+    "vox_upscale_chunkpath": 7, "vox_zarr3_reshard_roundtrip": 7,
+    "vox_zarr3_update_roundtrip": 7, "vox_zarr_lz4_roundtrip": 7,
+    "winsorize_quantity": 7, "zscore_outliers": 7,
 }
 
 
