@@ -568,10 +568,13 @@ def scan_ome_zarr(
                     fpath = os.path.join(lvl_dir, str(cz), str(cy), str(cx))
                 else:
                     fpath = os.path.join(lvl_dir, f"{cz}{sep}{cy}{sep}{cx}")
-                if os.path.exists(fpath):
+                try:
+                    # open directly, no exists() probe first — a chunk
+                    # unlinked between the two calls must synthesize
+                    # fill, not crash the scan
                     block = _decode_chunk_file(fpath, meta)[:bz, :by, :bx]
                     block = block.astype(PAYLOAD_DTYPE, copy=False)
-                else:
+                except FileNotFoundError:
                     block = np.full(
                         (bz, by, bx),
                         meta.get("fill_value") or 0,

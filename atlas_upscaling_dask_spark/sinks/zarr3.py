@@ -621,10 +621,17 @@ def scan_zarr3(
                         fpath = os.path.join(
                             lvl_dir, str(g0), str(g1), str(g2)
                         )
-                        if os.path.exists(fpath):
+                        try:
+                            # open directly — an exists() probe first
+                            # would race a concurrent unlink between
+                            # the two calls; a missing shard (never
+                            # written, or deleted mid-scan) uniformly
+                            # synthesizes fill
                             fh = open(fpath, "rb")
-                            if inner is not None:
-                                idx = _read_shard_index_fh(fh, n_inner)
+                        except FileNotFoundError:
+                            fh = None
+                        if fh is not None and inner is not None:
+                            idx = _read_shard_index_fh(fh, n_inner)
                     block = None
                     if inner is None:
                         if fh is not None:
@@ -695,15 +702,38 @@ def reshard_zarr3(
     # would silently rescale a store whose multiscale transforms say
     # otherwise (viewers would render the migrated volume wrong-sized)
     spacing = (25.0, 25.0, 25.0)
+    grp_path = os.path.join(src, "zarr.json")
     try:
-        with open(os.path.join(src, "zarr.json")) as fh:
+        with open(grp_path) as fh:
             grp = json.load(fh)
-        ds0 = grp["attributes"]["ome"]["multiscales"][0]["datasets"][0]
-        for t in ds0.get("coordinateTransformations", []):
-            if t.get("type") == "scale" and len(t.get("scale", [])) == 3:
-                spacing = tuple(float(v) for v in t["scale"])
-    except (OSError, KeyError, IndexError, ValueError):
-        pass  # foreign store without OME group metadata: keep defaults
+    except FileNotFoundError:
+        grp = None  # foreign store without group metadata: keep defaults
+    except (OSError, ValueError) as e:
+        # the file EXISTS but cannot be read/parsed — defaulting here
+        # would silently rescale the migrated store (the exact failure
+        # this docstring warns about), so refuse instead
+        raise ValueError(
+            f"reshard_zarr3: group metadata {grp_path} exists but is "
+            f"unreadable ({e}); refusing to default to 25 um spacing"
+        ) from e
+    ome = ((grp or {}).get("attributes") or {}).get("ome")
+    if ome is not None:
+        # OME metadata is PRESENT: it must parse — a malformed
+        # multiscales block must not silently fall back to defaults
+        try:
+            ds0 = ome["multiscales"][0]["datasets"][0]
+            scales = [
+                t["scale"]
+                for t in ds0.get("coordinateTransformations", [])
+                if t.get("type") == "scale" and len(t.get("scale", [])) == 3
+            ]
+            spacing = tuple(float(v) for v in scales[0])
+        except (KeyError, IndexError, TypeError, ValueError) as e:
+            raise ValueError(
+                f"reshard_zarr3: OME metadata present in {grp_path} but "
+                f"no 3-axis scale transform could be parsed ({e}); "
+                "refusing to default to 25 um spacing"
+            ) from e
     shapes: dict[int, tuple[int, int, int]] = {}
     frames = []
     for lvl in levels:
@@ -906,8 +936,15 @@ def _update_zarr3_plan(
         """Merge changed inner chunks into the existing shard object."""
         fpath = os.path.join(lvl_dir, *(str(k) for k in skey))
         existing: dict[tuple, bytes] = {}
-        if os.path.exists(fpath):
-            with open(fpath, "rb") as fh:
+        try:
+            # open directly (no exists() probe) so a shard unlinked
+            # concurrently reads as "no existing chunks" instead of
+            # crashing between the probe and the open
+            fh_or_none = open(fpath, "rb")
+        except FileNotFoundError:
+            fh_or_none = None
+        if fh_or_none is not None:
+            with fh_or_none as fh:
                 idx = _read_shard_index_fh(fh, n_inner)
                 for iz in range(sz):
                     for iy in range(sy):

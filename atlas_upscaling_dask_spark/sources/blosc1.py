@@ -480,13 +480,23 @@ def blosc_decompress(chunk: bytes) -> bytes:
         else BLOSC_NOSHUFFLE
     )
     dont_split = bool(flags & _FLAG_DONT_SPLIT)
+    legacy_unsplit = False
     if not dont_split and blocksize % typesize:
-        # a 1.14+ writer only clears bit 4 when it split the block into
-        # `typesize` equal streams, which requires divisibility
-        raise ValueError(
-            f"blosc chunk declares split blocks but blocksize {blocksize} "
-            f"is not a multiple of typesize {typesize}"
-        )
+        if codec in ("zstd", "zlib"):
+            # No split writer could have produced this chunk: splitting
+            # requires blocksize % typesize == 0.  A bit4-clear
+            # zstd/zlib chunk with an indivisible blocksize can only be
+            # pre-bit-4 single-stream output (this module's legacy
+            # layout, blocksize = min(default, nbytes)) — decode it
+            # directly rather than refusing.
+            legacy_unsplit = True
+        else:
+            # a 1.14+ writer only clears bit 4 when it split the block
+            # into `typesize` equal streams, which requires divisibility
+            raise ValueError(
+                f"blosc chunk declares split blocks but blocksize {blocksize} "
+                f"is not a multiple of typesize {typesize}"
+            )
     nblocks = -(-nbytes // blocksize)
     bstarts = struct.unpack_from(f"<{nblocks}i", chunk, 16)
     zstd_codec = _zstd() if codec == "zstd" else None  # once, not per block
@@ -546,7 +556,8 @@ def blosc_decompress(chunk: bytes) -> bytes:
     # this module's pre-bit-4 output (unsplit).  Try the split reading
     # first (modern-decoder semantics), fall back to single-stream on
     # failure, and remember the resolution for the remaining blocks.
-    legacy_unsplit = False
+    # (legacy_unsplit may already be forced above when the blocksize
+    # itself rules the split reading out.)
     out = np.empty(nbytes, dtype=np.uint8)
     for i in range(nblocks):
         bsize = min(blocksize, nbytes - i * blocksize)

@@ -338,12 +338,22 @@ def test_cblosc_split_layout_decodes(shuffle, typesize, blocksize):
 
 
 def test_split_flag_with_indivisible_blocksize_rejected():
-    chunk = bytearray(blosc_compress(b"ab" * 3000, 4, cname="zlib"))
+    # lz4 genuinely splits, so indivisible blocksize is a hard error...
+    chunk = bytearray(blosc_compress(b"ab" * 3000, 4, cname="lz4"))
     struct.pack_into("<i", chunk, 8, 1000)  # 1000 % 4 == 0 — keep valid
     chunk[2] &= ~0x10  # claim split...
     chunk[3] = 3  # ...with typesize 3, which cannot divide 1000
     with pytest.raises(ValueError, match="multiple of typesize"):
         blosc_decompress(bytes(chunk))
+    # ...but for zlib/zstd (never split by c-blosc) the same shape is
+    # routed to the single-stream legacy reading; the corrupted header
+    # still fails, just downstream with a block-level error
+    zchunk = bytearray(blosc_compress(b"ab" * 3000, 4, cname="zlib"))
+    struct.pack_into("<i", zchunk, 8, 1000)
+    zchunk[2] &= ~0x10
+    zchunk[3] = 3
+    with pytest.raises(ValueError):
+        blosc_decompress(bytes(zchunk))
 
 
 # --- hypothesis: arbitrary data/typesize/mode round-trips ---
@@ -412,3 +422,28 @@ def test_pre_bit4_legacy_chunks_still_decode():
         assert chunk[2] & 0x10
         chunk[2] &= ~0x10  # emulate the pre-bit-4 writer
         assert blosc_decompress(bytes(chunk)) == data
+
+
+def test_pre_bit4_legacy_chunk_with_indivisible_blocksize_decodes():
+    # The legacy layout's blocksize is min(default, nbytes), which need
+    # not be a multiple of typesize.  Since no split writer can produce
+    # such a chunk (splitting requires divisibility), a bit4-clear
+    # zstd/zlib chunk with an indivisible blocksize must go straight to
+    # the single-stream reading instead of being rejected up front.
+    rng = np.random.default_rng(11)
+    data = np.repeat(rng.integers(0, 9, 4000, np.uint8), 6).tobytes()
+    for cname, ts in (("zstd", 4), ("zlib", 8)):
+        chunk = bytearray(
+            blosc_compress(data, ts, cname=cname, shuffle=2, blocksize=4099)
+        )
+        assert chunk[2] & 0x10
+        chunk[2] &= ~0x10  # emulate the pre-bit-4 writer
+        assert blosc_decompress(bytes(chunk)) == data
+    # lz4 genuinely splits, so the same shape remains a hard error there
+    lz4_chunk = bytearray(blosc_compress(data, 4, cname="lz4", blocksize=8192))
+    assert not lz4_chunk[2] & 0x10  # lz4 at this shape really splits
+    struct_blocksize = int.from_bytes(lz4_chunk[8:12], "little")
+    assert struct_blocksize % 4 == 0
+    lz4_chunk[8:12] = (4099).to_bytes(4, "little")  # corrupt to indivisible
+    with pytest.raises(ValueError, match="not a multiple of typesize"):
+        blosc_decompress(bytes(lz4_chunk))

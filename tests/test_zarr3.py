@@ -711,3 +711,160 @@ def test_zarr3_reshard_preserves_spacing(spark, tmp_path):
         if t["type"] == "scale"
     ][0]
     assert scale == [10.0, 12.0, 14.0]
+
+
+def test_zarr3_reshard_refuses_malformed_ome_metadata(spark, tmp_path):
+    # Present-but-unparsable OME metadata must NOT silently fall back
+    # to the 25 um default (that would repack the store wrong-sized);
+    # only a store with no group metadata at all keeps defaults.
+    from atlas_upscaling_dask_spark.sinks.zarr3 import reshard_zarr3
+
+    meta = VolumeMeta(16, 16, 16, 10.0, 10.0, 10.0)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    src = str(tmp_path / "mal_src.zarr")
+    write_zarr3(chunks, src, meta, shard=None)
+    grp_path = os.path.join(src, "zarr.json")
+    good = open(grp_path).read()
+
+    # OME present but the scale transform is gone -> refuse
+    grp = json.loads(good)
+    ds0 = grp["attributes"]["ome"]["multiscales"][0]["datasets"][0]
+    ds0["coordinateTransformations"] = [
+        t for t in ds0["coordinateTransformations"] if t["type"] != "scale"
+    ]
+    open(grp_path, "w").write(json.dumps(grp))
+    with pytest.raises(ValueError, match="refusing to default"):
+        reshard_zarr3(spark, src, str(tmp_path / "d1.zarr"), shard=None)
+
+    # OME present but the whole multiscales block is malformed -> refuse
+    grp = json.loads(good)
+    grp["attributes"]["ome"]["multiscales"] = []
+    open(grp_path, "w").write(json.dumps(grp))
+    with pytest.raises(ValueError, match="refusing to default"):
+        reshard_zarr3(spark, src, str(tmp_path / "d2.zarr"), shard=None)
+
+    # group metadata exists but is not even JSON -> refuse
+    open(grp_path, "w").write("{not json")
+    with pytest.raises(ValueError, match="unreadable"):
+        reshard_zarr3(spark, src, str(tmp_path / "d3.zarr"), shard=None)
+
+    # no group metadata at all (foreign store): defaults are fine
+    os.remove(grp_path)
+    reshard_zarr3(spark, src, str(tmp_path / "d4.zarr"), shard=None)
+    dst_grp = json.load(open(os.path.join(tmp_path / "d4.zarr", "zarr.json")))
+    ds0 = dst_grp["attributes"]["ome"]["multiscales"][0]["datasets"][0]
+    scale = [
+        t["scale"] for t in ds0["coordinateTransformations"]
+        if t["type"] == "scale"
+    ][0]
+    assert scale == [25.0, 25.0, 25.0]
+
+    # restore + control: intact metadata repacks and keeps 10 um
+    open(grp_path, "w").write(good)
+    reshard_zarr3(spark, src, str(tmp_path / "d5.zarr"), shard=None)
+    dst_grp = json.load(open(os.path.join(tmp_path / "d5.zarr", "zarr.json")))
+    ds0 = dst_grp["attributes"]["ome"]["multiscales"][0]["datasets"][0]
+    scale = [
+        t["scale"] for t in ds0["coordinateTransformations"]
+        if t["type"] == "scale"
+    ][0]
+    assert scale == [10.0, 10.0, 10.0]
+
+
+def test_zarr3_scan_and_update_tolerate_unlinked_shard(spark, tmp_path):
+    # A shard unlinked after the store was written (concurrent pruner,
+    # partial delete) must read as fill in scan_zarr3 and as "no
+    # existing chunks" in update_zarr3's rewrite — never crash.
+    from atlas_upscaling_dask_spark.sinks.zarr3 import update_zarr3
+    import pandas as pd
+
+    meta = VolumeMeta(16, 16, 16)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    out = str(tmp_path / "unlink.zarr")
+    write_zarr3(chunks, out, meta, shard=(2, 2, 2))
+    dense = read_zarr3_level(out, 0)
+    assert dense.any()  # the store really had payload before the unlink
+    # shard (2,2,2) over the 2x2x2 chunk grid -> ONE shard object holds
+    # the whole volume; unlinking it must scan as all-fill, not crash
+    os.remove(os.path.join(out, "0", "c", "0", "0", "0"))
+
+    got = _dense(scan_zarr3(spark, out, 0), (16, 16, 16))
+    assert not got.any()
+
+    # updating one chunk of the unlinked shard recreates it with ONLY
+    # that chunk present (the rest of the shard stays absent/fill)
+    res = update_zarr3(
+        spark.createDataFrame(pd.DataFrame({
+            "volume_id": ["v"], "cz": [0], "cy": [0], "cx": [0],
+            "z0": [0], "y0": [0], "x0": [0], "dz": [8], "dy": [8], "dx": [8],
+            "codec": ["raw"],
+            "payload": [np.full((8, 8, 8), 7, dtype=PAYLOAD_DTYPE).tobytes()],
+        })),
+        out, 0,
+    )
+    assert res["n_shards"] == 1
+    after = read_zarr3_level(out, 0)
+    assert (after[:8, :8, :8] == 7).all()
+    # every other inner chunk of the recreated shard stays absent/fill
+    assert not after[8:].any() and not after[:8, 8:].any()
+    assert not after[:8, :8, 8:].any()
+
+
+def test_zarr3_threaded_reader_vs_updater_stress(spark, tmp_path):
+    # Platform-level torn-read stress: a driver-side reader loop races
+    # real update_zarr3 publishes for several rounds.  Every read of
+    # the updated chunk must be EITHER the initial pattern or one of
+    # the uniformly-published values — an os.replace that tore a
+    # (index, payload) pair or a crash in the reader fails the test.
+    import threading
+
+    from atlas_upscaling_dask_spark.sinks.zarr3 import update_zarr3
+    import pandas as pd
+
+    meta = VolumeMeta(16, 16, 16)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    out = str(tmp_path / "stress.zarr")
+    write_zarr3(chunks, out, meta, shard=(2, 2, 2))
+    initial = read_zarr3_level(out, 0)[:8, :8, :8].copy()
+
+    stop = threading.Event()
+    failures: list[str] = []
+    reads = [0]
+
+    def reader():
+        while not stop.is_set():
+            try:
+                blk = read_zarr3_level(out, 0)[:8, :8, :8]
+            except Exception as e:  # any crash is a failure
+                failures.append(f"reader crashed: {e!r}")
+                return
+            reads[0] += 1
+            vals = np.unique(blk)
+            if np.array_equal(blk, initial):
+                continue
+            if len(vals) == 1 and 1 <= int(vals[0]) <= 5:
+                continue
+            failures.append(f"torn read: values {vals[:8].tolist()}")
+            return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        for v in range(1, 6):
+            update_zarr3(
+                spark.createDataFrame(pd.DataFrame({
+                    "volume_id": ["v"], "cz": [0], "cy": [0], "cx": [0],
+                    "z0": [0], "y0": [0], "x0": [0],
+                    "dz": [8], "dy": [8], "dx": [8], "codec": ["raw"],
+                    "payload": [
+                        np.full((8, 8, 8), v, dtype=PAYLOAD_DTYPE).tobytes()
+                    ],
+                })),
+                out, 0,
+            )
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not failures, failures
+    assert reads[0] > 0  # the reader actually raced the writer
+    assert (read_zarr3_level(out, 0)[:8, :8, :8] == 5).all()
