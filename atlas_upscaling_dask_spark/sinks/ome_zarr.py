@@ -536,7 +536,7 @@ def scan_ome_zarr(
     n_cells = nz * ny * nx
     # one wave of tasks (see volume.one_wave_partitions — the r6 drift
     # was 128 one-chunk tasks taking this scan 0.66 → 1.21 s)
-    nparts = one_wave_partitions(n_cells, spark)
+    nparts = one_wave_partitions(n_cells, spark, cell_bytes=kz * ky * kx * 4)
     # SQL `div` = exact integer division (no double round-trip): ids up
     # to 2^63 cells stay exact, unlike floor(id / n)
     gdf = spark.range(n_cells, numPartitions=nparts).select(

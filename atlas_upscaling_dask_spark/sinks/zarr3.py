@@ -583,7 +583,12 @@ def scan_zarr3(
     total = nz * ny * nx * n_inner
     from ..volume import one_wave_partitions
 
-    gdf = spark.range(total, numPartitions=one_wave_partitions(total, spark))
+    gdf = spark.range(
+        total,
+        numPartitions=one_wave_partitions(
+            total, spark, cell_bytes=kz * ky * kx * 4
+        ),
+    )
     flush_bytes = _SCAN_FLUSH_BYTES
 
     def emit(rows, payloads, cz, cy, cx, block):

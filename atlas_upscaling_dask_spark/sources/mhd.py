@@ -130,7 +130,9 @@ def read_mhd_chunks(spark, mhd_path: str, chunk: tuple[int, int, int] | None = N
     # one wave of contiguous-cell tasks (volume.one_wave_partitions);
     # a hash repartition here would both add the scan's only exchange
     # and scatter cells away from z-contiguous sequential reads
-    nparts = one_wave_partitions(n_cells, spark)
+    nparts = one_wave_partitions(
+        n_cells, spark, cell_bytes=dz * dy * dx * 4  # decoded u4 payload
+    )
     grid = spark.range(n_cells, numPartitions=nparts).select(
         (F.col("id") / (ncy * ncx)).cast("int").alias("cz"),
         ((F.col("id") / ncx) % ncy).cast("int").alias("cy"),

@@ -333,7 +333,9 @@ def read_tiff_chunks(spark, path: str, chunk: tuple[int, int, int] | None = None
     # one wave of contiguous-cell tasks (volume.one_wave_partitions) —
     # same rationale as read_mhd_chunks: no exchange, z-contiguous
     # strip reads, no per-task round-trip overhead from tiny tasks
-    nparts = one_wave_partitions(n_cells, spark)
+    nparts = one_wave_partitions(
+        n_cells, spark, cell_bytes=dz * dy * dx * 4  # decoded u4 payload
+    )
     grid = spark.range(n_cells, numPartitions=nparts).select(
         (F.col("id") / (ncy * ncx)).cast("int").alias("cz"),
         ((F.col("id") / ncx) % ncy).cast("int").alias("cy"),

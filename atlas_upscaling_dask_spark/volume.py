@@ -247,18 +247,35 @@ def synthetic_chunks(
     return grid.mapInArrow(gen, schema=CHUNK_SCHEMA)
 
 
-def one_wave_partitions(n_cells: int, spark) -> int:
+#: Per-task logical-byte ceiling for grid scans: a straggler or task
+#: failure re-reads at most this much, regardless of grid size.
+MAX_TASK_BYTES = 4 << 30  # 4 GiB
+
+
+def one_wave_partitions(n_cells: int, spark, cell_bytes: int = 0) -> int:
     """Partition count for a grid-driven ``mapInArrow`` scan: ONE wave
     of contiguous-cell tasks.  Each extra task pays a fixed ~6 ms
     Python round-trip (r7 sweep: 32/64/96/128 partitions on the same
     1024-cell scan → 0.88/1.12/1.27/1.49 s — perfectly linear), and
     with uniform per-cell cost every wave past the first is pure
     overhead.  Very large grids (> 64 cells/core) get a second wave as
-    straggler insurance, where it costs proportionally nothing.  Shared
-    by the MHD / TIFF / Zarr v2 / Zarr v3 scanners so the policy tunes
-    in one place."""
+    straggler insurance, where it costs proportionally nothing.
+
+    ``cell_bytes`` (the logical decoded size of one grid cell) adds a
+    retry-granularity ceiling: tasks are split until no task owns more
+    than ``MAX_TASK_BYTES`` logical bytes, rounded up to whole waves so
+    no partial trailing wave straggles.  Without it a two-wave policy
+    on a million-cell grid hands one task thousands of chunks — memory
+    stays bounded (byte-bounded output batches) but a single failure
+    re-reads the whole range.  Shared by the MHD / TIFF / Zarr v2 /
+    Zarr v3 scanners so the policy tunes in one place."""
     par = max(spark.sparkContext.defaultParallelism, 1)
-    return max(1, min(n_cells, par if n_cells <= 64 * par else 2 * par))
+    n = min(n_cells, par if n_cells <= 64 * par else 2 * par)
+    if cell_bytes > 0:
+        min_tasks = -(-(n_cells * cell_bytes) // MAX_TASK_BYTES)
+        if min_tasks > n:
+            n = min(n_cells, -(-min_tasks // par) * par)  # whole waves
+    return max(1, n)
 
 
 def choose_chunks(

@@ -608,6 +608,22 @@ def main() -> None:
                 lambda: write_ome_zarr(zchunks, zpath2, zmeta, compressor="zstd"),
                 runs=2,
             )
+            # regression canary for the split-layout Blosc-lz4 WRITE
+            # path (reference `--compressor lz4`): the encoder is
+            # from-spec pure Python and deliberately off the hot path
+            # (zstd is the throughput codec), so this row's budget is
+            # its cost CLASS (single-digit seconds at the 308 MB shape on
+            # label payloads, ~0.2 s per 2.4 MB chunk per core; see
+            # SCALE.md), not raw speed — it exists so a correctness or
+            # blow-up regression in blosc_compress shows in the record
+            zpath_lz4 = os.path.join(zdir, "vol_lz4.zarr")
+            timed(
+                "zarr_export_lz4",
+                lambda: write_ome_zarr(
+                    zchunks, zpath_lz4, zmeta, compressor="blosc-lz4", clevel=5
+                ),
+                runs=1,
+            )
             # Zarr v3 + sharding_indexed (OME-NGFF 0.5): 4x4x4-chunk
             # shards cut the object count 64x; export pays its one
             # shard-grouping exchange, scan reads shard indexes

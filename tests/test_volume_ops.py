@@ -825,3 +825,36 @@ def test_cc_edges_star_equals_minlabel_on_random_graph(spark):
     }
     assert star == ml
     assert len(star) == n
+
+
+def test_one_wave_partitions_policy(spark):
+    # The shared scan-task sizing policy (all four format scanners):
+    # one wave of tasks for uniform-cost grids, a second wave above
+    # 64 cells/core, and a bytes-per-task ceiling (MAX_TASK_BYTES)
+    # that bounds retry granularity on huge grids, rounded to whole
+    # waves.  Pin the counts for small / medium / huge synthetic grids.
+    from atlas_upscaling_dask_spark.volume import (
+        MAX_TASK_BYTES,
+        one_wave_partitions,
+    )
+
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    mb8 = 8 << 20  # an 8 MiB decoded chunk
+
+    # small grid: fewer cells than cores -> one task per cell
+    assert one_wave_partitions(3, spark, cell_bytes=mb8) == 3
+    # medium grid: exactly one wave
+    assert one_wave_partitions(par * 10, spark, cell_bytes=mb8) == par
+    # large grid (> 64 cells/core): two waves for straggler insurance
+    assert one_wave_partitions(64 * par + 1, spark, cell_bytes=mb8) == 2 * par
+    # huge grid: the byte ceiling kicks in — no task may own more than
+    # MAX_TASK_BYTES logical bytes, and the count is wave-aligned
+    n_huge = 1_000_000
+    got = one_wave_partitions(n_huge, spark, cell_bytes=mb8)
+    assert got % par == 0  # whole waves, no straggling partial wave
+    assert -(-n_huge // got) * mb8 <= MAX_TASK_BYTES
+    assert got >= (n_huge * mb8) // MAX_TASK_BYTES  # not over-merged
+    # the ceiling never exceeds one task per cell
+    assert one_wave_partitions(10, spark, cell_bytes=MAX_TASK_BYTES * 2) == 10
+    # without byte info the policy is unchanged from the r7 sweep result
+    assert one_wave_partitions(n_huge, spark) == 2 * par
