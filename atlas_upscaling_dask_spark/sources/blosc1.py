@@ -113,6 +113,42 @@ def _zstd(level: int | None = None):
     return pa.Codec("zstd", compression_level=level)
 
 
+_LZ4_RAW: object = False  # False = unprobed, None = unavailable
+
+
+def _lz4_raw():
+    """pyarrow's C implementation of the LZ4 *block* format (pyarrow
+    names it ``lz4_raw``) — the same wire format as the pure-Python
+    block codec below, cross-decode-tested both directions.  Returns
+    None when unavailable so every caller falls back to pure Python."""
+    global _LZ4_RAW
+    if _LZ4_RAW is False:
+        try:
+            import pyarrow as pa
+
+            _LZ4_RAW = pa.Codec("lz4_raw")
+        except Exception:
+            _LZ4_RAW = None
+    return _LZ4_RAW
+
+
+def _lz4_encode(piece: bytes) -> bytes:
+    """One LZ4 block, C-speed when pyarrow carries lz4_raw (~100×),
+    spec-pure Python otherwise.  Both outputs are valid LZ4 block
+    streams; any block decoder reads either."""
+    codec = _lz4_raw()
+    if codec is not None:
+        return codec.compress(piece).to_pybytes()
+    return _lz4_compress_block(piece)
+
+
+def _lz4_decode(payload: bytes, dst_size: int) -> bytes:
+    codec = _lz4_raw()
+    if codec is not None:
+        return codec.decompress(payload, decompressed_size=dst_size).to_pybytes()
+    return _lz4_decompress_block(payload, dst_size)
+
+
 # ---------------------------------------------------------------------------
 # LZ4 block format (the PUBLIC lz4_Block_format.md spec) — what c-blosc
 # embeds per stream when cname="lz4".  Pure Python; the decoder walks
@@ -409,7 +445,7 @@ def blosc_compress(
             if zstd_codec is not None:
                 comp = zstd_codec.compress(piece).to_pybytes()
             elif cname == "lz4":
-                comp = _lz4_compress_block(piece)
+                comp = _lz4_encode(piece)
             else:
                 comp = zlib.compress(piece, clevel)
             if len(comp) >= neblock:  # stored-raw marker: csize == neblock
@@ -529,7 +565,7 @@ def blosc_decompress(chunk: bytes) -> bytes:
                     )
                 elif codec == "lz4":
                     raw = np.frombuffer(
-                        _lz4_decompress_block(payload, neblock), dtype=np.uint8
+                        _lz4_decode(payload, neblock), dtype=np.uint8
                     )
                 else:
                     raw = np.frombuffer(

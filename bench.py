@@ -609,13 +609,13 @@ def main() -> None:
                 runs=2,
             )
             # regression canary for the split-layout Blosc-lz4 WRITE
-            # path (reference `--compressor lz4`): the encoder is
-            # from-spec pure Python and deliberately off the hot path
-            # (zstd is the throughput codec), so this row's budget is
-            # its cost CLASS (single-digit seconds at the 308 MB shape on
-            # label payloads, ~0.2 s per 2.4 MB chunk per core; see
-            # SCALE.md), not raw speed — it exists so a correctness or
-            # blow-up regression in blosc_compress shows in the record
+            # path (reference `--compressor lz4`).  The block codec is
+            # pyarrow's C lz4_raw when present (from-spec pure Python
+            # otherwise — cross-decode-tested), so this row runs at
+            # ~zstd-row parity (~2.3 s isolated at the 308 MB shape;
+            # the pure-NumPy bitshuffle filter, shared with zstd, now
+            # dominates).  Budget: within ~2x of zarr_export_zstd; see
+            # SCALE.md
             zpath_lz4 = os.path.join(zdir, "vol_lz4.zarr")
             timed(
                 "zarr_export_lz4",

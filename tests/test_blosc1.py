@@ -25,6 +25,8 @@ from atlas_upscaling_dask_spark.sources.blosc1 import (
     _byte_unshuffle,
     _lz4_compress_block,
     _lz4_decompress_block,
+    _lz4_encode,
+    _lz4_raw,
     blosc_compress,
     blosc_decompress,
 )
@@ -292,7 +294,11 @@ def _cblosc_split_chunk(
         parts = []
         for s in range(nstreams):
             piece = filtered[s * neblock : (s + 1) * neblock]
-            comp = _lz4_compress_block(piece)
+            # the shared backend-selecting encoder, so the byte-identity
+            # assertion against blosc_compress checks the LAYOUT
+            # (header, bstarts, stream framing) whichever LZ4 backend
+            # is active
+            comp = _lz4_encode(piece)
             if len(comp) >= neblock:
                 comp = piece  # stored raw: csize == neblock
             parts.append(struct.pack("<i", len(comp)) + comp)
@@ -487,3 +493,36 @@ def test_real_cblosc_golden_store_decodes():
             np.frombuffer(raw, dtype="<u4").reshape(8, 8, 8),
             expect[:8, :8, :8],
         )
+
+
+def test_lz4_backends_cross_decode():
+    # The C (pyarrow lz4_raw) and pure-Python LZ4 block codecs must
+    # speak the same wire format BOTH directions — that's what makes
+    # the fast path a drop-in: a store written with one backend decodes
+    # with the other (and on machines without lz4_raw, everything
+    # falls back to pure Python transparently).
+    codec = _lz4_raw()
+    if codec is None:
+        pytest.skip("pyarrow lz4_raw not available in this build")
+    rng = np.random.default_rng(5)
+    cases = [
+        b"",
+        b"a" * 13,
+        b"abcd" * 1000,
+        np.repeat(rng.integers(0, 9, 3000, np.uint8), 5).tobytes()[:14999],
+        rng.integers(0, 256, 4096, np.uint8).tobytes(),  # incompressible
+    ]
+    for src in cases:
+        if not src:
+            continue
+        c_bytes = codec.compress(src).to_pybytes()
+        assert _lz4_decompress_block(c_bytes, len(src)) == src
+        py_bytes = _lz4_compress_block(src)
+        assert (
+            codec.decompress(py_bytes, decompressed_size=len(src)).to_pybytes()
+            == src
+        )
+    # and a whole chunk written with the active backend round-trips
+    data = np.repeat(rng.integers(0, 9, 4000, np.uint8), 6).tobytes()
+    chunk = blosc_compress(data, 4, cname="lz4", shuffle=2)
+    assert blosc_decompress(chunk) == data
