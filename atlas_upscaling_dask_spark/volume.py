@@ -272,7 +272,11 @@ def one_wave_partitions(n_cells: int, spark, cell_bytes: int = 0) -> int:
     par = max(spark.sparkContext.defaultParallelism, 1)
     n = min(n_cells, par if n_cells <= 64 * par else 2 * par)
     if cell_bytes > 0:
-        min_tasks = -(-(n_cells * cell_bytes) // MAX_TASK_BYTES)
+        # strict per-task bound: cap CELLS per task (not average bytes)
+        # so range-partition rounding can't push one task past the
+        # ceiling
+        cells_per_task = max(1, MAX_TASK_BYTES // cell_bytes)
+        min_tasks = -(-n_cells // cells_per_task)
         if min_tasks > n:
             n = min(n_cells, -(-min_tasks // par) * par)  # whole waves
     return max(1, n)

@@ -858,3 +858,18 @@ def test_one_wave_partitions_policy(spark):
     assert one_wave_partitions(10, spark, cell_bytes=MAX_TASK_BYTES * 2) == 10
     # without byte info the policy is unchanged from the r7 sweep result
     assert one_wave_partitions(n_huge, spark) == 2 * par
+    # the bound is strict PER TASK, not on the average: across
+    # adversarial (n_cells, cell_bytes) shapes, the worst task of a
+    # near-even range split (ceil(n/nparts) cells) stays under the
+    # ceiling whenever a single cell does
+    for n_cells, cell_bytes in [
+        (33 * 64 * par, (MAX_TASK_BYTES * 9) // 10),  # ceil-rounding trap
+        (64 * par + 1, MAX_TASK_BYTES // 3),
+        (7 * 64 * par, MAX_TASK_BYTES // 1000 + 1),
+        (1_000_003, 11 << 20),  # prime count, odd chunk size
+    ]:
+        nparts = one_wave_partitions(n_cells, spark, cell_bytes=cell_bytes)
+        assert 1 <= nparts <= n_cells
+        assert -(-n_cells // nparts) * cell_bytes <= max(
+            MAX_TASK_BYTES, cell_bytes
+        )
