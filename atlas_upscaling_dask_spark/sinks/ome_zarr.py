@@ -522,9 +522,10 @@ def scan_ome_zarr(
     else.  The chunk grid is never materialized anywhere: it is a
     ``spark.range`` over the cell COUNT with ``(cz,cy,cx)`` derived
     arithmetically per row (narrow, zero shuffle), and file presence
-    is a per-cell ``os.path.exists`` inside the kernel — a 12M-chunk
-    100 TB store costs the driver one JSON read, not 12M tuples
-    (VERDICT r5 #2).  Absent chunks materialize as ``fill_value``
+    is resolved per cell inside the kernel by opening the chunk
+    directly (``FileNotFoundError`` → fill; no exists-probe race) — a
+    12M-chunk 100 TB store costs the driver one JSON read, not 12M
+    tuples (VERDICT r5 #2).  Absent chunks materialize as ``fill_value``
     blocks (that is what a missing chunk MEANS in Zarr), so the scan
     is exact on sparse stores.  Both v2 dimension separators are
     handled (flat ``cz.cy.cx`` files and nested ``cz/cy/cx`` dirs)."""

@@ -328,8 +328,17 @@ def main() -> None:
         "seasonal_decompose",
         "embed_covariance",
     ]
+    # asof's isolated profile is a ~4-run JIT warm-up
+    # ([0.97, 0.74, 0.68, 0.59, ...] on an idle host), so a 3-run min
+    # mid-suite systematically over-reports it by ~30% — give it the
+    # extra samples the floor needs
+    slow_warmup_runs = {"asof_events_orders": 6}
     for name in headliners:
-        timed(name, lambda n=name: force(suite.QUERIES[n](spark, SF_DIR)))
+        timed(
+            name,
+            lambda n=name: force(suite.QUERIES[n](spark, SF_DIR)),
+            runs=slow_warmup_runs.get(name, 3),
+        )
 
     # Interactive point lookup (BASELINE target: ≤2 s warm at sf0.01):
     # Q1+Q4 against an on-disk chunk-partitioned volume — partition
