@@ -868,3 +868,49 @@ def test_zarr3_threaded_reader_vs_updater_stress(spark, tmp_path):
     assert not failures, failures
     assert reads[0] > 0  # the reader actually raced the writer
     assert (read_zarr3_level(out, 0)[:8, :8, :8] == 5).all()
+
+
+def test_zarr3_scan_huge_chunks_hit_byte_ceiling(spark, tmp_path):
+    # Integration pin for volume.MAX_TASK_BYTES: a metadata-only store
+    # whose grid is small enough for the wave policy (<= 2 waves) but
+    # whose DECODED chunk payload is huge must plan MORE partitions so
+    # no task owns > MAX_TASK_BYTES of logical payload — retry
+    # granularity stays bounded on giant stores.
+    from atlas_upscaling_dask_spark.volume import MAX_TASK_BYTES
+
+    out = str(tmp_path / "hugechunk.zarr")
+    os.makedirs(os.path.join(out, "0"))
+    # 10x10x10 grid of 512^3 u4 chunks = 1000 cells x 512 MiB decoded
+    # (512 GiB logical; fully sparse, so nothing is actually read)
+    with open(os.path.join(out, "0", "zarr.json"), "w") as fh:
+        json.dump(
+            {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": [5120, 5120, 5120],
+                "data_type": "uint32",
+                "chunk_grid": {
+                    "name": "regular",
+                    "configuration": {"chunk_shape": [512, 512, 512]},
+                },
+                "chunk_key_encoding": {
+                    "name": "default",
+                    "configuration": {"separator": "/"},
+                },
+                "fill_value": 0,
+                "codecs": [
+                    {"name": "bytes", "configuration": {"endian": "little"}}
+                ],
+            },
+            fh,
+        )
+    df = scan_zarr3(spark, out, 0)
+    nparts = df.rdd.getNumPartitions()
+    n_cells, cell_bytes = 10 * 10 * 10, 512**3 * 4
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    # wave policy alone would plan `par` tasks (1000 cells < 64*par);
+    # the ceiling must force enough tasks that the worst one stays
+    # under MAX_TASK_BYTES, wave-aligned
+    assert nparts > par or par >= n_cells
+    assert -(-n_cells // nparts) * cell_bytes <= MAX_TASK_BYTES
+    assert nparts % par == 0 or nparts == n_cells
