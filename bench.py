@@ -77,8 +77,14 @@ def main() -> None:
         # failure and keep going — the JSON line always prints.
         t_runs: list[float] = []
         try:
-            jvm_gc()  # inside the guard: a wedged JVM must not abort the run
             for _ in range(runs):
+                # per-sample collection (inside the guard: a wedged JVM
+                # must not abort the run), untimed — the bulk rows'
+                # proven pattern.  GC-before-first-sample-only left the
+                # later samples of heavy rows carrying the earlier
+                # samples' heap debt (the 4x export spread swung
+                # [6.5, 14.0, 10.1] on an idle host).
+                jvm_gc()
                 t0 = time.perf_counter()
                 fn()
                 t_runs.append(time.perf_counter() - t0)
