@@ -873,3 +873,35 @@ def test_one_wave_partitions_policy(spark):
         assert -(-n_cells // nparts) * cell_bytes <= max(
             MAX_TASK_BYTES, cell_bytes
         )
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        n_cells=st.integers(min_value=1, max_value=5_000_000),
+        cell_mib=st.integers(min_value=0, max_value=2048),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_one_wave_partitions_invariants(spark, n_cells, cell_mib):
+        # Pure-function invariants across the whole input space:
+        # 1 <= nparts <= n_cells; the worst task of a near-even range
+        # split never exceeds MAX_TASK_BYTES when a single cell fits;
+        # partitions are wave-aligned whenever they aren't one-per-cell.
+        from atlas_upscaling_dask_spark.volume import (
+            MAX_TASK_BYTES,
+            one_wave_partitions,
+        )
+
+        cell_bytes = cell_mib << 20
+        par = max(spark.sparkContext.defaultParallelism, 1)
+        n = one_wave_partitions(n_cells, spark, cell_bytes=cell_bytes)
+        assert 1 <= n <= n_cells
+        if cell_bytes:
+            worst = -(-n_cells // n) * cell_bytes
+            assert worst <= max(MAX_TASK_BYTES, cell_bytes)
+        # wave alignment (or the one-per-cell / sub-parallel floor)
+        assert n % par == 0 or n == n_cells or n < par
+except ImportError:  # hypothesis is baked in; guard for portability
+    pass
