@@ -6509,36 +6509,17 @@ SELECT z, y, x, label FROM ranked WHERE rk = 1
 #: green (rows+schema match, err null) — regenerated each round from
 #: the committed JSON files.
 _LAST_GREEN = {
-    # last driver-green in round 3 (30 rows)
-    "assemble_packs": 3, "bm25_topk": 3, "changelog_apply": 3,
-    "cohort_retention": 3, "contamination": 3, "funnel_counts": 3,
-    "graph_triangles": 3, "hash_split": 3, "line_dedup": 3, "ndv_sketch": 3,
-    "pack_sequences": 3, "prepare_training_set": 3, "region_rollup_chunkpath":
-    3, "resample_interpolate": 3, "tpch_q6_forecast": 3,
-    "tpch_q7_volume_shipping": 3, "tpch_q8_market_share": 3, "tpch_q9_profit":
-    3, "train_shuffle": 3, "vox_adjacency_chunkpath": 3,
-    "vox_components_chunkpath": 3, "vox_decimate_chunkpath": 3,
-    "vox_enhance_chunkpath": 3, "vox_erode_chunkpath": 3,
-    "vox_histogram_chunkpath": 3, "vox_mode_chunkpath": 3, "vox_morton": 3,
-    "vox_outline_chunkpath": 3, "vox_point_lookup_chunkpath": 3,
-    "weighted_sample": 3,
-    # last driver-green in round 4 (49 rows)
-    "audio_fingerprint_values": 4, "audio_near_dup": 4, "bigram_coherence": 4,
-    "bm25_index_topk": 4, "cdc_apply": 4, "check_constraints_lineitem": 4,
+    # last driver-green in round 4 (29 rows)
+    "bigram_coherence": 4, "bm25_index_topk": 4, "cdc_apply": 4,
     "dedup_canonical_quality": 4, "dedup_clusters": 4, "embed_covariance": 4,
-    "embed_ivf_pq_topk": 4, "embed_knn_graph": 4, "embed_pq_topk": 4,
-    "funnel_within": 4, "graph_bfs": 4, "graph_pagerank": 4, "hash_features":
-    4, "histogram_equidepth": 4, "hll_ndv": 4, "image_dup_clusters": 4,
-    "image_phash_neardup": 4, "image_phash_values": 4, "incremental_agg": 4,
-    "interval_islands": 4, "jsonl_roundtrip": 4, "mad_outliers": 4,
-    "map_functions": 4, "market_basket_lift": 4, "model_quality_screen": 4,
-    "multimodal_audio": 4, "negative_samples": 4, "pareto_orders": 4,
-    "profile_drift_lineitem": 4, "profile_lineitem": 4, "quantile_sketch": 4,
-    "rolling_median": 4, "scd2_asof_lookup": 4, "scd2_user_segments": 4,
-    "seasonal_anomalies": 4, "seasonal_decompose": 4, "semantic_dedup": 4,
-    "setsim_containment_join": 4, "setsim_prefix_join": 4, "stratified_sample":
+    "embed_knn_graph": 4, "funnel_within": 4, "graph_bfs": 4, "graph_pagerank":
+    4, "histogram_equidepth": 4, "hll_ndv": 4, "incremental_agg": 4,
+    "interval_islands": 4, "jsonl_roundtrip": 4, "market_basket_lift": 4,
+    "negative_samples": 4, "pareto_orders": 4, "quantile_sketch": 4,
+    "scd2_asof_lookup": 4, "scd2_user_segments": 4, "seasonal_anomalies": 4,
+    "seasonal_decompose": 4, "setsim_containment_join": 4, "stratified_sample":
     4, "table_diff": 4, "tfidf_topterms": 4, "twap_events": 4,
-    "video_frame_hashes": 4, "video_near_dup": 4, "vox_components": 4,
+    "vox_components": 4,
     # last driver-green in round 5 (50 rows)
     "corpus_report": 5, "cumulative_users": 5, "embed_centroids": 5,
     "embed_pca_topk": 5, "embed_quantize": 5, "funnel_steps": 5,
@@ -6594,6 +6575,26 @@ _LAST_GREEN = {
     "vox_upscale_chunkpath": 7, "vox_zarr3_reshard_roundtrip": 7,
     "vox_zarr3_update_roundtrip": 7, "vox_zarr_lz4_roundtrip": 7,
     "winsorize_quantity": 7, "zscore_outliers": 7,
+    # last driver-green in round 8 (50 rows)
+    "assemble_packs": 8, "audio_fingerprint_values": 8, "audio_near_dup": 8,
+    "bm25_topk": 8, "changelog_apply": 8, "check_constraints_lineitem": 8,
+    "cohort_retention": 8, "contamination": 8, "embed_ivf_pq_topk": 8,
+    "embed_pq_topk": 8, "funnel_counts": 8, "graph_triangles": 8,
+    "hash_features": 8, "hash_split": 8, "image_dup_clusters": 8,
+    "image_phash_neardup": 8, "image_phash_values": 8, "line_dedup": 8,
+    "mad_outliers": 8, "map_functions": 8, "model_quality_screen": 8,
+    "multimodal_audio": 8, "ndv_sketch": 8, "pack_sequences": 8,
+    "prepare_training_set": 8, "profile_drift_lineitem": 8, "profile_lineitem":
+    8, "region_rollup_chunkpath": 8, "resample_interpolate": 8,
+    "rolling_median": 8, "semantic_dedup": 8, "setsim_prefix_join": 8,
+    "tpch_q6_forecast": 8, "tpch_q7_volume_shipping": 8,
+    "tpch_q8_market_share": 8, "tpch_q9_profit": 8, "train_shuffle": 8,
+    "video_frame_hashes": 8, "video_near_dup": 8, "vox_adjacency_chunkpath": 8,
+    "vox_components_chunkpath": 8, "vox_decimate_chunkpath": 8,
+    "vox_enhance_chunkpath": 8, "vox_erode_chunkpath": 8,
+    "vox_histogram_chunkpath": 8, "vox_mode_chunkpath": 8, "vox_morton": 8,
+    "vox_outline_chunkpath": 8, "vox_point_lookup_chunkpath": 8,
+    "weighted_sample": 8,
 }
 
 

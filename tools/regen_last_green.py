@@ -20,6 +20,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 import textwrap
 
@@ -29,8 +30,11 @@ SUITE = os.path.join(REPO, "atlas_upscaling_dask_spark", "suite.py")
 
 def last_green() -> dict[str, int]:
     last: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
-        rnd = int(os.path.basename(f).split("r0")[1].split(".")[0])
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r0*(\d+)\.json$", os.path.basename(f))
+        if m is None:
+            continue
+        rnd = int(m.group(1))
         for name, row in json.load(open(f)).items():
             if (
                 row.get("rows_match")
