@@ -575,7 +575,11 @@ def scan_ome_zarr(
                     # fill, not crash the scan
                     block = _decode_chunk_file(fpath, meta)[:bz, :by, :bx]
                     block = block.astype(PAYLOAD_DTYPE, copy=False)
-                except FileNotFoundError:
+                except (FileNotFoundError, NotADirectoryError):
+                    # NotADirectoryError = a grid path component is a
+                    # regular file; zarr's DirectoryStore treats any
+                    # key that doesn't resolve to a chunk file as
+                    # absent (KeyError -> fill), so we match that
                     block = np.full(
                         (bz, by, bx),
                         meta.get("fill_value") or 0,

@@ -633,7 +633,10 @@ def scan_zarr3(
                             # written, or deleted mid-scan) uniformly
                             # synthesizes fill
                             fh = open(fpath, "rb")
-                        except FileNotFoundError:
+                        except (FileNotFoundError, NotADirectoryError):
+                            # a grid path component that is a regular
+                            # file resolves to "key absent" in zarr
+                            # store semantics -> synthesize fill
                             fh = None
                         if fh is not None and inner is not None:
                             idx = _read_shard_index_fh(fh, n_inner)
@@ -739,6 +742,14 @@ def reshard_zarr3(
                 f"no 3-axis scale transform could be parsed ({e}); "
                 "refusing to default to 25 um spacing"
             ) from e
+        if len(scales) > 1:
+            # NGFF 0.5 allows exactly one scale transform per dataset;
+            # picking one of several silently decides which physical
+            # spacing wins — refuse instead
+            raise ValueError(
+                f"reshard_zarr3: {len(scales)} scale transforms in "
+                f"{grp_path}; NGFF allows exactly one"
+            )
     shapes: dict[int, tuple[int, int, int]] = {}
     frames = []
     for lvl in levels:
@@ -946,7 +957,9 @@ def _update_zarr3_plan(
             # concurrently reads as "no existing chunks" instead of
             # crashing between the probe and the open
             fh_or_none = open(fpath, "rb")
-        except FileNotFoundError:
+        except (FileNotFoundError, NotADirectoryError):
+            # zarr store semantics: a key whose path component is a
+            # regular file is simply absent -> no existing chunks
             fh_or_none = None
         if fh_or_none is not None:
             with fh_or_none as fh:

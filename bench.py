@@ -68,6 +68,11 @@ def main() -> None:
     def timed(name: str, fn, runs: int = 3) -> None:
         # best-of-N: the host shows multi-point load-average swings from
         # external neighbors; min-of-runs reports the operator, not them.
+        # ≥3 samples per row is a protocol floor (r8 verdict #5: the one
+        # single-sample row, zarr_export_lz4, became the round's only
+        # claim/record discrepancy because its lone sample carried the
+        # heavy-export warm-up debt the min would have discarded).
+        runs = max(runs, 3)
         # EVERY row records its per-run list in spread (VERDICT r5 #3:
         # a phantom 2.7× bulk_outline regression needed a judge
         # re-measurement because best-of alone can't prove noise) and
@@ -235,7 +240,7 @@ def main() -> None:
             # derives from the cached base, never a recompute — but the
             # cache population itself is inside the timing).
             t_runs = []
-            for _ in range(2):
+            for _ in range(3):
                 jvm_gc()
                 t0 = time.perf_counter()
                 base = outline_chunks(
@@ -271,7 +276,7 @@ def main() -> None:
         try:
             force(upscale_chunks(chunks4x, 2, codec="lz4"))  # untimed warm
             t_runs = []
-            for _ in range(2):
+            for _ in range(3):
                 jvm_gc()
                 t0 = time.perf_counter()
                 force(upscale_chunks(chunks4x, 2, codec="lz4"))
@@ -479,17 +484,15 @@ def main() -> None:
         from atlas_upscaling_dask_spark.tables import load_table as _lt
 
         docs_bpe = _lt(spark, SF_DIR, "documents")
-        jvm_gc()
-        t0 = time.perf_counter()
-        bpe_train(docs_bpe, n_merges=10)
-        timings["bpe_train10"] = round(time.perf_counter() - t0, 3)
-        spread["bpe_train10"] = [timings["bpe_train10"]]  # single-run row
-        jvm_gc()
-        t0 = time.perf_counter()
-        m256, _ = bpe_train_batched(docs_bpe, n_merges=256, max_batch=64)
-        timings["bpe_train256_batched"] = round(time.perf_counter() - t0, 3)
-        spread["bpe_train256_batched"] = [timings["bpe_train256_batched"]]
-        payload_bpe_merges = len(m256)
+        timed("bpe_train10", lambda: bpe_train(docs_bpe, n_merges=10))
+        bpe_res: dict[str, object] = {}
+
+        def _bpe256() -> None:
+            m256, _ = bpe_train_batched(docs_bpe, n_merges=256, max_batch=64)
+            bpe_res["m"] = m256
+
+        timed("bpe_train256_batched", _bpe256)
+        payload_bpe_merges = len(bpe_res["m"]) if "m" in bpe_res else None
     except Exception as e:  # noqa: BLE001 — harness guard by design
         errors["bpe_train"] = f"{type(e).__name__}: {e}"[:300]
         payload_bpe_merges = None
@@ -637,7 +640,6 @@ def main() -> None:
                 lambda: write_ome_zarr(
                     zchunks, zpath_lz4, zmeta, compressor="blosc-lz4", clevel=5
                 ),
-                runs=1,
             )
             # Zarr v3 + sharding_indexed (OME-NGFF 0.5): 4x4x4-chunk
             # shards cut the object count 64x; export pays its one
@@ -736,6 +738,38 @@ def main() -> None:
         payload["bpe256_merges"] = payload_bpe_merges
     if errors:
         payload["errors"] = errors
+    # Per-row historical floor (r8 verdict #7): the min of every
+    # committed bench record at the SAME sf — driver rounds
+    # (BENCH_r*.json, payload under "parsed") plus the builder sidecar.
+    # This is the adjudication key for host noise: a row above its
+    # best_known on identical code is noise until the floor itself
+    # moves; SCALE.md's four identical-code full-suite runs on
+    # 2026-08-15 spanned 99.6-115.7 s total (the noise_window field).
+    import glob as _glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_known: dict[str, float] = {}
+    for hist in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))) + [
+        os.path.join(here, "BENCH_FULL.json")
+    ]:
+        try:
+            with open(hist) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        rec = rec.get("parsed") or rec if isinstance(rec, dict) else {}
+        if not isinstance(rec, dict) or rec.get("sf") != sf:
+            continue
+        for k, v in (rec.get("queries") or {}).items():
+            if isinstance(v, (int, float)):
+                best_known[k] = min(best_known.get(k, v), float(v))
+    payload["best_known"] = {
+        k: best_known[k] for k in sorted(timings) if k in best_known
+    }
+    payload["noise_window"] = {
+        "identical_code_total_sec": [99.6, 115.7],
+        "study": "SCALE.md 2026-08-15 4-run identical-code spread",
+    }
     # Full payload (incl. per-run spread for every row) goes to a
     # committed sidecar; the stdout line stays compact (best-of per
     # query + headline rates — the shape that parsed in r1-r5).  r6's

@@ -511,3 +511,28 @@ def test_ome_zarr_consolidated_metadata(spark, tmp_path):
         assert md[f"{lvl}/.zarray"] == json.load(
             open(os.path.join(out, lvl, ".zarray"))
         )
+
+
+def test_ome_zarr_file_as_grid_dir_reads_as_fill(spark, tmp_path):
+    # Corrupt nested store: a grid path component that is a REGULAR
+    # FILE resolves to "chunk absent" (zarr DirectoryStore parity —
+    # missing key -> KeyError -> fill), so the scan synthesizes fill
+    # for the shadowed subtree instead of dying on NotADirectoryError.
+    from atlas_upscaling_dask_spark.sinks.ome_zarr import scan_ome_zarr
+
+    out = str(tmp_path / "corrupt.zarr")
+    _write_store_meta(out, (8, 8, 8), (4, 4, 4), None, "/")
+    block = np.arange(64, dtype="<u4").reshape(4, 4, 4)
+    os.makedirs(os.path.join(out, "0", "1", "0"))
+    with open(os.path.join(out, "0", "1", "0", "1"), "wb") as fh:
+        fh.write(block.tobytes())  # chunk (1,0,1)
+    with open(os.path.join(out, "0", "0"), "wb") as fh:
+        fh.write(b"i am not a directory")  # shadows the whole cz=0 row
+
+    got = {
+        (r["z"], r["y"], r["x"]): r["label"]
+        for r in chunks_to_voxels(scan_ome_zarr(spark, out, 0)).collect()
+    }
+    assert len(got) == 512
+    assert sum(got.values()) == int(block.sum())  # cz=0 is all fill
+    assert got[(4, 0, 5)] == 1  # the real chunk still decodes

@@ -914,3 +914,49 @@ def test_zarr3_scan_huge_chunks_hit_byte_ceiling(spark, tmp_path):
     assert nparts > par or par >= n_cells
     assert -(-n_cells // nparts) * cell_bytes <= MAX_TASK_BYTES
     assert nparts % par == 0 or nparts == n_cells
+
+
+def test_zarr3_file_as_grid_dir_reads_as_fill(spark, tmp_path):
+    # A grid path COMPONENT that is a regular file (corrupt or foreign
+    # store) resolves to "key absent" in zarr store semantics — zarr's
+    # DirectoryStore answers KeyError -> fill for any key that doesn't
+    # resolve to a chunk file — so the scan synthesizes fill for the
+    # shadowed subtree instead of dying on NotADirectoryError.
+    import shutil
+
+    meta = VolumeMeta(16, 16, 16)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    out = str(tmp_path / "nad.zarr")
+    write_zarr3(chunks, out, meta, shard=None)
+    before = read_zarr3_level(out, 0)
+    assert before[8:].any()  # the surviving half really has payload
+
+    gdir = os.path.join(out, "0", "c", "0")
+    shutil.rmtree(gdir)
+    with open(gdir, "wb") as fh:
+        fh.write(b"i am not a directory")
+
+    got = _dense(scan_zarr3(spark, out, 0), (16, 16, 16))
+    assert not got[:8].any()  # shadowed cz=0 subtree reads as fill
+    np.testing.assert_array_equal(got[8:], before[8:])  # rest intact
+
+
+def test_zarr3_reshard_refuses_multiple_scale_transforms(spark, tmp_path):
+    # NGFF 0.5 allows exactly ONE scale transform per dataset; on a
+    # nonconformant store carrying several, silently picking one
+    # decides which physical spacing wins — reshard must refuse.
+    from atlas_upscaling_dask_spark.sinks.zarr3 import reshard_zarr3
+
+    meta = VolumeMeta(16, 16, 16, 10.0, 10.0, 10.0)
+    chunks = synthetic_chunks(spark, meta, chunk=(8, 8, 8))
+    src = str(tmp_path / "multi_src.zarr")
+    write_zarr3(chunks, src, meta, shard=None)
+    grp_path = os.path.join(src, "zarr.json")
+    grp = json.load(open(grp_path))
+    ds0 = grp["attributes"]["ome"]["multiscales"][0]["datasets"][0]
+    ds0["coordinateTransformations"].append(
+        {"type": "scale", "scale": [25.0, 25.0, 25.0]}
+    )
+    open(grp_path, "w").write(json.dumps(grp))
+    with pytest.raises(ValueError, match="exactly one"):
+        reshard_zarr3(spark, src, str(tmp_path / "multi_dst.zarr"), shard=None)
