@@ -6,15 +6,17 @@ engine moves/filters/joins fixed-width references and hashes, and only
 decodes inside Arrow-batched Python when a kernel truly needs pixels.
 
 Decode is REAL for the formats a self-contained engine can cover:
-PNG images via the pure-NumPy codec in ``sources/png.py`` and
-multi-frame containers via multi-page TIFF (``sources/tiff.py`` —
-pages are frames, range-decoded per sampled frame).  Entropy-coded
-formats (JPEG, mp4/mkv) raise a clearly-marked ``NotImplementedError``
-— they need codec libraries this container does not ship; ``fake=True``
-keeps deterministic pseudo-decodes for format-independent plumbing
-tests.  All Spark-side plumbing (schema, batch shape, ``mapInPandas``
-signature, partition behavior) is identical between the real and fake
-paths.
+PNG via the pure-NumPy codec in ``sources/png.py``, baseline JPEG via
+the from-spec Huffman+iDCT codec in ``sources/jpeg.py`` (the dominant
+crawl image format), and multi-frame containers via multi-page TIFF
+(``sources/tiff.py`` — pages are frames, range-decoded per sampled
+frame).  Entropy-coded VIDEO (mp4/mkv) and non-baseline JPEG
+(progressive/arithmetic) raise a clearly-marked
+``NotImplementedError`` — they need codec libraries this container
+does not ship; ``fake=True`` keeps deterministic pseudo-decodes for
+format-independent plumbing tests.  All Spark-side plumbing (schema,
+batch shape, ``mapInPandas`` signature, partition behavior) is
+identical between the real and fake paths.
 """
 
 from __future__ import annotations
@@ -93,7 +95,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
     PNG payloads decode for real via the pure-NumPy codec in
     ``sources/png.py`` (stdlib zlib inflate + unfilter — no imaging
-    library needed); TIFF is covered by ``sources/tiff.py`` upstream.
+    library needed), baseline JPEG via ``sources/jpeg.py`` (from-spec
+    Huffman + iDCT); TIFF is covered by ``sources/tiff.py`` upstream.
     ``fake=True`` keeps the deterministic pseudo-image used by plumbing
     tests that need byte-derived fixtures regardless of format.
     """
@@ -106,6 +109,11 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
     if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
         return to_rgb(decode_png(bytes(payload)))
+    if payload[:2] == b"\xff\xd8":  # baseline JPEG
+        from ..sources.jpeg import decode_jpeg
+
+        img = decode_jpeg(bytes(payload))
+        return img if img.ndim == 3 else to_rgb(img[:, :, None])
     if payload[:2] in (b"II", b"MM"):  # TIFF image payload: first page
         from ..sources.tiff import decode_tiff_page
 
@@ -117,8 +125,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         # to_rgb owns the 16-bit -> high-byte policy (same as PNG)
         return to_rgb(plane[:, :, None])
     raise ValueError(
-        "unsupported image format (PNG and uncompressed TIFF are the "
-        "built-in codecs; entropy-coded formats need an imaging library)"
+        "unsupported image format (PNG, baseline JPEG and uncompressed "
+        "TIFF are the built-in codecs; other formats need an imaging "
+        "library)"
     )
 
 
@@ -154,29 +163,45 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL image resize: decode PNG payloads, nearest-neighbor sample
-    to (height, width), re-encode, update metadata — an Arrow-batched
-    narrow pass; payloads never leave the executor.
+    """REAL image resize: decode PNG/JPEG payloads, nearest-neighbor
+    sample to (height, width), re-encode IN THE SAME FORMAT, update
+    metadata — an Arrow-batched narrow pass; payloads never leave the
+    executor.
 
     Nearest-neighbor (not bilinear) is the deliberate choice for the
     same reason the volume upscaler never interpolates (SURVEY §2.3):
-    categorical/label rasters must keep exact values.  Non-PNG payloads
-    raise — entropy-coded formats need a media library.
+    categorical/label rasters must keep exact values.  JPEG re-encode
+    is quality-90 baseline (the usual thumbnail trade); other payload
+    formats raise the codec's documented error.
     """
     if width < 1 or height < 1:
         raise ValueError("width/height must be >= 1")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..sources.png import decode_png, encode_png
+        from ..sources.jpeg import decode_jpeg, encode_jpeg
+        from ..sources.png import PNG_SIGNATURE, decode_png, encode_png
 
         for pdf in batches:
             out_payloads = []
             for payload in pdf["payload"]:
-                img = decode_png(bytes(payload))
+                data = bytes(payload)
+                jpeg = data[:2] == b"\xff\xd8"
+                if jpeg:
+                    img = decode_jpeg(data)
+                elif data[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+                    img = decode_png(data)
+                else:
+                    raise ValueError(
+                        "resize_images: PNG or baseline JPEG payload "
+                        "required"
+                    )
                 h, w = img.shape[:2]
                 yi = (np.arange(height) * h) // height
                 xi = (np.arange(width) * w) // width
-                out_payloads.append(encode_png(img[yi][:, xi]))
+                small = img[yi][:, xi]
+                out_payloads.append(
+                    encode_jpeg(small) if jpeg else encode_png(small)
+                )
             pdf = pdf.copy()
             pdf["payload"] = out_payloads
             yield pdf
@@ -440,12 +465,18 @@ def image_phash(
                 data = bytes(payload)
                 if data[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
                     img = decode_png(data)
+                elif data[:2] == b"\xff\xd8":
+                    from ..sources.jpeg import decode_jpeg
+
+                    img = decode_jpeg(data)
                 elif data[:2] in (b"II", b"MM"):
                     from ..sources.tiff import decode_tiff_page
 
                     img = decode_tiff_page(data, 0)
                 else:
-                    raise ValueError("image_phash: PNG or TIFF payload required")
+                    raise ValueError(
+                        "image_phash: PNG, JPEG or TIFF payload required"
+                    )
                 hashes.append(_phash_of(img, m, hash_size, work_size))
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "phash": pd.array(hashes, dtype="int64")}

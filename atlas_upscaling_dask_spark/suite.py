@@ -2757,6 +2757,144 @@ FROM prop GROUP BY id
 )
 
 
+def _phash_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The JPEG twin of `_phash_media`: SAME slot-activation rule, so the
+    # SAME analytic oracle CTE predicts all 63 bits — but the image is
+    # 8-bit and rides through the from-spec baseline JPEG codec
+    # (sources/jpeg.py, unit quantization tables).  8-bit + JPEG needs
+    # hardened margins: the weakest slot carries 24, the rest 56, so
+    # the median pins to the weakest with ≥12 coefficient units of
+    # headroom over the measured unit-quant noise (std ~0.4) —
+    # tests/test_jpeg.py proves the hash EXACT for all 630 patterns.
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_jpeg(batches):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.extensions.multimodal import _dct_matrix
+        from atlas_upscaling_dask_spark.sources.jpeg import encode_jpeg
+
+        m = _dct_matrix(32)
+        ones = (np.ones((8, 8), np.int64), np.ones((8, 8), np.int64))
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                g = int(did) - int(did) % 7
+                if g not in cache:
+                    a = _PHASH_AS[g % 10]
+                    b = (g // 10) % 63
+                    slots = sorted(
+                        s for s in range(1, 64) if (s * a + b) % 63 < 32
+                    )
+                    c = np.zeros((32, 32))
+                    c[0, 0] = 128.0 * 32
+                    for rank, s in enumerate(slots):
+                        u, v = divmod(s, 8)
+                        c[u, v] = 24.0 if rank == 0 else 56.0
+                    img = np.round(m.T @ c @ m).astype(np.uint8)
+                    cache[g] = encode_jpeg(img, quant_tables=ones)
+                payloads.append(cache[g])
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(make_jpeg, schema="media_id long, payload binary")
+
+
+def _image_phash_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL JPEG pipeline: synthesize baseline JPEG → from-spec Huffman +
+    # iDCT decode → box resize → 2-D DCT → median-threshold hash; the
+    # oracle computes every bit analytically from the coefficient rule
+    # (same CTE as the PNG row — the rule is format-independent).
+    from .extensions.multimodal import image_phash
+
+    return image_phash(_phash_media_jpeg(spark, sf_dir))
+
+
+_register(
+    "image_phash_jpeg",
+    _image_phash_jpeg,
+    f"""
+WITH {_PHASH_HASHES_CTE.strip()}
+SELECT doc_id AS media_id, phash FROM hs
+""",
+)
+
+
+def _jpeg_decode_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bit-exact JPEG decode proof for the driver gate: per doc, a 16×16
+    # grayscale JPEG of four BLOCK-CONSTANT 8×8 tiles (DC-only blocks
+    # with q00 = 8 decode losslessly: sample = DC_quantized + 128,
+    # T.81 A.3.3), encoded with restart_interval=1 so every image
+    # exercises RST segmentation and predictor resets.  The query
+    # decodes and reads back one pixel per tile — the oracle predicts
+    # all four values from the doc_id rule without touching a byte.
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.sources.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        q8 = (np.full((8, 8), 8, np.int64), np.full((8, 8), 8, np.int64))
+        for pdf in batches:
+            rows = {"media_id": [], "v00": [], "v01": [], "v10": [], "v11": []}
+            for did in pdf["doc_id"]:
+                d = int(did)
+                vals = np.array(
+                    [
+                        [d % 256, (d * 7 + 13) % 256],
+                        [255 - d % 256, (d // 3) % 256],
+                    ],
+                    dtype=np.uint8,
+                )
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                dec = decode_jpeg(
+                    encode_jpeg(img, quant_tables=q8, restart_interval=1)
+                )
+                rows["media_id"].append(d)
+                rows["v00"].append(int(dec[0, 0]))
+                rows["v01"].append(int(dec[0, 8]))
+                rows["v10"].append(int(dec[8, 0]))
+                rows["v11"].append(int(dec[8, 8]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(rows["media_id"], dtype="int64"),
+                    "v00": pd.array(rows["v00"], dtype="int32"),
+                    "v01": pd.array(rows["v01"], dtype="int32"),
+                    "v10": pd.array(rows["v10"], dtype="int32"),
+                    "v11": pd.array(rows["v11"], dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id long, v00 int, v01 int, v10 int, v11 int",
+    )
+
+
+_register(
+    "jpeg_decode_blocks",
+    _jpeg_decode_blocks,
+    """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 256 AS INTEGER) AS v00,
+       CAST((doc_id * 7 + 13) % 256 AS INTEGER) AS v01,
+       CAST(255 - doc_id % 256 AS INTEGER) AS v10,
+       CAST((doc_id // 3) % 256 AS INTEGER) AS v11
+FROM documents
+""",
+)
+
+
 #: frame-period LUT for the synthetic spectral fixtures: all divide the
 #: 256-sample frame, so each frame's dominant DFT bin is EXACTLY 256/p.
 _AFP_PERIODS = [4, 8, 16, 32, 64, 128]

@@ -582,6 +582,18 @@ def audited_queries():
             QUERIES["image_phash_values"],
             {"no_shuffle": True},
         ),
+        # the JPEG twin: from-spec Huffman+iDCT decode inside the same
+        # single narrow Arrow pass — format changes, plan shape doesn't
+        "image_phash_jpeg": (
+            QUERIES["image_phash_jpeg"],
+            {"no_shuffle": True},
+        ),
+        # bit-exact JPEG decode gate row: encode → decode → project,
+        # one narrow pass, nothing moves
+        "jpeg_decode_blocks": (
+            QUERIES["jpeg_decode_blocks"],
+            {"no_shuffle": True},
+        ),
         # multi-index Hamming join: band equi-join + pair distinct —
         # never an all-pairs product (budget covers the non-broadcast
         # shape; at sf the band sides broadcast → measured 1)
