@@ -905,3 +905,54 @@ try:
         assert n % par == 0 or n == n_cells or n < par
 except ImportError:  # hypothesis is baked in; guard for portability
     pass
+
+
+def test_connected_components_chunks_beyond_uint32_address_space(spark):
+    # r8 verdict #4: the two-level CCL must reach its 100 TB claim —
+    # provisional ids are int64, so a volume whose ADDRESS SPACE
+    # exceeds 2^32 linear indices (here 2^34) labels correctly.  Two
+    # small adjacent chunks sit at the far corner of a
+    # 4096×2048×2048 grid: every linear index involved is > 2^32, and
+    # one component spans the chunk face (the cross-chunk merge must
+    # survive 64-bit ids end-to-end).
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.operators.components import (
+        connected_components_chunks,
+    )
+    from atlas_upscaling_dask_spark.volume import PAYLOAD_DTYPE
+    from pyspark.sql import functions as F
+
+    Z, Y, X = 4096, 2048, 2048  # 2^34 addressable voxels
+    assert Z * Y * X > 2**32
+    z0 = Z - 8  # both chunks live in the top z slab
+    y0, x0 = Y - 4, X - 4
+    # chunk A (cz=510): label 7 everywhere; chunk B above it (cz=511):
+    # label 7 in the x<2 half, label 9 in the x>=2 half -> label-7
+    # component spans the face, label 9 is its own component
+    block_a = np.full((4, 4, 4), 7, dtype=PAYLOAD_DTYPE)
+    block_b = np.full((4, 4, 4), 7, dtype=PAYLOAD_DTYPE)
+    block_b[:, :, 2:] = 9
+    rows = [
+        (0, 510, 511, 511, z0, y0, x0, 4, 4, 4, "raw", block_a.tobytes()),
+        (0, 511, 511, 511, z0 + 4, y0, x0, 4, 4, 4, "raw", block_b.tobytes()),
+    ]
+    chunks = spark.createDataFrame(
+        rows,
+        "volume_id int, cz int, cy int, cx int, z0 long, y0 long, x0 long, "
+        "dz int, dy int, dx int, codec string, payload binary",
+    )
+    out = connected_components_chunks(chunks, (Z, Y, X)).cache()
+    lin = lambda z, y, x: z * Y * X + y * X + x  # noqa: E731
+    comps = {
+        (r["label"], r["comp"]) for r in out.select("label", "comp").distinct().collect()
+    }
+    # label 7: ONE component across both chunks, rooted at its min
+    # linear index (the A-chunk corner); label 9: rooted at its own min
+    assert comps == {
+        (7, lin(z0, y0, x0)),
+        (9, lin(z0 + 4, y0, x0 + 2)),
+    }
+    assert out.count() == 128
+    assert lin(z0, y0, x0) > 2**32  # the ids really exceed uint32
+    out.unpersist()
