@@ -463,6 +463,46 @@ def _reconstruct(frame, qt, coeffs) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+def parse_jpeg_info(data: bytes) -> dict:
+    """Header-only metadata parse: walk the marker stream to the first
+    SOF and return ``{"width", "height", "n_components", "baseline",
+    "progressive"}`` WITHOUT entropy-decoding a single bit — the
+    planning-side op (profile a 100 TB image corpus's dimensions at
+    marker-walk speed, decode only what a kernel actually needs)."""
+    if data[:2] != JPEG_SOI:
+        raise ValueError("jpeg: missing SOI marker")
+    pos = 2
+    n = len(data)
+    sofs = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+    while pos < n:
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at byte {pos}")
+        while pos < n and data[pos] == 0xFF:
+            pos += 1
+        marker = data[pos]
+        pos += 1
+        if marker == 0xD9 or marker == 0xDA:
+            break  # EOI / SOS before any SOF
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > n:
+            raise ValueError("jpeg: truncated marker segment")
+        (seg_len,) = struct.unpack(">H", data[pos : pos + 2])
+        if marker in sofs:
+            seg = data[pos + 2 : pos + seg_len]
+            h, w = struct.unpack(">HH", seg[1:5])
+            return {
+                "width": int(w),
+                "height": int(h),
+                "n_components": int(seg[5]),
+                "baseline": marker in (0xC0, 0xC1),
+                "progressive": marker in (0xC2, 0xC6, 0xCA, 0xCE),
+            }
+        pos += seg_len
+    raise ValueError("jpeg: no SOF marker found")
+
+
 # ---------------------------------------------------------------------------
 # encoder
 

@@ -300,3 +300,27 @@ def test_decode_image_jpeg_dispatch():
     assert out.shape == (8, 8, 3)
     assert np.abs(out[..., 0].astype(int) - 200).max() <= 4
     assert out[..., 1].max() <= 4 and out[..., 2].max() <= 4
+
+
+def test_parse_jpeg_info_header_only():
+    from atlas_upscaling_dask_spark.sources.jpeg import parse_jpeg_info
+
+    img = np.zeros((24, 40, 3), np.uint8)
+    data = encode_jpeg(img, quality=80, subsampling=(2, 2))
+    info = parse_jpeg_info(data)
+    assert info == {
+        "width": 40, "height": 24, "n_components": 3,
+        "baseline": True, "progressive": False,
+    }
+    # progressive flag reads straight off the SOF marker id
+    mutated = bytearray(data)
+    mutated[mutated.index(b"\xff\xc0") + 1] = 0xC2
+    info = parse_jpeg_info(bytes(mutated))
+    assert info["progressive"] and not info["baseline"]
+    # header parse must NOT require a decodable scan: truncate right
+    # after SOF and it still answers
+    i = data.index(b"\xff\xc4")
+    info = parse_jpeg_info(data[:i])
+    assert info["width"] == 40
+    with pytest.raises(ValueError, match="no SOF"):
+        parse_jpeg_info(b"\xff\xd8\xff\xd9")
