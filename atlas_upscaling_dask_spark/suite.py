@@ -2895,6 +2895,69 @@ FROM documents
 )
 
 
+def _jpeg_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Header-only metadata profiling: per doc, a real encoded JPEG at a
+    # doc_id-derived geometry; the query answers (width, height,
+    # n_components) from the MARKER WALK alone (parse_jpeg_info — no
+    # entropy decode), the planning-side op a 100 TB image-corpus
+    # profile runs before deciding what to decode.
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.sources.jpeg import (
+            encode_jpeg,
+            parse_jpeg_info,
+        )
+
+        cache: dict[tuple, bytes] = {}
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "n_components": []}
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 8 + d % 40, 8 + (d * 3) % 56
+                color = d % 2 == 1
+                key = (w, h, color)
+                if key not in cache:
+                    img = np.zeros((h, w, 3) if color else (h, w), np.uint8)
+                    cache[key] = encode_jpeg(img, quality=50)
+                info = parse_jpeg_info(cache[key])
+                out["media_id"].append(d)
+                out["width"].append(info["width"])
+                out["height"].append(info["height"])
+                out["n_components"].append(info["n_components"])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(out["media_id"], dtype="int64"),
+                    "width": pd.array(out["width"], dtype="int32"),
+                    "height": pd.array(out["height"], dtype="int32"),
+                    "n_components": pd.array(out["n_components"], dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id long, width int, height int, n_components int",
+    )
+
+
+_register(
+    "jpeg_dims",
+    _jpeg_dims,
+    """
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 40 AS INTEGER) AS width,
+       CAST(8 + (doc_id * 3) % 56 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS INTEGER)
+         AS n_components
+FROM documents
+""",
+)
+
+
 #: frame-period LUT for the synthetic spectral fixtures: all divide the
 #: 256-sample frame, so each frame's dominant DFT bin is EXACTLY 256/p.
 _AFP_PERIODS = [4, 8, 16, 32, 64, 128]

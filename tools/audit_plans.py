@@ -594,6 +594,12 @@ def audited_queries():
             QUERIES["jpeg_decode_blocks"],
             {"no_shuffle": True},
         ),
+        # header-only image profiling: marker walk, no entropy decode,
+        # one narrow pass
+        "jpeg_dims": (
+            QUERIES["jpeg_dims"],
+            {"no_shuffle": True},
+        ),
         # multi-index Hamming join: band equi-join + pair distinct —
         # never an all-pairs product (budget covers the non-broadcast
         # shape; at sf the band sides broadcast → measured 1)
