@@ -6,13 +6,14 @@ engine moves/filters/joins fixed-width references and hashes, and only
 decodes inside Arrow-batched Python when a kernel truly needs pixels.
 
 Decode is REAL for the formats a self-contained engine can cover:
-PNG via the pure-NumPy codec in ``sources/png.py``, baseline JPEG via
-the from-spec Huffman+iDCT codec in ``sources/jpeg.py`` (the dominant
-crawl image format), and multi-frame containers via multi-page TIFF
-(``sources/tiff.py`` — pages are frames, range-decoded per sampled
-frame).  Entropy-coded VIDEO (mp4/mkv) and non-baseline JPEG
-(progressive/arithmetic) raise a clearly-marked
-``NotImplementedError`` — they need codec libraries this container
+PNG via the pure-NumPy codec in ``sources/png.py``, baseline AND
+progressive JPEG via the from-spec Huffman+iDCT codec in
+``sources/jpeg.py`` (the dominant crawl image formats), and
+multi-frame containers via multi-page TIFF (``sources/tiff.py`` —
+pages are frames, range-decoded per sampled frame).  Entropy-coded
+VIDEO (mp4/mkv) and arithmetic-coded/lossless JPEG raise a
+clearly-marked ``NotImplementedError`` — they need codec libraries
+this container
 does not ship; ``fake=True`` keeps deterministic pseudo-decodes for
 format-independent plumbing tests.  All Spark-side plumbing (schema,
 batch shape, ``mapInPandas`` signature, partition behavior) is

@@ -9,21 +9,26 @@ parity — the reference reads TIFF only, ``anno_upsampling.py:33``).
 
 Implemented from the public specification:
 
-* **Decoder** — baseline sequential DCT (SOF0; SOF1 accepted, its
-  Huffman path is identical), canonical Huffman entropy decode via a
+* **Decoder** — sequential DCT (SOF0; SOF1 accepted, its Huffman path
+  is identical) AND progressive DCT (SOF2: spectral selection +
+  successive approximation, DC/AC first and refinement scans, EOB
+  runs — T.81 Annex G), canonical Huffman entropy decode via a
   16-bit-peek lookup table, byte destuffing and restart markers,
   8- and 16-bit quantization tables, interleaved and non-interleaved
   scans, grayscale and JFIF YCbCr with any integer sampling factors
-  (4:4:4 / 4:2:2 / 4:2:0 tested).  Progressive (SOF2), lossless
-  (SOF3/7/11/15), hierarchical and arithmetic-coded (SOF9-11/13-15,
-  DAC) frames raise ``NotImplementedError`` — clearly-marked contract
-  boundaries, same policy as the mp4/mkv video containers.
-* **Encoder** — baseline sequential, grayscale or RGB, optional chroma
-  subsampling and restart intervals, Annex-K-style default quantization
-  tables scaled by libjpeg's quality curve.  Entropy tables are built
-  per image (every used symbol coded at one fixed length, the all-ones
-  code left unused per T.81 C.2), embedded in DHT — any conforming
-  decoder reads them back.
+  (4:4:4 / 4:2:2 / 4:2:0 tested).  Lossless (SOF3/7/11/15),
+  hierarchical and arithmetic-coded (SOF9-11/13-15, DAC) frames raise
+  ``NotImplementedError`` — clearly-marked contract boundaries, same
+  policy as the mp4/mkv video containers.
+* **Encoder** — baseline sequential or progressive
+  (``progressive=True``: DC at Al=1 + refinement, per-component AC
+  band + refinement — decode output is bit-identical to the
+  sequential encoding, which the tests fuzz), grayscale or RGB,
+  optional chroma subsampling and restart intervals (sequential),
+  Annex-K-style default quantization tables scaled by libjpeg's
+  quality curve.  Entropy tables are built per image/scan (every used
+  symbol coded at one fixed length, the all-ones code left unused per
+  T.81 C.2), embedded in DHT — any conforming decoder reads them back.
 
 The iDCT is the exact orthonormal 2-D DCT (T.81 A.3.3 equals the
 orthonormal transform: forward ``S = M s Mᵀ``, inverse ``s = Mᵀ S M``
@@ -90,7 +95,6 @@ K2_CHROMA = np.array(
 )
 
 _NOT_BASELINE = {
-    0xC2: "progressive DCT (SOF2)",
     0xC3: "lossless sequential (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -278,12 +282,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 dz = np.zeros(64, dtype=np.int64)
                 dz[ZIGZAG] = tbl  # stored in zigzag order per spec
                 qt[tq] = dz.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(
                     f"jpeg: {prec}-bit precision is extended sequential; "
-                    "baseline is 8-bit"
+                    "8-bit frames decode"
                 )
             h, w = struct.unpack(">HH", seg[1:5])
             if h == 0:
@@ -315,9 +319,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i : 3 + 2 * i]
                 scan_comps.append((cs, tables >> 4, tables & 0xF))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             segs, pos = _split_scan(data, pos + seg_len)
             _decode_scan(
-                segs, frame, scan_comps, huff, coeffs, restart_interval
+                segs, frame, scan_comps, huff, coeffs, restart_interval,
+                ss, se, ahal >> 4, ahal & 0xF,
             )
             continue
         pos += seg_len
@@ -342,7 +348,24 @@ def _comp_geometry(frame) -> dict[int, tuple[int, int, int, int, int, int]]:
     return out
 
 
-def _decode_scan(segs, frame, scan_comps, huff, coeffs, restart_interval):
+class _EobState:
+    """AC end-of-band run, shared across blocks within a restart segment
+    (T.81 G.1.2.2)."""
+
+    __slots__ = ("run",)
+
+    def __init__(self):
+        self.run = 0
+
+
+def _decode_scan(
+    segs, frame, scan_comps, huff, coeffs, restart_interval,
+    ss=0, se=63, ah=0, al=0,
+):
+    """One entropy-coded scan into the coefficient store.  Dispatch is
+    scan-header-driven (T.81 Annex F baseline, Annex G progressive):
+    (0,63) = full sequential block; (0,0) = progressive DC first/refine;
+    ss>=1 = progressive AC band first/refine with EOB runs."""
     h, w, comps = frame
     geom = _comp_geometry(frame)
     by_id = {c[0]: c for c in comps}
@@ -351,6 +374,10 @@ def _decode_scan(segs, frame, scan_comps, huff, coeffs, restart_interval):
             raise ValueError(f"jpeg: scan references unknown component {cs}")
         _hs, _vs, _cw, _ch, bw, bh = geom[cs]
         coeffs.setdefault(cs, np.zeros((bh, bw, 64), dtype=np.int32))
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("jpeg: progressive AC scans must be single-component")
+    if ss > se or se > 63:
+        raise ValueError(f"jpeg: invalid spectral band [{ss}, {se}]")
 
     # scan MCU order: interleaved when Ns > 1, the component's true
     # (unpadded) block grid when Ns == 1 (T.81 A.2)
@@ -390,7 +417,9 @@ def _decode_scan(segs, frame, scan_comps, huff, coeffs, restart_interval):
     seg_iter = iter(segs)
     reader = _BitReader(next(seg_iter))
     preds = dict.fromkeys(coeffs, 0)
+    eob = _EobState()
     done_in_seg = 0
+    full = (ss, se) == (0, 63)
     for i in range(0, len(units), per_mcu):
         if mcu_per_seg and done_in_seg == mcu_per_seg:
             try:
@@ -400,31 +429,131 @@ def _decode_scan(segs, frame, scan_comps, huff, coeffs, restart_interval):
                     "jpeg: scan ends before all restart intervals"
                 ) from None
             preds = dict.fromkeys(preds, 0)
+            eob = _EobState()
             done_in_seg = 0
         for cs, td, ta, by, bx in units[i : i + per_mcu]:
-            dc_tbl = huff.get((0, td))
-            ac_tbl = huff.get((1, ta))
-            if dc_tbl is None or ac_tbl is None:
-                raise ValueError("jpeg: scan uses an undefined Huffman table")
             blk = coeffs[cs][by, bx]
-            s = reader.decode(dc_tbl)
-            preds[cs] += _extend(reader.receive(s), s)
-            blk[0] = preds[cs]
-            k = 1
-            while k < 64:
-                rs = reader.decode(ac_tbl)
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:  # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("jpeg: AC run past coefficient 63")
-                blk[ZIGZAG[k]] = _extend(reader.receive(s), s)
-                k += 1
+            if full:
+                dc_tbl = huff.get((0, td))
+                ac_tbl = huff.get((1, ta))
+                if dc_tbl is None or ac_tbl is None:
+                    raise ValueError(
+                        "jpeg: scan uses an undefined Huffman table"
+                    )
+                s = reader.decode(dc_tbl)
+                preds[cs] += _extend(reader.receive(s), s)
+                blk[0] = preds[cs]
+                k = 1
+                while k < 64:
+                    rs = reader.decode(ac_tbl)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("jpeg: AC run past coefficient 63")
+                    blk[ZIGZAG[k]] = _extend(reader.receive(s), s)
+                    k += 1
+            elif ss == 0:  # progressive DC
+                if ah == 0:
+                    dc_tbl = huff.get((0, td))
+                    if dc_tbl is None:
+                        raise ValueError(
+                            "jpeg: DC scan uses an undefined Huffman table"
+                        )
+                    s = reader.decode(dc_tbl)
+                    preds[cs] += _extend(reader.receive(s), s)
+                    blk[0] = preds[cs] << al
+                elif reader.receive(1):  # refinement: one bit per block
+                    blk[0] |= 1 << al
+            else:  # progressive AC band
+                ac_tbl = huff.get((1, ta))
+                if ac_tbl is None:
+                    raise ValueError(
+                        "jpeg: AC scan uses an undefined Huffman table"
+                    )
+                if ah == 0:
+                    _ac_first(blk, reader, ac_tbl, eob, ss, se, al)
+                else:
+                    _ac_refine(blk, reader, ac_tbl, eob, ss, se, al)
         done_in_seg += 1
+
+
+def _ac_first(blk, reader, ac_tbl, eob, ss, se, al):
+    """First scan of an AC spectral band (T.81 G.1.2.2)."""
+    if eob.run > 0:
+        eob.run -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode(ac_tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eob.run = (1 << r) - 1  # EOBn: run counts THIS block too
+            if r:
+                eob.run += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC run past the spectral band")
+        blk[ZIGZAG[k]] = _extend(reader.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine(blk, reader, ac_tbl, eob, ss, se, al):
+    """Successive-approximation refinement of an AC band (T.81
+    G.1.2.3): newly-nonzero coefficients arrive as ±1<<al; every
+    nonzero-history coefficient passed on the way reads one correction
+    bit."""
+    p1 = 1 << al
+    k = ss
+    if eob.run == 0:
+        while k <= se:
+            rs = reader.decode(ac_tbl)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eob.run = 1 << r
+                    if r:
+                        eob.run += reader.receive(r)
+                    break
+                # r == 15: ZRL skips 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "jpeg: refinement magnitude must be 1"
+                    )
+                newval = p1 if reader.receive(1) else -p1
+            while k <= se:
+                pos = ZIGZAG[k]
+                if blk[pos] != 0:
+                    if reader.receive(1) and not (blk[pos] & p1):
+                        blk[pos] += p1 if blk[pos] >= 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("jpeg: refinement run past the band")
+                blk[ZIGZAG[k]] = newval
+            k += 1
+    if eob.run > 0:
+        while k <= se:
+            pos = ZIGZAG[k]
+            if blk[pos] != 0:
+                if reader.receive(1) and not (blk[pos] & p1):
+                    blk[pos] += p1 if blk[pos] >= 0 else -p1
+            k += 1
+        eob.run -= 1
 
 
 def _reconstruct(frame, qt, coeffs) -> np.ndarray:
@@ -559,6 +688,38 @@ def _fixed_table(symbols: set[int]) -> tuple[list[int], list[int]]:
     return bits, syms
 
 
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def _dht_seg(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+
+def _headers(
+    h: int, w: int, samp, qsel, qtabs, n_tables: int, sof_marker: int
+) -> bytearray:
+    """SOI + JFIF APP0 + DQT(s) + SOF — shared by the sequential and
+    progressive encoders."""
+    out = bytearray(JPEG_SOI)
+    out += _seg(
+        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )
+    for tq, tbl in enumerate(qtabs[:n_tables]):
+        zz = tbl.reshape(-1)[ZIGZAG]
+        if zz.max() > 255:  # Pq=1: 16-bit big-endian table entries
+            out += _seg(
+                0xDB, bytes([(1 << 4) | tq]) + zz.astype(">u2").tobytes()
+            )
+        else:
+            out += _seg(0xDB, bytes([tq]) + zz.astype(np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, len(samp))
+    for ci, (hs, vs) in enumerate(samp):
+        sof += bytes([ci + 1, (hs << 4) | vs, qsel[ci]])
+    out += _seg(sof_marker, sof)
+    return out
+
+
 def _downsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
     """Box-mean downsample by integer factors (pad by edge replication)."""
     h, w = plane.shape
@@ -575,13 +736,19 @@ def encode_jpeg(
     quant_tables: tuple[np.ndarray, np.ndarray] | None = None,
     subsampling: tuple[int, int] = (1, 1),
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode a uint8 image (2-D grayscale or H×W×3 RGB) as baseline
-    sequential JPEG.  ``quant_tables`` overrides the quality-scaled
-    Annex-K defaults with explicit (luma, chroma) 8×8 tables — all-ones
-    tables give near-lossless output (fixtures use this).
-    ``subsampling`` is the luma sampling factor pair: (1,1)=4:4:4,
-    (2,1)=4:2:2, (2,2)=4:2:0."""
+    sequential JPEG — or, with ``progressive=True``, as a progressive
+    (SOF2) stream exercising both spectral selection and successive
+    approximation: DC first at Al=1 + DC refinement, then per component
+    one AC band scan at Al=1 + one AC refinement — the same quantized
+    coefficients reorganized, so decode output is BIT-IDENTICAL to the
+    sequential encoding's.  ``quant_tables`` overrides the
+    quality-scaled Annex-K defaults with explicit (luma, chroma) 8×8
+    tables — all-ones tables give near-lossless output (fixtures use
+    this).  ``subsampling`` is the luma sampling factor pair:
+    (1,1)=4:4:4, (2,1)=4:2:2, (2,2)=4:2:0."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError(f"jpeg: encoder takes uint8, got {img.dtype}")
@@ -636,7 +803,6 @@ def encode_jpeg(
             )
         comp_blocks.append(flat)
 
-    # symbol streams (two-pass: collect, build tables, emit)
     def mcu_units():
         for my in range(mcuy):
             for mx in range(mcux):
@@ -648,9 +814,25 @@ def encode_jpeg(
                 yield unit
 
     n_tables = 2 if color else 1
+    tsel = [0, 1, 1] if color else [0]
+
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "jpeg: restart intervals are not supported with "
+                "progressive encode"
+            )
+        true_grids = [
+            (-(-p.shape[0] // 8), -(-p.shape[1] // 8)) for p in planes
+        ]
+        return _encode_progressive(
+            h, w, samp, qsel, qtabs, n_tables, tsel,
+            comp_blocks, mcu_units, true_grids,
+        )
+
+    # symbol streams (two-pass: collect, build tables, emit)
     dc_syms: list[set[int]] = [set() for _ in range(n_tables)]
     ac_syms: list[set[int]] = [set() for _ in range(n_tables)]
-    tsel = [0, 1, 1] if color else [0]
     events: list[list[tuple]] = []  # per MCU: (kind, tbl, sym, extra, nbits)
     preds = [0] * len(planes)
     mcu_count = 0
@@ -709,38 +891,193 @@ def encode_jpeg(
     wr.flush()
 
     # --- container
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
-
-    out = bytearray(JPEG_SOI)
-    out += seg(
-        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
-    )
-    for tq, tbl in enumerate(qtabs[:n_tables]):
-        zz = tbl.reshape(-1)[ZIGZAG]
-        if zz.max() > 255:  # Pq=1: 16-bit big-endian table entries
-            out += seg(
-                0xDB, bytes([(1 << 4) | tq]) + zz.astype(">u2").tobytes()
-            )
-        else:
-            out += seg(0xDB, bytes([tq]) + zz.astype(np.uint8).tobytes())
-    ncomp = len(planes)
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci, (hs, vs) in enumerate(samp):
-        sof += bytes([ci + 1, (hs << 4) | vs, qsel[ci]])
-    out += seg(0xC0, sof)
+    out = _headers(h, w, samp, qsel, qtabs, n_tables, 0xC0)
     for t in range(n_tables):
         for tc, (bits, vals) in ((0, dc_tables[t]), (1, ac_tables[t])):
-            out += seg(
-                0xC4, bytes([(tc << 4) | t]) + bytes(bits) + bytes(vals)
-            )
+            out += _dht_seg(tc, t, bits, vals)
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    ncomp = len(planes)
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
+    out += _seg(0xDA, sos)
     out += wr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_progressive(
+    h, w, samp, qsel, qtabs, n_tables, tsel, comp_blocks, mcu_units,
+    true_grids,
+) -> bytes:
+    """Progressive (SOF2) emission of already-quantized coefficients:
+
+    1. DC of all components, interleaved, successive approximation
+       Al=1 (T.81 G.1.2.1 point transform = arithmetic shift).
+    2. DC refinement (Ah=1, Al=0): one raw bit per block, no entropy
+       tables.
+    3. Per component: the full AC band [1,63] at Al=1 with EOB runs.
+    4. Per component: AC refinement (Ah=1, Al=0) — correction bits for
+       known coefficients, run-length-coded ±1 newcomers.
+
+    AC scans iterate the component's TRUE block grid (non-interleaved
+    scans are never MCU-padded, T.81 A.2.2); the interleaved DC scan
+    covers the padded grid.  Per-scan Huffman tables are rebuilt and
+    re-emitted before each SOS (legal: DHT redefines the slot)."""
+    out = _headers(h, w, samp, qsel, qtabs, n_tables, 0xC2)
+    ncomp = len(comp_blocks)
+
+    def sos_seg(comps_tbl: list[tuple[int, int, int]], ss, se, ah, al):
+        sos = bytes([len(comps_tbl)])
+        for cid, td, ta in comps_tbl:
+            sos += bytes([cid, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, sos)
+
+    # --- scan 1: interleaved DC first, Al=1
+    events: list[tuple[int, int, int, int]] = []  # (tbl, sym, extra, bits)
+    dc_syms: list[set[int]] = [set() for _ in range(n_tables)]
+    preds = [0] * ncomp
+    for unit in mcu_units():
+        for ci, by, bx in unit:
+            v = int(comp_blocks[ci][by, bx][0]) >> 1
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = _category(diff)
+            dc_syms[tsel[ci]].add(s)
+            extra = diff if diff >= 0 else diff + (1 << s) - 1
+            events.append((tsel[ci], s, extra, s))
+    tables = [_fixed_table(sy) for sy in dc_syms]
+    hufs = [_HuffTable(b, v) for b, v in tables]
+    for t, (bits, vals) in enumerate(tables):
+        out += _dht_seg(0, t, bits, vals)
+    out += sos_seg(
+        [(ci + 1, tsel[ci], 0) for ci in range(ncomp)], 0, 0, 0, 1
+    )
+    wr = _BitWriter()
+    for t, sym, extra, nbits in events:
+        code, length = hufs[t].codes[sym]
+        wr.put(code, length)
+        if nbits:
+            wr.put(extra, nbits)
+    wr.flush()
+    out += wr.out
+
+    # --- scan 2: DC refinement, raw bits (no entropy tables)
+    out += sos_seg(
+        [(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, 1, 0
+    )
+    wr = _BitWriter()
+    for unit in mcu_units():
+        for ci, by, bx in unit:
+            wr.put(int(comp_blocks[ci][by, bx][0]) & 1, 1)
+    wr.flush()
+    out += wr.out
+
+    # --- per component: AC first (Al=1) then AC refinement (Ah=1)
+    for ci in range(ncomp):
+        ny, nx = true_grids[ci]
+        blocks = [
+            comp_blocks[ci][by, bx][ZIGZAG]
+            for by in range(ny)
+            for bx in range(nx)
+        ]
+
+        # first scan: point-transformed values, runs + per-block EOB
+        ev: list[tuple] = []  # ('s', sym) | ('b', val, nbits)
+        syms: set[int] = set()
+        for zz in blocks:
+            t1 = np.sign(zz) * (np.abs(zz) >> 1)
+            run = 0
+            for k in range(1, 64):
+                v = int(t1[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    syms.add(0xF0)
+                    ev.append(("s", 0xF0))
+                    run -= 16
+                s = _category(v)
+                rs = (run << 4) | s
+                syms.add(rs)
+                ev.append(("s", rs))
+                ev.append(("b", v if v >= 0 else v + (1 << s) - 1, s))
+                run = 0
+            if run:
+                syms.add(0x00)
+                ev.append(("s", 0x00))
+        bits, vals = _fixed_table(syms)
+        huf = _HuffTable(bits, vals)
+        out += _dht_seg(1, tsel[ci], bits, vals)
+        out += sos_seg([(ci + 1, 0, tsel[ci])], 1, 63, 0, 1)
+        wr = _BitWriter()
+        for e in ev:
+            if e[0] == "s":
+                code, length = huf.codes[e[1]]
+                wr.put(code, length)
+            else:
+                wr.put(e[1], e[2])
+        wr.flush()
+        out += wr.out
+
+        # refinement scan: correction bits + ±1 newcomers.  Pending
+        # ZRLs drain at EVERY nonzero position (history or newcomer) —
+        # but only while a later newcomer exists (k <= eob_k): the
+        # decoder's ZRL advance needs 16 zero-history skips ahead, and
+        # the interleaved correction bits must land on the decoder's
+        # side of each emitted symbol (T.81 G.1.2.3 / the libjpeg
+        # buffered-bits discipline, reimplemented)
+        ev = []
+        syms = set()
+        for zz in blocks:
+            eob_k = 0
+            for k in range(1, 64):
+                if abs(int(zz[k])) == 1:
+                    eob_k = k
+            run = 0
+            br: list[int] = []
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob_k:
+                    syms.add(0xF0)
+                    ev.append(("s", 0xF0))
+                    ev.extend(("b", b, 1) for b in br)
+                    br = []
+                    run -= 16
+                if abs(v) >> 1:  # nonzero history: one correction bit
+                    br.append(abs(v) & 1)
+                    continue
+                # |v| == 1: newly nonzero at this precision
+                rs = (run << 4) | 1
+                syms.add(rs)
+                ev.append(("s", rs))
+                ev.append(("b", 1 if v > 0 else 0, 1))
+                ev.extend(("b", b, 1) for b in br)
+                br = []
+                run = 0
+            if run or br:
+                syms.add(0x00)
+                ev.append(("s", 0x00))
+                ev.extend(("b", b, 1) for b in br)
+        bits, vals = _fixed_table(syms)
+        huf = _HuffTable(bits, vals)
+        out += _dht_seg(1, tsel[ci], bits, vals)
+        out += sos_seg([(ci + 1, 0, tsel[ci])], 1, 63, 1, 0)
+        wr = _BitWriter()
+        for e in ev:
+            if e[0] == "s":
+                code, length = huf.codes[e[1]]
+                wr.put(code, length)
+            else:
+                wr.put(e[1], e[2])
+        wr.flush()
+        out += wr.out
+
     out += b"\xff\xd9"
     return bytes(out)

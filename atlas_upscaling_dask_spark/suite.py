@@ -2881,18 +2881,75 @@ def _jpeg_decode_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register(
-    "jpeg_decode_blocks",
-    _jpeg_decode_blocks,
-    """
+_JPEG_BLOCKS_SQL = """
 SELECT doc_id AS media_id,
        CAST(doc_id % 256 AS INTEGER) AS v00,
        CAST((doc_id * 7 + 13) % 256 AS INTEGER) AS v01,
        CAST(255 - doc_id % 256 AS INTEGER) AS v10,
        CAST((doc_id // 3) % 256 AS INTEGER) AS v11
 FROM documents
-""",
-)
+"""
+
+_register("jpeg_decode_blocks", _jpeg_decode_blocks, _JPEG_BLOCKS_SQL)
+
+
+def _jpeg_decode_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The PROGRESSIVE twin of `jpeg_decode_blocks`: the same DC-only
+    # block-constant images, emitted as SOF2 streams (interleaved DC
+    # first scan at Al=1, DC refinement, per-band AC scans with EOB
+    # runs — T.81 Annex G).  Progressive reorganizes the identical
+    # quantized coefficients, so the decode is equally LOSSLESS and the
+    # SAME closed-form oracle predicts every pixel.
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.sources.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        q8 = (np.full((8, 8), 8, np.int64), np.full((8, 8), 8, np.int64))
+        for pdf in batches:
+            rows = {"media_id": [], "v00": [], "v01": [], "v10": [], "v11": []}
+            for did in pdf["doc_id"]:
+                d = int(did)
+                vals = np.array(
+                    [
+                        [d % 256, (d * 7 + 13) % 256],
+                        [255 - d % 256, (d // 3) % 256],
+                    ],
+                    dtype=np.uint8,
+                )
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                dec = decode_jpeg(
+                    encode_jpeg(img, quant_tables=q8, progressive=True)
+                )
+                rows["media_id"].append(d)
+                rows["v00"].append(int(dec[0, 0]))
+                rows["v01"].append(int(dec[0, 8]))
+                rows["v10"].append(int(dec[8, 0]))
+                rows["v11"].append(int(dec[8, 8]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(rows["media_id"], dtype="int64"),
+                    "v00": pd.array(rows["v00"], dtype="int32"),
+                    "v01": pd.array(rows["v01"], dtype="int32"),
+                    "v10": pd.array(rows["v10"], dtype="int32"),
+                    "v11": pd.array(rows["v11"], dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id long, v00 int, v01 int, v10 int, v11 int",
+    )
+
+
+_register("jpeg_decode_progressive", _jpeg_decode_progressive, _JPEG_BLOCKS_SQL)
 
 
 def _jpeg_dims(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -182,11 +182,11 @@ def test_encoder_structure_hand_parsed():
     assert n_dht == 2  # one DC + one AC table for grayscale
 
 
-def test_progressive_and_arithmetic_and_12bit_raise():
+def test_lossless_and_arithmetic_and_12bit_raise():
     img = np.zeros((8, 8), np.uint8)
     data = bytearray(encode_jpeg(img, quant_tables=ONES))
     i = data.index(b"\xff\xc0")
-    for bad, msg in [(0xC2, "progressive"), (0xC9, "arithmetic")]:
+    for bad, msg in [(0xC3, "lossless"), (0xC9, "arithmetic")]:
         mutated = bytearray(data)
         mutated[i + 1] = bad
         with pytest.raises(NotImplementedError, match=msg):
@@ -324,3 +324,63 @@ def test_parse_jpeg_info_header_only():
     assert info["width"] == 40
     with pytest.raises(ValueError, match="no SOF"):
         parse_jpeg_info(b"\xff\xd8\xff\xd9")
+
+
+def test_progressive_decode_identical_to_sequential():
+    # Progressive is the SAME quantized coefficients reorganized into
+    # spectral-selection + successive-approximation scans, so decode
+    # output must be BIT-IDENTICAL to the sequential encoding's —
+    # across gray/color, subsampling, odd geometry, and quality
+    # extremes (q10 = dense EOB runs, unit quant = dense coefficients).
+    rng = np.random.default_rng(0)
+    cases = [
+        (rng.integers(0, 256, (32, 32), np.uint8), dict(quant_tables=ONES)),
+        (rng.integers(0, 256, (13, 21), np.uint8), dict(quant_tables=ONES)),
+        (rng.integers(0, 256, (24, 24, 3), np.uint8), dict(quant_tables=ONES)),
+        (rng.integers(0, 256, (40, 48, 3), np.uint8),
+         dict(quality=90, subsampling=(2, 2))),
+        (rng.integers(0, 256, (17, 30, 3), np.uint8),
+         dict(quality=75, subsampling=(2, 1))),
+        (np.zeros((16, 16), np.uint8), dict(quant_tables=ONES)),
+        ((np.add.outer(np.arange(56) * 2, np.arange(64)) % 230).astype(np.uint8),
+         dict(quality=10)),
+    ]
+    for img, kw in cases:
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        data = encode_jpeg(img, progressive=True, **kw)
+        assert data.index(b"\xff\xc2") > 0  # really SOF2
+        np.testing.assert_array_equal(decode_jpeg(data), base)
+
+
+def test_progressive_fuzz_identity():
+    # 60 random (shape, quality, subsampling) draws — exercises EOBRUN
+    # accumulation, ZRL-with-correction-bit interleaving, newly-nonzero
+    # placement, and DC refinement on negative coefficients
+    for i in range(60):
+        r = np.random.default_rng(i)
+        sh = (int(r.integers(8, 70)), int(r.integers(8, 70)))
+        if i % 3 == 0:
+            sh = sh + (3,)
+        img = r.integers(0, 256, sh, np.uint8)
+        kw = dict(quality=int(r.integers(5, 100)))
+        if i % 4 == 0:
+            kw = dict(quant_tables=ONES)
+        if len(sh) == 3 and i % 2:
+            kw["subsampling"] = (2, 2) if i % 5 else (2, 1)
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        prog = decode_jpeg(encode_jpeg(img, progressive=True, **kw))
+        np.testing.assert_array_equal(prog, base, err_msg=f"case {i}")
+
+
+def test_progressive_structure_and_rejections():
+    from atlas_upscaling_dask_spark.sources.jpeg import parse_jpeg_info
+
+    img = np.random.default_rng(2).integers(0, 256, (16, 24, 3), np.uint8)
+    data = encode_jpeg(img, progressive=True, quality=85)
+    info = parse_jpeg_info(data)
+    assert info["progressive"] and not info["baseline"]
+    # scan plan: 1 interleaved DC + 1 DC refine + (AC first + AC refine)
+    # per component = 8 SOS markers
+    assert data.count(b"\xff\xda") == 8
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(img, progressive=True, restart_interval=2)

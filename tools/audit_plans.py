@@ -600,6 +600,11 @@ def audited_queries():
             QUERIES["jpeg_dims"],
             {"no_shuffle": True},
         ),
+        # progressive (SOF2) decode gate row: same narrow single pass
+        "jpeg_decode_progressive": (
+            QUERIES["jpeg_decode_progressive"],
+            {"no_shuffle": True},
+        ),
         # multi-index Hamming join: band equi-join + pair distinct —
         # never an all-pairs product (budget covers the non-broadcast
         # shape; at sf the band sides broadcast → measured 1)
