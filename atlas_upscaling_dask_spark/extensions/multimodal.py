@@ -97,7 +97,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     PNG payloads decode for real via the pure-NumPy codec in
     ``sources/png.py`` (stdlib zlib inflate + unfilter — no imaging
     library needed), baseline JPEG via ``sources/jpeg.py`` (from-spec
-    Huffman + iDCT); TIFF is covered by ``sources/tiff.py`` upstream.
+    Huffman + iDCT), GIF via ``sources/gif.py`` (from-spec LZW; the
+    first composited frame); TIFF is covered by ``sources/tiff.py``
+    upstream.
     ``fake=True`` keeps the deterministic pseudo-image used by plumbing
     tests that need byte-derived fixtures regardless of format.
     """
@@ -125,10 +127,14 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             )
         # to_rgb owns the 16-bit -> high-byte policy (same as PNG)
         return to_rgb(plane[:, :, None])
+    from ..sources.gif import GIF_SIGNATURES, decode_gif
+
+    if payload[:6] in GIF_SIGNATURES:  # GIF: first composited frame
+        return decode_gif(bytes(payload), frame=0)
     raise ValueError(
-        "unsupported image format (PNG, baseline JPEG and uncompressed "
-        "TIFF are the built-in codecs; other formats need an imaging "
-        "library)"
+        "unsupported image format (PNG, baseline JPEG, uncompressed "
+        "TIFF and GIF are the built-in codecs; other formats need an "
+        "imaging library)"
     )
 
 
@@ -179,6 +185,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         raise ValueError("width/height must be >= 1")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.gif import GIF_SIGNATURES, decode_gif, encode_gif
         from ..sources.jpeg import decode_jpeg, encode_jpeg
         from ..sources.png import PNG_SIGNATURE, decode_png, encode_png
 
@@ -186,23 +193,32 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             out_payloads = []
             for payload in pdf["payload"]:
                 data = bytes(payload)
-                jpeg = data[:2] == b"\xff\xd8"
-                if jpeg:
+                kind = "jpeg" if data[:2] == b"\xff\xd8" else None
+                if kind == "jpeg":
                     img = decode_jpeg(data)
                 elif data[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+                    kind = "png"
                     img = decode_png(data)
+                elif data[:6] in GIF_SIGNATURES:
+                    # first composited frame; nearest-neighbor keeps the
+                    # exact palette colors, so re-encode cannot overflow
+                    kind = "gif"
+                    img = decode_gif(data, frame=0)
                 else:
                     raise ValueError(
-                        "resize_images: PNG or baseline JPEG payload "
+                        "resize_images: PNG, baseline JPEG or GIF payload "
                         "required"
                     )
                 h, w = img.shape[:2]
                 yi = (np.arange(height) * h) // height
                 xi = (np.arange(width) * w) // width
                 small = img[yi][:, xi]
-                out_payloads.append(
-                    encode_jpeg(small) if jpeg else encode_png(small)
-                )
+                if kind == "jpeg":
+                    out_payloads.append(encode_jpeg(small))
+                elif kind == "gif":
+                    out_payloads.append(encode_gif(small))
+                else:
+                    out_payloads.append(encode_png(small))
             pdf = pdf.copy()
             pdf["payload"] = out_payloads
             yield pdf
@@ -331,14 +347,18 @@ def extract_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> Da
     """Arrow-batched sampled-frame extraction: decode only the planned
     frames, emit per-frame digests.  Payloads never leave the executor.
 
-    The REAL decode path (``fake=False``) treats multi-page TIFF as the
-    multi-frame container — pages are frames, parsed and range-decoded
-    by the from-scratch codec in ``sources/tiff.py`` (the IFD chain is
-    walked once per payload; only the sampled pages are decoded, so a
-    1%-sample of a long clip reads ~1% of the pixel bytes).  The frame
-    count comes from the container itself; ``meta.n_frames`` is advice.
-    Non-TIFF containers (mp4/mkv/...) still raise — entropy-coded video
-    needs a media library this container does not ship.
+    The REAL decode path (``fake=False``) handles the built-in
+    multi-frame containers: multi-page TIFF (pages are frames, parsed
+    and range-decoded by ``sources/tiff.py`` — the IFD chain is walked
+    once per payload and only the sampled pages are decoded, so a
+    1%-sample of a long clip reads ~1% of the pixel bytes) and animated
+    GIF (``sources/gif.py``; GIF frames composite onto their
+    predecessors, so decode is sequential up to the last sampled index
+    — the digest covers the COMPOSITED RGB canvas, which is what a
+    viewer shows).  The frame count comes from the container itself;
+    ``meta.n_frames`` is advice.  Other containers (mp4/mkv/...) still
+    raise — entropy-coded video needs a media library this container
+    does not ship.
 
     ``fake=True`` keeps the deterministic byte-slice pseudo-decode for
     plumbing tests that need format-independent fixtures (it requires
@@ -346,6 +366,7 @@ def extract_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> Da
     import hashlib
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.gif import GIF_SIGNATURES, iter_composited, parse_gif
         from ..sources.tiff import decode_tiff_page, parse_tiff_bytes
 
         for pdf in batches:
@@ -355,11 +376,25 @@ def extract_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> Da
             ):
                 raw = bytes(payload)
                 if not fake:
+                    if raw[:6] in GIF_SIGNATURES:
+                        info = parse_gif(raw)
+                        wanted = range(0, len(info.frames), every_n)
+                        last = max(wanted, default=-1)
+                        for i, canvas in iter_composited(raw, info, upto=last):
+                            if i % every_n:
+                                continue
+                            fb = canvas.tobytes()
+                            ids.append(mid)
+                            idxs.append(i)
+                            sizes.append(len(fb))
+                            digests.append(hashlib.sha256(fb).hexdigest())
+                        continue
                     if raw[:2] not in (b"II", b"MM"):
                         raise NotImplementedError(
                             "entropy-coded video containers (mp4/mkv/...) "
-                            "require a media library; multi-page TIFF is "
-                            "the built-in multi-frame container"
+                            "require a media library; multi-page TIFF and "
+                            "animated GIF are the built-in multi-frame "
+                            "containers"
                         )
                     info = parse_tiff_bytes(raw)
                     for i in range(0, len(info.pages), every_n):
@@ -474,9 +509,13 @@ def image_phash(
                     from ..sources.tiff import decode_tiff_page
 
                     img = decode_tiff_page(data, 0)
+                elif data[:6] in (b"GIF87a", b"GIF89a"):
+                    from ..sources.gif import decode_gif
+
+                    img = decode_gif(data, frame=0)
                 else:
                     raise ValueError(
-                        "image_phash: PNG, JPEG or TIFF payload required"
+                        "image_phash: PNG, JPEG, TIFF or GIF payload required"
                     )
                 hashes.append(_phash_of(img, m, hash_size, work_size))
             yield pd.DataFrame(
@@ -525,6 +564,7 @@ def video_frame_hashes(
     id_type = media.schema[id_col].dataType.simpleString()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.gif import GIF_SIGNATURES, iter_composited, parse_gif
         from ..sources.tiff import decode_tiff_page, parse_tiff_bytes
 
         m = _dct_matrix(work_size)
@@ -532,10 +572,26 @@ def video_frame_hashes(
             ids, idxs, hashes = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
+                if data[:6] in GIF_SIGNATURES:
+                    # animated GIF: frames composite sequentially; hash
+                    # the composited canvas (what a viewer shows)
+                    ginfo = parse_gif(data)
+                    wanted = range(0, len(ginfo.frames), every_n)
+                    last = max(wanted, default=-1)
+                    for i, canvas in iter_composited(data, ginfo, upto=last):
+                        if i % every_n:
+                            continue
+                        ids.append(mid)
+                        idxs.append(i)
+                        hashes.append(
+                            _phash_of(canvas, m, hash_size, work_size)
+                        )
+                    continue
                 if data[:2] not in (b"II", b"MM"):
                     raise NotImplementedError(
                         "entropy-coded video containers need a media "
-                        "library; multi-page TIFF is the built-in one"
+                        "library; multi-page TIFF and animated GIF are "
+                        "the built-in ones"
                     )
                 info = parse_tiff_bytes(data)
                 for i in range(0, len(info.pages), every_n):

@@ -3015,6 +3015,207 @@ FROM documents
 )
 
 
+def _gif_phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The GIF twin of `_phash_media`: the same modular-slot DCT
+    # construction, but 8-bit (GIF is palette-indexed uint8) with the
+    # amplitude pair (24, 56) whose clip-free, bit-exact margin the
+    # JPEG tests prove over every (a, b); the weakest slot (rank 0,
+    # amplitude 24) IS the median, so the hash drops exactly that bit
+    # — the same formula `_PHASH_HASHES_CTE` computes.
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_gif(batches):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.extensions.multimodal import _dct_matrix
+        from atlas_upscaling_dask_spark.sources.gif import encode_gif
+
+        m = _dct_matrix(32)
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                g = int(did) - int(did) % 7
+                if g not in cache:
+                    a = _PHASH_AS[g % 10]
+                    b = (g // 10) % 63
+                    slots = sorted(
+                        s for s in range(1, 64) if (s * a + b) % 63 < 32
+                    )
+                    c = np.zeros((32, 32))
+                    c[0, 0] = 128.0 * 32
+                    for rank, s in enumerate(slots):
+                        u, v = divmod(s, 8)
+                        c[u, v] = 24.0 if rank == 0 else 56.0
+                    u8 = np.round(m.T @ c @ m).astype(np.uint8)
+                    cache[g] = encode_gif(np.repeat(u8[..., None], 3, axis=2))
+                payloads.append(cache[g])
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(make_gif, schema="media_id long, payload binary")
+
+
+def _gif_phash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL pipeline: synthesize GIF → from-spec LZW decode + palette →
+    # box resize → DCT → median-threshold hash; the oracle predicts
+    # every bit analytically (same truth as the PNG pipeline — two
+    # codecs, one answer).
+    from .extensions.multimodal import image_phash
+
+    return image_phash(_gif_phash_media(spark, sf_dir))
+
+
+_register(
+    "gif_phash_values",
+    _gif_phash_values,
+    f"""
+WITH {_PHASH_HASHES_CTE.strip()}
+SELECT doc_id AS media_id, phash FROM hs
+""",
+)
+
+
+def _gif_anim_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4-frame animated GIFs, groups of 5 docs share a clip: frame f of
+    # group g is the CONSTANT color 5 + (7g + 13f) % 120 over a 10x12
+    # canvas (disposal "keep", delay 10(f+1) cs, loop 3) — every
+    # composited frame is a known constant raster, so digests, sizes
+    # and header fields are all analytic.
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_gif(batches):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.sources.gif import encode_gif
+
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                g = int(did) - int(did) % 5
+                if g not in cache:
+                    colors = [5 + (7 * g + 13 * f) % 120 for f in range(4)]
+                    frames = [
+                        np.full((10, 12, 3), c, np.uint8) for c in colors
+                    ]
+                    cache[g] = encode_gif(
+                        frames,
+                        disposals=[1] * 4,
+                        delays_cs=[10 * (f + 1) for f in range(4)],
+                        loop=3,
+                    )
+                payloads.append(cache[g])
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(make_gif, schema="media_id long, payload binary")
+
+
+def _gif_anim_frame_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL pipeline: animated-GIF synth → sequential LZW decode +
+    # compositing → sampled-frame SHA-256 over the composited RGB
+    # canvas; the oracle hashes the same constant byte runs in SQL.
+    from .extensions.multimodal import extract_frames
+
+    media = _gif_anim_media(spark, sf_dir).select(
+        "media_id",
+        F.lit("video").alias("media_type"),
+        "payload",
+        F.named_struct(
+            F.lit("width"), F.lit(12),
+            F.lit("height"), F.lit(10),
+            F.lit("sample_rate"), F.lit(None).cast("int"),
+            F.lit("n_frames"), F.lit(4),
+            F.lit("codec"), F.lit("gif"),
+        ).alias("meta"),
+    )
+    return extract_frames(media, every_n=2, fake=False)
+
+
+_register(
+    "gif_anim_frame_digests",
+    _gif_anim_frame_digests,
+    """
+SELECT doc_id AS media_id,
+       CAST(f.range AS INTEGER) AS frame_idx,
+       CAST(360 AS BIGINT) AS n_bytes,
+       sha256(repeat(chr(CAST(
+           5 + (7 * (doc_id - doc_id % 5) + 13 * f.range) % 120
+           AS INTEGER)), 360)) AS sha256
+FROM documents, range(0, 4, 2) f
+""",
+)
+
+
+def _gif_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Header-only metadata profiling (the GIF twin of `jpeg_dims`):
+    # block walk + frame census, NO LZW work — the planning-side pass a
+    # 100 TB GIF corpus runs before deciding what to decode.
+    import pandas as pd
+
+    media = _gif_anim_media(spark, sf_dir)
+
+    def kernel(batches):
+        from atlas_upscaling_dask_spark.sources.gif import parse_gif_info
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "width": [], "height": [], "n_frames": [],
+                "animated": [], "loop_count": [], "total_delay_cs": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = parse_gif_info(bytes(payload))
+                rows["media_id"].append(int(mid))
+                rows["width"].append(info["width"])
+                rows["height"].append(info["height"])
+                rows["n_frames"].append(info["n_frames"])
+                rows["animated"].append(info["animated"])
+                rows["loop_count"].append(info["loop_count"])
+                rows["total_delay_cs"].append(info["total_delay_cs"])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(rows["media_id"], dtype="int64"),
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "n_frames": pd.array(rows["n_frames"], dtype="int32"),
+                    "animated": pd.array(rows["animated"], dtype="bool"),
+                    "loop_count": pd.array(rows["loop_count"], dtype="int32"),
+                    "total_delay_cs": pd.array(
+                        rows["total_delay_cs"], dtype="int32"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema="media_id long, width int, height int, n_frames int, "
+        "animated boolean, loop_count int, total_delay_cs int",
+    )
+
+
+_register(
+    "gif_info",
+    _gif_info,
+    """
+SELECT doc_id AS media_id,
+       CAST(12 AS INTEGER) AS width,
+       CAST(10 AS INTEGER) AS height,
+       CAST(4 AS INTEGER) AS n_frames,
+       true AS animated,
+       CAST(3 AS INTEGER) AS loop_count,
+       CAST(100 AS INTEGER) AS total_delay_cs
+FROM documents
+""",
+)
+
+
 #: frame-period LUT for the synthetic spectral fixtures: all divide the
 #: 256-sample frame, so each frame's dominant DFT bin is EXACTLY 256/p.
 _AFP_PERIODS = [4, 8, 16, 32, 64, 128]

@@ -605,6 +605,23 @@ def audited_queries():
             QUERIES["jpeg_decode_progressive"],
             {"no_shuffle": True},
         ),
+        # the GIF twin: from-spec LZW decode + palette lookup inside
+        # the same single narrow Arrow pass
+        "gif_phash_values": (
+            QUERIES["gif_phash_values"],
+            {"no_shuffle": True},
+        ),
+        # animated-GIF frame sampling: sequential composite per payload
+        # but still ONE narrow pass over the corpus — no exchange
+        "gif_anim_frame_digests": (
+            QUERIES["gif_anim_frame_digests"],
+            {"no_shuffle": True},
+        ),
+        # header-only GIF profiling: block walk, no LZW work, narrow
+        "gif_info": (
+            QUERIES["gif_info"],
+            {"no_shuffle": True},
+        ),
         # multi-index Hamming join: band equi-join + pair distinct —
         # never an all-pairs product (budget covers the non-broadcast
         # shape; at sf the band sides broadcast → measured 1)
