@@ -366,7 +366,9 @@ def extract_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> Da
     import hashlib
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.avi import parse_avi, read_avi_frame, require_mjpeg
         from ..sources.gif import GIF_SIGNATURES, iter_composited, parse_gif
+        from ..sources.jpeg import decode_jpeg
         from ..sources.tiff import decode_tiff_page, parse_tiff_bytes
 
         for pdf in batches:
@@ -376,6 +378,19 @@ def extract_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> Da
             ):
                 raw = bytes(payload)
                 if not fake:
+                    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                        # MJPEG AVI: idx1-indexed random access — only
+                        # the sampled frames' JPEG bytes are decoded
+                        ainfo = parse_avi(raw)
+                        require_mjpeg(ainfo)
+                        for i in range(0, len(ainfo.frames), every_n):
+                            frame = decode_jpeg(read_avi_frame(raw, ainfo, i))
+                            fb = frame.tobytes()
+                            ids.append(mid)
+                            idxs.append(i)
+                            sizes.append(len(fb))
+                            digests.append(hashlib.sha256(fb).hexdigest())
+                        continue
                     if raw[:6] in GIF_SIGNATURES:
                         info = parse_gif(raw)
                         wanted = range(0, len(info.frames), every_n)
@@ -392,9 +407,9 @@ def extract_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> Da
                     if raw[:2] not in (b"II", b"MM"):
                         raise NotImplementedError(
                             "entropy-coded video containers (mp4/mkv/...) "
-                            "require a media library; multi-page TIFF and "
-                            "animated GIF are the built-in multi-frame "
-                            "containers"
+                            "require a media library; multi-page TIFF, "
+                            "animated GIF and MJPEG AVI are the built-in "
+                            "multi-frame containers"
                         )
                     info = parse_tiff_bytes(raw)
                     for i in range(0, len(info.pages), every_n):
@@ -564,7 +579,9 @@ def video_frame_hashes(
     id_type = media.schema[id_col].dataType.simpleString()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.avi import parse_avi, read_avi_frame, require_mjpeg
         from ..sources.gif import GIF_SIGNATURES, iter_composited, parse_gif
+        from ..sources.jpeg import decode_jpeg
         from ..sources.tiff import decode_tiff_page, parse_tiff_bytes
 
         m = _dct_matrix(work_size)
@@ -572,6 +589,19 @@ def video_frame_hashes(
             ids, idxs, hashes = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
+                if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    ainfo = parse_avi(data)
+                    require_mjpeg(ainfo)
+                    for i in range(0, len(ainfo.frames), every_n):
+                        ids.append(mid)
+                        idxs.append(i)
+                        hashes.append(
+                            _phash_of(
+                                decode_jpeg(read_avi_frame(data, ainfo, i)),
+                                m, hash_size, work_size,
+                            )
+                        )
+                    continue
                 if data[:6] in GIF_SIGNATURES:
                     # animated GIF: frames composite sequentially; hash
                     # the composited canvas (what a viewer shows)
@@ -590,8 +620,8 @@ def video_frame_hashes(
                 if data[:2] not in (b"II", b"MM"):
                     raise NotImplementedError(
                         "entropy-coded video containers need a media "
-                        "library; multi-page TIFF and animated GIF are "
-                        "the built-in ones"
+                        "library; multi-page TIFF, animated GIF and "
+                        "MJPEG AVI are the built-in ones"
                     )
                 info = parse_tiff_bytes(data)
                 for i in range(0, len(info.pages), every_n):

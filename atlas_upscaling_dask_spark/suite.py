@@ -3447,6 +3447,135 @@ WHERE inter / (s1.n + s2.n - inter) >= 0.5
 )
 
 
+def _avi_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4-frame MJPEG AVI "videos": the REAL video container over the
+    # from-spec JPEG codec.  Frame f of the 5-doc group g reuses the
+    # DCT-sparse modular-slot construction of `_video_media` at 8 bits
+    # with the (24, 56) amplitude pair whose unit-quant JPEG roundtrip
+    # the JPEG tests prove bit-exact — every frame hash stays analytic.
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_avi(batches):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.extensions.multimodal import _dct_matrix
+        from atlas_upscaling_dask_spark.sources.avi import encode_avi
+        from atlas_upscaling_dask_spark.sources.jpeg import encode_jpeg
+
+        ones = (np.ones((8, 8), np.int64), np.ones((8, 8), np.int64))
+        m = _dct_matrix(32)
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                g = int(did) - int(did) % 5
+                if g not in cache:
+                    jpegs = []
+                    for f in range(4):
+                        a = _PHASH_AS[(g + f) % 10]
+                        b = (g // 10 + 3 * f) % 63
+                        slots = sorted(
+                            s for s in range(1, 64) if (s * a + b) % 63 < 32
+                        )
+                        c = np.zeros((32, 32))
+                        c[0, 0] = 128.0 * 32
+                        for rank, sl in enumerate(slots):
+                            u, v = divmod(sl, 8)
+                            c[u, v] = 24.0 if rank == 0 else 56.0
+                        u8 = np.round(m.T @ c @ m).astype(np.uint8)
+                        jpegs.append(encode_jpeg(u8, quant_tables=ones))
+                    cache[g] = encode_avi(jpegs, width=32, height=32,
+                                          fps_rate=30)
+                payloads.append(cache[g])
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(make_avi, schema="media_id long, payload binary")
+
+
+def _avi_frame_hashes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL pipeline: MJPEG-AVI synth → idx1-indexed frame slice →
+    # from-spec JPEG decode → the same DCT hash as images, one row per
+    # frame; every bit analytic (same truth as the TIFF video path —
+    # two containers, one answer).
+    from .extensions.multimodal import video_frame_hashes
+
+    return video_frame_hashes(_avi_media(spark, sf_dir))
+
+
+_register(
+    "avi_frame_hashes",
+    _avi_frame_hashes_q,
+    f"""
+WITH {_VIDEO_HASHES_CTE.strip()}
+SELECT doc_id AS media_id, frame_idx, phash FROM vh
+""",
+)
+
+
+def _avi_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Header-only container census (hdrl + idx1 walk, zero JPEG work):
+    # the planning pass a 100 TB video-corpus profile runs first.
+    import pandas as pd
+
+    media = _avi_media(spark, sf_dir)
+
+    def kernel(batches):
+        from atlas_upscaling_dask_spark.sources.avi import parse_avi_info
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "width": [], "height": [], "n_frames": [],
+                "fps": [], "video_codec": [], "has_index": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = parse_avi_info(bytes(payload))
+                rows["media_id"].append(int(mid))
+                rows["width"].append(info["width"])
+                rows["height"].append(info["height"])
+                rows["n_frames"].append(info["n_frames"])
+                rows["fps"].append(info["fps"])
+                rows["video_codec"].append(info["video_codec"])
+                rows["has_index"].append(info["has_index"])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(rows["media_id"], dtype="int64"),
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "n_frames": pd.array(rows["n_frames"], dtype="int32"),
+                    "fps": pd.array(rows["fps"], dtype="float64"),
+                    "video_codec": rows["video_codec"],
+                    "has_index": pd.array(rows["has_index"], dtype="bool"),
+                }
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema="media_id long, width int, height int, n_frames int, "
+        "fps double, video_codec string, has_index boolean",
+    )
+
+
+_register(
+    "avi_info",
+    _avi_info,
+    """
+SELECT doc_id AS media_id,
+       CAST(32 AS INTEGER) AS width,
+       CAST(32 AS INTEGER) AS height,
+       CAST(4 AS INTEGER) AS n_frames,
+       CAST(30.0 AS DOUBLE) AS fps,
+       'MJPG' AS video_codec,
+       true AS has_index
+FROM documents
+""",
+)
+
+
+
 def _text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.text import text_stats
 

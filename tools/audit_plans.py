@@ -622,6 +622,17 @@ def audited_queries():
             QUERIES["gif_info"],
             {"no_shuffle": True},
         ),
+        # MJPEG-AVI frame fingerprints: idx1 random access + from-spec
+        # JPEG decode, still ONE narrow Arrow pass over the corpus
+        "avi_frame_hashes": (
+            QUERIES["avi_frame_hashes"],
+            {"no_shuffle": True},
+        ),
+        # header-only AVI census: hdrl/idx1 walk, zero JPEG work
+        "avi_info": (
+            QUERIES["avi_info"],
+            {"no_shuffle": True},
+        ),
         # multi-index Hamming join: band equi-join + pair distinct —
         # never an all-pairs product (budget covers the non-broadcast
         # shape; at sf the band sides broadcast → measured 1)
