@@ -3575,6 +3575,95 @@ FROM documents
 )
 
 
+def _mp4_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Header-only MP4 census (ISO BMFF box walk — ftyp/mvhd/tkhd/mdhd/
+    # hdlr/stsd/stts): the planning pass that decides which payloads
+    # are worth handing to a decoder; every field analytic from doc_id.
+    # Decode itself stays a contract NotImplementedError (entropy
+    # codecs need a media library).
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        from atlas_upscaling_dask_spark.sources.mp4 import (
+            encode_mp4_stub,
+            parse_mp4_info,
+        )
+
+        cache: dict[tuple, bytes] = {}
+        for pdf in batches:
+            rows = {
+                "media_id": [], "duration_s": [], "n_tracks": [],
+                "video_codec": [], "width": [], "height": [], "fps": [],
+                "channels": [], "sample_rate": [],
+            }
+            for did in pdf["doc_id"]:
+                d = int(did)
+                key = (
+                    16 * (1 + d % 20), 16 * (1 + d % 12), 1 + d % 10,
+                    12 + d % 5, d % 2 == 0, 8000 * (1 + d % 6), 1 + d % 2,
+                )
+                if key not in cache:
+                    w, h, dur, fps, aud, sr, ch = key
+                    cache[key] = encode_mp4_stub(
+                        width=w, height=h, duration_s=float(dur),
+                        n_video_samples=dur * fps, audio=aud,
+                        sample_rate=sr, channels=ch,
+                    )
+                info = parse_mp4_info(cache[key])
+                rows["media_id"].append(d)
+                rows["duration_s"].append(info["duration_s"])
+                rows["n_tracks"].append(info["n_tracks"])
+                rows["video_codec"].append(info["video_codec"])
+                rows["width"].append(info["width"])
+                rows["height"].append(info["height"])
+                rows["fps"].append(info["fps"])
+                rows["channels"].append(info["channels"])
+                rows["sample_rate"].append(info["sample_rate"])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(rows["media_id"], dtype="int64"),
+                    "duration_s": pd.array(rows["duration_s"], dtype="float64"),
+                    "n_tracks": pd.array(rows["n_tracks"], dtype="int32"),
+                    "video_codec": rows["video_codec"],
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "fps": pd.array(rows["fps"], dtype="float64"),
+                    "channels": pd.array(rows["channels"], dtype="Int32"),
+                    "sample_rate": pd.array(rows["sample_rate"], dtype="Int32"),
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id long, duration_s double, n_tracks int, "
+        "video_codec string, width int, height int, fps double, "
+        "channels int, sample_rate int",
+    )
+
+
+_register(
+    "mp4_info",
+    _mp4_info,
+    """
+SELECT doc_id AS media_id,
+       CAST(1 + doc_id % 10 AS DOUBLE) AS duration_s,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INTEGER)
+         AS n_tracks,
+       'avc1' AS video_codec,
+       CAST(16 * (1 + doc_id % 20) AS INTEGER) AS width,
+       CAST(16 * (1 + doc_id % 12) AS INTEGER) AS height,
+       CAST(12 + doc_id % 5 AS DOUBLE) AS fps,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 2 END AS INTEGER)
+         AS channels,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + doc_id % 6) END
+         AS INTEGER) AS sample_rate
+FROM documents
+""",
+)
+
+
 
 def _text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.text import text_stats

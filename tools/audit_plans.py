@@ -633,6 +633,11 @@ def audited_queries():
             QUERIES["avi_info"],
             {"no_shuffle": True},
         ),
+        # header-only MP4 census: ISO-BMFF box walk, decode never runs
+        "mp4_info": (
+            QUERIES["mp4_info"],
+            {"no_shuffle": True},
+        ),
         # multi-index Hamming join: band equi-join + pair distinct —
         # never an all-pairs product (budget covers the non-broadcast
         # shape; at sf the band sides broadcast → measured 1)
