@@ -121,6 +121,62 @@ def normalize_expr(text_col: str = "text") -> Column:
     )
 
 
+#: named HTML entities decoded after tag stripping (&amp; last, the
+#: standard order, so "&amp;lt;" yields a literal "&lt;").  Numeric
+#: character references are NOT decoded — that needs codepoint
+#: construction SQL engines don't express; crawl text extraction
+#: treats them as rare residue (documented operator contract).
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_title_expr(html_col: str = "html") -> Column:
+    """The <title> contents (first match), entity-decoded + trimmed."""
+    t = F.regexp_extract(F.col(html_col), r"(?is)<title[^>]*>(.*?)</title>", 1)
+    for ent, rep in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def html_text_expr(html_col: str = "html") -> Column:
+    """Visible-text extraction from HTML markup as ONE codegen'd
+    expression chain: drop <script>/<style> subtrees and comments,
+    every remaining tag becomes a space, named entities decode, then
+    whitespace collapses.  Regex-based by design — a crawl-scale text
+    extractor wants a cheap deterministic JVM pass, not a DOM; the
+    boilerplate/quality screens downstream do the semantic filtering."""
+    t = F.regexp_replace(
+        F.col(html_col), r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " "
+    )
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def extract_html_text(
+    docs: DataFrame,
+    html_col: str = "html",
+    text_col: str = "text",
+    title_col: str = "title",
+) -> DataFrame:
+    """Add extracted ``title`` and visible ``text`` columns — the
+    WARC→documents bridge (pair with ``sources.warc.warc_records`` and
+    the URL family for the full crawl-ingestion path).  Pure built-in
+    expressions: no Python, no shuffle, codegen end to end."""
+    return docs.withColumn(title_col, html_title_expr(html_col)).withColumn(
+        text_col, html_text_expr(html_col)
+    )
+
+
 #: PII scrub rules applied in order: (pattern, replacement).  Patterns
 #: stay inside the regex subset that Java (Spark) and RE2-ish engines
 #: (the DuckDB oracle) treat identically — no backrefs, no lookaround.

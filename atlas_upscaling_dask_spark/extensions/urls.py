@@ -1,0 +1,200 @@
+"""Crawl-hygiene URL operators: canonicalization, registrable-domain
+extraction, canonical-URL dedup.
+
+A web-crawl training pipeline dedups and mixes by URL before it ever
+looks at page bytes: the same document is fetched under utm-tagged,
+fragment-bearing, case-shifted, dot-segmented spellings of one URL,
+and domain-level mixture/blocklist decisions need the REGISTRABLE
+domain (eTLD+1), not the raw host.  The reference has no web surface
+at all — this is north-star extension work like the media codecs, but
+unlike those it needs no Python kernel: every step here is Spark
+built-ins and higher-order functions (whole-stage codegen), and the
+public-suffix lookup is a broadcast join, so the plans stay narrow
+and JVM-side at any corpus size.
+
+Canonicalization implements the RFC 3986 §6 normalizations that are
+safe without fetching (case of scheme/host, default ports, dot-segment
+removal, empty-segment collapse) plus the crawl-standard extras
+(fragment removal, tracking-parameter removal, query-parameter sort).
+Deliberate simplifications, documented as the operator contract:
+
+* userinfo (``user:pass@host``) is not parsed — such URLs keep the
+  userinfo inside the "host" output (crawl corpora reject them
+  upstream anyway);
+* percent-encoding is left verbatim (decoding safely needs the
+  reserved-set logic of a full URL library);
+* a trailing slash is normalized away (``/a/`` = ``/a``), the common
+  crawl-dedup choice — the root path is always ``/``.
+
+The built-in public-suffix list is a compact, documented SUBSET of the
+Mozilla PSL for tests and fixtures; production passes the full PSL
+file to ``registrable_domains(suffixes=...)`` — the operator shape
+(broadcast join on the last-k-label candidates) is what scales, the
+list is data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: exact query-parameter names that identify click/campaign tracking
+TRACKING_PARAMS = (
+    "fbclid", "gclid", "msclkid", "yclid", "mc_eid", "igshid", "_ga",
+)
+
+#: compact public-suffix subset (production: load the full Mozilla PSL
+#: into the same one-column frame)
+DEFAULT_SUFFIXES = (
+    "com", "org", "net", "edu", "gov", "io", "dev", "app", "info",
+    "co", "uk", "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "au", "com.au", "org.au", "jp", "co.jp", "ne.jp", "or.jp",
+    "br", "com.br", "de", "fr", "it", "nl", "ru", "cn", "com.cn",
+    "in", "co.in", "kr", "co.kr", "nz", "co.nz", "za", "co.za",
+)
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """Add ``out_col`` with the canonical spelling of ``url_col``.
+
+    Pure built-in/HOF expressions (one codegen'd narrow projection):
+    fragment and tracking params dropped, scheme+host lowercased,
+    trailing host dot and default ports stripped, dot-segments
+    resolved with an ``aggregate`` fold, empty segments collapsed,
+    remaining query params sorted.  URLs without ``://`` pass through
+    trimmed-verbatim (opaque ids happen in crawl tables; refusing to
+    guess beats mangling).
+    """
+    u = F.trim(F.col(url_col))
+    nofrag = F.substring_index(u, "#", 1)
+    has_q = F.instr(nofrag, "?") > 0
+    base = F.substring_index(nofrag, "?", 1)
+    query = F.when(has_q, F.substr(
+        nofrag, F.instr(nofrag, "?") + 1, F.length(nofrag)
+    )).otherwise(F.lit(""))
+
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    has_scheme = scheme != ""
+    # everything past "<scheme>://"
+    rest = F.substr(base, F.length(scheme) + F.lit(4), F.length(base))
+    slash = F.instr(rest, "/")
+    hostport = F.when(slash > 0, F.substr(rest, F.lit(1), slash - 1)).otherwise(rest)
+    raw_path = F.when(slash > 0, F.substr(rest, slash, F.length(rest))).otherwise(
+        F.lit("")
+    )
+    host = F.regexp_replace(
+        F.lower(F.substring_index(hostport, ":", 1)), r"\.$", ""
+    )
+    port = F.when(
+        F.instr(hostport, ":") > 0, F.substring_index(hostport, ":", -1)
+    ).otherwise(F.lit(""))
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+
+    segs = F.split(raw_path, "/")
+    resolved = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, x: (
+            F.when((x == "") | (x == "."), acc)
+            .when(x == "..", F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))))
+            .otherwise(F.concat(acc, F.array(x)))
+        ),
+    )
+    path = F.concat(F.lit("/"), F.array_join(resolved, "/"))
+
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.lower(p).startswith("utm_")
+        & ~F.lower(F.substring_index(p, "=", 1)).isin(*TRACKING_PARAMS),
+    )
+    q_part = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+    ).otherwise(F.lit(""))
+
+    canon = F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+    return df.withColumn(out_col, F.when(has_scheme, canon).otherwise(u))
+
+
+def suffix_frame(df_or_spark, suffixes=DEFAULT_SUFFIXES) -> DataFrame:
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    return spark.createDataFrame(
+        [(s, s.count(".") + 1) for s in suffixes], "suffix string, k int"
+    )
+
+
+def registrable_domains(
+    df: DataFrame,
+    host_col: str = "host",
+    out_col: str = "registrable_domain",
+    suffixes: DataFrame | None = None,
+    max_suffix_labels: int = 4,
+) -> DataFrame:
+    """Add ``out_col`` = eTLD+1 of ``host_col`` via the public-suffix
+    longest-match rule.
+
+    Plan shape: the candidate suffix for each k (the host's last k
+    labels) is a codegen'd expression; each k is resolved by ONE
+    broadcast left join against the suffix frame — `max_suffix_labels`
+    broadcast joins total, ZERO shuffle exchanges, no explode/groupBy.
+    Hosts that are themselves a public suffix (or have no matching
+    suffix with a label to spare) get NULL — the crawl-reject signal.
+    """
+    from pyspark.sql.functions import broadcast
+
+    sfx = suffixes if suffixes is not None else suffix_frame(df)
+    labels = F.split(F.lower(F.col(host_col)), r"\.")
+    n = F.size(labels)
+    out = df.withColumn("__labels", labels)
+    matched = []
+    for k in range(1, max_suffix_labels + 1):
+        cand = F.when(
+            n >= k, F.array_join(F.slice(F.col("__labels"), -k, k), ".")
+        )
+        col = f"__sfx{k}"
+        out = (
+            out.withColumn(f"__cand{k}", cand)
+            .join(
+                broadcast(sfx.select(F.col("suffix").alias(col))),
+                on=F.col(f"__cand{k}") == F.col(col),
+                how="left",
+            )
+            .drop(f"__cand{k}")
+        )
+        matched.append(col)
+    # longest matched suffix length, or null
+    best_k = F.greatest(
+        *[
+            F.when(F.col(c).isNotNull(), F.lit(i + 1))
+            for i, c in enumerate(matched)
+        ]
+    )
+    n2 = F.size(F.col("__labels"))
+    reg = F.when(
+        best_k.isNotNull() & (n2 > best_k),
+        F.array_join(F.slice(F.col("__labels"), n2 - best_k, best_k + 1), "."),
+    )
+    return out.withColumn(out_col, reg).drop("__labels", *matched)
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-URL dedup: one row per canonical URL with the
+    first-occurrence survivor (min id — deterministic) and the
+    duplicate count.  Narrow canonicalization + ONE hash aggregation
+    (map-side partials) — the exact-dedup shape at any scale."""
+    canon = canonicalize_urls(df, url_col=url_col)
+    return canon.groupBy("canonical_url").agg(
+        F.min(id_col).alias("survivor_" + id_col),
+        F.count(F.lit(1)).alias("n_dups"),
+    )

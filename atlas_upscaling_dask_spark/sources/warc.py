@@ -1,0 +1,243 @@
+"""WARC (Web ARChive, ISO 28500) reader/writer — the crawl container.
+
+Training corpora start life as WARC: Common Crawl and every serious
+crawler emit it.  A 100 TB ingestion pipeline's first pass is "WARC
+bytes → one row per response record (URI, status, content type,
+payload)", after which the rest of this repo takes over (HTML text
+extraction, URL canonicalization + dedup, quality screens,
+`prepare_training_set`).  The reference has no web surface — this is
+north-star extension work like the media codecs and the URL family.
+
+Implemented from the public ISO 28500 / WARC 1.1 specification:
+
+* record framing — ``WARC/1.x`` version line, CRLF header block,
+  ``Content-Length``-delimited body, CRLF CRLF separator;
+* the standard record types (``warcinfo``/``request``/``response``/
+  ``resource``/``metadata``/``conversion``) with their named headers;
+* member-per-record gzip (the Common Crawl layout: each record its own
+  gzip member, concatenated) via stdlib zlib — detected by magic, so
+  plain and ``.warc.gz`` payloads both parse;
+* HTTP/1.x response parsing inside ``application/http`` record bodies
+  (status line, headers, payload split).
+
+Executor-local stdlib only; the Spark-side entry point is
+``warc_records`` (an Arrow-batched ``mapInPandas`` kernel — WARC bytes
+never leave the executor, one narrow pass).  A writer assembles
+spec-shaped fixtures for tests and oracle queries.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+WARC_VERSIONS = (b"WARC/1.0", b"WARC/1.1")
+
+
+def _split_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a stream of concatenated gzip members one by one."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        out = d.decompress(data[pos:])
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC payload")
+        yield out + d.flush()
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("gzip member consumed no bytes")
+        pos += consumed
+
+
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield ``(headers, body)`` per record; header names are
+    lower-cased, values stripped.  Accepts plain or per-record-gzip
+    payloads (mixed plain text after gzip members is not a thing the
+    spec allows, so the magic check is global)."""
+    if data[:2] == b"\x1f\x8b":
+        for member in _split_gzip_members(data):
+            yield from _iter_plain(member)
+        return
+    yield from _iter_plain(data)
+
+
+def _iter_plain(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate inter-record CRLFs
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        eol = data.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("truncated WARC version line")
+        version = data[pos:eol]
+        if version not in WARC_VERSIONS:
+            raise ValueError(f"not a WARC record (version line {version!r})")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = data.find(b"\r\n", pos)
+            if eol < 0:
+                raise ValueError("truncated WARC header block")
+            line = data[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            if b":" not in line:
+                raise ValueError(f"malformed WARC header line {line!r}")
+            name, _, value = line.partition(b":")
+            headers[name.decode("latin-1").strip().lower()] = (
+                value.decode("latin-1").strip()
+            )
+        try:
+            length = int(headers["content-length"])
+        except KeyError:
+            raise ValueError("WARC record missing Content-Length") from None
+        body = data[pos : pos + length]
+        if len(body) != length:
+            raise ValueError("truncated WARC record body")
+        pos += length
+        yield headers, body
+
+
+def parse_http_response(body: bytes) -> tuple[int, dict[str, str], bytes]:
+    """Split an ``application/http;msgtype=response`` record body into
+    (status_code, headers, payload)."""
+    sep = body.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("HTTP response without header/body separator")
+    head = body[:sep].split(b"\r\n")
+    status_parts = head[0].split(None, 2)
+    if len(status_parts) < 2 or not status_parts[0].startswith(b"HTTP/"):
+        raise ValueError(f"malformed HTTP status line {head[0]!r}")
+    status = int(status_parts[1])
+    headers: dict[str, str] = {}
+    for line in head[1:]:
+        name, _, value = line.partition(b":")
+        headers[name.decode("latin-1").strip().lower()] = (
+            value.decode("latin-1").strip()
+        )
+    return status, headers, body[sep + 4 :]
+
+
+def warc_records(media, payload_col: str = "payload"):
+    """Arrow-batched WARC → rows: one output row per record, with HTTP
+    response fields split out when present.  One narrow pass; archive
+    bytes never leave the executor — at 100 TB each task parses its own
+    WARC payloads and emits only the compact row."""
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "record_idx": [], "warc_type": [],
+                "target_uri": [], "warc_date": [], "http_status": [],
+                "http_content_type": [], "payload": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                for i, (hdrs, body) in enumerate(
+                    iter_warc_records(bytes(payload))
+                ):
+                    rtype = hdrs.get("warc-type", "")
+                    status: int | None = None
+                    ctype: str | None = None
+                    content = body
+                    if rtype == "response" and hdrs.get(
+                        "content-type", ""
+                    ).startswith("application/http"):
+                        status, hhdrs, content = parse_http_response(body)
+                        ctype = hhdrs.get("content-type")
+                    rows["media_id"].append(int(mid))
+                    rows["record_idx"].append(i)
+                    rows["warc_type"].append(rtype)
+                    rows["target_uri"].append(hdrs.get("warc-target-uri"))
+                    rows["warc_date"].append(hdrs.get("warc-date"))
+                    rows["http_status"].append(status)
+                    rows["http_content_type"].append(ctype)
+                    rows["payload"].append(content)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(rows["media_id"], dtype="int64"),
+                    "record_idx": pd.array(rows["record_idx"], dtype="int32"),
+                    "warc_type": rows["warc_type"],
+                    "target_uri": rows["target_uri"],
+                    "warc_date": rows["warc_date"],
+                    "http_status": pd.array(rows["http_status"], dtype="Int32"),
+                    "http_content_type": rows["http_content_type"],
+                    "payload": rows["payload"],
+                }
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema="media_id long, record_idx int, warc_type string, "
+        "target_uri string, warc_date string, http_status int, "
+        "http_content_type string, payload binary",
+    )
+
+
+# ---------------------------------------------------------------------------
+# writer (fixtures / export)
+
+
+def _record(headers: list[tuple[str, str]], body: bytes) -> bytes:
+    head = b"WARC/1.1\r\n"
+    for k, v in headers:
+        head += f"{k}: {v}\r\n".encode("latin-1")
+    head += f"Content-Length: {len(body)}\r\n\r\n".encode()
+    return head + body + b"\r\n\r\n"
+
+
+def encode_warc(
+    records: list[dict],
+    gzip_per_record: bool = False,
+) -> bytes:
+    """Assemble a WARC file.  Each record dict:
+
+    ``{"type": "response", "uri": ..., "date": ..., "record_id": ...,
+    "status": 200, "http_headers": {...}, "payload": b"..."}`` for
+    responses, or ``{"type": ..., "uri": ..., "body": b"..."}`` for
+    any other record type."""
+    out = bytearray()
+    for i, r in enumerate(records):
+        rtype = r.get("type", "resource")
+        headers = [
+            ("WARC-Type", rtype),
+            ("WARC-Record-ID",
+             r.get("record_id", f"<urn:uuid:fixture-{i:08d}>")),
+            ("WARC-Date", r.get("date", "2026-01-01T00:00:00Z")),
+        ]
+        if "uri" in r:
+            headers.append(("WARC-Target-URI", r["uri"]))
+        if rtype == "response":
+            headers.append(
+                ("Content-Type", "application/http;msgtype=response")
+            )
+            payload = r.get("payload", b"")
+            status = r.get("status", 200)
+            reason = {200: "OK", 301: "Moved Permanently",
+                      404: "Not Found", 500: "Internal Server Error"}.get(
+                status, "Status")
+            http = f"HTTP/1.1 {status} {reason}\r\n".encode()
+            hh = dict(r.get("http_headers", {}))
+            hh.setdefault("Content-Type", "text/html; charset=utf-8")
+            hh.setdefault("Content-Length", str(len(payload)))
+            for k, v in hh.items():
+                http += f"{k}: {v}\r\n".encode("latin-1")
+            body = http + b"\r\n" + payload
+        else:
+            body = r.get("body", b"")
+            if rtype == "warcinfo":
+                headers.append(
+                    ("Content-Type", "application/warc-fields")
+                )
+        rec = _record(headers, body)
+        if gzip_per_record:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            rec = co.compress(rec) + co.flush()
+        out += rec
+    return bytes(out)

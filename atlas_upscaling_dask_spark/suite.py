@@ -3664,6 +3664,314 @@ FROM documents
 )
 
 
+def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Synthetic crawl URLs with every normalization hazard planted
+    # deterministically: mixed-case scheme/host, default + explicit
+    # ports, dot-segments + trailing slash, tracking params out of
+    # order, fragments.  The expected canonical form is a pure formula
+    # of doc_id — the oracle writes it down directly.
+    d = F.col("doc_id")
+
+    def s(x):
+        return x.cast("string")
+
+    scheme = F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("hTTpS"))
+    host = (
+        F.when(d % 4 == 0, F.concat(F.lit("Site"), s(d % 40), F.lit(".EXAMPLE.com")))
+        .when(d % 4 == 1, F.concat(F.lit("x.Site"), s(d % 40), F.lit(".co.uk")))
+        .when(d % 4 == 2, F.concat(F.lit("Blog"), s(d % 40), F.lit(".example.ORG")))
+        .otherwise(F.concat(F.lit("cdn.Site"), s(d % 40), F.lit(".example.NET")))
+    )
+    port = (
+        F.when((d % 3 == 0) & (d % 2 == 0), F.lit(":80"))
+        .when((d % 3 == 0) & (d % 2 == 1), F.lit(":443"))
+        .when(d % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/p"), s(d % 5), F.lit("/./x/../q"), s(d % 4), F.lit("/")
+    )
+    query = F.concat(
+        F.lit("?utm_source=feed&b=2&a="), s(d % 6), F.lit("&fbclid=XYZ"), s(d)
+    )
+    url = F.concat(
+        scheme, F.lit("://"), host, port, path, query, F.lit("#sec"), s(d)
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("url", url)
+        .withColumn("host", host)
+    )
+
+
+#: the canonical-URL formula shared by the oracle SQL strings
+_URL_CANON_SQL = """
+(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+lower(CASE
+  WHEN doc_id % 4 = 0 THEN 'Site' || CAST(doc_id % 40 AS VARCHAR) || '.EXAMPLE.com'
+  WHEN doc_id % 4 = 1 THEN 'x.Site' || CAST(doc_id % 40 AS VARCHAR) || '.co.uk'
+  WHEN doc_id % 4 = 2 THEN 'Blog' || CAST(doc_id % 40 AS VARCHAR) || '.example.ORG'
+  ELSE 'cdn.Site' || CAST(doc_id % 40 AS VARCHAR) || '.example.NET' END) ||
+(CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+'/p' || CAST(doc_id % 5 AS VARCHAR) || '/q' || CAST(doc_id % 4 AS VARCHAR) ||
+'?a=' || CAST(doc_id % 6 AS VARCHAR) || '&b=2'
+""".strip()
+
+
+def _url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL pipeline: the general RFC 3986 §6 canonicalizer (codegen'd
+    # built-ins + HOF fold, zero Python) over hazard-planted URLs; the
+    # oracle states the expected string as a closed formula.
+    from .extensions.urls import canonicalize_urls
+
+    return canonicalize_urls(_url_docs(spark, sf_dir)).select(
+        "doc_id", "canonical_url"
+    )
+
+
+_register(
+    "url_canonicalize",
+    _url_canonicalize_q,
+    f"""
+SELECT doc_id, {_URL_CANON_SQL} AS canonical_url
+FROM documents
+""",
+)
+
+
+def _url_domain_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eTLD+1 via the broadcast public-suffix longest-match join
+    # (zero shuffles for the lookup itself), then one hash agg.
+    from .extensions.urls import registrable_domains
+
+    return (
+        registrable_domains(_url_docs(spark, sf_dir))
+        .groupBy("registrable_domain")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+
+
+_register(
+    "url_domain_counts",
+    _url_domain_counts_q,
+    """
+SELECT CASE
+         WHEN doc_id % 4 = 0 THEN 'example.com'
+         WHEN doc_id % 4 = 1 THEN 'site' || CAST(doc_id % 40 AS VARCHAR) || '.co.uk'
+         WHEN doc_id % 4 = 2 THEN 'example.org'
+         ELSE 'example.net' END AS registrable_domain,
+       count(*) AS n_urls
+FROM documents
+GROUP BY 1
+""",
+)
+
+
+def _url_dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Groups of 5 docs share one canonical URL but NO two raw
+    # spellings in a group match (case, default port, dot-segments,
+    # tracking params and fragments all vary with doc_id) — the dedup
+    # only converges if canonicalization actually does its job.
+    from .extensions.urls import url_dedup
+
+    d = F.col("doc_id")
+    g = d - d % 5
+
+    def s(x):
+        return x.cast("string")
+
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 2 == 0, F.lit("SITE")).otherwise(F.lit("site")),
+        s(g % 30),
+        F.lit(".Example.com"),
+        F.when(d % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/dup/./"),
+        s(g % 7),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_term="), s(d),
+        F.lit("&k="), s(g % 9),
+        F.lit("#"), s(d),
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("url", url)
+    )
+    return url_dedup(docs)
+
+
+_register(
+    "url_dedup_groups",
+    _url_dedup_groups_q,
+    """
+WITH c AS (
+  SELECT doc_id,
+         'http://site' || CAST((doc_id - doc_id % 5) % 30 AS VARCHAR) ||
+         '.example.com/dup/' || CAST((doc_id - doc_id % 5) % 7 AS VARCHAR) ||
+         '?k=' || CAST((doc_id - doc_id % 5) % 9 AS VARCHAR) AS canonical_url
+  FROM documents
+)
+SELECT canonical_url,
+       min(doc_id) AS survivor_doc_id,
+       count(*) AS n_dups
+FROM c
+GROUP BY 1
+""",
+)
+
+
+def _warc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-doc WARC archives (odd docs per-record-gzip — both container
+    # layouts flow through one query): warcinfo + request + a 200 HTML
+    # response, plus a 404 for every 5th doc.  The response URI is
+    # hazard-planted with the url_dedup_groups spelling rules, and the
+    # HTML carries title/entities/script-noise — every downstream field
+    # is a formula of doc_id.
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_warc(batches):
+        from atlas_upscaling_dask_spark.sources.warc import encode_warc
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                g = d - d % 5
+                uri = (
+                    ("HTTP" if d % 2 == 0 else "http") + "://"
+                    + ("SITE" if d % 2 == 0 else "site") + str(g % 30)
+                    + ".Example.com" + (":80" if d % 3 == 0 else "")
+                    + "/w/./" + str(g % 7) + ("/" if d % 2 == 0 else "")
+                    + f"?utm_x={d}&k={g % 9}#{d}"
+                )
+                html = (
+                    f"<html><head><title>Doc {d}</title><style>x "
+                    "{}</style></head><body>"
+                    f"<h1>H{d % 7}</h1><p>w{d % 11} &amp; tail</p>"
+                    "<script>var s = '<p>noise</p>';</script></body></html>"
+                ).encode()
+                records = [
+                    {"type": "warcinfo", "body": b"software: suite\r\n"},
+                    {"type": "request", "uri": uri,
+                     "body": b"GET / HTTP/1.1\r\n\r\n"},
+                    {"type": "response", "uri": uri, "status": 200,
+                     "payload": html},
+                ]
+                if d % 5 == 0:
+                    records.append(
+                        {"type": "response", "uri": uri + "&gone=1",
+                         "status": 404,
+                         "http_headers": {"Content-Type": "text/plain"},
+                         "payload": b"gone"}
+                    )
+                payloads.append(
+                    encode_warc(records, gzip_per_record=d % 2 == 1)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(make_warc, schema="media_id long, payload binary")
+
+
+def _warc_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL pipeline: WARC framing walk (plain + gzip members) → record
+    # census by type and HTTP status — the first pass a 100 TB crawl
+    # ingestion runs.
+    from .sources.warc import warc_records
+
+    return (
+        warc_records(_warc_media(spark, sf_dir))
+        .groupBy("warc_type", "http_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_register(
+    "warc_census",
+    _warc_census_q,
+    """
+SELECT 'warcinfo' AS warc_type, CAST(NULL AS INTEGER) AS http_status,
+       count(*) AS n FROM documents
+UNION ALL
+SELECT 'request', CAST(NULL AS INTEGER), count(*) FROM documents
+UNION ALL
+SELECT 'response', 200, count(*) FROM documents
+UNION ALL
+SELECT 'response', 404, count(*) FROM documents WHERE doc_id % 5 = 0
+""",
+)
+
+
+def _warc_html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WARC → 200/text-html responses → codegen'd HTML title/text
+    # extraction: the crawl→documents bridge, end to end.
+    from .extensions.text import extract_html_text
+    from .sources.warc import warc_records
+
+    recs = warc_records(_warc_media(spark, sf_dir))
+    pages = recs.filter(
+        (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+    ).select(
+        "media_id", F.decode(F.col("payload"), "UTF-8").alias("html")
+    )
+    return extract_html_text(pages).select("media_id", "title", "text")
+
+
+_register(
+    "warc_html_extract",
+    _warc_html_extract_q,
+    """
+SELECT doc_id AS media_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' H' ||
+       CAST(doc_id % 7 AS VARCHAR) || ' w' ||
+       CAST(doc_id % 11 AS VARCHAR) || ' & tail' AS text
+FROM documents
+""",
+)
+
+
+def _warc_url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The composed crawl-hygiene path: WARC records → 200 responses →
+    # canonical-URL dedup on the target URI.  Groups of 5 docs share a
+    # canonical URI under different raw spellings — convergence proves
+    # the whole chain (framing, HTTP split, canonicalizer, dedup).
+    from .extensions.urls import url_dedup
+    from .sources.warc import warc_records
+
+    recs = warc_records(_warc_media(spark, sf_dir))
+    resp = recs.filter(F.col("http_status") == 200).select(
+        "media_id", F.col("target_uri").alias("url")
+    )
+    return url_dedup(resp, url_col="url", id_col="media_id")
+
+
+_register(
+    "warc_url_dedup",
+    _warc_url_dedup_q,
+    """
+WITH c AS (
+  SELECT doc_id,
+         'http://site' || CAST((doc_id - doc_id % 5) % 30 AS VARCHAR) ||
+         '.example.com/w/' || CAST((doc_id - doc_id % 5) % 7 AS VARCHAR) ||
+         '?k=' || CAST((doc_id - doc_id % 5) % 9 AS VARCHAR) AS canonical_url
+  FROM documents
+)
+SELECT canonical_url,
+       min(doc_id) AS survivor_media_id,
+       count(*) AS n_dups
+FROM c
+GROUP BY 1
+""",
+)
+
 
 def _text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.text import text_stats

@@ -1,0 +1,136 @@
+"""URL canonicalization / registrable-domain / URL-dedup operators.
+
+All-JVM expressions (no Python kernels): asserted behavior per RFC 3986
+§6 normalization plus the crawl extras, and the broadcast-join
+public-suffix longest-match rule.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from atlas_upscaling_dask_spark.extensions.urls import (
+    canonicalize_urls,
+    registrable_domains,
+    suffix_frame,
+    url_dedup,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    rows = canonicalize_urls(df).orderBy("doc_id").collect()
+    return [r["canonical_url"] for r in rows]
+
+
+CASES = [
+    # scheme + host case, fragment dropped
+    ("HTTPS://WWW.Example.COM/Path#frag", "https://www.example.com/Path"),
+    # default ports stripped; non-default kept; foreign scheme untouched
+    ("http://a.com:80/x", "http://a.com/x"),
+    ("https://a.com:443/x", "https://a.com/x"),
+    ("https://a.com:8443/x", "https://a.com:8443/x"),
+    ("ftp://a.com:21/x", "ftp://a.com:21/x"),
+    # dot-segments, duplicate + trailing slashes
+    ("http://h.io/a/./b/../c/", "http://h.io/a/c"),
+    ("http://h.io/a//b///c", "http://h.io/a/b/c"),
+    ("http://h.io/../..", "http://h.io/"),
+    ("http://h.io", "http://h.io/"),
+    ("http://h.io/.", "http://h.io/"),
+    # trailing host dot
+    ("http://h.io./x", "http://h.io/x"),
+    # tracking params dropped, rest sorted, empty query dropped
+    (
+        "http://h.io/p?utm_source=rss&b=2&a=1&fbclid=XYZ",
+        "http://h.io/p?a=1&b=2",
+    ),
+    ("http://h.io/p?UTM_CAMPAIGN=x&GCLID=1", "http://h.io/p"),
+    ("http://h.io/p?z=1&y=&x=3", "http://h.io/p?x=3&y=&z=1"),
+    ("http://h.io/p?", "http://h.io/p"),
+    # whitespace trim
+    ("  http://h.io/x  ", "http://h.io/x"),
+    # no scheme: pass through trimmed-verbatim
+    ("not a url", "not a url"),
+    ("  bare-id-123 ", "bare-id-123"),
+]
+
+
+def test_canonicalize_cases(spark):
+    got = _canon(spark, [c[0] for c in CASES])
+    for (raw, want), g in zip(CASES, got):
+        assert g == want, raw
+
+
+def test_canonicalize_is_idempotent(spark):
+    canon = _canon(spark, [c[0] for c in CASES])
+    again = _canon(spark, canon)
+    assert again == canon
+
+
+def test_canonicalize_plan_is_jvm_only(spark):
+    # one codegen'd projection: no Python UDF, no exchange
+    df = spark.createDataFrame([(1, "http://a.com/x")], "doc_id long, url string")
+    plan = canonicalize_urls(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize(
+    "host,want",
+    [
+        ("www.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("a.b.site.co.uk", "site.co.uk"),
+        ("site.co.uk", "site.co.uk"),
+        ("co.uk", None),  # the host IS a public suffix
+        ("com", None),
+        ("deep.x.y.blog.example.org", "example.org"),
+        ("noSuffix.internal", None),  # unknown TLD -> no match
+        ("UPPER.Example.COM", "example.com"),  # case-folded
+    ],
+)
+def test_registrable_domain_longest_match(spark, host, want):
+    df = spark.createDataFrame([(host,)], "host string")
+    got = registrable_domains(df).collect()[0]["registrable_domain"]
+    assert got == want, host
+
+
+def test_registrable_domain_plan_broadcast_no_shuffle(spark):
+    df = spark.createDataFrame(
+        [(f"s{i}.example.com",) for i in range(10)], "host string"
+    )
+    out = registrable_domains(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_registrable_domain_custom_suffixes(spark):
+    df = spark.createDataFrame([("a.b.custom.tld",)], "host string")
+    sfx = suffix_frame(spark, ("tld", "custom.tld"))
+    got = registrable_domains(df, suffixes=sfx).collect()[0][
+        "registrable_domain"
+    ]
+    assert got == "b.custom.tld"
+
+
+def test_url_dedup_survivor_and_counts(spark):
+    urls = [
+        (0, "http://h.io/a?utm_source=x"),
+        (1, "HTTP://h.io:80/a"),
+        (2, "http://h.io/b/../a#frag"),
+        (3, "http://h.io/other"),
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    rows = {
+        r["canonical_url"]: (r["survivor_doc_id"], r["n_dups"])
+        for r in url_dedup(df).collect()
+    }
+    assert rows == {
+        "http://h.io/a": (0, 3),
+        "http://h.io/other": (3, 1),
+    }

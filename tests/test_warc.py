@@ -1,0 +1,145 @@
+"""WARC container (ISO 28500): framing, gzip members, HTTP splitting,
+the Spark record kernel, and the HTML text extraction expressions.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from atlas_upscaling_dask_spark.sources.warc import (
+    encode_warc,
+    iter_warc_records,
+    parse_http_response,
+    warc_records,
+)
+
+HTML = (
+    b"<html><head><title>T &amp; t</title><style>b{}</style></head>"
+    b"<body><h1>Head</h1><p>one &lt;two&gt;</p>"
+    b"<script>var x = '<p>not text</p>';</script></body></html>"
+)
+
+
+def _fixture_records():
+    return [
+        {"type": "warcinfo", "body": b"software: fixture\r\n"},
+        {"type": "request", "uri": "http://h.io/a", "body": b"GET /a HTTP/1.1\r\n\r\n"},
+        {
+            "type": "response", "uri": "http://h.io/a", "status": 200,
+            "payload": HTML,
+        },
+        {
+            "type": "response", "uri": "http://h.io/missing", "status": 404,
+            "http_headers": {"Content-Type": "text/plain"},
+            "payload": b"gone",
+        },
+    ]
+
+
+def test_roundtrip_plain_and_gzip():
+    for gz in (False, True):
+        data = encode_warc(_fixture_records(), gzip_per_record=gz)
+        if gz:
+            assert data[:2] == b"\x1f\x8b"
+        recs = list(iter_warc_records(data))
+        assert [h["warc-type"] for h, _ in recs] == [
+            "warcinfo", "request", "response", "response",
+        ]
+        h2, body2 = recs[2]
+        assert h2["warc-target-uri"] == "http://h.io/a"
+        status, hh, payload = parse_http_response(body2)
+        assert status == 200
+        assert hh["content-type"].startswith("text/html")
+        assert payload == HTML
+        status4, hh4, payload4 = parse_http_response(recs[3][1])
+        assert (status4, payload4) == (404, b"gone")
+        assert hh4["content-type"] == "text/plain"
+
+
+def test_spec_framing_hand_checked():
+    # the writer's bytes follow ISO 28500 framing: version line, CRLF
+    # headers, Content-Length body, CRLF CRLF separator
+    data = encode_warc([{"type": "resource", "uri": "u:1", "body": b"XYZ"}])
+    assert data.startswith(b"WARC/1.1\r\n")
+    head, _, rest = data.partition(b"\r\n\r\n")
+    assert b"\r\nContent-Length: 3\r\n" in head + b"\r\n"
+    assert rest == b"XYZ\r\n\r\n"
+
+
+def test_content_length_is_authoritative():
+    # a body containing CRLF CRLF must not end the record early
+    body = b"A\r\n\r\nB"
+    data = encode_warc([
+        {"type": "resource", "uri": "u:1", "body": body},
+        {"type": "resource", "uri": "u:2", "body": b"second"},
+    ])
+    recs = list(iter_warc_records(data))
+    assert recs[0][1] == body
+    assert recs[1][1] == b"second"
+
+
+def test_malformed_inputs_raise():
+    with pytest.raises(ValueError, match="version line"):
+        list(iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\n"))
+    good = encode_warc([{"type": "resource", "uri": "u:1", "body": b"abcde"}])
+    with pytest.raises(ValueError, match="truncated WARC record body"):
+        list(iter_warc_records(good[:-9]))  # cut into the body
+    # truncated gzip member
+    gz = encode_warc([{"type": "resource", "body": b"x" * 100}], gzip_per_record=True)
+    with pytest.raises(ValueError, match="gzip"):
+        list(iter_warc_records(gz[: len(gz) // 2]))
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(iter_warc_records(b"WARC/1.1\r\nWARC-Type: resource\r\n\r\n"))
+    with pytest.raises(ValueError, match="separator"):
+        parse_http_response(b"HTTP/1.1 200 OK")
+
+
+def test_warc_records_kernel(spark):
+    data = encode_warc(_fixture_records(), gzip_per_record=True)
+    media = spark.createDataFrame(
+        [(5, bytearray(data))], "media_id long, payload binary"
+    )
+    rows = warc_records(media).orderBy("record_idx").collect()
+    assert [r["warc_type"] for r in rows] == [
+        "warcinfo", "request", "response", "response",
+    ]
+    assert rows[2]["http_status"] == 200
+    assert rows[2]["http_content_type"].startswith("text/html")
+    assert bytes(rows[2]["payload"]) == HTML
+    assert rows[3]["http_status"] == 404
+    assert rows[0]["http_status"] is None
+    assert rows[1]["target_uri"] == "http://h.io/a"
+
+
+def test_html_text_extraction(spark):
+    from atlas_upscaling_dask_spark.extensions.text import extract_html_text
+
+    df = spark.createDataFrame(
+        [(1, HTML.decode())], "doc_id long, html string"
+    )
+    row = extract_html_text(df).collect()[0]
+    assert row["title"] == "T & t"
+    assert row["text"] == "T & t Head one <two>"
+    # script/style content is gone
+    assert "not text" not in row["text"] and "b{}" not in row["text"]
+
+
+def test_html_extraction_plan_is_jvm_only(spark):
+    from atlas_upscaling_dask_spark.extensions.text import extract_html_text
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+    plan = extract_html_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_html_entity_order_amp_last(spark):
+    from atlas_upscaling_dask_spark.extensions.text import extract_html_text
+
+    df = spark.createDataFrame(
+        [(1, "<p>&amp;lt; &nbsp; &quot;q&quot;</p>")], "doc_id long, html string"
+    )
+    row = extract_html_text(df).collect()[0]
+    assert row["text"] == '&lt; "q"'

@@ -638,6 +638,40 @@ def audited_queries():
             QUERIES["mp4_info"],
             {"no_shuffle": True},
         ),
+        # URL canonicalization: pure built-in/HOF projection — zero
+        # exchanges AND zero Python (codegen end to end)
+        "url_canonicalize": (
+            QUERIES["url_canonicalize"],
+            {"no_shuffle": True, "codegen": True, "no_python_udf": True},
+        ),
+        # eTLD+1: broadcast public-suffix joins + ONE hash agg — the
+        # only exchange is the final group-by
+        "url_domain_counts": (
+            QUERIES["url_domain_counts"],
+            {"broadcast": True, "max_shuffles": 1, "no_python_udf": True},
+        ),
+        # canonical-URL dedup: narrow canonicalize + one hash agg
+        "url_dedup_groups": (
+            QUERIES["url_dedup_groups"],
+            {"max_shuffles": 1, "codegen": True, "no_python_udf": True},
+        ),
+        # WARC record census: narrow framing walk + one hash agg
+        "warc_census": (
+            QUERIES["warc_census"],
+            {"max_shuffles": 1},
+        ),
+        # WARC → HTML title/text: container kernel + codegen'd regex
+        # extraction, zero exchanges end to end
+        "warc_html_extract": (
+            QUERIES["warc_html_extract"],
+            {"no_shuffle": True},
+        ),
+        # the composed crawl-hygiene chain: WARC → responses →
+        # canonical-URL dedup — one group-by is the only exchange
+        "warc_url_dedup": (
+            QUERIES["warc_url_dedup"],
+            {"max_shuffles": 1},
+        ),
         # multi-index Hamming join: band equi-join + pair distinct —
         # never an all-pairs product (budget covers the non-broadcast
         # shape; at sf the band sides broadcast → measured 1)
