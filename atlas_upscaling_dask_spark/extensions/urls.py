@@ -184,6 +184,163 @@ def registrable_domains(
     return out.withColumn(out_col, reg).drop("__labels", *matched)
 
 
+def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """Parse a robots.txt per RFC 9309 and return the rule list
+    ``[(is_allow, path_pattern), ...]`` for the MOST SPECIFIC matching
+    user-agent group (longest agent-token match; ``*`` as fallback;
+    groups naming the same agent merge).  Patterns keep the robots
+    wildcard syntax (``*`` any-run, trailing ``$`` end-anchor); empty
+    patterns (``Disallow:`` alone) contribute no rule, per the spec.
+
+    Driver/executor-local helper — the distributed path is
+    ``robots_rules`` + ``filter_urls_by_robots`` below."""
+    agent = agent.lower()
+    groups: dict[str, list[tuple[bool, str]]] = {}
+    current: list[str] = []
+    rules_open = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if rules_open:
+                current = []
+                rules_open = False
+            current.append(value.lower())
+            for a in (value.lower(),):
+                groups.setdefault(a, [])
+        elif field in ("allow", "disallow"):
+            rules_open = True
+            if not current:
+                continue  # rules before any user-agent line: ignored
+            if value:
+                for a in current:
+                    groups.setdefault(a, []).append(
+                        (field == "allow", value)
+                    )
+            else:
+                for a in current:
+                    groups.setdefault(a, [])
+        # other fields (crawl-delay, sitemap) are ignored
+    best: str | None = None
+    for a in groups:
+        if a != "*" and a in agent and (best is None or len(a) > len(best)):
+            best = a
+    if best is None and "*" in groups:
+        best = "*"
+    return groups.get(best, []) if best is not None else []
+
+
+def _robots_pattern_to_regex(pattern: str) -> str:
+    """Robots wildcard pattern → anchored Java regex (prefix match,
+    ``*`` any-run, trailing ``$`` end-anchor)."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = [_re.escape(p) for p in pattern.split("*")]
+    return "^" + ".*".join(parts) + ("$" if anchored else "")
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse a (host, robots_txt) table into one rule row per pattern:
+    ``(host, is_allow, pattern, regex, weight)``.  Robots tables are
+    tiny next to URL tables (one row per HOST), so this side is the
+    broadcast side of the filter join; parsing happens once here, never
+    per URL."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            hosts, allows, pats, regexes, weights = [], [], [], [], []
+            for host, txt in zip(pdf[host_col], pdf[txt_col]):
+                for is_allow, pattern in parse_robots(str(txt), agent):
+                    hosts.append(host)
+                    allows.append(is_allow)
+                    pats.append(pattern)
+                    regexes.append(_robots_pattern_to_regex(pattern))
+                    weights.append(len(pattern))
+            yield pd.DataFrame(
+                {
+                    "host": hosts,
+                    "is_allow": pd.array(allows, dtype="bool"),
+                    "pattern": pats,
+                    "regex": regexes,
+                    "weight": pd.array(weights, dtype="int32"),
+                }
+            )
+
+    return robots.mapInPandas(
+        kernel,
+        schema="host string, is_allow boolean, pattern string, "
+        "regex string, weight int",
+    )
+
+
+def filter_urls_by_robots(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    agent_allowed_col: str = "allowed",
+) -> DataFrame:
+    """Annotate each URL with RFC 9309 ``allowed``: among the host's
+    rules whose pattern matches the URL path, the LONGEST pattern wins
+    and allow beats disallow on ties; no matching rule (or no robots
+    row for the host) means allowed.
+
+    Plan shape: host/path extraction is codegen'd; the rules join is a
+    BROADCAST left join (rules are per-host, tiny); the verdict is one
+    aggregation keyed by the URL row — at 100 TB the group-by on the
+    URL id is the only exchange, and it carries (id, score) pairs, not
+    page bytes."""
+    from pyspark.sql.functions import broadcast
+
+    base = F.substring_index(
+        F.substring_index(F.trim(F.col(url_col)), "#", 1), "?", 1
+    )
+    scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    rest = F.substr(base, F.length(scheme) + F.lit(4), F.length(base))
+    slash = F.instr(rest, "/")
+    host = F.lower(
+        F.substring_index(
+            F.when(slash > 0, F.substr(rest, F.lit(1), slash - 1)).otherwise(rest),
+            ":",
+            1,
+        )
+    )
+    path = F.when(slash > 0, F.substr(rest, slash, F.length(rest))).otherwise(
+        F.lit("/")
+    )
+    with_key = urls.withColumn("__host", host).withColumn("__path", path)
+    joined = with_key.join(
+        broadcast(rules.withColumnRenamed("host", "__rhost")),
+        on=F.col("__host") == F.col("__rhost"),
+        how="left",
+    )
+    matched = F.col("regex").isNotNull() & F.expr("__path rlike regex")
+    # longest pattern wins, allow beats disallow on equal length
+    score = F.when(
+        matched,
+        F.col("weight") * 2 + F.when(F.col("is_allow"), 1).otherwise(0),
+    )
+    verdict = joined.groupBy(*[F.col(c) for c in urls.columns]).agg(
+        F.max(score).alias("__best")
+    )
+    allowed = F.when(
+        F.col("__best").isNull(), F.lit(True)
+    ).otherwise(F.col("__best") % 2 == 1)
+    return verdict.withColumn(agent_allowed_col, allowed).drop("__best")
+
+
 def url_dedup(
     df: DataFrame,
     url_col: str = "url",

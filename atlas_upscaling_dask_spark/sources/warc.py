@@ -124,6 +124,62 @@ def parse_http_response(body: bytes) -> tuple[int, dict[str, str], bytes]:
     return status, headers, body[sep + 4 :]
 
 
+def _dechunk(payload: bytes) -> bytes:
+    """Decode HTTP/1.1 ``Transfer-Encoding: chunked`` framing
+    (RFC 9112 §7.1): size-line (hex, optional extensions), chunk bytes,
+    CRLF, terminated by a 0-size chunk + optional trailers."""
+    out = bytearray()
+    pos = 0
+    n = len(payload)
+    while True:
+        eol = payload.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("truncated chunked encoding (no size line)")
+        size_tok = payload[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(
+                f"malformed chunk size line {payload[pos:eol]!r}"
+            ) from None
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)  # trailers (if any) are ignored
+        if pos + size + 2 > n:
+            raise ValueError("truncated chunk body")
+        out += payload[pos : pos + size]
+        if payload[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("chunk body missing CRLF terminator")
+        pos += size + 2
+
+
+def decode_http_payload(headers: dict[str, str], payload: bytes) -> bytes:
+    """Undo the transport encodings a real crawl response carries:
+    ``Transfer-Encoding: chunked`` framing first (RFC 9112), then
+    ``Content-Encoding: gzip | x-gzip | deflate`` (RFC 9110 §8.4 — both
+    zlib-wrapped and raw deflate, the web's historical ambiguity).
+    Unknown codings raise rather than pass garbage downstream."""
+    te = headers.get("transfer-encoding", "").lower()
+    if te:
+        codings = [t.strip() for t in te.split(",") if t.strip()]
+        if codings[-1:] == ["chunked"]:
+            payload = _dechunk(payload)
+            codings = codings[:-1]
+        if codings:
+            raise ValueError(f"unsupported transfer-encoding {te!r}")
+    ce = headers.get("content-encoding", "").lower().strip()
+    if ce in ("", "identity"):
+        return payload
+    if ce in ("gzip", "x-gzip"):
+        return zlib.decompress(payload, wbits=47)  # auto gzip/zlib header
+    if ce == "deflate":
+        try:
+            return zlib.decompress(payload, wbits=15)  # zlib-wrapped
+        except zlib.error:
+            return zlib.decompress(payload, wbits=-15)  # raw deflate
+    raise ValueError(f"unsupported content-encoding {ce!r}")
+
+
 def warc_records(media, payload_col: str = "payload"):
     """Arrow-batched WARC → rows: one output row per record, with HTTP
     response fields split out when present.  One narrow pass; archive
@@ -151,6 +207,7 @@ def warc_records(media, payload_col: str = "payload"):
                     ).startswith("application/http"):
                         status, hhdrs, content = parse_http_response(body)
                         ctype = hhdrs.get("content-type")
+                        content = decode_http_payload(hhdrs, content)
                     rows["media_id"].append(int(mid))
                     rows["record_idx"].append(i)
                     rows["warc_type"].append(rtype)
@@ -225,7 +282,26 @@ def encode_warc(
             http = f"HTTP/1.1 {status} {reason}\r\n".encode()
             hh = dict(r.get("http_headers", {}))
             hh.setdefault("Content-Type", "text/html; charset=utf-8")
-            hh.setdefault("Content-Length", str(len(payload)))
+            if r.get("content_encoding") == "gzip":
+                co = zlib.compressobj(6, zlib.DEFLATED, 31)
+                payload = co.compress(payload) + co.flush()
+                hh["Content-Encoding"] = "gzip"
+            elif r.get("content_encoding") == "deflate":
+                payload = zlib.compress(payload)
+                hh["Content-Encoding"] = "deflate"
+            if r.get("chunked"):
+                # split into a few chunks to make the framing real
+                step = max(1, (len(payload) + 2) // 3)
+                chunks = [
+                    payload[i : i + step] for i in range(0, len(payload), step)
+                ] or [b""]
+                payload = b"".join(
+                    f"{len(c):x}\r\n".encode() + c + b"\r\n" for c in chunks
+                ) + b"0\r\n\r\n"
+                hh["Transfer-Encoding"] = "chunked"
+                hh.pop("Content-Length", None)
+            else:
+                hh.setdefault("Content-Length", str(len(payload)))
             for k, v in hh.items():
                 http += f"{k}: {v}\r\n".encode("latin-1")
             body = http + b"\r\n" + payload

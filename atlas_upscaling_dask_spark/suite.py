@@ -3823,6 +3823,68 @@ GROUP BY 1
 )
 
 
+_ROBOTS_TXT = """
+User-agent: evil-bot
+Disallow: /
+
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow: /*.tmp$
+"""
+
+
+def _robots_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RFC 9309 crawl gate: per-host robots rules (broadcast side) vs a
+    # URL table — longest-pattern-wins with allow-on-tie, no-robots
+    # hosts pass.  Paths rotate through no-match / disallowed /
+    # allow-overrides-disallow / wildcard-$-blocked / allow-prefix
+    # cases; hosts 8 and 9 have NO robots row, so their URLs pass even
+    # on "blocked" paths — every verdict is a doc_id formula.
+    from .extensions.urls import filter_urls_by_robots, robots_rules
+
+    d = F.col("doc_id")
+
+    def s(x):
+        return x.cast("string")
+
+    path = (
+        F.when(d % 5 == 0, F.concat(F.lit("/public/p"), s(d % 3)))
+        .when(d % 5 == 1, F.lit("/private/x"))
+        .when(d % 5 == 2, F.lit("/private/ok/y"))
+        .when(d % 5 == 3, F.concat(F.lit("/cache/f"), s(d % 3), F.lit(".tmp")))
+        .otherwise(F.lit("/private/okno"))
+    )
+    urls = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("http://crawl"), s(d % 10), F.lit(".example.com"), path
+            ),
+        )
+    )
+    robots = spark.createDataFrame(
+        [(f"crawl{h}.example.com", _ROBOTS_TXT) for h in range(8)],
+        "host string, robots_txt string",
+    )
+    return filter_urls_by_robots(
+        urls, robots_rules(robots, agent="atlas")
+    ).select("doc_id", "allowed")
+
+
+_register(
+    "robots_filter",
+    _robots_filter_q,
+    """
+SELECT doc_id,
+       (doc_id % 10 >= 8) OR (doc_id % 5 NOT IN (1, 3)) AS allowed
+FROM documents
+""",
+)
+
+
 def _warc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-doc WARC archives (odd docs per-record-gzip — both container
     # layouts flow through one query): warcinfo + request + a 200 HTML
@@ -3859,8 +3921,12 @@ def _warc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {"type": "warcinfo", "body": b"software: suite\r\n"},
                     {"type": "request", "uri": uri,
                      "body": b"GET / HTTP/1.1\r\n\r\n"},
+                    # transport encodings rotate so the SAME oracle rows
+                    # prove chunked/gzip decode, not just plain bodies
                     {"type": "response", "uri": uri, "status": 200,
-                     "payload": html},
+                     "payload": html,
+                     "content_encoding": "gzip" if d % 3 == 1 else None,
+                     "chunked": d % 3 == 2},
                 ]
                 if d % 5 == 0:
                     records.append(

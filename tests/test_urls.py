@@ -118,6 +118,106 @@ def test_registrable_domain_custom_suffixes(spark):
     assert got == "b.custom.tld"
 
 
+ROBOTS = """
+# fixture robots
+User-agent: evil-bot
+Disallow: /
+
+User-agent: atlas
+User-agent: other-bot
+Disallow: /secret
+
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow: /*.tmp$
+Crawl-delay: 10
+"""
+
+
+def test_parse_robots_groups():
+    from atlas_upscaling_dask_spark.extensions.urls import parse_robots
+
+    # unknown agent -> the * group (comments and crawl-delay ignored)
+    assert parse_robots(ROBOTS, "somebody") == [
+        (False, "/private"), (True, "/private/ok"), (False, "/*.tmp$"),
+    ]
+    # longest agent-token substring match wins over *
+    assert parse_robots(ROBOTS, "evil-bot/2.0") == [(False, "/")]
+    # a group header with TWO user-agent lines covers both agents
+    assert parse_robots(ROBOTS, "atlas-crawler") == [(False, "/secret")]
+    assert parse_robots(ROBOTS, "other-bot") == [(False, "/secret")]
+    # empty Disallow contributes no rule
+    assert parse_robots("User-agent: *\nDisallow:\n", "x") == []
+    # no matching group at all -> no rules
+    assert parse_robots("User-agent: a\nDisallow: /\n", "b") == []
+
+
+def test_robots_pattern_regex():
+    from atlas_upscaling_dask_spark.extensions.urls import (
+        _robots_pattern_to_regex as rx,
+    )
+    import re
+
+    assert re.search(rx("/private"), "/private/x")
+    assert not re.search(rx("/private"), "/pub/private")
+    assert re.search(rx("/*.tmp$"), "/a/b/file.tmp")
+    assert not re.search(rx("/*.tmp$"), "/a/b/file.tmpx")
+    assert re.search(rx("/a*b"), "/aXXXb/c")
+    # regex metacharacters in the path are literals
+    assert re.search(rx("/p+q"), "/p+q/r")
+    assert not re.search(rx("/p+q"), "/ppq/r")
+
+
+def test_filter_urls_by_robots(spark):
+    from atlas_upscaling_dask_spark.extensions.urls import (
+        filter_urls_by_robots,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [("h.io", ROBOTS)], "host string, robots_txt string"
+    )
+    rules = robots_rules(robots, agent="somebody")
+    urls = spark.createDataFrame(
+        [
+            (0, "http://h.io/public/x"),
+            (1, "http://h.io/private/x"),
+            (2, "http://h.io/private/ok/y"),       # allow beats disallow
+            (3, "http://H.IO:80/cache/f.tmp"),     # host case/port folded
+            (4, "http://h.io/private/x?q=1#f"),    # query/fragment ignored
+            (5, "http://other.example/private/x"), # no robots -> allowed
+            (6, "http://h.io"),                    # bare host -> path "/"
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["allowed"]
+        for r in filter_urls_by_robots(urls, rules).collect()
+    }
+    assert got == {0: True, 1: False, 2: True, 3: False, 4: False,
+                   5: True, 6: True}
+
+
+def test_filter_urls_by_robots_plan_broadcast(spark):
+    from atlas_upscaling_dask_spark.extensions.urls import (
+        filter_urls_by_robots,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [("h.io", ROBOTS)], "host string, robots_txt string"
+    )
+    urls = spark.createDataFrame(
+        [(i, f"http://h.io/p{i}") for i in range(10)],
+        "doc_id long, url string",
+    )
+    out = filter_urls_by_robots(urls, robots_rules(robots))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_url_dedup_survivor_and_counts(spark):
     urls = [
         (0, "http://h.io/a?utm_source=x"),

@@ -96,6 +96,61 @@ def test_malformed_inputs_raise():
         parse_http_response(b"HTTP/1.1 200 OK")
 
 
+def test_http_transport_decodings():
+    from atlas_upscaling_dask_spark.sources.warc import decode_http_payload
+
+    body = b"Hello transport world" * 20
+    for enc in (None, "gzip", "deflate"):
+        for chunked in (False, True):
+            data = encode_warc([
+                {"type": "response", "uri": "u:1", "status": 200,
+                 "payload": body, "content_encoding": enc,
+                 "chunked": chunked},
+            ])
+            hdrs, rec_body = next(iter_warc_records(data))
+            status, hh, raw = parse_http_response(rec_body)
+            if chunked:
+                assert hh["transfer-encoding"] == "chunked"
+                assert raw != body
+            if enc:
+                assert hh["content-encoding"] == enc
+            assert decode_http_payload(hh, raw) == body, (enc, chunked)
+
+
+def test_http_transport_decode_errors():
+    from atlas_upscaling_dask_spark.sources.warc import decode_http_payload
+
+    with pytest.raises(ValueError, match="unsupported content-encoding"):
+        decode_http_payload({"content-encoding": "br"}, b"x")
+    with pytest.raises(ValueError, match="unsupported transfer-encoding"):
+        decode_http_payload({"transfer-encoding": "gzip, chunked"},
+                            b"0\r\n\r\n")
+    with pytest.raises(ValueError, match="size line"):
+        decode_http_payload({"transfer-encoding": "chunked"}, b"5")
+    with pytest.raises(ValueError, match="malformed chunk size"):
+        decode_http_payload({"transfer-encoding": "chunked"}, b"zz\r\n")
+    with pytest.raises(ValueError, match="truncated chunk body"):
+        decode_http_payload({"transfer-encoding": "chunked"}, b"ff\r\nabc")
+    with pytest.raises(ValueError, match="CRLF terminator"):
+        decode_http_payload(
+            {"transfer-encoding": "chunked"}, b"3\r\nabcXX0\r\n\r\n"
+        )
+
+
+def test_warc_records_kernel_decodes_transport(spark):
+    from atlas_upscaling_dask_spark.sources.warc import warc_records as wr
+
+    data = encode_warc([
+        {"type": "response", "uri": "u:1", "status": 200, "payload": HTML,
+         "content_encoding": "gzip", "chunked": True},
+    ])
+    media = spark.createDataFrame(
+        [(1, bytearray(data))], "media_id long, payload binary"
+    )
+    row = wr(media).collect()[0]
+    assert bytes(row["payload"]) == HTML
+
+
 def test_warc_records_kernel(spark):
     data = encode_warc(_fixture_records(), gzip_per_record=True)
     media = spark.createDataFrame(

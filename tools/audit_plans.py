@@ -672,6 +672,12 @@ def audited_queries():
             QUERIES["warc_url_dedup"],
             {"max_shuffles": 1},
         ),
+        # RFC 9309 gate: rules BROADCAST to the URL side, one verdict
+        # group-by — URLs never ship to the robots table
+        "robots_filter": (
+            QUERIES["robots_filter"],
+            {"broadcast": True, "max_shuffles": 1},
+        ),
         # multi-index Hamming join: band equi-join + pair distinct —
         # never an all-pairs product (budget covers the non-broadcast
         # shape; at sf the band sides broadcast → measured 1)
