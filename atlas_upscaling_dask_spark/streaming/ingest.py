@@ -1055,3 +1055,180 @@ def start_hll_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# WARC ingestion stream: archives -> pages -> canonical-URL frontier dedup
+
+
+N_URL_BUCKETS = 256
+
+
+def _url_bucket(col, n_buckets: int = N_URL_BUCKETS):
+    return F.pmod(F.hash(col), F.lit(n_buckets))
+
+
+def warc_ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    ledger_path: str,
+    out_path: str,
+    marker_dir: str | None = None,
+    robots_rules_df: DataFrame | None = None,
+) -> None:
+    """One WARC-ingestion micro-batch — the unit
+    :func:`start_warc_ingest_stream` drives, exposed so replay
+    semantics are testable deterministically.
+
+    Pipeline per batch: WARC framing walk (plain + gzip members, HTTP
+    transport decode) → 200/text-html responses → codegen'd HTML
+    title/text extraction → RFC 3986 canonical URI → optional RFC 9309
+    robots gate → frontier dedup against the PERSISTED canonical-URL
+    ledger → new pages to ``out_path/epoch=N`` (overwrite — idempotent)
+    → their URLs append to the ledger.
+
+    The ledger is hash-BUCKET-partitioned parquet
+    (``bucket=pmod(hash(url), 256)``): a probe collects the batch's
+    bucket ids (≤256 ints on the driver) and reads ONLY those
+    partitions — probe cost tracks the batch and its bucket slices,
+    never the full crawl history, the same O(batch) contract as the
+    LSH/BM25/IVF index family.  Ledger rows carry their epoch: a
+    replayed epoch excludes its own first-attempt rows from the probe
+    (else replays would drop their own output — the
+    ``crawl_dedup_batch`` self-match rule), and the append is fenced by
+    a per-epoch marker under ``marker_dir`` so it happens once.
+    """
+    from pyspark.sql.window import Window
+
+    from ..extensions.text import extract_html_text
+    from ..extensions.urls import canonicalize_urls, filter_urls_by_robots
+    from ..sources.warc import warc_records
+
+    if batch_df.isEmpty():
+        return
+    epoch = int(epoch_id)
+    recs = warc_records(batch_df)
+    pages = (
+        recs.filter(
+            (F.col("http_status") == 200)
+            & F.col("http_content_type").startswith("text/html")
+        )
+        .select(
+            "media_id",
+            F.col("target_uri").alias("url"),
+            F.decode(F.col("payload"), "UTF-8").alias("html"),
+        )
+    )
+    pages = extract_html_text(pages).drop("html")
+    pages = canonicalize_urls(pages)
+    if robots_rules_df is not None:
+        pages = filter_urls_by_robots(pages, robots_rules_df).filter(
+            F.col("allowed")
+        ).drop("allowed")
+    # in-batch frontier dedup: lowest media_id per canonical URL wins
+    pages = (
+        pages.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("canonical_url").orderBy("media_id")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("bucket", _url_bucket(F.col("canonical_url")))
+    )
+    pages = pages.localCheckpoint()
+
+    buckets = [r["bucket"] for r in pages.select("bucket").distinct().collect()]
+    seen = _read_ledger(spark, ledger_path, buckets, exclude_epoch=epoch)
+    if seen is not None:
+        pages = pages.join(
+            seen, on=["bucket", "canonical_url"], how="left_anti"
+        )
+    pages = pages.localCheckpoint()  # pin decisions before the two writes
+
+    pages.drop("bucket").write.mode("overwrite").parquet(
+        f"{out_path}/epoch={epoch}"
+    )
+
+    marker = f"{marker_dir}/ledger_epoch_{epoch}.done" if marker_dir else None
+    if marker is not None and _marker_exists(spark, marker):
+        return
+    (
+        pages.select(
+            "bucket", "canonical_url", F.lit(epoch).alias("epoch")
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(ledger_path)
+    )
+    if marker is not None:
+        _touch_marker(marker)
+
+
+def _read_ledger(
+    spark: SparkSession, ledger_path: str, buckets, exclude_epoch: int
+):
+    """The batch's slice of the seen-URL ledger: only the hit bucket
+    partitions are read (directory-level pruning — the probe never
+    scans history outside the batch's own hash buckets)."""
+    import os
+
+    hit = [
+        f"{ledger_path}/bucket={b}"
+        for b in buckets
+        if os.path.isdir(f"{ledger_path}/bucket={b}")
+    ]
+    if not hit:
+        return None
+    return (
+        spark.read.option("basePath", ledger_path).parquet(*hit)
+        .filter(F.col("epoch") != exclude_epoch)
+        .select("bucket", "canonical_url")
+        .distinct()
+    )
+
+
+def _marker_exists(spark: SparkSession, marker: str) -> bool:
+    import os
+
+    return os.path.exists(marker)
+
+
+def _touch_marker(marker: str) -> None:
+    import os
+
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write("done\n")
+
+
+def start_warc_ingest_stream(
+    spark: SparkSession,
+    archives_path: str,
+    ledger_path: str,
+    out_path: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    robots_rules_df: DataFrame | None = None,
+):
+    """Continuous crawl ingestion from WARC archives: each micro-batch
+    of ``(media_id, payload)`` archive rows runs
+    :func:`warc_ingest_batch` — parse, extract, canonicalize, robots
+    gate, frontier-dedup against the bucket-partitioned URL ledger,
+    append survivors.  Every step is O(batch): at 100 TB the history
+    lives in the ledger's bucket partitions, and a batch touches only
+    the buckets its own URLs hash into."""
+    stream = spark.readStream.schema(schema).parquet(archives_path)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        warc_ingest_batch(
+            spark, batch_df, int(epoch_id), ledger_path, out_path,
+            marker_dir=checkpoint_dir, robots_rules_df=robots_rules_df,
+        )
+
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -944,3 +944,117 @@ def test_zarr3_ingestion_rejects_mismatched_meta_shape(spark, tmp_path):
         start_zarr3_ingestion(
             spark, str(tmp_path / "slices"), store, (32, 16, 16)
         )
+
+
+def _warc_archive(doc_ids, dup_of=None):
+    # one archive with a 200 text/html response per doc id; dup_of maps
+    # a doc id to the id whose canonical URL it duplicates (raw
+    # spellings still differ: tracking params + fragments vary by id)
+    from atlas_upscaling_dask_spark.sources.warc import encode_warc
+
+    records = []
+    for d in doc_ids:
+        key = dup_of.get(d, d) if dup_of else d
+        uri = (
+            f"http://Crawl{key % 4}.example.com/page/{key}"
+            f"?utm_x={d}&k={key}#frag{d}"
+        )
+        html = f"<html><title>T{key}</title><p>body {key}</p></html>".encode()
+        records.append(
+            {"type": "response", "uri": uri, "status": 200,
+             "payload": html, "chunked": d % 2 == 0,
+             "content_encoding": "gzip" if d % 3 == 0 else None}
+        )
+    return encode_warc(records, gzip_per_record=True)
+
+
+def test_warc_ingest_batch_frontier_dedup_and_replay(spark, tmp_path):
+    from atlas_upscaling_dask_spark.streaming.ingest import warc_ingest_batch
+
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "pages")
+    marker = str(tmp_path / "ck")
+
+    b0 = spark.createDataFrame(
+        [(1, bytearray(_warc_archive([10, 11, 12], dup_of={12: 10})))],
+        "media_id long, payload binary",
+    )
+    warc_ingest_batch(spark, b0, 0, ledger, out, marker_dir=marker)
+    got0 = spark.read.parquet(f"{out}/epoch=0")
+    # in-batch dup of 10's canonical URL collapsed; 2 distinct pages
+    assert got0.count() == 2
+    urls0 = {r["canonical_url"] for r in got0.collect()}
+    assert urls0 == {
+        "http://crawl2.example.com/page/10?k=10",
+        "http://crawl3.example.com/page/11?k=11",
+    }
+    row10 = got0.filter(
+        F.col("canonical_url").endswith("page/10?k=10")
+    ).collect()[0]
+    assert row10["title"] == "T10"
+    assert row10["text"] == "T10 body 10"
+
+    # epoch 1: one already-seen URL (10) + one new (13)
+    b1 = spark.createDataFrame(
+        [(2, bytearray(_warc_archive([13, 10])))],
+        "media_id long, payload binary",
+    )
+    warc_ingest_batch(spark, b1, 1, ledger, out, marker_dir=marker)
+    got1 = spark.read.parquet(f"{out}/epoch=1")
+    assert [r["canonical_url"] for r in got1.collect()] == [
+        "http://crawl1.example.com/page/13?k=13"
+    ]
+
+    # replay epoch 1: output identical (self-rows excluded from probe,
+    # marker fences the second append)
+    warc_ingest_batch(spark, b1, 1, ledger, out, marker_dir=marker)
+    re1 = spark.read.parquet(f"{out}/epoch=1")
+    assert [r["canonical_url"] for r in re1.collect()] == [
+        "http://crawl1.example.com/page/13?k=13"
+    ]
+    led = spark.read.parquet(ledger)
+    assert led.count() == 3  # no duplicate appends
+    assert led.select("canonical_url").distinct().count() == 3
+
+
+def test_warc_ingest_stream_with_robots_gate(spark, tmp_path):
+    import time
+
+    from atlas_upscaling_dask_spark.extensions.urls import robots_rules
+    from atlas_upscaling_dask_spark.streaming.ingest import (
+        start_warc_ingest_stream,
+    )
+
+    archives = str(tmp_path / "archives")
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "pages")
+    ck = str(tmp_path / "ck")
+
+    robots = robots_rules(
+        spark.createDataFrame(
+            [("crawl0.example.com", "User-agent: *\nDisallow: /page\n")],
+            "host string, robots_txt string",
+        )
+    )
+    spark.createDataFrame(
+        [(1, bytearray(_warc_archive([20, 21, 22, 23])))],
+        "media_id long, payload binary",
+    ).write.parquet(archives)
+
+    q = start_warc_ingest_stream(
+        spark, archives, ledger, out,
+        schema="media_id long, payload binary",
+        checkpoint_dir=ck, robots_rules_df=robots,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    urls = sorted(r["canonical_url"] for r in got.collect())
+    # doc 20 hashes to host crawl0 -> robots-blocked; 21/22/23 pass
+    assert urls == [
+        "http://crawl1.example.com/page/21?k=21",
+        "http://crawl2.example.com/page/22?k=22",
+        "http://crawl3.example.com/page/23?k=23",
+    ]
