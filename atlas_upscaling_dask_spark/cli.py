@@ -54,6 +54,31 @@ def build_parser() -> argparse.ArgumentParser:
         help="keep non-canonical exact duplicates instead of dropping them",
     )
 
+    cr = sub.add_parser(
+        "crawl",
+        help="crawl ingestion: WARC archives -> extracted pages "
+        "(parse, HTML extract, canonicalize, optional robots gate, "
+        "frontier dedup vs the seen-URL ledger)",
+    )
+    cr.add_argument(
+        "--input", required=True,
+        help="parquet of WARC archives (media_id long, payload binary)",
+    )
+    cr.add_argument("--output", required=True, help="pages parquet dir")
+    cr.add_argument(
+        "--ledger", required=True,
+        help="bucket-partitioned seen-URL ledger dir (created if absent)",
+    )
+    cr.add_argument(
+        "--robots", default=None,
+        help="optional parquet of (host, robots_txt) rows to gate URLs",
+    )
+    cr.add_argument("--agent", default="*", help="robots user-agent token")
+    cr.add_argument(
+        "--epoch", type=int, default=0,
+        help="ingestion epoch id (replays of an epoch are idempotent)",
+    )
+
     rg = sub.add_parser(
         "rag", help="RAG-corpus prep: gate, dedup, LM screen, chunk, split"
     )
@@ -239,6 +264,29 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+def cmd_crawl(args) -> int:
+    from .session import get_spark
+    from .streaming.ingest import warc_ingest_batch
+
+    spark = get_spark("atlas-spark-crawl")
+    archives = spark.read.parquet(args.input)
+    rules = None
+    if args.robots:
+        from .extensions.urls import robots_rules
+
+        rules = robots_rules(
+            spark.read.parquet(args.robots), agent=args.agent
+        )
+    warc_ingest_batch(
+        spark, archives, args.epoch, args.ledger, args.output,
+        marker_dir=f"{args.ledger}/_markers", robots_rules_df=rules,
+    )
+    out = f"{args.output}/epoch={args.epoch}"
+    n = spark.read.parquet(out).count()
+    print(f"wrote {out}: {n} new pages (ledger at {args.ledger})")
+    return 0
+
+
 def cmd_rag(args) -> int:
     from pyspark.sql import Observation
 
@@ -403,6 +451,7 @@ def main(argv: list[str] | None = None) -> int:
         "upscale": cmd_upscale,
         "lookup": cmd_lookup,
         "pipeline": cmd_pipeline,
+        "crawl": cmd_crawl,
         "rag": cmd_rag,
         "quality": cmd_quality,
         "export-zarr": cmd_export_zarr,

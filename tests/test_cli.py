@@ -174,3 +174,50 @@ def test_cli_export_zarr_v2_and_v3(spark, tmp_path, capsys):
         "export-zarr", "--input", "synthetic", "--output", str(tmp_path / "z"),
         "--format", "v3", "--compressor", "blosc-lz4",
     ]) == 2
+
+
+def test_cli_crawl(spark, tmp_path, capsys):
+    from atlas_upscaling_dask_spark.cli import main
+    from atlas_upscaling_dask_spark.sources.warc import encode_warc
+
+    src = str(tmp_path / "archives")
+    dst = str(tmp_path / "pages")
+    ledger = str(tmp_path / "ledger")
+    robots = str(tmp_path / "robots")
+
+    def page(key, d):
+        return {
+            "type": "response", "status": 200,
+            "uri": f"http://h{key % 2}.example.com/p/{key}?utm_s={d}#x",
+            "payload": f"<html><title>T{key}</title><p>b{key}</p></html>".encode(),
+        }
+
+    spark.createDataFrame(
+        [(1, bytearray(encode_warc([page(0, 1), page(1, 2), page(0, 3)],
+                                   gzip_per_record=True)))],
+        "media_id long, payload binary",
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [("h1.example.com", "User-agent: *\nDisallow: /p\n")],
+        "host string, robots_txt string",
+    ).write.parquet(robots)
+
+    rc = main(["crawl", "--input", src, "--output", dst, "--ledger", ledger,
+               "--robots", robots, "--epoch", "0"])
+    assert rc == 0
+    got = spark.read.parquet(f"{dst}/epoch=0").collect()
+    # key 0 dedups to one page, key 1 is robots-blocked on h1
+    assert [r["canonical_url"] for r in got] == ["http://h0.example.com/p/0"]
+    assert got[0]["title"] == "T0"
+    assert "1 new pages" in capsys.readouterr().out
+
+    # epoch 1: key 0 already in the ledger -> nothing new
+    src2 = str(tmp_path / "archives2")
+    spark.createDataFrame(
+        [(2, bytearray(encode_warc([page(0, 9)])))],
+        "media_id long, payload binary",
+    ).write.parquet(src2)
+    rc = main(["crawl", "--input", src2, "--output", dst, "--ledger", ledger,
+               "--epoch", "1"])
+    assert rc == 0
+    assert spark.read.parquet(f"{dst}/epoch=1").count() == 0

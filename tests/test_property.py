@@ -488,3 +488,137 @@ def test_merge_intervals_matches_bruteforce(spark, seed):
             want.append((key, i, s, e, c))
     got = sorted(map(tuple, merge_intervals(df).collect()))
     assert got == sorted(want), (seed, got, want)
+
+
+# ---------------------------------------------------------------------------
+# round-9 codecs: GIF LZW + container, URL canonicalizer — pure local
+# properties (no Spark per example, so examples can be plentiful)
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    alphabet=st.integers(2, 256),
+    n=st.integers(1, 5000),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_lzw_roundtrip_any_alphabet(seed, alphabet, n):
+    from atlas_upscaling_dask_spark.sources.gif import lzw_decode, lzw_encode
+
+    mcs = max(2, (alphabet - 1).bit_length())
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, alphabet, n).astype(np.uint8).tobytes()
+    assert lzw_decode(lzw_encode(data, mcs), mcs, n).tobytes() == data
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    ncolors=st.integers(1, 256),
+    interlace=st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_image_roundtrip_any_geometry(seed, h, w, ncolors, interlace):
+    from atlas_upscaling_dask_spark.sources.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncolors, 3)).astype(np.uint8)
+    idx = rng.integers(0, ncolors, (h, w)).astype(np.uint8)
+    g = encode_gif([idx], palette=pal)
+    out = decode_gif(g if not interlace else encode_gif([idx], palette=pal,
+                                                        interlace=True))
+    assert np.array_equal(out, pal[idx])
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    nf=st.integers(1, 5),
+)
+@settings(max_examples=15, deadline=None)
+def test_gif_animation_composite_matches_numpy_model(seed, nf):
+    from atlas_upscaling_dask_spark.sources.gif import (
+        encode_gif,
+        iter_composited,
+    )
+
+    rng = np.random.default_rng(seed)
+    H, W = 12, 15
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    frames, offsets, disposals, trans = [], [], [], []
+    for _ in range(nf):
+        fh, fw = int(rng.integers(1, H + 1)), int(rng.integers(1, W + 1))
+        top = int(rng.integers(0, H - fh + 1))
+        left = int(rng.integers(0, W - fw + 1))
+        frames.append(rng.integers(0, 8, (fh, fw)).astype(np.uint8))
+        offsets.append((top, left))
+        disposals.append(int(rng.integers(0, 4)))
+        trans.append(int(rng.integers(0, 8)) if rng.random() < 0.5 else None)
+    g = encode_gif(frames, palette=pal, screen_size=(H, W), offsets=offsets,
+                   disposals=disposals, transparent_indices=trans,
+                   background_index=0)
+    # independent numpy model of the disposal/transparency algebra
+    bg = pal[0]
+    canvas = np.empty((H, W, 3), np.uint8)
+    canvas[:] = bg
+    want = []
+    for f, (t, l), disp, tr in zip(frames, offsets, disposals, trans):
+        fh, fw = f.shape
+        saved = canvas[t:t + fh, l:l + fw].copy()
+        rgb = pal[f]
+        region = canvas[t:t + fh, l:l + fw]
+        if tr is None:
+            region[:] = rgb
+        else:
+            m = f != tr
+            region[m] = rgb[m]
+        want.append(canvas.copy())
+        if disp == 2:
+            canvas[t:t + fh, l:l + fw] = bg
+        elif disp == 3:
+            canvas[t:t + fh, l:l + fw] = saved
+    got = [c for _, c in iter_composited(g)]
+    assert len(got) == nf
+    for a, b in zip(got, want):
+        assert np.array_equal(a, b)
+
+
+_URL_SCHEMES = st.sampled_from(["http", "HTTP", "https", "HtTpS"])
+_URL_HOSTS = st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,6}(\.[A-Za-z]{2,4}){1,2}",
+                           fullmatch=True)
+_URL_SEGS = st.lists(
+    st.sampled_from(["a", "b2", "c-c", ".", "..", "", "x%20y"]),
+    min_size=0, max_size=5,
+)
+_URL_PARAMS = st.lists(
+    st.sampled_from(["a=1", "b=2", "utm_source=x", "fbclid=9", "z=", "k=vv"]),
+    min_size=0, max_size=5,
+)
+
+
+@given(
+    scheme=_URL_SCHEMES,
+    host=_URL_HOSTS,
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    segs=_URL_SEGS,
+    params=_URL_PARAMS,
+    frag=st.sampled_from(["", "#f", "#a/b?c"]),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_url_canonicalize_idempotent_and_stable(
+    spark, scheme, host, port, segs, params, frag
+):
+    from atlas_upscaling_dask_spark.extensions.urls import canonicalize_urls
+
+    raw = f"{scheme}://{host}{port}/" + "/".join(segs)
+    if params:
+        raw += "?" + "&".join(params)
+    raw += frag
+    df = spark.createDataFrame([(0, raw)], "doc_id long, url string")
+    once = canonicalize_urls(df).collect()[0]["canonical_url"]
+    df2 = spark.createDataFrame([(0, once)], "doc_id long, url string")
+    twice = canonicalize_urls(df2).collect()[0]["canonical_url"]
+    assert twice == once, raw
+    # canonical form never carries fragments, tracking params, '..', '//'
+    assert "#" not in once and "utm_" not in once and "fbclid" not in once
+    assert "/../" not in once and "//" not in once.split("://", 1)[1]
