@@ -138,6 +138,107 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     )
 
 
+def media_info(payload: bytes) -> dict:
+    """Magic-byte dispatch to the per-format header-only census
+    (``parse_*_info`` across PNG/JPEG/GIF/TIFF/AVI/MP4/WAV), unified
+    to one schema — the profiling pass a MIXED-format media corpus
+    runs before any decode decision.  All header work, zero entropy
+    decode for every format."""
+    p = bytes(payload)
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..sources.png import parse_png_info
+
+        i = parse_png_info(p)
+        return {"format": "png", "width": i["width"], "height": i["height"],
+                "n_frames": 1, "sample_rate": None}
+    if p[:2] == b"\xff\xd8":
+        from ..sources.jpeg import parse_jpeg_info
+
+        i = parse_jpeg_info(p)
+        return {"format": "jpeg", "width": i["width"], "height": i["height"],
+                "n_frames": 1, "sample_rate": None}
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        from ..sources.gif import parse_gif_info
+
+        i = parse_gif_info(p)
+        return {"format": "gif", "width": i["width"], "height": i["height"],
+                "n_frames": i["n_frames"], "sample_rate": None}
+    if p[:2] in (b"II", b"MM"):
+        from ..sources.tiff import parse_tiff_bytes
+
+        i = parse_tiff_bytes(p)
+        pg = i.pages[0]
+        return {"format": "tiff", "width": pg.width, "height": pg.height,
+                "n_frames": len(i.pages), "sample_rate": None}
+    if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+        from ..sources.avi import parse_avi_info
+
+        i = parse_avi_info(p)
+        return {"format": "avi", "width": i["width"], "height": i["height"],
+                "n_frames": i["n_frames"], "sample_rate": None}
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        from ..sources.wav import parse_wav_info
+
+        i = parse_wav_info(p)
+        return {"format": "wav", "width": None, "height": None,
+                "n_frames": i.n_frames, "sample_rate": i.sample_rate}
+    if len(p) >= 12 and p[4:8] == b"ftyp":
+        from ..sources.mp4 import parse_mp4_info
+
+        i = parse_mp4_info(p)
+        return {"format": "mp4", "width": i["width"], "height": i["height"],
+                "n_frames": i["n_video_samples"],
+                "sample_rate": i["sample_rate"]}
+    raise ValueError(
+        "media_info: unrecognized payload (PNG/JPEG/GIF/TIFF/AVI/WAV/MP4 "
+        "are the built-in formats)"
+    )
+
+
+def media_census(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow-batched mixed-corpus census: one row per payload with the
+    unified ``media_info`` fields.  One narrow pass — payloads never
+    leave the executor and no format is entropy-decoded."""
+    import pandas as pd
+
+    id_type = media.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "format": [], "width": [], "height": [],
+                "n_frames": [], "sample_rate": [],
+            }
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                info = media_info(bytes(payload))
+                rows["media_id"].append(mid)
+                rows["format"].append(info["format"])
+                rows["width"].append(info["width"])
+                rows["height"].append(info["height"])
+                rows["n_frames"].append(info["n_frames"])
+                rows["sample_rate"].append(info["sample_rate"])
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(rows["media_id"], dtype=pdf[id_col].dtype),
+                    "format": rows["format"],
+                    "width": pd.array(rows["width"], dtype="Int32"),
+                    "height": pd.array(rows["height"], dtype="Int32"),
+                    "n_frames": pd.array(rows["n_frames"], dtype="Int64"),
+                    "sample_rate": pd.array(rows["sample_rate"], dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema=f"{id_col} {id_type}, format string, width int, height int, "
+        "n_frames long, sample_rate int",
+    )
+
+
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

@@ -128,6 +128,28 @@ def _bytes_to_samples(
     )
 
 
+def parse_png_info(data: bytes) -> dict:
+    """Header-only census: decode just the IHDR (always the first
+    chunk, per the spec) — the profiling-side twin of
+    ``jpeg.parse_jpeg_info`` / ``gif.parse_gif_info``."""
+    if not data.startswith(PNG_SIGNATURE):
+        raise ValueError("not a PNG (bad signature)")
+    ctype, payload = next(_iter_chunks(data))
+    if ctype != b"IHDR" or len(payload) != 13:
+        raise ValueError("PNG first chunk is not a valid IHDR")
+    width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+        ">IIBBBBB", payload
+    )
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+        "interlaced": bool(interlace),
+        "n_channels": _CHANNELS.get(color_type, 0),
+    }
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG byte string to an ``(H, W, C)`` array — uint8 for
     8-bit depth, uint16 for 16-bit.

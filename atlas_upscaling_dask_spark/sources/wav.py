@@ -63,6 +63,30 @@ def _iter_riff_chunks(data: bytes):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
 
 
+def parse_wav_info(data: bytes) -> WavInfo:
+    """Header-only census: fmt fields + the data chunk's SIZE (frame
+    count arithmetic, no sample decode) — the audio profiling twin of
+    the image/video ``parse_*_info`` helpers."""
+    fmt = None
+    data_size = None
+    for cid, payload in _iter_riff_chunks(data):
+        if cid == b"fmt " and fmt is None:
+            tag, n_ch, rate = struct.unpack("<HHI", payload[:8])
+            (bits,) = struct.unpack("<H", payload[14:16])
+            fmt = (tag, n_ch, rate, bits)
+        elif cid == b"data" and data_size is None:
+            data_size = len(payload)
+        if fmt is not None and data_size is not None:
+            break
+    if fmt is None or data_size is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    tag, n_ch, rate, bits = fmt
+    frame_bytes = n_ch * (bits // 8)
+    if frame_bytes == 0:
+        raise ValueError("WAV fmt declares zero-byte frames")
+    return WavInfo(rate, n_ch, bits, tag, data_size // frame_bytes)
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, WavInfo]:
     """Decode WAV bytes → ((n_frames, n_channels) sample array, info).
 

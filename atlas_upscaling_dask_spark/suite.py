@@ -3823,6 +3823,113 @@ GROUP BY 1
 )
 
 
+def _media_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mixed-format media corpus (7 formats rotating by doc_id) through
+    # ONE unified header-census pass — magic-byte dispatch to the
+    # per-format parse_*_info, zero entropy decode anywhere; every
+    # field analytic from doc_id.
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_media(batches):
+        import os
+        import tempfile
+
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.extensions.multimodal import (
+            media_census as _,  # noqa: F401 (documents the pairing)
+        )
+        from atlas_upscaling_dask_spark.sources import tiff as tiffmod
+        from atlas_upscaling_dask_spark.sources.avi import encode_avi
+        from atlas_upscaling_dask_spark.sources.gif import encode_gif
+        from atlas_upscaling_dask_spark.sources.jpeg import encode_jpeg
+        from atlas_upscaling_dask_spark.sources.mp4 import encode_mp4_stub
+        from atlas_upscaling_dask_spark.sources.png import encode_png
+        from atlas_upscaling_dask_spark.sources.wav import encode_wav
+
+        tmpdir = tempfile.mkdtemp(prefix="census_")
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 8 + d % 11, 8 + d % 9
+                kind = d % 7
+                if kind == 0:
+                    p = encode_png(np.zeros((h, w), np.uint8))
+                elif kind == 1:
+                    p = encode_jpeg(np.zeros((h, w), np.uint8), quality=50)
+                elif kind == 2:
+                    frames = [
+                        np.zeros((h, w), np.uint8) for _ in range(1 + d % 3)
+                    ]
+                    p = encode_gif(
+                        frames, palette=np.zeros((2, 3), np.uint8)
+                    )
+                elif kind == 3:
+                    path = os.path.join(tmpdir, f"{d}.tif")
+                    tiffmod.write_tiff(
+                        path, np.zeros((2, h, w), np.uint8)
+                    )
+                    with open(path, "rb") as fh:
+                        p = fh.read()
+                    os.unlink(path)
+                elif kind == 4:
+                    p = encode_avi([b"fake-jpeg"] * 3, width=w, height=h)
+                elif kind == 5:
+                    n = 100 + d % 50
+                    p = encode_wav(
+                        np.zeros(n, np.int16), 8000 * (1 + d % 4)
+                    )
+                else:
+                    p = encode_mp4_stub(
+                        width=w, height=h, duration_s=1.0,
+                        n_video_samples=12 * (1 + d % 4),
+                        sample_rate=16000,
+                    )
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    from .extensions.multimodal import media_census
+
+    media = docs.mapInPandas(
+        make_media, schema="media_id long, payload binary"
+    )
+    return media_census(media)
+
+
+_register(
+    "media_census",
+    _media_census_q,
+    """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 7 AS INTEGER)
+         WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+         WHEN 3 THEN 'tiff' WHEN 4 THEN 'avi' WHEN 5 THEN 'wav'
+         ELSE 'mp4' END AS format,
+       CAST(CASE WHEN doc_id % 7 = 5 THEN NULL
+                 ELSE 8 + doc_id % 11 END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 7 = 5 THEN NULL
+                 ELSE 8 + doc_id % 9 END AS INTEGER) AS height,
+       CAST(CASE CAST(doc_id % 7 AS INTEGER)
+         WHEN 2 THEN 1 + doc_id % 3
+         WHEN 3 THEN 2
+         WHEN 4 THEN 3
+         WHEN 5 THEN 100 + doc_id % 50
+         WHEN 6 THEN 12 * (1 + doc_id % 4)
+         ELSE 1 END AS BIGINT) AS n_frames,
+       CAST(CASE CAST(doc_id % 7 AS INTEGER)
+         WHEN 5 THEN 8000 * (1 + doc_id % 4)
+         WHEN 6 THEN 16000
+         END AS INTEGER) AS sample_rate
+FROM documents
+""",
+)
+
+
 _ROBOTS_TXT = """
 User-agent: evil-bot
 Disallow: /

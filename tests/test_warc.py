@@ -198,3 +198,66 @@ def test_html_entity_order_amp_last(spark):
     )
     row = extract_html_text(df).collect()[0]
     assert row["text"] == '&lt; "q"'
+
+
+# media census (lives here with the other round-9 format tests)
+
+
+def test_parse_png_wav_info_header_only():
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.sources.png import (
+        encode_png,
+        parse_png_info,
+    )
+    from atlas_upscaling_dask_spark.sources.wav import (
+        encode_wav,
+        parse_wav_info,
+    )
+
+    png = encode_png(np.zeros((5, 9, 3), np.uint8), interlace=True)
+    info = parse_png_info(png)
+    assert (info["width"], info["height"]) == (9, 5)
+    assert info["color_type"] == 2 and info["n_channels"] == 3
+    assert info["interlaced"] is True
+    with pytest.raises(ValueError, match="signature"):
+        parse_png_info(b"nope")
+
+    wav = encode_wav(np.zeros((480, 2), np.int16), 16000)
+    w = parse_wav_info(wav)
+    assert (w.sample_rate, w.n_channels, w.bits, w.n_frames) == (
+        16000, 2, 16, 480,
+    )
+    with pytest.raises(ValueError, match="fmt or data"):
+        parse_wav_info(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_media_info_dispatch_and_unknown():
+    import numpy as np
+
+    from atlas_upscaling_dask_spark.extensions.multimodal import media_info
+    from atlas_upscaling_dask_spark.sources.avi import encode_avi
+    from atlas_upscaling_dask_spark.sources.gif import encode_gif
+    from atlas_upscaling_dask_spark.sources.jpeg import encode_jpeg
+    from atlas_upscaling_dask_spark.sources.mp4 import encode_mp4_stub
+    from atlas_upscaling_dask_spark.sources.png import encode_png
+    from atlas_upscaling_dask_spark.sources.wav import encode_wav
+
+    img = np.zeros((6, 7), np.uint8)
+    cases = {
+        "png": encode_png(img),
+        "jpeg": encode_jpeg(img),
+        "gif": encode_gif([img], palette=np.zeros((2, 3), np.uint8)),
+        "avi": encode_avi([b"f1", b"f2"], width=7, height=6),
+        "wav": encode_wav(np.zeros(100, np.int16), 8000),
+        "mp4": encode_mp4_stub(width=7, height=6, n_video_samples=9),
+    }
+    for fmt, payload in cases.items():
+        info = media_info(payload)
+        assert info["format"] == fmt, fmt
+        if fmt == "wav":
+            assert info["sample_rate"] == 8000 and info["n_frames"] == 100
+        else:
+            assert (info["width"], info["height"]) == (7, 6), fmt
+    with pytest.raises(ValueError, match="unrecognized"):
+        media_info(b"\x00" * 32)

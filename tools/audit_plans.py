@@ -638,6 +638,12 @@ def audited_queries():
             QUERIES["mp4_info"],
             {"no_shuffle": True},
         ),
+        # unified mixed-corpus census: magic dispatch to 7 per-format
+        # header parsers, one narrow pass, zero entropy decode
+        "media_census": (
+            QUERIES["media_census"],
+            {"no_shuffle": True},
+        ),
         # URL canonicalization: pure built-in/HOF projection — zero
         # exchanges AND zero Python (codegen end to end)
         "url_canonicalize": (
