@@ -184,6 +184,63 @@ def registrable_domains(
     return out.withColumn(out_col, reg).drop("__labels", *matched)
 
 
+def extract_links(
+    pages: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+    out_col: str = "link_url",
+) -> DataFrame:
+    """Explode each page into its outgoing links — the crawl
+    link-graph extractor.  ``<a href>`` values come from one codegen'd
+    ``regexp_extract_all``; RFC 3986 §5 reference resolution (absolute
+    kept, ``//`` protocol-relative, ``/`` root-relative, bare-relative
+    against the base path's directory) is pure expressions; the result
+    feeds :func:`canonicalize_urls`, whose dot-segment fold also
+    resolves ``../`` in relative hrefs.  Fragment-only and
+    non-http(s)-scheme links (mailto:, javascript:, ...) are dropped.
+    One narrow projection + one explode — no Python, no join; pair the
+    output with `registrable_domains` + `operators/graph.py` for
+    domain-graph analytics at crawl scale."""
+    _href_pat = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"'#][^"']*)"""
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(_href_pat), F.lit(1))
+    base = F.substring_index(
+        F.substring_index(F.trim(F.col(base_col)), "#", 1), "?", 1
+    )
+    scheme = F.lower(
+        F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    rest = F.substr(base, F.length(scheme) + F.lit(4), F.length(base))
+    slash = F.instr(rest, "/")
+    hostport = F.when(slash > 0, F.substr(rest, F.lit(1), slash - 1)).otherwise(
+        rest
+    )
+    path = F.when(slash > 0, F.substr(rest, slash, F.length(rest))).otherwise(
+        F.lit("/")
+    )
+    parent = F.regexp_replace(path, r"/[^/]*$", "")
+    origin = F.concat(scheme, F.lit("://"), hostport)
+
+    out = pages.withColumn("__href", F.explode(hrefs))
+    h = F.col("__href")
+    resolved = (
+        F.when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), F.lit(None))  # mailto:
+        .otherwise(F.concat(origin, parent, F.lit("/"), h))
+    )
+    out = (
+        out.withColumn("__resolved", resolved)
+        .filter(
+            F.col("__resolved").isNotNull()
+            & F.lower(F.col("__resolved")).rlike("^https?://")
+        )
+        .drop("__href")
+    )
+    out = canonicalize_urls(out, url_col="__resolved", out_col=out_col)
+    return out.drop("__resolved")
+
+
 def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
     """Parse a robots.txt per RFC 9309 and return the rule list
     ``[(is_allow, path_pattern), ...]`` for the MOST SPECIFIC matching

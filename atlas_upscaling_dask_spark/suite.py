@@ -3823,6 +3823,59 @@ GROUP BY 1
 )
 
 
+def _link_graph_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Crawl link-graph extraction: per page, four href forms (absolute,
+    # root-relative with a tracking param, bare-relative, protocol-
+    # relative) plus fragment-only and mailto noise — extract, RFC 3986
+    # §5 resolve against the base, canonicalize.  One codegen'd
+    # extract + one explode, no Python, no join; the resolved edge set
+    # is analytic.
+    from .extensions.urls import extract_links
+
+    d = F.col("doc_id")
+
+    def s(x):
+        return x.cast("string")
+
+    base = F.concat(
+        F.lit("http://crawl"), s(d % 10), F.lit(".example.com/w/"), s(d % 7)
+    )
+    html = F.concat(
+        F.lit('<p><a href="http://ext'), s(d % 6),
+        F.lit('.example.org/a">x</a>'),
+        F.lit('<a href="/r/'), s(d % 4), F.lit('?utm_source=z">y</a>'),
+        F.lit("<a href='sub/p"), s(d % 3), F.lit("'>z</a>"),
+        F.lit('<a href="//cdn'), s(d % 3), F.lit('.example.net/lib">w</a>'),
+        F.lit('<a href="#frag">self</a><a href="mailto:a@b.c">m</a></p>'),
+    )
+    pages = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("url", base)
+        .withColumn("html", html)
+    )
+    return extract_links(pages).select("doc_id", "link_url")
+
+
+_register(
+    "link_graph_edges",
+    _link_graph_edges_q,
+    """
+SELECT doc_id,
+       CASE f.range
+         WHEN 0 THEN 'http://ext' || CAST(doc_id % 6 AS VARCHAR) ||
+                     '.example.org/a'
+         WHEN 1 THEN 'http://crawl' || CAST(doc_id % 10 AS VARCHAR) ||
+                     '.example.com/r/' || CAST(doc_id % 4 AS VARCHAR)
+         WHEN 2 THEN 'http://crawl' || CAST(doc_id % 10 AS VARCHAR) ||
+                     '.example.com/w/sub/p' || CAST(doc_id % 3 AS VARCHAR)
+         ELSE 'http://cdn' || CAST(doc_id % 3 AS VARCHAR) ||
+              '.example.net/lib' END AS link_url
+FROM documents, range(4) f
+""",
+)
+
+
 def _media_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mixed-format media corpus (7 formats rotating by doc_id) through
     # ONE unified header-census pass — magic-byte dispatch to the

@@ -234,3 +234,44 @@ def test_url_dedup_survivor_and_counts(spark):
         "http://h.io/a": (0, 3),
         "http://h.io/other": (3, 1),
     }
+
+
+def test_extract_links_resolution_cases(spark):
+    from atlas_upscaling_dask_spark.extensions.urls import extract_links
+
+    html = (
+        '<a href="http://ext.example.org/a">x</a>'
+        '<a class="c" href="/r/1?utm_source=z">y</a>'
+        "<a href='sub/p'>z</a>"
+        '<a href="//cdn.example.net/lib">w</a>'
+        '<a href="#frag">self</a>'
+        '<a href="mailto:a@b.c">m</a>'
+        '<a href="javascript:void(0)">j</a>'
+        '<a href="../up">u</a>'
+    )
+    df = spark.createDataFrame(
+        [(1, "https://Crawl.Example.com:443/w/3?q=1#f", html)],
+        "doc_id long, url string, html string",
+    )
+    got = sorted(
+        r["link_url"] for r in extract_links(df).select("link_url").collect()
+    )
+    assert got == [
+        "http://ext.example.org/a",
+        "https://cdn.example.net/lib",
+        "https://crawl.example.com/r/1",
+        "https://crawl.example.com/up",
+        "https://crawl.example.com/w/sub/p",
+    ]
+
+
+def test_extract_links_plan_is_jvm_only(spark):
+    from atlas_upscaling_dask_spark.extensions.urls import extract_links
+
+    df = spark.createDataFrame(
+        [(1, "http://h.io/a", '<a href="/x">l</a>')],
+        "doc_id long, url string, html string",
+    )
+    plan = extract_links(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan

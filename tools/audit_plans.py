@@ -644,6 +644,12 @@ def audited_queries():
             QUERIES["media_census"],
             {"no_shuffle": True},
         ),
+        # link-graph extraction: codegen'd href extract + explode +
+        # RFC 3986 resolution — zero Python, zero exchanges
+        "link_graph_edges": (
+            QUERIES["link_graph_edges"],
+            {"no_shuffle": True, "codegen": True, "no_python_udf": True},
+        ),
         # URL canonicalization: pure built-in/HOF projection — zero
         # exchanges AND zero Python (codegen end to end)
         "url_canonicalize": (
