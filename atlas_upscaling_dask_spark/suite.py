@@ -3876,6 +3876,74 @@ FROM documents, range(4) f
 )
 
 
+_CRAWL_EDGES_CTE = """
+edges AS (
+  SELECT DISTINCT least(p, l) AS a, greatest(p, l) AS b FROM (
+    SELECT 'http://crawl' || CAST(doc_id % 10 AS VARCHAR) ||
+           '.example.com/w/' || CAST(doc_id % 7 AS VARCHAR) AS p,
+           CASE f.range
+             WHEN 0 THEN 'http://ext' || CAST(doc_id % 6 AS VARCHAR) ||
+                         '.example.org/a'
+             WHEN 1 THEN 'http://crawl' || CAST(doc_id % 10 AS VARCHAR) ||
+                         '.example.com/r/' || CAST(doc_id % 4 AS VARCHAR)
+             WHEN 2 THEN 'http://crawl' || CAST(doc_id % 10 AS VARCHAR) ||
+                         '.example.com/w/sub/p' || CAST(doc_id % 3 AS VARCHAR)
+             ELSE 'http://cdn' || CAST(doc_id % 3 AS VARCHAR) ||
+                  '.example.net/lib' END AS l
+    FROM documents, range(4) f
+  )
+)
+"""
+
+
+def _crawl_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The composed crawl-analytics chain: link extraction → canonical
+    # undirected page graph → integer-scaled PageRank (bitwise
+    # reproducible), top-10.  Same truth as `graph_pagerank`, new edge
+    # source — extraction, resolution and graph math all checked in one
+    # row.
+    from .extensions.urls import extract_links
+    from .operators.graph import pagerank
+
+    d = F.col("doc_id")
+
+    def s(x):
+        return x.cast("string")
+
+    base = F.concat(
+        F.lit("http://crawl"), s(d % 10), F.lit(".example.com/w/"), s(d % 7)
+    )
+    html = F.concat(
+        F.lit('<p><a href="http://ext'), s(d % 6),
+        F.lit('.example.org/a">x</a>'),
+        F.lit('<a href="/r/'), s(d % 4), F.lit('?utm_source=z">y</a>'),
+        F.lit("<a href='sub/p"), s(d % 3), F.lit("'>z</a>"),
+        F.lit('<a href="//cdn'), s(d % 3), F.lit('.example.net/lib">w</a>'),
+        F.lit('<a href="#frag">self</a><a href="mailto:a@b.c">m</a></p>'),
+    )
+    pages = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("url", base)
+        .withColumn("html", html)
+    )
+    links = extract_links(pages)
+    edges = links.select(
+        F.least("url", "link_url").alias("a"),
+        F.greatest("url", "link_url").alias("b"),
+    ).distinct()
+    return pagerank(edges, n_iter=3, top_k=10)
+
+
+def _crawl_pagerank_oracle() -> str:
+    from .operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_CRAWL_EDGES_CTE.strip(), n_iter=3, top_k=10)
+
+
+_register("crawl_pagerank", _crawl_pagerank_q, _crawl_pagerank_oracle())
+
+
 def _media_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mixed-format media corpus (7 formats rotating by doc_id) through
     # ONE unified header-census pass — magic-byte dispatch to the

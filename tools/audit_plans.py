@@ -650,6 +650,13 @@ def audited_queries():
             QUERIES["link_graph_edges"],
             {"no_shuffle": True, "codegen": True, "no_python_udf": True},
         ),
+        # composed crawl PageRank: extraction is narrow; the audited
+        # exchanges are the edge-distinct + per-iteration rank aggs
+        # (same budget shape as graph_pagerank + 1 for the distinct)
+        "crawl_pagerank": (
+            QUERIES["crawl_pagerank"],
+            {"max_shuffles": 3, "no_python_udf": True},
+        ),
         # URL canonicalization: pure built-in/HOF projection — zero
         # exchanges AND zero Python (codegen end to end)
         "url_canonicalize": (
