@@ -241,6 +241,40 @@ def extract_links(
     return out.drop("__resolved")
 
 
+def extract_sitemap_urls(
+    sitemaps: DataFrame,
+    xml_col: str = "xml",
+    out_col: str = "url",
+) -> DataFrame:
+    """Explode sitemap XML into its ``<loc>`` URLs — works for both
+    urlset sitemaps and sitemapindex files (same tag either way, per
+    sitemaps.org).  One codegen'd ``regexp_extract_all`` + explode +
+    canonicalize; entity-decodes the five XML escapes the protocol
+    requires in loc values."""
+    pat = r"(?is)<loc>\s*(.*?)\s*</loc>"
+    locs = F.regexp_extract_all(F.col(xml_col), F.lit(pat), F.lit(1))
+    out = sitemaps.withColumn("__loc", F.explode(locs))
+    u = F.col("__loc")
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&apos;", "'"), ("&amp;", "&")):
+        u = F.replace(u, F.lit(ent), F.lit(rep))
+    out = out.withColumn("__dec", u).drop("__loc")
+    out = canonicalize_urls(out, url_col="__dec", out_col=out_col)
+    return out.drop("__dec")
+
+
+def parse_robots_sitemaps(text: str) -> list[str]:
+    """The ``Sitemap:`` directives of a robots.txt (RFC 9309 §2.3 —
+    they live outside user-agent groups and apply to everyone)."""
+    out = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap" and value.strip():
+            out.append(value.strip())
+    return out
+
+
 def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
     """Parse a robots.txt per RFC 9309 and return the rule list
     ``[(is_allow, path_pattern), ...]`` for the MOST SPECIFIC matching

@@ -3876,6 +3876,51 @@ FROM documents, range(4) f
 )
 
 
+def _sitemap_urls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sitemap-protocol URL discovery: per-doc urlset XML with the
+    # hazards the spec allows (XML-escaped &amp; in loc values,
+    # whitespace padding, mixed-case hosts, tracking params) — extract,
+    # entity-decode, canonicalize; every URL analytic.
+    from .extensions.urls import extract_sitemap_urls
+
+    d = F.col("doc_id")
+
+    def s(x):
+        return x.cast("string")
+
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> HTTP://Map'),
+        s(d % 8),
+        F.lit(".Example.com/p/"), s(d % 5),
+        F.lit("?utm_source=sm&amp;k="), s(d % 3),
+        F.lit(" </loc></url><url><loc>http://map"), s(d % 8),
+        F.lit(".example.com/q/"), s(d % 4), F.lit("/../r</loc></url>"),
+        F.lit("</urlset>"),
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("xml", xml)
+    )
+    return extract_sitemap_urls(docs).select("doc_id", "url")
+
+
+_register(
+    "sitemap_urls",
+    _sitemap_urls_q,
+    """
+SELECT doc_id,
+       CASE f.range
+         WHEN 0 THEN 'http://map' || CAST(doc_id % 8 AS VARCHAR) ||
+                     '.example.com/p/' || CAST(doc_id % 5 AS VARCHAR) ||
+                     '?k=' || CAST(doc_id % 3 AS VARCHAR)
+         ELSE 'http://map' || CAST(doc_id % 8 AS VARCHAR) ||
+              '.example.com/q/r' END AS url
+FROM documents, range(2) f
+""",
+)
+
+
 _CRAWL_EDGES_CTE = """
 edges AS (
   SELECT DISTINCT least(p, l) AS a, greatest(p, l) AS b FROM (

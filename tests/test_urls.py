@@ -275,3 +275,37 @@ def test_extract_links_plan_is_jvm_only(spark):
     plan = extract_links(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_extract_sitemap_urls_and_robots_directive(spark):
+    from atlas_upscaling_dask_spark.extensions.urls import (
+        extract_sitemap_urls,
+        parse_robots_sitemaps,
+    )
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> HTTP://H.io/a?utm_source=x&amp;k=1 </loc></url>"
+        "<url><loc>http://h.io/b/../c</loc></url>"
+        "</urlset>"
+    )
+    idx = (
+        "<sitemapindex><sitemap><loc>http://h.io/maps/part1.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [(0, xml), (1, idx)], "doc_id long, xml string"
+    )
+    got = sorted(
+        (r["doc_id"], r["url"])
+        for r in extract_sitemap_urls(df).collect()
+    )
+    assert got == [
+        (0, "http://h.io/a?k=1"),
+        (0, "http://h.io/c"),
+        (1, "http://h.io/maps/part1.xml"),
+    ]
+
+    robots = "User-agent: *\nDisallow: /x\nSitemap: http://h.io/s.xml\n# c\n"
+    assert parse_robots_sitemaps(robots) == ["http://h.io/s.xml"]
+    assert parse_robots_sitemaps("User-agent: *\n") == []

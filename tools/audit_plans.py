@@ -657,6 +657,12 @@ def audited_queries():
             QUERIES["crawl_pagerank"],
             {"max_shuffles": 3, "no_python_udf": True},
         ),
+        # sitemap URL discovery: codegen'd loc extract + explode +
+        # canonicalize — zero Python, zero exchanges
+        "sitemap_urls": (
+            QUERIES["sitemap_urls"],
+            {"no_shuffle": True, "codegen": True, "no_python_udf": True},
+        ),
         # URL canonicalization: pure built-in/HOF projection — zero
         # exchanges AND zero Python (codegen end to end)
         "url_canonicalize": (
