@@ -28,6 +28,7 @@ spec-shaped fixtures for tests and oracle queries.
 
 from __future__ import annotations
 
+import re as _re
 import zlib
 from collections.abc import Iterator
 
@@ -178,6 +179,47 @@ def decode_http_payload(headers: dict[str, str], payload: bytes) -> bytes:
         except zlib.error:
             return zlib.decompress(payload, wbits=-15)  # raw deflate
     raise ValueError(f"unsupported content-encoding {ce!r}")
+
+
+#: charset= in a Content-Type header value
+_CT_CHARSET = _re.compile(r"charset\s*=\s*\"?([A-Za-z0-9._\-]+)", _re.I)
+#: <meta charset=...> / http-equiv content-type, within the sniff window
+_META_CHARSET = _re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9._\-]+)", _re.I
+)
+
+
+def sniff_charset(content_type: str | None, payload: bytes) -> str:
+    """Charset resolution in the order a browser uses it: BOM, then the
+    Content-Type header's ``charset=`` parameter, then a ``<meta
+    charset>`` / http-equiv tag in the first 1024 bytes, else UTF-8
+    (the WHATWG default for the modern web)."""
+    if payload[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    if content_type:
+        m = _CT_CHARSET.search(content_type)
+        if m:
+            return m.group(1).lower()
+    m = _META_CHARSET.search(payload[:1024])
+    if m:
+        return m.group(1).decode("ascii", "replace").lower()
+    return "utf-8"
+
+
+def decode_text(payload: bytes, content_type: str | None = None) -> str:
+    """Bytes → str with the crawl-grade fallback chain: the sniffed
+    charset, then strict UTF-8, then latin-1 (total — never raises).
+    Unknown charset NAMES fall through the same chain; a garbled page
+    yields replacement-free latin-1 text rather than a dead task."""
+    charset = sniff_charset(content_type, payload)
+    for enc in (charset, "utf-8"):
+        try:
+            return payload.decode(enc)
+        except (LookupError, UnicodeDecodeError):
+            continue
+    return payload.decode("latin-1")
 
 
 def warc_records(media, payload_col: str = "payload"):

@@ -4277,6 +4277,97 @@ FROM documents
 )
 
 
+def _warc_charset_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Charset-aware text extraction: pages rotate through UTF-8
+    # (charset in Content-Type), ISO-8859-1 (é as 0xE9, charset in
+    # Content-Type) and windows-1252 (€ as 0x80, declared ONLY by a
+    # <meta charset> tag) — `decode_text` must pick the right decoder
+    # per page or the non-ASCII characters come out wrong.
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_warc(batches):
+        from atlas_upscaling_dask_spark.sources.warc import encode_warc
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                k = d % 3
+                if k == 0:
+                    body = (
+                        f"<html><title>Doc {d}</title>"
+                        f"<p>café € {d % 7}</p></html>"
+                    ).encode("utf-8")
+                    ct = "text/html; charset=utf-8"
+                elif k == 1:
+                    body = (
+                        f"<html><title>Doc {d}</title>"
+                        f"<p>café {d % 7}</p></html>"
+                    ).encode("iso-8859-1")
+                    ct = "text/html; charset=ISO-8859-1"
+                else:
+                    body = (
+                        f'<html><meta charset="windows-1252">'
+                        f"<title>Doc {d}</title>"
+                        f"<p>café € {d % 7}</p></html>"
+                    ).encode("windows-1252")
+                    ct = "text/html"
+                payloads.append(
+                    encode_warc([
+                        {"type": "response", "status": 200,
+                         "uri": f"http://cs.example.com/{d}",
+                         "http_headers": {"Content-Type": ct},
+                         "payload": body}
+                    ])
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    from .extensions.text import extract_html_text
+    from .sources.warc import warc_records
+
+    media = docs.mapInPandas(
+        make_warc, schema="media_id long, payload binary"
+    )
+    recs = warc_records(media).filter(F.col("http_status") == 200)
+
+    def decode_kernel(batches):
+        from atlas_upscaling_dask_spark.sources.warc import decode_text
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "html": [
+                        decode_text(bytes(p), ct)
+                        for p, ct in zip(
+                            pdf["payload"], pdf["http_content_type"]
+                        )
+                    ],
+                }
+            )
+
+    pages = recs.mapInPandas(decode_kernel, schema="media_id long, html string")
+    return extract_html_text(pages).select("media_id", "title", "text")
+
+
+_register(
+    "warc_charset_extract",
+    _warc_charset_extract_q,
+    """
+SELECT doc_id AS media_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' café ' ||
+       CASE WHEN doc_id % 3 = 1 THEN '' ELSE '€ ' END ||
+       CAST(doc_id % 7 AS VARCHAR) AS text
+FROM documents
+""",
+)
+
+
 def _warc_url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The composed crawl-hygiene path: WARC records → 200 responses →
     # canonical-URL dedup on the target URI.  Groups of 5 docs share a

@@ -261,3 +261,32 @@ def test_media_info_dispatch_and_unknown():
             assert (info["width"], info["height"]) == (7, 6), fmt
     with pytest.raises(ValueError, match="unrecognized"):
         media_info(b"\x00" * 32)
+
+
+def test_charset_sniff_and_decode():
+    from atlas_upscaling_dask_spark.sources.warc import (
+        decode_text,
+        sniff_charset,
+    )
+
+    # header param beats meta tag; meta used when header silent
+    assert sniff_charset(
+        "text/html; charset=ISO-8859-1", b'<meta charset="utf-8">'
+    ) == "iso-8859-1"
+    assert sniff_charset("text/html", b'<meta charset="windows-1252">x') == (
+        "windows-1252"
+    )
+    assert sniff_charset(None, b"plain") == "utf-8"
+    # BOM wins over everything
+    assert sniff_charset("text/html; charset=latin-1",
+                         b"\xef\xbb\xbfx") == "utf-8-sig"
+    assert decode_text("café".encode("latin-1"),
+                       "text/html; charset=ISO-8859-1") == "café"
+    assert decode_text("café €".encode("cp1252"),
+                       "text/html") != "café €"  # no declaration -> mojibake
+    assert decode_text(
+        b'<meta charset=windows-1252>caf\xe9 \x80', "text/html"
+    ) == "<meta charset=windows-1252>café €"
+    # unknown charset name falls back down the chain, never raises
+    assert decode_text(b"abc", "text/html; charset=klingon") == "abc"
+    assert decode_text(b"\xff\x00garbage", "text/html; charset=utf-8")

@@ -691,6 +691,12 @@ def audited_queries():
             QUERIES["warc_html_extract"],
             {"no_shuffle": True},
         ),
+        # charset-aware variant: BOM/header/meta sniff + fallback
+        # decode, still one narrow chain
+        "warc_charset_extract": (
+            QUERIES["warc_charset_extract"],
+            {"no_shuffle": True},
+        ),
         # the composed crawl-hygiene chain: WARC → responses →
         # canonical-URL dedup — one group-by is the only exchange
         "warc_url_dedup": (
