@@ -177,6 +177,68 @@ def extract_html_text(
     )
 
 
+def extract_main_content(
+    docs: DataFrame,
+    html_col: str = "html",
+    out_col: str = "main_text",
+    min_chars: int = 40,
+    max_link_density: float = 0.5,
+) -> DataFrame:
+    """Boilerplate removal by the classic text/link-density heuristic
+    (the Kohlschütter-style signal trafilatura/jusText build on): the
+    page splits at block-level tags; a block survives if its visible
+    text is long enough AND links contribute at most
+    ``max_link_density`` of its characters.  Navigation bars, footers
+    and tag clouds are short and link-saturated — they drop; article
+    prose survives.  Pure built-in/HOF expressions (split → transform →
+    filter → array_join): no Python, no shuffle, codegen end to end.
+    """
+    t = F.regexp_replace(
+        F.col(html_col), r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " "
+    )
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    blocks = F.split(
+        t,
+        r"(?i)</?(?:p|div|section|article|main|aside|li|h[1-6]|td|th|"
+        r"blockquote|nav|footer|header|ul|ol|table|tr|br)[^>]*>",
+    )
+
+    def visible(b):
+        s = F.regexp_replace(b, r"(?s)<[^>]*>", " ")
+        for ent, rep in HTML_ENTITIES:
+            s = F.replace(s, F.lit(ent), F.lit(rep))
+        return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+    def link_chars(b):
+        return F.aggregate(
+            F.regexp_extract_all(
+                b, F.lit(r"(?is)<a[^>]*>(.*?)</a>"), F.lit(1)
+            ),
+            F.lit(0),
+            lambda acc, x: acc
+            + F.length(
+                F.trim(F.regexp_replace(x, r"(?s)<[^>]*>", " "))
+            ),
+        )
+
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            visible(b).alias("text"), link_chars(b).alias("link_chars")
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.length(s["text"]) >= min_chars)
+        & (
+            s["link_chars"].cast("double")
+            <= F.length(s["text"]) * F.lit(max_link_density)
+        ),
+    )
+    main = F.array_join(F.transform(kept, lambda s: s["text"]), "\n")
+    return docs.withColumn(out_col, main)
+
+
 #: PII scrub rules applied in order: (pattern, replacement).  Patterns
 #: stay inside the regex subset that Java (Spark) and RE2-ish engines
 #: (the DuckDB oracle) treat identically — no backrefs, no lookaround.

@@ -4277,6 +4277,54 @@ FROM documents
 )
 
 
+def _main_content_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Boilerplate removal: nav + footer (short, link-saturated) drop;
+    # two prose blocks (one with an inline link) survive — the
+    # text/link-density heuristic as pure codegen'd HOFs, expected
+    # output a closed formula.
+    from .extensions.text import extract_main_content
+
+    d = F.col("doc_id")
+
+    def s(x):
+        return x.cast("string")
+
+    html = F.concat(
+        F.lit('<div><a href="/">Home</a> <a href="/a">About</a> '
+              '<a href="/c">Contact</a></div><p>Content paragraph number '),
+        s(d % 5),
+        F.lit(" with enough prose to pass the minimum length filter."
+              "</p><p>Second block "),
+        s(d % 3),
+        F.lit(' keeps its <a href="/r">inline link</a> inside a longer '
+              "sentence that survives.</p>"
+              '<footer><a href="/t">Terms</a> <a href="/p">Priv</a>'
+              "</footer>"),
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("html", html)
+    )
+    return extract_main_content(docs).select("doc_id", "main_text")
+
+
+_register(
+    "main_content_extract",
+    _main_content_extract_q,
+    """
+SELECT doc_id,
+       'Content paragraph number ' || CAST(doc_id % 5 AS VARCHAR) ||
+       ' with enough prose to pass the minimum length filter.' ||
+       chr(10) ||
+       'Second block ' || CAST(doc_id % 3 AS VARCHAR) ||
+       ' keeps its inline link inside a longer sentence that survives.'
+         AS main_text
+FROM documents
+""",
+)
+
+
 def _warc_charset_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Charset-aware text extraction: pages rotate through UTF-8
     # (charset in Content-Type), ISO-8859-1 (é as 0xE9, charset in

@@ -290,3 +290,42 @@ def test_charset_sniff_and_decode():
     # unknown charset name falls back down the chain, never raises
     assert decode_text(b"abc", "text/html; charset=klingon") == "abc"
     assert decode_text(b"\xff\x00garbage", "text/html; charset=utf-8")
+
+
+def test_extract_main_content_drops_boilerplate(spark):
+    from atlas_upscaling_dask_spark.extensions.text import extract_main_content
+
+    html = (
+        '<div><a href="/">Home</a> <a href="/a">About</a></div>'
+        "<p>First long content paragraph with plenty of prose to keep "
+        "around for sure.</p>"
+        '<p>Second long paragraph has <a href="/r">one inline link</a> '
+        "inside much longer surrounding text that survives.</p>"
+        '<footer><a href="/t">Terms</a> <a href="/p">Privacy</a></footer>'
+        '<script>var x = "<p>never appears in any output at all</p>";</script>'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    got = extract_main_content(df).collect()[0]["main_text"]
+    lines = got.split("\n")
+    assert len(lines) == 2
+    assert lines[0].startswith("First long content")
+    assert "inline link" in lines[1]
+    assert "Home" not in got and "Terms" not in got
+    assert "never appears" not in got
+
+
+def test_extract_main_content_link_density_threshold(spark):
+    from atlas_upscaling_dask_spark.extensions.text import extract_main_content
+
+    # a LONG but link-saturated block (tag cloud) still drops; the same
+    # text without links survives
+    cloud = "<p>" + " ".join(
+        f'<a href="/t{i}">topic-word-{i:02d}</a>' for i in range(12)
+    ) + "</p>"
+    prose = "<p>" + " ".join(f"topic-word-{i:02d}" for i in range(12)) + "</p>"
+    df = spark.createDataFrame(
+        [(0, cloud), (1, prose)], "doc_id long, html string"
+    )
+    got = {r["doc_id"]: r["main_text"] for r in extract_main_content(df).collect()}
+    assert got[0] == ""
+    assert got[1].startswith("topic-word-00")

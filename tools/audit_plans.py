@@ -697,6 +697,12 @@ def audited_queries():
             QUERIES["warc_charset_extract"],
             {"no_shuffle": True},
         ),
+        # boilerplate removal: split/transform/filter HOFs — zero
+        # Python, zero exchanges, codegen end to end
+        "main_content_extract": (
+            QUERIES["main_content_extract"],
+            {"no_shuffle": True, "codegen": True, "no_python_udf": True},
+        ),
         # the composed crawl-hygiene chain: WARC → responses →
         # canonical-URL dedup — one group-by is the only exchange
         "warc_url_dedup": (
