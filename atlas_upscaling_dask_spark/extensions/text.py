@@ -177,6 +177,94 @@ def extract_html_text(
     )
 
 
+def _attr_extract(col, pat1: str, pat2: str):
+    """First non-empty of two attribute-order variants (HTML attribute
+    order is unspecified, so each tag is probed both ways)."""
+    a = F.regexp_extract(col, pat1, 1)
+    b = F.regexp_extract(col, pat2, 1)
+    return F.when(a != "", a).otherwise(F.when(b != "", b))
+
+
+def extract_page_metadata(
+    docs: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """The crawl-side page-metadata block as codegen'd extractions:
+
+    * ``og_title`` / ``og_description`` — OpenGraph ``<meta property>``
+      tags (both attribute orders),
+    * ``meta_description`` — the classic ``<meta name=description>``,
+    * ``canonical_link`` — ``<link rel=canonical href>``, the
+      publisher's OWN dedup signal (pair it with `urls.url_dedup`:
+      group by the canonical link when present, the canonicalized
+      fetch URL otherwise),
+    * ``page_lang`` — the ``<html lang>`` attribute, lower-cased (the
+      declared-language prior a lang-id model starts from).
+
+    Entity-decoded, whitespace-collapsed, NULL when absent; one narrow
+    projection, no Python, no shuffle."""
+
+    h = F.col(html_col)
+
+    def clean(c):
+        for ent, rep in HTML_ENTITIES:
+            c = F.replace(c, F.lit(ent), F.lit(rep))
+        return F.nullif(F.trim(F.regexp_replace(c, r"\s+", " ")), F.lit(""))
+
+    def og(prop: str):
+        return clean(
+            F.coalesce(
+                _attr_extract(
+                    h,
+                    r"(?is)<meta\s[^>]*property\s*=\s*[\"']og:" + prop
+                    + r"[\"'][^>]*content\s*=\s*[\"']([^\"']*)",
+                    r"(?is)<meta\s[^>]*content\s*=\s*[\"']([^\"']*)[\"']"
+                    + r"[^>]*property\s*=\s*[\"']og:" + prop + r"[\"']",
+                ),
+                F.lit(""),
+            )
+        )
+
+    meta_desc = clean(
+        F.coalesce(
+            _attr_extract(
+                h,
+                r"(?is)<meta\s[^>]*name\s*=\s*[\"']description[\"'][^>]*"
+                r"content\s*=\s*[\"']([^\"']*)",
+                r"(?is)<meta\s[^>]*content\s*=\s*[\"']([^\"']*)[\"'][^>]*"
+                r"name\s*=\s*[\"']description[\"']",
+            ),
+            F.lit(""),
+        )
+    )
+    canonical = clean(
+        F.coalesce(
+            _attr_extract(
+                h,
+                r"(?is)<link\s[^>]*rel\s*=\s*[\"']canonical[\"'][^>]*"
+                r"href\s*=\s*[\"']([^\"']*)",
+                r"(?is)<link\s[^>]*href\s*=\s*[\"']([^\"']*)[\"'][^>]*"
+                r"rel\s*=\s*[\"']canonical[\"']",
+            ),
+            F.lit(""),
+        )
+    )
+    lang = F.lower(
+        F.nullif(
+            F.regexp_extract(
+                h, r"(?is)<html\s[^>]*lang\s*=\s*[\"']([A-Za-z\-]+)", 1
+            ),
+            F.lit(""),
+        )
+    )
+    return (
+        docs.withColumn("og_title", og("title"))
+        .withColumn("og_description", og("description"))
+        .withColumn("meta_description", meta_desc)
+        .withColumn("canonical_link", canonical)
+        .withColumn("page_lang", lang)
+    )
+
+
 def extract_main_content(
     docs: DataFrame,
     html_col: str = "html",

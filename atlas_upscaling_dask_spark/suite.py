@@ -4277,6 +4277,71 @@ FROM documents
 )
 
 
+def _page_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OpenGraph/meta/canonical-link/lang extraction: attribute orders
+    # alternate with doc_id, entities planted, og:title absent for
+    # every 7th doc, lang absent for d%3==2 — all five fields closed
+    # formulas (NULL included).
+    from .extensions.text import extract_page_metadata
+
+    d = F.col("doc_id")
+
+    def s(x):
+        return x.cast("string")
+
+    og_title = F.when(
+        d % 7 != 0,
+        F.concat(F.lit('<meta property="og:title" content="OG '), s(d % 9),
+                 F.lit(' &amp; co"/>')),
+    ).otherwise(F.lit(""))
+    og_desc = F.concat(
+        F.lit('<meta content="D'), s(d % 4),
+        F.lit(' text" property="og:description">'),
+    )
+    meta_desc = F.concat(
+        F.lit('<meta name="description" content="M '), s(d % 6),
+        F.lit('">'),
+    )
+    canonical = F.concat(
+        F.lit('<link rel="canonical" href="https://c'), s(d % 5),
+        F.lit(".example.com/p/"), s(d % 3), F.lit('"/>'),
+    )
+    lang = (
+        F.when(d % 3 == 0, F.lit('<html lang="en">'))
+        .when(d % 3 == 1, F.lit('<html lang="FR-ca">'))
+        .otherwise(F.lit("<html>"))
+    )
+    html = F.concat(
+        lang, F.lit("<head>"), og_title, og_desc, meta_desc, canonical,
+        F.lit("</head><body>x</body></html>"),
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("html", html)
+    )
+    return extract_page_metadata(docs).drop("html")
+
+
+_register(
+    "page_metadata",
+    _page_metadata_q,
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 != 0
+            THEN 'OG ' || CAST(doc_id % 9 AS VARCHAR) || ' & co' END
+         AS og_title,
+       'D' || CAST(doc_id % 4 AS VARCHAR) || ' text' AS og_description,
+       'M ' || CAST(doc_id % 6 AS VARCHAR) AS meta_description,
+       'https://c' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/p/' ||
+       CAST(doc_id % 3 AS VARCHAR) AS canonical_link,
+       CASE WHEN doc_id % 3 = 0 THEN 'en'
+            WHEN doc_id % 3 = 1 THEN 'fr-ca' END AS page_lang
+FROM documents
+""",
+)
+
+
 def _main_content_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Boilerplate removal: nav + footer (short, link-saturated) drop;
     # two prose blocks (one with an inline link) survive — the

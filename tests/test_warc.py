@@ -329,3 +329,36 @@ def test_extract_main_content_link_density_threshold(spark):
     got = {r["doc_id"]: r["main_text"] for r in extract_main_content(df).collect()}
     assert got[0] == ""
     assert got[1].startswith("topic-word-00")
+
+
+def test_extract_page_metadata(spark):
+    from atlas_upscaling_dask_spark.extensions.text import (
+        extract_page_metadata,
+    )
+
+    html = (
+        '<html lang="EN-us"><head>'
+        '<meta property="og:title" content="OG Title &amp; more"/>'
+        '<meta content="Reversed og desc" property="og:description">'
+        '<meta name="description" content="Classic   desc">'
+        '<link href="https://ex.com/canon" rel="canonical"/>'
+        "</head></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "<p>no meta at all</p>")], "doc_id long, html string"
+    )
+    rows = {r["doc_id"]: r for r in extract_page_metadata(df).collect()}
+    r1 = rows[1]
+    assert r1["og_title"] == "OG Title & more"
+    assert r1["og_description"] == "Reversed og desc"  # reversed attr order
+    assert r1["meta_description"] == "Classic desc"
+    assert r1["canonical_link"] == "https://ex.com/canon"  # href-first order
+    assert r1["page_lang"] == "en-us"
+    r2 = rows[2]
+    assert all(
+        r2[c] is None
+        for c in ("og_title", "og_description", "meta_description",
+                  "canonical_link", "page_lang")
+    )
+    plan = extract_page_metadata(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan

@@ -703,6 +703,12 @@ def audited_queries():
             QUERIES["main_content_extract"],
             {"no_shuffle": True, "codegen": True, "no_python_udf": True},
         ),
+        # page metadata (OpenGraph/description/canonical-link/lang):
+        # one narrow regexp projection
+        "page_metadata": (
+            QUERIES["page_metadata"],
+            {"no_shuffle": True, "codegen": True, "no_python_udf": True},
+        ),
         # the composed crawl-hygiene chain: WARC → responses →
         # canonical-URL dedup — one group-by is the only exchange
         "warc_url_dedup": (
