@@ -432,6 +432,45 @@ def filter_urls_by_robots(
     return verdict.withColumn(agent_allowed_col, allowed).drop("__best")
 
 
+def url_dedup_canonical(
+    df: DataFrame,
+    url_col: str = "url",
+    canonical_col: str = "canonical_link",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-LINK-aware URL dedup: the publisher's
+    ``<link rel=canonical>`` (see `text.extract_page_metadata`) is the
+    strongest duplicate signal on the web — m-dot, AMP and www
+    variants of one article all declare the same canonical.  The dedup
+    key is the canonicalized canonical link when declared, else the
+    canonicalized fetch URL; output adds how many members actually
+    declared the link (``n_declared`` — 0 means the group formed from
+    fetch-URL identity alone).  Same single-hash-agg shape as
+    :func:`url_dedup`."""
+    with_keys = canonicalize_urls(df, url_col=url_col, out_col="__fetch")
+    with_keys = canonicalize_urls(
+        with_keys.withColumn(
+            "__link", F.coalesce(F.col(canonical_col), F.col(url_col))
+        ),
+        url_col="__link",
+        out_col="__linkc",
+    )
+    key = F.when(
+        F.col(canonical_col).isNotNull(), F.col("__linkc")
+    ).otherwise(F.col("__fetch"))
+    return (
+        with_keys.withColumn("canonical_url", key)
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("survivor_" + id_col),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sum(
+                F.when(F.col(canonical_col).isNotNull(), 1).otherwise(0)
+            ).alias("n_declared"),
+        )
+    )
+
+
 def url_dedup(
     df: DataFrame,
     url_col: str = "url",

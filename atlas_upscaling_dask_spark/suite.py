@@ -4277,6 +4277,81 @@ FROM documents
 )
 
 
+def _url_dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Canonical-link consolidation: groups of 4 docs are the www / m. /
+    # amp. / tracking-tagged variants of ONE article, all declaring the
+    # same <link rel=canonical> (mixed-case, fragment-bearing — the
+    # canonicalizer must clean the LINK too); docs with d%13==0 declare
+    # NO canonical and dedup by fetch URL alone, leaving their three
+    # groupmates consolidated without them.  Survivors/counts analytic.
+    from .extensions.urls import url_dedup_canonical
+
+    d = F.col("doc_id")
+    g = d - d % 4
+
+    def s(x):
+        return x.cast("string")
+
+    fetch = F.concat(
+        F.when(d % 4 == 0, F.lit("http://www.art"))
+        .when(d % 4 == 1, F.lit("http://m.art"))
+        .when(d % 4 == 2, F.lit("http://amp.art"))
+        .otherwise(F.lit("http://www.art")),
+        s(g % 50), F.lit(".example.com/story/"), s(g % 11),
+        F.when(d % 4 == 3, F.concat(F.lit("?utm_source=t"), s(d)))
+        .otherwise(F.lit("")),
+    )
+    canonical = F.when(
+        d % 13 != 0,
+        F.concat(
+            F.lit("HTTP://Art"), s(g % 50), F.lit(".example.com/story/"),
+            s(g % 11), F.lit("#top"),
+        ),
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("url", fetch)
+        .withColumn("canonical_link", canonical)
+    )
+    return url_dedup_canonical(docs)
+
+
+_register(
+    "url_dedup_canonical",
+    _url_dedup_canonical_q,
+    """
+WITH m AS (
+  SELECT doc_id,
+         doc_id - doc_id % 4 AS g,
+         doc_id % 13 != 0 AS declared
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, declared,
+         CASE WHEN declared
+              THEN 'http://art' || CAST(g % 50 AS VARCHAR) ||
+                   '.example.com/story/' || CAST(g % 11 AS VARCHAR)
+              ELSE CASE WHEN doc_id % 4 = 0 THEN 'http://www.art'
+                        WHEN doc_id % 4 = 1 THEN 'http://m.art'
+                        WHEN doc_id % 4 = 2 THEN 'http://amp.art'
+                        ELSE 'http://www.art' END ||
+                   CAST(g % 50 AS VARCHAR) || '.example.com/story/' ||
+                   CAST(g % 11 AS VARCHAR)
+         END AS canonical_url
+  FROM m
+)
+SELECT canonical_url,
+       min(doc_id) AS survivor_doc_id,
+       count(*) AS n_dups,
+       CAST(sum(CASE WHEN declared THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_declared
+FROM keyed
+GROUP BY 1
+""",
+)
+
+
 def _page_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # OpenGraph/meta/canonical-link/lang extraction: attribute orders
     # alternate with doc_id, entities planted, og:title absent for

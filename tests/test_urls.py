@@ -309,3 +309,27 @@ def test_extract_sitemap_urls_and_robots_directive(spark):
     robots = "User-agent: *\nDisallow: /x\nSitemap: http://h.io/s.xml\n# c\n"
     assert parse_robots_sitemaps(robots) == ["http://h.io/s.xml"]
     assert parse_robots_sitemaps("User-agent: *\n") == []
+
+
+def test_url_dedup_canonical_consolidates_variants(spark):
+    from atlas_upscaling_dask_spark.extensions.urls import url_dedup_canonical
+
+    rows = [
+        # three variants of one article, all declaring the canonical
+        (0, "http://www.site.com/a", "HTTP://Site.com/a#top"),
+        (1, "http://m.site.com/a?utm_source=x", "http://site.com/a"),
+        (2, "http://amp.site.com/a", "http://site.com/a"),
+        # no canonical declared -> fetch-URL identity only
+        (3, "http://www.site.com/a", None),
+        (4, "http://other.com/b", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, canonical_link string")
+    got = {
+        r["canonical_url"]: (r["survivor_doc_id"], r["n_dups"], r["n_declared"])
+        for r in url_dedup_canonical(df).collect()
+    }
+    assert got == {
+        "http://site.com/a": (0, 3, 3),
+        "http://www.site.com/a": (3, 1, 0),
+        "http://other.com/b": (4, 1, 0),
+    }

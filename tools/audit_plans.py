@@ -709,6 +709,11 @@ def audited_queries():
             QUERIES["page_metadata"],
             {"no_shuffle": True, "codegen": True, "no_python_udf": True},
         ),
+        # canonical-link dedup: narrow double-canonicalize + one agg
+        "url_dedup_canonical": (
+            QUERIES["url_dedup_canonical"],
+            {"max_shuffles": 1, "codegen": True, "no_python_udf": True},
+        ),
         # the composed crawl-hygiene chain: WARC → responses →
         # canonical-URL dedup — one group-by is the only exchange
         "warc_url_dedup": (
