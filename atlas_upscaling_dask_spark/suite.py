@@ -8112,17 +8112,9 @@ SELECT z, y, x, label FROM ranked WHERE rk = 1
 #: green (rows+schema match, err null) — regenerated each round from
 #: the committed JSON files.
 _LAST_GREEN = {
-    # last driver-green in round 4 (29 rows)
-    "bigram_coherence": 4, "bm25_index_topk": 4, "cdc_apply": 4,
-    "dedup_canonical_quality": 4, "dedup_clusters": 4, "embed_covariance": 4,
-    "embed_knn_graph": 4, "funnel_within": 4, "graph_bfs": 4, "graph_pagerank":
-    4, "histogram_equidepth": 4, "hll_ndv": 4, "incremental_agg": 4,
-    "interval_islands": 4, "jsonl_roundtrip": 4, "market_basket_lift": 4,
-    "negative_samples": 4, "pareto_orders": 4, "quantile_sketch": 4,
-    "scd2_asof_lookup": 4, "scd2_user_segments": 4, "seasonal_anomalies": 4,
-    "seasonal_decompose": 4, "setsim_containment_join": 4, "stratified_sample":
-    4, "table_diff": 4, "tfidf_topterms": 4, "twap_events": 4,
-    "vox_components": 4,
+    # last driver-green in round 4 (4 rows)
+    "embed_knn_graph": 4, "negative_samples": 4, "pareto_orders": 4,
+    "tfidf_topterms": 4,
     # last driver-green in round 5 (50 rows)
     "corpus_report": 5, "cumulative_users": 5, "embed_centroids": 5,
     "embed_pca_topk": 5, "embed_quantize": 5, "funnel_steps": 5,
@@ -8198,6 +8190,24 @@ _LAST_GREEN = {
     "vox_histogram_chunkpath": 8, "vox_mode_chunkpath": 8, "vox_morton": 8,
     "vox_outline_chunkpath": 8, "vox_point_lookup_chunkpath": 8,
     "weighted_sample": 8,
+    # last driver-green in round 9 (50 rows)
+    "avi_frame_hashes": 9, "avi_info": 9, "bigram_coherence": 9,
+    "bm25_index_topk": 9, "cdc_apply": 9, "crawl_pagerank": 9,
+    "dedup_canonical_quality": 9, "dedup_clusters": 9, "embed_covariance": 9,
+    "funnel_within": 9, "gif_anim_frame_digests": 9, "gif_info": 9,
+    "gif_phash_values": 9, "graph_bfs": 9, "graph_pagerank": 9,
+    "histogram_equidepth": 9, "hll_ndv": 9, "image_phash_jpeg": 9,
+    "incremental_agg": 9, "interval_islands": 9, "jpeg_decode_blocks": 9,
+    "jpeg_decode_progressive": 9, "jpeg_dims": 9, "jsonl_roundtrip": 9,
+    "link_graph_edges": 9, "main_content_extract": 9, "market_basket_lift": 9,
+    "media_census": 9, "mp4_info": 9, "page_metadata": 9, "quantile_sketch": 9,
+    "robots_filter": 9, "scd2_asof_lookup": 9, "scd2_user_segments": 9,
+    "seasonal_anomalies": 9, "seasonal_decompose": 9,
+    "setsim_containment_join": 9, "sitemap_urls": 9, "stratified_sample": 9,
+    "table_diff": 9, "twap_events": 9, "url_canonicalize": 9,
+    "url_dedup_canonical": 9, "url_dedup_groups": 9, "url_domain_counts": 9,
+    "vox_components": 9, "warc_census": 9, "warc_charset_extract": 9,
+    "warc_html_extract": 9, "warc_url_dedup": 9,
 }
 
 
