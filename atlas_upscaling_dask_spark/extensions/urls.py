@@ -184,32 +184,20 @@ def registrable_domains(
     return out.withColumn(out_col, reg).drop("__labels", *matched)
 
 
-def extract_links(
-    pages: DataFrame,
-    html_col: str = "html",
-    base_col: str = "url",
-    out_col: str = "link_url",
-) -> DataFrame:
-    """Explode each page into its outgoing links — the crawl
-    link-graph extractor.  ``<a href>`` values come from one codegen'd
-    ``regexp_extract_all``; RFC 3986 §5 reference resolution (absolute
-    kept, ``//`` protocol-relative, ``/`` root-relative, bare-relative
-    against the base path's directory) is pure expressions; the result
-    feeds :func:`canonicalize_urls`, whose dot-segment fold also
-    resolves ``../`` in relative hrefs.  Fragment-only and
-    non-http(s)-scheme links (mailto:, javascript:, ...) are dropped.
-    One narrow projection + one explode — no Python, no join; pair the
-    output with `registrable_domains` + `operators/graph.py` for
-    domain-graph analytics at crawl scale."""
-    _href_pat = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"'#][^"']*)"""
-    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(_href_pat), F.lit(1))
-    base = F.substring_index(
-        F.substring_index(F.trim(F.col(base_col)), "#", 1), "?", 1
-    )
+def _resolve_reference(base, ref):
+    """RFC 3986 §5 reference resolution as pure expressions: ``ref``
+    resolved against ``base`` (absolute refs kept, ``//``
+    protocol-relative, ``/`` root-relative, bare-relative against the
+    base path's directory).  Non-hierarchical schemes (``mailto:``,
+    ``javascript:``, ...) resolve to NULL; ``../`` in relative refs is
+    left for :func:`canonicalize_urls`'s dot-segment fold.  Callers
+    decide what an unresolvable ref (NULL, or a base without a scheme
+    yielding a ``://``-prefixed string) falls back to."""
+    base_nq = F.substring_index(F.substring_index(F.trim(base), "#", 1), "?", 1)
     scheme = F.lower(
-        F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+        F.regexp_extract(base_nq, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
     )
-    rest = F.substr(base, F.length(scheme) + F.lit(4), F.length(base))
+    rest = F.substr(base_nq, F.length(scheme) + F.lit(4), F.length(base_nq))
     slash = F.instr(rest, "/")
     hostport = F.when(slash > 0, F.substr(rest, F.lit(1), slash - 1)).otherwise(
         rest
@@ -219,18 +207,39 @@ def extract_links(
     )
     parent = F.regexp_replace(path, r"/[^/]*$", "")
     origin = F.concat(scheme, F.lit("://"), hostport)
-
-    out = pages.withColumn("__href", F.explode(hrefs))
-    h = F.col("__href")
-    resolved = (
+    h = F.trim(ref)
+    return (
         F.when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), h)
         .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
         .when(h.startswith("/"), F.concat(origin, h))
         .when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), F.lit(None))  # mailto:
         .otherwise(F.concat(origin, parent, F.lit("/"), h))
     )
+
+
+def extract_links(
+    pages: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+    out_col: str = "link_url",
+) -> DataFrame:
+    """Explode each page into its outgoing links — the crawl
+    link-graph extractor.  ``<a href>`` values come from one codegen'd
+    ``regexp_extract_all``; RFC 3986 §5 reference resolution is the
+    pure-expression `_resolve_reference`; the result feeds
+    :func:`canonicalize_urls`, whose dot-segment fold also resolves
+    ``../`` in relative hrefs.  Fragment-only and non-http(s)-scheme
+    links (mailto:, javascript:, ...) are dropped.  One narrow
+    projection + one explode — no Python, no join; pair the output
+    with `registrable_domains` + `operators/graph.py` for domain-graph
+    analytics at crawl scale."""
+    _href_pat = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"'#][^"']*)"""
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(_href_pat), F.lit(1))
+    out = pages.withColumn("__href", F.explode(hrefs))
     out = (
-        out.withColumn("__resolved", resolved)
+        out.withColumn(
+            "__resolved", _resolve_reference(F.col(base_col), F.col("__href"))
+        )
         .filter(
             F.col("__resolved").isNotNull()
             & F.lower(F.col("__resolved")).rlike("^https?://")
@@ -442,22 +451,34 @@ def url_dedup_canonical(
     ``<link rel=canonical>`` (see `text.extract_page_metadata`) is the
     strongest duplicate signal on the web — m-dot, AMP and www
     variants of one article all declare the same canonical.  The dedup
-    key is the canonicalized canonical link when declared, else the
-    canonicalized fetch URL; output adds how many members actually
-    declared the link (``n_declared`` — 0 means the group formed from
-    fetch-URL identity alone).  Same single-hash-agg shape as
-    :func:`url_dedup`."""
+    key is the canonicalized canonical link when declared AND usable,
+    else the canonicalized fetch URL; output adds how many members'
+    declared link actually keyed them (``n_declared`` — 0 means the
+    group formed from fetch-URL identity alone).
+
+    Publishers routinely declare RELATIVE canonicals (``/story/3``) —
+    per the HTML spec a link href is a URL reference, resolved against
+    the page URL.  The declared value is therefore passed through
+    `_resolve_reference` against the fetch URL before keying; a link
+    that still isn't http(s) afterwards (non-hierarchical scheme, or a
+    scheme-less fetch URL that gives resolution no origin) is treated
+    as undeclared and the row keys by its fetch URL.  Keying by the
+    verbatim relative string would collide unrelated hosts that share
+    a path shape — the exact bug this resolution step exists to
+    prevent.  Same single-hash-agg shape as :func:`url_dedup`."""
     with_keys = canonicalize_urls(df, url_col=url_col, out_col="__fetch")
+    resolved = _resolve_reference(F.col(url_col), F.col(canonical_col))
+    usable = (
+        F.col(canonical_col).isNotNull()
+        & resolved.isNotNull()
+        & F.lower(resolved).rlike("^https?://")
+    )
     with_keys = canonicalize_urls(
-        with_keys.withColumn(
-            "__link", F.coalesce(F.col(canonical_col), F.col(url_col))
-        ),
+        with_keys.withColumn("__link", F.when(usable, resolved)),
         url_col="__link",
         out_col="__linkc",
     )
-    key = F.when(
-        F.col(canonical_col).isNotNull(), F.col("__linkc")
-    ).otherwise(F.col("__fetch"))
+    key = F.coalesce(F.col("__linkc"), F.col("__fetch"))
     return (
         with_keys.withColumn("canonical_url", key)
         .groupBy("canonical_url")
@@ -465,7 +486,7 @@ def url_dedup_canonical(
             F.min(id_col).alias("survivor_" + id_col),
             F.count(F.lit(1)).alias("n_dups"),
             F.sum(
-                F.when(F.col(canonical_col).isNotNull(), 1).otherwise(0)
+                F.when(F.col("__linkc").isNotNull(), 1).otherwise(0)
             ).alias("n_declared"),
         )
     )

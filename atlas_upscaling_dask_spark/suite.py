@@ -4283,7 +4283,12 @@ def _url_dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same <link rel=canonical> (mixed-case, fragment-bearing — the
     # canonicalizer must clean the LINK too); docs with d%13==0 declare
     # NO canonical and dedup by fetch URL alone, leaving their three
-    # groupmates consolidated without them.  Survivors/counts analytic.
+    # groupmates consolidated without them.  Two hazard tiers on top:
+    # d%5==0 declares a RELATIVE canonical (/story/N — must resolve
+    # against the fetch host, NOT collide globally on the bare path),
+    # and d%7==0 declares a non-hierarchical mailto: link (unusable →
+    # fetch-URL fallback, not counted declared).  Survivors/counts
+    # analytic.
     from .extensions.urls import url_dedup_canonical
 
     d = F.col("doc_id")
@@ -4301,12 +4306,16 @@ def _url_dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 4 == 3, F.concat(F.lit("?utm_source=t"), s(d)))
         .otherwise(F.lit("")),
     )
-    canonical = F.when(
-        d % 13 != 0,
-        F.concat(
-            F.lit("HTTP://Art"), s(g % 50), F.lit(".example.com/story/"),
-            s(g % 11), F.lit("#top"),
-        ),
+    canonical = (
+        F.when(d % 13 == 0, F.lit(None).cast("string"))
+        .when(d % 5 == 0, F.concat(F.lit("/story/"), s(g % 11)))
+        .when(d % 7 == 0, F.lit("mailto:editor@example.com"))
+        .otherwise(
+            F.concat(
+                F.lit("HTTP://Art"), s(g % 50), F.lit(".example.com/story/"),
+                s(g % 11), F.lit("#top"),
+            )
+        )
     )
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -4324,27 +4333,33 @@ _register(
 WITH m AS (
   SELECT doc_id,
          doc_id - doc_id % 4 AS g,
-         doc_id % 13 != 0 AS declared
+         CASE WHEN doc_id % 13 = 0 THEN 'none'
+              WHEN doc_id % 5 = 0 THEN 'relative'
+              WHEN doc_id % 7 = 0 THEN 'mailto'
+              ELSE 'absolute' END AS tier,
+         CASE WHEN doc_id % 4 = 0 THEN 'http://www.art'
+              WHEN doc_id % 4 = 1 THEN 'http://m.art'
+              WHEN doc_id % 4 = 2 THEN 'http://amp.art'
+              ELSE 'http://www.art' END ||
+         CAST((doc_id - doc_id % 4) % 50 AS VARCHAR) ||
+         '.example.com/story/' ||
+         CAST((doc_id - doc_id % 4) % 11 AS VARCHAR) AS fetch_canon
   FROM documents
 ),
 keyed AS (
-  SELECT doc_id, declared,
-         CASE WHEN declared
+  SELECT doc_id,
+         tier IN ('absolute', 'relative') AS used,
+         CASE WHEN tier = 'absolute'
               THEN 'http://art' || CAST(g % 50 AS VARCHAR) ||
                    '.example.com/story/' || CAST(g % 11 AS VARCHAR)
-              ELSE CASE WHEN doc_id % 4 = 0 THEN 'http://www.art'
-                        WHEN doc_id % 4 = 1 THEN 'http://m.art'
-                        WHEN doc_id % 4 = 2 THEN 'http://amp.art'
-                        ELSE 'http://www.art' END ||
-                   CAST(g % 50 AS VARCHAR) || '.example.com/story/' ||
-                   CAST(g % 11 AS VARCHAR)
+              ELSE fetch_canon
          END AS canonical_url
   FROM m
 )
 SELECT canonical_url,
        min(doc_id) AS survivor_doc_id,
        count(*) AS n_dups,
-       CAST(sum(CASE WHEN declared THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN used THEN 1 ELSE 0 END) AS BIGINT)
          AS n_declared
 FROM keyed
 GROUP BY 1

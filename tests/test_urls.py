@@ -333,3 +333,39 @@ def test_url_dedup_canonical_consolidates_variants(spark):
         "http://www.site.com/a": (3, 1, 0),
         "http://other.com/b": (4, 1, 0),
     }
+
+
+def test_url_dedup_canonical_resolves_relative_links(spark):
+    """A relative <link rel=canonical> (common on real pages) must be
+    resolved against the fetch URL, never used verbatim as the group
+    key — verbatim keying collides unrelated hosts that share a path
+    shape and never matches any absolute fetch-URL key."""
+    from atlas_upscaling_dask_spark.extensions.urls import url_dedup_canonical
+
+    rows = [
+        # two hosts both declaring the relative canonical /story/3:
+        # MUST stay separate groups, each resolved onto its own host
+        (0, "http://alpha.com/story/3?utm_source=x", "/story/3"),
+        (1, "http://beta.com/amp/story/3", "/story/3"),
+        # ...and the relative canonical joins the host's absolute group
+        (2, "http://alpha.com/story/3", "http://alpha.com/story/3"),
+        # non-hierarchical scheme -> unusable, falls back to fetch URL
+        (3, "http://gamma.com/x", "mailto:editor@gamma.com"),
+        # scheme-less fetch URL gives resolution no origin -> fallback
+        (4, "opaque-id-77", "/story/3"),
+        # dot-segments in the relative link resolve via the canonical
+        # fold (base dir of /a/b/page.html is /a/b)
+        (5, "http://delta.com/a/b/page.html", "../c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, canonical_link string")
+    got = {
+        r["canonical_url"]: (r["survivor_doc_id"], r["n_dups"], r["n_declared"])
+        for r in url_dedup_canonical(df).collect()
+    }
+    assert got == {
+        "http://alpha.com/story/3": (0, 2, 2),
+        "http://beta.com/story/3": (1, 1, 1),
+        "http://gamma.com/x": (3, 1, 0),
+        "opaque-id-77": (4, 1, 0),
+        "http://delta.com/a/c": (5, 1, 1),
+    }
