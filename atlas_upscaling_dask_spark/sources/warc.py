@@ -226,7 +226,22 @@ def warc_records(media, payload_col: str = "payload"):
     """Arrow-batched WARC → rows: one output row per record, with HTTP
     response fields split out when present.  One narrow pass; archive
     bytes never leave the executor — at 100 TB each task parses its own
-    WARC payloads and emits only the compact row."""
+    WARC payloads and emits only the compact row.
+
+    ``text`` carries the charset-decoded body (the `decode_text`
+    browser chain: BOM → Content-Type charset → <meta> sniff → UTF-8 →
+    latin-1) for ``text/*`` responses — the ONE decoder both the batch
+    queries and the streaming crawl ingest share, so the same bytes
+    never yield two different strings depending on the path.
+
+    Per-record error containment: a malformed HTTP split or an
+    unsupported transport coding (e.g. ``Content-Encoding: br``) in
+    ONE record must not kill the task that carries the other million —
+    such records surface with ``payload``/``text`` NULL and the reason
+    in ``error``.  The framing walk itself stays strict
+    (`iter_warc_records` raises on truncated/garbled archives): a
+    broken container is a data-integrity event, a broken member is
+    crawl weather."""
     import pandas as pd
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -234,7 +249,8 @@ def warc_records(media, payload_col: str = "payload"):
             rows = {
                 "media_id": [], "record_idx": [], "warc_type": [],
                 "target_uri": [], "warc_date": [], "http_status": [],
-                "http_content_type": [], "payload": [],
+                "http_content_type": [], "payload": [], "text": [],
+                "error": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 for i, (hdrs, body) in enumerate(
@@ -243,13 +259,27 @@ def warc_records(media, payload_col: str = "payload"):
                     rtype = hdrs.get("warc-type", "")
                     status: int | None = None
                     ctype: str | None = None
-                    content = body
+                    content: bytes | None = body
+                    text: str | None = None
+                    err: str | None = None
                     if rtype == "response" and hdrs.get(
                         "content-type", ""
                     ).startswith("application/http"):
-                        status, hhdrs, content = parse_http_response(body)
-                        ctype = hhdrs.get("content-type")
-                        content = decode_http_payload(hhdrs, content)
+                        try:
+                            status, hhdrs, content = parse_http_response(body)
+                            ctype = hhdrs.get("content-type")
+                            content = decode_http_payload(hhdrs, content)
+                        except ValueError as e:
+                            content = None
+                            err = str(e)
+                    if (
+                        err is None
+                        and content is not None
+                        and ctype is not None
+                        and ctype.split(";", 1)[0].strip().lower()
+                        .startswith("text/")
+                    ):
+                        text = decode_text(content, ctype)
                     rows["media_id"].append(int(mid))
                     rows["record_idx"].append(i)
                     rows["warc_type"].append(rtype)
@@ -258,6 +288,8 @@ def warc_records(media, payload_col: str = "payload"):
                     rows["http_status"].append(status)
                     rows["http_content_type"].append(ctype)
                     rows["payload"].append(content)
+                    rows["text"].append(text)
+                    rows["error"].append(err)
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(rows["media_id"], dtype="int64"),
@@ -268,6 +300,8 @@ def warc_records(media, payload_col: str = "payload"):
                     "http_status": pd.array(rows["http_status"], dtype="Int32"),
                     "http_content_type": rows["http_content_type"],
                     "payload": rows["payload"],
+                    "text": rows["text"],
+                    "error": rows["error"],
                 }
             )
 
@@ -275,7 +309,8 @@ def warc_records(media, payload_col: str = "payload"):
         kernel,
         schema="media_id long, record_idx int, warc_type string, "
         "target_uri string, warc_date string, http_status int, "
-        "http_content_type string, payload binary",
+        "http_content_type string, payload binary, text string, "
+        "error string",
     )
 
 

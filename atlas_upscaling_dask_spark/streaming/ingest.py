@@ -1117,7 +1117,10 @@ def warc_ingest_batch(
         .select(
             "media_id",
             F.col("target_uri").alias("url"),
-            F.decode(F.col("payload"), "UTF-8").alias("html"),
+            # charset-decoded in the warc_records kernel (decode_text
+            # chain) — the SAME decoder as the batch queries, so a
+            # latin-1/windows-1252 page ingests identically either way
+            F.col("text").alias("html"),
         )
     )
     pages = extract_html_text(pages).drop("html")

@@ -4258,7 +4258,7 @@ def _warc_html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("http_status") == 200)
         & F.col("http_content_type").startswith("text/html")
     ).select(
-        "media_id", F.decode(F.col("payload"), "UTF-8").alias("html")
+        "media_id", F.col("text").alias("html")
     )
     return extract_html_text(pages).select("media_id", "title", "text")
 
@@ -4535,25 +4535,10 @@ def _warc_charset_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(
         make_warc, schema="media_id long, payload binary"
     )
+    # charset decode happens IN the warc_records kernel (decode_text
+    # chain) — the same column the streaming crawl ingest consumes
     recs = warc_records(media).filter(F.col("http_status") == 200)
-
-    def decode_kernel(batches):
-        from atlas_upscaling_dask_spark.sources.warc import decode_text
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "html": [
-                        decode_text(bytes(p), ct)
-                        for p, ct in zip(
-                            pdf["payload"], pdf["http_content_type"]
-                        )
-                    ],
-                }
-            )
-
-    pages = recs.mapInPandas(decode_kernel, schema="media_id long, html string")
+    pages = recs.select("media_id", F.col("text").alias("html"))
     return extract_html_text(pages).select("media_id", "title", "text")
 
 

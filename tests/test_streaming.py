@@ -959,10 +959,21 @@ def _warc_archive(doc_ids, dup_of=None):
             f"http://Crawl{key % 4}.example.com/page/{key}"
             f"?utm_x={d}&k={key}#frag{d}"
         )
-        html = f"<html><title>T{key}</title><p>body {key}</p></html>".encode()
+        # key%4==1 pages are windows-1252 with non-ASCII content: the
+        # ingest path must route through the charset-aware decoder,
+        # not a hard UTF-8 decode (which would mojibake the € and é)
+        text = f"body {key}" + (" café €" if key % 4 == 1 else "")
+        html = f"<html><title>T{key}</title><p>{text}</p></html>"
+        http_headers = {}
+        if key % 4 == 1:
+            payload = html.encode("windows-1252")
+            http_headers["Content-Type"] = "text/html; charset=windows-1252"
+        else:
+            payload = html.encode()
         records.append(
             {"type": "response", "uri": uri, "status": 200,
-             "payload": html, "chunked": d % 2 == 0,
+             "payload": payload, "chunked": d % 2 == 0,
+             "http_headers": http_headers,
              "content_encoding": "gzip" if d % 3 == 0 else None}
         )
     return encode_warc(records, gzip_per_record=True)
@@ -1004,6 +1015,20 @@ def test_warc_ingest_batch_frontier_dedup_and_replay(spark, tmp_path):
     assert [r["canonical_url"] for r in got1.collect()] == [
         "http://crawl1.example.com/page/13?k=13"
     ]
+    # doc 13 is the windows-1252 page: the streaming ingest must yield
+    # text byte-identical to the batch path (warc_records' shared
+    # charset-decoded column + extract_html_text)
+    from atlas_upscaling_dask_spark.extensions.text import extract_html_text
+    from atlas_upscaling_dask_spark.sources.warc import warc_records
+
+    batch_pages = extract_html_text(
+        warc_records(b1)
+        .filter(F.col("target_uri").contains("page/13"))
+        .select("media_id", F.col("text").alias("html"))
+    )
+    batch_text = batch_pages.collect()[0]["text"]
+    assert batch_text == "T13 body 13 café €"
+    assert got1.collect()[0]["text"] == batch_text
 
     # replay epoch 1: output identical (self-rows excluded from probe,
     # marker fences the second append)

@@ -168,6 +168,52 @@ def test_warc_records_kernel(spark):
     assert rows[1]["target_uri"] == "http://h.io/a"
 
 
+def test_warc_records_kernel_charset_text_column(spark):
+    # text/* responses carry the charset-decoded body in `text` —
+    # the single decoder shared by batch queries and streaming ingest
+    body = "<p>café €</p>".encode("windows-1252")
+    data = encode_warc([
+        {"type": "response", "uri": "u:1", "status": 200,
+         "http_headers": {"Content-Type": "text/html; charset=windows-1252"},
+         "payload": body},
+        {"type": "response", "uri": "u:2", "status": 200,
+         "http_headers": {"Content-Type": "image/png"},
+         "payload": b"\x89PNG\r\n\x1a\n"},
+    ])
+    media = spark.createDataFrame(
+        [(1, bytearray(data))], "media_id long, payload binary"
+    )
+    rows = warc_records(media).orderBy("record_idx").collect()
+    assert rows[0]["text"] == "<p>café €</p>"
+    assert rows[0]["error"] is None
+    assert rows[1]["text"] is None  # non-text media stays bytes-only
+    assert bytes(rows[1]["payload"]) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_warc_records_per_record_error_containment(spark):
+    # one undecodable member (brotli transport coding) must NOT kill
+    # the task carrying the rest of the archive: its row surfaces with
+    # payload/text NULL and the reason in `error`, neighbors intact
+    data = encode_warc([
+        {"type": "response", "uri": "u:ok", "status": 200,
+         "payload": b"<p>fine</p>"},
+        {"type": "response", "uri": "u:br", "status": 200,
+         "http_headers": {"Content-Encoding": "br"},
+         "payload": b"\x1b\x03\x00not-really-brotli"},
+        {"type": "response", "uri": "u:ok2", "status": 200,
+         "payload": b"<p>also fine</p>"},
+    ])
+    media = spark.createDataFrame(
+        [(1, bytearray(data))], "media_id long, payload binary"
+    )
+    rows = warc_records(media).orderBy("record_idx").collect()
+    assert rows[0]["error"] is None and rows[0]["text"] == "<p>fine</p>"
+    assert rows[2]["error"] is None and rows[2]["text"] == "<p>also fine</p>"
+    assert rows[1]["payload"] is None and rows[1]["text"] is None
+    assert "br" in rows[1]["error"]
+    assert rows[1]["target_uri"] == "u:br"  # row survives with identity
+
+
 def test_html_text_extraction(spark):
     from atlas_upscaling_dask_spark.extensions.text import extract_html_text
 
