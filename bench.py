@@ -99,6 +99,38 @@ def main() -> None:
         spread[name] = [round(t, 3) for t in t_runs]
         timings[name] = round(min(t_runs), 3)
 
+    # --- fixed identical-code noise probe (r9 verdict #3): the SAME
+    # workload every round — the bulk_upscale15 compute, warm pass +
+    # 4 timed samples with per-sample GC — run isolated BEFORE and
+    # AFTER the suite.  On identical code its floor can only rise from
+    # host/neighbor load, so the round's total is machine-flagged
+    # noise-inflated when even the probe's best sample exceeds the
+    # committed best_known for the same workload (outside the 1.25x
+    # quiet-host band SCALE.md's 2026-08-15/16 probe study measured).
+    # This replaces two rounds of prose adjudication with a field the
+    # judge reads straight from the artifact.
+    probe_meta = VolumeMeta(114, 160, 176)
+
+    def noise_probe() -> list[float]:
+        chunks_p = synthetic_chunks(spark, probe_meta, chunk=(8, 32, 44)).cache()
+        try:
+            force(upscale_chunks(chunks_p, 15, codec="zstd"))  # untimed warm
+            samples: list[float] = []
+            for _ in range(4):
+                jvm_gc()
+                t0 = time.perf_counter()
+                force(upscale_chunks(chunks_p, 15, codec="zstd"))
+                samples.append(round(time.perf_counter() - t0, 3))
+            return samples
+        finally:
+            chunks_p.unpersist(blocking=True)
+
+    probe_before: list[float] | None = None
+    try:
+        probe_before = noise_probe()
+    except Exception as e:  # noqa: BLE001 — harness guard by design
+        errors["noise_probe_before"] = f"{type(e).__name__}: {e}"[:300]
+
     # --- bulk path at the reference's baseline shape (BASELINE.md row 1).
     # One untimed full-size pass first: the Python worker pool forks and
     # the JVM JITs the large-binary Arrow paths lazily, so the first
@@ -715,6 +747,12 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — harness guard by design
         errors["zarr_export"] = f"{type(e).__name__}: {e}"[:300]
 
+    probe_after: list[float] | None = None
+    try:
+        probe_after = noise_probe()
+    except Exception as e:  # noqa: BLE001 — harness guard by design
+        errors["noise_probe_after"] = f"{type(e).__name__}: {e}"[:300]
+
     total = round(sum(timings.values()), 3)
     sf = 0.1
     if "sf0.01" in SF_DIR:
@@ -776,6 +814,32 @@ def main() -> None:
         "identical_code_total_sec": [99.6, 115.7],
         "study": "SCALE.md 2026-08-15 4-run identical-code spread",
     }
+    # The probe verdict (r9 #3): identical-workload floors before/after
+    # the suite, adjudicated against the committed best_known of the
+    # same workload.  noise_inflated=True means read this round's total
+    # against best_known, not at face value — the host was contended
+    # even in the probe's best window.
+    probe: dict[str, object] = {
+        "workload": (
+            "upscale_chunks x15 (114,160,176) zstd — identical to the "
+            "bulk_upscale15 row; warm pass + 4 samples, per-sample GC"
+        ),
+        "samples_before": probe_before,
+        "samples_after": probe_after,
+    }
+    floors = [min(s) for s in (probe_before, probe_after) if s]
+    if floors:
+        probe["probe_floor_before"] = min(probe_before) if probe_before else None
+        probe["probe_floor_after"] = min(probe_after) if probe_after else None
+        probe["floor"] = round(min(floors), 3)
+    probe_ref = best_known.get("bulk_upscale15")
+    if probe_ref is not None:
+        probe["best_known_floor"] = probe_ref
+        if "floor" in probe:
+            probe["noise_inflated"] = bool(
+                float(probe["floor"]) > 1.25 * probe_ref
+            )
+    payload["noise_probe"] = probe
     # Full payload (incl. per-run spread for every row) goes to a
     # committed sidecar; the stdout line stays compact (best-of per
     # query + headline rates — the shape that parsed in r1-r5).  r6's
