@@ -131,10 +131,14 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
     if payload[:6] in GIF_SIGNATURES:  # GIF: first composited frame
         return decode_gif(bytes(payload), frame=0)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from ..sources.webp import decode_webp
+
+        return decode_webp(bytes(payload))  # VP8L; lossy raises (contract)
     raise ValueError(
         "unsupported image format (PNG, baseline JPEG, uncompressed "
-        "TIFF and GIF are the built-in codecs; other formats need an "
-        "imaging library)"
+        "TIFF, GIF and lossless WebP are the built-in codecs; other "
+        "formats need an imaging library)"
     )
 
 
@@ -170,6 +174,12 @@ def media_info(payload: bytes) -> dict:
         pg = i.pages[0]
         return {"format": "tiff", "width": pg.width, "height": pg.height,
                 "n_frames": len(i.pages), "sample_rate": None}
+    if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        from ..sources.webp import parse_webp_info
+
+        i = parse_webp_info(p)
+        return {"format": "webp", "width": i["width"], "height": i["height"],
+                "n_frames": i["n_frames"], "sample_rate": None}
     if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
         from ..sources.avi import parse_avi_info
 
@@ -190,8 +200,8 @@ def media_info(payload: bytes) -> dict:
                 "n_frames": i["n_video_samples"],
                 "sample_rate": i["sample_rate"]}
     raise ValueError(
-        "media_info: unrecognized payload (PNG/JPEG/GIF/TIFF/AVI/WAV/MP4 "
-        "are the built-in formats)"
+        "media_info: unrecognized payload (PNG/JPEG/GIF/WEBP/TIFF/AVI/"
+        "WAV/MP4 are the built-in formats)"
     )
 
 
@@ -629,9 +639,14 @@ def image_phash(
                     from ..sources.gif import decode_gif
 
                     img = decode_gif(data, frame=0)
+                elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+                    from ..sources.webp import decode_webp
+
+                    img = decode_webp(data)
                 else:
                     raise ValueError(
-                        "image_phash: PNG, JPEG, TIFF or GIF payload required"
+                        "image_phash: PNG, JPEG, TIFF, GIF or WebP "
+                        "payload required"
                     )
                 hashes.append(_phash_of(img, m, hash_size, work_size))
             yield pd.DataFrame(

@@ -3079,6 +3079,71 @@ SELECT doc_id AS media_id, phash FROM hs
 )
 
 
+def _webp_phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The WebP twin of `_gif_phash_media`: the same 8-bit modular-slot
+    # DCT construction with the proven (24, 56) amplitude pair,
+    # encoded as REAL VP8L lossless bitstreams (subtract-green
+    # transform on, so the full transform + prefix-code decode path
+    # runs, not just the literal fast case).
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_webp(batches):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.extensions.multimodal import _dct_matrix
+        from atlas_upscaling_dask_spark.sources.webp import (
+            encode_webp_lossless,
+        )
+
+        m = _dct_matrix(32)
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                g = int(did) - int(did) % 7
+                if g not in cache:
+                    a = _PHASH_AS[g % 10]
+                    b = (g // 10) % 63
+                    slots = sorted(
+                        s for s in range(1, 64) if (s * a + b) % 63 < 32
+                    )
+                    c = np.zeros((32, 32))
+                    c[0, 0] = 128.0 * 32
+                    for rank, s in enumerate(slots):
+                        c[divmod(s, 8)] = 24.0 if rank == 0 else 56.0
+                    u8 = np.round(m.T @ c @ m).astype(np.uint8)
+                    cache[g] = encode_webp_lossless(u8, subtract_green=True)
+                payloads.append(cache[g])
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(make_webp, schema="media_id long, payload binary")
+
+
+def _image_phash_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL pipeline: synthesize lossless WebP → from-spec VP8L prefix
+    # decode + subtract-green inverse → box resize → DCT →
+    # median-threshold hash; the oracle predicts every bit analytically
+    # (the same truth the PNG/GIF/JPEG pipelines hash to — four
+    # codecs, one answer).
+    from .extensions.multimodal import image_phash
+
+    return image_phash(_webp_phash_media(spark, sf_dir))
+
+
+_register(
+    "image_phash_webp",
+    _image_phash_webp,
+    f"""
+WITH {_PHASH_HASHES_CTE.strip()}
+SELECT doc_id AS media_id, phash FROM hs
+""",
+)
+
+
 def _gif_anim_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4-frame animated GIFs, groups of 5 docs share a clip: frame f of
     # group g is the CONSTANT color 5 + (7g + 13f) % 120 over a 10x12
@@ -3990,7 +4055,7 @@ _register("crawl_pagerank", _crawl_pagerank_q, _crawl_pagerank_oracle())
 
 
 def _media_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Mixed-format media corpus (7 formats rotating by doc_id) through
+    # Mixed-format media corpus (8 formats rotating by doc_id) through
     # ONE unified header-census pass — magic-byte dispatch to the
     # per-format parse_*_info, zero entropy decode anywhere; every
     # field analytic from doc_id.
@@ -4014,6 +4079,9 @@ def _media_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from atlas_upscaling_dask_spark.sources.mp4 import encode_mp4_stub
         from atlas_upscaling_dask_spark.sources.png import encode_png
         from atlas_upscaling_dask_spark.sources.wav import encode_wav
+        from atlas_upscaling_dask_spark.sources.webp import (
+            encode_webp_lossless,
+        )
 
         tmpdir = tempfile.mkdtemp(prefix="census_")
         for pdf in batches:
@@ -4021,7 +4089,7 @@ def _media_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 d = int(did)
                 w, h = 8 + d % 11, 8 + d % 9
-                kind = d % 7
+                kind = d % 8
                 if kind == 0:
                     p = encode_png(np.zeros((h, w), np.uint8))
                 elif kind == 1:
@@ -4048,12 +4116,14 @@ def _media_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     p = encode_wav(
                         np.zeros(n, np.int16), 8000 * (1 + d % 4)
                     )
-                else:
+                elif kind == 6:
                     p = encode_mp4_stub(
                         width=w, height=h, duration_s=1.0,
                         n_video_samples=12 * (1 + d % 4),
                         sample_rate=16000,
                     )
+                else:
+                    p = encode_webp_lossless(np.zeros((h, w), np.uint8))
                 payloads.append(p)
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
@@ -4072,25 +4142,125 @@ _register(
     _media_census_q,
     """
 SELECT doc_id AS media_id,
-       CASE CAST(doc_id % 7 AS INTEGER)
+       CASE CAST(doc_id % 8 AS INTEGER)
          WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
          WHEN 3 THEN 'tiff' WHEN 4 THEN 'avi' WHEN 5 THEN 'wav'
-         ELSE 'mp4' END AS format,
-       CAST(CASE WHEN doc_id % 7 = 5 THEN NULL
+         WHEN 6 THEN 'mp4' ELSE 'webp' END AS format,
+       CAST(CASE WHEN doc_id % 8 = 5 THEN NULL
                  ELSE 8 + doc_id % 11 END AS INTEGER) AS width,
-       CAST(CASE WHEN doc_id % 7 = 5 THEN NULL
+       CAST(CASE WHEN doc_id % 8 = 5 THEN NULL
                  ELSE 8 + doc_id % 9 END AS INTEGER) AS height,
-       CAST(CASE CAST(doc_id % 7 AS INTEGER)
+       CAST(CASE CAST(doc_id % 8 AS INTEGER)
          WHEN 2 THEN 1 + doc_id % 3
          WHEN 3 THEN 2
          WHEN 4 THEN 3
          WHEN 5 THEN 100 + doc_id % 50
          WHEN 6 THEN 12 * (1 + doc_id % 4)
          ELSE 1 END AS BIGINT) AS n_frames,
-       CAST(CASE CAST(doc_id % 7 AS INTEGER)
+       CAST(CASE CAST(doc_id % 8 AS INTEGER)
          WHEN 5 THEN 8000 * (1 + doc_id % 4)
          WHEN 6 THEN 16000
          END AS INTEGER) AS sample_rate
+FROM documents
+""",
+)
+
+
+def _webp_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WebP container census across all three RIFF variants: lossless
+    # VP8L (real encoded bitstreams), simple lossy VP8 (valid keyframe
+    # header), extended VP8X with ANIM/ANMF frames and the alpha flag
+    # — every field a closed formula on doc_id, zero entropy decode.
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_and_parse(batches):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.sources.webp import (
+            encode_webp_animated_stub,
+            encode_webp_lossless,
+            encode_webp_lossy_stub,
+            parse_webp_info,
+        )
+
+        cache: dict[tuple, bytes] = {}
+        for pdf in batches:
+            rows = {
+                "media_id": [], "variant": [], "width": [], "height": [],
+                "has_alpha": [], "has_animation": [], "n_frames": [],
+            }
+            for did in pdf["doc_id"]:
+                d = int(did)
+                kind = d % 3
+                if kind == 0:
+                    key = ("l", 5 + d % 9, 4 + d % 7)
+                    if key not in cache:
+                        cache[key] = encode_webp_lossless(
+                            np.zeros((key[2], key[1]), np.uint8)
+                        )
+                elif kind == 1:
+                    key = ("y", 16 + d % 100, 16 + (3 * d) % 50)
+                    if key not in cache:
+                        cache[key] = encode_webp_lossy_stub(key[1], key[2])
+                else:
+                    key = ("x", 10 + d % 20, 8 + d % 10, 1 + d % 6, d % 2)
+                    if key not in cache:
+                        cache[key] = encode_webp_animated_stub(
+                            key[1], key[2], key[3], has_alpha=bool(key[4])
+                        )
+                info = parse_webp_info(cache[key])
+                rows["media_id"].append(d)
+                rows["variant"].append(info["variant"])
+                rows["width"].append(info["width"])
+                rows["height"].append(info["height"])
+                rows["has_alpha"].append(int(info["has_alpha"]))
+                rows["has_animation"].append(int(info["has_animation"]))
+                rows["n_frames"].append(info["n_frames"])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(rows["media_id"], dtype="int64"),
+                    "variant": rows["variant"],
+                    "width": pd.array(rows["width"], dtype="Int32"),
+                    "height": pd.array(rows["height"], dtype="Int32"),
+                    "has_alpha": pd.array(rows["has_alpha"], dtype="Int32"),
+                    "has_animation": pd.array(
+                        rows["has_animation"], dtype="Int32"
+                    ),
+                    "n_frames": pd.array(rows["n_frames"], dtype="Int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        make_and_parse,
+        schema="media_id long, variant string, width int, height int, "
+        "has_alpha int, has_animation int, n_frames long",
+    )
+
+
+_register(
+    "webp_info",
+    _webp_info_q,
+    """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 'lossless' WHEN 1 THEN 'lossy'
+         ELSE 'extended-lossy' END AS variant,
+       CAST(CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 5 + doc_id % 9
+         WHEN 1 THEN 16 + doc_id % 100
+         ELSE 10 + doc_id % 20 END AS INTEGER) AS width,
+       CAST(CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 4 + doc_id % 7
+         WHEN 1 THEN 16 + (3 * doc_id) % 50
+         ELSE 8 + doc_id % 10 END AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 2 AND doc_id % 2 = 1
+                 THEN 1 ELSE 0 END AS INTEGER) AS has_alpha,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS INTEGER)
+         AS has_animation,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 6 ELSE 1 END
+            AS BIGINT) AS n_frames
 FROM documents
 """,
 )
