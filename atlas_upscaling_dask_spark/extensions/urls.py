@@ -21,16 +21,24 @@ Deliberate simplifications, documented as the operator contract:
 * userinfo (``user:pass@host``) is not parsed — such URLs keep the
   userinfo inside the "host" output (crawl corpora reject them
   upstream anyway);
-* percent-encoding is left verbatim (decoding safely needs the
-  reserved-set logic of a full URL library);
+* percent-encoding gets the RFC 3986 §6.2.2 normalization (unreserved
+  escapes decoded, kept escapes hex-uppercased); RESERVED escapes are
+  deliberately never decoded — ``%2F`` is not ``/`` — and malformed
+  triplets pass verbatim;
+* IPv6 literal hosts (``http://[::1]:8080/x``) keep their bracketed
+  form (lowercased) with the same default-port stripping; the address
+  itself is NOT §6.2.3-compressed (``[0:0:0:0:0:0:0:1]`` and ``[::1]``
+  stay distinct keys — compressing safely needs a full inet library);
 * a trailing slash is normalized away (``/a/`` = ``/a``), the common
   crawl-dedup choice — the root path is always ``/``.
 
 The built-in public-suffix list is a compact, documented SUBSET of the
-Mozilla PSL for tests and fixtures; production passes the full PSL
-file to ``registrable_domains(suffixes=...)`` — the operator shape
-(broadcast join on the last-k-label candidates) is what scales, the
-list is data.
+Mozilla PSL for tests and fixtures; production loads the real PSL file
+with ``load_psl`` (full format: comments, ICANN/PRIVATE sections,
+``*.foo`` wildcards, ``!bar.foo`` exceptions) and passes the frame to
+``registrable_domains(suffixes=...)`` — the operator shape (broadcast
+joins on the last-k-label candidates) is what scales, the list is
+data.
 """
 
 from __future__ import annotations
@@ -53,6 +61,46 @@ DEFAULT_SUFFIXES = (
 )
 
 
+def _pct_normalize(u):
+    """RFC 3986 §6.2.2 percent-encoding normalization as pure
+    expressions: unreserved escapes (``%41``→``A``, ``%7E``→``~``,
+    digits, ``-._``) DECODE — two spellings of one URL must share one
+    key — and every other valid triplet keeps its escape with the hex
+    UPPERCASED (``%3a``→``%3A``, the §6.2.2.1 case rule).  Malformed
+    triplets (``%zz``, trailing ``%``) pass verbatim: refusing to
+    guess beats mangling.  One split + one ``aggregate`` fold —
+    codegen'd, no Python."""
+    parts = F.split(u, "%")
+
+    def seg(p):
+        hex2 = F.upper(F.substring(p, 1, 2))
+        valid = p.rlike("^[0-9A-Fa-f]{2}")
+        code = F.conv(hex2, 16, 10).cast("int")
+        unreserved = (
+            ((code >= 48) & (code <= 57))    # 0-9
+            | ((code >= 65) & (code <= 90))  # A-Z
+            | ((code >= 97) & (code <= 122))  # a-z
+            | code.isin(45, 46, 95, 126)     # - . _ ~
+        )
+        rest = F.substr(p, F.lit(3), F.length(p))
+        return (
+            F.when(valid & unreserved, F.concat(F.char(code), rest))
+            .when(valid, F.concat(F.lit("%"), hex2, rest))
+            .otherwise(F.concat(F.lit("%"), p))
+        )
+
+    return F.when(F.size(parts) <= 1, u).otherwise(
+        F.concat(
+            F.element_at(parts, 1),
+            F.aggregate(
+                F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+                F.lit(""),
+                lambda acc, p: F.concat(acc, seg(p)),
+            ),
+        )
+    )
+
+
 def canonicalize_urls(
     df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
 ) -> DataFrame:
@@ -60,13 +108,15 @@ def canonicalize_urls(
 
     Pure built-in/HOF expressions (one codegen'd narrow projection):
     fragment and tracking params dropped, scheme+host lowercased,
-    trailing host dot and default ports stripped, dot-segments
-    resolved with an ``aggregate`` fold, empty segments collapsed,
-    remaining query params sorted.  URLs without ``://`` pass through
-    trimmed-verbatim (opaque ids happen in crawl tables; refusing to
-    guess beats mangling).
+    trailing host dot and default ports stripped, percent-encoding
+    normalized (`_pct_normalize`: unreserved escapes decoded, kept
+    escapes uppercased), dot-segments resolved with an ``aggregate``
+    fold, empty segments collapsed, remaining query params sorted.
+    URLs without ``://`` pass through trimmed-verbatim (opaque ids
+    happen in crawl tables; refusing to guess beats mangling).
     """
-    u = F.trim(F.col(url_col))
+    raw = F.trim(F.col(url_col))
+    u = _pct_normalize(raw)
     nofrag = F.substring_index(u, "#", 1)
     has_q = F.instr(nofrag, "?") > 0
     base = F.substring_index(nofrag, "?", 1)
@@ -83,12 +133,25 @@ def canonicalize_urls(
     raw_path = F.when(slash > 0, F.substr(rest, slash, F.length(rest))).otherwise(
         F.lit("")
     )
-    host = F.regexp_replace(
-        F.lower(F.substring_index(hostport, ":", 1)), r"\.$", ""
-    )
-    port = F.when(
-        F.instr(hostport, ":") > 0, F.substring_index(hostport, ":", -1)
+    # IPv6 literals: [addr] or [addr]:port — the colon split below
+    # would mangle them, so bracketed hosts take their own branch
+    bracket = F.instr(hostport, "]")
+    is_v6 = hostport.startswith("[") & (bracket > 0)
+    v6_host = F.lower(F.substr(hostport, F.lit(1), bracket))
+    v6_port = F.when(
+        F.length(hostport) > bracket + 1,
+        F.substr(hostport, bracket + F.lit(2), F.length(hostport)),
     ).otherwise(F.lit(""))
+    host = F.when(is_v6, v6_host).otherwise(
+        F.regexp_replace(
+            F.lower(F.substring_index(hostport, ":", 1)), r"\.$", ""
+        )
+    )
+    port = F.when(is_v6, v6_port).otherwise(
+        F.when(
+            F.instr(hostport, ":") > 0, F.substring_index(hostport, ":", -1)
+        ).otherwise(F.lit(""))
+    )
     port_part = F.when(
         (port == "")
         | ((scheme == "http") & (port == "80"))
@@ -120,13 +183,62 @@ def canonicalize_urls(
     ).otherwise(F.lit(""))
 
     canon = F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
-    return df.withColumn(out_col, F.when(has_scheme, canon).otherwise(u))
+    return df.withColumn(out_col, F.when(has_scheme, canon).otherwise(raw))
 
 
 def suffix_frame(df_or_spark, suffixes=DEFAULT_SUFFIXES) -> DataFrame:
     spark = getattr(df_or_spark, "sparkSession", df_or_spark)
     return spark.createDataFrame(
         [(s, s.count(".") + 1) for s in suffixes], "suffix string, k int"
+    )
+
+
+def parse_psl(text: str) -> list[tuple[str, str]]:
+    """Parse the Mozilla Public Suffix List FORMAT into ``(rule,
+    kind)`` tuples, kind ∈ ``plain | wildcard | exception``.
+
+    Per the publicsuffix.org spec: ``//`` comment lines and blank
+    lines are skipped (the ICANN/PRIVATE section markers are comments,
+    so both sections load); a rule is the line up to the first
+    whitespace; ``*.foo`` keeps its wildcard label; ``!bar.foo`` drops
+    the ``!`` and becomes an exception rule.  Rules are lowercased
+    (the list is already punycode — IDN labels must be punycoded by
+    the caller, same contract as `registrable_domains`)."""
+    rules: list[tuple[str, str]] = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        rule = line.split()[0].lower()
+        if rule.startswith("!"):
+            rules.append((rule[1:], "exception"))
+        elif rule.startswith("*."):
+            rules.append((rule, "wildcard"))
+        else:
+            rules.append((rule, "plain"))
+    return rules
+
+
+def load_psl(df_or_spark, text: str | None = None, path: str | None = None
+             ) -> DataFrame:
+    """The full Mozilla PSL as the broadcast suffix frame
+    `registrable_domains` consumes — columns ``(suffix, k, kind)``
+    where ``k`` counts labels (the wildcard ``*`` is a label).  Pass
+    the file's text or a driver-local path; the frame is a few
+    thousand rows and always broadcast, so the list is DATA and the
+    join shape is unchanged at any corpus size."""
+    if (text is None) == (path is None):
+        raise ValueError("load_psl: pass exactly one of text= / path=")
+    if path is not None:
+        with open(path, encoding="utf-8") as fh:
+            text = fh.read()
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    rules = parse_psl(text)
+    if not rules:
+        raise ValueError("load_psl: no rules parsed")
+    return spark.createDataFrame(
+        [(r, r.count(".") + 1, kind) for r, kind in rules],
+        "suffix string, k int, kind string",
     )
 
 
@@ -138,50 +250,93 @@ def registrable_domains(
     max_suffix_labels: int = 4,
 ) -> DataFrame:
     """Add ``out_col`` = eTLD+1 of ``host_col`` via the public-suffix
-    longest-match rule.
+    longest-match rule — full PSL semantics when the suffix frame
+    carries a ``kind`` column (`load_psl`): ``*.foo`` wildcard rules
+    match any label in the starred position, and ``!bar.foo``
+    exception rules beat every other match (the publicsuffix.org
+    algorithm: the prevailing exception rule minus its leftmost label
+    is the public suffix).  A plain two-column frame (`suffix_frame`)
+    behaves as before.
 
     Plan shape: the candidate suffix for each k (the host's last k
-    labels) is a codegen'd expression; each k is resolved by ONE
-    broadcast left join against the suffix frame — `max_suffix_labels`
-    broadcast joins total, ZERO shuffle exchanges, no explode/groupBy.
-    Hosts that are themselves a public suffix (or have no matching
-    suffix with a label to spare) get NULL — the crawl-reject signal.
+    labels; for wildcards, ``*.`` + the last k-1) is a codegen'd
+    expression; each is resolved by ONE broadcast left join — at most
+    ``2·max_suffix_labels - 1`` broadcast hash joins, ZERO shuffle
+    exchanges, no explode/groupBy.  Hosts that are themselves a public
+    suffix (or match no rule) get NULL — the crawl-reject signal
+    (deliberately stricter than the spec's implicit ``*`` default).
     """
     from pyspark.sql.functions import broadcast
 
     sfx = suffixes if suffixes is not None else suffix_frame(df)
+    if "kind" not in sfx.columns:
+        sfx = sfx.withColumn("kind", F.lit("plain"))
+    plain_exc = sfx.filter(F.col("kind") != "wildcard")
+    wild = sfx.filter(F.col("kind") == "wildcard")
     labels = F.split(F.lower(F.col(host_col)), r"\.")
     n = F.size(labels)
     out = df.withColumn("__labels", labels)
-    matched = []
+    drop_cols = ["__labels"]
+    plain_hits, wild_hits, exc_hits = [], [], []
     for k in range(1, max_suffix_labels + 1):
         cand = F.when(
             n >= k, F.array_join(F.slice(F.col("__labels"), -k, k), ".")
         )
-        col = f"__sfx{k}"
+        scol, kcol = f"__sfx{k}", f"__kind{k}"
         out = (
             out.withColumn(f"__cand{k}", cand)
             .join(
-                broadcast(sfx.select(F.col("suffix").alias(col))),
-                on=F.col(f"__cand{k}") == F.col(col),
+                broadcast(
+                    plain_exc.select(
+                        F.col("suffix").alias(scol), F.col("kind").alias(kcol)
+                    )
+                ),
+                on=F.col(f"__cand{k}") == F.col(scol),
                 how="left",
             )
             .drop(f"__cand{k}")
         )
-        matched.append(col)
-    # longest matched suffix length, or null
-    best_k = F.greatest(
-        *[
-            F.when(F.col(c).isNotNull(), F.lit(i + 1))
-            for i, c in enumerate(matched)
-        ]
-    )
+        drop_cols += [scol, kcol]
+        hit = F.col(scol).isNotNull()
+        plain_hits.append(
+            F.when(hit & (F.col(kcol) == "plain"), F.lit(k))
+        )
+        exc_hits.append(
+            F.when(hit & (F.col(kcol) == "exception"), F.lit(k))
+        )
+        if k >= 2:
+            wcand = F.when(
+                n >= k,
+                F.concat(
+                    F.lit("*."),
+                    F.array_join(
+                        F.slice(F.col("__labels"), -(k - 1), k - 1), "."
+                    ),
+                ),
+            )
+            wcol = f"__wld{k}"
+            out = (
+                out.withColumn(f"__wcand{k}", wcand)
+                .join(
+                    broadcast(wild.select(F.col("suffix").alias(wcol))),
+                    on=F.col(f"__wcand{k}") == F.col(wcol),
+                    how="left",
+                )
+                .drop(f"__wcand{k}")
+            )
+            drop_cols.append(wcol)
+            wild_hits.append(F.when(F.col(wcol).isNotNull(), F.lit(k)))
+    # prevailing rule: exception first (suffix = rule minus its
+    # leftmost label), else the longest plain/wildcard match
+    exc_k = F.greatest(*exc_hits) if len(exc_hits) > 1 else exc_hits[0]
+    match_k = F.greatest(*(plain_hits + wild_hits))
+    best_k = F.coalesce(exc_k - 1, match_k)
     n2 = F.size(F.col("__labels"))
     reg = F.when(
         best_k.isNotNull() & (n2 > best_k),
         F.array_join(F.slice(F.col("__labels"), n2 - best_k, best_k + 1), "."),
     )
-    return out.withColumn(out_col, reg).drop("__labels", *matched)
+    return out.withColumn(out_col, reg).drop(*drop_cols)
 
 
 def _resolve_reference(base, ref):

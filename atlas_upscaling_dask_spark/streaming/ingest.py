@@ -1167,7 +1167,7 @@ def warc_ingest_batch(
         .parquet(ledger_path)
     )
     if marker is not None:
-        _touch_marker(marker)
+        _touch_marker(spark, marker)
 
 
 def _read_ledger(
@@ -1175,13 +1175,17 @@ def _read_ledger(
 ):
     """The batch's slice of the seen-URL ledger: only the hit bucket
     partitions are read (directory-level pruning — the probe never
-    scans history outside the batch's own hash buckets)."""
-    import os
-
+    scans history outside the batch's own hash buckets).  Bucket
+    existence goes through the Hadoop FileSystem, so the pruning works
+    on whatever store the ledger lives on, not just local disk."""
+    if not _path_exists(spark, ledger_path):
+        return None
+    fs, _ = _hadoop_fs(spark, ledger_path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     hit = [
         f"{ledger_path}/bucket={b}"
         for b in buckets
-        if os.path.isdir(f"{ledger_path}/bucket={b}")
+        if fs.exists(jvm_path(f"{ledger_path}/bucket={b}"))
     ]
     if not hit:
         return None
@@ -1193,18 +1197,32 @@ def _read_ledger(
     )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """The Hadoop FileSystem owning ``path`` — the SAME resolver the
+    parquet reader/writer use, so ledger-bucket probes and epoch
+    markers work wherever the ledger itself lives (file://, hdfs://,
+    s3a://...); a driver-local ``os.path`` probe would silently see
+    nothing on a remote store and dedup would degrade to a no-op."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
 def _marker_exists(spark: SparkSession, marker: str) -> bool:
-    import os
-
-    return os.path.exists(marker)
+    return _path_exists(spark, marker)
 
 
-def _touch_marker(marker: str) -> None:
-    import os
-
-    os.makedirs(os.path.dirname(marker), exist_ok=True)
-    with open(marker, "w", encoding="utf-8") as fh:
-        fh.write("done\n")
+def _touch_marker(spark: SparkSession, marker: str) -> None:
+    fs, jpath = _hadoop_fs(spark, marker)
+    fs.mkdirs(jpath.getParent())
+    out = fs.create(jpath, True)
+    out.write(bytearray(b"done\n"))
+    out.close()
 
 
 def start_warc_ingest_stream(

@@ -3753,8 +3753,12 @@ def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 3 == 1, F.lit(":8080"))
         .otherwise(F.lit(""))
     )
+    # percent-encoding hazards (RFC 3986 §6.2.2): %7E/%61 are
+    # unreserved (decode to ~/a), %3a is reserved (kept, hex
+    # uppercased), %zq is malformed (verbatim)
     path = F.concat(
-        F.lit("/p"), s(d % 5), F.lit("/./x/../q"), s(d % 4), F.lit("/")
+        F.lit("/p"), s(d % 5), F.lit("/./x/../q"), s(d % 4),
+        F.lit("/%7Eu%61%3a%zq"), s(d % 3), F.lit("/")
     )
     query = F.concat(
         F.lit("?utm_source=feed&b=2&a="), s(d % 6), F.lit("&fbclid=XYZ"), s(d)
@@ -3780,6 +3784,7 @@ lower(CASE
   ELSE 'cdn.Site' || CAST(doc_id % 40 AS VARCHAR) || '.example.NET' END) ||
 (CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
 '/p' || CAST(doc_id % 5 AS VARCHAR) || '/q' || CAST(doc_id % 4 AS VARCHAR) ||
+'/~ua%3A%zq' || CAST(doc_id % 3 AS VARCHAR) ||
 '?a=' || CAST(doc_id % 6 AS VARCHAR) || '&b=2'
 """.strip()
 
@@ -3829,6 +3834,78 @@ SELECT CASE
        count(*) AS n_urls
 FROM documents
 GROUP BY 1
+""",
+)
+
+
+#: PSL-format fixture for the full-semantics query: plain rules in
+#: both sections, a wildcard cluster and its exceptions — the
+#: publicsuffix.org kobe.jp/ck examples verbatim
+_PSL_FIXTURE = """\
+// ===BEGIN ICANN DOMAINS===
+com
+jp
+kobe.jp
+*.kobe.jp
+!city.kobe.jp
+ck
+*.ck
+!www.ck
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+github.io
+// ===END PRIVATE DOMAINS===
+"""
+
+
+def _url_psl_domains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full-PSL registrable domains: the Mozilla-format loader
+    # (comments, sections, wildcards, exceptions) feeding the
+    # broadcast longest-match joins; host kinds rotate through plain,
+    # private-section, wildcard and exception rule territory, each
+    # with a closed-form answer.
+    from .extensions.urls import load_psl, registrable_domains
+
+    d = F.col("doc_id")
+
+    def s(x):
+        return x.cast("string")
+
+    host = (
+        F.when(d % 5 == 0, F.concat(F.lit("www.site"), s(d % 20), F.lit(".com")))
+        .when(d % 5 == 1, F.concat(F.lit("a"), s(d % 7), F.lit(".www.ck")))
+        .when(
+            d % 5 == 2,
+            F.concat(F.lit("shop"), s(d % 7), F.lit(".zone"), s(d % 11),
+                     F.lit(".ck")),
+        )
+        .when(d % 5 == 3, F.concat(F.lit("x.blog"), s(d % 9), F.lit(".github.io")))
+        .otherwise(F.concat(F.lit("w"), s(d % 3), F.lit(".city.kobe.jp")))
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("host", host)
+    )
+    sfx = load_psl(spark, text=_PSL_FIXTURE)
+    return registrable_domains(docs, suffixes=sfx).select(
+        "doc_id", "registrable_domain"
+    )
+
+
+_register(
+    "url_psl_domains",
+    _url_psl_domains_q,
+    """
+SELECT doc_id,
+       CASE CAST(doc_id % 5 AS INTEGER)
+         WHEN 0 THEN 'site' || CAST(doc_id % 20 AS VARCHAR) || '.com'
+         WHEN 1 THEN 'www.ck'
+         WHEN 2 THEN 'shop' || CAST(doc_id % 7 AS VARCHAR) ||
+                     '.zone' || CAST(doc_id % 11 AS VARCHAR) || '.ck'
+         WHEN 3 THEN 'blog' || CAST(doc_id % 9 AS VARCHAR) || '.github.io'
+         ELSE 'city.kobe.jp' END AS registrable_domain
+FROM documents
 """,
 )
 

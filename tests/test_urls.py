@@ -55,6 +55,21 @@ CASES = [
     # no scheme: pass through trimmed-verbatim
     ("not a url", "not a url"),
     ("  bare-id-123 ", "bare-id-123"),
+    # percent-encoding: unreserved escapes decode (§6.2.2.2)...
+    ("http://h.io/%7Euser/%41%62%30%2Dx%2e%5F", "http://h.io/~user/Ab0-x._"),
+    # ...reserved escapes keep the escape, hex uppercased (§6.2.2.1)
+    ("http://h.io/a%3ab?k=%2fv%2F", "http://h.io/a%3Ab?k=%2Fv%2F"),
+    # malformed triplets verbatim; trailing % survives
+    ("http://h.io/a%zzb%1", "http://h.io/a%zzb%1"),
+    ("http://h.io/x%", "http://h.io/x%"),
+    # scheme-less: percent spelling left untouched too
+    ("opaque%7Eid", "opaque%7Eid"),
+    # IPv6 literal hosts: bracketed form kept, default port stripped,
+    # hex case folded, non-default port kept
+    ("http://[::1]/x", "http://[::1]/x"),
+    ("http://[::1]:80/x", "http://[::1]/x"),
+    ("https://[2001:DB8::7]:443/a/../b", "https://[2001:db8::7]/b"),
+    ("http://[2001:db8::7]:8080/x", "http://[2001:db8::7]:8080/x"),
 ]
 
 
@@ -133,6 +148,72 @@ Allow: /private/ok
 Disallow: /*.tmp$
 Crawl-delay: 10
 """
+
+
+PSL_SNIPPET = """\
+// ===BEGIN ICANN DOMAINS===
+com
+// a comment between rules
+uk
+co.uk
+jp
+kobe.jp
+*.kobe.jp
+!city.kobe.jp
+ck  // trailing cruft is ignored per spec (rule = first token)
+*.ck
+!www.ck
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+github.io
+// ===END PRIVATE DOMAINS===
+"""
+
+
+def test_parse_psl_format():
+    from atlas_upscaling_dask_spark.extensions.urls import parse_psl
+
+    rules = dict(parse_psl(PSL_SNIPPET))
+    assert rules["com"] == "plain"
+    assert rules["*.ck"] == "wildcard"
+    assert rules["www.ck"] == "exception"  # '!' stripped
+    assert rules["city.kobe.jp"] == "exception"
+    assert rules["github.io"] == "plain"  # PRIVATE section loads too
+    assert "//" not in "".join(rules)  # comments gone
+    assert len(rules) == 11
+
+
+def test_load_psl_wildcard_exception_semantics(spark):
+    # expectations are publicsuffix.org's own published test vectors
+    # for the kobe.jp / ck rule cluster
+    from atlas_upscaling_dask_spark.extensions.urls import load_psl
+
+    sfx = load_psl(spark, text=PSL_SNIPPET)
+    hosts = [
+        ("www.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("com", None),  # is itself a public suffix
+        ("blog.github.io", "blog.github.io"),  # private-section rule
+        ("github.io", None),
+        ("www.ck", "www.ck"),  # exception beats the *.ck wildcard
+        ("a.www.ck", "www.ck"),
+        ("other.ck", None),  # wildcard makes it a public suffix
+        ("foo.other.ck", "foo.other.ck"),
+        ("kobe.jp", None),
+        ("c.kobe.jp", None),  # *.kobe.jp
+        ("b.c.kobe.jp", "b.c.kobe.jp"),
+        ("city.kobe.jp", "city.kobe.jp"),  # !city.kobe.jp
+        ("www.city.kobe.jp", "city.kobe.jp"),
+        ("nomatch.zz", None),  # no rule: documented strict NULL
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(hosts)], "i long, host string"
+    )
+    got = {
+        r["host"]: r["registrable_domain"]
+        for r in registrable_domains(df, suffixes=sfx).collect()
+    }
+    assert got == {h: want for h, want in hosts}
 
 
 def test_parse_robots_groups():
