@@ -714,6 +714,17 @@ def audited_queries():
             QUERIES["url_dedup_canonical"],
             {"max_shuffles": 1, "codegen": True, "no_python_udf": True},
         ),
+        # full-PSL eTLD+1 (wildcards + exceptions): every rule kind is
+        # a broadcast hash join, zero exchanges end to end
+        "url_psl_domains": (
+            QUERIES["url_psl_domains"],
+            {"broadcast": True, "no_shuffle": True, "no_python_udf": True},
+        ),
+        # WebP container census: one Arrow kernel pass, no exchanges
+        "webp_info": (
+            QUERIES["webp_info"],
+            {"no_shuffle": True},
+        ),
         # the composed crawl-hygiene chain: WARC → responses →
         # canonical-URL dedup — one group-by is the only exchange
         "warc_url_dedup": (
