@@ -98,8 +98,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     ``sources/png.py`` (stdlib zlib inflate + unfilter — no imaging
     library needed), baseline JPEG via ``sources/jpeg.py`` (from-spec
     Huffman + iDCT), GIF via ``sources/gif.py`` (from-spec LZW; the
-    first composited frame); TIFF is covered by ``sources/tiff.py``
-    upstream.
+    first composited frame), lossless WebP via ``sources/webp.py``
+    (from-spec VP8L; lossy VP8 raises the documented contract error);
+    TIFF is covered by ``sources/tiff.py`` upstream.
     ``fake=True`` keeps the deterministic pseudo-image used by plumbing
     tests that need byte-derived fixtures regardless of format.
     """

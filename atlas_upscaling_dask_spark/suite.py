@@ -4679,6 +4679,67 @@ FROM documents
 )
 
 
+def _warc_errors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-record error containment through the kernel: every 4th doc's
+    # second response carries Content-Encoding: br (unsupported — a
+    # crawl-weather record), which must surface as ONE error row while
+    # its archive-mates decode normally; a task-killing reader would
+    # return zero rows for the whole archive instead.
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_warc(batches):
+        from atlas_upscaling_dask_spark.sources.warc import encode_warc
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                good = f"<p>ok {d}</p>".encode()
+                second = f"<p>zz {d}</p>".encode()
+                records = [
+                    {"type": "response", "uri": f"http://e.com/a/{d}",
+                     "status": 200, "payload": good},
+                    {"type": "response", "uri": f"http://e.com/b/{d}",
+                     "status": 200, "payload": second,
+                     **({"http_headers": {"Content-Encoding": "br"}}
+                        if d % 4 == 0 else {"content_encoding": "gzip"})},
+                ]
+                payloads.append(encode_warc(records))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    from .sources.warc import warc_records
+
+    media = docs.mapInPandas(
+        make_warc, schema="media_id long, payload binary"
+    )
+    recs = warc_records(media).filter(F.col("warc_type") == "response")
+    return recs.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_responses"),
+        F.sum(
+            F.when(F.col("error").isNotNull(), 1).otherwise(0)
+        ).alias("n_errors"),
+        F.min("text").alias("first_text"),
+    )
+
+
+_register(
+    "warc_errors",
+    _warc_errors_q,
+    """
+SELECT doc_id AS media_id,
+       CAST(2 AS BIGINT) AS n_responses,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_errors,
+       '<p>ok ' || CAST(doc_id AS VARCHAR) || '</p>' AS first_text
+FROM documents
+""",
+)
+
+
 def _main_content_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Boilerplate removal: nav + footer (short, link-saturated) drop;
     # two prose blocks (one with an inline link) survive — the
