@@ -516,12 +516,33 @@ def extract_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> Da
                             sizes.append(len(fb))
                             digests.append(hashlib.sha256(fb).hexdigest())
                         continue
+                    if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+                        # animated WebP: VP8L frames composite like GIF
+                        # (blend/dispose per ANMF); digests cover the
+                        # composited RGB canvas for GIF parity
+                        from ..sources.webp import (
+                            iter_webp_composited,
+                            parse_webp_frames,
+                        )
+
+                        _, wframes = parse_webp_frames(raw)
+                        wanted = range(0, len(wframes), every_n)
+                        last = max(wanted, default=-1)
+                        for i, canvas in iter_webp_composited(raw, upto=last):
+                            if i % every_n:
+                                continue
+                            fb = canvas[:, :, :3].tobytes()
+                            ids.append(mid)
+                            idxs.append(i)
+                            sizes.append(len(fb))
+                            digests.append(hashlib.sha256(fb).hexdigest())
+                        continue
                     if raw[:2] not in (b"II", b"MM"):
                         raise NotImplementedError(
                             "entropy-coded video containers (mp4/mkv/...) "
                             "require a media library; multi-page TIFF, "
-                            "animated GIF and MJPEG AVI are the built-in "
-                            "multi-frame containers"
+                            "animated GIF, animated (VP8L) WebP and MJPEG "
+                            "AVI are the built-in multi-frame containers"
                         )
                     info = parse_tiff_bytes(raw)
                     for i in range(0, len(info.pages), every_n):

@@ -969,6 +969,173 @@ def encode_webp_lossless(
 
 
 # ---------------------------------------------------------------------------
+# animated WebP (VP8X + ANIM/ANMF): frame walk + compositing
+
+
+def _u24le(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def parse_webp_frames(data: bytes) -> tuple[dict, list[dict]]:
+    """Walk an animated WebP: returns ``(meta, frames)`` where meta
+    carries canvas w/h, the ANIM background RGBA and loop count, and
+    each frame dict has ``x y w h duration_ms blend dispose_bg chunks``
+    (the frame's own sub-chunk list — ALPH and VP8/VP8L)."""
+    chunks = list(iter_riff_chunks(data))
+    vp8x = next((p for k, p in chunks if k == b"VP8X"), None)
+    anim = next((p for k, p in chunks if k == b"ANIM"), None)
+    if vp8x is None or anim is None or not (vp8x[0] & 0x02):
+        raise ValueError("not an animated WebP (VP8X+ANIM required)")
+    meta = {
+        "width": 1 + _u24le(vp8x, 4),
+        "height": 1 + _u24le(vp8x, 7),
+        # ANIM stores the background as BGRA bytes
+        "background": (anim[2], anim[1], anim[0], anim[3]),
+        "loop_count": anim[4] | (anim[5] << 8),
+    }
+    frames = []
+    for k, p in chunks:
+        if k != b"ANMF":
+            continue
+        if len(p) < 16:
+            raise ValueError("ANMF chunk too short")
+        flags = p[15]
+        sub = []
+        pos = 16
+        while pos + 8 <= len(p):
+            fourcc = p[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", p, pos + 4)
+            sub.append((fourcc, p[pos + 8 : pos + 8 + size]))
+            pos += 8 + size + (size & 1)
+        frames.append(
+            {
+                "x": 2 * _u24le(p, 0),
+                "y": 2 * _u24le(p, 3),
+                "w": 1 + _u24le(p, 6),
+                "h": 1 + _u24le(p, 9),
+                "duration_ms": _u24le(p, 12),
+                "blend": not (flags & 0x02),  # bit set = do NOT blend
+                "dispose_bg": bool(flags & 0x01),
+                "chunks": sub,
+            }
+        )
+    return meta, frames
+
+
+def iter_webp_composited(data: bytes, upto: int | None = None):
+    """Yield ``(frame_idx, canvas)`` — the (H, W, 4) RGBA canvas AFTER
+    each animation frame composites, per the WebP mux spec: canvas
+    initializes to the ANIM background color (pinned deterministically,
+    the same policy as the GIF module — renderers that prefer
+    transparent black disagree with the container's own field, and an
+    engine oracle needs ONE answer); frames alpha-blend or replace
+    their rect, and dispose-to-background fills the rect back."""
+    meta, frames = parse_webp_frames(data)
+    h, w = meta["height"], meta["width"]
+    bg = np.array(meta["background"], dtype=np.uint8)
+    canvas = np.zeros((h, w, 4), dtype=np.uint8)
+    canvas[:] = bg
+    for i, fr in enumerate(frames):
+        if upto is not None and i > upto:
+            return
+        vp8l = next((p for k, p in fr["chunks"] if k == b"VP8L"), None)
+        if vp8l is None:
+            if any(k == b"VP8 " for k, _ in fr["chunks"]):
+                raise NotImplementedError(
+                    "animated WebP with lossy (VP8) frames: frame decode "
+                    "is the documented RFC 6386 contract boundary"
+                )
+            raise ValueError("ANMF frame carries no image chunk")
+        img = decode_vp8l(vp8l)
+        fy, fx, fh, fw = fr["y"], fr["x"], fr["h"], fr["w"]
+        if img.shape[:2] != (fh, fw) or fy + fh > h or fx + fw > w:
+            raise ValueError("ANMF frame rect outside the canvas")
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if fr["blend"]:
+            sa = img[:, :, 3:4].astype(np.float64) / 255.0
+            da = region[:, :, 3:4].astype(np.float64) / 255.0
+            oa = sa + da * (1.0 - sa)
+            safe = np.where(oa == 0.0, 1.0, oa)
+            rgb = (
+                img[:, :, :3] * sa + region[:, :, :3] * da * (1.0 - sa)
+            ) / safe
+            region[:, :, :3] = np.round(rgb).astype(np.uint8)
+            region[:, :, 3] = np.round(oa[:, :, 0] * 255.0).astype(np.uint8)
+        else:
+            region[:] = img
+        yield i, canvas.copy()
+        if fr["dispose_bg"]:
+            canvas[fy : fy + fh, fx : fx + fw] = bg
+
+
+def encode_webp_animated(
+    frames: list[np.ndarray],
+    xy: list[tuple[int, int]] | None = None,
+    durations_ms: list[int] | None = None,
+    blend: list[bool] | None = None,
+    dispose_bg: list[bool] | None = None,
+    background: tuple[int, int, int, int] = (255, 255, 255, 255),
+    loop: int = 0,
+    canvas: tuple[int, int] | None = None,
+) -> bytes:
+    """Animated WebP with REAL VP8L lossless frames (each frame runs
+    through `encode_webp_lossless` and its VP8L chunk embeds in an
+    ANMF).  Frame offsets must be even (the container stores x/2,
+    y/2).  ``canvas`` is (width, height); defaults to frame 0's."""
+    n = len(frames)
+    if n == 0:
+        raise ValueError("animated WebP needs at least one frame")
+    xy = xy or [(0, 0)] * n
+    durations_ms = durations_ms or [100] * n
+    blend = blend if blend is not None else [False] * n
+    dispose_bg = dispose_bg if dispose_bg is not None else [False] * n
+    shaped = []
+    for img in frames:
+        arr = np.asarray(img)
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        shaped.append(arr)
+    if canvas is None:
+        canvas = (shaped[0].shape[1], shaped[0].shape[0])
+    cw, ch = canvas
+    flags = 0x02  # animation
+    if any(a.shape[2] == 4 and (a[:, :, 3] != 255).any() for a in shaped):
+        flags |= 0x10
+    body = b"VP8X" + struct.pack("<I", 10) + bytes([flags, 0, 0, 0]) + (
+        struct.pack("<I", cw - 1)[:3] + struct.pack("<I", ch - 1)[:3]
+    )
+    r, g, b, a = background
+    anim = bytes([b, g, r, a]) + struct.pack("<H", loop)  # BGRA + loops
+    body += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for img, (x, y), dur, bl, dis in zip(
+        shaped, xy, durations_ms, blend, dispose_bg
+    ):
+        if x % 2 or y % 2:
+            raise ValueError("ANMF frame offsets must be even")
+        fh, fw = img.shape[:2]
+        if x + fw > cw or y + fh > ch:
+            raise ValueError("frame rect outside the canvas")
+        whole = encode_webp_lossless(img)
+        sub = dict(iter_riff_chunks(whole))
+        vp8l = sub[b"VP8L"]
+        payload = vp8l
+        fdata = (
+            struct.pack("<I", x // 2)[:3]
+            + struct.pack("<I", y // 2)[:3]
+            + struct.pack("<I", fw - 1)[:3]
+            + struct.pack("<I", fh - 1)[:3]
+            + struct.pack("<I", dur)[:3]
+            + bytes([(0 if bl else 0x02) | (0x01 if dis else 0)])
+            + b"VP8L" + struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+        body += b"ANMF" + struct.pack("<I", len(fdata)) + fdata
+        if len(fdata) & 1:
+            body += b"\x00"
+    return RIFF_MAGIC + struct.pack("<I", 4 + len(body)) + WEBP_FOURCC + body
+
+
+# ---------------------------------------------------------------------------
 # fixture writers for the non-lossless container variants (census-only)
 
 

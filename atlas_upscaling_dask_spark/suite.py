@@ -3144,6 +3144,84 @@ SELECT doc_id AS media_id, phash FROM hs
 )
 
 
+def _webp_anim_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4-frame animated WebP (VP8X/ANIM/ANMF with REAL VP8L frames),
+    # groups of 5 docs share a clip: frame f of group g is the CONSTANT
+    # color 5 + (7g + 13f) % 120 over a 10x12 canvas (replace, no
+    # dispose, white background, loop 2) — every composited frame is a
+    # known constant raster, the same analytic truth as the GIF clip
+    # fixture.
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_webp(batches):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.sources.webp import (
+            encode_webp_animated,
+        )
+
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                g = int(did) - int(did) % 5
+                if g not in cache:
+                    colors = [5 + (7 * g + 13 * f) % 120 for f in range(4)]
+                    frames = [
+                        np.full((10, 12, 3), c, np.uint8) for c in colors
+                    ]
+                    cache[g] = encode_webp_animated(
+                        frames,
+                        durations_ms=[100 * (f + 1) for f in range(4)],
+                        loop=2,
+                    )
+                payloads.append(cache[g])
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(make_webp, schema="media_id long, payload binary")
+
+
+def _webp_anim_frame_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL pipeline: animated-WebP synth → VP8L decode + ANMF
+    # compositing → sampled-frame SHA-256 over the composited RGB
+    # canvas; the oracle hashes the same constant byte runs in SQL
+    # (two containers, GIF and WebP, one compositing truth).
+    from .extensions.multimodal import extract_frames
+
+    media = _webp_anim_media(spark, sf_dir).select(
+        "media_id",
+        F.lit("video").alias("media_type"),
+        "payload",
+        F.named_struct(
+            F.lit("width"), F.lit(12),
+            F.lit("height"), F.lit(10),
+            F.lit("sample_rate"), F.lit(None).cast("int"),
+            F.lit("n_frames"), F.lit(4),
+            F.lit("codec"), F.lit("webp"),
+        ).alias("meta"),
+    )
+    return extract_frames(media, every_n=2, fake=False)
+
+
+_register(
+    "webp_anim_frame_digests",
+    _webp_anim_frame_digests,
+    """
+SELECT doc_id AS media_id,
+       CAST(f.range AS INTEGER) AS frame_idx,
+       CAST(360 AS BIGINT) AS n_bytes,
+       sha256(repeat(chr(CAST(
+           5 + (7 * (doc_id - doc_id % 5) + 13 * f.range) % 120
+           AS INTEGER)), 360)) AS sha256
+FROM documents, range(0, 4, 2) f
+""",
+)
+
+
 def _gif_anim_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4-frame animated GIFs, groups of 5 docs share a clip: frame f of
     # group g is the CONSTANT color 5 + (7g + 13f) % 120 over a 10x12

@@ -370,12 +370,13 @@ def main() -> None:
         "hll_ndv",
         "seasonal_decompose",
         "embed_covariance",
-        # media-codec row: from-spec GIF LZW + palette decode through
-        # the fingerprint pipeline — the honest per-core codec price.
-        # (avi_frame_hashes is oracle-checked but NOT benched: its
-        # fixture synthesizes 4 JPEG encodes per clip, so the row would
-        # measure encoder fixture cost, not the decode path.)
+        # media-codec rows: from-spec GIF LZW and WebP VP8L decode
+        # through the fingerprint pipeline — the honest per-core codec
+        # price.  (avi_frame_hashes is oracle-checked but NOT benched:
+        # its fixture synthesizes 4 JPEG encodes per clip, so the row
+        # would measure encoder fixture cost, not the decode path.)
         "gif_phash_values",
+        "image_phash_webp",
     ]
     # asof's isolated profile is a ~4-run JIT warm-up
     # ([0.97, 0.74, 0.68, 0.59, ...] on an idle host), so a 3-run min

@@ -343,6 +343,93 @@ def test_truncated_stream_raises():
 
 
 # ---------------------------------------------------------------------------
+# animated WebP (real VP8L frames)
+
+
+def test_anim_roundtrip_replace_and_dispose():
+    rng = _rng()
+    f0 = np.full((10, 12, 3), 40, np.uint8)
+    f1 = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    f2 = np.full((10, 12, 3), 90, np.uint8)
+    data = W.encode_webp_animated(
+        [f0, f1, f2], xy=[(0, 0), (2, 4), (0, 0)],
+        durations_ms=[50, 60, 70], dispose_bg=[False, True, False],
+        background=(1, 2, 3, 255), loop=5,
+    )
+    info = parse_webp_info(data)
+    assert info["n_frames"] == 3 and info["has_animation"]
+    meta, frames = W.parse_webp_frames(data)
+    assert meta["loop_count"] == 5
+    assert meta["background"] == (1, 2, 3, 255)
+    assert frames[1]["x"] == 2 and frames[1]["y"] == 4
+    assert frames[1]["duration_ms"] == 60 and frames[1]["dispose_bg"]
+    comp = dict(W.iter_webp_composited(data))
+    assert (comp[0][:, :, :3] == 40).all()
+    assert (comp[1][4:8, 2:8, :3] == f1).all()  # frame rect replaced
+    assert (comp[1][0, 0, :3] == 40).all()  # outside rect untouched
+    assert (comp[2][:, :, :3] == 90).all()
+    assert len(dict(W.iter_webp_composited(data, upto=1))) == 2
+
+
+def test_anim_alpha_blend():
+    blue = np.zeros((2, 2, 4), np.uint8)
+    blue[:, :, 2] = 255
+    blue[:, :, 3] = 255
+    red = np.zeros((2, 2, 4), np.uint8)
+    red[:, :, 0] = 255
+    red[:, :, 3] = 128
+    data = W.encode_webp_animated([blue, red], blend=[False, True])
+    px = dict(W.iter_webp_composited(data))[1][0, 0]
+    # over-operator: out.a=1, out.r = 255*(128/255), out.b = 255*(1-a)
+    assert px[3] == 255
+    assert abs(int(px[0]) - 128) <= 1 and abs(int(px[2]) - 127) <= 1
+
+
+def test_anim_odd_offset_rejected_and_vp8_frames_contract():
+    f = np.zeros((4, 4, 3), np.uint8)
+    with pytest.raises(ValueError, match="even"):
+        W.encode_webp_animated([f], xy=[(1, 0)], canvas=(8, 8))
+    # a lossy-framed animation walks but refuses decode, per contract
+    stub = encode_webp_animated_stub(16, 16, 2)
+    with pytest.raises(ValueError, match="no image chunk"):
+        list(W.iter_webp_composited(stub))
+
+
+def test_extract_frames_webp_matches_gif_truth(spark):
+    # the same constant-color clip via GIF and WebP containers must
+    # digest identically (composited-RGB-canvas parity)
+    from atlas_upscaling_dask_spark.extensions.multimodal import (
+        extract_frames,
+    )
+    from atlas_upscaling_dask_spark.sources.gif import encode_gif
+
+    colors = [10, 60, 110, 160]
+    frames = [np.full((10, 12, 3), c, np.uint8) for c in colors]
+    gif = encode_gif(frames, disposals=[1] * 4,
+                     delays_cs=[10] * 4, loop=0)
+    webp = W.encode_webp_animated(frames)
+    rows = [
+        (1, "video", bytearray(gif),
+         {"width": 12, "height": 10, "sample_rate": None,
+          "n_frames": 4, "codec": "gif"}),
+        (2, "video", bytearray(webp),
+         {"width": 12, "height": 10, "sample_rate": None,
+          "n_frames": 4, "codec": "webp"}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,"
+        "n_frames:int,codec:string>",
+    )
+    got = extract_frames(df, every_n=2, fake=False).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["media_id"], {})[r["frame_idx"]] = r["sha256"]
+    assert by[1] == by[2]  # two containers, one compositing truth
+
+
+# ---------------------------------------------------------------------------
 # pHash parity + Spark kernels
 
 
