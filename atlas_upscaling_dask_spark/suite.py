@@ -3084,10 +3084,20 @@ def _webp_phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DCT construction with the proven (24, 56) amplitude pair,
     # encoded as REAL VP8L lossless bitstreams (subtract-green
     # transform on, so the full transform + prefix-code decode path
-    # runs, not just the literal fast case).
+    # runs, not just the literal fast case).  The doc_id frame is
+    # repartitioned BY GROUP before the kernel: sf-dir documents land
+    # in one input split, which would serialize the per-symbol VP8L
+    # work on one core — group-hash partitioning spreads it 32-way
+    # while keeping each group's encode-cache hits local (one tiny
+    # exchange of longs buys parallel codec work; the distributed
+    # shape a real media corpus has for free).
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32, F.col("doc_id") - F.col("doc_id") % 7)
+    )
 
     def make_webp(batches):
         import numpy as np
