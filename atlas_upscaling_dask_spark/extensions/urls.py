@@ -647,6 +647,103 @@ def url_dedup_canonical(
     )
 
 
+#: HTTP statuses that redirect (RFC 9110 §15.4)
+REDIRECT_STATUSES = (301, 302, 303, 307, 308)
+
+
+def resolve_redirects(
+    df: DataFrame,
+    url_col: str = "url",
+    status_col: str = "http_status",
+    location_col: str = "http_location",
+    max_hops: int = 16,
+) -> DataFrame:
+    """Resolve HTTP redirect CHAINS to their final destination — the
+    crawl-hygiene step between fetching and dedup (a 301-chain's
+    members are one document; ranking signals and the seen-URL ledger
+    should key on the terminus).
+
+    Input: one row per fetched URL with its status and ``Location``
+    header (`warc_records` emits both).  The Location value is a URL
+    REFERENCE per RFC 9110 §10.2.2 — resolved against the fetch URL
+    (`_resolve_reference`) and canonicalized, so relative redirects
+    chain correctly.  Output adds ``final_url`` (the first non-redirect
+    URL reached, or the chain's last known target when it leaves the
+    crawl), ``n_hops``, and ``unresolved`` (True for chains still
+    redirecting after ``max_hops`` — cycles and over-long chains).
+
+    Scale shape: POINTER DOUBLING, not per-hop walking — each round
+    one self-equi-join on the canonical URL contracts every chain to
+    half its remaining length, so ``ceil(log2(max_hops))`` exchanges
+    bound ANY chain the cap admits (a per-hop loop would pay
+    ``max_hops`` exchanges).  `localCheckpoint` truncates the plan per
+    round, the `graph_pagerank`/`vox_closure` pattern."""
+    import math
+
+    canon = canonicalize_urls(df, url_col=url_col, out_col="__u")
+    resolved = _resolve_reference(F.col(url_col), F.col(location_col))
+    is_redirect = (
+        F.col(status_col).isin(*REDIRECT_STATUSES)
+        & F.col(location_col).isNotNull()
+        & resolved.isNotNull()
+    )
+    canon = canonicalize_urls(
+        canon.withColumn("__loc", F.when(is_redirect, resolved)),
+        url_col="__loc",
+        out_col="__next",
+    )
+    state = canon.select(
+        F.col("__u").alias("src"),
+        F.coalesce(F.col("__next"), F.col("__u")).alias("final_url"),
+        F.when(F.col("__next").isNotNull(), 1).otherwise(0).alias("n_hops"),
+        F.col("__next").isNull().alias("done"),
+    )
+    # the hop table: where each crawled URL points (terminal rows point
+    # nowhere and stop the fold)
+    hop = state.select(
+        F.col("src").alias("__t"),
+        F.col("final_url").alias("__t_final"),
+        F.col("n_hops").alias("__t_hops"),
+        F.col("done").alias("__t_done"),
+    )
+    rounds = max(1, math.ceil(math.log2(max_hops)))
+    for _ in range(rounds):
+        state = (
+            state.join(hop, state["final_url"] == hop["__t"], "left")
+            .select(
+                "src",
+                F.when(
+                    state["done"] | F.col("__t").isNull(), state["final_url"]
+                ).otherwise(F.col("__t_final")).alias("final_url"),
+                F.when(
+                    state["done"] | F.col("__t").isNull(), state["n_hops"]
+                ).otherwise(
+                    F.least(
+                        state["n_hops"] + F.col("__t_hops"), F.lit(max_hops)
+                    )
+                ).alias("n_hops"),
+                (
+                    state["done"]
+                    | F.col("__t").isNull()  # target outside the crawl
+                    | F.col("__t_done")
+                ).alias("done"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        hop = state.select(
+            F.col("src").alias("__t"),
+            F.col("final_url").alias("__t_final"),
+            F.col("n_hops").alias("__t_hops"),
+            F.col("done").alias("__t_done"),
+        )
+    return state.select(
+        F.col("src").alias(url_col + "_canonical"),
+        "final_url",
+        "n_hops",
+        (~F.col("done")).alias("unresolved"),
+    )
+
+
 def url_dedup(
     df: DataFrame,
     url_col: str = "url",

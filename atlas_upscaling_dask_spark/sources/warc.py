@@ -249,8 +249,8 @@ def warc_records(media, payload_col: str = "payload"):
             rows = {
                 "media_id": [], "record_idx": [], "warc_type": [],
                 "target_uri": [], "warc_date": [], "http_status": [],
-                "http_content_type": [], "payload": [], "text": [],
-                "error": [],
+                "http_content_type": [], "http_location": [],
+                "payload": [], "text": [], "error": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 for i, (hdrs, body) in enumerate(
@@ -259,6 +259,7 @@ def warc_records(media, payload_col: str = "payload"):
                     rtype = hdrs.get("warc-type", "")
                     status: int | None = None
                     ctype: str | None = None
+                    location: str | None = None
                     content: bytes | None = body
                     text: str | None = None
                     err: str | None = None
@@ -268,6 +269,7 @@ def warc_records(media, payload_col: str = "payload"):
                         try:
                             status, hhdrs, content = parse_http_response(body)
                             ctype = hhdrs.get("content-type")
+                            location = hhdrs.get("location")
                             content = decode_http_payload(hhdrs, content)
                         except ValueError as e:
                             content = None
@@ -287,6 +289,7 @@ def warc_records(media, payload_col: str = "payload"):
                     rows["warc_date"].append(hdrs.get("warc-date"))
                     rows["http_status"].append(status)
                     rows["http_content_type"].append(ctype)
+                    rows["http_location"].append(location)
                     rows["payload"].append(content)
                     rows["text"].append(text)
                     rows["error"].append(err)
@@ -299,6 +302,7 @@ def warc_records(media, payload_col: str = "payload"):
                     "warc_date": rows["warc_date"],
                     "http_status": pd.array(rows["http_status"], dtype="Int32"),
                     "http_content_type": rows["http_content_type"],
+                    "http_location": rows["http_location"],
                     "payload": rows["payload"],
                     "text": rows["text"],
                     "error": rows["error"],
@@ -309,8 +313,8 @@ def warc_records(media, payload_col: str = "payload"):
         kernel,
         schema="media_id long, record_idx int, warc_type string, "
         "target_uri string, warc_date string, http_status int, "
-        "http_content_type string, payload binary, text string, "
-        "error string",
+        "http_content_type string, http_location string, "
+        "payload binary, text string, error string",
     )
 
 

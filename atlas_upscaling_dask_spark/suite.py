@@ -3998,6 +3998,65 @@ FROM documents
 )
 
 
+def _redirect_chains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Redirect-chain resolution by pointer doubling: groups of 4 docs
+    # form a 301-chain hop0 -> hop1 -> hop2 -> hop3 (terminal 200) with
+    # RELATIVE Location values and mixed-case fetch URLs (both sides
+    # must canonicalize); every 13th group is a 4-CYCLE, which must
+    # surface as unresolved with the hop count pinned at the cap.
+    from .extensions.urls import resolve_redirects
+
+    d = F.col("doc_id")
+    g = d - d % 4
+    i = d % 4
+
+    def s(x):
+        return x.cast("string")
+
+    url = F.concat(
+        F.lit("HTTP://R"), s(g), F.lit(".Example.com/hop/"), s(i)
+    )
+    is_cycle = g % 13 == 0
+    status = F.when(is_cycle | (i < 3), F.lit(301)).otherwise(F.lit(200))
+    location = F.when(
+        is_cycle, F.concat(F.lit("/hop/"), s((i + 1) % 4))
+    ).when(i < 3, F.concat(F.lit("/hop/"), s(i + 1)))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("url", url)
+        .withColumn("http_status", status)
+        .withColumn("http_location", location)
+    )
+    out = resolve_redirects(docs, max_hops=16)
+    return out.select(
+        "url_canonical", "final_url",
+        F.col("n_hops").cast("int").alias("n_hops"),
+        F.col("unresolved").cast("int").alias("unresolved"),
+    )
+
+
+_register(
+    "redirect_chains",
+    _redirect_chains_q,
+    """
+WITH m AS (
+  SELECT doc_id - doc_id % 4 AS g, doc_id % 4 AS i FROM documents
+)
+SELECT 'http://r' || CAST(g AS VARCHAR) || '.example.com/hop/' ||
+       CAST(i AS VARCHAR) AS url_canonical,
+       'http://r' || CAST(g AS VARCHAR) || '.example.com/hop/' ||
+       CAST(CASE WHEN g % 13 = 0 THEN i ELSE 3 END AS VARCHAR)
+         AS final_url,
+       CAST(CASE WHEN g % 13 = 0 THEN 16 ELSE 3 - i END AS INTEGER)
+         AS n_hops,
+       CAST(CASE WHEN g % 13 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS unresolved
+FROM m
+""",
+)
+
+
 def _url_dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Groups of 5 docs share one canonical URL but NO two raw
     # spellings in a group match (case, default port, dot-segments,

@@ -150,6 +150,40 @@ Crawl-delay: 10
 """
 
 
+def test_resolve_redirects_chains(spark):
+    from atlas_upscaling_dask_spark.extensions.urls import resolve_redirects
+
+    rows = [
+        # 3-hop chain with relative + case-shifted spellings
+        ("HTTP://A.com/0", 301, "/1"),
+        ("http://a.com/1", 302, "http://A.com/2"),
+        ("http://a.com/2", 307, "/3"),
+        ("http://a.com/3", 200, None),
+        # chain leaving the crawl: last known target reported, resolved
+        ("http://b.com/x", 308, "http://elsewhere.com/y"),
+        # 200 with a (stale) Location header is NOT a redirect
+        ("http://c.com/ok", 200, "/ignored"),
+        # 2-cycle: unresolved, hops pinned at the cap
+        ("http://d.com/p", 301, "/q"),
+        ("http://d.com/q", 301, "/p"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, http_status int, http_location string"
+    )
+    got = {
+        r["url_canonical"]: (r["final_url"], r["n_hops"], r["unresolved"])
+        for r in resolve_redirects(df, max_hops=16).collect()
+    }
+    assert got["http://a.com/0"] == ("http://a.com/3", 3, False)
+    assert got["http://a.com/1"] == ("http://a.com/3", 2, False)
+    assert got["http://a.com/3"] == ("http://a.com/3", 0, False)
+    assert got["http://b.com/x"] == ("http://elsewhere.com/y", 1, False)
+    assert got["http://c.com/ok"] == ("http://c.com/ok", 0, False)
+    # 16 mod 2 = 0: the doubling terminus of a 2-cycle is the row itself
+    assert got["http://d.com/p"] == ("http://d.com/p", 16, True)
+    assert got["http://d.com/q"] == ("http://d.com/q", 16, True)
+
+
 PSL_SNIPPET = """\
 // ===BEGIN ICANN DOMAINS===
 com

@@ -190,6 +190,23 @@ def test_warc_records_kernel_charset_text_column(spark):
     assert bytes(rows[1]["payload"]) == b"\x89PNG\r\n\x1a\n"
 
 
+def test_warc_records_emits_location_header(spark):
+    data = encode_warc([
+        {"type": "response", "uri": "u:1", "status": 301,
+         "http_headers": {"Location": "https://moved.example/new"},
+         "payload": b""},
+        {"type": "response", "uri": "u:2", "status": 200,
+         "payload": b"<p>x</p>"},
+    ])
+    media = spark.createDataFrame(
+        [(1, bytearray(data))], "media_id long, payload binary"
+    )
+    rows = warc_records(media).orderBy("record_idx").collect()
+    assert rows[0]["http_status"] == 301
+    assert rows[0]["http_location"] == "https://moved.example/new"
+    assert rows[1]["http_location"] is None
+
+
 def test_warc_records_per_record_error_containment(spark):
     # one undecodable member (brotli transport coding) must NOT kill
     # the task carrying the rest of the archive: its row surfaces with

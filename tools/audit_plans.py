@@ -720,6 +720,14 @@ def audited_queries():
             QUERIES["url_psl_domains"],
             {"broadcast": True, "no_shuffle": True, "no_python_udf": True},
         ),
+        # redirect-chain resolution: pointer doubling — the VISIBLE
+        # plan is the last doubling round (localCheckpoint truncates
+        # earlier rounds), one self-join; log2(max_hops) such rounds
+        # total, never a per-hop walk
+        "redirect_chains": (
+            QUERIES["redirect_chains"],
+            {"max_shuffles": 3, "no_python_udf": True},
+        ),
         # WebP container census: one Arrow kernel pass, no exchanges
         "webp_info": (
             QUERIES["webp_info"],
