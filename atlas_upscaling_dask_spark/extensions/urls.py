@@ -427,6 +427,50 @@ def extract_sitemap_urls(
     return out.drop("__dec")
 
 
+def extract_sitemap_entries(
+    sitemaps: DataFrame,
+    xml_col: str = "xml",
+) -> DataFrame:
+    """Explode sitemap XML into full ``<url>`` entries — URL plus the
+    crawl-SCHEDULING fields the protocol defines (sitemaps.org):
+    ``lastmod`` (W3C datetime; the date part is what schedulers key
+    on), ``changefreq``, and ``priority`` (defaulting to the spec's
+    0.5 when absent).  One codegen'd ``regexp_extract_all`` over the
+    ``<url>`` blocks + explode + per-field ``regexp_extract`` — no
+    Python, no join; pair with `extract_sitemap_urls` when only the
+    locs matter (index files have no entry fields)."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?is)<url>(.*?)</url>"), F.lit(1)
+    )
+    out = sitemaps.withColumn("__blk", F.explode(blocks))
+    b = F.col("__blk")
+
+    def field(tag):
+        return F.nullif(
+            F.regexp_extract(b, rf"(?is)<{tag}>\s*(.*?)\s*</{tag}>", 1),
+            F.lit(""),
+        )
+
+    loc = field("loc")
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&apos;", "'"), ("&amp;", "&")):
+        loc = F.replace(loc, F.lit(ent), F.lit(rep))
+    out = (
+        out.withColumn("__loc", loc)
+        .filter(F.col("__loc").isNotNull())
+        .withColumn(
+            "lastmod_date", F.to_date(F.substring(field("lastmod"), 1, 10))
+        )
+        .withColumn("changefreq", F.lower(field("changefreq")))
+        .withColumn(
+            "priority",
+            F.coalesce(field("priority").cast("double"), F.lit(0.5)),
+        )
+    )
+    out = canonicalize_urls(out, url_col="__loc", out_col="url")
+    return out.drop("__blk", "__loc")
+
+
 def parse_robots_sitemaps(text: str) -> list[str]:
     """The ``Sitemap:`` directives of a robots.txt (RFC 9309 §2.3 —
     they live outside user-agent groups and apply to everyone)."""
@@ -487,6 +531,80 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
     if best is None and "*" in groups:
         best = "*"
     return groups.get(best, []) if best is not None else []
+
+
+def parse_robots_crawl_delay(text: str, agent: str = "*") -> float | None:
+    """The ``Crawl-delay`` (seconds) of the MOST SPECIFIC matching
+    user-agent group — same group selection as `parse_robots`.  Not in
+    RFC 9309 but the de-facto politeness extension every major crawler
+    honors; last valid value in a group wins, non-numeric values are
+    ignored, None means the group declares none."""
+    agent = agent.lower()
+    delays: dict[str, float] = {}
+    seen: dict[str, bool] = {}
+    current: list[str] = []
+    rules_open = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if rules_open:
+                current = []
+                rules_open = False
+            current.append(value.lower())
+            for a in (value.lower(),):
+                seen.setdefault(a, True)
+        elif field in ("allow", "disallow"):
+            rules_open = True
+        elif field == "crawl-delay":
+            rules_open = True
+            try:
+                delay = float(value)
+            except ValueError:
+                continue
+            for a in current:
+                delays[a] = delay
+    best: str | None = None
+    for a in seen:
+        if a != "*" and a in agent and (best is None or len(a) > len(best)):
+            best = a
+    if best is None and "*" in seen:
+        best = "*"
+    return delays.get(best) if best is not None else None
+
+
+def robots_crawl_delays(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` frame — the politeness budget the
+    crawl scheduler broadcasts next to the `robots_rules` gate.  One
+    Arrow kernel pass over the (tiny) per-host robots table; NULL
+    means the matched group declares no delay."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "host": pdf[host_col],
+                    "crawl_delay": pd.array(
+                        [
+                            parse_robots_crawl_delay(t, agent)
+                            for t in pdf[text_col]
+                        ],
+                        dtype="Float64",
+                    ),
+                }
+            )
+
+    return robots.mapInPandas(kernel, schema="host string, crawl_delay double")
 
 
 def _robots_pattern_to_regex(pattern: str) -> str:

@@ -3998,6 +3998,131 @@ FROM documents
 )
 
 
+def _sitemap_entries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full sitemap <url> entries — the crawl-scheduling fields: per doc
+    # an urlset of two entries, rotating lastmod presence (W3C datetime
+    # with timezone, date part extracted), changefreq case-folding,
+    # spec-default priority 0.5 when absent, and an entity-escaped loc
+    # that must decode before canonicalization.
+    from .extensions.urls import extract_sitemap_entries
+
+    d = F.col("doc_id")
+
+    def s(x):
+        return x.cast("string")
+
+    day = F.lpad(s(d % 28 + 1), 2, "0")
+    lastmod1 = F.when(
+        d % 3 != 0,
+        F.concat(F.lit("<lastmod>2026-01-"), day,
+                 F.lit("T12:30:00+02:00</lastmod>")),
+    ).otherwise(F.lit(""))
+    cf1 = F.when(
+        d % 2 == 0, F.lit("<changefreq>WEEKLY</changefreq>")
+    ).otherwise(F.lit(""))
+    pr1 = F.when(
+        d % 5 != 0,
+        F.concat(F.lit("<priority>0."), s(d % 10), F.lit("</priority>")),
+    ).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> http://SM'),
+        s(d % 50), F.lit(".example.com/p/"), s(d % 7),
+        F.lit(" </loc>"), lastmod1, cf1, pr1,
+        F.lit("</url><url><loc>http://sm"), s(d % 50),
+        F.lit(".example.com/p?a=1&amp;b=2</loc>"),
+        F.lit("<changefreq>daily</changefreq><priority>0.9</priority>"),
+        F.lit("</url></urlset>"),
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("xml", xml)
+    )
+    out = extract_sitemap_entries(docs).drop("xml")
+    # dates project as ISO strings for the oracle compare (the same
+    # convention the harness uses for timestamps)
+    return out.withColumn(
+        "lastmod_date", F.date_format("lastmod_date", "yyyy-MM-dd")
+    )
+
+
+_register(
+    "sitemap_entries",
+    _sitemap_entries_q,
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 != 0
+            THEN '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                 2, '0') END AS lastmod_date,
+       CASE WHEN doc_id % 2 = 0 THEN 'weekly' END AS changefreq,
+       CASE WHEN doc_id % 5 != 0
+            THEN CAST(doc_id % 10 AS DOUBLE) / 10.0
+            ELSE 0.5 END AS priority,
+       'http://sm' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/p/' ||
+       CAST(doc_id % 7 AS VARCHAR) AS url
+FROM documents
+UNION ALL
+SELECT doc_id,
+       CAST(NULL AS VARCHAR),
+       'daily',
+       0.9,
+       'http://sm' || CAST(doc_id % 50 AS VARCHAR) ||
+       '.example.com/p?a=1&b=2'
+FROM documents
+""",
+)
+
+
+def _robots_crawl_delays_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Crawl-delay extraction with RFC 9309 group selection: specific
+    # agent group beats *, fractional delays parse, a matched group
+    # WITHOUT a delay yields NULL (not the * fallback's value).
+    from .extensions.urls import robots_crawl_delays
+
+    d = F.col("doc_id")
+
+    def s(x):
+        return x.cast("string")
+
+    txt = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("User-agent: fastbot\nCrawl-delay: "), s(d % 5 + 1),
+                F.lit("\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 9\n"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.lit("User-agent: *\nCrawl-delay: 0.5\nDisallow: /y\n"),
+        )
+        .otherwise(
+            F.lit("User-agent: fastbot\nDisallow: /z\n")
+        )
+    )
+    robots = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("host", F.concat(F.lit("h"), s(d), F.lit(".example.com")))
+        .withColumn("robots_txt", txt)
+    )
+    out = robots_crawl_delays(robots, agent="fastbot")
+    return out
+
+
+_register(
+    "robots_crawl_delays",
+    _robots_crawl_delays_q,
+    """
+SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 5 + 1 AS DOUBLE)
+            WHEN doc_id % 3 = 1 THEN 0.5
+            END AS crawl_delay
+FROM documents
+""",
+)
+
+
 def _redirect_chains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Redirect-chain resolution by pointer doubling: groups of 4 docs
     # form a 301-chain hop0 -> hop1 -> hop2 -> hop3 (terminal 200) with

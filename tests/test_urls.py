@@ -426,6 +426,54 @@ def test_extract_sitemap_urls_and_robots_directive(spark):
     assert parse_robots_sitemaps("User-agent: *\n") == []
 
 
+def test_extract_sitemap_entries_fields(spark):
+    from atlas_upscaling_dask_spark.extensions.urls import (
+        extract_sitemap_entries,
+    )
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> http://A.com/x </loc>"
+        "<lastmod>2026-03-05T08:00:00+02:00</lastmod>"
+        "<changefreq>WEEKLY</changefreq><priority>0.8</priority></url>"
+        "<url><loc>http://a.com/y?a=1&amp;b=2</loc></url>"
+        "<url><lastmod>2026-01-01</lastmod></url>"  # no loc: dropped
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(1, xml)], "doc_id long, xml string")
+    rows = extract_sitemap_entries(df).orderBy("url").collect()
+    assert len(rows) == 2
+    assert rows[0]["url"] == "http://a.com/x"
+    assert str(rows[0]["lastmod_date"]) == "2026-03-05"
+    assert rows[0]["changefreq"] == "weekly"
+    assert rows[0]["priority"] == 0.8
+    assert rows[1]["url"] == "http://a.com/y?a=1&b=2"
+    assert rows[1]["lastmod_date"] is None
+    assert rows[1]["changefreq"] is None
+    assert rows[1]["priority"] == 0.5  # the spec default
+
+
+def test_parse_robots_crawl_delay_group_selection():
+    from atlas_upscaling_dask_spark.extensions.urls import (
+        parse_robots_crawl_delay,
+    )
+
+    txt = (
+        "User-agent: fastbot\nCrawl-delay: 2\nDisallow: /x\n\n"
+        "User-agent: *\nCrawl-delay: 9\n"
+    )
+    assert parse_robots_crawl_delay(txt, "fastbot") == 2.0
+    assert parse_robots_crawl_delay(txt, "otherbot") == 9.0
+    # matched specific group without a delay: NULL, not the * fallback
+    txt2 = "User-agent: fastbot\nDisallow: /z\n\nUser-agent: *\nCrawl-delay: 3\n"
+    assert parse_robots_crawl_delay(txt2, "fastbot") is None
+    assert parse_robots_crawl_delay(txt2, "nomatch") == 3.0
+    # fractional + non-numeric ignored + last-wins within a group
+    txt3 = "User-agent: *\nCrawl-delay: abc\nCrawl-delay: 0.25\n"
+    assert parse_robots_crawl_delay(txt3, "x") == 0.25
+    assert parse_robots_crawl_delay("", "x") is None
+
+
 def test_url_dedup_canonical_consolidates_variants(spark):
     from atlas_upscaling_dask_spark.extensions.urls import url_dedup_canonical
 
