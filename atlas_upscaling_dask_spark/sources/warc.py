@@ -250,6 +250,8 @@ def warc_records(media, payload_col: str = "payload"):
                 "media_id": [], "record_idx": [], "warc_type": [],
                 "target_uri": [], "warc_date": [], "http_status": [],
                 "http_content_type": [], "http_location": [],
+                "http_cache_control": [], "http_expires": [],
+                "http_last_modified": [], "http_etag": [],
                 "payload": [], "text": [], "error": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
@@ -260,6 +262,7 @@ def warc_records(media, payload_col: str = "payload"):
                     status: int | None = None
                     ctype: str | None = None
                     location: str | None = None
+                    hh: dict[str, str] = {}
                     content: bytes | None = body
                     text: str | None = None
                     err: str | None = None
@@ -268,6 +271,7 @@ def warc_records(media, payload_col: str = "payload"):
                     ).startswith("application/http"):
                         try:
                             status, hhdrs, content = parse_http_response(body)
+                            hh = hhdrs
                             ctype = hhdrs.get("content-type")
                             location = hhdrs.get("location")
                             content = decode_http_payload(hhdrs, content)
@@ -290,6 +294,10 @@ def warc_records(media, payload_col: str = "payload"):
                     rows["http_status"].append(status)
                     rows["http_content_type"].append(ctype)
                     rows["http_location"].append(location)
+                    rows["http_cache_control"].append(hh.get("cache-control"))
+                    rows["http_expires"].append(hh.get("expires"))
+                    rows["http_last_modified"].append(hh.get("last-modified"))
+                    rows["http_etag"].append(hh.get("etag"))
                     rows["payload"].append(content)
                     rows["text"].append(text)
                     rows["error"].append(err)
@@ -303,6 +311,10 @@ def warc_records(media, payload_col: str = "payload"):
                     "http_status": pd.array(rows["http_status"], dtype="Int32"),
                     "http_content_type": rows["http_content_type"],
                     "http_location": rows["http_location"],
+                    "http_cache_control": rows["http_cache_control"],
+                    "http_expires": rows["http_expires"],
+                    "http_last_modified": rows["http_last_modified"],
+                    "http_etag": rows["http_etag"],
                     "payload": rows["payload"],
                     "text": rows["text"],
                     "error": rows["error"],
@@ -314,6 +326,8 @@ def warc_records(media, payload_col: str = "payload"):
         schema="media_id long, record_idx int, warc_type string, "
         "target_uri string, warc_date string, http_status int, "
         "http_content_type string, http_location string, "
+        "http_cache_control string, http_expires string, "
+        "http_last_modified string, http_etag string, "
         "payload binary, text string, error string",
     )
 

@@ -4123,6 +4123,75 @@ FROM documents
 )
 
 
+def _recrawl_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RFC 9111 freshness → recrawl times, all five precedence tiers:
+    # no-cache beats a present max-age, max-age beats Expires, stale
+    # Expires floors at 0, Last-Modified age drives the 10% heuristic,
+    # and bare responses get the default TTL.
+    from .extensions.crawl import recrawl_schedule
+
+    d = F.col("doc_id")
+
+    def s(x):
+        return x.cast("string")
+
+    k = d % 6
+    cc = (
+        F.when(k == 0, F.concat(F.lit("max-age="), s(60 * (d % 10 + 1)),
+                                F.lit(", public")))
+        .when(k == 1, F.lit("no-cache, max-age=500"))
+        .when(k == 5, F.lit("public"))
+    )
+    expires = (
+        F.when(k == 2, F.lit("Thu, 01 Jan 2026 00:00:00 GMT"))
+        .when(k == 5, F.lit("Wed, 01 Jan 2020 00:00:00 GMT"))  # stale
+    )
+    lastmod = F.when(k == 3, F.lit("Wed, 01 Jan 2020 00:00:00 GMT"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("fetch_ts", (F.lit(1700000000) + d * 13).cast("long"))
+        .withColumn("http_cache_control", cc)
+        .withColumn("http_expires", expires)
+        .withColumn("http_last_modified", lastmod)
+    )
+    return recrawl_schedule(docs).select(
+        "doc_id", "ttl_sec", "next_fetch_ts", "freshness_source"
+    )
+
+
+_register(
+    "recrawl_schedule",
+    _recrawl_schedule_q,
+    """
+WITH m AS (
+  SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS k,
+         1700000000 + doc_id * 13 AS fetch_ts
+  FROM documents
+),
+t AS (
+  SELECT doc_id, fetch_ts,
+         CASE k
+           WHEN 0 THEN 60 * (doc_id % 10 + 1)
+           WHEN 1 THEN 0
+           WHEN 2 THEN greatest(1767225600 - fetch_ts, 0)
+           WHEN 3 THEN CAST(floor((fetch_ts - 1577836800) * 0.1) AS BIGINT)
+           WHEN 4 THEN 86400
+           ELSE 0 END AS ttl_sec,
+         CASE k
+           WHEN 0 THEN 'max-age' WHEN 1 THEN 'no-cache'
+           WHEN 2 THEN 'expires' WHEN 3 THEN 'heuristic'
+           WHEN 4 THEN 'default' ELSE 'expires' END AS freshness_source
+  FROM m
+)
+SELECT doc_id, CAST(ttl_sec AS BIGINT) AS ttl_sec,
+       CAST(fetch_ts + ttl_sec AS BIGINT) AS next_fetch_ts,
+       freshness_source
+FROM t
+""",
+)
+
+
 def _redirect_chains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Redirect-chain resolution by pointer doubling: groups of 4 docs
     # form a 301-chain hop0 -> hop1 -> hop2 -> hop3 (terminal 200) with

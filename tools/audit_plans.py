@@ -728,6 +728,16 @@ def audited_queries():
             QUERIES["redirect_chains"],
             {"max_shuffles": 3, "no_python_udf": True},
         ),
+        # sitemap <url> entries: one regex/HOF projection + explode
+        "sitemap_entries": (
+            QUERIES["sitemap_entries"],
+            {"no_shuffle": True, "codegen": True, "no_python_udf": True},
+        ),
+        # RFC 9111 freshness → recrawl times: pure expressions
+        "recrawl_schedule": (
+            QUERIES["recrawl_schedule"],
+            {"no_shuffle": True, "codegen": True, "no_python_udf": True},
+        ),
         # WebP container census: one Arrow kernel pass, no exchanges
         "webp_info": (
             QUERIES["webp_info"],
