@@ -4192,6 +4192,86 @@ FROM t
 )
 
 
+def _warc_recrawl_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The COMPOSED scheduling chain: WARC archive → record kernel
+    # (caching headers + WARC-Date) → RFC 9111 recrawl times.  Fetch
+    # time comes from the record's own WARC-Date (ISO 8601), headers
+    # rotate max-age / stale-Expires / bare.
+    import pandas as pd
+
+    from .extensions.crawl import recrawl_schedule
+    from .sources.warc import warc_records
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_warc(batches):
+        from atlas_upscaling_dask_spark.sources.warc import encode_warc
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                hh = {}
+                if d % 3 == 0:
+                    hh["Cache-Control"] = f"max-age={30 * (d % 8 + 1)}"
+                elif d % 3 == 1:
+                    hh["Expires"] = "Wed, 01 Jan 2020 00:00:00 GMT"  # stale
+                records = [
+                    {"type": "response", "uri": f"http://s.com/{d}",
+                     "status": 200, "payload": b"<p>x</p>",
+                     # seconds rotate so fetch_ts is per-doc analytic
+                     "date": f"2026-02-01T00:{d % 60:02d}:{d % 30:02d}Z",
+                     "http_headers": hh},
+                ]
+                payloads.append(encode_warc(records))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        make_warc, schema="media_id long, payload binary"
+    )
+    recs = warc_records(media).filter(F.col("http_status") == 200)
+    recs = recs.withColumn(
+        "fetch_ts",
+        F.unix_timestamp(
+            F.try_to_timestamp(
+                F.col("warc_date"), F.lit("yyyy-MM-dd'T'HH:mm:ssX")
+            )
+        ),
+    )
+    return recrawl_schedule(recs, default_ttl=3600).select(
+        "media_id", "fetch_ts", "ttl_sec", "next_fetch_ts",
+        "freshness_source",
+    )
+
+
+_register(
+    "warc_recrawl_schedule",
+    _warc_recrawl_schedule_q,
+    """
+WITH m AS (
+  -- 2026-02-01T00:00:00Z = 1769904000
+  SELECT doc_id,
+         1769904000 + (doc_id % 60) * 60 + doc_id % 30 AS fetch_ts
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(fetch_ts AS BIGINT) AS fetch_ts,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 30 * (doc_id % 8 + 1)
+                 WHEN doc_id % 3 = 1 THEN 0
+                 ELSE 3600 END AS BIGINT) AS ttl_sec,
+       CAST(fetch_ts + CASE WHEN doc_id % 3 = 0 THEN 30 * (doc_id % 8 + 1)
+                            WHEN doc_id % 3 = 1 THEN 0
+                            ELSE 3600 END AS BIGINT) AS next_fetch_ts,
+       CASE WHEN doc_id % 3 = 0 THEN 'max-age'
+            WHEN doc_id % 3 = 1 THEN 'expires'
+            ELSE 'default' END AS freshness_source
+FROM m
+""",
+)
+
+
 def _redirect_chains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Redirect-chain resolution by pointer doubling: groups of 4 docs
     # form a 301-chain hop0 -> hop1 -> hop2 -> hop3 (terminal 200) with
