@@ -743,6 +743,33 @@ def audited_queries():
             QUERIES["webp_info"],
             {"no_shuffle": True},
         ),
+        # VP8L decode through the DCT hash: ONE group-hash exchange
+        # (codec parallelism from the work, not the file layout), then
+        # kernel-only
+        "image_phash_webp": (
+            QUERIES["image_phash_webp"],
+            {"max_shuffles": 1},
+        ),
+        # animated WebP compositing digests: kernel-only
+        "webp_anim_frame_digests": (
+            QUERIES["webp_anim_frame_digests"],
+            {"no_shuffle": True},
+        ),
+        # per-host Crawl-delay: kernel over the tiny robots table
+        "robots_crawl_delays": (
+            QUERIES["robots_crawl_delays"],
+            {"no_shuffle": True},
+        ),
+        # error containment census: kernel + one hash agg
+        "warc_errors": (
+            QUERIES["warc_errors"],
+            {"max_shuffles": 1},
+        ),
+        # composed WARC -> recrawl schedule: kernel + pure projection
+        "warc_recrawl_schedule": (
+            QUERIES["warc_recrawl_schedule"],
+            {"no_shuffle": True},
+        ),
         # the composed crawl-hygiene chain: WARC → responses →
         # canonical-URL dedup — one group-by is the only exchange
         "warc_url_dedup": (
