@@ -1156,6 +1156,29 @@ def encode_webp_lossy_stub(width: int, height: int) -> bytes:
     return RIFF_MAGIC + struct.pack("<I", 4 + len(chunk)) + WEBP_FOURCC + chunk
 
 
+def encode_webp_extended_lossless(img: np.ndarray) -> bytes:
+    """A VP8X extended container wrapping a REAL VP8L still image —
+    the layout encoders emit when extended features (alpha flag, ICC,
+    EXIF) ride along with a lossless frame.  Decodes through the same
+    VP8L path as the simple container."""
+    whole = encode_webp_lossless(img)
+    vp8l = dict(iter_riff_chunks(whole))[b"VP8L"]
+    arr = np.asarray(img)
+    h, w = arr.shape[:2]
+    has_alpha = arr.ndim == 3 and arr.shape[2] == 4 and bool(
+        (arr[:, :, 3] != 255).any()
+    )
+    flags = 0x10 if has_alpha else 0
+    vp8x = bytes([flags, 0, 0, 0]) + (
+        struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+    )
+    body = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    body += b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    if len(vp8l) & 1:
+        body += b"\x00"
+    return RIFF_MAGIC + struct.pack("<I", 4 + len(body)) + WEBP_FOURCC + body
+
+
 def encode_webp_animated_stub(
     width: int, height: int, n_frames: int, has_alpha: bool = False
 ) -> bytes:

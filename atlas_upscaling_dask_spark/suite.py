@@ -4665,10 +4665,11 @@ FROM documents
 
 
 def _webp_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # WebP container census across all three RIFF variants: lossless
-    # VP8L (real encoded bitstreams), simple lossy VP8 (valid keyframe
-    # header), extended VP8X with ANIM/ANMF frames and the alpha flag
-    # — every field a closed formula on doc_id, zero entropy decode.
+    # WebP container census across all four RIFF layouts: simple
+    # lossless VP8L (real encoded bitstreams), simple lossy VP8 (valid
+    # keyframe header), extended VP8X+ANIM/ANMF with the alpha flag,
+    # and extended VP8X-wrapped lossless stills — every field a closed
+    # formula on doc_id, zero entropy decode.
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -4678,6 +4679,7 @@ def _webp_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from atlas_upscaling_dask_spark.sources.webp import (
             encode_webp_animated_stub,
+            encode_webp_extended_lossless,
             encode_webp_lossless,
             encode_webp_lossy_stub,
             parse_webp_info,
@@ -4691,7 +4693,7 @@ def _webp_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for did in pdf["doc_id"]:
                 d = int(did)
-                kind = d % 3
+                kind = d % 4
                 if kind == 0:
                     key = ("l", 5 + d % 9, 4 + d % 7)
                     if key not in cache:
@@ -4702,12 +4704,23 @@ def _webp_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     key = ("y", 16 + d % 100, 16 + (3 * d) % 50)
                     if key not in cache:
                         cache[key] = encode_webp_lossy_stub(key[1], key[2])
-                else:
-                    key = ("x", 10 + d % 20, 8 + d % 10, 1 + d % 6, d % 2)
+                elif kind == 2:
+                    key = ("x", 10 + d % 20, 8 + d % 10, 1 + d % 6,
+                           (d // 4) % 2)
                     if key not in cache:
                         cache[key] = encode_webp_animated_stub(
                             key[1], key[2], key[3], has_alpha=bool(key[4])
                         )
+                else:
+                    key = ("xl", 6 + d % 10, 5 + d % 8, (d // 4) % 2)
+                    if key not in cache:
+                        img = np.full(
+                            (key[2], key[1], 4), 200, np.uint8
+                        )
+                        img[:, :, 3] = 255
+                        if key[3]:
+                            img[0, 0, 3] = 0  # transparent px -> alpha
+                        cache[key] = encode_webp_extended_lossless(img)
                 info = parse_webp_info(cache[key])
                 rows["media_id"].append(d)
                 rows["variant"].append(info["variant"])
@@ -4742,22 +4755,25 @@ _register(
     _webp_info_q,
     """
 SELECT doc_id AS media_id,
-       CASE CAST(doc_id % 3 AS INTEGER)
+       CASE CAST(doc_id % 4 AS INTEGER)
          WHEN 0 THEN 'lossless' WHEN 1 THEN 'lossy'
-         ELSE 'extended-lossy' END AS variant,
-       CAST(CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 2 THEN 'extended-lossy'
+         ELSE 'extended-lossless' END AS variant,
+       CAST(CASE CAST(doc_id % 4 AS INTEGER)
          WHEN 0 THEN 5 + doc_id % 9
          WHEN 1 THEN 16 + doc_id % 100
-         ELSE 10 + doc_id % 20 END AS INTEGER) AS width,
-       CAST(CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 2 THEN 10 + doc_id % 20
+         ELSE 6 + doc_id % 10 END AS INTEGER) AS width,
+       CAST(CASE CAST(doc_id % 4 AS INTEGER)
          WHEN 0 THEN 4 + doc_id % 7
          WHEN 1 THEN 16 + (3 * doc_id) % 50
-         ELSE 8 + doc_id % 10 END AS INTEGER) AS height,
-       CAST(CASE WHEN doc_id % 3 = 2 AND doc_id % 2 = 1
+         WHEN 2 THEN 8 + doc_id % 10
+         ELSE 5 + doc_id % 8 END AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 4 IN (2, 3) AND (doc_id // 4) % 2 = 1
                  THEN 1 ELSE 0 END AS INTEGER) AS has_alpha,
-       CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS INTEGER)
+       CAST(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS INTEGER)
          AS has_animation,
-       CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 6 ELSE 1 END
+       CAST(CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 6 ELSE 1 END
             AS BIGINT) AS n_frames
 FROM documents
 """,

@@ -100,6 +100,23 @@ def test_census_lossy_and_animated():
     assert info["n_frames"] == 5
 
 
+def test_extended_lossless_census_and_decode():
+    rng = _rng()
+    rgba = rng.integers(0, 256, (5, 7, 4), dtype=np.uint8)
+    rgba[:, :, 3] = 255
+    data = W.encode_webp_extended_lossless(rgba)
+    info = parse_webp_info(data)
+    assert info["variant"] == "extended-lossless"
+    assert (info["width"], info["height"]) == (7, 5)
+    assert info["has_alpha"] is False and info["n_frames"] == 1
+    # same VP8L decode path as the simple container
+    assert (decode_webp(data) == rgba[:, :, :3]).all()
+    rgba[0, 0, 3] = 0
+    assert parse_webp_info(
+        W.encode_webp_extended_lossless(rgba)
+    )["has_alpha"] is True
+
+
 def test_census_errors():
     with pytest.raises(ValueError, match="magic"):
         parse_webp_info(b"RIFFxxxxWAVE" + b"\x00" * 8)
