@@ -8857,28 +8857,13 @@ SELECT z, y, x, label FROM ranked WHERE rk = 1
 #: green (rows+schema match, err null) — regenerated each round from
 #: the committed JSON files.
 _LAST_GREEN = {
-    # last driver-green in round 4 (4 rows)
-    "embed_knn_graph": 4, "negative_samples": 4, "pareto_orders": 4,
-    "tfidf_topterms": 4,
-    # last driver-green in round 5 (50 rows)
-    "corpus_report": 5, "cumulative_users": 5, "embed_centroids": 5,
-    "embed_pca_topk": 5, "embed_quantize": 5, "funnel_steps": 5,
-    "lateral_topk_per_cust": 5, "oov_rate": 5, "orders_above_cust_avg": 5,
-    "percentile_quantity": 5, "range_join_events": 5, "rare_terms": 5,
-    "redact_pii": 5, "region_volume_rollup": 5, "repetition_stats": 5,
-    "resample_ffill": 5, "revenue_by_month": 5, "salted_join": 5,
-    "scalar_subquery": 5, "sequence_gaps": 5, "string_functions": 5,
-    "tpch_q10_returns": 5, "tpch_q11_important_stock": 5, "tpch_q12_shipmode":
-    5, "tpch_q13_custdist": 5, "tpch_q14_promo": 5, "tpch_q15_top_supplier": 5,
-    "tpch_q16_supplier_cnt": 5, "tpch_q17_small_qty": 5,
-    "tpch_q18_large_orders": 5, "tpch_q19_disjunctive": 5,
+    # last driver-green in round 5 (14 rows)
+    "embed_pca_topk": 5, "funnel_steps": 5, "redact_pii": 5,
+    "repetition_stats": 5, "resample_ffill": 5, "tpch_q19_disjunctive": 5,
     "tpch_q20_nested_in": 5, "tpch_q21_waiting": 5, "tpch_q22_global_sales": 5,
-    "vocab_topk": 5, "vox_adjacency": 5, "vox_bbox": 5, "vox_dilate": 5,
-    "vox_dilate_chunkpath": 5, "vox_downsample_mode": 5, "vox_erode": 5,
-    "vox_extents_chunkpath": 5, "vox_histogram_preserved": 5,
-    "vox_outline_wrap_chunkpath": 5, "vox_point_after_upscale": 5,
-    "vox_rechunk_fastpaths": 5, "vox_relabel": 5, "vox_tiff_scan": 5,
-    "vox_zarr_roundtrip": 5, "vox_zorder_code": 5,
+    "vox_dilate_chunkpath": 5, "vox_extents_chunkpath": 5,
+    "vox_outline_wrap_chunkpath": 5, "vox_rechunk_fastpaths": 5,
+    "vox_zarr_roundtrip": 5,
     # last driver-green in round 6 (50 rows)
     "approx_agg": 6, "array_functions": 6, "attribution_weights": 6,
     "bloom_semi_join": 6, "cms_heavy_hitters": 6, "cube_counts": 6,
@@ -8953,6 +8938,24 @@ _LAST_GREEN = {
     "url_dedup_canonical": 9, "url_dedup_groups": 9, "url_domain_counts": 9,
     "vox_components": 9, "warc_census": 9, "warc_charset_extract": 9,
     "warc_html_extract": 9, "warc_url_dedup": 9,
+    # last driver-green in round 10 (50 rows)
+    "corpus_report": 10, "cumulative_users": 10, "embed_centroids": 10,
+    "embed_knn_graph": 10, "embed_quantize": 10, "image_phash_webp": 10,
+    "lateral_topk_per_cust": 10, "negative_samples": 10, "oov_rate": 10,
+    "orders_above_cust_avg": 10, "pareto_orders": 10, "percentile_quantity":
+    10, "range_join_events": 10, "rare_terms": 10, "recrawl_schedule": 10,
+    "redirect_chains": 10, "region_volume_rollup": 10, "revenue_by_month": 10,
+    "robots_crawl_delays": 10, "salted_join": 10, "scalar_subquery": 10,
+    "sequence_gaps": 10, "sitemap_entries": 10, "string_functions": 10,
+    "tfidf_topterms": 10, "tpch_q10_returns": 10, "tpch_q11_important_stock":
+    10, "tpch_q12_shipmode": 10, "tpch_q13_custdist": 10, "tpch_q14_promo": 10,
+    "tpch_q15_top_supplier": 10, "tpch_q16_supplier_cnt": 10,
+    "tpch_q17_small_qty": 10, "tpch_q18_large_orders": 10, "url_psl_domains":
+    10, "vocab_topk": 10, "vox_adjacency": 10, "vox_bbox": 10, "vox_dilate":
+    10, "vox_downsample_mode": 10, "vox_erode": 10, "vox_histogram_preserved":
+    10, "vox_point_after_upscale": 10, "vox_relabel": 10, "vox_tiff_scan": 10,
+    "vox_zorder_code": 10, "warc_errors": 10, "warc_recrawl_schedule": 10,
+    "webp_anim_frame_digests": 10, "webp_info": 10,
 }
 
 
