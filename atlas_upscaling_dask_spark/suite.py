@@ -3160,10 +3160,17 @@ def _webp_anim_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # color 5 + (7g + 13f) % 120 over a 10x12 canvas (replace, no
     # dispose, white background, loop 2) — every composited frame is a
     # known constant raster, the same analytic truth as the GIF clip
-    # fixture.
+    # fixture.  Same partition-from-work shape as `_webp_phash_media`:
+    # the sf-dir documents table is one input split, so without the
+    # group-hash repartition every ANMF encode would serialize on one
+    # core (the exact 15.6 s lesson `image_phash_webp` paid for).
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32, F.col("doc_id") - F.col("doc_id") % 5)
+    )
 
     def make_webp(batches):
         import numpy as np

@@ -39,6 +39,54 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def fold_best_known(records: list, sf: float) -> dict[str, float]:
+    """Per-row historical floor: the min over every record at the SAME
+    sf of BOTH its per-row timings (``queries``) AND its own
+    ``best_known`` field.
+
+    Folding each record's ``best_known`` back in is what makes the
+    floor MONOTONE: ``BENCH_FULL.json`` is overwritten on every run,
+    but because its ``best_known`` field was itself a min over all
+    history at write time, re-folding it guarantees the committed
+    floor can never rise on identical code.  The r10 verdict (What's
+    wrong #1) caught exactly this: folding raw timings only, the
+    "history" degenerated to the previous single run and four rows'
+    floors drifted UP — which would slowly launder host noise into
+    the adjudication baseline.
+    """
+    best: dict[str, float] = {}
+    for rec in records:
+        rec = (rec.get("parsed") or rec) if isinstance(rec, dict) else {}
+        if not isinstance(rec, dict) or rec.get("sf") != sf:
+            continue
+        for src in (rec.get("queries"), rec.get("best_known")):
+            if not isinstance(src, dict):
+                continue
+            for k, v in src.items():
+                if isinstance(v, (int, float)):
+                    fv = float(v)
+                    best[k] = min(best.get(k, fv), fv)
+    return best
+
+
+def load_best_known(here: str, sf: float) -> dict[str, float]:
+    """Fold every committed bench record (driver rounds + the builder
+    sidecar) into the per-row floor.  Seeding from the sidecar BEFORE
+    it is overwritten is load-bearing — see ``fold_best_known``."""
+    import glob as _glob
+
+    records = []
+    for hist in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))) + [
+        os.path.join(here, "BENCH_FULL.json")
+    ]:
+        try:
+            with open(hist) as fh:
+                records.append(json.load(fh))
+        except (OSError, ValueError):
+            continue
+    return fold_best_known(records, sf)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -783,37 +831,33 @@ def main() -> None:
         payload["bpe256_merges"] = payload_bpe_merges
     if errors:
         payload["errors"] = errors
-    # Per-row historical floor (r8 verdict #7): the min of every
-    # committed bench record at the SAME sf — driver rounds
-    # (BENCH_r*.json, payload under "parsed") plus the builder sidecar.
-    # This is the adjudication key for host noise: a row above its
-    # best_known on identical code is noise until the floor itself
-    # moves; SCALE.md's four identical-code full-suite runs on
-    # 2026-08-15 spanned 99.6-115.7 s total (the noise_window field).
-    import glob as _glob
-
+    # Per-row historical floor (r8 verdict #7, made MONOTONE per r10
+    # verdict #1): min over driver rounds (BENCH_r*.json) + the
+    # committed sidecar, folding each record's own best_known so the
+    # floor can never rise on identical code.  This is the
+    # adjudication key for host noise: a row above its best_known on
+    # identical code is noise until the floor itself moves.
     here = os.path.dirname(os.path.abspath(__file__))
-    best_known: dict[str, float] = {}
-    for hist in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))) + [
-        os.path.join(here, "BENCH_FULL.json")
-    ]:
-        try:
-            with open(hist) as fh:
-                rec = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        rec = rec.get("parsed") or rec if isinstance(rec, dict) else {}
-        if not isinstance(rec, dict) or rec.get("sf") != sf:
-            continue
-        for k, v in (rec.get("queries") or {}).items():
-            if isinstance(v, (int, float)):
-                best_known[k] = min(best_known.get(k, v), float(v))
+    best_known = load_best_known(here, sf)
     payload["best_known"] = {
         k: best_known[k] for k in sorted(timings) if k in best_known
     }
+    # Noise window DERIVED from per-row floors over THIS run's row set
+    # (r10 verdict #2: the old hardcoded [99.6, 115.7] total predated
+    # suite growth and went stale the moment a row was added).  The
+    # floor total is the calm-host bound; the observed total is read
+    # against it.
+    floor_rows = [k for k in timings if k in best_known]
     payload["noise_window"] = {
-        "identical_code_total_sec": [99.6, 115.7],
-        "study": "SCALE.md 2026-08-15 4-run identical-code spread",
+        "best_known_total_sec": round(
+            sum(best_known[k] for k in floor_rows), 3
+        ),
+        "rows_with_floor": len(floor_rows),
+        "rows_total": len(timings),
+        "note": (
+            "sum of committed per-row floors over this run's row set; "
+            "derived each run, replaces the fixed 2026-08-15 window"
+        ),
     }
     # The probe verdict (r9 #3): identical-workload floors before/after
     # the suite, adjudicated against the committed best_known of the
