@@ -491,6 +491,14 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
     wildcard syntax (``*`` any-run, trailing ``$`` end-anchor); empty
     patterns (``Disallow:`` alone) contribute no rule, per the spec.
 
+    Group FORMATION is shared with ``parse_robots_crawl_delay``: any
+    recognized rule record (allow / disallow / crawl-delay) ends a
+    ``User-agent:`` startgroupline run, so a later ``User-agent``
+    starts a NEW group rather than merging (RFC 9309 §2.2.1 grammar —
+    startgrouplines are only adjacent ones).  ``Sitemap:`` lines live
+    outside groups (§2.3) and unrecognized fields are ignored; neither
+    affects group formation, in either parser.
+
     Driver/executor-local helper — the distributed path is
     ``robots_rules`` + ``filter_urls_by_robots`` below."""
     agent = agent.lower()
@@ -523,7 +531,12 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
             else:
                 for a in current:
                     groups.setdefault(a, [])
-        # other fields (crawl-delay, sitemap) are ignored
+        elif field == "crawl-delay":
+            # contributes no allow/disallow rule here, but DOES end
+            # the startgroupline run — keeping group formation
+            # identical to parse_robots_crawl_delay (r10 advice)
+            rules_open = True
+        # other fields (sitemap, unrecognized) are ignored
     best: str | None = None
     for a in groups:
         if a != "*" and a in agent and (best is None or len(a) > len(best)):

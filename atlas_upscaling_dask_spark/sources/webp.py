@@ -110,9 +110,12 @@ def iter_riff_chunks(data: bytes):
     while pos + 8 <= end:
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
-        payload = data[pos + 8 : pos + 8 + size]
-        if len(payload) < size:
+        if pos + 8 + size > end:
+            # the declared RIFF size bounds payload reads too — a
+            # chunk overrunning it must not be served from trailing
+            # bytes beyond the container (r10 advice)
             raise ValueError(f"truncated WebP chunk {fourcc!r}")
+        payload = data[pos + 8 : pos + 8 + size]
         yield fourcc, payload
         pos += 8 + size + (size & 1)
 
@@ -256,6 +259,17 @@ class _PrefixCode:
             return
         self.single = None
         max_len = max(l for _, l in nz)
+        # Kraft completeness: VP8L requires complete canonical codes;
+        # an over-subscribed length set would assign colliding codes
+        # (garbage decode) and an under-subscribed one leaves dead
+        # codes that spin to the truncation guard (r10 advice) —
+        # reject both up front like the other malformed-stream paths.
+        kraft = sum(1 << (max_len - l) for _, l in nz)
+        if kraft != 1 << max_len:
+            raise ValueError(
+                "incomplete or over-subscribed VP8L prefix code "
+                f"(Kraft sum {kraft}/{1 << max_len})"
+            )
         bl_count = [0] * (max_len + 1)
         for _, l in nz:
             bl_count[l] += 1
@@ -349,6 +363,13 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
         lengths = [0] * alphabet_size
         if num_symbols == 2:
             s1 = br.read(8)
+            if s1 == s0:
+                # a duplicated symbol would collapse to a 0-bit
+                # one-symbol code and silently desync the stream
+                raise ValueError(
+                    "VP8L simple prefix code repeats symbol "
+                    f"{s0} in two-symbol form"
+                )
             lengths[s0] = 1
             lengths[s1] = 1
         else:

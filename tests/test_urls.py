@@ -474,6 +474,29 @@ def test_parse_robots_crawl_delay_group_selection():
     assert parse_robots_crawl_delay("", "x") is None
 
 
+def test_robots_group_formation_parity():
+    """r10 advice: a Crawl-delay record must end the user-agent run in
+    BOTH parsers, so rules and politeness budgets attribute to the
+    same group shapes for the same file."""
+    from atlas_upscaling_dask_spark.extensions.urls import (
+        parse_robots,
+        parse_robots_crawl_delay,
+    )
+
+    txt = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /x\n"
+    # a and b are now SEPARATE groups in the rule parser too: the
+    # crawl-delay ends a's startgroupline run, so b starts fresh.
+    assert parse_robots(txt, "a") == []
+    assert parse_robots(txt, "b") == [(False, "/x")]
+    assert parse_robots_crawl_delay(txt, "a") == 5.0
+    assert parse_robots_crawl_delay(txt, "b") is None
+    # adjacent user-agent lines (no intervening record) still merge
+    merged = "User-agent: a\nUser-agent: b\nCrawl-delay: 7\nDisallow: /y\n"
+    for agent in ("a", "b"):
+        assert parse_robots(merged, agent) == [(False, "/y")]
+        assert parse_robots_crawl_delay(merged, agent) == 7.0
+
+
 def test_url_dedup_canonical_consolidates_variants(spark):
     from atlas_upscaling_dask_spark.extensions.urls import url_dedup_canonical
 

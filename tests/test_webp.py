@@ -359,6 +359,48 @@ def test_truncated_stream_raises():
         W.decode_vp8l(chunks[b"VP8L"][: len(chunks[b"VP8L"]) // 2])
 
 
+def test_riff_declared_size_bounds_payloads():
+    """r10 advice: a chunk whose size field extends past the declared
+    RIFF end must be rejected, not served from trailing bytes."""
+    img = _rng().integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    data = bytearray(encode_webp_lossless(img))
+    # shrink the declared RIFF size so the VP8L chunk overruns it,
+    # while leaving the real bytes (the would-be trailing data) intact
+    import struct
+
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    struct.pack_into("<I", data, 4, riff_size - 4)
+    with pytest.raises(ValueError, match="truncated"):
+        list(W.iter_riff_chunks(bytes(data)))
+
+
+def test_prefix_code_kraft_validation():
+    """r10 advice: over-/under-subscribed length sets and a duplicated
+    simple-form symbol must raise, not decode garbage or desync."""
+    # under-subscribed: one symbol of length 2 leaves 3/4 of the code
+    # space dead
+    with pytest.raises(ValueError, match="Kraft"):
+        W._PrefixCode([2, 0, 2])
+    # over-subscribed: three length-1 symbols claim 3/2 of the space
+    with pytest.raises(ValueError, match="Kraft"):
+        W._PrefixCode([1, 1, 1])
+    # complete codes still build fine
+    assert W._PrefixCode([1, 1]).table is not None
+    assert W._PrefixCode([1, 2, 2]).table is not None
+    # simple two-symbol form with s1 == s0: build a stream whose
+    # header says "simple, 2 symbols, 8-bit first" then repeats the
+    # symbol; _read_prefix_code must reject it
+    bw = W._BitWriter()
+    bw.write(1, 1)  # simple
+    bw.write(1, 1)  # num_symbols - 1 = 1
+    bw.write(1, 1)  # first symbol in 8 bits
+    bw.write(42, 8)  # s0
+    bw.write(42, 8)  # s1 == s0
+    br = W._BitReader(bw.getvalue())
+    with pytest.raises(ValueError, match="repeats symbol"):
+        W._read_prefix_code(br, 256)
+
+
 # ---------------------------------------------------------------------------
 # animated WebP (real VP8L frames)
 

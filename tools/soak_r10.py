@@ -32,9 +32,11 @@ SF1 = os.path.join(REPO, ".localdata", "sf1")
 
 
 def main() -> None:
+    # path insert must precede the import for `python -m tools.soak_r10`
+    # to work (r10 advice: it was dead code below the import)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from soak_sf1 import generate_sf1  # same 10x corpus, same seed
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     generate_sf1()
 
     from pyspark.sql import functions as F
