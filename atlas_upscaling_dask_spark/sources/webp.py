@@ -754,21 +754,127 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     )
 
 
-def decode_webp(data: bytes) -> np.ndarray:
-    """WebP payload → (H, W, 3) uint8 RGB (alpha dropped).  Lossless
-    (VP8L, plain or inside VP8X) decodes from spec; lossy VP8 frame
-    decode needs RFC 6386's boolean coder + intra prediction and is a
-    documented contract boundary."""
+def decode_alpha(payload: bytes, width: int, height: int) -> np.ndarray:
+    """ALPH chunk payload → (height, width) uint8 alpha plane (WebP
+    container spec): header byte is compression (2 LSBs), filtering
+    (next 2), pre-processing (2, informational); method 0 is raw
+    bytes, method 1 a HEADERLESS VP8L image stream with alpha in the
+    green channel.  Filtering 1/2/3 = horizontal / vertical / gradient
+    predictors, inverted here (row 0 / col 0 fall back per spec: the
+    leftmost pixel of a row predicts from the pixel above it)."""
+    if not payload:
+        raise ValueError("empty ALPH chunk")
+    head = payload[0]
+    compression = head & 0x03
+    filtering = (head >> 2) & 0x03
+    body = payload[1:]
+    if compression == 0:
+        if len(body) < width * height:
+            raise ValueError("raw ALPH payload shorter than plane")
+        plane = np.frombuffer(
+            body[: width * height], dtype=np.uint8
+        ).reshape(height, width).astype(np.int64)
+    elif compression == 1:
+        argb = _decode_image_stream(_BitReader(body), width, height, True)
+        plane = ((argb >> 8) & 0xFF).astype(np.int64)
+    else:
+        raise ValueError(f"reserved ALPH compression method {compression}")
+    if filtering:
+        out = np.zeros_like(plane)
+        for y in range(height):
+            for x in range(width):
+                if filtering == 1:  # horizontal
+                    pred = out[y, x - 1] if x else (out[y - 1, 0] if y else 0)
+                elif filtering == 2:  # vertical
+                    pred = out[y - 1, x] if y else (out[y, x - 1] if x else 0)
+                else:  # gradient
+                    if x and y:
+                        g = out[y, x - 1] + out[y - 1, x] - out[y - 1, x - 1]
+                        pred = 0 if g < 0 else (255 if g > 255 else g)
+                    elif x:
+                        pred = out[y, x - 1]
+                    elif y:
+                        pred = out[y - 1, x]
+                    else:
+                        pred = 0
+                out[y, x] = (plane[y, x] + pred) & 0xFF
+        plane = out
+    return plane.astype(np.uint8)
+
+
+def encode_alpha(plane: np.ndarray, filtering: int = 0) -> bytes:
+    """Fixture ALPH writer: lossless-compressed (method 1) headerless
+    VP8L stream carrying the alpha plane in the green channel, with an
+    optional forward filter matching decode_alpha's inverse."""
+    plane = np.asarray(plane, dtype=np.int64)
+    height, width = plane.shape
+    if filtering:
+        res = np.zeros_like(plane)
+        for y in range(height):
+            for x in range(width):
+                if filtering == 1:
+                    pred = (
+                        plane[y, x - 1] if x else (plane[y - 1, 0] if y else 0)
+                    )
+                elif filtering == 2:
+                    pred = (
+                        plane[y - 1, x] if y else (plane[y, x - 1] if x else 0)
+                    )
+                else:
+                    if x and y:
+                        g = (
+                            plane[y, x - 1]
+                            + plane[y - 1, x]
+                            - plane[y - 1, x - 1]
+                        )
+                        pred = 0 if g < 0 else (255 if g > 255 else g)
+                    elif x:
+                        pred = plane[y, x - 1]
+                    elif y:
+                        pred = plane[y - 1, x]
+                    else:
+                        pred = 0
+                res[y, x] = (plane[y, x] - pred) & 0xFF
+        coded = res
+    else:
+        coded = plane
+    argb = (0xFF000000 | (coded.astype(np.uint32) << 8)).astype(np.uint32)
+    bw = _BitWriter()
+    _encode_image_stream(bw, argb, True)
+    return bytes([1 | (filtering << 2)]) + bw.getvalue()
+
+
+def _decode_lossy_rgba(chunks: dict) -> np.ndarray:
+    """VP8 (+ optional ALPH) → (H, W, 4) RGBA via the RFC 6386
+    keyframe decoder in sources/vp8.py."""
+    from .vp8 import decode_vp8_frame, yuv_to_rgb
+
+    frame = decode_vp8_frame(chunks[b"VP8 "])
+    rgb = yuv_to_rgb(frame["y"], frame["u"], frame["v"])
+    h, w = rgb.shape[:2]
+    if b"ALPH" in chunks:
+        alpha = decode_alpha(chunks[b"ALPH"], w, h)
+    else:
+        alpha = np.full((h, w), 255, dtype=np.uint8)
+    return np.dstack([rgb, alpha])
+
+
+def decode_webp_rgba(data: bytes) -> np.ndarray:
+    """WebP payload → (H, W, 4) uint8 RGBA.  Lossless (VP8L, plain or
+    inside VP8X) and lossy intra keyframes (VP8, with or without an
+    ALPH alpha chunk) both decode from spec; see sources/vp8.py for
+    the lossy scope and table adjudication."""
     chunks = dict((k, v) for k, v in reversed(list(iter_riff_chunks(data))))
     if b"VP8L" in chunks:
-        return decode_vp8l(chunks[b"VP8L"])[:, :, :3]
+        return decode_vp8l(chunks[b"VP8L"])
     if b"VP8 " in chunks:
-        raise NotImplementedError(
-            "lossy VP8 frame decode (RFC 6386 boolean coder + intra "
-            "prediction) is out of codec scope; header census via "
-            "parse_webp_info"
-        )
+        return _decode_lossy_rgba(chunks)
     raise ValueError("WebP file carries no decodable image chunk")
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """WebP payload → (H, W, 3) uint8 RGB (alpha dropped)."""
+    return decode_webp_rgba(data)[:, :, :3]
 
 
 # ---------------------------------------------------------------------------
@@ -1060,14 +1166,14 @@ def iter_webp_composited(data: bytes, upto: int | None = None):
         if upto is not None and i > upto:
             return
         vp8l = next((p for k, p in fr["chunks"] if k == b"VP8L"), None)
-        if vp8l is None:
-            if any(k == b"VP8 " for k, _ in fr["chunks"]):
-                raise NotImplementedError(
-                    "animated WebP with lossy (VP8) frames: frame decode "
-                    "is the documented RFC 6386 contract boundary"
-                )
+        if vp8l is not None:
+            img = decode_vp8l(vp8l)
+        elif any(k == b"VP8 " for k, _ in fr["chunks"]):
+            img = _decode_lossy_rgba(
+                dict((k, p) for k, p in reversed(fr["chunks"]))
+            )
+        else:
             raise ValueError("ANMF frame carries no image chunk")
-        img = decode_vp8l(vp8l)
         fy, fx, fh, fw = fr["y"], fr["x"], fr["h"], fr["w"]
         if img.shape[:2] != (fh, fw) or fy + fh > h or fx + fw > w:
             raise ValueError("ANMF frame rect outside the canvas")
@@ -1197,6 +1303,49 @@ def encode_webp_extended_lossless(img: np.ndarray) -> bytes:
     body += b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
     if len(vp8l) & 1:
         body += b"\x00"
+    return RIFF_MAGIC + struct.pack("<I", 4 + len(body)) + WEBP_FOURCC + body
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    out = fourcc + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        out += b"\x00"
+    return out
+
+
+def encode_webp_lossy_gray_blocks(block_vals: np.ndarray) -> bytes:
+    """Simple-lossy container around a REAL RFC 6386 keyframe whose
+    decoded luma is exactly ``block_vals`` upsampled 4x (see
+    sources/vp8.py encode_vp8_gray_blocks for the exactness
+    construction)."""
+    from .vp8 import encode_vp8_gray_blocks
+
+    payload = encode_vp8_gray_blocks(block_vals)
+    body = _riff_chunk(b"VP8 ", payload)
+    return RIFF_MAGIC + struct.pack("<I", 4 + len(body)) + WEBP_FOURCC + body
+
+
+def encode_webp_lossy_alpha(
+    block_vals: np.ndarray, alpha: np.ndarray, filtering: int = 0
+) -> bytes:
+    """Extended (VP8X) container: ALPH chunk (lossless-compressed
+    alpha, optional filter) + REAL VP8 keyframe color plane — the
+    lossy-with-alpha still layout.  Alpha plane shape must match the
+    4x-upsampled block grid."""
+    from .vp8 import encode_vp8_gray_blocks
+
+    bv = np.asarray(block_vals)
+    h, w = bv.shape[0] * 4, bv.shape[1] * 4
+    alpha = np.asarray(alpha, dtype=np.uint8)
+    if alpha.shape != (h, w):
+        raise ValueError("alpha plane must match the pixel dimensions")
+    vp8 = encode_vp8_gray_blocks(bv)
+    vp8x = bytes([0x10, 0, 0, 0]) + (
+        struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+    )
+    body = _riff_chunk(b"VP8X", vp8x)
+    body += _riff_chunk(b"ALPH", encode_alpha(alpha, filtering))
+    body += _riff_chunk(b"VP8 ", vp8)
     return RIFF_MAGIC + struct.pack("<I", 4 + len(body)) + WEBP_FOURCC + body
 
 
