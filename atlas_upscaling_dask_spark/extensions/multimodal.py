@@ -98,9 +98,11 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     ``sources/png.py`` (stdlib zlib inflate + unfilter — no imaging
     library needed), baseline JPEG via ``sources/jpeg.py`` (from-spec
     Huffman + iDCT), GIF via ``sources/gif.py`` (from-spec LZW; the
-    first composited frame), lossless WebP via ``sources/webp.py``
-    (from-spec VP8L; lossy VP8 raises the documented contract error);
-    TIFF is covered by ``sources/tiff.py`` upstream.
+    first composited frame), WebP via ``sources/webp.py`` — lossless
+    VP8L from spec, and since round 11 lossy VP8 intra keyframes (with
+    or without an ALPH alpha chunk) via the RFC 6386 decoder in
+    ``sources/vp8.py``; TIFF is covered by ``sources/tiff.py``
+    upstream.
     ``fake=True`` keeps the deterministic pseudo-image used by plumbing
     tests that need byte-derived fixtures regardless of format.
     """
@@ -135,7 +137,7 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from ..sources.webp import decode_webp
 
-        return decode_webp(bytes(payload))  # VP8L; lossy raises (contract)
+        return decode_webp(bytes(payload))  # VP8L or VP8 keyframe
     raise ValueError(
         "unsupported image format (PNG, baseline JPEG, uncompressed "
         "TIFF, GIF and lossless WebP are the built-in codecs; other "

@@ -506,7 +506,7 @@ def predict_subblock(mode: int, A, L, P: int) -> np.ndarray:
         pp = [L[3], L[2], L[1], L[0], P, A[0], A[1], A[2], A[3]]
         for r in range(4):
             for c in range(4):
-                i = 3 + c - r
+                i = 4 + c - r
                 out[r, c] = (pp[i - 1] + 2 * pp[i] + pp[i + 1] + 2) >> 2
     elif mode == B_VR_PRED:
         pp = [L[3], L[2], L[1], L[0], P, A[0], A[1], A[2], A[3]]

@@ -3239,6 +3239,184 @@ FROM documents, range(0, 4, 2) f
 )
 
 
+def _webp_lossy_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Groups of 5 docs share a 32x32 LOSSY (VP8) keyframe whose
+    # 4x4-block luma grid is V(g,bi,bj) = 5 + (7g + 17bi + 29bj) % 200
+    # — the decoded raster is EXACT by construction (sources/vp8.py
+    # encode_vp8_gray_blocks: B_DC_PRED chain + DC-only residuals at
+    # qindex 0 reconstruct with zero error), so any pixel digest is
+    # analytic.  Group-hash repartition from the one-split documents
+    # table (the partition-from-work lesson, SCALE.md round 10).
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32, F.col("doc_id") - F.col("doc_id") % 5)
+    )
+
+    def make_webp(batches):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.sources.webp import (
+            encode_webp_lossy_gray_blocks,
+        )
+
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                g = int(did) - int(did) % 5
+                if g not in cache:
+                    bi = np.arange(8).reshape(8, 1)
+                    bj = np.arange(8).reshape(1, 8)
+                    bv = 5 + (7 * g + 17 * bi + 29 * bj) % 200
+                    cache[g] = encode_webp_lossy_gray_blocks(bv)
+                payloads.append(cache[g])
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(make_webp, schema="media_id long, payload binary")
+
+
+def _webp_lossy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL pipeline: RFC 6386 keyframe decode (boolean decoder, intra
+    # B_DC prediction chain, dequant + DC-only iDCT, YUV->RGB gray
+    # identity) → position-weighted luma checksum; the oracle
+    # recomputes the checksum from the analytic block formula in SQL.
+    media = _webp_lossy_media(spark, sf_dir)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from atlas_upscaling_dask_spark.sources.webp import decode_webp
+
+        x = np.arange(32).reshape(1, 32)
+        yy = np.arange(32).reshape(32, 1)
+        wgt = 1 + (7 * x + 13 * yy) % 31
+        cache: dict[int, int] = {}
+        for pdf in batches:
+            sums = []
+            for did, payload in zip(pdf["media_id"], pdf["payload"]):
+                g = int(did) - int(did) % 5
+                if g not in cache:
+                    img = decode_webp(bytes(payload))
+                    cache[g] = int(
+                        (img[:, :, 0].astype(np.int64) * wgt).sum()
+                    )
+                sums.append(cache[g])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "y_checksum": pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema="media_id long, y_checksum long")
+
+
+_register(
+    "webp_lossy_decode",
+    _webp_lossy_decode,
+    """
+SELECT d.doc_id AS media_id,
+       CAST(SUM(
+           (5 + (7 * (d.doc_id - d.doc_id % 5)
+                 + 17 * (p.y // 4) + 29 * (p.x // 4)) % 200)
+           * (1 + (7 * p.x + 13 * p.y) % 31)
+       ) AS BIGINT) AS y_checksum
+FROM documents d,
+     (SELECT xs.range AS x, ys.range AS y
+      FROM range(0, 32) xs, range(0, 32) ys) p
+GROUP BY d.doc_id
+""",
+)
+
+
+def _webp_lossy_alpha_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lossy-with-alpha stills (VP8X + ALPH + VP8): the ALPH chunk is
+    # lossless-compressed (headerless VP8L stream, alpha in green)
+    # under the GRADIENT filter, the color plane is the same analytic
+    # VP8 keyframe as webp_lossy_decode; alpha A(g,x,y) =
+    # (11g + 3x + 5y) % 256.  Both planes digest analytically.
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32, F.col("doc_id") - F.col("doc_id") % 5)
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        from atlas_upscaling_dask_spark.sources.webp import (
+            decode_webp_rgba,
+            encode_webp_lossy_alpha,
+        )
+
+        x = np.arange(32).reshape(1, 32)
+        yy = np.arange(32).reshape(32, 1)
+        wgt_y = 1 + (7 * x + 13 * yy) % 31
+        wgt_a = 1 + (5 * x + 11 * yy) % 29
+        bi = np.arange(8).reshape(8, 1)
+        bj = np.arange(8).reshape(1, 8)
+        cache: dict[int, tuple[int, int]] = {}
+        for pdf in batches:
+            ys, als = [], []
+            for did in pdf["doc_id"]:
+                g = int(did) - int(did) % 5
+                if g not in cache:
+                    bv = 5 + (7 * g + 17 * bi + 29 * bj) % 200
+                    alpha = ((11 * g + 3 * x + 5 * yy) % 256).astype(
+                        np.uint8
+                    )
+                    data = encode_webp_lossy_alpha(bv, alpha, filtering=3)
+                    rgba = decode_webp_rgba(data)
+                    cache[g] = (
+                        int((rgba[:, :, 0].astype(np.int64) * wgt_y).sum()),
+                        int((rgba[:, :, 3].astype(np.int64) * wgt_a).sum()),
+                    )
+                ys.append(cache[g][0])
+                als.append(cache[g][1])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "y_checksum": pd.array(ys, dtype="int64"),
+                    "alpha_checksum": pd.array(als, dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id long, y_checksum long, alpha_checksum long",
+    )
+
+
+_register(
+    "webp_lossy_alpha_digest",
+    _webp_lossy_alpha_digest,
+    """
+SELECT d.doc_id AS media_id,
+       CAST(SUM(
+           (5 + (7 * (d.doc_id - d.doc_id % 5)
+                 + 17 * (p.y // 4) + 29 * (p.x // 4)) % 200)
+           * (1 + (7 * p.x + 13 * p.y) % 31)
+       ) AS BIGINT) AS y_checksum,
+       CAST(SUM(
+           ((11 * (d.doc_id - d.doc_id % 5) + 3 * p.x + 5 * p.y) % 256)
+           * (1 + (5 * p.x + 11 * p.y) % 29)
+       ) AS BIGINT) AS alpha_checksum
+FROM documents d,
+     (SELECT xs.range AS x, ys.range AS y
+      FROM range(0, 32) xs, range(0, 32) ys) p
+GROUP BY d.doc_id
+""",
+)
+
+
 def _gif_anim_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4-frame animated GIFs, groups of 5 docs share a clip: frame f of
     # group g is the CONSTANT color 5 + (7g + 13f) % 120 over a 10x12
