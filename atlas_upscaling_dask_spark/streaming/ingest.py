@@ -1253,3 +1253,237 @@ def start_warc_ingest_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# crawl frontier maintenance (r10 verdict #5: the batch pieces —
+# recrawl_schedule, robots_crawl_delays, resolve_redirects — are all
+# oracle-green; this closes the loop into the maintained
+# ``next_fetch_ts`` state the continuous crawl reads)
+
+FRONTIER_FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("fetch_ts", T.LongType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_location", T.StringType()),
+        T.StructField("http_cache_control", T.StringType()),
+        T.StructField("http_expires", T.StringType()),
+        T.StructField("http_last_modified", T.StringType()),
+    ]
+)
+
+
+def _frontier_host(col):
+    """Host of a CANONICAL url (lowercased scheme+host, default port
+    stripped — `canonicalize_urls` output): bracketed IPv6 literals
+    keep their brackets, everything else drops the explicit port."""
+    hostport = F.regexp_extract(col, r"^[a-z][a-z0-9+.\-]*://([^/]+)", 1)
+    return F.when(
+        hostport.startswith("["),
+        F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1),
+    ).otherwise(F.substring_index(hostport, ":", 1))
+
+
+def frontier_updates(
+    batch: DataFrame,
+    robots: DataFrame | None = None,
+    agent: str = "*",
+    default_ttl: int = 86400,
+    max_hops: int = 16,
+) -> DataFrame:
+    """Fetch results → one scheduling row per TERMINUS url: the
+    composition the r10 verdict asked for — `resolve_redirects`
+    (pointer doubling keys the ledger on the redirect terminus),
+    `recrawl_schedule` (RFC 9111 freshness → ``next_fetch_ts``), and
+    `robots_crawl_delays` (per-host politeness floor: never before
+    ``fetch_ts + crawl_delay``).
+
+    Scale shape: the schedule is one codegen'd projection, redirect
+    resolution is log2(max_hops) self-joins, and the politeness join
+    broadcasts the per-HOST delay table — nothing here scales with
+    history, only with the batch."""
+    from ..extensions.crawl import recrawl_schedule
+    from ..extensions.urls import (
+        canonicalize_urls,
+        resolve_redirects,
+        robots_crawl_delays,
+    )
+
+    # resolve_redirects keys the ledger on the terminus but returns
+    # only the resolution columns — join it back onto the batch's own
+    # headers by canonical url (one row per canonical url either side)
+    resolved = resolve_redirects(batch, max_hops=max_hops).dropDuplicates(
+        ["url_canonical"]
+    )
+    canon = canonicalize_urls(batch, url_col="url", out_col="__u")
+    joined = canon.join(
+        resolved, canon["__u"] == resolved["url_canonical"], "inner"
+    ).drop("url_canonical", "__u")
+    scheduled = recrawl_schedule(joined, default_ttl=default_ttl)
+    out = scheduled.withColumn("host", _frontier_host(F.col("final_url")))
+    if robots is not None:
+        delays = robots_crawl_delays(robots, agent=agent)
+        out = (
+            out.join(F.broadcast(delays), "host", "left")
+            .withColumn(
+                "crawl_delay_sec",
+                F.coalesce(F.col("crawl_delay"), F.lit(0.0)),
+            )
+            .drop("crawl_delay")
+        )
+    else:
+        out = out.withColumn("crawl_delay_sec", F.lit(0.0))
+    politeness_floor = (
+        F.col("fetch_ts").cast("long")
+        + F.ceil(F.col("crawl_delay_sec")).cast("long")
+    )
+    out = out.withColumn(
+        "next_fetch_ts", F.greatest(F.col("next_fetch_ts"), politeness_floor)
+    )
+    return out.select(
+        "final_url",
+        "host",
+        F.col("fetch_ts").cast("long").alias("fetch_ts"),
+        "next_fetch_ts",
+        "ttl_sec",
+        "freshness_source",
+        "crawl_delay_sec",
+        "n_hops",
+        "unresolved",
+    )
+
+
+def apply_frontier_updates(
+    spark: SparkSession,
+    table_path: str,
+    batch: DataFrame,
+    robots: DataFrame | None = None,
+    agent: str = "*",
+    n_buckets: int = 64,
+    default_ttl: int = 86400,
+    max_hops: int = 16,
+) -> None:
+    """Fold one micro-batch of fetch results into the persisted
+    frontier ledger: latest fetch per terminus url wins.
+
+    The ledger is bucket-partitioned by ``xxhash64(final_url)``; a
+    batch reads and dynamically overwrites ONLY its touched buckets
+    (the SCD2/incremental delta-invalidation pattern), so per-epoch
+    cost tracks the batch while the table holds the whole crawl's
+    state.  Replay-safe: the winner per url is chosen by a total
+    deterministic order — latest ``fetch_ts`` first, then the
+    terminus's OWN fetch (``n_hops`` 0: a redirect row's default TTL
+    must not outrank the destination's actual cache headers), then
+    next_fetch_ts / freshness_source — so re-applying an epoch, or
+    splitting the same rows into different micro-batches, converges to
+    the identical table (tested: replay idempotence + batch ≡ stream
+    parity)."""
+    import os as _os
+
+    updates = frontier_updates(
+        batch, robots=robots, agent=agent, default_ttl=default_ttl,
+        max_hops=max_hops,
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("final_url")), F.lit(n_buckets))
+    )
+    updates = updates.localCheckpoint(eager=True)
+    touched = [r[0] for r in updates.select("bucket").distinct().collect()]
+    if not touched:
+        return
+    exists = _os.path.exists(_os.path.join(table_path, "_SUCCESS")) or any(
+        name.startswith("bucket=")
+        for name in (
+            _os.listdir(table_path) if _os.path.isdir(table_path) else []
+        )
+    )
+    merged = updates
+    if exists:
+        existing = (
+            spark.read.parquet(table_path)
+            .filter(F.col("bucket").isin(touched))
+        )
+        merged = existing.unionByName(updates)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("final_url")
+        .orderBy(
+            F.col("fetch_ts").desc(),
+            F.col("n_hops").asc(),
+            F.col("next_fetch_ts").desc(),
+            F.col("freshness_source").desc(),
+        )
+    )
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            latest.repartition(max(1, len(touched)), F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(table_path)
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+
+def read_frontier_due(
+    spark: SparkSession, table_path: str, now_ts: int
+) -> DataFrame:
+    """The fetch loop's read side: urls whose ``next_fetch_ts`` has
+    passed, politeness already folded in."""
+    return (
+        spark.read.parquet(table_path)
+        .filter(F.col("next_fetch_ts") <= F.lit(int(now_ts)))
+        .select("final_url", "host", "next_fetch_ts", "crawl_delay_sec")
+    )
+
+
+def start_crawl_frontier_stream(
+    spark: SparkSession,
+    fetches_path: str,
+    table_path: str,
+    robots: DataFrame | None = None,
+    agent: str = "*",
+    n_buckets: int = 64,
+    default_ttl: int = 86400,
+    max_hops: int = 16,
+    checkpoint_dir: str | None = None,
+):
+    """Continuous frontier maintenance: a file-source stream of fetch
+    results (``FRONTIER_FETCH_SCHEMA`` parquet drops — the columns
+    `warc_records` emits) folds each micro-batch into the frontier
+    ledger via :func:`apply_frontier_updates`.  Crash recovery replays
+    the epoch; the deterministic latest-wins merge makes the replay a
+    no-op."""
+    stream = (
+        spark.readStream.schema(FRONTIER_FETCH_SCHEMA).parquet(fetches_path)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_frontier_updates(
+            spark,
+            table_path,
+            batch_df.localCheckpoint(eager=True),
+            robots=robots,
+            agent=agent,
+            n_buckets=n_buckets,
+            default_ttl=default_ttl,
+            max_hops=max_hops,
+        )
+
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

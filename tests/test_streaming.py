@@ -1083,3 +1083,137 @@ def test_warc_ingest_stream_with_robots_gate(spark, tmp_path):
         "http://crawl2.example.com/page/22?k=22",
         "http://crawl3.example.com/page/23?k=23",
     ]
+
+
+def test_crawl_frontier_stream_maintains_next_fetch(spark, tmp_path):
+    """r10 verdict #5: the frontier ledger composes recrawl_schedule
+    (RFC 9111) + robots_crawl_delays (politeness floor) +
+    resolve_redirects (terminus keying) under foreachBatch; two drops
+    must equal a single batch apply over the concatenated feed, and
+    replaying a drop must be a no-op (latest-wins is deterministic)."""
+    from atlas_upscaling_dask_spark.streaming.ingest import (
+        FRONTIER_FETCH_SCHEMA,
+        apply_frontier_updates,
+        frontier_updates,
+        read_frontier_due,
+        start_crawl_frontier_stream,
+    )
+    from pyspark.sql import functions as F
+
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nCrawl-delay: 600\nDisallow: /x\n"),
+         ("b.example", "User-agent: *\nDisallow: /y\n")],
+        "host string, robots_txt string",
+    )
+
+    def feed(rows):
+        return spark.createDataFrame(rows, FRONTIER_FETCH_SCHEMA)
+
+    # drop 1: a redirect chain a->b->c (terminus keying), a max-age
+    # page, and a default-TTL page on the delayed host
+    drop1 = [
+        ("http://a.example/start", 1000, 301,
+         "http://a.example/mid", None, None, None),
+        ("http://a.example/mid", 1000, 302,
+         "http://b.example/final", None, None, None),
+        ("http://b.example/final", 1000, 200,
+         None, "max-age=500", None, None),
+        ("http://a.example/page", 2000, 200, None, None, None, None),
+    ]
+    # drop 2: refetch of the terminus with a new policy -> must win
+    drop2 = [
+        ("http://b.example/final", 5000, 200,
+         None, "no-cache", None, None),
+    ]
+
+    src = str(tmp_path / "fetches")
+    tbl = str(tmp_path / "frontier")
+    ckpt = str(tmp_path / "frontier_ckpt")
+
+    def run_drop(rows):
+        feed(rows).coalesce(1).write.mode("append").parquet(src)
+        q = start_crawl_frontier_stream(
+            spark, src, tbl, robots=robots, n_buckets=8, max_hops=4,
+            checkpoint_dir=ckpt,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_drop(drop1)
+    rows = {
+        r["final_url"]: r
+        for r in spark.read.parquet(tbl).collect()
+    }
+    # chain rows key on the terminus; the 200 terminus row wins the
+    # fetch_ts tie among the three chain members (same ts, but
+    # max-age beats the redirect rows' identical schedule? no — all
+    # three rows share final_url AND fetch_ts; the deterministic
+    # order picks the largest next_fetch_ts)
+    assert set(rows) == {"http://b.example/final", "http://a.example/page"}
+    final = rows["http://b.example/final"]
+    assert final["host"] == "b.example"
+    # among the three chain members (same fetch_ts) the TERMINUS'S OWN
+    # fetch (n_hops 0) wins: its max-age=500 beats the redirect rows'
+    # default TTL in authority, not in magnitude
+    assert final["n_hops"] == 0
+    assert final["freshness_source"] == "max-age"
+    assert final["next_fetch_ts"] == 1000 + 500
+    # a.example/page: default TTL 86400, politeness floor 2000+600
+    page = rows["http://a.example/page"]
+    assert page["freshness_source"] == "default"
+    assert page["next_fetch_ts"] == 2000 + 86400
+    assert page["crawl_delay_sec"] == 600.0
+
+    run_drop(drop2)
+    rows = {
+        r["final_url"]: r for r in spark.read.parquet(tbl).collect()
+    }
+    final = rows["http://b.example/final"]
+    assert final["fetch_ts"] == 5000
+    assert final["freshness_source"] == "no-cache"
+    assert final["next_fetch_ts"] == 5000  # ttl 0, no delay on b.example
+
+    # batch ≡ stream: one apply over the concatenated feed
+    tbl2 = str(tmp_path / "frontier_batch")
+    apply_frontier_updates(
+        spark, tbl2, feed(drop1 + drop2), robots=robots, n_buckets=8,
+        max_hops=4,
+    )
+    got = sorted(
+        map(tuple, spark.read.parquet(tbl).drop("bucket").collect())
+    )
+    want = sorted(
+        map(tuple, spark.read.parquet(tbl2).drop("bucket").collect())
+    )
+    assert got == want
+
+    # replay idempotence: re-applying drop2 leaves the table identical
+    apply_frontier_updates(
+        spark, tbl, feed(drop2), robots=robots, n_buckets=8, max_hops=4
+    )
+    again = sorted(
+        map(tuple, spark.read.parquet(tbl).drop("bucket").collect())
+    )
+    assert again == got
+
+    # read side: due set at a given now_ts
+    due = {
+        r["final_url"]
+        for r in read_frontier_due(spark, tbl, now_ts=5000).collect()
+    }
+    assert due == {"http://b.example/final"}
+    due_all = {
+        r["final_url"]
+        for r in read_frontier_due(spark, tbl, now_ts=90000).collect()
+    }
+    assert due_all == {"http://b.example/final", "http://a.example/page"}
+
+    # politeness floor dominates a shorter RFC TTL
+    fl = frontier_updates(
+        feed([("http://a.example/q", 100, 200, None, "max-age=10",
+               None, None)]),
+        robots=robots,
+    ).collect()[0]
+    assert fl["ttl_sec"] == 10 and fl["next_fetch_ts"] == 100 + 600
