@@ -750,10 +750,25 @@ def audited_queries():
             QUERIES["image_phash_webp"],
             {"max_shuffles": 1},
         ),
-        # animated WebP compositing digests: kernel-only
+        # animated WebP compositing digests: ONE group-hash exchange
+        # (r10 verdict #6: the partition-from-work lesson applied —
+        # the sf-dir documents table is one input split, and without
+        # the repartition every ANMF kernel would serialize on a core)
         "webp_anim_frame_digests": (
             QUERIES["webp_anim_frame_digests"],
-            {"no_shuffle": True},
+            {"max_shuffles": 1},
+        ),
+        # VP8 lossy keyframe decode digest: same shape — one
+        # group-hash exchange, then kernel-only
+        "webp_lossy_decode": (
+            QUERIES["webp_lossy_decode"],
+            {"max_shuffles": 1},
+        ),
+        # lossy-with-alpha stills (ALPH + VP8): one group-hash
+        # exchange, then kernel-only
+        "webp_lossy_alpha_digest": (
+            QUERIES["webp_lossy_alpha_digest"],
+            {"max_shuffles": 1},
         ),
         # per-host Crawl-delay: kernel over the tiny robots table
         "robots_crawl_delays": (
