@@ -425,6 +425,9 @@ def main() -> None:
         # would measure encoder fixture cost, not the decode path.)
         "gif_phash_values",
         "image_phash_webp",
+        # VP8 lossy keyframe decode (RFC 6386 bool coder + intra
+        # prediction per group, group-hash repartitioned from the work)
+        "webp_lossy_decode",
     ]
     # asof's isolated profile is a ~4-run JIT warm-up
     # ([0.97, 0.74, 0.68, 0.59, ...] on an idle host), so a 3-run min
