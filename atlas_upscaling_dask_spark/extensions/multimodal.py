@@ -202,9 +202,17 @@ def media_info(payload: bytes) -> dict:
         return {"format": "mp4", "width": i["width"], "height": i["height"],
                 "n_frames": i["n_video_samples"],
                 "sample_rate": i["sample_rate"]}
+    if p[:5] == b"%PDF-":
+        from ..sources.pdf import parse_pdf_info
+
+        i = parse_pdf_info(p)
+        # the unified schema has no doc-specific fields: pages map to
+        # n_frames (the per-format census keeps the rest)
+        return {"format": "pdf", "width": None, "height": None,
+                "n_frames": i["n_pages"], "sample_rate": None}
     raise ValueError(
         "media_info: unrecognized payload (PNG/JPEG/GIF/WEBP/TIFF/AVI/"
-        "WAV/MP4 are the built-in formats)"
+        "WAV/MP4/PDF are the built-in formats)"
     )
 
 

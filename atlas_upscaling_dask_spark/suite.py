@@ -4737,8 +4737,155 @@ def _crawl_pagerank_oracle() -> str:
 _register("crawl_pagerank", _crawl_pagerank_q, _crawl_pagerank_oracle())
 
 
+def _pdf_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Groups of 5 docs share a PDF: 1 + g % 3 pages, page i's text is
+    # the closed formula "p{i} of (doc {g}) \\ end" (parens + backslash
+    # exercise the literal-string escapes), Producer "gen {g%7}".
+    # Emission form rotates: TJ arrays on odd groups, Flate on
+    # g % 10 < 5 — extraction must be invariant to both.  Every 7th
+    # group is an ENCRYPTED census fixture (extraction refuses those;
+    # they appear only in pdf_info).  Group-hash repartition from the
+    # one-split documents table (partition-from-work).
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32, F.col("doc_id") - F.col("doc_id") % 5)
+    )
+
+    def make_pdf(batches):
+        from atlas_upscaling_dask_spark.sources.pdf import encode_pdf
+
+        cache: dict[int, bytes] = {}
+        for pdf_batch in batches:
+            payloads = []
+            for did in pdf_batch["doc_id"]:
+                g = int(did) - int(did) % 5
+                if g not in cache:
+                    pages = [
+                        f"p{i} of (doc {g}) \\ end"
+                        for i in range(1 + g % 3)
+                    ]
+                    cache[g] = encode_pdf(
+                        pages,
+                        compress=(g % 10 < 5),
+                        producer=f"gen {g % 7}",
+                        use_tj_array=bool(g % 2),
+                        encrypt_stub=(g % 35 == 0),
+                    )
+                payloads.append(cache[g])
+            yield pd.DataFrame(
+                {"media_id": pdf_batch["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(make_pdf, schema="media_id long, payload binary")
+
+
+def _pdf_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Header-level census: the keep/drop decision a 100 TB corpus
+    # makes BEFORE extraction — version, page count, encrypted flag,
+    # producer, all analytic from the group formula.
+    import pandas as pd
+
+    media = _pdf_media(spark, sf_dir)
+
+    def kernel(batches):
+        from atlas_upscaling_dask_spark.sources.pdf import parse_pdf_info
+
+        for pdf_batch in batches:
+            infos = [
+                parse_pdf_info(bytes(p)) for p in pdf_batch["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf_batch["media_id"],
+                    "version": [i["version"] for i in infos],
+                    "n_pages": pd.array(
+                        [i["n_pages"] for i in infos], dtype="int32"
+                    ),
+                    "encrypted": [i["encrypted"] for i in infos],
+                    "producer": [i["producer"] for i in infos],
+                }
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, version string, n_pages int, "
+            "encrypted boolean, producer string"
+        ),
+    )
+
+
+_register(
+    "pdf_info",
+    _pdf_info_q,
+    """
+SELECT doc_id AS media_id,
+       '1.4' AS version,
+       CAST(1 + (doc_id - doc_id % 5) % 3 AS INTEGER) AS n_pages,
+       (doc_id - doc_id % 5) % 35 = 0 AS encrypted,
+       'gen ' || CAST((doc_id - doc_id % 5) % 7 AS VARCHAR) AS producer
+FROM documents
+""",
+)
+
+
+def _pdf_text_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL pipeline: linear object scan → Flate inflate → text-operator
+    # fold with literal-string unescaping; the oracle rebuilds the same
+    # page text from the closed formula (string_agg over the page
+    # range).  Encrypted groups are census-only and excluded here the
+    # way a real pipeline screens them out first.
+    import pandas as pd
+
+    media = _pdf_media(spark, sf_dir).filter(
+        (F.col("media_id") - F.col("media_id") % 5) % 35 != 0
+    )
+
+    def kernel(batches):
+        from atlas_upscaling_dask_spark.sources.pdf import (
+            extract_pdf_text,
+        )
+
+        cache: dict[int, str] = {}
+        for pdf_batch in batches:
+            texts = []
+            for did, payload in zip(
+                pdf_batch["media_id"], pdf_batch["payload"]
+            ):
+                g = int(did) - int(did) % 5
+                if g not in cache:
+                    cache[g] = extract_pdf_text(bytes(payload))
+                texts.append(cache[g])
+            yield pd.DataFrame(
+                {"media_id": pdf_batch["media_id"], "text": texts}
+            )
+
+    return media.mapInPandas(kernel, schema="media_id long, text string")
+
+
+_register(
+    "pdf_text_extract",
+    _pdf_text_extract_q,
+    r"""
+SELECT d.doc_id AS media_id,
+       string_agg(
+           'p' || CAST(i.range AS VARCHAR) || ' of (doc '
+           || CAST(d.doc_id - d.doc_id % 5 AS VARCHAR) || ') \ end',
+           chr(10) ORDER BY i.range) AS text
+FROM documents d
+JOIN range(0, 3) i
+  ON i.range < 1 + (d.doc_id - d.doc_id % 5) % 3
+WHERE (d.doc_id - d.doc_id % 5) % 35 <> 0
+GROUP BY d.doc_id
+""",
+)
+
+
 def _media_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Mixed-format media corpus (8 formats rotating by doc_id) through
+    # Mixed-format media corpus (9 formats rotating by doc_id) through
     # ONE unified header-census pass — magic-byte dispatch to the
     # per-format parse_*_info, zero entropy decode anywhere; every
     # field analytic from doc_id.
@@ -4760,6 +4907,7 @@ def _media_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from atlas_upscaling_dask_spark.sources.gif import encode_gif
         from atlas_upscaling_dask_spark.sources.jpeg import encode_jpeg
         from atlas_upscaling_dask_spark.sources.mp4 import encode_mp4_stub
+        from atlas_upscaling_dask_spark.sources.pdf import encode_pdf
         from atlas_upscaling_dask_spark.sources.png import encode_png
         from atlas_upscaling_dask_spark.sources.wav import encode_wav
         from atlas_upscaling_dask_spark.sources.webp import (
@@ -4772,7 +4920,7 @@ def _media_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 d = int(did)
                 w, h = 8 + d % 11, 8 + d % 9
-                kind = d % 8
+                kind = d % 9
                 if kind == 0:
                     p = encode_png(np.zeros((h, w), np.uint8))
                 elif kind == 1:
@@ -4805,8 +4953,12 @@ def _media_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_video_samples=12 * (1 + d % 4),
                         sample_rate=16000,
                     )
-                else:
+                elif kind == 7:
                     p = encode_webp_lossless(np.zeros((h, w), np.uint8))
+                else:
+                    p = encode_pdf(
+                        ["census page"] * (1 + d % 4), compress=False
+                    )
                 payloads.append(p)
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
@@ -4825,22 +4977,23 @@ _register(
     _media_census_q,
     """
 SELECT doc_id AS media_id,
-       CASE CAST(doc_id % 8 AS INTEGER)
+       CASE CAST(doc_id % 9 AS INTEGER)
          WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
          WHEN 3 THEN 'tiff' WHEN 4 THEN 'avi' WHEN 5 THEN 'wav'
-         WHEN 6 THEN 'mp4' ELSE 'webp' END AS format,
-       CAST(CASE WHEN doc_id % 8 = 5 THEN NULL
+         WHEN 6 THEN 'mp4' WHEN 7 THEN 'webp' ELSE 'pdf' END AS format,
+       CAST(CASE WHEN doc_id % 9 IN (5, 8) THEN NULL
                  ELSE 8 + doc_id % 11 END AS INTEGER) AS width,
-       CAST(CASE WHEN doc_id % 8 = 5 THEN NULL
+       CAST(CASE WHEN doc_id % 9 IN (5, 8) THEN NULL
                  ELSE 8 + doc_id % 9 END AS INTEGER) AS height,
-       CAST(CASE CAST(doc_id % 8 AS INTEGER)
+       CAST(CASE CAST(doc_id % 9 AS INTEGER)
          WHEN 2 THEN 1 + doc_id % 3
          WHEN 3 THEN 2
          WHEN 4 THEN 3
          WHEN 5 THEN 100 + doc_id % 50
          WHEN 6 THEN 12 * (1 + doc_id % 4)
+         WHEN 8 THEN 1 + doc_id % 4
          ELSE 1 END AS BIGINT) AS n_frames,
-       CAST(CASE CAST(doc_id % 8 AS INTEGER)
+       CAST(CASE CAST(doc_id % 9 AS INTEGER)
          WHEN 5 THEN 8000 * (1 + doc_id % 4)
          WHEN 6 THEN 16000
          END AS INTEGER) AS sample_rate

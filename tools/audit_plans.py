@@ -770,6 +770,17 @@ def audited_queries():
             QUERIES["webp_lossy_alpha_digest"],
             {"max_shuffles": 1},
         ),
+        # PDF census: one group-hash exchange, then header-only kernel
+        "pdf_info": (
+            QUERIES["pdf_info"],
+            {"max_shuffles": 1},
+        ),
+        # PDF text extraction: one group-hash exchange, linear-scan +
+        # inflate kernel (the filter on encrypted groups is codegen)
+        "pdf_text_extract": (
+            QUERIES["pdf_text_extract"],
+            {"max_shuffles": 1},
+        ),
         # per-host Crawl-delay: kernel over the tiny robots table
         "robots_crawl_delays": (
             QUERIES["robots_crawl_delays"],
