@@ -26,12 +26,14 @@ Scope, from the public spec:
   continuations); ``Td``/``TD``/``T*``/``BT`` breaks join as spaces.
 
 Out of contract, documented: encrypted documents (census flags them,
-extraction raises), cross-reference STREAMS (PDF 1.5 compressed
-object streams — the census and linear scan still work for
-uncompressed objects; object-stream-packed text raises a named
-error), and non-simple encodings (CID/Type0 fonts' 2-byte strings
-extract as their raw bytes — lossy, flagged by the caller's quality
-screens, never a crash).
+extraction raises — their streams are ciphertext), non-Flate stream
+filters (named error), and non-simple encodings (CID/Type0 fonts'
+2-byte strings extract as their raw bytes — lossy, flagged by the
+caller's quality screens, never a crash).  PDF 1.5 compressed object
+streams are NOT a text barrier: §7.5.7 forbids stream objects inside
+them, so page content always sits top-level and extraction skips
+/ObjStm safely; only the census page COUNT can undercount (page
+dictionaries may be packed), which `has_object_streams` flags.
 
 Reference parity note: the reference repo has no document formats;
 this is extension scope alongside WARC/HTML for the crawl-corpus
@@ -188,12 +190,17 @@ def parse_pdf_info(data: bytes) -> dict:
         producer = _decode_pdf_string(pm.group(1)).decode(
             "latin-1", "replace"
         )
+    # PDF 1.5 compressed object streams hold page DICTIONARIES (never
+    # content streams, §7.5.7), so n_pages may undercount when present
+    # — the flag tells the caller the count is a lower bound
+    has_objstm = re.search(rb"/Type\s*/ObjStm\b", data) is not None
     return {
         "version": version,
         "n_pages": n_pages,
         "encrypted": encrypted,
         "producer": producer,
         "n_objects": len(_OBJ_RE.findall(data)),
+        "has_object_streams": has_objstm,
     }
 
 
@@ -259,12 +266,11 @@ def _iter_content_streams(data: bytes):
             continue
         head = body[:s]
         if re.search(rb"/Type\s*/(XObject|Metadata|ObjStm|XRef)", head):
-            if b"/ObjStm" in head:
-                raise NotImplementedError(
-                    "PDF 1.5 compressed object streams (/ObjStm) are a "
-                    "documented contract boundary — text packed in "
-                    "object streams needs the xref-stream reader"
-                )
+            # ObjStm/XRef (PDF 1.5 compressed objects) hold only
+            # NON-stream objects — §7.5.7 forbids stream objects
+            # inside them — so page CONTENT always sits top-level and
+            # skipping these loses no text; XObject/Metadata streams
+            # carry no page text
             continue
         # skip the `stream` keyword + EOL
         p = s + len(b"stream")

@@ -94,19 +94,26 @@ def test_flate_stream_and_corruption():
         extract_pdf_text(bad)
 
 
-def test_unsupported_filter_and_objstm_named():
+def test_unsupported_filter_named_and_objstm_skipped():
     doc = (
         b"%PDF-1.5\n1 0 obj\n<< /Length 4 /Filter /LZWDecode >>\n"
         b"stream\nabcd\nendstream\nendobj\n%%EOF\n"
     )
     with pytest.raises(NotImplementedError, match="LZWDecode"):
         extract_pdf_text(doc)
+    # §7.5.7: content streams can't live inside object streams, so a
+    # 1.5-style document's top-level text extracts and the ObjStm is
+    # skipped (not an error); the census flags the possible page
+    # undercount
     objstm = (
-        b"%PDF-1.5\n1 0 obj\n<< /Type /ObjStm /Length 2 >>\n"
-        b"stream\nab\nendstream\nendobj\n%%EOF\n"
+        b"%PDF-1.5\n1 0 obj\n<< /Type /ObjStm /N 2 /Length 2 >>\n"
+        b"stream\nab\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Length 13 >>\nstream\nBT (text) Tj ET"
+        b"\nendstream\nendobj\n%%EOF\n"
     )
-    with pytest.raises(NotImplementedError, match="ObjStm"):
-        extract_pdf_text(objstm)
+    assert extract_pdf_text(objstm) == "text"
+    info = parse_pdf_info(objstm)
+    assert info["has_object_streams"] is True
 
 
 def test_encrypted_census_and_refusal():
@@ -126,6 +133,7 @@ def test_census_fields_and_not_a_pdf():
         "encrypted": False,
         "producer": "prod (v1.0)",
         "n_objects": 8,
+        "has_object_streams": False,
     }
     with pytest.raises(ValueError, match="not a PDF"):
         parse_pdf_info(b"GIF89a")
