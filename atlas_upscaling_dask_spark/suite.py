@@ -4516,6 +4516,117 @@ FROM m
 )
 
 
+def _crawl_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The composed frontier transform (streaming's batch kernel,
+    # r10 verdict #5): redirect-terminus keying + RFC 9111 schedule +
+    # robots politeness floor, ONE oracle row.  Same chain fixture as
+    # redirect_chains (groups of 4, every 13th group a 4-cycle), plus:
+    # cache headers rotate by g % 3 (max-age / no-store / none) and
+    # even-g hosts declare Crawl-delay 100*(g%5) — next_fetch_ts must
+    # be the MAX of the freshness and politeness floors.
+    from .streaming.ingest import frontier_updates
+
+    d = F.col("doc_id")
+    g = d - d % 4
+    i = d % 4
+
+    def s(x):
+        return x.cast("string")
+
+    url = F.concat(
+        F.lit("HTTP://R"), s(g), F.lit(".Example.com/hop/"), s(i)
+    )
+    is_cycle = g % 13 == 0
+    status = F.when(is_cycle | (i < 3), F.lit(301)).otherwise(F.lit(200))
+    location = F.when(
+        is_cycle, F.concat(F.lit("/hop/"), s((i + 1) % 4))
+    ).when(i < 3, F.concat(F.lit("/hop/"), s(i + 1)))
+    cache_control = (
+        F.when(g % 3 == 0, F.concat(F.lit("max-age="), s(300 + g % 900)))
+        .when(g % 3 == 1, F.lit("no-store"))
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("url", url)
+        .withColumn("fetch_ts", (F.lit(1_000_000) + d).cast("long"))
+        .withColumn("http_status", status)
+        .withColumn("http_location", location)
+        .withColumn("http_cache_control", cache_control)
+        .withColumn("http_expires", F.lit(None).cast("string"))
+        .withColumn("http_last_modified", F.lit(None).cast("string"))
+    )
+    robots = (
+        docs.select((d - d % 4).alias("g"))
+        .distinct()
+        .filter(F.col("g") % 2 == 0)
+        .select(
+            F.concat(
+                F.lit("r"), F.col("g").cast("string"),
+                F.lit(".example.com"),
+            ).alias("host"),
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: "),
+                (F.col("g") % 5 * 100).cast("string"),
+                F.lit("\nDisallow: /private\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    out = frontier_updates(docs, robots=robots, max_hops=16)
+    return out.select(
+        "fetch_ts",
+        "final_url",
+        "host",
+        "next_fetch_ts",
+        "ttl_sec",
+        "freshness_source",
+        "crawl_delay_sec",
+        F.col("n_hops").cast("int").alias("n_hops"),
+        F.col("unresolved").cast("int").alias("unresolved"),
+    )
+
+
+_register(
+    "crawl_frontier",
+    _crawl_frontier_q,
+    """
+WITH m AS (
+  SELECT doc_id,
+         doc_id - doc_id % 4 AS g,
+         doc_id % 4 AS i,
+         1000000 + doc_id AS fetch_ts
+  FROM documents
+), sched AS (
+  SELECT *,
+         CASE WHEN g % 3 = 0 THEN 300 + g % 900
+              WHEN g % 3 = 1 THEN 0
+              ELSE 86400 END AS ttl_sec,
+         CASE WHEN g % 2 = 0 THEN CAST(g % 5 * 100 AS DOUBLE)
+              ELSE 0.0 END AS crawl_delay_sec
+  FROM m
+)
+SELECT CAST(fetch_ts AS BIGINT) AS fetch_ts,
+       'http://r' || CAST(g AS VARCHAR) || '.example.com/hop/' ||
+       CAST(CASE WHEN g % 13 = 0 THEN i ELSE 3 END AS VARCHAR)
+         AS final_url,
+       'r' || CAST(g AS VARCHAR) || '.example.com' AS host,
+       CAST(GREATEST(fetch_ts + ttl_sec,
+                     fetch_ts + CAST(CEIL(crawl_delay_sec) AS BIGINT))
+            AS BIGINT) AS next_fetch_ts,
+       CAST(ttl_sec AS BIGINT) AS ttl_sec,
+       CASE WHEN g % 3 = 0 THEN 'max-age'
+            WHEN g % 3 = 1 THEN 'no-cache'
+            ELSE 'default' END AS freshness_source,
+       crawl_delay_sec,
+       CAST(CASE WHEN g % 13 = 0 THEN 16 ELSE 3 - i END AS INTEGER)
+         AS n_hops,
+       CAST(CASE WHEN g % 13 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS unresolved
+FROM sched
+""",
+)
+
+
 def _url_dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Groups of 5 docs share one canonical URL but NO two raw
     # spellings in a group match (case, default port, dot-segments,

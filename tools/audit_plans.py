@@ -728,6 +728,13 @@ def audited_queries():
             QUERIES["redirect_chains"],
             {"max_shuffles": 3, "no_python_udf": True},
         ),
+        # composed frontier transform: redirect doubling (log-bounded)
+        # + canonical join-back + BROADCAST politeness join; budget
+        # covers the doubling rounds plus the join-back
+        "crawl_frontier": (
+            QUERIES["crawl_frontier"],
+            {"max_shuffles": 6, "no_python_udf": True},
+        ),
         # sitemap <url> entries: one regex/HOF projection + explode
         "sitemap_entries": (
             QUERIES["sitemap_entries"],
