@@ -958,6 +958,10 @@ def decode_vp8_frame(payload: bytes, loop_filter: bool = True) -> dict:
     w, h = tag["width"], tag["height"]
     if w == 0 or h == 0:
         raise ValueError("VP8 frame with zero dimension")
+    if tag["first_part_size"] == 0:
+        # a header-only census stub (or a truncated fetch) — decoding
+        # zero bits would silently fabricate a frame
+        raise ValueError("VP8 frame with empty first partition")
     first = payload[10 : 10 + tag["first_part_size"]]
     if len(first) < tag["first_part_size"]:
         raise ValueError("truncated VP8 first partition")

@@ -630,3 +630,47 @@ def test_animated_lossy_frames_composite():
     _, canvas = frames[0]
     assert (canvas[:, :, 0] == 77).all()
     assert (canvas[:, :, 3] == 255).all()
+
+
+def test_census_stub_payload_refused():
+    """encode_webp_lossy_stub frames are header-only (census
+    fixtures); the decoder must refuse rather than fabricate pixels
+    from zero bits."""
+    from atlas_upscaling_dask_spark.sources.webp import (
+        encode_webp_lossy_stub,
+        iter_riff_chunks,
+    )
+
+    stub = encode_webp_lossy_stub(32, 32)
+    chunks = dict(iter_riff_chunks(stub))
+    with pytest.raises(ValueError, match="empty first partition"):
+        V.decode_vp8_frame(chunks[b"VP8 "])
+
+
+def test_bool_coder_property_round_trip():
+    """Hypothesis: any (bit, prob) sequence round-trips through the
+    §8 encoder / §7 decoder pair, including degenerate all-one and
+    all-zero runs at extreme probabilities."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=1),
+                st.integers(min_value=1, max_value=254),
+            ),
+            min_size=1,
+            max_size=600,
+        )
+    )
+    def inner(seq):
+        be = V.BoolEncoder()
+        for b, p in seq:
+            be.bool(b, p)
+        bd = V.BoolDecoder(be.getvalue())
+        for b, p in seq:
+            assert bd.bool(p) == b
+
+    inner()
