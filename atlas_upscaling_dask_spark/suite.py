@@ -9982,6 +9982,90 @@ _register(
 )
 
 
+def _tfrecord_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ML-export fidelity end-to-end: write the documents table as
+    # TFRecord tf.train.Example files (crc32c framing + hand-rolled
+    # protobuf, sources/tfrecord.py), scan them back DISTRIBUTED,
+    # prove nothing changed.  int64/bytes features are exact by
+    # construction; the oracle is the original table, so any framing,
+    # varint, escaping or utf-8 drift in either direction breaks the
+    # hash.
+    import tempfile
+
+    from .sources.tfrecord import export_tfrecord, read_tfrecord
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="tfrec_rt_")
+    export_tfrecord(docs, path)
+    return read_tfrecord(
+        spark,
+        path,
+        [
+            ("doc_id", "long"),
+            ("text", "string"),
+            ("lang", "string"),
+            ("source", "string"),
+            ("n_chars", "long"),
+        ],
+    )
+
+
+_register(
+    "tfrecord_roundtrip",
+    _tfrecord_roundtrip_q,
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+
+
+def _tfrecord_embeddings_roundtrip_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # The embedding-export path: float32 vectors ride the Example
+    # float_list (packed 32-bit LE), which is bit-exact for float32
+    # end-to-end — the property a training handoff depends on.
+    import tempfile
+
+    from .sources.tfrecord import export_tfrecord, read_tfrecord
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    path = tempfile.mkdtemp(prefix="tfrec_emb_")
+    export_tfrecord(emb, path)
+    rd = read_tfrecord(
+        spark,
+        path,
+        [
+            ("vec_id", "long"),
+            ("embedding", "float_array"),
+            ("label", "long"),
+        ],
+    )
+    # per-ELEMENT comparison: posexplode the read-back vectors so the
+    # oracle checks every float32 individually (both engines widen
+    # float32 -> float64 identically, so equality is bitwise)
+    return rd.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select("vec_id", "label", F.col("pos").cast("int"), "val")
+
+
+_register(
+    "tfrecord_embeddings_roundtrip",
+    _tfrecord_embeddings_roundtrip_q,
+    """
+SELECT e.vec_id, e.label,
+       CAST(i.range AS INTEGER) AS pos,
+       embedding[CAST(i.range AS INTEGER) + 1] AS val
+FROM embeddings e, range(0, 64) i
+WHERE i.range < len(e.embedding)
+""",
+)
+
+
 def _vox_zarr_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The reference's on-disk product end-to-end: build a 2-level
     # pyramid on the bulk path, write it as a REAL OME-Zarr v2 store

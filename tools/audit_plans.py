@@ -788,6 +788,12 @@ def audited_queries():
             QUERIES["pdf_text_extract"],
             {"max_shuffles": 1},
         ),
+        # TFRecord scan half of the roundtrip: one path-repartition
+        # exchange, then executor-local framing + proto decode
+        "tfrecord_roundtrip": (
+            QUERIES["tfrecord_roundtrip"],
+            {"max_shuffles": 1},
+        ),
         # per-host Crawl-delay: kernel over the tiny robots table
         "robots_crawl_delays": (
             QUERIES["robots_crawl_delays"],
