@@ -283,7 +283,12 @@ def export_tfrecord(df, path: str) -> None:
     executor-side (rows never visit the driver).  Column typing:
     integral -> int64_list, floating/array<float> -> float_list,
     string -> utf-8 bytes_list, binary -> bytes_list,
-    array<integral> -> int64_list."""
+    array<integral> -> int64_list.
+
+    ``path`` must be visible to every executor (shared filesystem /
+    mount) — the writers use plain file IO, like the zarr sinks; on a
+    multi-node cluster point it at the shared store, and size
+    partitions upstream (the `write_jsonl` policy)."""
     import pandas as pd
 
     os.makedirs(path, exist_ok=True)

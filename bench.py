@@ -428,6 +428,9 @@ def main() -> None:
         # VP8 lossy keyframe decode (RFC 6386 bool coder + intra
         # prediction per group, group-hash repartitioned from the work)
         "webp_lossy_decode",
+        # PDF text extraction (linear object scan + Flate inflate +
+        # operator fold) — the document-corpus codec price
+        "pdf_text_extract",
     ]
     # asof's isolated profile is a ~4-run JIT warm-up
     # ([0.97, 0.74, 0.68, 0.59, ...] on an idle host), so a 3-run min
