@@ -1420,20 +1420,13 @@ def apply_frontier_updates(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            latest.repartition(max(1, len(touched)), F.col("bucket"))
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(table_path)
-        )
-    finally:
-        if prev is not None:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
+    (
+        latest.repartition(max(1, len(touched)), F.col("bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(table_path)
+    )
 
 
 def read_frontier_due(
