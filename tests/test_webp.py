@@ -125,8 +125,11 @@ def test_census_errors():
         parse_webp_info(good[:-3])
 
 
-def test_lossy_decode_is_contract_error():
-    with pytest.raises(NotImplementedError, match="RFC 6386"):
+def test_lossy_stub_payload_is_rejected_not_fabricated():
+    # round 11: lossy VP8 keyframes now DECODE (sources/vp8.py); the
+    # census stub's header-only payload must be refused, not decoded
+    # from zero bits (tests/test_vp8.py covers the real decode paths)
+    with pytest.raises(ValueError, match="empty first partition"):
         decode_webp(encode_webp_lossy_stub(16, 16))
 
 
