@@ -703,17 +703,23 @@ def apply_loop_filter(
     mb_rows: int,
 ) -> None:
     """In-place §15 loop filter over reconstructed planes.  `mb_info`
-    holds per-MB dicts with `has_coeffs` and `mode`; interior
-    (subblock) edges are skipped for coefficient-free non-B_PRED MBs,
-    MB edges always filter.  filter_type 1 = simple (luma only)."""
-    if level == 0:
-        return
-    interior, mb_lim, sub_lim, hev_t = filter_limits(level, sharpness)
+    holds per-MB dicts with `has_coeffs`, `mode` and optionally a
+    per-SEGMENT `level` override (§10 segmentation feature data);
+    interior (subblock) edges are skipped for coefficient-free
+    non-B_PRED MBs, MB edges always filter, and a level-0 MB is not
+    filtered at all.  filter_type 1 = simple (luma only)."""
+    limits_cache: dict[int, tuple] = {}
     planes_y = [(y, 16)]
     planes_uv = [(u, 8), (v, 8)]
     for my in range(mb_rows):
         for mx in range(mb_cols):
             mb = mb_info[my * mb_cols + mx]
+            lvl = mb.get("level", level)
+            if lvl == 0:
+                continue
+            if lvl not in limits_cache:
+                limits_cache[lvl] = filter_limits(lvl, sharpness)
+            interior, mb_lim, sub_lim, hev_t = limits_cache[lvl]
             inner = mb["has_coeffs"] or mb["mode"] == B_PRED
             if filter_type == 1:  # simple: luma only, 2-tap window
                 for plane, size in planes_y:
@@ -780,6 +786,7 @@ _COEF_PATHS = tree_paths(COEF_TREE)
 _YMODE_PATHS = tree_paths(KF_YMODE_TREE)
 _UVMODE_PATHS = tree_paths(UV_MODE_TREE)
 _BMODE_PATHS = tree_paths(BMODE_TREE)
+_SEGMENT_PATHS = tree_paths(MB_SEGMENT_TREE)
 
 
 def _parse_frame_tag(payload: bytes) -> dict:
@@ -842,6 +849,7 @@ def _parse_header(bd: BoolDecoder) -> dict:
     y_ac_qi = bd.literal(7)
     deltas = [bd.signed_literal(4) if bd.bool(128) else 0 for _ in range(5)]
     hdr["quant"] = dequant_factors(y_ac_qi, *deltas)
+    hdr["quant_deltas"] = deltas
     hdr["y_ac_qi"] = y_ac_qi
     hdr["refresh_entropy"] = bd.bool(128)
     probs = [
@@ -988,7 +996,28 @@ def decode_vp8_frame(payload: bytes, loop_filter: bool = True) -> dict:
             parts.append(BoolDecoder(rest[off : off + ln]))
             off += ln
 
-    qy, qy2, quv = hdr["quant"]["y"], hdr["quant"]["y2"], hdr["quant"]["uv"]
+    # per-segment feature application (§9.3/§10): quantizer index and
+    # loop-filter level come from the MB's segment when segmentation
+    # carries feature data (absolute or delta per abs_delta)
+    seg = hdr["segmentation"]
+    abs_d = seg.get("abs_delta", 0)
+    if seg["enabled"] and "q_deltas" in seg:
+        seg_quants = [
+            dequant_factors(
+                _clamp_q(qd if abs_d else hdr["y_ac_qi"] + qd),
+                *hdr["quant_deltas"],
+            )
+            for qd in seg["q_deltas"]
+        ]
+    else:
+        seg_quants = [hdr["quant"]] * 4
+    if seg["enabled"] and "lf_deltas" in seg:
+        seg_filter_levels = [
+            max(0, min(63, ld if abs_d else hdr["filter_level"] + ld))
+            for ld in seg["lf_deltas"]
+        ]
+    else:
+        seg_filter_levels = [hdr["filter_level"]] * 4
     probs = hdr["coef_probs"]
 
     # padded reconstruction planes: +1 top/left border, +4 right ext
@@ -1018,6 +1047,8 @@ def decode_vp8_frame(payload: bytes, loop_filter: bool = True) -> dict:
         for mx in range(mb_cols):
             mb = mbs[my * mb_cols + mx]
             ymode = mb["ymode"]
+            q = seg_quants[mb["segment"]]
+            qy, qy2, quv = q["y"], q["y2"], q["uv"]
             has_y2 = ymode != B_PRED
             y_plane_type = PLANE_Y_NO_DC if has_y2 else PLANE_Y_WITH_DC
             y_first = 1 if has_y2 else 0
@@ -1070,7 +1101,13 @@ def decode_vp8_frame(payload: bytes, loop_filter: bool = True) -> dict:
                         za[mx][c] = zl[r] = nz
                         has_coeffs |= bool(nz)
                         plane_blocks[sb] = coefs
-            mb_filter_info.append({"mode": ymode, "has_coeffs": has_coeffs})
+            mb_filter_info.append(
+                {
+                    "mode": ymode,
+                    "has_coeffs": has_coeffs,
+                    "level": seg_filter_levels[mb["segment"]],
+                }
+            )
 
             # ---- reconstruct luma
             x0, y0 = 1 + mx * 16, 1 + my * 16
@@ -1147,7 +1184,7 @@ def decode_vp8_frame(payload: bytes, loop_filter: bool = True) -> dict:
     yr = yp[1:, 1 : W16 + 1].astype(np.uint8)
     ur = up[1:, 1:].astype(np.uint8)
     vr = vp[1:, 1:].astype(np.uint8)
-    if loop_filter and hdr["filter_level"]:
+    if loop_filter and any(i["level"] for i in mb_filter_info):
         yr = yr.copy()
         ur = ur.copy()
         vr = vr.copy()
@@ -1268,13 +1305,18 @@ def encode_vp8_keyframe(
     prob_skip_false: int = 128,
     coef_prob_updates: dict | None = None,
     log2_parts: int = 0,
+    segmentation: dict | None = None,
 ) -> bytes:
     """Assemble a spec-grammar VP8 keyframe from explicit per-MB
     prediction records and QUANTIZED levels.  Each entry of ``mbs``
     (raster order): ``{"ymode", "bmodes" (16, B_PRED only), "uv_mode",
     "skip", "y_levels" (16x16 raster), "y2_levels" (16, non-B_PRED),
-    "u_levels"/"v_levels" (4x16)}``.  Levels are what the decoder
-    multiplies by the dequant factors — the caller owns exactness."""
+    "u_levels"/"v_levels" (4x16), "segment" (with segmentation)}``.
+    Levels are what the decoder multiplies by the dequant factors —
+    the caller owns exactness (per-SEGMENT factors when segmentation
+    carries q_deltas).  ``segmentation``: ``{"abs_delta": 0|1,
+    "q_deltas": [4], "lf_deltas": [4], "tree_probs": [3]}`` — emits
+    the §9.3 grammar and the per-MB segment ids."""
     mb_cols = (width + 15) // 16
     mb_rows = (height + 15) // 16
     if len(mbs) != mb_cols * mb_rows:
@@ -1291,7 +1333,33 @@ def encode_vp8_keyframe(
     be = BoolEncoder()
     be.bool(0, 128)  # color space
     be.bool(0, 128)  # clamping
-    be.bool(0, 128)  # segmentation disabled
+    if segmentation is None:
+        be.bool(0, 128)  # segmentation disabled
+    else:
+        seg_tree_probs = segmentation.get("tree_probs", [128, 128, 128])
+        be.bool(1, 128)  # enabled
+        be.bool(1, 128)  # update_mb_segmentation_map
+        has_data = (
+            "q_deltas" in segmentation or "lf_deltas" in segmentation
+        )
+        be.bool(1 if has_data else 0, 128)
+        if has_data:
+            be.bool(segmentation.get("abs_delta", 0), 128)
+            for qd in segmentation.get("q_deltas", [0, 0, 0, 0]):
+                if qd or "q_deltas" in segmentation:
+                    be.bool(1, 128)
+                    be.signed_literal(qd, 7)
+                else:
+                    be.bool(0, 128)
+            for ld in segmentation.get("lf_deltas", [0, 0, 0, 0]):
+                if ld or "lf_deltas" in segmentation:
+                    be.bool(1, 128)
+                    be.signed_literal(ld, 6)
+                else:
+                    be.bool(0, 128)
+        for tp in seg_tree_probs:
+            be.bool(1, 128)
+            be.literal(tp, 8)
     be.bool(filter_type & 1, 128)
     be.literal(filter_level, 6)
     be.literal(sharpness, 3)
@@ -1319,6 +1387,13 @@ def encode_vp8_keyframe(
         left_sub = [B_DC_PRED] * 4
         for mx in range(mb_cols):
             mb = mbs[my * mb_cols + mx]
+            if segmentation is not None:
+                be.tree(
+                    MB_SEGMENT_TREE,
+                    segmentation.get("tree_probs", [128, 128, 128]),
+                    mb.get("segment", 0),
+                    _SEGMENT_PATHS,
+                )
             if mb_no_coeff_skip:
                 be.bool(1 if mb.get("skip") else 0, prob_skip_false)
             ymode = mb["ymode"]

@@ -674,3 +674,118 @@ def test_bool_coder_property_round_trip():
             assert bd.bool(p) == b
 
     inner()
+
+
+def test_segmentation_per_segment_quantizers():
+    """§9.3/§10 feature data APPLIED, not just parsed: two MBs in
+    different segments carry the same DC level but segment 1's
+    absolute quantizer index 4 (dc quant 8) doubles the dequantized
+    value — pixels must differ accordingly.  Level 8 at dcq 4 gives
+    (32+4)>>3 = 4; at dcq 8 gives (64+4)>>3 = 8."""
+    y2 = [0] * 16
+    seg_cfg = {
+        "abs_delta": 1,
+        "q_deltas": [0, 4, 0, 0],  # segment 0: qi 0 (dcq 4); seg 1: qi 4 (dcq 8)
+        "tree_probs": [128, 128, 128],
+    }
+
+    def mb_with_dc(level):
+        lv = [[0] * 16 for _ in range(16)]
+        for sb in range(16):
+            lv[sb][0] = level
+        return {
+            "ymode": V.B_PRED, "bmodes": [V.B_DC_PRED] * 16,
+            "uv_mode": V.DC_PRED, "y_levels": lv,
+        }
+
+    mbs = [
+        {**mb_with_dc(8), "segment": 0},
+        {**mb_with_dc(8), "segment": 1},
+    ]
+    out = V.decode_vp8_frame(
+        V.encode_vp8_keyframe(32, 16, mbs, segmentation=seg_cfg)
+    )
+    assert [m["segment"] for m in out["mbs"]] == [0, 1]
+    # MB 0 block(0,0): pred 128, +4 -> 132; MB 1 inherits its left
+    # neighbor's chain but the residual is +8 per block
+    assert out["y"][0, 0] == 132
+    # segment 1's first block: pred from (above=127 border, left=MB0's
+    # rightmost col) — verify the DELTA is 8 not 4 by re-decoding with
+    # no segmentation at qi 0 and comparing the first block's lift
+    base = V.decode_vp8_frame(V.encode_vp8_keyframe(32, 16, [
+        {**mb_with_dc(8)}, {**mb_with_dc(8)},
+    ]))
+    # same prediction chain in MB0 (segment 0 == base q)
+    assert np.array_equal(out["y"][:, :16], base["y"][:, :16])
+    assert not np.array_equal(out["y"][:, 16:], base["y"][:, 16:])
+    # pinpoint: decoded(seg) - pred == 8 where base shows +4
+    # (block-level: reconstruct predictions implied by decoded planes)
+    assert int(out["y"][0, 16]) - int(base["y"][0, 16]) == 4
+
+
+def test_segmentation_delta_mode_and_lf_levels():
+    """Delta (non-absolute) quantizer deltas add to the base index,
+    and per-segment loop-filter levels turn filtering OFF for a
+    segment whose level lands at 0."""
+    bv_left = 120
+    bv_right = 136
+
+    def flat_mb(val):
+        lv = [[0] * 16 for _ in range(16)]
+        # B_DC chain: first block pred 128 handled via per-block DC
+        return {
+            "ymode": V.B_PRED, "bmodes": [V.B_DC_PRED] * 16,
+            "uv_mode": V.DC_PRED, "y_levels": lv,
+        }
+
+    # build two flat MBs via the gray-block construction, then re-encode
+    # with segmentation lf_deltas: frame level 20, segment 1 delta -20
+    bv = np.zeros((4, 8), dtype=np.int64)
+    bv[:, :4] = bv_left
+    bv[:, 4:] = bv_right
+    pred = np.zeros_like(bv)
+    for r in range(4):
+        for c in range(8):
+            above = bv[r - 1, c] if r else 127
+            left = bv[r, c - 1] if c else 129
+            pred[r, c] = (4 * above + 4 * left + 4) >> 3
+    t = bv - pred
+    mbs = []
+    for mx in range(2):
+        y_levels = []
+        for sb in range(16):
+            r, c = divmod(sb, 4)
+            lv = [0] * 16
+            lv[0] = 2 * int(t[r, mx * 4 + c])
+            y_levels.append(lv)
+        mbs.append({
+            "ymode": V.B_PRED, "bmodes": [V.B_DC_PRED] * 16,
+            "uv_mode": V.DC_PRED, "y_levels": y_levels,
+            # an MB's left/top edges filter with the MB's OWN level,
+            # so put the ACTIVE segment on MB 1 (it owns the x=16 edge)
+            "segment": 1 - mx,
+        })
+    seg_cfg = {
+        "abs_delta": 0,
+        "q_deltas": [0, 0, 0, 0],
+        "lf_deltas": [0, -20, 0, 0],  # seg 0: 20+0=20; seg 1: 20-20=0
+        "tree_probs": [128, 128, 128],
+    }
+    filtered = V.decode_vp8_frame(
+        V.encode_vp8_keyframe(
+            32, 16, mbs, filter_level=20, segmentation=seg_cfg
+        )
+    )["y"]
+    # MB 1 (segment 0, level 20) filters its left MB edge: the same
+    # hand-math as the frame-level test — 122 124 127 | 129 132 134
+    assert filtered[0, 13:19].tolist() == [122, 124, 127, 129, 132, 134]
+    # flip: give BOTH MBs the level-0 segment -> identical to unfiltered
+    all_off = V.decode_vp8_frame(
+        V.encode_vp8_keyframe(
+            32, 16, [{**m, "segment": 1} for m in mbs],
+            filter_level=20, segmentation=seg_cfg,
+        )
+    )["y"]
+    assert (all_off[:, :16] == bv_left).all()
+    assert (all_off[:, 16:] == bv_right).all()
+    del flat_mb
