@@ -27,7 +27,14 @@ sys.path.insert(0, REPO)
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".localdata", "sf1")
 
-ROWS = ["image_phash_webp", "webp_anim_frame_digests", "webp_lossy_decode"]
+ROWS = [
+    "image_phash_webp",
+    "webp_anim_frame_digests",
+    "webp_lossy_decode",
+    # round-11 late additions: document + ML-export formats
+    "pdf_text_extract",
+    "tfrecord_roundtrip",
+]
 
 
 def main() -> None:
