@@ -142,3 +142,51 @@ def test_spark_export_scan_round_trip(spark, sf_dir, tmp_path):
     assert rd.exceptAll(docs).isEmpty() and docs.exceptAll(rd).isEmpty()
     with pytest.raises(ValueError, match="no .tfrecord files"):
         read_tfrecord(spark, str(tmp_path / "empty"), [("x", "long")])
+
+
+def test_example_codec_property_round_trip():
+    """Hypothesis: any feature dict of the supported value shapes
+    round-trips exactly through the hand-rolled proto codec."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalar = st.one_of(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.binary(max_size=40),
+        st.text(max_size=30),
+    )
+    value = st.one_of(
+        scalar,
+        st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            max_size=10,
+        ),
+        st.lists(st.binary(max_size=20), min_size=1, max_size=5),
+    )
+    feats = st.dictionaries(
+        st.text(
+            alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+            min_size=1,
+            max_size=12,
+        ),
+        value,
+        max_size=6,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(feats)
+    def inner(d):
+        dec = decode_example(encode_example(d))
+        for name, v in d.items():
+            vals = v if isinstance(v, list) else [v]
+            want = [
+                x.encode("utf-8") if isinstance(x, str) else x
+                for x in vals
+            ]
+            got = dec.get(name, [])
+            if want and isinstance(want[0], (bytes, bytearray)):
+                assert got == [bytes(w) for w in want]
+            else:
+                assert got == want
+
+    inner()
