@@ -9306,31 +9306,15 @@ SELECT z, y, x, label FROM ranked WHERE rk = 1
 #: green (rows+schema match, err null) — regenerated each round from
 #: the committed JSON files.
 _LAST_GREEN = {
-    # last driver-green in round 5 (14 rows)
-    "embed_pca_topk": 5, "funnel_steps": 5, "redact_pii": 5,
-    "repetition_stats": 5, "resample_ffill": 5, "tpch_q19_disjunctive": 5,
-    "tpch_q20_nested_in": 5, "tpch_q21_waiting": 5, "tpch_q22_global_sales": 5,
-    "vox_dilate_chunkpath": 5, "vox_extents_chunkpath": 5,
-    "vox_outline_wrap_chunkpath": 5, "vox_rechunk_fastpaths": 5,
-    "vox_zarr_roundtrip": 5,
-    # last driver-green in round 6 (50 rows)
+    # last driver-green in round 6 (21 rows)
     "approx_agg": 6, "array_functions": 6, "attribution_weights": 6,
-    "bloom_semi_join": 6, "cms_heavy_hitters": 6, "cube_counts": 6,
-    "date_arithmetic": 6, "dim_filter_project": 6, "dim_join_left": 6,
-    "distinct_agg": 6, "edit_distance_join": 6, "entity_resolution_parts": 6,
-    "event_neighbor_diff": 6, "event_transitions": 6, "frame_sample_plan": 6,
-    "grouping_sets": 6, "hierarchy_join": 6, "incremental_join_view": 6,
-    "multimodal_features": 6, "ndv_rolling_7d": 6, "ndv_setops_sketch": 6,
-    "null_semantics": 6, "pivot_returnflag": 6, "rollup_counts": 6,
-    "sorted_neighborhood": 6, "table_checksum": 6, "text_normalize": 6,
-    "topk_orders": 6, "tpch_q1_pricing": 6, "unpivot_lineitem": 6,
-    "vox_closure": 6, "vox_decimate": 6, "vox_decode": 6, "vox_extents": 6,
-    "vox_hierarchy": 6, "vox_histogram": 6, "vox_meta_report": 6,
-    "vox_outline": 6, "vox_outline_wrap": 6, "vox_point_lookup": 6,
-    "vox_pyramid": 6, "vox_resize": 6, "vox_rotate": 6, "vox_upscale2": 6,
-    "vox_verify_upscale": 6, "vox_zarr3_shard_roundtrip": 6,
-    "vox_zarr_blosc_roundtrip": 6, "window_frames": 6, "window_rank_topk": 6,
-    "window_running_sum": 6,
+    "bloom_semi_join": 6, "cms_heavy_hitters": 6, "date_arithmetic": 6,
+    "edit_distance_join": 6, "entity_resolution_parts": 6, "event_transitions":
+    6, "frame_sample_plan": 6, "incremental_join_view": 6, "ndv_rolling_7d": 6,
+    "ndv_setops_sketch": 6, "null_semantics": 6, "sorted_neighborhood": 6,
+    "table_checksum": 6, "text_normalize": 6, "unpivot_lineitem": 6,
+    "vox_zarr3_shard_roundtrip": 6, "vox_zarr_blosc_roundtrip": 6,
+    "window_frames": 6,
     # last driver-green in round 7 (50 rows)
     "asof_events_orders": 7, "asof_forward": 7, "bpe_pair_counts": 7,
     "chunk_documents": 7, "correlation_stats": 7, "decimate_lineitem": 7,
@@ -9405,6 +9389,25 @@ _LAST_GREEN = {
     10, "vox_point_after_upscale": 10, "vox_relabel": 10, "vox_tiff_scan": 10,
     "vox_zorder_code": 10, "warc_errors": 10, "warc_recrawl_schedule": 10,
     "webp_anim_frame_digests": 10, "webp_info": 10,
+    # last driver-green in round 11 (50 rows)
+    "crawl_frontier": 11, "cube_counts": 11, "dim_filter_project": 11,
+    "dim_join_left": 11, "distinct_agg": 11, "embed_pca_topk": 11,
+    "event_neighbor_diff": 11, "funnel_steps": 11, "grouping_sets": 11,
+    "hierarchy_join": 11, "multimodal_features": 11, "pdf_info": 11,
+    "pdf_text_extract": 11, "pivot_returnflag": 11, "redact_pii": 11,
+    "repetition_stats": 11, "resample_ffill": 11, "rollup_counts": 11,
+    "tfrecord_embeddings_roundtrip": 11, "tfrecord_roundtrip": 11,
+    "topk_orders": 11, "tpch_q19_disjunctive": 11, "tpch_q1_pricing": 11,
+    "tpch_q20_nested_in": 11, "tpch_q21_waiting": 11, "tpch_q22_global_sales":
+    11, "vox_closure": 11, "vox_decimate": 11, "vox_decode": 11,
+    "vox_dilate_chunkpath": 11, "vox_extents": 11, "vox_extents_chunkpath": 11,
+    "vox_hierarchy": 11, "vox_histogram": 11, "vox_meta_report": 11,
+    "vox_outline": 11, "vox_outline_wrap": 11, "vox_outline_wrap_chunkpath":
+    11, "vox_point_lookup": 11, "vox_pyramid": 11, "vox_rechunk_fastpaths": 11,
+    "vox_resize": 11, "vox_rotate": 11, "vox_upscale2": 11,
+    "vox_verify_upscale": 11, "vox_zarr_roundtrip": 11,
+    "webp_lossy_alpha_digest": 11, "webp_lossy_decode": 11, "window_rank_topk":
+    11, "window_running_sum": 11,
 }
 
 
