@@ -241,7 +241,7 @@ def minhash_signatures_wide(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    use_dictionary: bool = True,
+    use_dictionary: bool = False,
 ) -> DataFrame:
     """Per-document MinHash signature, wide form: (doc_id, sig_arr).
 
@@ -249,9 +249,15 @@ def minhash_signatures_wide(
     shingles, not raw tokens: with a small vocabulary the token *set*
     degenerates (every doc contains most of it), while the shingle
     space grows as vocab^n, so the signature tracks n-gram Jaccard as
-    MinHash theory intends.  ``use_dictionary=False`` replaces sid with
-    ``pmod(xxhash64(gram), p)`` — the narrow, dictionary-free scale
-    path.
+    MinHash theory intends.  The default (``use_dictionary=False``)
+    replaces sid with ``pmod(xxhash64(gram), p)`` — the narrow,
+    dictionary-free scale path with no global window anywhere.
+    ``use_dictionary=True`` is the oracle-portability backend: its
+    ``_shingle_dictionary`` assigns ids via an unpartitioned
+    ``dense_rank`` over the distinct shingle vocabulary (a
+    single-partition sort that dies at 100 TB) and exists only so
+    DuckDB can reproduce the exact signature; oracle rows opt into it
+    explicitly.
 
     MinHash is duplicate-insensitive, so the shingle frame skips its
     DISTINCT.  The xxhash backend computes the whole signature
@@ -309,7 +315,7 @@ def minhash_signatures(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    use_dictionary: bool = True,
+    use_dictionary: bool = False,
 ) -> DataFrame:
     """Narrow (doc_id, i, sig) view of ``minhash_signatures_wide``."""
     wide = minhash_signatures_wide(
@@ -328,7 +334,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    use_dictionary: bool = True,
+    use_dictionary: bool = False,
 ) -> DataFrame:
     """LSH-banded MinHash near-dup pairs with estimated similarity.
 
@@ -380,7 +386,7 @@ def simhash(
     bits: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
-    use_dictionary: bool = True,
+    use_dictionary: bool = False,
 ) -> DataFrame:
     """Per-document SimHash fingerprint (doc_id, simhash).
 

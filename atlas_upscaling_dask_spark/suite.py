@@ -1778,8 +1778,16 @@ WHERE inter / (s1.n + s2.n - inter) >= 0.6
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.dedup import minhash_lsh_pairs
 
+    # use_dictionary=True pins the oracle-portability backend (DuckDB
+    # reproduces the dense_rank shingle ids exactly); the library
+    # DEFAULT is the xxhash64 scale backend with no global window —
+    # audited as `dedup_minhash_scale` in tools/audit_plans.py.
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), num_hashes=16, bands=8, min_est_sim=0.5
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=8,
+        min_est_sim=0.5,
+        use_dictionary=True,
     )
 
 
@@ -1834,7 +1842,11 @@ SELECT d1, d2, est_sim FROM scored WHERE est_sim >= 0.5
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.dedup import simhash
 
-    return simhash(load_table(spark, sf_dir, "documents"), bits=16)
+    # dictionary backend pinned for the DuckDB oracle (dense_rank token
+    # ids); the library default is the xxhash64 scale backend.
+    return simhash(
+        load_table(spark, sf_dir, "documents"), bits=16, use_dictionary=True
+    )
 
 
 _register(
@@ -11571,27 +11583,59 @@ def _pareto_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # price AND earlier-or-equal date, one strict).  The naive answer
     # is an O(n²) dominance anti-join — the engine answer is
     # O(n log n): collapse to one row per distinct price (min date),
-    # running-min over the strictly-higher-price prefix (a ROWS frame,
-    # valid because the frame is per DISTINCT price), then one join
+    # running-min over the strictly-higher-price prefix, then one join
     # back.  The oracle IS the naive quadratic NOT EXISTS, proving the
-    # window rewrite loses nothing.  The price-ordered window is global
-    # but runs on the POST-AGGREGATION frame (one row per distinct
-    # price); at 100 TB prepend the local-skyline prefilter — the
-    # skyline of a union equals the skyline of per-partition skylines,
-    # so each partition prunes its dominated rows before the exchange.
+    # rewrite loses nothing.  The running min is DISTRIBUTED (same
+    # range-partition + broadcast-offset machinery as
+    # dedup.neighbor_pairs): range-partition the distinct-price frame
+    # by desc(price), take the per-partition running min with a window
+    # PARTITIONED by spark_partition_id, then combine with the
+    # exclusive prefix-min of the per-partition minima — a frame of
+    # n_ranges rows, broadcast back.  No data-sized frame ever funnels
+    # through a single partition; the only single-partition window left
+    # is the n_ranges-row prefix combine, a constant independent of
+    # data volume.
     o = load_table(spark, sf_dir, "orders")
     base = o.select(
         "o_orderkey",
         F.col("o_totalprice").alias("price"),
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("d_us"),
     )
+    n_ranges = 32
     pg = base.groupBy("price").agg(F.min("d_us").alias("dmin"))
-    wp = (
-        Window.orderBy(F.desc("price"))
+    # one row per DISTINCT price ⇒ desc(price) is a total order, so
+    # range partitions are disjoint price intervals and pid order IS
+    # price order (pid 0 = highest prices).  localCheckpoint pins the
+    # (sampled, non-deterministic) range boundaries so the offsets job
+    # and the join read the same pid assignment.
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy(F.desc("price"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    pg = pg.withColumn("m1", F.min("dmin").over(wp))
-    keep = base.join(pg, "price").filter(
+    local = (
+        pg.repartitionByRange(n_ranges, F.desc("price"))
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("mloc", F.min("dmin").over(wloc))
+        .localCheckpoint()
+    )
+    # exclusive prefix-min over <= n_ranges rows: single partition is
+    # fine at any data volume (row count is the config constant)
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.min("dmin").alias("_pmin"))
+        .withColumn("moff", F.min("_pmin").over(woff))
+        .select("_pid", "moff")
+    )
+    # least() skips NULLs, so partition 0 (moff NULL) and partition-first
+    # rows (mloc NULL) fall through to the other operand
+    pgm = (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("m1", F.least("moff", "mloc"))
+        .select("price", "dmin", "m1")
+    )
+    keep = base.join(pgm, "price").filter(
         (F.col("d_us") == F.col("dmin"))
         & (F.col("m1").isNull() | (F.col("m1") > F.col("d_us")))
     )

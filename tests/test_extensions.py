@@ -278,6 +278,28 @@ def test_exact_dedup_fingerprint_is_128_bit(spark):
     assert plan.lower().count("xxhash64") >= 2, plan
 
 
+def test_minhash_default_is_scale_backend(docs):
+    # the DEFAULT backend must be the xxhash64 scale path: no
+    # single-partition exchange (the dictionary's dense_rank would add
+    # one) and no dense_rank anywhere in the plan.  Oracle rows opt into
+    # use_dictionary=True explicitly; the library default must survive
+    # 100 TB.
+    from atlas_upscaling_dask_spark.extensions.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures_wide,
+        simhash,
+    )
+
+    for df in (
+        minhash_lsh_pairs(docs),
+        minhash_signatures_wide(docs),
+        simhash(docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
+        assert "dense_rank" not in plan.lower(), plan
+
+
 def test_minhash_backends_agree_on_near_dups(docs):
     # the xxhash64 scale backend and the portable dictionary backend must
     # both recover the exact-jaccard near-duplicate pairs

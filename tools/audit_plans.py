@@ -70,6 +70,18 @@ def check(name: str, plan: str, rules: dict) -> list[str]:
         errs.append("no WholeStageCodegen span")
     if rules.get("no_python_udf") and re.search(r"BatchEvalPython|PythonUDF", plan):
         errs.append("row-at-a-time Python UDF in plan")
+    if rules.get("no_single_partition") and "SinglePartition" in plan:
+        errs.append(
+            "plan funnels through Exchange SinglePartition (global sort/window)"
+        )
+    if "single_partition_budget" in rules:
+        n = len(re.findall(r"Exchange SinglePartition", plan))
+        if n > rules["single_partition_budget"]:
+            errs.append(
+                "SinglePartition budget exceeded: "
+                f"{n} > {rules['single_partition_budget']} (a data-sized "
+                "frame may be funneling through one partition)"
+            )
     return errs
 
 
@@ -141,7 +153,11 @@ def audited_queries():
         ),
         # MinHash scale path: signature phase is narrow; whole pipeline
         # = spread repartition + band join (2 sides from one exchange
-        # output) + pair agg
+        # output) + pair agg.  Called with LIBRARY DEFAULTS on purpose:
+        # the default backend must be the xxhash64 scale path, so this
+        # entry also pins "no unpartitioned window / global sort" — a
+        # dictionary dense_rank sneaking back into the default would
+        # trip no_single_partition.
         "dedup_minhash_scale": (
             lambda spark, sf_dir: __import__(
                 "atlas_upscaling_dask_spark.extensions.dedup",
@@ -150,9 +166,26 @@ def audited_queries():
                 __import__(
                     "atlas_upscaling_dask_spark.tables", fromlist=["load_table"]
                 ).load_table(spark, sf_dir, "documents"),
-                use_dictionary=False,
             ),
-            {"max_shuffles": 4, "no_python_udf": True},
+            {"max_shuffles": 4, "no_python_udf": True, "no_single_partition": True},
+        ),
+        # 2-D skyline: the running min over the distinct-price frame is
+        # range-partitioned + per-partition windows + an n_ranges-row
+        # prefix combine.  The ONE permitted SinglePartition exchange is
+        # that combine (row count = the n_ranges constant, independent
+        # of data volume); a second one means the data-sized window
+        # regressed to a global sort.  (The pre-checkpoint range
+        # repartition is audited implicitly: it precedes the
+        # localCheckpoint, so any global sort there would surface as a
+        # SinglePartition in the checkpoint job — covered by the
+        # oracle-checked run in the suite.)
+        "pareto_orders": (
+            QUERIES["pareto_orders"],
+            {
+                "max_shuffles": 4,
+                "no_python_udf": True,
+                "single_partition_budget": 1,
+            },
         ),
         # deterministic LCG shuffle + repetition signals: pure narrow
         # projections — reshuffling/rescoring 100 TB must cost zero
