@@ -11,7 +11,11 @@ TensorFlow dependency:
   implements for Zarr v3 sharding (`sinks/zarr3.crc32c`) and
   TensorFlow's mask ``((crc >> 15 | crc << 17) + 0xa282ead8)``.
   Reads VERIFY both CRCs — a torn or bit-flipped record is a named
-  error, not silent garbage.
+  error, not silent garbage.  The GZIP transport
+  (``TFRecordOptions(compression_type='GZIP')`` — the whole file is
+  one gzip member wrapping the unchanged framing) writes via
+  ``compression='GZIP'`` and is auto-detected on read by the gzip
+  magic; a torn member is a named error.
 * **Example protobuf** (proto3 wire format, hand-rolled):
   ``Example{features=1}`` → ``Features{map<string,Feature>=1}`` →
   map entries ``{key=1, value=2}`` → ``Feature`` oneof
@@ -66,10 +70,30 @@ def masked_crc32c(data: bytes) -> int:
 # framing
 
 
-def write_tfrecord_file(path: str, payloads) -> int:
-    """Write an iterable of serialized records; returns the count."""
+def write_tfrecord_file(path: str, payloads, compression: str | None = None) -> int:
+    """Write an iterable of serialized records; returns the count.
+
+    ``compression='GZIP'`` wraps the WHOLE file in a gzip member —
+    TensorFlow's ``TFRecordOptions(compression_type='GZIP')`` layout
+    (the record framing inside is unchanged; the compression is a
+    transport around the stream, not per-record).  ``mtime=0`` and an
+    empty FNAME pin the gzip header so identical record streams produce
+    identical bytes regardless of path or wall clock."""
+    import gzip
+
     n = 0
-    with open(path, "wb") as fh:
+    if compression not in (None, "", "GZIP"):
+        raise ValueError(
+            f"unsupported TFRecord compression {compression!r} "
+            "(supported: None, 'GZIP')"
+        )
+    raw = open(path, "wb")
+    fh = (
+        gzip.GzipFile(filename="", fileobj=raw, mode="wb", mtime=0)
+        if compression == "GZIP"
+        else raw
+    )
+    try:
         for payload in payloads:
             header = struct.pack("<Q", len(payload))
             fh.write(header)
@@ -77,11 +101,28 @@ def write_tfrecord_file(path: str, payloads) -> int:
             fh.write(payload)
             fh.write(struct.pack("<I", masked_crc32c(payload)))
             n += 1
+    finally:
+        if fh is not raw:
+            fh.close()
+        raw.close()
     return n
 
 
 def iter_tfrecord_file(data: bytes):
-    """Yield record payloads, verifying BOTH crcs (§framing above)."""
+    """Yield record payloads, verifying BOTH crcs (§framing above).
+
+    GZIP-compressed files (TF's ``TFRecordOptions`` GZIP transport) are
+    detected by the gzip magic — no extension convention required; a
+    torn or truncated gzip member is a named error before any record
+    parses."""
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+        import zlib
+
+        try:
+            data = gzip.decompress(data)
+        except (EOFError, zlib.error, OSError) as exc:
+            raise ValueError(f"torn gzip TFRecord member: {exc}")
     pos = 0
     n = len(data)
     while pos < n:
@@ -278,12 +319,13 @@ def decode_example(data: bytes) -> dict:
 # Spark-level export / scan
 
 
-def export_tfrecord(df, path: str) -> None:
+def export_tfrecord(df, path: str, compression: str | None = None) -> None:
     """Write a frame as TFRecord Examples, one file per partition,
     executor-side (rows never visit the driver).  Column typing:
     integral -> int64_list, floating/array<float> -> float_list,
     string -> utf-8 bytes_list, binary -> bytes_list,
-    array<integral> -> int64_list.
+    array<integral> -> int64_list.  ``compression='GZIP'`` writes
+    TF-style whole-file gzip members (readers detect by magic).
 
     ``path`` must be visible to every executor (shared filesystem /
     mount) — the writers use plain file IO, like the zarr sinks; on a
@@ -329,7 +371,7 @@ def export_tfrecord(df, path: str) -> None:
                     count += 1
                     yield encode_example(feats)
 
-        write_tfrecord_file(fname, payloads())
+        write_tfrecord_file(fname, payloads(), compression=compression)
         yield pd.DataFrame({"path": [fname], "n": [count]})
 
     df.mapInPandas(kernel, schema="path string, n long").write.format(

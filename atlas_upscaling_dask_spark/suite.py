@@ -10034,6 +10034,41 @@ _register(
 )
 
 
+def _tfrecord_roundtrip_gzip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same fidelity contract through TF's GZIP transport
+    # (TFRecordOptions(compression_type='GZIP'): the whole file is one
+    # gzip member around the unchanged crc32c framing).  The reader
+    # detects compression by the gzip magic, not by extension — mixed
+    # plain/gzip directories scan uniformly.
+    import tempfile
+
+    from .sources.tfrecord import export_tfrecord, read_tfrecord
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="tfrec_gz_")
+    export_tfrecord(docs, path, compression="GZIP")
+    return read_tfrecord(
+        spark,
+        path,
+        [
+            ("doc_id", "long"),
+            ("text", "string"),
+            ("lang", "string"),
+            ("source", "string"),
+            ("n_chars", "long"),
+        ],
+    )
+
+
+_register(
+    "tfrecord_roundtrip_gzip",
+    _tfrecord_roundtrip_gzip_q,
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+
+
 def _tfrecord_embeddings_roundtrip_q(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -64,6 +64,46 @@ def test_framing_corruption_named(tmp_path):
         list(iter_tfrecord_file(bytes(data[:-2])))
 
 
+def test_gzip_transport_round_trip(tmp_path):
+    """TF's GZIP TFRecordOptions layout: ONE gzip member wrapping the
+    unchanged framing; reader detects by magic (no extension
+    convention), bytes are deterministic (mtime pinned to 0)."""
+    import gzip
+
+    p = str(tmp_path / "t.tfrecord")
+    payloads = [b"abc", b"", b"\x00" * 10, b"tail"]
+    assert write_tfrecord_file(p, payloads, compression="GZIP") == 4
+    data = open(p, "rb").read()
+    assert data[:2] == b"\x1f\x8b"
+    # inner stream is byte-identical to the plain framing
+    p2 = str(tmp_path / "plain.tfrecord")
+    write_tfrecord_file(p2, payloads)
+    assert gzip.decompress(data) == open(p2, "rb").read()
+    assert list(iter_tfrecord_file(data)) == payloads
+    # determinism: same records -> same bytes
+    p3 = str(tmp_path / "t2.tfrecord")
+    write_tfrecord_file(p3, payloads, compression="GZIP")
+    assert open(p3, "rb").read() == data
+
+
+def test_gzip_torn_member_named(tmp_path):
+    p = str(tmp_path / "t.tfrecord")
+    write_tfrecord_file(p, [b"payload-bytes" * 50], compression="GZIP")
+    data = open(p, "rb").read()
+    with pytest.raises(ValueError, match="torn gzip"):
+        list(iter_tfrecord_file(data[: len(data) - 6]))
+    # a bit-flip inside the member trips the gzip crc, named the same way
+    flip = bytearray(data)
+    flip[len(flip) // 2] ^= 1
+    with pytest.raises(ValueError, match="torn gzip|crc"):
+        list(iter_tfrecord_file(bytes(flip)))
+
+
+def test_unknown_compression_rejected(tmp_path):
+    with pytest.raises(ValueError, match="unsupported TFRecord compression"):
+        write_tfrecord_file(str(tmp_path / "x"), [b"a"], compression="ZLIB")
+
+
 def test_example_round_trip_types():
     ex = {
         "i": 7,
@@ -142,6 +182,14 @@ def test_spark_export_scan_round_trip(spark, sf_dir, tmp_path):
     assert rd.exceptAll(docs).isEmpty() and docs.exceptAll(rd).isEmpty()
     with pytest.raises(ValueError, match="no .tfrecord files"):
         read_tfrecord(spark, str(tmp_path / "empty"), [("x", "long")])
+    # GZIP transport end-to-end through the same distributed scan
+    gz = str(tmp_path / "tfrec_gz")
+    export_tfrecord(docs, gz, compression="GZIP")
+    rdz = read_tfrecord(
+        spark, gz,
+        [("doc_id", "long"), ("text", "string"), ("n_chars", "long")],
+    )
+    assert rdz.exceptAll(docs).isEmpty() and docs.exceptAll(rdz).isEmpty()
 
 
 def test_example_codec_property_round_trip():
