@@ -4866,8 +4866,15 @@ def _pdf_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exercise the literal-string escapes), Producer "gen {g%7}".
     # Emission form rotates: TJ arrays on odd groups, Flate on
     # g % 10 < 5 — extraction must be invariant to both.  Every 7th
-    # group is an ENCRYPTED census fixture (extraction refuses those;
-    # they appear only in pdf_info).  Group-hash repartition from the
+    # group is ENCRYPTED for real under the standard security handler
+    # (empty user password — the dominant crawl case), cycling all
+    # four cipher flavors (RC4-40, RC4-128, AESV2, AESV3) by
+    # (g//35) % 4; the census labels the flavor and extraction
+    # authenticates + decrypts.  Every third group (g % 15 == 5)
+    # is a CID / Type0 Identity-H fixture: 2-byte hex show-strings
+    # decoded through a /ToUnicode CMap (ISO 32000 §9.10.3) — the same
+    # page text must extract EXACTLY, proving the CMap path, while the
+    # census flags the font class.  Group-hash repartition from the
     # one-split documents table (partition-from-work).
     import pandas as pd
 
@@ -4895,7 +4902,14 @@ def _pdf_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                         compress=(g % 10 < 5),
                         producer=f"gen {g % 7}",
                         use_tj_array=bool(g % 2),
-                        encrypt_stub=(g % 35 == 0),
+                        encrypt=(
+                            None
+                            if g % 35
+                            else ["rc4-40", "rc4-128", "aesv2", "aesv3"][
+                                (g // 35) % 4
+                            ]
+                        ),
+                        use_cid_font=(g % 15 == 5),
                     )
                 payloads.append(cache[g])
             yield pd.DataFrame(
@@ -4928,7 +4942,9 @@ def _pdf_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         [i["n_pages"] for i in infos], dtype="int32"
                     ),
                     "encrypted": [i["encrypted"] for i in infos],
+                    "encryption": [i["encryption"] for i in infos],
                     "producer": [i["producer"] for i in infos],
+                    "has_cid_fonts": [i["has_cid_fonts"] for i in infos],
                 }
             )
 
@@ -4936,7 +4952,8 @@ def _pdf_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         schema=(
             "media_id long, version string, n_pages int, "
-            "encrypted boolean, producer string"
+            "encrypted boolean, encryption string, producer string, "
+            "has_cid_fonts boolean"
         ),
     )
 
@@ -4949,23 +4966,28 @@ SELECT doc_id AS media_id,
        '1.4' AS version,
        CAST(1 + (doc_id - doc_id % 5) % 3 AS INTEGER) AS n_pages,
        (doc_id - doc_id % 5) % 35 = 0 AS encrypted,
-       'gen ' || CAST((doc_id - doc_id % 5) % 7 AS VARCHAR) AS producer
+       CASE WHEN (doc_id - doc_id % 5) % 35 = 0 THEN
+           ['RC4-40', 'RC4-128', 'AESV2', 'AESV3']
+           [1 + ((doc_id - doc_id % 5) // 35) % 4]
+       END AS encryption,
+       'gen ' || CAST((doc_id - doc_id % 5) % 7 AS VARCHAR) AS producer,
+       (doc_id - doc_id % 5) % 15 = 5 AS has_cid_fonts
 FROM documents
 """,
 )
 
 
 def _pdf_text_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # REAL pipeline: linear object scan → Flate inflate → text-operator
-    # fold with literal-string unescaping; the oracle rebuilds the same
-    # page text from the closed formula (string_agg over the page
-    # range).  Encrypted groups are census-only and excluded here the
-    # way a real pipeline screens them out first.
+    # REAL pipeline: linear object scan → (standard-security-handler
+    # authentication + decryption for the encrypted groups — empty
+    # user password, all four cipher flavors) → Flate inflate →
+    # text-operator fold with literal-string unescaping; the oracle
+    # rebuilds the same page text from the closed formula (string_agg
+    # over the page range) for ALL 100% of documents, proving the
+    # decrypt path yields byte-identical text.
     import pandas as pd
 
-    media = _pdf_media(spark, sf_dir).filter(
-        (F.col("media_id") - F.col("media_id") % 5) % 35 != 0
-    )
+    media = _pdf_media(spark, sf_dir)
 
     def kernel(batches):
         from atlas_upscaling_dask_spark.sources.pdf import (
@@ -5001,7 +5023,6 @@ SELECT d.doc_id AS media_id,
 FROM documents d
 JOIN range(0, 3) i
   ON i.range < 1 + (d.doc_id - d.doc_id % 5) % 3
-WHERE (d.doc_id - d.doc_id % 5) % 35 <> 0
 GROUP BY d.doc_id
 """,
 )

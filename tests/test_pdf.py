@@ -116,11 +116,13 @@ def test_unsupported_filter_named_and_objstm_skipped():
     assert info["has_object_streams"] is True
 
 
-def test_encrypted_census_and_refusal():
+def test_encrypted_stub_census_and_refusal():
+    # detection-only fixture: /Encrypt present but no /O //U entries,
+    # so authentication is impossible -- a named error, not garbage
     pdf = encode_pdf(["secret"], encrypt_stub=True)
     info = parse_pdf_info(pdf)
     assert info["encrypted"] is True
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    with pytest.raises(ValueError, match="cannot authenticate"):
         extract_pdf_text(pdf)
 
 
@@ -131,9 +133,11 @@ def test_census_fields_and_not_a_pdf():
         "version": "1.4",
         "n_pages": 2,
         "encrypted": False,
+        "encryption": None,
         "producer": "prod (v1.0)",
         "n_objects": 8,
         "has_object_streams": False,
+        "has_cid_fonts": False,
     }
     with pytest.raises(ValueError, match="not a PDF"):
         parse_pdf_info(b"GIF89a")
@@ -161,3 +165,187 @@ def test_non_stream_objects_skipped():
         b"\nendstream\nendobj\n%%EOF\n"
     )
     assert extract_pdf_text(doc) == "real"
+
+
+# ---------------------------------------------------------------------------
+# CID / Type0 fonts + /ToUnicode CMaps (ISO 32000 §9.10.3)
+
+
+def test_cid_fixture_round_trips_exact():
+    """Type0/Identity-H writer -> extractor, every emission form: text
+    (incl. non-ASCII forced through UTF-16BE) survives bit-exact."""
+    pages = ["p0 of (doc 5) \\ end ☃", "café line\nsecond ☃ line"]
+    for compress in (True, False):
+        for tj in (True, False):
+            pdf = encode_pdf(
+                pages, compress=compress, use_tj_array=tj, use_cid_font=True
+            )
+            assert extract_pdf_text(pdf) == "\n".join(pages), (compress, tj)
+
+
+def test_cid_writer_emits_both_bfrange_forms_and_bfchar():
+    # "abcdef" is a consecutive (code, codepoint) run -> bfrange;
+    # scattered chars -> bfchar; first run uses the ARRAY form
+    pdf = encode_pdf(["abcdef xz"], compress=False, use_cid_font=True)
+    assert b"beginbfrange" in pdf and b"beginbfchar" in pdf
+    assert b"[" in pdf[pdf.find(b"beginbfrange"):pdf.find(b"endbfrange")]
+    assert extract_pdf_text(pdf) == "abcdef xz"
+
+
+def test_census_has_cid_fonts_flag():
+    assert parse_pdf_info(encode_pdf(["x"], use_cid_font=True))["has_cid_fonts"]
+    assert not parse_pdf_info(encode_pdf(["x"]))["has_cid_fonts"]
+
+
+def test_hand_built_cmap_parser_spec_cases():
+    """Parser driven by a hand-written CMap, not the module's writer:
+    multi-width codespace, bfchar, both bfrange destination forms."""
+    from atlas_upscaling_dask_spark.sources.pdf import _parse_cmap
+
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"2 begincodespacerange\n<00> <80>\n<8140> <9FFC>\nendcodespacerange\n"
+        b"2 beginbfchar\n<41> <0041>\n<8140> <3000>\nendbfchar\n"
+        b"1 beginbfrange\n<50> <52> <0061>\nendbfrange\n"
+        b"1 beginbfrange\n<8150> <8152> [<4E00> <4E8C> <4E09>]\nendbfrange\n"
+        b"endcmap\nend\n"
+    )
+    ranges, mapping = _parse_cmap(cmap)
+    assert (b"\x00", b"\x80") in ranges and (b"\x81\x40", b"\x9f\xfc") in ranges
+    assert mapping[b"\x41"] == "A"
+    assert mapping[b"\x81\x40"] == "　"
+    # plain bfrange: last UTF-16 unit increments
+    assert mapping[b"\x50"] == "a" and mapping[b"\x52"] == "c"
+    # array bfrange: per-code destinations
+    assert mapping[b"\x81\x50"] == "一" and mapping[b"\x81\x52"] == "三"
+
+
+def test_cid_string_decoder_mixed_width_and_unmapped():
+    from atlas_upscaling_dask_spark.sources.pdf import _decode_cid_string
+
+    ranges = [(b"\x00", b"\x80"), (b"\x81\x40", b"\x9f\xfc")]
+    mapping = {b"\x41": "A", b"\x81\x40": "　"}
+    cmap = (ranges, mapping)
+    # 1-byte code, 2-byte code, 1-byte unmapped-in-codespace code
+    assert _decode_cid_string(b"\x41\x81\x40\x42", cmap) == "A　�"
+    # byte outside every codespace consumes the shortest width
+    assert _decode_cid_string(b"\xff\x41", cmap) == "�A"
+
+
+def test_cid_font_without_tounicode_falls_back():
+    """A Type0 font with no /ToUnicode has no public in-file mapping:
+    strings keep the latin-1 fallback (lossy, never a crash)."""
+    content = b"BT /F1 9 Tf <00410042> Tj ET"
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Page /Contents 2 0 R /Resources "
+        b"<< /Font << /F1 3 0 R >> >> >>\nendobj\n"
+        b"2 0 obj\n<< /Length " + str(len(content)).encode() +
+        b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        b"3 0 obj\n<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+        b">>\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(body) == "\x00A\x00B"
+    assert parse_pdf_info(body)["has_cid_fonts"]
+
+
+def test_hand_assembled_cid_document_extracts():
+    """CID extraction driven by hand-laid objects (indirect Resources,
+    Contents ARRAY, uncompressed CMap) — not the module's writer."""
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+        b"endcodespacerange\n2 beginbfchar\n<0001> <0048>\n<0002> <0069>\n"
+        b"endbfchar\nendcmap\n"
+    )
+    c1 = b"BT /Fx 9 Tf <0001> Tj ET"
+    c2 = b"BT /Fx 9 Tf <0002> Tj ET"
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Page /Contents [5 0 R 6 0 R] /Resources 2 0 R "
+        b">>\nendobj\n"
+        b"2 0 obj\n<< /Font << /Fx 3 0 R >> >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 4 0 R "
+        b">>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(cmap)).encode() +
+        b" >>\nstream\n" + cmap + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Length " + str(len(c1)).encode() +
+        b" >>\nstream\n" + c1 + b"\nendstream\nendobj\n"
+        b"6 0 obj\n<< /Length " + str(len(c2)).encode() +
+        b" >>\nstream\n" + c2 + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(body) == "H\ni"
+
+
+# ---------------------------------------------------------------------------
+# encrypted documents (ISO 32000 §7.6 standard security handler)
+
+
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aesv2", "aesv3"])
+def test_encrypted_round_trip_all_modes(mode):
+    """Writer really encrypts (V1/V2/V4/V5); reader authenticates with
+    the empty user password and extracts bit-exact text — including
+    through the CID /ToUnicode path, whose CMap stream is itself
+    ciphertext."""
+    pages = ["p0 of (doc 5) \\ end", "café line\nsecond line"]
+    for compress in (True, False):
+        for cid in (False, True):
+            pdf = encode_pdf(
+                pages,
+                compress=compress,
+                encrypt=mode,
+                use_cid_font=cid,
+                use_tj_array=cid,
+                producer="gen 3",
+            )
+            # streams must be real ciphertext: plaintext markers absent
+            assert b"p0 of" not in pdf
+            info = parse_pdf_info(pdf)
+            assert info["encrypted"] is True
+            assert info["encryption"] == {
+                "rc4-40": "RC4-40",
+                "rc4-128": "RC4-128",
+                "aesv2": "AESV2",
+                "aesv3": "AESV3",
+            }[mode]
+            assert info["producer"] == "gen 3"  # decrypted string
+            assert extract_pdf_text(pdf) == "\n".join(pages), (
+                mode, compress, cid,
+            )
+
+
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aesv2", "aesv3"])
+def test_encrypted_password_handling(mode):
+    pages = ["secret page"]
+    pdf = encode_pdf(pages, encrypt=mode)
+    # wrong password: named error, never garbage
+    with pytest.raises(ValueError, match="authenticate"):
+        extract_pdf_text(pdf, password=b"nope")
+    # the OWNER password authenticates too (Algorithm 7)
+    assert extract_pdf_text(pdf, password=b"fixture-owner") == "secret page"
+    # non-empty user password: empty fails, the right one works
+    locked = encode_pdf(pages, encrypt=mode, user_password=b"sekrit")
+    with pytest.raises(ValueError, match="authenticate"):
+        extract_pdf_text(locked)
+    assert extract_pdf_text(locked, password=b"sekrit") == "secret page"
+    # census label + producer recovery degrade gracefully when the
+    # empty password fails: flavor still reported, producer stays None
+    info = parse_pdf_info(locked)
+    assert info["encrypted"] and info["encryption"] is not None
+    assert info["producer"] is None
+
+
+def test_encrypted_fixture_bytes_deterministic():
+    pages = ["a", "b\nc"]
+    for mode in ("rc4-40", "rc4-128", "aesv2", "aesv3"):
+        assert encode_pdf(pages, encrypt=mode) == encode_pdf(
+            pages, encrypt=mode
+        )
+
+
+def test_nonstandard_handler_named():
+    pdf = bytearray(encode_pdf(["x"], encrypt="rc4-40"))
+    i = pdf.find(b"/Filter /Standard")
+    pdf[i : i + len(b"/Filter /Standard")] = b"/Filter /Custom12"
+    with pytest.raises(NotImplementedError, match="security handler"):
+        extract_pdf_text(bytes(pdf))
