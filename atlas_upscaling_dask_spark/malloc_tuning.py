@@ -1,0 +1,64 @@
+"""Per-process glibc malloc tuning for large-buffer kernels.
+
+The chunk-codec kernels (ome_zarr / zarr3 export+scan, MHD/TIFF scan,
+COO codec) allocate and free multi-megabyte buffers per chunk —
+decoded payloads, padded edge blocks, ``tobytes`` copies, compressed
+outputs.  Buffers above glibc's dynamic mmap threshold (~128 KB-32 MB)
+are serviced by ``mmap`` and **returned to the kernel on free**, so
+every chunk re-pays page-population: zeroing, TLB shootdowns, and on
+virtualized hosts the hypervisor's page-supply path (measured on the
+round-12 bench host: first-touch memcpy 0.11 GB/s vs 4.2 GB/s warm —
+a ~36 µs/page fault; a 2.4 MB chunk-buffer churn loop ran 3.1× faster
+with the thresholds pinned).
+
+``pin_large_alloc_reuse()`` raises ``M_MMAP_THRESHOLD`` and
+``M_TRIM_THRESHOLD`` so chunk-sized buffers come from the sbrk heap
+and stay mapped after free — pages are populated once per worker and
+reused for the life of the process.  This is a pure-win setting for
+long-lived Spark python workers running chunk pipelines: the heap
+high-water mark is a few chunk buffers per worker (bounded by the
+Arrow batch size), not data-sized.
+
+Idempotent, best-effort (no-op off glibc/Linux), and called at the
+top of each heavy kernel so it runs exactly once per worker process —
+kernels are shipped to executors by closure, so a driver-side setting
+would not reach them.
+"""
+
+from __future__ import annotations
+
+_PINNED = False
+
+_M_TRIM_THRESHOLD = -1
+_M_MMAP_THRESHOLD = -3
+# 64 MB: comfortably above every chunk-codec buffer (<= ~8 MB after
+# Arrow batching) so those reuse heap pages, but far below the
+# zarr3 SHARD assembly buffers (hundreds of MB) -- pinning those onto
+# the sbrk heap measurably regressed sharded export (r12 bench:
+# 6.1 s -> 18.5 s at 512 MB), because multi-hundred-MB spans churn
+# the main arena; above-threshold allocations keep mmap semantics.
+_PIN_BYTES = 64 * 1024 * 1024
+
+
+def pin_large_alloc_reuse() -> bool:
+    """Raise glibc's mmap/trim thresholds once per process; returns
+    True when the tuning applied (False on non-glibc platforms, or
+    when ``SPARK_GRAFT_NO_MALLOC_PIN`` is set — the A/B escape
+    hatch)."""
+    global _PINNED
+    if _PINNED:
+        return True
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_MALLOC_PIN"):
+        return False
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        ok = bool(libc.mallopt(_M_MMAP_THRESHOLD, _PIN_BYTES))
+        ok = bool(libc.mallopt(_M_TRIM_THRESHOLD, _PIN_BYTES)) and ok
+        _PINNED = ok
+        return ok
+    except Exception:  # noqa: BLE001 — platform probe by design
+        return False

@@ -92,6 +92,8 @@ def upscale_chunks(chunks: DataFrame, scale: int, codec: str | None = None) -> D
     out_codec = codec or "raw"
 
     def kernel(batches):
+        from atlas_upscaling_dask_spark.malloc_tuning import pin_large_alloc_reuse
+        pin_large_alloc_reuse()
         for batch in batches:
             d = batch.to_pydict()
             rows, payloads, pending = [], [], 0
@@ -257,6 +259,8 @@ def relabel_chunks(chunks: DataFrame, mapping: dict[int, int]) -> DataFrame:
     vals = np.fromiter((v for _, v in items), dtype=np.int64)
 
     def kernel(batches):
+        from atlas_upscaling_dask_spark.malloc_tuning import pin_large_alloc_reuse
+        pin_large_alloc_reuse()
         for batch in batches:
             d = batch.to_pydict()
             out_payloads = []

@@ -276,6 +276,8 @@ def export_ome_zarr_frame(
     grids_bc = grids  # tiny dict, captured by closure
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from atlas_upscaling_dask_spark.malloc_tuning import pin_large_alloc_reuse
+        pin_large_alloc_reuse()
         zstd_codec = None
         if comp is not None and comp["id"] == "zstd":
             import pyarrow as _pa
@@ -550,6 +552,8 @@ def scan_ome_zarr(
     flush_bytes = _SCAN_FLUSH_BYTES
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from atlas_upscaling_dask_spark.malloc_tuning import pin_large_alloc_reuse
+        pin_large_alloc_reuse()
         # flush by BYTES, not input rows: a 10k-coordinate Arrow input
         # batch of 3 MB blocks would otherwise accumulate ~33 GB in one
         # output batch and overflow Arrow's 2 GB binary limit (the same

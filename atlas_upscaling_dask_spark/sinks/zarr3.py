@@ -378,6 +378,8 @@ def _decode_rows(d: dict, i: int, grids: dict[int, tuple]):
 
 def _unsharded_kernel(path, grids, codec, clevel):
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from atlas_upscaling_dask_spark.malloc_tuning import pin_large_alloc_reuse
+        pin_large_alloc_reuse()
         zc = _zstd(clevel) if codec == "zstd" else None
         stats: dict[int, list[int]] = {}
         for batch in batches:
@@ -443,6 +445,8 @@ def _sharded_kernel(path, grids, codec, clevel, shard):
         st[2] += len(payload)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from atlas_upscaling_dask_spark.malloc_tuning import pin_large_alloc_reuse
+        pin_large_alloc_reuse()
         zc = _zstd(clevel) if codec == "zstd" else None
         stats: dict[int, list[int]] = {}
         cur = None  # (lvl, skey)
@@ -606,6 +610,8 @@ def scan_zarr3(
         return len(data)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from atlas_upscaling_dask_spark.malloc_tuning import pin_large_alloc_reuse
+        pin_large_alloc_reuse()
         rows, payloads, pending = [], [], 0
         cur_key, fh, idx = None, None, None
         try:
@@ -1009,6 +1015,8 @@ def _update_zarr3_plan(
         stats[0] += 1
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from atlas_upscaling_dask_spark.malloc_tuning import pin_large_alloc_reuse
+        pin_large_alloc_reuse()
         zc = _zstd(clevel) if codec == "zstd" else None
         stats = [0, 0, 0]  # shards rewritten, chunks replaced, dropped
         cur = None

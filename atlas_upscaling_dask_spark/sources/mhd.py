@@ -140,6 +140,8 @@ def read_mhd_chunks(spark, mhd_path: str, chunk: tuple[int, int, int] | None = N
     )
 
     def read(batches):
+        from atlas_upscaling_dask_spark.malloc_tuning import pin_large_alloc_reuse
+        pin_large_alloc_reuse()
         dt = np.dtype(dtype_str)
         # slab mode: one contiguous (by × xdim) read per z-plane instead
         # of `by` row reads — ~8× faster measured (sequential I/O beats

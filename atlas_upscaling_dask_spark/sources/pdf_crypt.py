@@ -32,6 +32,7 @@ this supports the crawl-corpus extension scope in `sources/pdf.py`.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import struct
 
@@ -128,8 +129,10 @@ _MUL = {
 }
 
 
+@functools.lru_cache(maxsize=1024)
 def _key_expansion(key: bytes) -> list[bytes]:
-    """FIPS-197 §5.2: round keys as a list of 16-byte blocks."""
+    """FIPS-197 §5.2: round keys as a list of 16-byte blocks.
+    Memoized: every stream of a document reuses its object key."""
     nk = len(key) // 4
     if nk not in (4, 8):
         raise ValueError("AES key must be 128 or 256 bits")
@@ -159,23 +162,109 @@ _SHIFT = [0, 5, 10, 15, 4, 9, 14, 3, 8, 13, 2, 7, 12, 1, 6, 11]
 _INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 
 
-def _encrypt_block(block: bytes, rkeys: list[bytes]) -> bytes:
-    s = bytes(a ^ b for a, b in zip(block, rkeys[0]))
+def _build_te() -> tuple[list[int], list[int], list[int], list[int]]:
+    """Encryption T-tables (the classic SubBytes+ShiftRows+MixColumns
+    fusion — each table DERIVED from the generated S-box and GF
+    multiples, 32-bit big-endian column words with row 0 in the MSB):
+    ``Te0[x] = (2·S[x], S[x], S[x], 3·S[x])`` and Te1-3 its byte
+    rotations.  This is an algebraic regrouping of FIPS-197 §5.1, not
+    a different cipher; the appendix-vector tests pin equivalence."""
     m2, m3 = _MUL[2], _MUL[3]
-    for rnd in range(1, len(rkeys)):
-        # SubBytes + ShiftRows fused
-        t = bytes(_SBOX[s[_SHIFT[i]]] for i in range(16))
-        if rnd < len(rkeys) - 1:
-            out = bytearray(16)
-            for c in range(0, 16, 4):
-                a0, a1, a2, a3 = t[c], t[c + 1], t[c + 2], t[c + 3]
-                out[c] = m2[a0] ^ m3[a1] ^ a2 ^ a3
-                out[c + 1] = a0 ^ m2[a1] ^ m3[a2] ^ a3
-                out[c + 2] = a0 ^ a1 ^ m2[a2] ^ m3[a3]
-                out[c + 3] = m3[a0] ^ a1 ^ a2 ^ m2[a3]
-            t = bytes(out)
-        s = bytes(a ^ b for a, b in zip(t, rkeys[rnd]))
-    return s
+    te0 = [
+        (m2[s] << 24) | (s << 16) | (s << 8) | m3[s]
+        for s in _SBOX
+    ]
+    te1 = [((w >> 8) | (w << 24)) & 0xFFFFFFFF for w in te0]
+    te2 = [((w >> 16) | (w << 16)) & 0xFFFFFFFF for w in te0]
+    te3 = [((w >> 24) | (w << 8)) & 0xFFFFFFFF for w in te0]
+    return te0, te1, te2, te3
+
+
+_TE0, _TE1, _TE2, _TE3 = _build_te()
+
+
+def _rk_words(rkeys: list[bytes]) -> list[list[int]]:
+    """Round keys as 4 big-endian 32-bit column words each."""
+    import struct as _s
+
+    return [list(_s.unpack(">4I", rk)) for rk in rkeys]
+
+
+def _encrypt_words(w0, w1, w2, w3, rkw: list[list[int]]):
+    """One block through the T-table rounds; words in/out (the hot
+    path for CBC loops — Algorithm 2.B encrypts thousands of blocks
+    per password check)."""
+    te0, te1, te2, te3 = _TE0, _TE1, _TE2, _TE3
+    sbox = _SBOX
+    k = rkw[0]
+    w0 ^= k[0]
+    w1 ^= k[1]
+    w2 ^= k[2]
+    w3 ^= k[3]
+    for r in range(1, len(rkw) - 1):
+        k = rkw[r]
+        t0 = (
+            te0[w0 >> 24]
+            ^ te1[(w1 >> 16) & 0xFF]
+            ^ te2[(w2 >> 8) & 0xFF]
+            ^ te3[w3 & 0xFF]
+            ^ k[0]
+        )
+        t1 = (
+            te0[w1 >> 24]
+            ^ te1[(w2 >> 16) & 0xFF]
+            ^ te2[(w3 >> 8) & 0xFF]
+            ^ te3[w0 & 0xFF]
+            ^ k[1]
+        )
+        t2 = (
+            te0[w2 >> 24]
+            ^ te1[(w3 >> 16) & 0xFF]
+            ^ te2[(w0 >> 8) & 0xFF]
+            ^ te3[w1 & 0xFF]
+            ^ k[2]
+        )
+        t3 = (
+            te0[w3 >> 24]
+            ^ te1[(w0 >> 16) & 0xFF]
+            ^ te2[(w1 >> 8) & 0xFF]
+            ^ te3[w2 & 0xFF]
+            ^ k[3]
+        )
+        w0, w1, w2, w3 = t0, t1, t2, t3
+    k = rkw[-1]
+    r0 = (
+        (sbox[w0 >> 24] << 24)
+        | (sbox[(w1 >> 16) & 0xFF] << 16)
+        | (sbox[(w2 >> 8) & 0xFF] << 8)
+        | sbox[w3 & 0xFF]
+    ) ^ k[0]
+    r1 = (
+        (sbox[w1 >> 24] << 24)
+        | (sbox[(w2 >> 16) & 0xFF] << 16)
+        | (sbox[(w3 >> 8) & 0xFF] << 8)
+        | sbox[w0 & 0xFF]
+    ) ^ k[1]
+    r2 = (
+        (sbox[w2 >> 24] << 24)
+        | (sbox[(w3 >> 16) & 0xFF] << 16)
+        | (sbox[(w0 >> 8) & 0xFF] << 8)
+        | sbox[w1 & 0xFF]
+    ) ^ k[2]
+    r3 = (
+        (sbox[w3 >> 24] << 24)
+        | (sbox[(w0 >> 16) & 0xFF] << 16)
+        | (sbox[(w1 >> 8) & 0xFF] << 8)
+        | sbox[w2 & 0xFF]
+    ) ^ k[3]
+    return r0, r1, r2, r3
+
+
+def _encrypt_block(block: bytes, rkeys: list[bytes]) -> bytes:
+    import struct as _s
+
+    w = _encrypt_words(*_s.unpack(">4I", block), _rk_words(rkeys))
+    return _s.pack(">4I", *w)
 
 
 def _decrypt_block(block: bytes, rkeys: list[bytes]) -> bytes:
@@ -197,21 +286,30 @@ def _decrypt_block(block: bytes, rkeys: list[bytes]) -> bytes:
     return s
 
 
+def _cbc_encrypt_core(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
+    """CBC over 16-byte-aligned plaintext, word-form chaining (no
+    per-block bytes round trips)."""
+    import struct as _s
+
+    rkw = _rk_words(_key_expansion(key))
+    p0, p1, p2, p3 = _s.unpack(">4I", iv)
+    out = bytearray()
+    pack, unpack = _s.pack, _s.unpack
+    for i in range(0, len(plaintext), 16):
+        b0, b1, b2, b3 = unpack(">4I", plaintext[i : i + 16])
+        p0, p1, p2, p3 = _encrypt_words(
+            b0 ^ p0, b1 ^ p1, b2 ^ p2, b3 ^ p3, rkw
+        )
+        out += pack(">4I", p0, p1, p2, p3)
+    return bytes(out)
+
+
 def aes_encrypt_cbc(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
     """AES-CBC with PKCS#5 padding; returns ``iv + ciphertext`` (the
     PDF §7.6.2 stream layout)."""
-    rkeys = _key_expansion(key)
     pad = 16 - (len(plaintext) % 16)
     plaintext = plaintext + bytes([pad]) * pad
-    out = bytearray(iv)
-    prev = iv
-    for i in range(0, len(plaintext), 16):
-        block = bytes(
-            a ^ b for a, b in zip(plaintext[i : i + 16], prev)
-        )
-        prev = _encrypt_block(block, rkeys)
-        out += prev
-    return bytes(out)
+    return iv + _cbc_encrypt_core(key, iv, plaintext)
 
 
 def aes_decrypt_cbc(key: bytes, data: bytes) -> bytes:
@@ -360,8 +458,15 @@ def _authenticate_owner(
 # --- V5 / R6 (AES-256, §7.6.4.3 / PDF 2.0) ---------------------------------
 
 
+@functools.lru_cache(maxsize=4096)
 def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
-    """Algorithm 2.B: the R6 iterated SHA-2 hash."""
+    """Algorithm 2.B: the R6 iterated SHA-2 hash.
+
+    Pure and deterministic, so results are memoized per process: a
+    long-lived Spark python worker authenticates each distinct
+    (password, salt, udata) once — repeated passes over the same
+    document (census then extraction, or fixture writer then reader)
+    pay the 64+-round AES loop a single time."""
     k = hashlib.sha256(password + salt + udata).digest()
     i = 0
     while True:
@@ -386,14 +491,7 @@ def aes_encrypt_cbc_nopad(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
     16) — the form Algorithm 2.B uses internally."""
     if len(plaintext) % 16:
         raise ValueError("nopad CBC needs 16-byte-aligned input")
-    rkeys = _key_expansion(key)
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(plaintext), 16):
-        block = bytes(a ^ b for a, b in zip(plaintext[i : i + 16], prev))
-        prev = _encrypt_block(block, rkeys)
-        out += prev
-    return bytes(out)
+    return _cbc_encrypt_core(key, iv, plaintext)
 
 
 def _aes_decrypt_cbc_nopad(key: bytes, iv: bytes, ct: bytes) -> bytes:

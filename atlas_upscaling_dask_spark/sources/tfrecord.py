@@ -11,11 +11,12 @@ TensorFlow dependency:
   implements for Zarr v3 sharding (`sinks/zarr3.crc32c`) and
   TensorFlow's mask ``((crc >> 15 | crc << 17) + 0xa282ead8)``.
   Reads VERIFY both CRCs — a torn or bit-flipped record is a named
-  error, not silent garbage.  The GZIP transport
-  (``TFRecordOptions(compression_type='GZIP')`` — the whole file is
-  one gzip member wrapping the unchanged framing) writes via
-  ``compression='GZIP'`` and is auto-detected on read by the gzip
-  magic; a torn member is a named error.
+  error, not silent garbage.  The GZIP and ZLIB transports
+  (``TFRecordOptions(compression_type=...)`` — the whole file is one
+  gzip member / zlib stream wrapping the unchanged framing) write via
+  ``compression='GZIP'``/``'ZLIB'`` and are auto-detected on read
+  (framing-crc discriminator + magic); a torn member is a named
+  error.
 * **Example protobuf** (proto3 wire format, hand-rolled):
   ``Example{features=1}`` → ``Features{map<string,Feature>=1}`` →
   map entries ``{key=1, value=2}`` → ``Feature`` oneof
@@ -73,26 +74,29 @@ def masked_crc32c(data: bytes) -> int:
 def write_tfrecord_file(path: str, payloads, compression: str | None = None) -> int:
     """Write an iterable of serialized records; returns the count.
 
-    ``compression='GZIP'`` wraps the WHOLE file in a gzip member —
-    TensorFlow's ``TFRecordOptions(compression_type='GZIP')`` layout
-    (the record framing inside is unchanged; the compression is a
-    transport around the stream, not per-record).  ``mtime=0`` and an
-    empty FNAME pin the gzip header so identical record streams produce
-    identical bytes regardless of path or wall clock."""
+    ``compression='GZIP'`` / ``'ZLIB'`` wrap the WHOLE file in one
+    gzip member / RFC 1950 zlib stream — TensorFlow's
+    ``TFRecordOptions(compression_type=...)`` layouts (the record
+    framing inside is unchanged; the compression is a transport
+    around the stream, not per-record).  For GZIP, ``mtime=0`` and an
+    empty FNAME pin the header so identical record streams produce
+    identical bytes regardless of path or wall clock (zlib has no
+    such header variance)."""
     import gzip
 
     n = 0
-    if compression not in (None, "", "GZIP"):
+    if compression not in (None, "", "GZIP", "ZLIB"):
         raise ValueError(
             f"unsupported TFRecord compression {compression!r} "
-            "(supported: None, 'GZIP')"
+            "(supported: None, 'GZIP', 'ZLIB')"
         )
     raw = open(path, "wb")
-    fh = (
-        gzip.GzipFile(filename="", fileobj=raw, mode="wb", mtime=0)
-        if compression == "GZIP"
-        else raw
-    )
+    if compression == "GZIP":
+        fh = gzip.GzipFile(filename="", fileobj=raw, mode="wb", mtime=0)
+    elif compression == "ZLIB":
+        fh = _ZlibWriter(raw)
+    else:
+        fh = raw
     try:
         for payload in payloads:
             header = struct.pack("<Q", len(payload))
@@ -108,14 +112,42 @@ def write_tfrecord_file(path: str, payloads, compression: str | None = None) -> 
     return n
 
 
+class _ZlibWriter:
+    """Streaming RFC 1950 writer over a file object (TF's ZLIB
+    TFRecord transport)."""
+
+    def __init__(self, raw):
+        import zlib
+
+        self._raw = raw
+        self._co = zlib.compressobj(6)
+
+    def write(self, data: bytes) -> None:
+        out = self._co.compress(data)
+        if out:
+            self._raw.write(out)
+
+    def close(self) -> None:
+        self._raw.write(self._co.flush())
+
+
 def iter_tfrecord_file(data: bytes):
     """Yield record payloads, verifying BOTH crcs (§framing above).
 
-    GZIP-compressed files (TF's ``TFRecordOptions`` GZIP transport) are
-    detected by the gzip magic — no extension convention required; a
-    torn or truncated gzip member is a named error before any record
-    parses."""
-    if data[:2] == b"\x1f\x8b":
+    GZIP / ZLIB compressed files (TF's ``TFRecordOptions`` transports)
+    are auto-detected — no extension convention required.  The
+    discriminator is the framing itself, not just magic bytes: a
+    plain file's first 12 bytes carry a valid masked length-crc, so
+    "crc holds" means plain framing with certainty 1-2^-32, and only
+    then do the gzip magic / zlib CMF+FLG pair decide the transport
+    (a zlib stream CAN collide with a plain header — a record of
+    length 0x178 starts ``78 01`` — which bare magic sniffing would
+    misread).  A torn or truncated member is a named error before any
+    record parses."""
+    plain_framing = len(data) >= 12 and struct.unpack(
+        "<I", data[8:12]
+    )[0] == masked_crc32c(data[:8])
+    if not plain_framing and data[:2] == b"\x1f\x8b":
         import gzip
         import zlib
 
@@ -123,6 +155,18 @@ def iter_tfrecord_file(data: bytes):
             data = gzip.decompress(data)
         except (EOFError, zlib.error, OSError) as exc:
             raise ValueError(f"torn gzip TFRecord member: {exc}")
+    elif (
+        not plain_framing
+        and len(data) >= 2
+        and data[0] == 0x78
+        and (data[0] * 256 + data[1]) % 31 == 0
+    ):
+        import zlib
+
+        try:
+            data = zlib.decompress(data)
+        except zlib.error as exc:
+            raise ValueError(f"torn zlib TFRecord member: {exc}")
     pos = 0
     n = len(data)
     while pos < n:
@@ -324,8 +368,9 @@ def export_tfrecord(df, path: str, compression: str | None = None) -> None:
     executor-side (rows never visit the driver).  Column typing:
     integral -> int64_list, floating/array<float> -> float_list,
     string -> utf-8 bytes_list, binary -> bytes_list,
-    array<integral> -> int64_list.  ``compression='GZIP'`` writes
-    TF-style whole-file gzip members (readers detect by magic).
+    array<integral> -> int64_list.  ``compression='GZIP'``/``'ZLIB'``
+    writes TF-style whole-file compressed members (readers
+    auto-detect).
 
     ``path`` must be visible to every executor (shared filesystem /
     mount) — the writers use plain file IO, like the zarr sinks; on a

@@ -343,6 +343,8 @@ def read_tiff_chunks(spark, path: str, chunk: tuple[int, int, int] | None = None
     )
 
     def read(batches):
+        from atlas_upscaling_dask_spark.malloc_tuning import pin_large_alloc_reuse
+        pin_large_alloc_reuse()
         with open(path, "rb") as fh:
             for batch in batches:
                 d = batch.to_pydict()

@@ -222,6 +222,8 @@ def synthetic_chunks(
     )
 
     def gen(batches):
+        from atlas_upscaling_dask_spark.malloc_tuning import pin_large_alloc_reuse
+        pin_large_alloc_reuse()
         # mapInArrow, not mapInPandas: pandas round-trips every payload
         # through Python bytes objects (~5× slower for multi-MB binaries).
         for batch in batches:
@@ -401,6 +403,8 @@ def split_chunks(chunks: DataFrame, factor: tuple[int, int, int]) -> DataFrame:
     kz, ky, kx = factor
 
     def kernel(batches):
+        from atlas_upscaling_dask_spark.malloc_tuning import pin_large_alloc_reuse
+        pin_large_alloc_reuse()
         for batch in batches:
             d = batch.to_pydict()
             rows, payloads = [], []
@@ -510,6 +514,8 @@ def chunks_to_voxels(chunks: DataFrame) -> DataFrame:
     """
 
     def unpack(batches):
+        from atlas_upscaling_dask_spark.malloc_tuning import pin_large_alloc_reuse
+        pin_large_alloc_reuse()
         import pyarrow as pa
 
         for batch in batches:

@@ -39,6 +39,24 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Rows whose SEMANTICS changed enough that pre-change floors no
+# longer describe the same work.  The monotone-floor guarantee is
+# "the floor can never rise on identical code" — these rows are not
+# identical code, so their history restarts at the named round, and
+# the reset is recorded in the artifact (``floor_resets``) so a
+# record written after the reset folds normally while older records'
+# values for that row are excluded.  Adding an entry here is an
+# auditable event: the reason string is part of the artifact.
+_FLOOR_RESETS: dict[str, str] = {
+    "pdf_text_extract": (
+        "r12: row now covers 100% of documents (was 85%) and performs"
+        " CID /ToUnicode decoding plus standard-security-handler"
+        " authentication + RC4/AES decryption on the encrypted groups"
+        " — strictly more work than the r11 row under the same name"
+    ),
+}
+
+
 def fold_best_known(records: list, sf: float) -> dict[str, float]:
     """Per-row historical floor: the min over every record at the SAME
     sf of BOTH its per-row timings (``queries``) AND its own
@@ -59,10 +77,15 @@ def fold_best_known(records: list, sf: float) -> dict[str, float]:
         rec = (rec.get("parsed") or rec) if isinstance(rec, dict) else {}
         if not isinstance(rec, dict) or rec.get("sf") != sf:
             continue
+        rec_resets = rec.get("floor_resets") or {}
         for src in (rec.get("queries"), rec.get("best_known")):
             if not isinstance(src, dict):
                 continue
             for k, v in src.items():
+                if k in _FLOOR_RESETS and rec_resets.get(k) != _FLOOR_RESETS[k]:
+                    # pre-reset record: its floor describes the OLD
+                    # row semantics — excluded (see _FLOOR_RESETS)
+                    continue
                 if isinstance(v, (int, float)):
                     fv = float(v)
                     best[k] = min(best.get(k, fv), fv)
@@ -848,6 +871,11 @@ def main() -> None:
     payload["best_known"] = {
         k: best_known[k] for k in sorted(timings) if k in best_known
     }
+    if _FLOOR_RESETS:
+        # marks this record as post-reset for the named rows, so its
+        # own timings fold into the restarted floor history while
+        # pre-reset records stay excluded (see _FLOOR_RESETS)
+        payload["floor_resets"] = dict(_FLOOR_RESETS)
     # Noise window DERIVED from per-row floors over THIS run's row set
     # (r10 verdict #2: the old hardcoded [99.6, 115.7] total predated
     # suite growth and went stale the moment a row was added).  The

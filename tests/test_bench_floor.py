@@ -88,3 +88,26 @@ def test_committed_sidecar_floor_covers_r10_drift_rows():
     for row, ceiling in true_floors.items():
         assert best.get(row) is not None, row
         assert best[row] <= ceiling + 1e-9, (row, best[row], ceiling)
+
+
+def test_floor_reset_excludes_pre_reset_history():
+    """A row named in _FLOOR_RESETS restarts its floor history: records
+    without the matching reset marker (pre-semantics-change) are
+    excluded for that row ONLY; other rows fold normally."""
+    import bench
+
+    assert "pdf_text_extract" in bench._FLOOR_RESETS  # r12 reset
+    recs = [
+        {"sf": 0.1, "queries": {"pdf_text_extract": 0.65, "other": 1.0}},
+        {
+            "sf": 0.1,
+            "queries": {"pdf_text_extract": 2.4, "other": 1.2},
+            "floor_resets": dict(bench._FLOOR_RESETS),
+        },
+    ]
+    folded = bench.fold_best_known(recs, 0.1)
+    assert folded["pdf_text_extract"] == 2.4  # old 0.65 excluded
+    assert folded["other"] == 1.0  # untouched rows keep full history
+    # a STALE reset reason (semantics changed again) also restarts
+    recs[1]["floor_resets"] = {"pdf_text_extract": "different reason"}
+    assert "pdf_text_extract" not in bench.fold_best_known(recs, 0.1)

@@ -101,7 +101,7 @@ def test_gzip_torn_member_named(tmp_path):
 
 def test_unknown_compression_rejected(tmp_path):
     with pytest.raises(ValueError, match="unsupported TFRecord compression"):
-        write_tfrecord_file(str(tmp_path / "x"), [b"a"], compression="ZLIB")
+        write_tfrecord_file(str(tmp_path / "x"), [b"a"], compression="SNAPPY")
 
 
 def test_example_round_trip_types():
@@ -238,3 +238,33 @@ def test_example_codec_property_round_trip():
                 assert got == want
 
     inner()
+
+
+def test_zlib_transport_round_trip(tmp_path):
+    """TF's ZLIB TFRecordOptions layout: one RFC 1950 stream around
+    the unchanged framing, auto-detected on read."""
+    import zlib
+
+    p = str(tmp_path / "t.tfrecord")
+    payloads = [b"abc", b"", b"\x00" * 10, b"tail"]
+    assert write_tfrecord_file(p, payloads, compression="ZLIB") == 4
+    data = open(p, "rb").read()
+    assert data[0] == 0x78 and (data[0] * 256 + data[1]) % 31 == 0
+    p2 = str(tmp_path / "plain.tfrecord")
+    write_tfrecord_file(p2, payloads)
+    assert zlib.decompress(data) == open(p2, "rb").read()
+    assert list(iter_tfrecord_file(data)) == payloads
+    with pytest.raises(ValueError, match="torn zlib"):
+        list(iter_tfrecord_file(data[:-4]))
+
+
+def test_plain_record_length_0x178_not_misdetected_as_zlib(tmp_path):
+    """A PLAIN file whose first record is 0x178 bytes long starts with
+    the bytes ``78 01`` — exactly the most common zlib CMF/FLG pair.
+    The framing-crc discriminator must classify it as plain."""
+    p = str(tmp_path / "t.tfrecord")
+    payloads = [b"z" * 0x178, b"second"]
+    write_tfrecord_file(p, payloads)
+    data = open(p, "rb").read()
+    assert data[0] == 0x78 and data[1] == 0x01  # collides with zlib magic
+    assert list(iter_tfrecord_file(data)) == payloads
