@@ -31,12 +31,14 @@ _PINNED = False
 
 _M_TRIM_THRESHOLD = -1
 _M_MMAP_THRESHOLD = -3
-# 64 MB: comfortably above every chunk-codec buffer (<= ~8 MB after
-# Arrow batching) so those reuse heap pages, but far below the
-# zarr3 SHARD assembly buffers (hundreds of MB) -- pinning those onto
-# the sbrk heap measurably regressed sharded export (r12 bench:
-# 6.1 s -> 18.5 s at 512 MB), because multi-hundred-MB spans churn
-# the main arena; above-threshold allocations keep mmap semantics.
+# 64 MB: comfortably above every chunk-codec buffer (<= ~20 MB incl.
+# zarr3 shard assembly) so those reuse heap pages, while bounding
+# per-worker heap retention (32 workers x 64 MB trim threshold caps
+# held-after-free memory at ~2 GB fleet-wide, vs ~16 GB at the first
+# 512 MB setting -- memory that would otherwise crowd the page cache
+# the durable-write rows depend on).  A focused A/B on the sharded
+# export showed the 64 MB pin cost-neutral there (min 5.17 s pinned
+# vs 5.22 s unpinned) while the chunk-churn paths keep the 3.2x win.
 _PIN_BYTES = 64 * 1024 * 1024
 
 
