@@ -49,10 +49,13 @@ unknown crypt filters (named errors), non-Flate stream filters
 mapping exists in-file; their strings keep the latin-1 fallback —
 lossy, flagged by quality screens, never a crash).
 PDF 1.5 compressed object
-streams are NOT a text barrier: §7.5.7 forbids stream objects inside
-them, so page content always sits top-level and extraction skips
-/ObjStm safely; only the census page COUNT can undercount (page
-dictionaries may be packed), which `has_object_streams` flags.
+streams are fully handled: §7.5.7 forbids stream objects inside
+them, so page CONTENT always sits top-level, and the dict-only
+objects they do hold (page dictionaries, font dictionaries, Info)
+are UNPACKED (`_unpack_objstm`) into the census page count, the
+Producer lookup, and the font-table resolver; the writer emits the
+1.5 layout (ObjStm + binary cross-reference stream) as a fixture
+mode.  `has_object_streams` still flags the document class.
 
 Reference parity note: the reference repo has no document formats;
 this is extension scope alongside WARC/HTML for the crawl-corpus
@@ -186,6 +189,7 @@ def encode_pdf(
     encrypt: str | None = None,
     user_password: bytes = b"",
     owner_password: bytes = b"fixture-owner",
+    use_objstm: bool = False,
 ) -> bytes:
     """A minimal, spec-correct PDF: one text block per page line
     (split on ``\\n``), Helvetica 12pt, classic xref + trailer.
@@ -205,13 +209,24 @@ def encode_pdf(
     (CIDFontType2 descendant) with a /ToUnicode CMap (bfchar +
     bfrange, array and plain destination forms), and shows text as
     2-byte HEX strings — the dominant real-crawl shape that simple
-    latin-1 extraction gets wrong."""
+    latin-1 extraction gets wrong.
+    ``use_objstm=True`` writes the PDF 1.5 layout: Info + page
+    dictionaries packed into a /Type /ObjStm and a binary
+    cross-reference STREAM (type-2 entries) instead of the classic
+    table — the shape whose packed page dicts a top-level-only census
+    undercounts."""
     if not pages:
         raise ValueError("a PDF needs at least one page")
     if encrypt is not None and encrypt not in _ENCRYPT_MODES:
         raise ValueError(
             f"unknown encrypt mode {encrypt!r} "
             f"(supported: {sorted(_ENCRYPT_MODES)})"
+        )
+    if use_objstm and (encrypt is not None or encrypt_stub):
+        raise ValueError(
+            "fixture writer does not combine use_objstm with "
+            "encryption (the reader handles the combination; the "
+            "suite exercises the modes separately)"
         )
     objects: list[bytes] = []  # 1-indexed
 
@@ -398,49 +413,134 @@ def encode_pdf(
 
         return encrypt_object(data, file_key, num, 0, cfm)
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = [0]
-    enc_obj_num = len(objects) if (encrypt_stub or encrypt) else 0
-    for num, body in enumerate(objects, start=1):
-        offsets.append(len(out))
+    def _render(num: int, body) -> bytes:
         if isinstance(body, tuple) and body[0] == "stream":
             _, filt, payload = body
             if encrypt is not None:
                 payload = _obj_encrypt(payload, num)
-            body = (
+            return (
                 f"<< /Length {len(payload)}{filt} >>".encode()
                 + b"\nstream\n"
                 + payload
                 + b"\nendstream"
             )
-        elif isinstance(body, tuple) and body[0] == "info":
+        if isinstance(body, tuple) and body[0] == "info":
             if encrypt is not None:
                 penc = _obj_encrypt(
                     body[1].encode("latin-1", "replace"), num
                 )
-                body = (
+                return (
                     b"<< /Producer <" + penc.hex().upper().encode() + b"> >>"
                 )
-            else:
-                body = (
-                    b"<< /Producer ("
-                    + _pdf_escape_string(body[1])
-                    + b") >>"
+            return (
+                b"<< /Producer ("
+                + _pdf_escape_string(body[1])
+                + b") >>"
+            )
+        return body
+
+    enc_obj_num = len(objects) if (encrypt_stub or encrypt) else 0
+    enc = f" /Encrypt {enc_obj_num} 0 R" if enc_obj_num else ""
+    ids = f" /ID [<{id0.hex().upper()}> <{id0.hex().upper()}>]" if id0 else ""
+
+    if use_objstm:
+        # PDF 1.5 layout: Info + page DICTIONARIES packed into a
+        # /Type /ObjStm (§7.5.7 — stream objects stay top-level), a
+        # binary cross-reference STREAM (§7.5.8, W [1 4 2] with
+        # type-2 rows pointing into the ObjStm) instead of the classic
+        # table, and the trailer dictionary merged into the xref
+        # stream's own dict.
+        packed_nums = [4] + [5 + 2 * i for i in range(n_pages)]
+        packed = [(num, _render(num, objects[num - 1])) for num in packed_nums]
+        objstm_num = len(objects) + 1
+        xref_num = len(objects) + 2
+        pair_line = (
+            " ".join(
+                f"{num} {off}"
+                for num, off in zip(
+                    [n_ for n_, _ in packed],
+                    _objstm_offsets([b for _, b in packed]),
                 )
-        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+            ).encode()
+            + b"\n"
+        )
+        first = len(pair_line)
+        stm = pair_line + b"\n".join(b for _, b in packed)
+        if compress:
+            spayload = zlib.compress(stm, 6)
+            sfilt = " /Filter /FlateDecode"
+        else:
+            spayload = stm
+            sfilt = ""
+
+        out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+        offsets: dict[int, int] = {}
+        for num, body in enumerate(objects, start=1):
+            if num in packed_nums:
+                continue
+            offsets[num] = len(out)
+            out += f"{num} 0 obj\n".encode() + _render(num, body) + b"\nendobj\n"
+        offsets[objstm_num] = len(out)
+        out += (
+            f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(packed)} "
+            f"/First {first} /Length {len(spayload)}{sfilt} >>"
+            f"\nstream\n".encode()
+            + spayload
+            + b"\nendstream\nendobj\n"
+        )
+        xref_off = len(out)
+        size = len(objects) + 3
+        rows = bytearray()
+        for num in range(size):
+            if num == 0:
+                rows += bytes([0]) + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")
+            elif num in offsets or num == xref_num:
+                off = xref_off if num == xref_num else offsets[num]
+                rows += bytes([1]) + off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+            else:
+                idx = packed_nums.index(num)
+                rows += (
+                    bytes([2])
+                    + objstm_num.to_bytes(4, "big")
+                    + idx.to_bytes(2, "big")
+                )
+        out += (
+            f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+            f"/Root 1 0 R /Info 4 0 R{enc}{ids} "
+            f"/Length {len(rows)} >>\nstream\n".encode()
+            + rows
+            + b"\nendstream\nendobj\n"
+        )
+        out += f"startxref\n{xref_off}\n%%EOF\n".encode()
+        return bytes(out)
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets_l = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets_l.append(len(out))
+        out += f"{num} 0 obj\n".encode() + _render(num, body) + b"\nendobj\n"
     xref_off = len(out)
     n = len(objects) + 1
     out += f"xref\n0 {n}\n".encode()
     out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
+    for off in offsets_l[1:]:
         out += f"{off:010d} 00000 n \n".encode()
-    enc = f" /Encrypt {enc_obj_num} 0 R" if enc_obj_num else ""
-    ids = f" /ID [<{id0.hex().upper()}> <{id0.hex().upper()}>]" if id0 else ""
     out += (
         f"trailer\n<< /Size {n} /Root 1 0 R /Info 4 0 R{enc}{ids} >>\n"
         f"startxref\n{xref_off}\n%%EOF\n"
     ).encode()
     return bytes(out)
+
+
+def _objstm_offsets(bodies: list[bytes]) -> list[int]:
+    """Relative offsets of each packed body within the ObjStm object
+    area (bodies joined by single newlines)."""
+    offs = []
+    pos = 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b) + 1
+    return offs
 
 
 # ---------------------------------------------------------------------------
@@ -503,9 +603,45 @@ def parse_pdf_info(data: bytes) -> dict:
         except (ValueError, NotImplementedError):
             pass
     # PDF 1.5 compressed object streams hold page DICTIONARIES (never
-    # content streams, §7.5.7), so n_pages may undercount when present
-    # — the flag tells the caller the count is a lower bound
+    # content streams, §7.5.7) — unpack them so packed pages COUNT and
+    # a packed Info dict still yields the Producer; the flag records
+    # the document class either way
     has_objstm = re.search(rb"/Type\s*/ObjStm\b", data) is not None
+    if has_objstm:
+        try:
+            octx = _encryption_context(data) if encrypted else None
+            packed = _unpack_objstm(data, octx)
+        except (ValueError, NotImplementedError):
+            packed = {}
+        # re-count top-level pages from the DICT part of each object
+        # only: a raw (uncompressed) ObjStm payload sits inside its
+        # object's stream body, where the whole-file count above would
+        # see the packed page dicts a second time
+        n_pages = 0
+        for m in _STREAM_OBJ_RE.finditer(data):
+            body = m.group(3)
+            s = body.find(b"stream")
+            scan = body[:s] if s >= 0 else body
+            n_pages += len(
+                re.findall(rb"/Type\s*/Page(?![a-zA-Z])", scan)
+            )
+        for body in packed.values():
+            n_pages += len(
+                re.findall(rb"/Type\s*/Page(?![a-zA-Z])", body)
+            )
+            if producer is None:
+                sm = re.search(
+                    rb"/Producer\s*"
+                    rb"(?:\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>)",
+                    body,
+                )
+                if sm:
+                    raw = (
+                        _decode_pdf_string(sm.group(1))
+                        if sm.group(1) is not None
+                        else _hexbytes(sm.group(2))
+                    )
+                    producer = raw.decode("latin-1", "replace")
     # Type0 composite fonts = CID-keyed text: extraction quality hinges
     # on a /ToUnicode CMap being present, so the census surfaces the
     # font class for the keep/drop decision
@@ -777,6 +913,60 @@ def _encryption_context(
     return _EncryptionContext(key, cfm, _encrypt_label(edict))
 
 
+def _unpack_objstm(
+    data: bytes, ctx: _EncryptionContext | None = None
+) -> dict[int, bytes]:
+    """objnum -> body bytes for every object packed inside a
+    ``/Type /ObjStm`` compressed object stream (ISO 32000 §7.5.7):
+    the decoded stream opens with N (objnum, offset) integer pairs,
+    object bodies follow from /First.  §7.5.7 forbids STREAM objects
+    inside, so every unpacked body is a dict/array/scalar — page
+    dictionaries, font dictionaries, Info — exactly the objects the
+    census and the font-table resolver otherwise miss.  Encrypted
+    documents decrypt the ObjStm payload once; strings inside are NOT
+    re-encrypted (§7.6.2 exempts them).  Malformed streams contribute
+    nothing rather than raising — crawl hardening."""
+    out: dict[int, bytes] = {}
+    for m in _STREAM_OBJ_RE.finditer(data):
+        body = m.group(3)
+        s = body.find(b"stream")
+        if s < 0:
+            continue
+        head = body[:s]
+        if not re.search(rb"/Type\s*/ObjStm\b", head):
+            continue
+        nm = re.search(rb"/N\s+(\d+)\b", head)
+        fm = re.search(rb"/First\s+(\d+)\b", head)
+        if not nm or not fm:
+            continue
+        try:
+            decrypt = (
+                ctx.decryptor(int(m.group(1)), int(m.group(2)))
+                if ctx is not None
+                else None
+            )
+            payload = _stream_payload(body, decrypt)
+        except (ValueError, NotImplementedError):
+            continue
+        if payload is None:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        pairs = payload[:first].split()
+        if len(pairs) < 2 * n:
+            continue
+        try:
+            nums = [int(pairs[2 * i]) for i in range(n)]
+            offs = [int(pairs[2 * i + 1]) for i in range(n)]
+        except ValueError:
+            continue
+        for i in range(n):
+            lo = first + offs[i]
+            hi = first + offs[i + 1] if i + 1 < n else len(payload)
+            if lo <= len(payload):
+                out[nums[i]] = payload[lo:hi].strip()
+    return out
+
+
 def _iter_content_streams(data: bytes, ctx: _EncryptionContext | None = None):
     """Yield ``(objnum, payload)`` for every candidate content stream,
     via the linear object scan (document order, robust to broken
@@ -1003,6 +1193,10 @@ def _font_tables(
     for m in _STREAM_OBJ_RE.finditer(data):
         # later (incremental) wins
         objmap[int(m.group(1))] = (int(m.group(2)), m.group(3))
+    # /ObjStm-packed objects (page + font dicts routinely live there
+    # in PDF 1.5 files) join the map at generation 0, per §7.5.7
+    for num, body in _unpack_objstm(data, ctx).items():
+        objmap.setdefault(num, (0, body))
     cmaps: dict[int, tuple] = {}  # font objnum -> parsed cmap
 
     def font_cmap(font_num: int):

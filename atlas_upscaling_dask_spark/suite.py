@@ -4870,7 +4870,11 @@ def _pdf_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (empty user password — the dominant crawl case), cycling all
     # four cipher flavors (RC4-40, RC4-128, AESV2, AESV3) by
     # (g//35) % 4; the census labels the flavor and extraction
-    # authenticates + decrypts.  Every third group (g % 15 == 5)
+    # authenticates + decrypts.  Groups with g % 15 == 10 (minus the
+    # encrypted overlap) emit the PDF 1.5 layout — Info + page dicts
+    # packed in a /Type /ObjStm behind a binary xref stream — whose
+    # packed pages the census must still count and whose version
+    # header reads 1.5.  Every third group (g % 15 == 5)
     # is a CID / Type0 Identity-H fixture: 2-byte hex show-strings
     # decoded through a /ToUnicode CMap (ISO 32000 §9.10.3) — the same
     # page text must extract EXACTLY, proving the CMap path, while the
@@ -4910,6 +4914,7 @@ def _pdf_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ]
                         ),
                         use_cid_font=(g % 15 == 5),
+                        use_objstm=(g % 15 == 10 and g % 35 != 0),
                     )
                 payloads.append(cache[g])
             yield pd.DataFrame(
@@ -4963,7 +4968,9 @@ _register(
     _pdf_info_q,
     """
 SELECT doc_id AS media_id,
-       '1.4' AS version,
+       CASE WHEN (doc_id - doc_id % 5) % 15 = 10
+                 AND (doc_id - doc_id % 5) % 35 <> 0
+            THEN '1.5' ELSE '1.4' END AS version,
        CAST(1 + (doc_id - doc_id % 5) % 3 AS INTEGER) AS n_pages,
        (doc_id - doc_id % 5) % 35 = 0 AS encrypted,
        CASE WHEN (doc_id - doc_id % 5) % 35 = 0 THEN

@@ -349,3 +349,69 @@ def test_nonstandard_handler_named():
     pdf[i : i + len(b"/Filter /Standard")] = b"/Filter /Custom12"
     with pytest.raises(NotImplementedError, match="security handler"):
         extract_pdf_text(bytes(pdf))
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5 object streams (§7.5.7) + cross-reference streams (§7.5.8)
+
+
+def test_objstm_round_trip_census_and_text():
+    """Writer packs Info + page dicts into an ObjStm behind a binary
+    xref stream; census must COUNT the packed pages (not undercount),
+    find the packed Producer, and extraction still works — including
+    CID font dicts resolved out of the ObjStm."""
+    pages = ["p0 of (doc 5) \\ end", "second\nline two", "third"]
+    for compress in (True, False):
+        for cid in (False, True):
+            pdf = encode_pdf(
+                pages,
+                compress=compress,
+                use_objstm=True,
+                use_cid_font=cid,
+                use_tj_array=cid,
+                producer="gen 4",
+            )
+            info = parse_pdf_info(pdf)
+            assert info["version"] == "1.5"
+            assert info["has_object_streams"] is True
+            assert info["n_pages"] == 3, (compress, cid, info)
+            assert info["producer"] == "gen 4"
+            assert info["has_cid_fonts"] is cid
+            assert extract_pdf_text(pdf) == "\n".join(pages), (
+                compress, cid,
+            )
+
+
+def test_objstm_raw_payload_not_double_counted():
+    # an UNCOMPRESSED ObjStm exposes its packed page dicts to naive
+    # whole-file scans; the census must still report each page once
+    pdf = encode_pdf(["a", "b"], compress=False, use_objstm=True)
+    assert parse_pdf_info(pdf)["n_pages"] == 2
+
+
+def test_objstm_unpacker_hand_built():
+    from atlas_upscaling_dask_spark.sources.pdf import _unpack_objstm
+
+    inner = b"<< /A 1 >>\n<< /Type /Page >>"
+    pairs = b"7 0 9 11\n"
+    stm = pairs + inner
+    doc = (
+        b"%PDF-1.5\n"
+        b"3 0 obj\n<< /Type /ObjStm /N 2 /First "
+        + str(len(pairs)).encode()
+        + b" /Length " + str(len(stm)).encode() + b" >>\nstream\n"
+        + stm + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    packed = _unpack_objstm(doc)
+    assert packed[7] == b"<< /A 1 >>"
+    assert packed[9] == b"<< /Type /Page >>"
+    # malformed pair table contributes nothing, never raises
+    bad = doc.replace(b"7 0 9 11", b"7 x 9 11")
+    assert _unpack_objstm(bad) == {}
+
+
+def test_objstm_encrypt_combination_named():
+    with pytest.raises(ValueError, match="combine"):
+        encode_pdf(["x"], use_objstm=True, encrypt="rc4-40")
+    with pytest.raises(ValueError, match="combine"):
+        encode_pdf(["x"], use_objstm=True, encrypt_stub=True)
