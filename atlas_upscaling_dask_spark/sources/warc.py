@@ -154,12 +154,43 @@ def _dechunk(payload: bytes) -> bytes:
         pos += size + 2
 
 
+def _codec_decompress(name: str, payload: bytes) -> bytes:
+    """Streaming decompress via pyarrow's bundled reference codecs
+    (brotli / zstd ship inside pyarrow — no extra dependency).  The
+    STREAMING reader is load-bearing: HTTP payloads don't announce
+    their decompressed size, and ``pyarrow.Codec.decompress`` is a
+    known-size one-shot API.  Torn or corrupt streams become the same
+    named ``ValueError`` family the zlib paths raise, so per-record
+    error containment treats all codings alike."""
+    import pyarrow as pa
+
+    try:
+        with pa.input_stream(
+            pa.BufferReader(payload), compression=name
+        ) as fh:
+            return fh.read()
+    except (OSError, pa.ArrowInvalid) as exc:
+        raise ValueError(
+            f"corrupt content-encoding {name!r} stream: {exc}"
+        )
+
+
+def _codec_compress(name: str, payload: bytes) -> bytes:
+    """Writer-side one-shot frame (fixtures): a complete stream the
+    streaming reader round-trips."""
+    import pyarrow as pa
+
+    return bytes(pa.Codec(name).compress(payload))
+
+
 def decode_http_payload(headers: dict[str, str], payload: bytes) -> bytes:
     """Undo the transport encodings a real crawl response carries:
     ``Transfer-Encoding: chunked`` framing first (RFC 9112), then
     ``Content-Encoding: gzip | x-gzip | deflate`` (RFC 9110 §8.4 — both
-    zlib-wrapped and raw deflate, the web's historical ambiguity).
-    Unknown codings raise rather than pass garbage downstream."""
+    zlib-wrapped and raw deflate, the web's historical ambiguity),
+    ``br`` (RFC 7932) and ``zstd`` (RFC 8878) via pyarrow's bundled
+    reference codecs.  Unknown codings raise rather than pass garbage
+    downstream."""
     te = headers.get("transfer-encoding", "").lower()
     if te:
         codings = [t.strip() for t in te.split(",") if t.strip()]
@@ -178,6 +209,10 @@ def decode_http_payload(headers: dict[str, str], payload: bytes) -> bytes:
             return zlib.decompress(payload, wbits=15)  # zlib-wrapped
         except zlib.error:
             return zlib.decompress(payload, wbits=-15)  # raw deflate
+    if ce == "br":
+        return _codec_decompress("brotli", payload)
+    if ce == "zstd":
+        return _codec_decompress("zstd", payload)
     raise ValueError(f"unsupported content-encoding {ce!r}")
 
 
@@ -384,6 +419,12 @@ def encode_warc(
             elif r.get("content_encoding") == "deflate":
                 payload = zlib.compress(payload)
                 hh["Content-Encoding"] = "deflate"
+            elif r.get("content_encoding") == "br":
+                payload = _codec_compress("brotli", payload)
+                hh["Content-Encoding"] = "br"
+            elif r.get("content_encoding") == "zstd":
+                payload = _codec_compress("zstd", payload)
+                hh["Content-Encoding"] = "zstd"
             if r.get("chunked"):
                 # split into a few chunks to make the framing real
                 step = max(1, (len(payload) + 2) // 3)

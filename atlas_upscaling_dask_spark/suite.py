@@ -5607,10 +5607,13 @@ FROM documents
 
 def _warc_errors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-record error containment through the kernel: every 4th doc's
-    # second response carries Content-Encoding: br (unsupported — a
-    # crawl-weather record), which must surface as ONE error row while
-    # its archive-mates decode normally; a task-killing reader would
-    # return zero rows for the whole archive instead.
+    # second response rotates through the REAL content codings the
+    # modern web serves — gzip, brotli, zstd (both decoded via
+    # pyarrow's bundled reference codecs) — except every 4th document,
+    # which carries Content-Encoding: compress (LZW, registered but
+    # extinct and unsupported): that one must surface as ONE error row
+    # while its archive-mates decode normally; a task-killing reader
+    # would return zero rows for the whole archive instead.
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -5629,8 +5632,10 @@ def _warc_errors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "status": 200, "payload": good},
                     {"type": "response", "uri": f"http://e.com/b/{d}",
                      "status": 200, "payload": second,
-                     **({"http_headers": {"Content-Encoding": "br"}}
-                        if d % 4 == 0 else {"content_encoding": "gzip"})},
+                     **({"http_headers": {"Content-Encoding": "compress"}}
+                        if d % 4 == 0
+                        else {"content_encoding":
+                              ["gzip", "br", "zstd"][d % 3]})},
                 ]
                 payloads.append(encode_warc(records))
             yield pd.DataFrame(

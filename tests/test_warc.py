@@ -100,7 +100,7 @@ def test_http_transport_decodings():
     from atlas_upscaling_dask_spark.sources.warc import decode_http_payload
 
     body = b"Hello transport world" * 20
-    for enc in (None, "gzip", "deflate"):
+    for enc in (None, "gzip", "deflate", "br", "zstd"):
         for chunked in (False, True):
             data = encode_warc([
                 {"type": "response", "uri": "u:1", "status": 200,
@@ -121,7 +121,12 @@ def test_http_transport_decode_errors():
     from atlas_upscaling_dask_spark.sources.warc import decode_http_payload
 
     with pytest.raises(ValueError, match="unsupported content-encoding"):
+        decode_http_payload({"content-encoding": "compress"}, b"x")
+    # supported codings with corrupt streams are the SAME named family
+    with pytest.raises(ValueError, match="corrupt content-encoding 'brotli'"):
         decode_http_payload({"content-encoding": "br"}, b"x")
+    with pytest.raises(ValueError, match="corrupt content-encoding 'zstd'"):
+        decode_http_payload({"content-encoding": "zstd"}, b"xx")
     with pytest.raises(ValueError, match="unsupported transfer-encoding"):
         decode_http_payload({"transfer-encoding": "gzip, chunked"},
                             b"0\r\n\r\n")
