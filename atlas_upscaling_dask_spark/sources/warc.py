@@ -17,6 +17,11 @@ Implemented from the public ISO 28500 / WARC 1.1 specification:
 * member-per-record gzip (the Common Crawl layout: each record its own
   gzip member, concatenated) via stdlib zlib — detected by magic, so
   plain and ``.warc.gz`` payloads both parse;
+* ``.warc.zst`` (per-record or whole-file zstd frames) via pyarrow's
+  bundled zstd, streaming across concatenated frames; the IIPC
+  dictionary skippable-frame convention is a named contract boundary;
+* HTTP ``Content-Encoding``: gzip/x-gzip/deflate (stdlib), br and
+  zstd (pyarrow's bundled reference codecs, streaming);
 * HTTP/1.x response parsing inside ``application/http`` record bodies
   (status line, headers, payload split).
 
@@ -53,13 +58,42 @@ def _split_gzip_members(data: bytes) -> Iterator[bytes]:
 
 def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
     """Yield ``(headers, body)`` per record; header names are
-    lower-cased, values stripped.  Accepts plain or per-record-gzip
-    payloads (mixed plain text after gzip members is not a thing the
-    spec allows, so the magic check is global)."""
+    lower-cased, values stripped.  Accepts plain, per-record-gzip, or
+    zstd (``.warc.zst``, per-record or whole-file frames) payloads
+    (mixed plain text after compressed members is not a thing the
+    spec allows, so the magic check is global).
+
+    zstd notes: concatenated frames stream-decode as one sequence
+    (records are self-delimiting via Content-Length, so member
+    boundaries need not be recovered); a leading SKIPPABLE frame — the
+    IIPC ``.warc.zst`` dictionary convention — is a named error, since
+    dictionary-trained archives can't decode without external state."""
     if data[:2] == b"\x1f\x8b":
         for member in _split_gzip_members(data):
             yield from _iter_plain(member)
         return
+    if data[:4] == b"\x28\xb5\x2f\xfd":
+        import pyarrow as pa
+
+        try:
+            with pa.input_stream(
+                pa.BufferReader(data), compression="zstd"
+            ) as fh:
+                data = fh.read()
+        except (OSError, pa.ArrowInvalid) as exc:
+            raise ValueError(f"torn zstd WARC member: {exc}")
+        yield from _iter_plain(data)
+        return
+    if (
+        len(data) >= 4
+        and data[1:4] == b"\x2a\x4d\x18"
+        and 0x50 <= data[0] <= 0x5F
+    ):
+        raise ValueError(
+            "dictionary-bearing .warc.zst (leading skippable frame, "
+            "IIPC convention) is a documented contract boundary — "
+            "plain zstd frames decode"
+        )
     yield from _iter_plain(data)
 
 
@@ -382,6 +416,7 @@ def _record(headers: list[tuple[str, str]], body: bytes) -> bytes:
 def encode_warc(
     records: list[dict],
     gzip_per_record: bool = False,
+    zstd_per_record: bool = False,
 ) -> bytes:
     """Assemble a WARC file.  Each record dict:
 
@@ -451,5 +486,7 @@ def encode_warc(
         if gzip_per_record:
             co = zlib.compressobj(6, zlib.DEFLATED, 31)
             rec = co.compress(rec) + co.flush()
+        elif zstd_per_record:
+            rec = _codec_compress("zstd", rec)
         out += rec
     return bytes(out)

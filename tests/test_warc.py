@@ -430,3 +430,27 @@ def test_extract_page_metadata(spark):
     )
     plan = extract_page_metadata(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_warc_zstd_members_round_trip():
+    """.warc.zst: per-record zstd frames concatenate and stream-decode
+    (records are self-delimiting, so member boundaries need not be
+    recovered); torn streams and the IIPC dictionary skippable-frame
+    convention are named errors."""
+    import struct
+
+    recs = [
+        {"type": "response", "uri": "u:1", "status": 200,
+         "payload": b"<p>one</p>"},
+        {"type": "response", "uri": "u:2", "status": 200,
+         "payload": b"<p>two</p>", "content_encoding": "zstd"},
+    ]
+    z = encode_warc(recs, zstd_per_record=True)
+    assert z[:4] == b"\x28\xb5\x2f\xfd"  # zstd frame magic
+    got = list(iter_warc_records(z))
+    assert [h["warc-target-uri"] for h, _ in got] == ["u:1", "u:2"]
+    with pytest.raises(ValueError):
+        list(iter_warc_records(z[: len(z) // 2]))
+    sk = b"\x50\x2a\x4d\x18" + struct.pack("<I", 4) + b"dict" + z
+    with pytest.raises(ValueError, match="skippable"):
+        list(iter_warc_records(sk))
