@@ -5671,6 +5671,75 @@ FROM documents
 )
 
 
+def _warc_zstd_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # .warc.zst container proof: per-doc archives alternate between
+    # PER-RECORD zstd frames (even docs — the IIPC layout minus the
+    # dictionary) and ONE whole-file frame (odd docs); inside, the
+    # second response rotates HTTP content codings (gzip/br/zstd), so
+    # the row composes container transport x payload coding.  Both
+    # layouts must scan identically — frames stream-decode as one
+    # sequence and records self-delimit.
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_warc(batches):
+        from atlas_upscaling_dask_spark.sources.warc import (
+            _codec_compress,
+            encode_warc,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                records = [
+                    {"type": "response", "uri": f"http://z.com/a/{d}",
+                     "status": 200,
+                     "payload": f"<p>aa {d}</p>".encode()},
+                    {"type": "response", "uri": f"http://z.com/b/{d}",
+                     "status": 200,
+                     "payload": f"<p>bb {d}</p>".encode(),
+                     "content_encoding": ["gzip", "br", "zstd"][d % 3]},
+                ]
+                if d % 2 == 0:
+                    payloads.append(
+                        encode_warc(records, zstd_per_record=True)
+                    )
+                else:
+                    payloads.append(
+                        _codec_compress("zstd", encode_warc(records))
+                    )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    from .sources.warc import warc_records
+
+    media = docs.mapInPandas(
+        make_warc, schema="media_id long, payload binary"
+    )
+    recs = warc_records(media).filter(F.col("warc_type") == "response")
+    return recs.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_responses"),
+        F.min("text").alias("first_text"),
+        F.max("text").alias("last_text"),
+    )
+
+
+_register(
+    "warc_zstd_scan",
+    _warc_zstd_scan_q,
+    """
+SELECT doc_id AS media_id,
+       CAST(2 AS BIGINT) AS n_responses,
+       '<p>aa ' || CAST(doc_id AS VARCHAR) || '</p>' AS first_text,
+       '<p>bb ' || CAST(doc_id AS VARCHAR) || '</p>' AS last_text
+FROM documents
+""",
+)
+
+
 def _main_content_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Boilerplate removal: nav + footer (short, link-saturated) drop;
     # two prose blocks (one with an inline link) survive — the
