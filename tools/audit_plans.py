@@ -837,6 +837,18 @@ def audited_queries():
             QUERIES["warc_errors"],
             {"max_shuffles": 1},
         ),
+        # .warc.zst container scan: kernel + one hash agg; the zstd /
+        # brotli decode is executor-local (pyarrow codecs), no extra
+        # exchange vs the plain-warc row
+        "warc_zstd_scan": (
+            QUERIES["warc_zstd_scan"],
+            {"max_shuffles": 1},
+        ),
+        # GZIP transport adds no plan shape vs the plain tfrecord row
+        "tfrecord_roundtrip_gzip": (
+            QUERIES["tfrecord_roundtrip_gzip"],
+            {"max_shuffles": 1},
+        ),
         # composed WARC -> recrawl schedule: kernel + pure projection
         "warc_recrawl_schedule": (
             QUERIES["warc_recrawl_schedule"],
