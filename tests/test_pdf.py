@@ -415,3 +415,78 @@ def test_objstm_encrypt_combination_named():
         encode_pdf(["x"], use_objstm=True, encrypt="rc4-40")
     with pytest.raises(ValueError, match="combine"):
         encode_pdf(["x"], use_objstm=True, encrypt_stub=True)
+
+
+# ---------------------------------------------------------------------------
+# property tests + the encrypted-ObjStm reader path
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.characters(
+            min_codepoint=0x20, max_codepoint=0x2FFF,
+            blacklist_categories=("Cs",),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_property_cid_cmap_round_trip(text):
+    """ANY BMP text survives the writer's code assignment + CMap
+    emission (bfchar + both bfrange forms) + the parser + the
+    string decoder bit-exactly."""
+    from atlas_upscaling_dask_spark.sources.pdf import (
+        _build_tounicode_cmap,
+        _cid_code_table,
+        _decode_cid_string,
+        _parse_cmap,
+    )
+
+    codes = _cid_code_table([text])
+    cmap = _parse_cmap(_build_tounicode_cmap(codes))
+    raw = b"".join(codes[ch].to_bytes(2, "big") for ch in text)
+    assert _decode_cid_string(raw, cmap) == text
+
+
+def test_encrypted_objstm_reader_path():
+    """The WRITER refuses encrypt+objstm, but the READER handles the
+    combination (real 1.5 crawl PDFs encrypt their ObjStm payloads):
+    hand-assemble one — RC4-encrypt the ObjStm stream under its
+    per-object key — and the census must still count the packed page
+    and find the packed Producer."""
+    from atlas_upscaling_dask_spark.sources.pdf_crypt import (
+        compute_file_key,
+        compute_o,
+        compute_u,
+        encrypt_object,
+    )
+
+    id0 = bytes(range(16))
+    o = compute_o(b"own", b"", 2, 5)
+    key = compute_file_key(b"", o, -44, id0, 2, 5)
+    u = compute_u(key, id0, 2)
+    inner = b"<< /Producer (packed prod) >>\n<< /Type /Page >>"
+    pairs = b"7 0 9 30\n"
+    stm = encrypt_object(pairs + inner, key, 3, 0, "V2")
+    doc = (
+        b"%PDF-1.5\n"
+        b"3 0 obj\n<< /Type /ObjStm /N 2 /First "
+        + str(len(pairs)).encode()
+        + b" /Length " + str(len(stm)).encode() + b" >>\nstream\n"
+        + stm + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Filter /Standard /V 1 /R 2 /P -44 /O <"
+        + o.hex().encode() + b"> /U <" + u.hex().encode()
+        + b"> >>\nendobj\n"
+        b"trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R /ID [<"
+        + id0.hex().encode() + b"> <" + id0.hex().encode()
+        + b">] >>\n%%EOF\n"
+    )
+    info = parse_pdf_info(doc)
+    assert info["encrypted"] is True
+    assert info["n_pages"] == 1  # packed page counted THROUGH decryption
+    assert info["producer"] == "packed prod"

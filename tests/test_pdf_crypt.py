@@ -111,3 +111,55 @@ def test_hash_2b_deterministic_and_password_sensitive():
     assert a == _hash_2b(b"", b"salt8888", b"")
     assert a != _hash_2b(b"x", b"salt8888", b"")
     assert a != _hash_2b(b"", b"salt8889", b"")
+
+
+# ---------------------------------------------------------------------------
+# property tests (pure-Python primitives — no Spark, generous examples)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    key=st.sampled_from([16, 32]).flatmap(
+        lambda n: st.binary(min_size=n, max_size=n)
+    ),
+    iv=st.binary(min_size=16, max_size=16),
+    data=st.binary(min_size=0, max_size=200),
+)
+def test_property_cbc_round_trip(key, iv, data):
+    assert aes_decrypt_cbc(key, aes_encrypt_cbc(key, iv, data)) == data
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    key=st.binary(min_size=1, max_size=32),
+    data=st.binary(min_size=0, max_size=200),
+)
+def test_property_rc4_symmetric(key, data):
+    assert rc4(key, rc4(key, data)) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    user_pw=st.binary(min_size=0, max_size=16),
+    owner_pw=st.binary(min_size=1, max_size=16),
+    id0=st.binary(min_size=16, max_size=16),
+    r=st.sampled_from([2, 3, 4]),
+)
+def test_property_handler_authenticates_both_passwords(
+    user_pw, owner_pw, id0, r
+):
+    """For ANY password pair and file id, /O //U computed by
+    Algorithms 3-5 must authenticate under BOTH passwords (Algorithms
+    6-7) and yield the same file key."""
+    klen = 5 if r == 2 else 16
+    o = compute_o(owner_pw, user_pw, r, klen)
+    key = compute_file_key(user_pw, o, -44, id0, r, klen)
+    u = compute_u(key, id0, r)
+    assert authenticate(user_pw, o, u, -44, id0, r, klen) == key
+    got = authenticate(owner_pw, o, u, -44, id0, r, klen)
+    # owner path recovers the padded user password -> same key (when
+    # owner != user the owner branch runs; when equal, user branch)
+    assert got == key
