@@ -32,7 +32,11 @@ referenced CMap stream (codespace ranges, ``bfchar``, both
 ``bfrange`` destination forms), and maps hex/literal show-strings
 code-by-code under whatever font the ``Tf`` operator has made
 current; unmapped codes surface as U+FFFD.  The census flags the
-class (``has_cid_fonts``).
+class (``has_cid_fonts``).  Simple fonts honor their /Encoding
+(§9.6.6): /WinAnsiEncoding decodes as cp1252 — whose 0x80-0x9F
+window (€ “ ” – — •) a latin-1 fallback garbles — /MacRomanEncoding
+as mac-roman, and /Differences arrays resolve glyph names through an
+AGL subset plus the algorithmic uniXXXX rule.
 
 Encrypted documents (ISO 32000 §7.6 standard security handler — the
 real crawl population is mostly "encrypted" with an EMPTY user
@@ -78,9 +82,9 @@ __all__ = [
 # writer (fixtures)
 
 
-def _pdf_escape_string(s: str) -> bytes:
+def _pdf_escape_string(s: str, codec: str = "latin-1") -> bytes:
     out = []
-    for ch in s.encode("latin-1", "replace"):
+    for ch in s.encode(codec, "replace"):
         if ch in (0x5C, 0x28, 0x29):  # \ ( )
             out.append(0x5C)
             out.append(ch)
@@ -190,6 +194,7 @@ def encode_pdf(
     user_password: bytes = b"",
     owner_password: bytes = b"fixture-owner",
     use_objstm: bool = False,
+    simple_encoding: str | None = None,
 ) -> bytes:
     """A minimal, spec-correct PDF: one text block per page line
     (split on ``\\n``), Helvetica 12pt, classic xref + trailer.
@@ -228,6 +233,18 @@ def encode_pdf(
             "encryption (the reader handles the combination; the "
             "suite exercises the modes separately)"
         )
+    if simple_encoding not in (None, "winansi", "macroman"):
+        raise ValueError(
+            f"unknown simple_encoding {simple_encoding!r} "
+            "(supported: None, 'winansi', 'macroman')"
+        )
+    if simple_encoding and use_cid_font:
+        raise ValueError("simple_encoding applies to the simple-font form")
+    enc_name, enc_codec = {
+        None: ("", "latin-1"),
+        "winansi": ("/Encoding /WinAnsiEncoding ", "cp1252"),
+        "macroman": ("/Encoding /MacRomanEncoding ", "mac_roman"),
+    }[simple_encoding]
     objects: list[bytes] = []  # 1-indexed
 
     n_pages = len(pages)
@@ -255,7 +272,10 @@ def encode_pdf(
         )
     else:
         objects.append(
-            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+            (
+                f"<< /Type /Font /Subtype /Type1 {enc_name}"
+                f"/BaseFont /Helvetica >>"
+            ).encode()
         )
     objects.append(("info", producer))
 
@@ -267,7 +287,7 @@ def encode_pdf(
                 + "".join(f"{cid_codes[ch]:04X}" for ch in segment).encode()
                 + b">"
             )
-        return b"(" + _pdf_escape_string(segment) + b")"
+        return b"(" + _pdf_escape_string(segment, enc_codec) + b")"
 
     for i, text in enumerate(pages):
         content = [b"BT /F1 12 Tf 72 720 Td"]
@@ -1181,14 +1201,118 @@ def _resolve_dict(body: bytes, key: bytes, objmap: dict[int, bytes]) -> bytes | 
     return None
 
 
+# The WinAnsi/MacRoman-specific glyph names an extractor meets in
+# /Differences arrays — the Adobe Glyph List subset outside latin-1;
+# /uniXXXX and /uXXXX(XX) names resolve algorithmically, single-char
+# names are their own character.
+_AGL_SUBSET = {
+    "Euro": "€", "quotesinglbase": "‚", "florin": "ƒ",
+    "quotedblbase": "„", "ellipsis": "…", "dagger": "†",
+    "daggerdbl": "‡", "circumflex": "ˆ",
+    "perthousand": "‰", "Scaron": "Š",
+    "guilsinglleft": "‹", "OE": "Œ", "Zcaron": "Ž",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "bullet": "•", "endash": "–", "emdash": "—",
+    "tilde": "˜", "trademark": "™", "scaron": "š",
+    "guilsinglright": "›", "oe": "œ", "zcaron": "ž",
+    "Ydieresis": "Ÿ", "space": " ", "quotesingle": "'",
+    "grave": "`", "fraction": "⁄", "dotlessi": "ı",
+}
+
+_ENC_CODECS = {
+    b"WinAnsiEncoding": "cp1252",
+    b"MacRomanEncoding": "mac_roman",
+    b"StandardEncoding": "latin-1",  # close enough for extraction
+    b"PDFDocEncoding": "latin-1",
+}
+
+
+def _glyph_char(name: str) -> str | None:
+    """Glyph name -> character (AGL subset + the uniXXXX rule)."""
+    if name in _AGL_SUBSET:
+        return _AGL_SUBSET[name]
+    if re.fullmatch(r"uni[0-9A-Fa-f]{4}", name):
+        return chr(int(name[3:], 16))
+    if re.fullmatch(r"u[0-9A-Fa-f]{4,6}", name):
+        return chr(int(name[1:], 16))
+    if len(name) == 1:
+        return name  # ASCII glyph names are their own character
+    return None
+
+
+def _simple_encoding_table(
+    fbody: bytes, objmap: dict[int, tuple[int, bytes]]
+) -> list[str] | None:
+    """256-entry byte->str table for a simple font's /Encoding (ISO
+    32000 §9.6.6): base encoding name (WinAnsi = cp1252, whose
+    0x80-0x9F bytes latin-1 gets WRONG; MacRoman) possibly wrapped in
+    an encoding dictionary with a /Differences array of
+    code/glyph-name runs.  None when the font carries no /Encoding
+    worth switching for (callers keep the latin-1 fallback)."""
+    m = re.search(rb"/Encoding\b", fbody)
+    if m is None:
+        return None
+    i = m.end()
+    while i < len(fbody) and fbody[i : i + 1].isspace():
+        i += 1
+    edict = None
+    nm = re.match(rb"/(\w+)", fbody[i:])
+    if nm is not None:
+        base = _ENC_CODECS.get(nm.group(1))
+        if base is None or base == "latin-1":
+            return None
+        diffs = {}
+    else:
+        if fbody[i : i + 2] == b"<<":
+            edict = fbody[i : _dict_span(fbody, i)]
+        else:
+            rm = re.match(rb"(\d+)\s+\d+\s+R", fbody[i:])
+            if rm:
+                ref = objmap.get(int(rm.group(1)))
+                if ref is not None:
+                    s = ref[1].find(b"<<")
+                    if s >= 0:
+                        edict = ref[1][s : _dict_span(ref[1], s)]
+        if edict is None:
+            return None
+        bm = re.search(rb"/BaseEncoding\s*/(\w+)", edict)
+        base = _ENC_CODECS.get(bm.group(1), "latin-1") if bm else "latin-1"
+        diffs = {}
+        dm = re.search(rb"/Differences\s*\[(.*?)\]", edict, re.DOTALL)
+        if dm:
+            code = 0
+            for tok in re.finditer(
+                rb"(\d+)|/([^\s/<>\[\]()]+)", dm.group(1)
+            ):
+                if tok.group(1) is not None:
+                    code = int(tok.group(1))
+                else:
+                    ch = _glyph_char(
+                        tok.group(2).decode("latin-1")
+                    )
+                    diffs[code] = ch if ch is not None else "�"
+                    code += 1
+        if base == "latin-1" and not diffs:
+            return None
+    table = [
+        diffs.get(b) or bytes([b]).decode(base, "replace")
+        for b in range(256)
+    ]
+    return table
+
+
 def _font_tables(
     data: bytes, ctx: _EncryptionContext | None = None
 ) -> dict[int, dict[bytes, tuple]]:
-    """content-stream objnum -> {font resource name: parsed ToUnicode
-    CMap} for every page the linear scan can resolve.  Fonts without a
-    usable /ToUnicode are simply absent (callers fall back to the
-    simple-font latin-1 path); broken structure never raises — a crawl
-    PDF with a damaged pages tree still extracts via the blind path."""
+    """content-stream objnum -> {font resource name: decoder} for
+    every page the linear scan can resolve.  A decoder is a tagged
+    tuple: ``("cmap", parsed_tounicode)`` for CID/Type0 fonts,
+    ``("enc", table256)`` for simple fonts whose /Encoding deviates
+    from latin-1 (WinAnsi/MacRoman bases, /Differences arrays).
+    Fonts needing neither are simply absent (callers fall back to the
+    latin-1 path); broken structure never raises — a crawl PDF with a
+    damaged pages tree still extracts via the blind path."""
     objmap: dict[int, tuple[int, bytes]] = {}
     for m in _STREAM_OBJ_RE.finditer(data):
         # later (incremental) wins
@@ -1197,12 +1321,12 @@ def _font_tables(
     # in PDF 1.5 files) join the map at generation 0, per §7.5.7
     for num, body in _unpack_objstm(data, ctx).items():
         objmap.setdefault(num, (0, body))
-    cmaps: dict[int, tuple] = {}  # font objnum -> parsed cmap
+    decoders: dict[int, tuple | None] = {}  # font objnum -> decoder
 
-    def font_cmap(font_num: int):
-        if font_num in cmaps:
-            return cmaps[font_num]
-        cmap = None
+    def font_decoder(font_num: int):
+        if font_num in decoders:
+            return decoders[font_num]
+        dec = None
         fref = objmap.get(font_num)
         if fref is not None:
             tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fref[1])
@@ -1220,11 +1344,15 @@ def _font_tables(
                         if payload:
                             parsed = _parse_cmap(payload)
                             if parsed[1]:
-                                cmap = parsed
+                                dec = ("cmap", parsed)
                     except (ValueError, NotImplementedError):
-                        cmap = None
-        cmaps[font_num] = cmap
-        return cmap
+                        dec = None
+            if dec is None:
+                table = _simple_encoding_table(fref[1], objmap)
+                if table is not None:
+                    dec = ("enc", table)
+        decoders[font_num] = dec
+        return dec
 
     tables: dict[int, dict[bytes, tuple]] = {}
     for num, (_gen, body) in objmap.items():
@@ -1238,9 +1366,9 @@ def _font_tables(
                 for fm in re.finditer(
                     rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fdict
                 ):
-                    cmap = font_cmap(int(fm.group(2)))
-                    if cmap is not None:
-                        fonts[fm.group(1)] = cmap
+                    dec = font_decoder(int(fm.group(2)))
+                    if dec is not None:
+                        fonts[fm.group(1)] = dec
         if not fonts:
             continue
         cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
@@ -1296,11 +1424,14 @@ def extract_pdf_text(data: bytes, password: bytes = b"") -> str:
 
     for objnum, stream in _iter_content_streams(data, ctx):
         fonts = tables.get(objnum, {})
-        cmap = None  # current font's ToUnicode map (None = simple)
+        dec = None  # current font's decoder (None = latin-1 simple)
 
         def shown(raw: bytes) -> str:
-            if cmap is not None:
-                return _decode_cid_string(raw, cmap)
+            if dec is not None:
+                if dec[0] == "cmap":
+                    return _decode_cid_string(raw, dec[1])
+                table = dec[1]  # ("enc", 256-entry table)
+                return "".join(table[b] for b in raw)
             return raw.decode("latin-1", "replace")
 
         for m in _TEXT_TOKEN_RE.finditer(stream):
@@ -1309,7 +1440,7 @@ def extract_pdf_text(data: bytes, password: bytes = b"") -> str:
                     flush()
                 continue
             if m.group("fname") is not None:
-                cmap = fonts.get(m.group("fname"))
+                dec = fonts.get(m.group("fname"))
                 continue
             if m.group("op") is not None:
                 if m.group("op") in (b"'", b'"'):

@@ -490,3 +490,64 @@ def test_encrypted_objstm_reader_path():
     assert info["encrypted"] is True
     assert info["n_pages"] == 1  # packed page counted THROUGH decryption
     assert info["producer"] == "packed prod"
+
+
+# ---------------------------------------------------------------------------
+# simple-font /Encoding (ISO 32000 §9.6.6): WinAnsi, MacRoman, /Differences
+
+
+def test_winansi_macroman_round_trip():
+    """cp1252's 0x80-0x9F window (€ “ ” – — •) is exactly what a
+    latin-1 fallback garbles; the /Encoding name must switch the
+    decoder — composing with objstm and encryption."""
+    pages = ["curly “quotes” – dash € bullet •", "café naïve"]
+    for enc in ("winansi", "macroman"):
+        assert extract_pdf_text(
+            encode_pdf(pages, simple_encoding=enc)
+        ) == "\n".join(pages), enc
+    assert extract_pdf_text(
+        encode_pdf(pages, simple_encoding="winansi", use_objstm=True)
+    ) == "\n".join(pages)
+    assert extract_pdf_text(
+        encode_pdf(pages, simple_encoding="winansi", encrypt="rc4-128")
+    ) == "\n".join(pages)
+
+
+def test_differences_array_hand_built():
+    """An encoding DICT with /BaseEncoding + /Differences: glyph names
+    resolve via the AGL subset, the uniXXXX rule, and single-char
+    names; unmapped names are U+FFFD, bytes outside the differences
+    keep the base encoding."""
+    content = b"BT /F1 9 Tf (\x80\x81\x82\x83A) Tj ET"
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Page /Contents 2 0 R /Resources "
+        b"<< /Font << /F1 3 0 R >> >> >>\nendobj\n"
+        b"2 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        b"3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+        b"/Encoding << /BaseEncoding /WinAnsiEncoding /Differences "
+        b"[ 128 /Euro /uni0109 /x /glyphnamenobodyknows ] >> "
+        b">>\nendobj\n%%EOF\n"
+    )
+    # 0x80 -> Euro (AGL), 0x81 -> uni0109, 0x82 -> single-char name,
+    # 0x83 -> unknown glyph -> replacement, A -> base encoding
+    assert extract_pdf_text(body) == "€ĉx�A"
+
+
+def test_glyph_char_rules():
+    from atlas_upscaling_dask_spark.sources.pdf import _glyph_char
+
+    assert _glyph_char("Euro") == "€"
+    assert _glyph_char("emdash") == "—"
+    assert _glyph_char("uni20AC") == "€"
+    assert _glyph_char("u1F600") == "😀"
+    assert _glyph_char("Q") == "Q"
+    assert _glyph_char("notarealglyph") is None
+
+
+def test_unknown_simple_encoding_named():
+    with pytest.raises(ValueError, match="unknown simple_encoding"):
+        encode_pdf(["x"], simple_encoding="latin9")
+    with pytest.raises(ValueError, match="simple-font"):
+        encode_pdf(["x"], simple_encoding="winansi", use_cid_font=True)
