@@ -98,6 +98,16 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
 
 
 def _iter_plain(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    for _start, _end, headers, body in _iter_plain_spans(data):
+        yield headers, body
+
+
+def _iter_plain_spans(
+    data: bytes,
+) -> Iterator[tuple[int, int, dict, bytes]]:
+    """Like ``_iter_plain`` but yields ``(start, end, headers,
+    body)`` — the byte span of each record, which the CDX indexer
+    needs for random-access offsets."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -106,6 +116,7 @@ def _iter_plain(data: bytes) -> Iterator[tuple[dict, bytes]]:
             pos += 2
         if pos >= n:
             return
+        start = pos
         eol = data.find(b"\r\n", pos)
         if eol < 0:
             raise ValueError("truncated WARC version line")
@@ -136,7 +147,7 @@ def _iter_plain(data: bytes) -> Iterator[tuple[dict, bytes]]:
         if len(body) != length:
             raise ValueError("truncated WARC record body")
         pos += length
-        yield headers, body
+        yield start, pos, headers, body
 
 
 def parse_http_response(body: bytes) -> tuple[int, dict[str, str], bytes]:

@@ -5740,6 +5740,77 @@ FROM documents
 )
 
 
+def _warc_cdx_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDXJ capture index: per-doc archives alternate plain and
+    # per-record-gzip layouts (both offset-bearing); every response
+    # indexes to (SURT, 14-digit ts, url, status, mime) — all closed
+    # formulas.  Offsets/digests are layout-dependent bytes, proven by
+    # the random-access fetch test instead of the SQL oracle.
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_warc(batches):
+        from atlas_upscaling_dask_spark.sources.warc import encode_warc
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                records = [
+                    {"type": "response",
+                     "uri": f"http://E{d % 5}.Example.com/P/{d}?b=2&a=1",
+                     "status": 200, "date": "2026-03-04T05:06:07Z",
+                     "payload": f"<p>p {d}</p>".encode()},
+                    {"type": "response",
+                     "uri": f"http://E{d % 5}.Example.com/Q/{d}",
+                     "status": 404, "date": "2026-03-04T05:06:08Z",
+                     "payload": b"nope"},
+                ]
+                payloads.append(
+                    encode_warc(records, gzip_per_record=(d % 2 == 0))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    from .sources.cdx import warc_cdx_index
+
+    media = docs.mapInPandas(
+        make_warc, schema="media_id long, payload binary"
+    )
+    return warc_cdx_index(media).select(
+        "media_id", "surt", "ts", "url", "status", "mime"
+    )
+
+
+_register(
+    "warc_cdx_index",
+    _warc_cdx_index_q,
+    """
+SELECT doc_id AS media_id,
+       'com,example,e' || CAST(doc_id % 5 AS VARCHAR) || ')/p/'
+         || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS surt,
+       '20260304050607' AS ts,
+       'http://E' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/P/'
+         || CAST(doc_id AS VARCHAR) || '?b=2&a=1' AS url,
+       CAST(200 AS INTEGER) AS status,
+       'text/html' AS mime
+FROM documents
+UNION ALL
+SELECT doc_id AS media_id,
+       'com,example,e' || CAST(doc_id % 5 AS VARCHAR) || ')/q/'
+         || CAST(doc_id AS VARCHAR) AS surt,
+       '20260304050608' AS ts,
+       'http://E' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/Q/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CAST(404 AS INTEGER) AS status,
+       'text/html' AS mime
+FROM documents
+""",
+)
+
+
 def _main_content_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Boilerplate removal: nav + footer (short, link-saturated) drop;
     # two prose blocks (one with an inline link) survive — the

@@ -837,6 +837,13 @@ def audited_queries():
             QUERIES["warc_errors"],
             {"max_shuffles": 1},
         ),
+        # CDXJ capture index: archive -> index rows is ONE narrow
+        # kernel pass, zero exchanges (sorting/bucketing the index is
+        # the CALLER's layout decision at 100 TB)
+        "warc_cdx_index": (
+            QUERIES["warc_cdx_index"],
+            {"no_shuffle": True, "no_python_udf": False},
+        ),
         # .warc.zst container scan: kernel + one hash agg; the zstd /
         # brotli decode is executor-local (pyarrow codecs), no extra
         # exchange vs the plain-warc row
