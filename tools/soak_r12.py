@@ -13,6 +13,8 @@ This harness proves the repartition-from-work shape still holds at
 * ``pdf_text_extract``      — full 100%-coverage extraction (plain +
                               CID + encrypted×4 flavors)
 * ``tfrecord_roundtrip_gzip`` — export + scan through the gzip member
+* ``warc_zstd_scan``        — .warc.zst container x HTTP coding
+* ``warc_cdx_index``        — CDXJ capture-index build (SURT + offsets)
 
 Protocol: bench.py's — 3 samples, min-of, per-sample JVM GC, untimed
 warm pass; sf1 corpus from tools/soak_sf1.generate_sf1 (same 10×
@@ -36,6 +38,9 @@ ROWS = [
     "pdf_info",
     "pdf_text_extract",
     "tfrecord_roundtrip_gzip",
+    # late round-12 additions: transport matrix + capture index
+    "warc_zstd_scan",
+    "warc_cdx_index",
 ]
 
 
