@@ -158,7 +158,9 @@ def _key_expansion(key: bytes) -> list[bytes]:
 # state is a 16-byte array in COLUMN-major order (FIPS-197 §3.4):
 # byte index = row + 4*col, i.e. the input block laid out as-is.
 
-_SHIFT = [0, 5, 10, 15, 4, 9, 14, 3, 8, 13, 2, 7, 12, 1, 6, 11]
+# InvShiftRows index map (decryption stays the readable byte-wise
+# form — it only ever sees short stream payloads; the T-table word
+# path below is encryption-only, where Algorithm 2.B's volume lives)
 _INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 
 
