@@ -2504,9 +2504,19 @@ def _semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.similarity import semantic_dedup
 
     # threshold 0.3 ~ p99 of the fixture's in-bucket cosines: a real
-    # drop set, not an all-kept no-op
+    # drop set, not an all-kept no-op.
+    # backend="gemm" (r12, guide §4.2): the in-bucket pair scoring runs
+    # as ONE vectorized NumPy GEMM per bucket instead of an interpreted
+    # expression-fold cosine per pair (~5× on this row).  Identical
+    # output — both backends round cosines half-up to 9 decimals before
+    # the threshold compare, and only (vec_id, bucket, is_kept) is
+    # returned; equality vs the fold backend is pytest-asserted and the
+    # row stays green against the brute-force DuckDB oracle.
     return semantic_dedup(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.3, n_centroids=16
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        n_centroids=16,
+        backend="gemm",
     )
 
 
@@ -2625,9 +2635,22 @@ def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the weakest, so DuckDB predicts all 63 bits without decoding a
     # byte; 16-bit samples keep quantization noise 256× below the
     # amplitude spacing (the margin that makes the bits exact).
+    # Group-hash repartition before the kernel (r12, guide §2.5 input
+    # skew): the sf-dir documents land in ONE input split, which would
+    # serialize every PNG encode + the downstream phash decode on one
+    # core — one tiny exchange of longs buys 32-way codec parallelism
+    # while keeping each group's encode-cache hits task-local (the
+    # same shape `_webp_phash_media` has had since r11).
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 7,
+        )
+    )
 
     def make_png(batches):
         import numpy as np
@@ -3034,9 +3057,19 @@ def _gif_phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JPEG tests prove over every (a, b); the weakest slot (rank 0,
     # amplitude 24) IS the median, so the hash drops exactly that bit
     # — the same formula `_PHASH_HASHES_CTE` computes.
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so GIF LZW encode/decode runs on every core, groups staying
+    # task-local for the encode cache (see `_phash_media`).
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 7,
+        )
+    )
 
     def make_gif(batches):
         import numpy as np
@@ -3678,9 +3711,18 @@ def _video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DCT-sparse construction of `_phash_media` with parameters
     # (a, b) = (AS[(g+f) % 10], (g//10 + 3f) % 63) — every frame hash
     # is analytic, groups of 5 docs share a clip.
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so TIFF encode/decode runs on every core (see `_phash_media`).
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 5,
+        )
+    )
 
     def make_tiff(batches):
         import os

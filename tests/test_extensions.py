@@ -2907,3 +2907,26 @@ def test_tfidf_topterms_rarity_beats_frequency(spark):
     # idf surrogate: tf=1, df=1, n=3 -> 1*(6-2+1)/3 = 5/3
     r1 = [r for r in got if r["doc_id"] == 1][0]
     assert r1["score"] == 5.0 / 3.0 and r1["rank"] == 1
+
+
+def test_semantic_dedup_suite_row_uses_gemm_backend(spark, tmp_path):
+    # r12: the declared semantic_dedup query runs the gemm backend
+    # (guide §4.2 — one vectorized kernel per bucket instead of an
+    # interpreted expression-fold per pair; measured 4.95× in an
+    # interleaved A/B).  Output must stay bit-identical to the fold
+    # backend on the driver's testdata — this pins it at sf0.001.
+    from atlas_upscaling_dask_spark import suite
+    from atlas_upscaling_dask_spark.extensions.similarity import semantic_dedup
+    from atlas_upscaling_dask_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, suite.QUERIES["semantic_dedup"](spark, sf_dir).collect()))
+    fold = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                load_table(spark, sf_dir, "embeddings"), 0.3, 16, backend="fold"
+            ).collect(),
+        )
+    )
+    assert got == fold and got

@@ -579,10 +579,11 @@ def audited_queries():
             {"no_shuffle": True},
         ),
         # per-frame video hashing: synth + page decode + DCT in one
-        # narrow Arrow pass — zero exchanges
+        # narrow Arrow pass after the single group-hash id exchange
+        # (r12 — see image_phash_values)
         "video_frame_hashes": (
             QUERIES["video_frame_hashes"],
-            {"no_shuffle": True},
+            {"max_shuffles": 1},
         ),
         # hashing-trick featurization: explode → doc_id repartition →
         # count agg + norm window both REUSE that one exchange
@@ -609,11 +610,13 @@ def audited_queries():
             QUERIES["map_functions"],
             {"no_shuffle": True, "codegen": True, "no_python_udf": True},
         ),
-        # pHash: decode → DCT → hash is ONE narrow Arrow pass — zero
-        # exchanges to fingerprint a 100 TB image corpus
+        # pHash: decode → DCT → hash is ONE narrow Arrow pass after the
+        # single group-hash exchange of the one-split doc_id frame
+        # (r12 — partition-from-work, same shape as image_phash_webp:
+        # the exchange moves 8-byte ids, never payloads)
         "image_phash_values": (
             QUERIES["image_phash_values"],
-            {"no_shuffle": True},
+            {"max_shuffles": 1},
         ),
         # the JPEG twin: from-spec Huffman+iDCT decode inside the same
         # single narrow Arrow pass — format changes, plan shape doesn't
@@ -639,10 +642,11 @@ def audited_queries():
             {"no_shuffle": True},
         ),
         # the GIF twin: from-spec LZW decode + palette lookup inside
-        # the same single narrow Arrow pass
+        # the same narrow Arrow pass, after the one group-hash id
+        # exchange (r12 — see image_phash_values)
         "gif_phash_values": (
             QUERIES["gif_phash_values"],
-            {"no_shuffle": True},
+            {"max_shuffles": 1},
         ),
         # animated-GIF frame sampling: sequential composite per payload
         # but still ONE narrow pass over the corpus — no exchange
@@ -875,10 +879,11 @@ def audited_queries():
         ),
         # multi-index Hamming join: band equi-join + pair distinct —
         # never an all-pairs product (budget covers the non-broadcast
-        # shape; at sf the band sides broadcast → measured 1)
+        # shape; at sf the band sides broadcast → measured 1).  +1 for
+        # the fixture's group-hash id exchange (r12)
         "image_phash_neardup": (
             QUERIES["image_phash_neardup"],
-            {"max_shuffles": 3},
+            {"max_shuffles": 4},
         ),
         # AllPairs/PPJoin exact set-similarity: candidate generation is
         # an equi-join on rare prefix tokens, NEVER a cross product.
