@@ -2563,7 +2563,17 @@ def _multimodal_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .extensions.multimodal import extract_audio_features
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so the per-payload codec work runs on every core; the exchange
+    # moves 8-byte ids only (see `_phash_media`).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 5,
+        )
+    )
 
     def make_wav(batches):
         import numpy as np
@@ -2803,7 +2813,17 @@ def _phash_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_jpeg.py proves the hash EXACT for all 630 patterns.
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so the per-payload codec work runs on every core; the exchange
+    # moves 8-byte ids only (see `_phash_media`).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 7,
+        )
+    )
 
     def make_jpeg(batches):
         import numpy as np
@@ -2869,7 +2889,17 @@ def _jpeg_decode_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all four values from the doc_id rule without touching a byte.
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so the per-payload codec work runs on every core; the exchange
+    # moves 8-byte ids only (see `_phash_media`).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 5,
+        )
+    )
 
     def kernel(batches):
         import numpy as np
@@ -2937,7 +2967,17 @@ def _jpeg_decode_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SAME closed-form oracle predicts every pixel.
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so the per-payload codec work runs on every core; the exchange
+    # moves 8-byte ids only (see `_phash_media`).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 5,
+        )
+    )
 
     def kernel(batches):
         import numpy as np
@@ -2995,7 +3035,17 @@ def _jpeg_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     # profile runs before deciding what to decode.
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so the per-payload codec work runs on every core; the exchange
+    # moves 8-byte ids only (see `_phash_media`).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 5,
+        )
+    )
 
     def kernel(batches):
         import numpy as np
@@ -3470,7 +3520,17 @@ def _gif_anim_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and header fields are all analytic.
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so the per-payload codec work runs on every core; the exchange
+    # moves 8-byte ids only (see `_phash_media`).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 5,
+        )
+    )
 
     def make_gif(batches):
         import numpy as np
@@ -3612,7 +3672,17 @@ def _afp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicates), float64 WAV encoding makes the roundtrip lossless.
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so the per-payload codec work runs on every core; the exchange
+    # moves 8-byte ids only (see `_phash_media`).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 5,
+        )
+    )
 
     def make_wav(batches):
         import numpy as np
@@ -3847,7 +3917,17 @@ def _avi_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the JPEG tests prove bit-exact — every frame hash stays analytic.
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so the per-payload codec work runs on every core; the exchange
+    # moves 8-byte ids only (see `_phash_media`).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 5,
+        )
+    )
 
     def make_avi(batches):
         import numpy as np
@@ -3975,7 +4055,17 @@ def _mp4_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codecs need a media library).
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so the per-payload codec work runs on every core; the exchange
+    # moves 8-byte ids only (see `_phash_media`).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 5,
+        )
+    )
 
     def kernel(batches):
         from atlas_upscaling_dask_spark.sources.mp4 import (
@@ -4441,7 +4531,17 @@ def _warc_recrawl_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.crawl import recrawl_schedule
     from .sources.warc import warc_records
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so the per-payload codec work runs on every core; the exchange
+    # moves 8-byte ids only (see `_phash_media`).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 5,
+        )
+    )
 
     def make_warc(batches):
         from atlas_upscaling_dask_spark.sources.warc import encode_warc
@@ -5084,7 +5184,17 @@ def _media_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # field analytic from doc_id.
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so the per-payload codec work runs on every core; the exchange
+    # moves 8-byte ids only (see `_phash_media`).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 5,
+        )
+    )
 
     def make_media(batches):
         import os
@@ -5203,7 +5313,17 @@ def _webp_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # formula on doc_id, zero entropy decode.
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so the per-payload codec work runs on every core; the exchange
+    # moves 8-byte ids only (see `_phash_media`).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 5,
+        )
+    )
 
     def make_and_parse(batches):
         import numpy as np
@@ -5382,7 +5502,17 @@ def _warc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is a formula of doc_id.
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so the per-payload codec work runs on every core; the exchange
+    # moves 8-byte ids only (see `_phash_media`).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 5,
+        )
+    )
 
     def make_warc(batches):
         from atlas_upscaling_dask_spark.sources.warc import encode_warc
@@ -5658,7 +5788,17 @@ def _warc_errors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would return zero rows for the whole archive instead.
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so the per-payload codec work runs on every core; the exchange
+    # moves 8-byte ids only (see `_phash_media`).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 5,
+        )
+    )
 
     def make_warc(batches):
         from atlas_upscaling_dask_spark.sources.warc import encode_warc
@@ -5723,7 +5863,17 @@ def _warc_zstd_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequence and records self-delimit.
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so the per-payload codec work runs on every core; the exchange
+    # moves 8-byte ids only (see `_phash_media`).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 5,
+        )
+    )
 
     def make_warc(batches):
         from atlas_upscaling_dask_spark.sources.warc import (
@@ -5790,7 +5940,17 @@ def _warc_cdx_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the random-access fetch test instead of the SQL oracle.
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so the per-payload codec work runs on every core; the exchange
+    # moves 8-byte ids only (see `_phash_media`).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 5,
+        )
+    )
 
     def make_warc(batches):
         from atlas_upscaling_dask_spark.sources.warc import encode_warc
@@ -5909,7 +6069,17 @@ def _warc_charset_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per page or the non-ASCII characters come out wrong.
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Group-hash repartition (r12): spread the one-split doc_id frame
+    # so the per-payload codec work runs on every core; the exchange
+    # moves 8-byte ids only (see `_phash_media`).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id") - F.col("doc_id") % 5,
+        )
+    )
 
     def make_warc(batches):
         from atlas_upscaling_dask_spark.sources.warc import encode_warc
