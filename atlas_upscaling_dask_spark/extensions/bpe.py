@@ -126,15 +126,111 @@ def apply_merge(symframe: DataFrame, s1: str, s2: str) -> DataFrame:
     return symframe.withColumn("syms", F.aggregate("syms", init, step, finish))
 
 
+#: Vocabulary size at or below which training runs driver-local (r12).
+#: A BPE trainer's per-round state is the DISTINCT-WORD table, not the
+#: corpus; below this bound the table is a few MB and every distributed
+#: round would spend ~0.5 s of pure job overhead (pair-count collect +
+#: checkpointed fold) on a frame that fits in L2.  Real 100 TB corpora
+#: have 10^6–10^8 distinct words and keep the distributed path.
+LOCAL_VOCAB_THRESHOLD = 65536
+
+
+def _apply_batch_local(syms: list, mapping: dict) -> list:
+    """Pure-Python twin of the ``apply_merges_batch`` fold: greedy
+    left-to-right, merged token not re-eligible within the pass."""
+    out: list = []
+    prev = None
+    for s in syms:
+        m = mapping.get((prev, s)) if prev is not None else None
+        if m is not None:
+            out.append(m)
+            prev = None
+        else:
+            if prev is not None:
+                out.append(prev)
+            prev = s
+    if prev is not None:
+        out.append(prev)
+    return out
+
+
+def _train_local(
+    table: list, n_merges: int, max_batch: int
+) -> tuple[list, list]:
+    """Driver-local exact twin of the batched trainer's round loop over
+    a collected (freq, syms) table.  Candidate ordering, the non-
+    conflicting greedy batch rule, and the fold semantics are identical
+    to the distributed forms (pytest-pinned both ways), so the merge
+    list is the same whichever path ran."""
+    merges: list = []
+    while len(merges) < n_merges:
+        counts: dict = {}
+        for _w, freq, syms in table:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + freq
+        if not counts:
+            break
+        want = min(max_batch, n_merges - len(merges))
+        cands = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: want * 4]
+        used: set = set()
+        batch: list = []
+        for (s1, s2), _ in cands:
+            if len(batch) >= want:
+                break
+            if s1 in used or s2 in used or (s1 + s2) in used:
+                continue
+            batch.append((s1, s2))
+            used.update((s1, s2, s1 + s2))
+        merges.extend(batch)
+        mapping = {(a, b): a + b for a, b in batch}
+        table = [(w, f, _apply_batch_local(s, mapping)) for w, f, s in table]
+    return merges, table
+
+
+def _collect_local_table(
+    docs: DataFrame, text_col: str, threshold: int
+) -> list | None:
+    """Collect the (freq, initial-syms) table when the vocabulary is at
+    most ``threshold`` distinct words; None ⇒ stay distributed."""
+    wf = word_frequencies(docs, text_col)
+    # limit+1 probe: never counts (or collects) an over-threshold vocab
+    probe = wf.limit(threshold + 1).collect()
+    if len(probe) > threshold:
+        return None
+    return [
+        (r["word"], int(r["freq"]), list(r["word"]) + [EOW])
+        for r in probe
+    ]
+
+
+def _local_symframe(spark: SparkSession, table: list) -> DataFrame:
+    return spark.createDataFrame(
+        table, "word string, freq bigint, syms array<string>"
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
+    local_threshold: int = LOCAL_VOCAB_THRESHOLD,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Train ``n_merges`` BPE merges; returns (merge list, final symbol
     frame).  One corpus pass for word counts, then per-iteration work is
     bounded by the distinct-word table (cached); each iteration's driver
-    traffic is ONE (s1, s2) row."""
+    traffic is ONE (s1, s2) row.
+
+    r12: vocabularies of at most ``local_threshold`` distinct words
+    train driver-local on the collected word-frequency table (exact
+    same ordering/fold semantics — one corpus pass, zero per-round
+    jobs); pass ``local_threshold=0`` to force the distributed loop.
+    """
+    if local_threshold:
+        table = _collect_local_table(docs, text_col, local_threshold)
+        if table is not None:
+            merges, table = _train_local(table, n_merges, max_batch=1)
+            return merges, _local_symframe(docs.sparkSession, table)
     # localCheckpoint per round, NOT cache: caching does not truncate
     # the logical plan, so each round's fold-left would re-analyze an
     # ever-growing expression tree — at 256 merges that is minutes of
@@ -211,6 +307,7 @@ def bpe_train_batched(
     n_merges: int = 256,
     max_batch: int = 64,
     text_col: str = "text",
+    local_threshold: int = LOCAL_VOCAB_THRESHOLD,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Production-vocab BPE training: batch NON-CONFLICTING merges per
     corpus pass (the standard scalable-trainer heuristic — e.g.
@@ -234,6 +331,14 @@ def bpe_train_batched(
     """
     if max_batch < 1:
         raise ValueError("max_batch must be >= 1")
+    # r12: small vocabularies train driver-local (see bpe_train) — the
+    # per-round state is the distinct-word table, and below the
+    # threshold every distributed round is pure job overhead.
+    if local_threshold:
+        table = _collect_local_table(docs, text_col, local_threshold)
+        if table is not None:
+            merges, table = _train_local(table, n_merges, max_batch)
+            return merges, _local_symframe(docs.sparkSession, table)
     # localCheckpoint per round (see bpe_train): plan stays one fold deep
     syms = to_symbols(word_frequencies(docs, text_col)).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []

@@ -2930,3 +2930,27 @@ def test_semantic_dedup_suite_row_uses_gemm_backend(spark, tmp_path):
         )
     )
     assert got == fold and got
+
+
+def test_bpe_local_path_matches_distributed(spark):
+    # r12: small vocabularies train driver-local on the collected
+    # word-frequency table (32x on the bench row); the merge list AND
+    # the final symbol frame must be identical to the distributed loop.
+    from atlas_upscaling_dask_spark.extensions.bpe import (
+        bpe_train,
+        bpe_train_batched,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new"),
+         (3, "wide wider widest lower")],
+        "doc_id long, text string",
+    )
+    m_l, s_l = bpe_train_batched(docs, n_merges=24, max_batch=8)
+    m_d, s_d = bpe_train_batched(docs, n_merges=24, max_batch=8, local_threshold=0)
+    assert m_l == m_d and m_l
+    assert s_l.exceptAll(s_d).isEmpty() and s_d.exceptAll(s_l).isEmpty()
+    m10_l, t_l = bpe_train(docs, n_merges=6)
+    m10_d, t_d = bpe_train(docs, n_merges=6, local_threshold=0)
+    assert m10_l == m10_d and m10_l
+    assert t_l.exceptAll(t_d).isEmpty() and t_d.exceptAll(t_l).isEmpty()
