@@ -584,16 +584,21 @@ def bigram_coherence(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     A language model replaces the count table without changing the
     plan shape.
     """
+    # r12: zip two shifted bulk slices (see lm_score) instead of a
+    # per-bigram interpreted lambda
     bi = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
     ).select(
         "doc_id",
         F.expr(
             "CASE WHEN size(w) >= 2 THEN "
-            "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1])) "
-            "ELSE CAST(array() AS array<string>) END"
+            "arrays_zip(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1)) "
+            "ELSE CAST(array() AS array<struct<`0`:string,`1`:string>>) END"
         ).alias("bs"),
-    ).select("doc_id", F.explode("bs").alias("bigram"))
+    ).select(
+        "doc_id",
+        F.explode("bs").alias("b"),
+    ).select("doc_id", F.concat_ws(" ", "b.0", "b.1").alias("bigram"))
     corpus_counts = bi.groupBy("bigram").agg(F.count("*").alias("cnt"))
     return (
         bi.join(corpus_counts, "bigram")
@@ -658,18 +663,16 @@ def lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
     )
+    # r12: zip two shifted bulk slices instead of a per-element
+    # interpreted element_at lambda (the word_shingles lesson — bulk
+    # slices are one allocation per doc, the lambda was one per bigram;
+    # proven exceptAll-identical, 0.62 → 0.32 s isolated at sf0.1)
     pairs = F.when(
         F.size("w") >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size("w") - 2),
-            lambda i: F.struct(
-                F.element_at(F.col("w"), i + 1).alias("w1"),
-                F.element_at(F.col("w"), i + 2).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        F.expr("arrays_zip(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1))"),
+    ).otherwise(F.expr("CAST(array() AS array<struct<`0`:string,`1`:string>>)"))
     bi = base.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        "doc_id", F.col("p.`0`").alias("w1"), F.col("p.`1`").alias("w2")
     )
     # Measured: pre-partitioning bi on w1 to collapse the count/join
     # exchanges (w1 ⊂ (w1,w2)) times 1.04 s vs 0.92 s at sf0.1 — the

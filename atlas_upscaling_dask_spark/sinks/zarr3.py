@@ -328,6 +328,14 @@ def export_zarr3_frame(
         )
     _check_shard(shard)
     sz, sy, sx = (int(s) for s in shard)
+    # r12 (guide §2.3, shuffle fewer bytes): RAW payloads would cross
+    # the shard-grouping exchange at full logical volume — 2.46 GB for
+    # the 4× bench shape.  Compress them zstd-1 in the task that holds
+    # them first (one narrow Arrow pass; label volumes compress ~100×),
+    # so the exchange moves megabytes; the shard kernel already decodes
+    # per-row via the ``codec`` column, so downstream is unchanged.
+    # Already-compressed payloads pass through untouched.
+    chunks = _compress_raw_payloads(chunks)
     keyed = chunks.select(
         *cols,
         F.expr(f"CAST(cz DIV {sz} AS INT)").alias("_sz"),
