@@ -306,6 +306,40 @@ def _check_shard(shard) -> None:
         )
 
 
+def _compress_raw_payloads(chunks: DataFrame) -> DataFrame:
+    """zstd-1-compress ``codec == 'raw'`` payloads inside the task that
+    already holds them (guide §2.3, shuffle fewer bytes): label-volume
+    payloads compress ~100×, so the shard-grouping exchange downstream
+    moves megabytes instead of the full logical volume.  Rows whose
+    payload is already compressed pass through untouched.  Result-
+    invariant: every consumer decodes per row via the ``codec`` column
+    (``_decode_rows`` → ``_decode_payload``)."""
+    schema = chunks.schema
+    names = [f.name for f in schema.fields]
+    ci, pi = names.index("codec"), names.index("payload")
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from atlas_upscaling_dask_spark.malloc_tuning import pin_large_alloc_reuse
+        pin_large_alloc_reuse()
+        zc = _zstd(1)
+        for batch in batches:
+            codecs = batch.column(ci).to_pylist()
+            if "raw" not in codecs:
+                yield batch
+                continue
+            payloads = batch.column(pi).to_pylist()
+            for i, c in enumerate(codecs):
+                if c == "raw":
+                    payloads[i] = zc.compress(payloads[i]).to_pybytes()
+                    codecs[i] = "zstd"
+            arrays = list(batch.columns)
+            arrays[ci] = pa.array(codecs, type=pa.string())
+            arrays[pi] = pa.array(payloads, type=pa.binary())
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return chunks.mapInArrow(kernel, schema=schema)
+
+
 def export_zarr3_frame(
     chunks: DataFrame,
     path: str,
