@@ -52,8 +52,35 @@ def count_shuffles(plan: str) -> int:
     return len(re.findall(r"\(\d+\) Exchange", plan))
 
 
+# the partition-from-work fixture spread (r12): a group-hash
+# REPARTITION_BY_NUM of a SINGLE-COLUMN id frame, keyed
+# (id - (id % group)).  Matched exactly so `spread_exchanges` exempts
+# only this intended exchange — any other exchange sneaking into a
+# tight-budget row still fails the audit (r13, advice item 3).
+_SPREAD_EXCHANGE_RE = re.compile(
+    r"\(\d+\) Exchange\s*\nInput \[1\]:[^\n]*\n"
+    r"Arguments: hashpartitioning\(\(\w+#\d+L? - \(\w+#\d+L? % \d+\)\), "
+    r"\d+\), REPARTITION_BY_NUM"
+)
+
+
+def count_spread_exchanges(plan: str) -> int:
+    return len(_SPREAD_EXCHANGE_RE.findall(plan))
+
+
 def check(name: str, plan: str, rules: dict) -> list[str]:
     errs = []
+    if "spread_exchanges" in rules:
+        allowed = rules["spread_exchanges"]
+        found = count_spread_exchanges(plan)
+        if found != allowed:
+            errs.append(
+                f"expected exactly {allowed} group-hash spread exchange(s), "
+                f"found {found}"
+            )
+        # the spread exchange is exempt from the shuffle budget below;
+        # rewrite the plan so count_shuffles no longer sees it
+        plan = _SPREAD_EXCHANGE_RE.sub("(0) SpreadExempt", plan, count=allowed)
     if rules.get("pushdown") and "PushedFilters: [" not in plan.replace(
         "PushedFilters: []", ""
     ):
@@ -90,9 +117,11 @@ def audited_queries():
     # r12 note: every documents-derived media fixture now group-hash
     # repartitions its one-split doc_id frame before the codec kernels
     # (partition-from-work; the exchange moves 8-byte ids, never
-    # payloads), so rows audited "no_shuffle" before r12 now budget
-    # exactly ONE exchange.  A second exchange appearing on those rows
-    # is still a regression.
+    # payloads).  r13: those rows assert that exchange EXACTLY via
+    # ``spread_exchanges: 1`` (matched against the repartition's
+    # hashpartitioning expression) and keep their original tight
+    # ``max_shuffles`` for everything else, so an unrelated accidental
+    # exchange fails the audit again.
     from pyspark.sql import functions as F
 
     from atlas_upscaling_dask_spark.suite import QUERIES
@@ -504,7 +533,7 @@ def audited_queries():
         # Arrow kernels over the same rows — fully narrow, zero shuffle
         "multimodal_audio": (
             QUERIES["multimodal_audio"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # profiling: ONE aggregation (Expand partial + final) — per-
         # column job loops would show up as extra exchanges here
@@ -582,14 +611,14 @@ def audited_queries():
         # Arrow pass — zero exchanges, like its image twin
         "audio_fingerprint_values": (
             QUERIES["audio_fingerprint_values"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # per-frame video hashing: synth + page decode + DCT in one
         # narrow Arrow pass after the single group-hash id exchange
         # (r12 — see image_phash_values)
         "video_frame_hashes": (
             QUERIES["video_frame_hashes"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # hashing-trick featurization: explode → doc_id repartition →
         # count agg + norm window both REUSE that one exchange
@@ -622,70 +651,70 @@ def audited_queries():
         # the exchange moves 8-byte ids, never payloads)
         "image_phash_values": (
             QUERIES["image_phash_values"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # the JPEG twin: from-spec Huffman+iDCT decode inside the same
         # single narrow Arrow pass — format changes, plan shape doesn't
         "image_phash_jpeg": (
             QUERIES["image_phash_jpeg"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # bit-exact JPEG decode gate row: encode → decode → project,
         # one narrow pass, nothing moves
         "jpeg_decode_blocks": (
             QUERIES["jpeg_decode_blocks"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # header-only image profiling: marker walk, no entropy decode,
         # one narrow pass
         "jpeg_dims": (
             QUERIES["jpeg_dims"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # progressive (SOF2) decode gate row: same narrow single pass
         "jpeg_decode_progressive": (
             QUERIES["jpeg_decode_progressive"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # the GIF twin: from-spec LZW decode + palette lookup inside
         # the same narrow Arrow pass, after the one group-hash id
         # exchange (r12 — see image_phash_values)
         "gif_phash_values": (
             QUERIES["gif_phash_values"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # animated-GIF frame sampling: sequential composite per payload
         # but still ONE narrow pass over the corpus — no exchange
         "gif_anim_frame_digests": (
             QUERIES["gif_anim_frame_digests"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # header-only GIF profiling: block walk, no LZW work, narrow
         "gif_info": (
             QUERIES["gif_info"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # MJPEG-AVI frame fingerprints: idx1 random access + from-spec
         # JPEG decode, still ONE narrow Arrow pass over the corpus
         "avi_frame_hashes": (
             QUERIES["avi_frame_hashes"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # header-only AVI census: hdrl/idx1 walk, zero JPEG work
         "avi_info": (
             QUERIES["avi_info"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # header-only MP4 census: ISO-BMFF box walk, decode never runs
         "mp4_info": (
             QUERIES["mp4_info"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # unified mixed-corpus census: magic dispatch to 7 per-format
         # header parsers, one narrow pass, zero entropy decode
         "media_census": (
             QUERIES["media_census"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # link-graph extraction: codegen'd href extract + explode +
         # RFC 3986 resolution — zero Python, zero exchanges
@@ -726,19 +755,19 @@ def audited_queries():
         # WARC record census: narrow framing walk + one hash agg
         "warc_census": (
             QUERIES["warc_census"],
-            {"max_shuffles": 2},
+            {"max_shuffles": 1, "spread_exchanges": 1},
         ),
         # WARC → HTML title/text: container kernel + codegen'd regex
         # extraction, zero exchanges end to end
         "warc_html_extract": (
             QUERIES["warc_html_extract"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # charset-aware variant: BOM/header/meta sniff + fallback
         # decode, still one narrow chain
         "warc_charset_extract": (
             QUERIES["warc_charset_extract"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # boilerplate removal: split/transform/filter HOFs — zero
         # Python, zero exchanges, codegen end to end
@@ -791,14 +820,14 @@ def audited_queries():
         # WebP container census: one Arrow kernel pass, no exchanges
         "webp_info": (
             QUERIES["webp_info"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # VP8L decode through the DCT hash: ONE group-hash exchange
         # (codec parallelism from the work, not the file layout), then
         # kernel-only
         "image_phash_webp": (
             QUERIES["image_phash_webp"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # animated WebP compositing digests: ONE group-hash exchange
         # (r10 verdict #6: the partition-from-work lesson applied —
@@ -806,30 +835,30 @@ def audited_queries():
         # the repartition every ANMF kernel would serialize on a core)
         "webp_anim_frame_digests": (
             QUERIES["webp_anim_frame_digests"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # VP8 lossy keyframe decode digest: same shape — one
         # group-hash exchange, then kernel-only
         "webp_lossy_decode": (
             QUERIES["webp_lossy_decode"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # lossy-with-alpha stills (ALPH + VP8): one group-hash
         # exchange, then kernel-only
         "webp_lossy_alpha_digest": (
             QUERIES["webp_lossy_alpha_digest"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # PDF census: one group-hash exchange, then header-only kernel
         "pdf_info": (
             QUERIES["pdf_info"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # PDF text extraction: one group-hash exchange, linear-scan +
         # inflate kernel (the filter on encrypted groups is codegen)
         "pdf_text_extract": (
             QUERIES["pdf_text_extract"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # TFRecord scan half of the roundtrip: one path-repartition
         # exchange, then executor-local framing + proto decode
@@ -845,21 +874,21 @@ def audited_queries():
         # error containment census: kernel + one hash agg
         "warc_errors": (
             QUERIES["warc_errors"],
-            {"max_shuffles": 2},
+            {"max_shuffles": 1, "spread_exchanges": 1},
         ),
         # CDXJ capture index: archive -> index rows is ONE narrow
         # kernel pass, zero exchanges (sorting/bucketing the index is
         # the CALLER's layout decision at 100 TB)
         "warc_cdx_index": (
             QUERIES["warc_cdx_index"],
-            {"max_shuffles": 1, "no_python_udf": False},
+            {"max_shuffles": 0, "spread_exchanges": 1, "no_python_udf": False},
         ),
         # .warc.zst container scan: kernel + one hash agg; the zstd /
         # brotli decode is executor-local (pyarrow codecs), no extra
         # exchange vs the plain-warc row
         "warc_zstd_scan": (
             QUERIES["warc_zstd_scan"],
-            {"max_shuffles": 2},
+            {"max_shuffles": 1, "spread_exchanges": 1},
         ),
         # GZIP transport adds no plan shape vs the plain tfrecord row
         "tfrecord_roundtrip_gzip": (
@@ -869,13 +898,13 @@ def audited_queries():
         # composed WARC -> recrawl schedule: kernel + pure projection
         "warc_recrawl_schedule": (
             QUERIES["warc_recrawl_schedule"],
-            {"max_shuffles": 1},
+            {"max_shuffles": 0, "spread_exchanges": 1},
         ),
         # the composed crawl-hygiene chain: WARC → responses →
         # canonical-URL dedup — one group-by is the only exchange
         "warc_url_dedup": (
             QUERIES["warc_url_dedup"],
-            {"max_shuffles": 2},
+            {"max_shuffles": 1, "spread_exchanges": 1},
         ),
         # RFC 9309 gate: rules BROADCAST to the URL side, one verdict
         # group-by — URLs never ship to the robots table
@@ -889,7 +918,7 @@ def audited_queries():
         # the fixture's group-hash id exchange (r12)
         "image_phash_neardup": (
             QUERIES["image_phash_neardup"],
-            {"max_shuffles": 4},
+            {"max_shuffles": 3, "spread_exchanges": 1},
         ),
         # AllPairs/PPJoin exact set-similarity: candidate generation is
         # an equi-join on rare prefix tokens, NEVER a cross product.
