@@ -91,6 +91,55 @@ def component_sizes(components: DataFrame) -> DataFrame:
     return components.groupBy("label", "comp").agg(F.count("*").alias("n_voxels"))
 
 
+#: Edge-count bound for the driver-local union-find fast path (r13).
+#: The canonical-edge build already computes an EXACT edge count for
+#: the convergence signature, so the gate costs nothing; at or below
+#: it the whole star fixpoint — 2 shuffles, 2 materializations and 2
+#: blocking driver actions PER ROUND — collapses to one collect + an
+#: in-memory union-find + one broadcast map-back join.  2^20 canonical
+#: edges is ~16 MB driver-side (trivial); 100 TB near-dup graphs
+#: (billions of edges) keep the distributed fixpoint.
+LOCAL_EDGES_THRESHOLD = 1 << 20
+
+
+def _cc_local_mapping(e: DataFrame) -> DataFrame:
+    """Driver-local union-find over a (small, already-distinct) edge
+    frame; returns the (id, comp) mapping for every node APPEARING in
+    an edge, comp = minimum member.  Exact twin of the star fixpoint's
+    converged forest: union-by-min keeps each tree's root at the
+    component minimum (Python's str ordering is codepoint order =
+    Spark's UTF8 binary order, so min semantics agree for string ids
+    too)."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e.collect():
+        u, v = row["u"], row["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    dtype = e.schema["u"].dataType
+    schema = T.StructType(
+        [T.StructField("id", dtype, False), T.StructField("comp", dtype, False)]
+    )
+    return e.sparkSession.createDataFrame(
+        [(x, find(x)) for x in parent], schema
+    )
+
+
 def connected_components_edges(
     vertices: DataFrame,
     edges: DataFrame,
@@ -99,6 +148,7 @@ def connected_components_edges(
     dst_col: str = "dst",
     max_iters: int = 64,
     algorithm: str = "star",
+    local_threshold: int = LOCAL_EDGES_THRESHOLD,
 ) -> DataFrame:
     """Generic connected components on an undirected edge list.
 
@@ -154,6 +204,18 @@ def connected_components_edges(
         return (r["n"], r["h"])
 
     sig_e = _edge_sig(e)
+    if 0 < sig_e[0] <= local_threshold:
+        # small edge set (exact count from the signature job — no extra
+        # probe): run the union-find driver-local and broadcast the
+        # node→comp map back onto the vertices.  Identical output to
+        # the fixpoint (pytest-pinned against both algorithms);
+        # ``local_threshold=0`` forces the distributed loop.
+        mapped = _cc_local_mapping(e)
+        return (
+            verts.join(F.broadcast(mapped), "id", "left")
+            .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
     converged = sig_e[0] == 0
     for _ in range(max_iters):
         if converged:

@@ -790,7 +790,10 @@ def test_cc_edges_star_handles_pathological_chain(spark):
     edges = spark.range(n - 1).select(
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
     )
-    out = connected_components_edges(verts, edges, max_iters=20)
+    # local_threshold=0 forces the distributed star loop — the default
+    # would take the r13 driver-local union-find path on a graph this
+    # small and the O(log n) property would go untested
+    out = connected_components_edges(verts, edges, max_iters=20, local_threshold=0)
     rows = out.collect()
     assert len(rows) == n
     assert all(r["comp"] == 0 for r in rows)
@@ -813,17 +816,23 @@ def test_cc_edges_star_equals_minlabel_on_random_graph(spark):
     pairs += pairs[:10]  # duplicates
     verts = spark.range(n).select(F.col("id"))
     edges = spark.createDataFrame(pairs, "src long, dst long")
-    star = {
+    local = {
         r["id"]: r["comp"]
         for r in connected_components_edges(verts, edges).collect()
+    }  # default threshold: the r13 driver-local union-find path
+    star = {
+        r["id"]: r["comp"]
+        for r in connected_components_edges(
+            verts, edges, local_threshold=0
+        ).collect()
     }
     ml = {
         r["id"]: r["comp"]
         for r in connected_components_edges(
-            verts, edges, algorithm="minlabel", max_iters=200
+            verts, edges, algorithm="minlabel", max_iters=200, local_threshold=0
         ).collect()
     }
-    assert star == ml
+    assert local == star == ml
     assert len(star) == n
 
 
