@@ -613,14 +613,22 @@ def pq_codebooks(
     recall-vs-brute-force property the tests pin.
     """
     rows = corpus.orderBy(id_col).limit(k_sub).select(vec_col).collect()
-    if len(rows) < k_sub:
+    return _books_from_vecs([r[0] for r in rows], m, k_sub)
+
+
+def _books_from_vecs(vecs: list, m: int, k_sub: int):
+    """Codebooks from already-collected lowest-id vectors (shared with
+    ``ivf_pq_topk``, whose coarse quantizer collects the same seed rows
+    — one driver job instead of two)."""
+    if len(vecs) < k_sub:
         raise ValueError(f"corpus has fewer than {k_sub} vectors")
-    dim = len(rows[0][0])
+    vecs = vecs[:k_sub]
+    dim = len(vecs[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     return [
-        [[float(r[0][j * dsub + t]) for t in range(dsub)] for r in rows]
+        [[float(v[j * dsub + t]) for t in range(dsub)] for v in vecs]
         for j in range(m)
     ]
 
@@ -831,6 +839,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
+    backend: str = "kernel",
 ) -> DataFrame:
     """Asymmetric-distance PQ search: encode the corpus once (m small
     ints per vector), then score every (query, neighbor) as the sum of
@@ -838,19 +847,49 @@ def pq_topk(
     neighbor's codeword — the classic ADC scan (Jégou et al., "Product
     Quantization for Nearest Neighbor Search").
 
-    Plan: codes explode to (neighbor, j, code) and join the broadcast
-    codeword table and broadcast query subvectors — per-term distances
-    are rounded to 9 digits and DECIMAL-summed (order-independent,
-    oracle-bitwise), then one per-query top-k.  The scan side carries
-    only ids + codes (the 64×-compressed representation), never the
-    raw corpus vectors — that is the PQ scaling story; compose with the
-    IVF bucket layout (`build_ivf_index`) for sublinear candidate sets.
-    Returns (query_id, neighbor_id, adist, rk) — approximate distance
-    ascending, self-matches excluded.
+    Backends (r13 — property-pinned result-identical; the
+    semantic_dedup fold→gemm precedent):
+
+    * ``"kernel"`` (default) — the shared IVFADC Arrow kernel
+      (``_adc_scan_topk``) with a single all-covering bucket: encode +
+      int-nanos LUT scoring + partition-local top-k fused into ONE
+      narrow pass; the only exchange is the final per-query ranking
+      window over ≤ |Q|·k·n_partitions rows.  The per-(query,neighbor)
+      distance is the same exact integer sum of round-to-9 terms the
+      aggregation computes (``_adc_lut_nanos``), so outputs are
+      bitwise identical.
+    * ``"agg"`` — the relational dual the SQL oracle replays: codes
+      explode to (neighbor, j, code) and join the broadcast codeword
+      table and broadcast query subvectors; per-term distances are
+      rounded to 9 digits and DECIMAL-summed (order-independent,
+      oracle-bitwise), then one per-query top-k.  Carries
+      |Q|·|corpus| pair rows through an aggregation — the exchange
+      the kernel path removes.
+
+    Either way the scan side never shuffles raw corpus vectors;
+    compose with the IVF bucket layout (`build_ivf_index`) for
+    sublinear candidate sets.  Returns (query_id, neighbor_id, adist,
+    rk) — approximate distance ascending, self-matches excluded.
     """
     books = pq_codebooks(corpus, m, k_sub, id_col, vec_col)
     if refine_iters > 0:  # Lloyd-refined books: better recall, no oracle
         books = refine_pq_codebooks(corpus, books, refine_iters, vec_col=vec_col)
+    if backend == "kernel":
+        q_rows = queries.select(id_col, vec_col).collect()
+        if not q_rows:
+            raise ValueError("empty query set")
+        q_ids = [int(r[0]) for r in q_rows]
+        luts = _adc_lut_nanos(books, q_rows)
+        probes = {qid: [0] for qid in q_ids}
+        cand = corpus.select(
+            id_col, vec_col, F.lit(0).alias("bucket")
+        )
+        return _adc_scan_topk(
+            cand, None, books, probes, luts, q_ids, k, id_col, vec_col,
+            assigned_bucket=True,
+        )
+    if backend != "agg":
+        raise ValueError(f"backend must be kernel|agg, got {backend!r}")
     dsub = len(books[0][0])
     spark = corpus.sparkSession
     book_rows = [
@@ -959,7 +998,9 @@ def _adc_scan_topk(
 
     m, k_sub, dsub = len(books), len(books[0]), len(books[0][0])
     bk = np.asarray(books, dtype=np.float64)
-    ct = np.asarray(cents, dtype=np.float64)
+    # cents may be None when the caller pre-assigned buckets (pq_topk's
+    # single-bucket kernel path never probes the coarse quantizer)
+    ct = None if cents is None else np.asarray(cents, dtype=np.float64)
     probe_sets = {int(q): set(map(int, bs)) for q, bs in probes.items()}
 
     def kernel(batches):
@@ -1059,8 +1100,25 @@ def ivf_pq_topk(
     same codebooks, the same encode fold, per-term round-to-9 carried
     as exact integer nanos.
     """
-    cents = _coarse_centroids(corpus, n_centroids, 0, id_col, vec_col)
-    books = pq_codebooks(corpus, m, k_sub, id_col, vec_col)
+    # ONE seed collect serves both deterministic quantizers (r13): the
+    # coarse centroids and the PQ codebooks are both derived from the
+    # lowest-id corpus vectors, so collecting max(n_centroids, k_sub)
+    # rows once replaces two identical driver jobs.
+    import numpy as np
+
+    seed_rows = (
+        corpus.orderBy(id_col)
+        .limit(max(n_centroids, k_sub))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if len(seed_rows) < n_centroids:
+        raise ValueError(f"corpus has fewer than {n_centroids} vectors")
+    cents = np.array(
+        [r[1] for r in seed_rows[:n_centroids]], dtype=np.float64
+    )
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    books = _books_from_vecs([r[1] for r in seed_rows], m, k_sub)
     if refine_iters > 0:  # Lloyd-refined books: better recall, no oracle
         books = refine_pq_codebooks(corpus, books, refine_iters, vec_col=vec_col)
     q_ids, probes, luts = _adc_probes(

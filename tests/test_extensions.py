@@ -1935,6 +1935,20 @@ def test_pq_topk_refined_books_still_cluster_correct(spark):
     assert not wrong
 
 
+def test_pq_topk_kernel_backend_matches_agg(spark, emb):
+    # r13: the suite row's default backend is the fused Arrow kernel
+    # (single all-covering bucket through _adc_scan_topk); it must be
+    # row-identical — ids, adist doubles, ranks — to the relational
+    # aggregation dual the SQL oracle replays.
+    from atlas_upscaling_dask_spark.extensions.similarity import pq_topk
+
+    q = emb.filter(F.col("vec_id") < 5)
+    kern = pq_topk(q, emb, k=7, m=4, k_sub=16, backend="kernel")
+    agg = pq_topk(q, emb, k=7, m=4, k_sub=16, backend="agg")
+    assert kern.exceptAll(agg).isEmpty()
+    assert agg.exceptAll(kern).isEmpty()
+
+
 def test_ivf_pq_distances_match_pq_on_shared_pairs(spark, emb):
     # IVFADC prunes candidates but must NOT change distances: every
     # (query, neighbor) it returns carries the exact adist pq_topk's

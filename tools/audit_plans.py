@@ -505,12 +505,14 @@ def audited_queries():
             QUERIES["asof_forward"],
             {"max_shuffles": 3, "codegen": True, "no_python_udf": True},
         ),
-        # PQ ADC scan: narrow encode; codeword table and query
-        # subvectors broadcast; one (query, neighbor) aggregation + the
-        # per-query top-k window
+        # PQ ADC scan (r13: fused Arrow kernel, one all-covering
+        # bucket): encode + LUT scoring + partition-local top-k in ONE
+        # narrow pass; the single exchange is the per-query ranking
+        # window — |Q|·|corpus| pair rows never move (was: 2 exchanges
+        # + 2 broadcasts + a pair aggregation)
         "embed_pq_topk": (
             QUERIES["embed_pq_topk"],
-            {"max_shuffles": 4, "broadcast": True, "no_python_udf": True},
+            {"max_shuffles": 1, "no_python_udf": True},
         ),
         # IVFADC: assignment+encode+LUT scoring fused into ONE narrow
         # Arrow kernel emitting partition-local top-k — the single
