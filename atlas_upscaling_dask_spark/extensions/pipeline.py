@@ -124,6 +124,16 @@ def prepare_training_set(
     # the benchmark broadcastable, so the anti-join broadcasts too — the
     # corpus never shuffles to subtract it.
     if benchmark is not None:
+        # the deduped corpus now has TWO consumers (the contamination
+        # shingle side and the anti-join main path) and the broadcast
+        # boundary defeats exchange reuse — without a materialization
+        # the gate + dedup window replay once per consumer (r13,
+        # measured: 5 exchanges, 0 reused).  At 100 TB that replay is a
+        # full corpus pass + corpus-sized window shuffle; the staged
+        # analog is writing the deduped corpus to parquet, the
+        # in-session analog a lazy local checkpoint (same pattern as
+        # prepare_rag_corpus's four-consumer stage).
+        d = d.localCheckpoint(eager=False)
         bad = contamination(
             d, benchmark, n=contamination_n, text_col=text_col, id_col=id_col
         ).select(F.col("doc_id").alias(id_col))

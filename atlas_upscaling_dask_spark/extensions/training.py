@@ -369,17 +369,33 @@ def _shingle_rows(
     before the explode) — a row-level ``.distinct()`` after the explode
     would be a full shuffle of every corpus shingle for a dedup whose
     scope is one document; this way the explode output is already
-    unique and the whole builder stays narrow."""
+    unique and the whole builder stays narrow.
+
+    r13 (guide §1.2 — the word_shingles lesson applied here too): the
+    gram builder used to run one interpreted Catalyst lambda per gram
+    (``transform(sequence(..), i -> concat_ws(' ', slice(w, i+1, n)))``,
+    ~25 µs/gram); it is now ``arrays_zip`` of n shifted bulk slices
+    with the per-doc distinct on the STRUCT array and one codegen'd
+    ``concat_ws`` per exploded row.  Struct-distinct equals
+    string-distinct because tokens come from ``split(text, ' ')`` and
+    so cannot contain the separator — the tuple→string map is
+    injective (proven exceptAll-identical; contamination oracle-green
+    at two SFs)."""
     words = F.split(F.col(text_col), " ")
-    shingles = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
-        F.col(id_col).alias(out_id), F.explode(F.array_distinct(shingles)).alias("shingle")
+    zipped = ", ".join(f"slice(w, {j + 1}, size(w) - {n - 1})" for j in range(n))
+    empty_t = ", ".join(f"`{j}`:string" for j in range(n))
+    structs = docs.select(
+        F.col(id_col).alias(out_id), words.alias("w")
+    ).select(
+        out_id,
+        F.expr(
+            f"CASE WHEN size(w) >= {n} THEN array_distinct(arrays_zip({zipped})) "
+            f"ELSE CAST(array() AS array<struct<{empty_t}>>) END"
+        ).alias("z"),
+    )
+    return structs.select(out_id, F.explode("z").alias("s")).select(
+        out_id,
+        F.concat_ws(" ", *[f"s.{j}" for j in range(n)]).alias("shingle"),
     )
 
 
